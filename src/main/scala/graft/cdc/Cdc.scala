@@ -1,0 +1,255 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.model.Schemas
+
+/**
+ * The batch CDC core: pure DataFrame → DataFrame functions reproducing the
+ * reference's change-data-capture semantics (SURVEY.md §2.1-§2.4, §3.2-§3.3)
+ * in Spark operator space.
+ *
+ * Where the reference relies on a single-threaded loop for ordering
+ * (reference: matomo2clickhouse.py:508, 648-653), we recover order per key:
+ * within a batch, each key is reduced to its LAST event by the deterministic
+ * position-derived version (SURVEY.md §7.4), which makes the apply
+ * order-insensitive — and therefore safe to distribute across executors and
+ * to replay (idempotence, reference: README.md:358-362).
+ */
+object Cdc {
+
+  /** Envelope filters F1-F3, F5, F6 (reference: matomo2clickhouse.py:492-533,
+    * binlog2sql_util.py:130-139). All are plain pushdown-able predicates. */
+  def filterEvents(
+      events: DataFrame,
+      onlyTables: Seq[String] = Nil,
+      onlySchemas: Seq[String] = Nil,
+      opTypes: Seq[String] = Seq("INSERT", "UPDATE", "DELETE"),
+      startTs: Option[java.sql.Timestamp] = None,
+      stopTs: Option[java.sql.Timestamp] = None,
+      endPos: Option[Long] = None): DataFrame = {
+    var df = events.filter(col("op").isin(opTypes: _*))
+    if (onlyTables.nonEmpty) df = df.filter(col("table").isin(onlyTables: _*))
+    if (onlySchemas.nonEmpty) df = df.filter(col("schema").isin(onlySchemas: _*))
+    startTs.foreach(t => df = df.filter(col("ts") >= lit(t)))
+    stopTs.foreach(t => df = df.filter(col("ts") < lit(t)))
+    endPos.foreach(p => df = df.filter(versionExpr <= lit(p)))
+    df
+  }
+
+  /**
+   * Q5 — deterministic, position-derived version id.
+   *
+   * The reference derives `dateid` from the wall clock
+   * (`int(round(time.time(),7)*1e7)`, reference: binlog2sql_util.py:52-62),
+   * which collided at sub-second resolution (bug fixed in its ver. 230719.01,
+   * reference: matomo2clickhouse.py:36). We instead derive from binlog
+   * coordinates, which are unique and monotone in apply order by construction:
+   * (file index) ≪ 40 | (log_pos) ≪ 8 | row_index.
+   */
+  def versionExpr: Column = {
+    val fileIdx = element_at(split(col("log_file"), "\\."), -1).cast("long")
+    shiftleft(fileIdx, 40) + shiftleft(col("log_pos"), 8) + col("row_index")
+  }
+
+  /** Adds the version column to an envelope frame. */
+  def withVersion(events: DataFrame): DataFrame =
+    events.withColumn(Schemas.VersionCol, versionExpr)
+
+  /**
+   * Envelope → typed per-table change frame. Payload JSON is parsed against
+   * the registry schema (SURVEY.md §7.4 hard part 5 — registry-driven fan-out,
+   * no hand-written per-table code). Output columns:
+   * op, ts, dateid, before:Struct, after:Struct.
+   */
+  def typedChanges(events: DataFrame, table: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val s = schema.getOrElse(payloadSchemaOf(table))
+    withVersion(events)
+      .filter(col("table") === table)
+      .select(col("op"), col("ts"), col(Schemas.VersionCol),
+        from_json(col("before"), s).as("before"),
+        from_json(col("after"), s).as("after"))
+  }
+
+  private def payloadSchemaOf(table: String): StructType = {
+    val s = Schemas.tableSchemas(table)
+    // the engine injects dateid itself (Q5); payload JSON never carries it
+    StructType(s.fields.filterNot(_.name == Schemas.VersionCol))
+  }
+
+  /**
+   * F7 — old-DELETE suppression: drop DELETE events whose row date is more
+   * than `maxAgeDays` old (reference: matomo2clickhouse.py:583-606,
+   * _settings.py:132-138). `now` is injected, never wall clock, so the
+   * operator is deterministic and testable.
+   */
+  def suppressOldDeletes(changes: DataFrame, dateCol: String,
+      now: Column, maxAgeDays: Int = 31): DataFrame =
+    changes.filter(!(col("op") === "DELETE" &&
+      datediff(to_date(now), to_date(col("before").getField(dateCol))) > maxAgeDays))
+
+  /** Count of the DELETEs F7 would reject, per reporting counter A6
+    * (reference: matomo2clickhouse.py:598-601, 728-731). */
+  def rejectedDeleteCount(changes: DataFrame, dateCol: String,
+      now: Column, maxAgeDays: Int = 31): Long =
+    changes.filter(col("op") === "DELETE" &&
+      datediff(to_date(now), to_date(col("before").getField(dateCol))) > maxAgeDays).count()
+
+  /** Reduce a typed change frame to the LAST event per key (by version).
+    * This is the ordering barrier ST7/SRT4 re-expressed order-insensitively. */
+  def lastEventPerKey(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keyExprs = keyCols.map(k =>
+      coalesce(col("after").getField(k), col("before").getField(k)).as(s"__key_$k"))
+    val w = Window.partitionBy(keyCols.map(k => col(s"__key_$k")): _*)
+      .orderBy(col(Schemas.VersionCol).desc)
+    changes.select(col("*") +: keyExprs: _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
+   * Apply a change batch to a MUTABLE table (plain UPDATE path,
+   * reference: binlog2sql_util.py:294-341). Semantics preserved:
+   *  - DELETE removes the matching state row (J4, anti-join; key-based —
+   *    every registry table declares its business key, so the reference's
+   *    full-before-image predicate reduces to the key with null-safe equality F13);
+   *  - UPDATE applies only CHANGED columns onto the existing state row
+   *    (F8 elision incl. null↔null, reference: binlog2sql_util.py:329-335);
+   *    an UPDATE with no matching state row is a no-op (ClickHouse ALTER
+   *    UPDATE semantics);
+   *  - INSERT appends; on key collision the new version wins (latest-wins,
+   *    the ReplacingMergeTree contract).
+   */
+  def applyMutable(state: DataFrame, changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val dataCols = state.columns.toSeq
+    val last = lastEventPerKey(changes, keyCols)
+
+    val joinCond = keyCols.map(k => col(s"s.${k}") <=> col(s"c.__key_$k")).reduce(_ && _)
+    val joined = state.alias("s").join(last.alias("c"), joinCond, "full_outer")
+
+    val hasChange = col("c.op").isNotNull
+    val hasState = col(s"s.${keyCols.head}").isNotNull ||
+      keyCols.map(k => col(s"s.$k").isNotNull).reduce(_ || _)
+
+    // per-column result under each (state, change-op) combination
+    val outCols = dataCols.map { c =>
+      val stateV = col(s"s.$c")
+      val afterV = col("c.after").getField(c)
+      val beforeV = col("c.before").getField(c)
+      val changed = !(afterV <=> beforeV) // F8: only changed columns move
+      when(!hasChange, stateV)
+        .when(col("c.op") === "INSERT", afterV)
+        .when(col("c.op") === "UPDATE" && hasState,
+          when(changed, afterV).otherwise(stateV))
+        .when(col("c.op") === "UPDATE" && !hasState, lit(null)) // no-op, row dropped below
+        .otherwise(lit(null)) // DELETE → dropped below
+        .as(c)
+    }
+
+    val keep =
+      (!hasChange && hasState) ||                       // untouched state
+      (col("c.op") === "INSERT") ||                     // insert (replaces on collision)
+      (col("c.op") === "UPDATE" && hasState)            // matched update
+    joined.filter(keep).select(outCols: _*)
+  }
+
+  /**
+   * Apply a change batch to a VERSIONED table (`tables_not_updated`):
+   * INSERT and UPDATE both append the after-image with the engine version
+   * (`INS-UPD` rewrite, reference: binlog2sql_util.py:305-327); fresh DELETEs
+   * remove all versions of the key; old DELETEs are suppressed by F7.
+   * The physical result is an append-only history; the logical table is
+   * `latestWins` over it (J1).
+   */
+  def applyVersioned(history: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      deleteDateCol: Option[String] = None, now: Column = current_timestamp(),
+      maxAgeDays: Int = 31): DataFrame = {
+    val guarded = deleteDateCol match {
+      case Some(dc) => suppressOldDeletes(changes, dc, now, maxAgeDays)
+      case None => changes
+    }
+    val appends = guarded.filter(col("op") =!= "DELETE")
+      .select((keyCols.map(k => col("after").getField(k).as(k)) ++
+        Seq(col("after"), col(Schemas.VersionCol))): _*)
+      .select(col("after.*"), col(Schemas.VersionCol))
+    val deleteKeys = guarded.filter(col("op") === "DELETE")
+      .select(keyCols.map(k => col("before").getField(k).as(k)): _*)
+      .distinct()
+    val afterDeletes = history.join(deleteKeys, keyCols, "left_anti")
+    afterDeletes.unionByName(appends.select(afterDeletes.columns.map(col): _*))
+  }
+
+  /**
+   * J1 — the latest-record-wins view: newest version of each business key
+   * (reference: script_create_clickhouse_table.sql:484-494, 553-563).
+   * Window formulation (single shuffle on the key); the reference's
+   * GROUP-BY-max + self-join formulation is kept as the oracle cross-check.
+   */
+  def latestWins(history: DataFrame, keyCols: Seq[String],
+      versionCol: String = Schemas.VersionCol): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+    history.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
+   * J2/A2 — duplicate finder: the STALE versions (every physical row that is
+   * not its key's max-version row) within an optional trailing time window
+   * (reference: _settings.py:237-256, doc_old_duplicates.md:32-70).
+   */
+  def staleVersions(history: DataFrame, keyCols: Seq[String],
+      versionCol: String = Schemas.VersionCol,
+      windowPred: Option[Column] = None): DataFrame = {
+    val base = windowPred.map(history.filter).getOrElse(history)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+    base.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .drop("__rn")
+  }
+
+  /**
+   * J3/ST8 — duplicate purge: rewrite keeping exactly the max-version row per
+   * key inside the window; rows outside the window pass through untouched
+   * (reference: _settings.py:230-287 — ALTER DELETE WHERE dateid IN (stale set),
+   * re-expressed as anti-join, the functional equivalent of the mutation).
+   */
+  def dedupPurge(history: DataFrame, keyCols: Seq[String],
+      versionCol: String = Schemas.VersionCol,
+      windowPred: Option[Column] = None): DataFrame = {
+    val stale = staleVersions(history, keyCols, versionCol, windowPred)
+      .select(col(versionCol))
+    history.join(stale, Seq(versionCol), "left_anti")
+  }
+
+  /**
+   * S8 — checkpoint-ledger rows for a change batch: one row per applied batch
+   * carrying max position + counts (reference: matomo2clickhouse.py:632-636,
+   * 712-720). Returned as a one-row DataFrame to append to `log_replication`.
+   */
+  def ledgerEntry(events: DataFrame): DataFrame = {
+    withVersion(events).agg(
+      max(col(Schemas.VersionCol)).as(Schemas.VersionCol),
+      current_timestamp().as("created_at"),
+      lit("BATCH").as("sql_type"),
+      max(col("ts")).as("log_time"),
+      max_by(col("log_file"), col(Schemas.VersionCol)).as("log_file"),
+      min(col("log_pos")).as("log_pos_start"),
+      max(col("log_pos")).as("log_pos_end"),
+      count(lit(1)).as("rows_applied"))
+  }
+
+  /** S2 — resume-position resolution: the ledger head (reference:
+    * matomo2clickhouse.py:786-812). Returns (log_file, log_pos_end) of
+    * max(dateid), the coordinates the next run starts from. */
+  def resumePosition(ledger: DataFrame): Option[(String, Long)] = {
+    val head = ledger.orderBy(col(Schemas.VersionCol).desc).limit(1)
+      .select(col("log_file"), col("log_pos_end")).collect()
+    head.headOption.map(r => (r.getString(0), r.getLong(1)))
+  }
+}

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The reference's relational workload (SURVEY.md §2.3-§2.8), re-expressed as
+ * native Spark operators over the driver testdata. Per FIXTURES.md §B, the
+ * `events` table plays the versioned CDC log: `user_id` ≈ business key,
+ * `event_id` ≈ dateid version, `ts` ≈ event time.
+ *
+ * Scale notes (100 TB design): every query here shuffles at most once on its
+ * grouping key; scalar anchors (e.g. max(ts)) are computed as a 1-row
+ * aggregate cross-joined via broadcast — never collected into driver loops;
+ * window dedups partition by the business key, which is the natural
+ * high-cardinality partitioning at scale.
+ */
+object RefWorkload {
+
+  /** Broadcast 1-row frame with the data's max timestamp — the deterministic
+    * "now" anchor (never wall clock, so results are reproducible). */
+  private def tsAnchor(events: DataFrame): DataFrame =
+    events.agg(max(col("ts")).as("__max_ts"))
+
+  /**
+   * J1/A1 — latest-record-wins view: the newest version of each key
+   * (reference: script_create_clickhouse_table.sql:484-494). Window
+   * formulation: one shuffle on user_id; at scale this is the minimal plan
+   * (the GROUP-BY-max + self-join oracle form shuffles twice and joins).
+   */
+  def j1LatestRecord(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    e.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+  }
+
+  /**
+   * J2/A2 — duplicate finder: keys with more than one version inside the
+   * trailing 14-day window (reference: _settings.py:237-256,
+   * doc_old_duplicates.md:32-70).
+   */
+  def j2DupCount(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    e.crossJoin(broadcast(tsAnchor(e)))
+      .filter(col("ts") >= col("__max_ts") - expr("INTERVAL 14 DAYS"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("versions"), max(col("event_id")).as("max_event_id"))
+      .filter(col("versions") > 1)
+  }
+
+  /**
+   * J3/ST8 — dedup purge: the table after deleting every stale version
+   * inside the trailing 14-day window, keeping exactly the max-version row
+   * per key; rows outside the window untouched (reference:
+   * _settings.py:230-287 — the ALTER DELETE ... IN (stale) mutation,
+   * re-expressed functionally as window-filter + anti-join).
+   */
+  def j3DedupPurge(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val inWindow = e.crossJoin(broadcast(tsAnchor(e)))
+      .filter(col("ts") >= col("__max_ts") - expr("INTERVAL 14 DAYS"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    val stale = inWindow.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1).select(col("event_id"))
+    e.join(stale, Seq("event_id"), "left_anti")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+  }
+
+  /** A5 — per-day histogram (reference: _settings.py:146-162). */
+  def a5DayHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** A4+SRT2 — checkpoint-head lookup: the max-version row (reference:
+    * matomo2clickhouse.py:786-812). */
+  def a4CheckpointHead(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val head = e.agg(max(col("event_id")).as("event_id"))
+    e.join(broadcast(head), Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+  }
+
+  /**
+   * SRT1/A7 — bounded retention watermark: the largest id among the oldest
+   * ≤10001 rows that is older than 21 days before the data head (reference:
+   * _settings.py:177-188 — the LIMIT-10001-guarded watermark probe).
+   * Spark plans the sort+limit as TakeOrderedAndProject (top-k, no full sort).
+   */
+  def srt1RetentionWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val oldest = e.select(col("event_id"), col("ts"))
+      .orderBy(col("event_id").asc).limit(10001)
+    oldest.crossJoin(broadcast(tsAnchor(e)))
+      .filter(col("ts") < col("__max_ts") - expr("INTERVAL 21 DAYS"))
+      .agg(max(col("event_id")).as("id_max"))
+  }
+
+  /** SET1+A7 — union of per-table min/max probes (reference: _settings.py:165-169). */
+  def set1UnionProbe(spark: SparkSession, dir: String): DataFrame = {
+    def probe(name: String, tcol: String): DataFrame =
+      Tables(spark, dir, name)
+        .agg(min(col(tcol)).as("min_ts"), max(col(tcol)).as("max_ts"))
+        .select(lit(name).as("tbl"), col("min_ts"), col("max_ts"))
+    probe("events", "ts")
+      .unionByName(probe("orders", "o_orderdate"))
+      .unionByName(probe("lineitem", "l_shipdate"))
+  }
+
+  /**
+   * F7 — old-DELETE suppression over the event log: drop "delete" events
+   * (played by event_type='error') whose row date is >14 days older than the
+   * data head (reference: matomo2clickhouse.py:583-606; threshold
+   * parametrized — the reference ships 31 days).
+   */
+  def f7DeleteSuppression(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    e.crossJoin(broadcast(tsAnchor(e)))
+      .filter(!(col("event_type") === "error" &&
+        datediff(to_date(col("__max_ts")), to_date(col("ts"))) > 14))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+  }
+
+  /**
+   * Q1-Q11 — scalar-function surface in one projection (reference:
+   * SURVEY.md §2.8): date truncation (Q2), toYYYYMM partition key (Q3),
+   * hex (Q6), regex replace (Q9), timestamp format (Q10), day diff (Q11),
+   * JSON prop extraction (events.props, per SURVEY.md §2.8 extended note).
+   */
+  def qScalarFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    e.select(
+      col("event_id"),
+      to_date(col("ts")).as("day"),
+      date_format(col("ts"), "yyyyMM").as("yyyymm"),
+      hex(col("event_id")).as("id_hex"),
+      regexp_replace(col("props"), "[0-9]+", "#").as("props_masked"),
+      get_json_object(col("props"), "$.k").as("prop_k"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).cast("long").as("days_since_epoch"),
+      upper(col("event_type")).as("type_upper"),
+      concat_ws("-", col("event_type"), col("user_id")).as("type_user"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j1_latest_record" -> j1LatestRecord,
+    "j2_dup_count" -> j2DupCount,
+    "j3_dedup_purge" -> j3DedupPurge,
+    "a5_day_histogram" -> a5DayHistogram,
+    "a4_checkpoint_head" -> a4CheckpointHead,
+    "srt1_retention_watermark" -> srt1RetentionWatermark,
+    "set1_union_probe" -> set1UnionProbe,
+    "f7_delete_suppression" -> f7DeleteSuppression,
+    "q_scalar_funcs" -> qScalarFuncs
+  )
+
+  /** DuckDB oracles. Where the reference authored a GROUP-BY-max + self-join
+    * (J1/J2), the oracle keeps that original formulation as the cross-check
+    * against our window formulation. */
+  val oracles: Map[String, String] = Map(
+    "j1_latest_record" ->
+      """SELECT e.user_id, e.event_id, e.ts, e.event_type, e.value
+        |FROM events e
+        |JOIN (SELECT user_id, max(event_id) AS event_id FROM events GROUP BY user_id) m
+        |  ON e.user_id = m.user_id AND e.event_id = m.event_id""".stripMargin,
+    "j2_dup_count" ->
+      """SELECT user_id, count(*) AS versions, max(event_id) AS max_event_id
+        |FROM events
+        |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 14 DAY
+        |GROUP BY user_id HAVING count(*) > 1""".stripMargin,
+    "j3_dedup_purge" ->
+      """WITH win AS (
+        |  SELECT event_id, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 14 DAY)
+        |SELECT e.event_id, e.user_id, e.ts, e.event_type FROM events e
+        |WHERE e.event_id NOT IN (SELECT event_id FROM win WHERE rn > 1)""".stripMargin,
+    "a5_day_histogram" ->
+      "SELECT CAST(ts AS DATE) AS day, count(*) AS cnt FROM events GROUP BY 1",
+    "a4_checkpoint_head" ->
+      """SELECT event_id, user_id, ts, event_type FROM events
+        |WHERE event_id = (SELECT max(event_id) FROM events)""".stripMargin,
+    "srt1_retention_watermark" ->
+      """SELECT max(event_id) AS id_max FROM (
+        |  SELECT event_id, ts FROM events ORDER BY event_id ASC LIMIT 10001) t
+        |WHERE ts < (SELECT max(ts) FROM events) - INTERVAL 21 DAY""".stripMargin,
+    "set1_union_probe" ->
+      """SELECT 'events' AS tbl, min(ts) AS min_ts, max(ts) AS max_ts FROM events
+        |UNION ALL
+        |SELECT 'orders', min(o_orderdate), max(o_orderdate) FROM orders
+        |UNION ALL
+        |SELECT 'lineitem', min(l_shipdate), max(l_shipdate) FROM lineitem""".stripMargin,
+    "f7_delete_suppression" ->
+      """SELECT event_id, user_id, ts, event_type FROM events
+        |WHERE NOT (event_type = 'error' AND
+        |  datediff('day', CAST(ts AS DATE), CAST((SELECT max(ts) FROM events) AS DATE)) > 14)""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT event_id,
+        |  CAST(ts AS DATE) AS day,
+        |  strftime(ts, '%Y%m') AS yyyymm,
+        |  to_hex(event_id) AS id_hex,
+        |  regexp_replace(props, '[0-9]+', '#', 'g') AS props_masked,
+        |  json_extract_string(props, '$.k') AS prop_k,
+        |  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since_epoch,
+        |  upper(event_type) AS type_upper,
+        |  concat_ws('-', event_type, user_id) AS type_user
+        |FROM events""".stripMargin
+  )
+}

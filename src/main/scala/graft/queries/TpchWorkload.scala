@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Join / aggregation / sort / set-operation coverage (SURVEY.md §2.3, §2.4,
+ * §2.6, §2.7) exercised over the TPC-H-ish star schema.
+ *
+ * Determinism contract with the DuckDB oracle: double-typed measures are cast
+ * to DECIMAL before aggregation (exact arithmetic in both engines, immune to
+ * floating-point summation order across Spark partitions), then the final
+ * result is cast back to DOUBLE so both sides emit the identical value and
+ * schema.
+ *
+ * Scale notes: dimension tables (region/nation, and supplier/customer/part at
+ * any realistic dim:fact ratio) are broadcast — no shuffle of the fact table
+ * for dim joins; fact-fact joins (orders⋈lineitem) shuffle once on the join
+ * key and AQE handles skew. Top-k uses sort+limit, which Spark plans as
+ * TakeOrderedAndProject (per-partition heap, no global sort).
+ */
+object TpchWorkload {
+
+  private def dec(c: String, p: Int = 18, s: Int = 2) = col(c).cast(s"decimal($p,$s)")
+
+  /** A1/A2-family — grouped aggregation with multiple measures (pricing
+    * summary; the dup-count A2 shape groupBy+count+HAVING at fact scale). */
+  def aggPricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum((dec("l_extendedprice") * (lit(1) - dec("l_discount", 4, 2)))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** J-family — multi-way equi-join with broadcast dims: revenue by nation.
+    * nation (25 rows) broadcasts; customer⋈orders and orders⋈lineitem
+    * shuffle on their keys. */
+  def joinRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    val orders = Tables(spark, dir, "orders")
+    val lineitem = Tables(spark, dir, "lineitem")
+    val nation = Tables(spark, dir, "nation")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount", 4, 2)))
+        .cast("double").as("revenue"))
+  }
+
+  /** SRT3-family — top-k by aggregate (sort+limit → TakeOrderedAndProject). */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(sum(dec("o_totalprice")).cast("double").as("total"))
+      .orderBy(col("total").desc, col("c_custkey").asc)
+      .limit(10)
+
+  /** J3-surface — LEFT SEMI: customers with at least one urgent order
+    * (the purge IN-subquery shape, reference: _settings.py:233-257). */
+  def semiJoinUrgentCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    Tables(spark, dir, "customer")
+      .join(urgent, Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** J4-surface — LEFT ANTI: customers with no orders (the CDC DELETE
+    * anti-join shape, reference: binlog2sql_util.py:294-304). */
+  def antiJoinNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val orderCust = Tables(spark, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    Tables(spark, dir, "customer")
+      .join(orderCust, Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** SET-family — INTERSECT: customers who placed both a finished and an
+    * open order (SURVEY.md §2.7; built-ins beyond the reference's UNION). */
+  def setIntersectCustkeys(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey")))
+  }
+
+  /** SET-family — EXCEPT: custkeys with finished orders but no open ones. */
+  def setExceptCustkeys(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey")))
+  }
+
+  /** A5/Q3-family — monthly order histogram with avg measure (the
+    * toYYYYMM partition-key shape, reference: script_create_clickhouse_table.sql:97). */
+  def monthlyOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyyMM").as("yyyymm"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("sum_price"))
+
+  /** Grouping-sets surface (SURVEY.md §2.4 "built-ins exist" row): rollup
+    * over (returnflag, linestatus) with exact decimal sums. */
+  def rollupPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pricing_summary" -> aggPricingSummary,
+    "join_revenue_by_nation" -> joinRevenueByNation,
+    "topk_customers" -> topCustomers,
+    "semi_join_urgent" -> semiJoinUrgentCustomers,
+    "anti_join_no_orders" -> antiJoinNoOrders,
+    "set_intersect_custkeys" -> setIntersectCustkeys,
+    "set_except_custkeys" -> setExceptCustkeys,
+    "monthly_orders" -> monthlyOrders,
+    "rollup_pricing" -> rollupPricing
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "join_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "topk_customers" ->
+      """SELECT c_custkey, c_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY total DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "semi_join_urgent" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "anti_join_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "set_intersect_custkeys" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "set_except_custkeys" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "monthly_orders" ->
+      """SELECT strftime(o_orderdate, '%Y%m') AS yyyymm, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+  )
+}
