@@ -22,7 +22,11 @@ import graft.model.Schemas
 object Cdc {
 
   /** Envelope filters F1-F3, F5, F6 (reference: matomo2clickhouse.py:492-533,
-    * binlog2sql_util.py:130-139). All are plain pushdown-able predicates. */
+    * binlog2sql_util.py:130-139). All are plain pushdown-able predicates.
+    * F6 takes real binlog coordinates `(endFile, endPos)` — "stop at the EOF
+    * captured at startup" (reference: matomo2clickhouse.py:345-350, 518-533) —
+    * and compares on the composite version, so an event is kept iff it lies at
+    * or before that coordinate in total binlog order. */
   def filterEvents(
       events: DataFrame,
       onlyTables: Seq[String] = Nil,
@@ -30,14 +34,34 @@ object Cdc {
       opTypes: Seq[String] = Seq("INSERT", "UPDATE", "DELETE"),
       startTs: Option[java.sql.Timestamp] = None,
       stopTs: Option[java.sql.Timestamp] = None,
-      endPos: Option[Long] = None): DataFrame = {
+      endCoord: Option[(String, Long)] = None): DataFrame = {
     var df = events.filter(col("op").isin(opTypes: _*))
     if (onlyTables.nonEmpty) df = df.filter(col("table").isin(onlyTables: _*))
     if (onlySchemas.nonEmpty) df = df.filter(col("schema").isin(onlySchemas: _*))
     startTs.foreach(t => df = df.filter(col("ts") >= lit(t)))
     stopTs.foreach(t => df = df.filter(col("ts") < lit(t)))
-    endPos.foreach(p => df = df.filter(versionExpr <= lit(p)))
+    endCoord.foreach { case (f, p) =>
+      df = df.filter(versionExpr <= lit(versionOf(f, p, MaxRowIndex)))
+    }
     df
+  }
+
+  /** Version layout (Q5): fileIdx ≪ 46 | log_pos ≪ 14 | row_index.
+    * 17 bits of binlog file index (131k files), 32 bits of position (binlogs
+    * cap at 1 GiB, reference runbook README.md:153-156), 14 bits of row index
+    * (16,384 rows/event — the reference batches 2,000/statement,
+    * reference: _settings.py:75-77, so 8 bits would overflow in practice). */
+  val FileShift = 46
+  val PosShift = 14
+  val MaxRowIndex: Int = (1 << PosShift) - 1
+  private val MaxPos: Long = (1L << (FileShift - PosShift)) - 1
+
+  /** Driver-side version encode for a concrete binlog coordinate. */
+  def versionOf(logFile: String, logPos: Long, rowIndex: Int = 0): Long = {
+    val fileIdx = logFile.substring(logFile.lastIndexOf('.') + 1).toLong
+    require(logPos >= 0 && logPos <= MaxPos, s"log_pos out of range: $logPos")
+    require(rowIndex >= 0 && rowIndex <= MaxRowIndex, s"row_index out of range: $rowIndex")
+    (fileIdx << FileShift) | (logPos << PosShift) | rowIndex.toLong
   }
 
   /**
@@ -47,12 +71,20 @@ object Cdc {
    * (`int(round(time.time(),7)*1e7)`, reference: binlog2sql_util.py:52-62),
    * which collided at sub-second resolution (bug fixed in its ver. 230719.01,
    * reference: matomo2clickhouse.py:36). We instead derive from binlog
-   * coordinates, which are unique and monotone in apply order by construction:
-   * (file index) ≪ 40 | (log_pos) ≪ 8 | row_index.
+   * coordinates, which are unique and monotone in apply order by construction.
+   * Out-of-range coordinates fail loudly rather than silently corrupting the
+   * total order latest-wins depends on.
    */
   def versionExpr: Column = {
     val fileIdx = element_at(split(col("log_file"), "\\."), -1).cast("long")
-    shiftleft(fileIdx, 40) + shiftleft(col("log_pos"), 8) + col("row_index")
+    val guarded = when(
+      col("row_index") > lit(MaxRowIndex) || col("row_index") < 0 ||
+        col("log_pos") > lit(MaxPos) || col("log_pos") < 0,
+      raise_error(concat(lit("version field overflow: log_pos="), col("log_pos"),
+        lit(" row_index="), col("row_index"))).cast("long"))
+      .otherwise(shiftleft(fileIdx, FileShift) +
+        shiftleft(col("log_pos"), PosShift) + col("row_index"))
+    guarded
   }
 
   /** Adds the version column to an envelope frame. */
@@ -100,14 +132,22 @@ object Cdc {
       datediff(to_date(now), to_date(col("before").getField(dateCol))) > maxAgeDays).count()
 
   /** Reduce a typed change frame to the LAST event per key (by version).
-    * This is the ordering barrier ST7/SRT4 re-expressed order-insensitively. */
+    * This is the ordering barrier ST7/SRT4 re-expressed order-insensitively.
+    * Alongside the last event the reduction keeps `__had_insert` — whether ANY
+    * event in the batch for this key was an INSERT — because a final UPDATE
+    * whose key was INSERTed earlier in the same batch must materialize the row
+    * (the reference applies sequentially, matomo2clickhouse.py:648-653: the
+    * INSERT lands first, then the UPDATE mutates it). */
   def lastEventPerKey(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
     val keyExprs = keyCols.map(k =>
       coalesce(col("after").getField(k), col("before").getField(k)).as(s"__key_$k"))
-    val w = Window.partitionBy(keyCols.map(k => col(s"__key_$k")): _*)
-      .orderBy(col(Schemas.VersionCol).desc)
+    val keyRefs = keyCols.map(k => col(s"__key_$k"))
+    val wOrd = Window.partitionBy(keyRefs: _*).orderBy(col(Schemas.VersionCol).desc)
+    val wAll = Window.partitionBy(keyRefs: _*)
     changes.select(col("*") +: keyExprs: _*)
-      .withColumn("__rn", row_number().over(w))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__had_insert",
+        max(when(col("op") === "INSERT", 1).otherwise(0)).over(wAll) === 1)
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
@@ -127,34 +167,59 @@ object Cdc {
    */
   def applyMutable(state: DataFrame, changes: DataFrame, keyCols: Seq[String]): DataFrame = {
     val dataCols = state.columns.toSeq
-    val last = lastEventPerKey(changes, keyCols)
+
+    // Per-key reduction that the sequential reference loop implies
+    // (matomo2clickhouse.py:648-653), recovered order-insensitively:
+    //  - the LAST event (by version) decides the row's fate;
+    //  - `__had_insert`: any INSERT in the batch materializes the key, so a
+    //    trailing UPDATE must produce the row even if `state` lacks it
+    //    (row images are full — the final after-image is the complete row);
+    //  - `__chg_<c>`: column c changed in ANY update of the batch chain. A
+    //    two-update chain a→b, b→b must land b: eliding against only the LAST
+    //    event's (before,after) pair would silently drop v1's change (F8 over
+    //    the whole chain, reference: binlog2sql_util.py:329-335 per event).
+    val keyExprs = keyCols.map(k =>
+      coalesce(col("after").getField(k), col("before").getField(k)).as(s"__key_$k"))
+    val keyRefs = keyCols.map(k => col(s"__key_$k"))
+    val wAll = Window.partitionBy(keyRefs: _*)
+    val wOrd = wAll.orderBy(col(Schemas.VersionCol).desc)
+    var flagged = changes.select(col("*") +: keyExprs: _*)
+      .withColumn("__had_insert",
+        max(when(col("op") === "INSERT", 1).otherwise(0)).over(wAll) === 1)
+    dataCols.foreach { c =>
+      flagged = flagged.withColumn(s"__chg_$c",
+        max(when(col("op") === "UPDATE" &&
+          !(col("after").getField(c) <=> col("before").getField(c)), 1)
+          .otherwise(0)).over(wAll) === 1)
+    }
+    val last = flagged.withColumn("__rn", row_number().over(wOrd))
+      .filter(col("__rn") === 1).drop("__rn")
 
     val joinCond = keyCols.map(k => col(s"s.${k}") <=> col(s"c.__key_$k")).reduce(_ && _)
     val joined = state.alias("s").join(last.alias("c"), joinCond, "full_outer")
 
     val hasChange = col("c.op").isNotNull
-    val hasState = col(s"s.${keyCols.head}").isNotNull ||
-      keyCols.map(k => col(s"s.$k").isNotNull).reduce(_ || _)
+    val hasState = keyCols.map(k => col(s"s.$k").isNotNull).reduce(_ || _)
 
     // per-column result under each (state, change-op) combination
     val outCols = dataCols.map { c =>
       val stateV = col(s"s.$c")
       val afterV = col("c.after").getField(c)
-      val beforeV = col("c.before").getField(c)
-      val changed = !(afterV <=> beforeV) // F8: only changed columns move
       when(!hasChange, stateV)
         .when(col("c.op") === "INSERT", afterV)
-        .when(col("c.op") === "UPDATE" && hasState,
-          when(changed, afterV).otherwise(stateV))
-        .when(col("c.op") === "UPDATE" && !hasState, lit(null)) // no-op, row dropped below
-        .otherwise(lit(null)) // DELETE → dropped below
+        .when(col("c.op") === "UPDATE" && hasState && !col("c.__had_insert"),
+          when(col(s"c.__chg_$c"), afterV).otherwise(stateV))
+        // key born in this batch: the UPDATE's after-image IS the row
+        .when(col("c.op") === "UPDATE" && col("c.__had_insert"), afterV)
+        .otherwise(lit(null)) // unmatched UPDATE no-op / DELETE → dropped below
         .as(c)
     }
 
     val keep =
-      (!hasChange && hasState) ||                       // untouched state
-      (col("c.op") === "INSERT") ||                     // insert (replaces on collision)
-      (col("c.op") === "UPDATE" && hasState)            // matched update
+      (!hasChange && hasState) ||                            // untouched state
+      (col("c.op") === "INSERT") ||                          // insert (replaces on collision)
+      (col("c.op") === "UPDATE" &&
+        (hasState || col("c.__had_insert")))                 // matched or batch-born update
     joined.filter(keep).select(outCols: _*)
   }
 
@@ -174,14 +239,27 @@ object Cdc {
       case None => changes
     }
     val appends = guarded.filter(col("op") =!= "DELETE")
-      .select((keyCols.map(k => col("after").getField(k).as(k)) ++
-        Seq(col("after"), col(Schemas.VersionCol))): _*)
       .select(col("after.*"), col(Schemas.VersionCol))
-    val deleteKeys = guarded.filter(col("op") === "DELETE")
-      .select(keyCols.map(k => col("before").getField(k).as(k)): _*)
-      .distinct()
-    val afterDeletes = history.join(deleteKeys, keyCols, "left_anti")
-    afterDeletes.unionByName(appends.select(afterDeletes.columns.map(col): _*))
+    // per key: the max DELETE version in this batch. A DELETE removes every
+    // version that existed BEFORE it in binlog order — all of `history` (whose
+    // versions predate the batch) and any same-batch append with a smaller
+    // version; appends after the delete survive (the reference applies
+    // sequentially, matomo2clickhouse.py:648-653 — an INSERT(v1)→DELETE(v2)
+    // pair must NOT resurrect v1). Null-safe key equality throughout (F13).
+    val deleteMax = guarded.filter(col("op") === "DELETE")
+      .select(keyCols.map(k => col("before").getField(k).as(k)) :+
+        col(Schemas.VersionCol).as("__del_v"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("__del_v")).as("__del_v"))
+    def delCond(side: String) =
+      keyCols.map(k => col(s"$side.$k") <=> col(s"d.$k")).reduce(_ && _)
+    val afterDeletes = history.alias("h")
+      .join(deleteMax.alias("d"), delCond("h"), "left_anti")
+    val keptAppends = appends.alias("a")
+      .join(deleteMax.alias("d"), delCond("a"), "left")
+      .filter(col("d.__del_v").isNull || col(s"a.${Schemas.VersionCol}") > col("d.__del_v"))
+      .select(appends.columns.map(c => col(s"a.$c")): _*)
+    afterDeletes.unionByName(keptAppends.select(afterDeletes.columns.map(col): _*))
   }
 
   /**

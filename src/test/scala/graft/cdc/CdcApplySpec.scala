@@ -1,0 +1,142 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Schemas
+import CdcFixtures._
+
+/** FIXTURES.md §A3 scenario tests for the CDC apply core — the semantics the
+  * reference gets from its single-threaded sequential loop
+  * (reference: matomo2clickhouse.py:648-653) recovered order-insensitively. */
+class CdcApplySpec extends SparkSpec {
+
+  // ---- applyMutable (plain UPDATE path, reference: binlog2sql_util.py:294-341)
+
+  test("mutable: INSERT then UPDATE of the same key in one batch materializes the row") {
+    val st = state(spark, Nil)
+    val ch = changes(spark, Seq(
+      ins(1, 10, "a"),
+      upd(2, 10, "a", "b")))
+    val out = collectMutable(Cdc.applyMutable(st, ch, Seq("id")))
+    assert(out == Set((Some(10L), Some("b"), None)))
+  }
+
+  test("mutable: INSERT then UPDATE then DELETE of the same key in one batch removes it") {
+    val st = state(spark, Nil)
+    val ch = changes(spark, Seq(
+      ins(1, 10, "a"), upd(2, 10, "a", "b"), del(3, 10, "b")))
+    assert(collectMutable(Cdc.applyMutable(st, ch, Seq("id"))).isEmpty)
+  }
+
+  test("mutable: UPDATE with no state row and no batch INSERT is a no-op") {
+    val st = state(spark, Seq((5L, "keep", null)))
+    val ch = changes(spark, Seq(upd(1, 99, "x", "y")))
+    val out = collectMutable(Cdc.applyMutable(st, ch, Seq("id")))
+    assert(out == Set((Some(5L), Some("keep"), None)))
+  }
+
+  test("mutable: UPDATE applies only changed columns (F8), null-to-null elided") {
+    // state note='s-note' differs from the before-image note (both null in the
+    // change): note is UNCHANGED in the event, so the state value survives
+    val st = state(spark, Seq((7L, "old", "s-note")))
+    val ch = changes(spark, Seq(upd(1, 7, "old", "new", None, None)))
+    val out = collectMutable(Cdc.applyMutable(st, ch, Seq("id")))
+    assert(out == Set((Some(7L), Some("new"), Some("s-note"))))
+  }
+
+  test("mutable: UPDATE moves a column changing null -> value and value -> null") {
+    val st = state(spark, Seq((7L, "n", "x")))
+    val ch = changes(spark, Seq(
+      upd(1, 7, "n", "n", beforeNote = Some("x"), afterNote = None)))
+    val out = collectMutable(Cdc.applyMutable(st, ch, Seq("id")))
+    assert(out == Set((Some(7L), Some("n"), None)))
+  }
+
+  test("mutable: DELETE removes the matching row, others untouched") {
+    val st = state(spark, Seq((1L, "a", null), (2L, "b", null)))
+    val ch = changes(spark, Seq(del(1, 1, "a")))
+    val out = collectMutable(Cdc.applyMutable(st, ch, Seq("id")))
+    assert(out == Set((Some(2L), Some("b"), None)))
+  }
+
+  test("mutable: null key matches null-safely (F13)") {
+    val st = state(spark, Seq((null, "nullkey", null), (2L, "b", null)))
+    val ch = changes(spark, Seq(
+      ("DELETE", 1L, Some((None, Some("nullkey"), None)), None): Ev))
+    val out = collectMutable(Cdc.applyMutable(st, ch, Seq("id")))
+    assert(out == Set((Some(2L), Some("b"), None)))
+  }
+
+  test("mutable: INSERT on key collision replaces the state row (latest-wins)") {
+    val st = state(spark, Seq((3L, "stale", "z")))
+    val ch = changes(spark, Seq(ins(1, 3, "fresh")))
+    val out = collectMutable(Cdc.applyMutable(st, ch, Seq("id")))
+    assert(out == Set((Some(3L), Some("fresh"), None)))
+  }
+
+  // ---- applyVersioned (INS-UPD rewrite, reference: binlog2sql_util.py:305-327)
+
+  test("versioned: INSERT(v1) then DELETE(v2) same batch does not resurrect v1") {
+    val h = history(spark, Nil)
+    val ch = changes(spark, Seq(ins(1, 10, "a"), del(2, 10, "a")))
+    assert(collectVersioned(Cdc.applyVersioned(h, ch, Seq("id"))).isEmpty)
+  }
+
+  test("versioned: DELETE(v1) then INSERT(v2) same batch keeps v2, drops history") {
+    val h = history(spark, Seq((10L, "hist", null, 0L)))
+    val ch = changes(spark, Seq(del(1, 10, "hist"), ins(2, 10, "reborn")))
+    val out = collectVersioned(Cdc.applyVersioned(h, ch, Seq("id")))
+    assert(out == Set((10L, Some("reborn"), None, 2L)))
+  }
+
+  test("versioned: UPDATE appends a new version; latest-wins returns it") {
+    val h = history(spark, Seq((10L, "v0", null, 0L)))
+    val ch = changes(spark, Seq(upd(1, 10, "v0", "v1")))
+    val applied = Cdc.applyVersioned(h, ch, Seq("id"))
+    assert(collectVersioned(applied) ==
+      Set((10L, Some("v0"), None, 0L), (10L, Some("v1"), None, 1L)))
+    val latest = collectVersioned(Cdc.latestWins(applied, Seq("id")))
+    assert(latest == Set((10L, Some("v1"), None, 1L)))
+  }
+
+  test("versioned: suppressOldDeletes keeps fresh deletes, drops old ones (31-day boundary)") {
+    import spark.implicits._
+    val now = lit("2024-02-01 00:00:00").cast("timestamp")
+    val ch = Seq(
+      ("DELETE", 1L, "2023-12-31 00:00:00", 1L),
+      ("DELETE", 2L, "2024-01-02 00:00:00", 2L),
+      ("INSERT", 3L, "2023-01-01 00:00:00", 3L)) // non-delete: never suppressed
+      .toDF("op", "id", "d", Schemas.VersionCol)
+      .select(col("op"), col(Schemas.VersionCol),
+        struct(col("id"), col("d").cast("timestamp").as("d")).as("before"),
+        lit(null).cast("struct<id:bigint,d:timestamp>").as("after"))
+    val kept = Cdc.suppressOldDeletes(ch, "d", now, maxAgeDays = 31)
+      .select("before.id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+    assert(Cdc.rejectedDeleteCount(ch, "d", now, maxAgeDays = 31) == 1L)
+  }
+
+  // ---- purge / stale (J2/J3, reference: _settings.py:230-287)
+
+  test("purge keeps exactly the max-version row per key; stale is the complement") {
+    val h = history(spark, Seq(
+      (1L, "a0", null, 10L), (1L, "a1", null, 20L), (1L, "a2", null, 30L),
+      (2L, "b0", null, 5L)))
+    val purged = collectVersioned(Cdc.dedupPurge(h, Seq("id")))
+    assert(purged == Set((1L, Some("a2"), None, 30L), (2L, Some("b0"), None, 5L)))
+    val stale = collectVersioned(Cdc.staleVersions(h, Seq("id")))
+    assert(stale == Set((1L, Some("a0"), None, 10L), (1L, Some("a1"), None, 20L)))
+  }
+
+  test("purge with window predicate leaves rows outside the window untouched") {
+    val h = history(spark, Seq(
+      (1L, "old-dup", null, 1L), (1L, "old-dup2", null, 2L), // outside window
+      (2L, "w0", null, 100L), (2L, "w1", null, 200L)))       // inside window
+    val purged = collectVersioned(
+      Cdc.dedupPurge(h, Seq("id"), windowPred = Some(col(Schemas.VersionCol) >= 100L)))
+    assert(purged == Set(
+      (1L, Some("old-dup"), None, 1L), (1L, Some("old-dup2"), None, 2L),
+      (2L, Some("w1"), None, 200L)))
+  }
+}
