@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.Cdc
+import graft.model.Schemas
+
+/**
+ * CORRECTNESS entries for the CDC apply core itself — the port of the
+ * reference's "compiler" (reference: binlog2sql_util.py:261-351) and apply
+ * loop (reference: matomo2clickhouse.py:648-653).
+ *
+ * A deterministic change log is derived from the `events` table: op from
+ * `event_id % 10` (0-5 INSERT, 6-8 UPDATE, 9 DELETE), version = event_id,
+ * business key = user_id. The DuckDB oracle replays the same log with pure
+ * SQL over the same derivation, so the whole apply path — op routing (F4),
+ * version-aware deletes, batch-insert materialization, latest-wins (J1) —
+ * is pinned end-to-end by rows+schema+hash.
+ *
+ * Scale notes: the apply is one shuffle on the key (window reduction) plus
+ * one shuffled join against state/history — no collect, no cartesian; at
+ * 100 TB the state side is partition-pruned (see graft.cdc.PartitionedState).
+ */
+object CdcWorkload {
+
+  /** The derived change log: op, dateid(=event_id), before, after. */
+  private def changeLog(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val op = when(pmod(col("event_id"), lit(10)) <= 5, "INSERT")
+      .when(pmod(col("event_id"), lit(10)) <= 8, "UPDATE")
+      .otherwise("DELETE")
+    e.select(op.as("op"), col("event_id").as(Schemas.VersionCol),
+      col("ts"), col("user_id"), col("value"), col("event_type"))
+      .select(col("op"), col(Schemas.VersionCol),
+        when(col("op") =!= "INSERT", struct(
+          col("user_id"), col("ts"),
+          (col("value") - lit(1.0)).as("value"),   // value always changes in UPDATEs
+          col("event_type"))).as("before"),        // event_type never changes
+        when(col("op") =!= "DELETE", struct(
+          col("user_id"), col("ts"), col("value"), col("event_type"))).as("after"))
+  }
+
+  private val changeLogSql =
+    """log AS (
+      |  SELECT event_id, user_id, ts, value, event_type,
+      |    CASE WHEN event_id % 10 <= 5 THEN 'INSERT'
+      |         WHEN event_id % 10 <= 8 THEN 'UPDATE'
+      |         ELSE 'DELETE' END AS op
+      |  FROM events)""".stripMargin
+
+  /**
+   * S6/J4/J5/ST7 — applyVersioned over an empty history: appends survive a
+   * key's max same-batch DELETE only if their version is greater (the
+   * INS-UPD rewrite + sequential-delete contract).
+   */
+  def cdcApplyVersioned(spark: SparkSession, dir: String): DataFrame = {
+    val ch = changeLog(spark, dir)
+    val emptyHistory = ch.filter(lit(false))
+      .select(col("after.*"), col(Schemas.VersionCol))
+    Cdc.applyVersioned(emptyHistory, ch, Seq("user_id"))
+  }
+
+  /** J1 over the versioned apply — the reference's own latest-record view
+    * (reference: script_create_clickhouse_table.sql:484-494). */
+  def cdcLatestWins(spark: SparkSession, dir: String): DataFrame =
+    Cdc.latestWins(cdcApplyVersioned(spark, dir), Seq("user_id"))
+
+  /**
+   * J5/F8/F13 — applyMutable against a synthetic initial state (every third
+   * user pre-seeded): last-event-wins routing with batch-INSERT
+   * materialization and changed-column elision.
+   */
+  def cdcApplyMutable(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val state0 = e.select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(3)) === 0)
+      .select(col("user_id"),
+        (lit(1000.0) + col("user_id")).as("value"),
+        lit("init").as("event_type"))
+    val ch = changeLog(spark, dir)
+      // mutable payload has no ts column: project the images down
+      .select(col("op"), col(Schemas.VersionCol),
+        when(col("before").isNotNull, struct(
+          col("before.user_id"), col("before.value"), col("before.event_type"))).as("before"),
+        when(col("after").isNotNull, struct(
+          col("after.user_id"), col("after.value"), col("after.event_type"))).as("after"))
+    Cdc.applyMutable(state0, ch, Seq("user_id"))
+  }
+
+  /** S8/A4 — the checkpoint-ledger row for a batch (deterministic columns;
+    * created_at is wall clock and excluded). Envelope coordinates derived
+    * from event_id; the oracle recomputes the composite version arithmetic. */
+  def cdcLedgerEntry(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val env = e.select(
+      lit("INSERT").as("op"), lit("db").as("schema"), lit("events").as("table"),
+      col("ts"),
+      concat(lit("mysql-bin.00000"), (pmod(col("event_id"), lit(3)) + 1)).as("log_file"),
+      col("event_id").as("log_pos"),
+      lit(0).as("row_index"),
+      lit(null).cast("string").as("before"), lit(null).cast("string").as("after"))
+    Cdc.ledgerEntry(env).drop("created_at")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_apply_versioned" -> cdcApplyVersioned,
+    "cdc_latest_wins" -> cdcLatestWins,
+    "cdc_apply_mutable" -> cdcApplyMutable,
+    "cdc_ledger_entry" -> cdcLedgerEntry
+  )
+
+  val oracles: Map[String, String] = Map(
+    // a DELETE removes every version before it; appends after it survive
+    "cdc_apply_versioned" ->
+      s"""WITH $changeLogSql,
+        |dels AS (SELECT user_id, max(event_id) AS del_v FROM log
+        |         WHERE op = 'DELETE' GROUP BY user_id)
+        |SELECT l.user_id, l.ts, l.value, l.event_type, l.event_id AS dateid
+        |FROM log l LEFT JOIN dels d ON l.user_id = d.user_id
+        |WHERE l.op <> 'DELETE' AND (d.del_v IS NULL OR l.event_id > d.del_v)""".stripMargin,
+    // the reference's GROUP-BY-max + self-join latest-record formulation
+    "cdc_latest_wins" ->
+      s"""WITH $changeLogSql,
+        |dels AS (SELECT user_id, max(event_id) AS del_v FROM log
+        |         WHERE op = 'DELETE' GROUP BY user_id),
+        |hist AS (
+        |  SELECT l.user_id, l.ts, l.value, l.event_type, l.event_id AS dateid
+        |  FROM log l LEFT JOIN dels d ON l.user_id = d.user_id
+        |  WHERE l.op <> 'DELETE' AND (d.del_v IS NULL OR l.event_id > d.del_v))
+        |SELECT h.user_id, h.ts, h.value, h.event_type, h.dateid
+        |FROM hist h
+        |JOIN (SELECT user_id, max(dateid) AS dateid FROM hist GROUP BY user_id) m
+        |  ON h.user_id = m.user_id AND h.dateid = m.dateid""".stripMargin,
+    // sequential per-key replay: last event decides; batch INSERT materializes;
+    // updates move only columns an update changed (value yes, event_type no)
+    "cdc_apply_mutable" ->
+      s"""WITH $changeLogSql,
+        |state0 AS (
+        |  SELECT user_id, CAST(1000 AS DOUBLE) + user_id AS value, 'init' AS event_type
+        |  FROM (SELECT DISTINCT user_id FROM events) u WHERE user_id % 3 = 0),
+        |agg AS (
+        |  SELECT user_id, max(event_id) AS last_v, bool_or(op = 'INSERT') AS had_insert
+        |  FROM log GROUP BY user_id),
+        |last AS (
+        |  SELECT l.user_id, l.op, l.value, l.event_type, a.had_insert
+        |  FROM log l JOIN agg a ON l.user_id = a.user_id AND l.event_id = a.last_v)
+        |SELECT s.user_id, s.value, s.event_type
+        |FROM state0 s LEFT JOIN last c ON s.user_id = c.user_id WHERE c.user_id IS NULL
+        |UNION ALL
+        |SELECT c.user_id, c.value, c.event_type FROM last c
+        |WHERE c.op = 'INSERT' OR (c.op = 'UPDATE' AND c.had_insert)
+        |UNION ALL
+        |SELECT c.user_id, c.value, s.event_type
+        |FROM last c JOIN state0 s ON c.user_id = s.user_id
+        |WHERE c.op = 'UPDATE' AND NOT c.had_insert""".stripMargin,
+    // composite version arithmetic: fileIdx*2^46 + log_pos*2^14 + row_index
+    "cdc_ledger_entry" ->
+      """WITH env AS (
+        |  SELECT event_id AS log_pos, ts, (event_id % 3) + 1 AS fidx,
+        |    'mysql-bin.00000' || CAST((event_id % 3) + 1 AS VARCHAR) AS log_file
+        |  FROM events),
+        |v AS (SELECT *, fidx * 70368744177664 + log_pos * 16384 AS version FROM env)
+        |SELECT max(version) AS dateid, 'BATCH' AS sql_type, max(ts) AS log_time,
+        |  arg_max(log_file, version) AS log_file,
+        |  min(log_pos) AS log_pos_start, max(log_pos) AS log_pos_end,
+        |  count(*) AS rows_applied
+        |FROM v""".stripMargin
+  )
+}
