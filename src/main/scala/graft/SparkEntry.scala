@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefWorkload.queries ++ TpchWorkload.queries ++ CdcWorkload.queries
+    RefWorkload.queries ++ TpchWorkload.queries ++ CdcWorkload.queries ++
+      LlmWorkload.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RefWorkload.oracles ++ TpchWorkload.oracles ++ CdcWorkload.oracles
+    RefWorkload.oracles ++ TpchWorkload.oracles ++ CdcWorkload.oracles ++
+      LlmWorkload.oracles
 }

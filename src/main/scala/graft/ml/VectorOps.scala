@@ -1,0 +1,104 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (`Array[Float]`) — the extended
+ * LLM-pipeline surface (builder brief; absent from the reference, which has
+ * no vector data at all).
+ *
+ * Design for 100 TB:
+ *  - the brute-force path broadcasts only the PROBE set (small by contract)
+ *    against the full corpus — a broadcast nested-loop with k-row per-probe
+ *    top-k, never a corpus×corpus product;
+ *  - the IVF path prunes the search space with an inverted-file bucketing:
+ *    vectors are assigned to their nearest centroid once (join against a
+ *    broadcast centroid set), probes search only `nprobe` buckets — the
+ *    candidate join is an equi-join on centroid id, so the shuffle is
+ *    proportional to bucket sizes, not the corpus;
+ *  - dot products are sequential left-folds over the array (deterministic
+ *    IEEE summation order — reproducible across engines and partitionings).
+ */
+object VectorOps {
+
+  /** Sequential-fold dot product of two double arrays (deterministic order). */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  /** Cosine similarity of two double-array columns. */
+  def cosine(a: String, b: String): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def asDouble(emb: DataFrame, idCol: String, vecCol: String) =
+    emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("e"))
+
+  /**
+   * Brute-force top-k cosine neighbors for each probe vector. Probes are the
+   * rows where `vec_id % probeMod == 0`; self-matches excluded. Output:
+   * (probe_id, neighbor_id, rank) with rank 1..k by cosine desc (ties broken
+   * by neighbor id).
+   */
+  def annBruteForce(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", probeMod: Int = 100, k: Int = 10): DataFrame = {
+    val v = asDouble(emb, idCol, vecCol)
+    val probes = v.filter(pmod(col("vec_id"), lit(probeMod)) === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+    val scored = v.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", cosine("e", "pe"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /** Nearest-centroid assignment: (vec_id, centroid_id) — one broadcast join
+    * against the centroid set, argmax cosine with centroid-id tiebreak. */
+  def assignToCentroids(v: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    v.join(broadcast(centroids))
+      .withColumn("cos", cosine("e", "ce"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
+  /**
+   * IVF (inverted-file) top-k: centroids are the rows where
+   * `vec_id % centroidMod == 0` (a deterministic training-free codebook —
+   * stands in for k-means at identical plumbing); every vector is bucketed by
+   * nearest centroid; each probe searches only its `nprobe` nearest buckets.
+   * Recall < 1 vs brute force by construction — that is the scale trade.
+   */
+  def annIvf(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidMod: Int = 25, probeMod: Int = 100, nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val v = asDouble(emb, idCol, vecCol)
+    val centroids = v.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ce"))
+    val assigned = assignToCentroids(v, centroids)
+
+    val probes = v.filter(pmod(col("vec_id"), lit(probeMod)) === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    val probeBuckets = probes.join(broadcast(centroids))
+      .withColumn("cos", cosine("pe", "ce"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("pe"), col("centroid_id"))
+
+    val candidates = probeBuckets
+      .join(assigned, Seq("centroid_id"))                 // equi-join on bucket
+      .filter(col("vec_id") =!= col("probe_id"))
+      .join(v, Seq("vec_id"))
+      .withColumn("cos", cosine("e", "pe"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    candidates.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+}

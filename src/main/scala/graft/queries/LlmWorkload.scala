@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.{Multimodal, VectorOps}
+import graft.text.TextOps
+
+/**
+ * The LLM-training-data-pipeline workload over the `documents` and
+ * `embeddings` tables: dedup (exact / MinHash-LSH / SimHash), similarity
+ * search (brute-force + IVF), text analysis, and multimodal metadata —
+ * each with a DuckDB oracle replaying the exact same deterministic
+ * algorithm in SQL (portable md5-derived hashes, identical fold order for
+ * float sums), so rows+schema+hash pin the full pipeline.
+ */
+object LlmWorkload {
+
+  // --- shared SQL fragments (must mirror TextOps/VectorOps exactly) ---------
+
+  /** lower/trim/collapse-whitespace — TextOps.normalizeText. */
+  private val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+
+  /** TextOps.hash64 of an arbitrary SQL expression. */
+  private def h64(e: String) = s"CAST(CONCAT('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** words + distinct 3-gram shingles CTEs. */
+  private val shingleCte =
+    s"""words AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       |       FROM words, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3)""".stripMargin
+
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+  private def cosSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  // --- queries --------------------------------------------------------------
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    TextOps.exactDedup(Tables(spark, dir, "documents"), "doc_id", "text")
+
+  def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.minhashNearDups(Tables(spark, dir, "documents"), "doc_id", "text")
+
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.simhashPairs(TextOps.simhash(Tables(spark, dir, "documents"), "doc_id", "text"))
+
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    TextOps.textStats(Tables(spark, dir, "documents"), "doc_id", "text")
+
+  def textTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCounts(Tables(spark, dir, "documents"), "doc_id", "text")
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langId(Tables(spark, dir, "documents"), "doc_id", "text")
+
+  def textFingerprints(spark: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprints(Tables(spark, dir, "documents"), "doc_id", "text")
+
+  def annTopkBruteforce(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.annBruteForce(Tables(spark, dir, "embeddings"))
+
+  def annTopkIvf(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.annIvf(Tables(spark, dir, "embeddings"))
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.withPayload(Tables(spark, dir, "documents"), "doc_id", "text")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash_pairs" -> dedupMinhashPairs,
+    "dedup_simhash_pairs" -> dedupSimhashPairs,
+    "text_stats" -> textStats,
+    "text_token_counts" -> textTokenCounts,
+    "text_lang_id" -> textLangId,
+    "text_fingerprints" -> textFingerprints,
+    "ann_topk_bruteforce" -> annTopkBruteforce,
+    "ann_topk_ivf" -> annTopkIvf,
+    "multimodal_meta" -> multimodalMeta
+  )
+
+  // --- oracles --------------------------------------------------------------
+
+  private val minhashOracle: String = {
+    val k = 12; val r = 3
+    val hCols = (0 until k).map(j => s"min(${h64(s"shingle || '#$j'")}) AS h$j").mkString(",\n  ")
+    val bandSelects = (0 until k / r).map { b =>
+      val cols = (0 until r).map(i => s"h${b * r + i}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS sig FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id,
+       |  $hCols
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |$bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+       |          FROM cand c
+       |          JOIN sh sa ON sa.doc_id = c.doc_a
+       |          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |          GROUP BY 1, 2)
+       |SELECT t.doc_a, t.doc_b,
+       |  CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+       |FROM inter t
+       |JOIN cnt ca ON ca.doc_id = t.doc_a
+       |JOIN cnt cb ON cb.doc_id = t.doc_b
+       |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8""".stripMargin
+  }
+
+  private val simhashOracle: String = {
+    val bits = 48; val bandBits = 12
+    val bitSums = (0 until bits)
+      .map(p => s"sum(CASE WHEN (h >> $p) & 1 = 1 THEN 1 ELSE -1 END) AS b$p")
+      .mkString(",\n  ")
+    val simExpr = (0 until bits)
+      .map(p => s"(CASE WHEN b$p >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $shingleCte,
+       |hs AS (SELECT doc_id, ${h64("shingle")} AS h FROM sh),
+       |bitsum AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM hs GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $simExpr AS simhash FROM bitsum),
+       |banded AS (SELECT doc_id, simhash, u.b AS band,
+       |             (simhash >> ($bandBits * u.b)) & ${(1 << bandBits) - 1} AS v
+       |           FROM sim, UNNEST([0, 1, 2, 3]) AS u(b))
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |FROM banded x JOIN banded y
+       |  ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
+  }
+
+  private val bruteforceOracle: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+       |d AS (SELECT p.probe_id, v.vec_id, ${cosSql("v.e", "p.pe")} AS cos
+       |      FROM v, p WHERE v.vec_id <> p.probe_id),
+       |r AS (SELECT probe_id, vec_id,
+       |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC) AS rnk
+       |      FROM d)
+       |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin
+
+  private val ivfOracle: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % 25 = 0),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT v.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.centroid_id ASC) AS rn
+       |    FROM v, c) WHERE rn = 1),
+       |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+       |pb AS (
+       |  SELECT probe_id, pe, centroid_id FROM (
+       |    SELECT p.probe_id, p.pe, c.centroid_id,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${cosSql("p.pe", "c.ce")} DESC, c.centroid_id ASC) AS rn
+       |    FROM p, c) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT pb.probe_id, v.vec_id, ${cosSql("v.e", "pb.pe")} AS cos
+       |  FROM pb JOIN assign a ON a.centroid_id = pb.centroid_id
+       |  JOIN v ON v.vec_id = a.vec_id
+       |  WHERE v.vec_id <> pb.probe_id),
+       |r AS (SELECT probe_id, vec_id,
+       |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC) AS rnk
+       |      FROM cand)
+       |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT doc_id, md5($normSql) AS text_hash,
+         |  min(doc_id) OVER (PARTITION BY md5($normSql)) AS canonical_id,
+         |  doc_id <> min(doc_id) OVER (PARTITION BY md5($normSql)) AS is_dup
+         |FROM documents""".stripMargin,
+    "dedup_minhash_pairs" -> minhashOracle,
+    "dedup_simhash_pairs" -> simhashOracle,
+    "text_stats" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, text, $normSql AS norm, string_split($normSql, ' ') AS w
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(length(replace(norm, ' ', '')) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_word_len,
+         |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE) AS digit_ratio,
+         |    CAST(len(list_filter(w, x -> x IN ('the','and','of','to','in','a'))) AS DOUBLE)
+         |      / CAST(len(w) AS DOUBLE) AS stop_ratio
+         |  FROM s)
+         |SELECT doc_id, n_chars, n_words, avg_word_len, punct_ratio, digit_ratio, stop_ratio,
+         |  CAST(0.4 AS DOUBLE) * stop_ratio
+         |    + CAST(0.3 AS DOUBLE) * least(CAST(n_words AS DOUBLE) / CAST(50 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - digit_ratio) AS quality_score
+         |FROM m""".stripMargin,
+    "text_token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe_tokens
+         |FROM documents""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH s AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(list_filter(w, x -> x IN ('the','and','of','to','in','a'))) AS BIGINT) AS en_hits,
+         |  CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS de_hits,
+         |  CAST(len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS fr_hits
+         |  FROM s)
+         |SELECT doc_id, en_hits, de_hits, fr_hits,
+         |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+         |       WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS lang_pred
+         |FROM m""".stripMargin,
+    "text_fingerprints" ->
+      s"""WITH $shingleCte,
+         |mn AS (SELECT doc_id, min(${h64("shingle")}) AS min_shingle_hash FROM sh GROUP BY doc_id)
+         |SELECT d.doc_id, ${h64(normSql)} AS content_hash, mn.min_shingle_hash
+         |FROM documents d LEFT JOIN mn ON mn.doc_id = d.doc_id""".stripMargin,
+    "ann_topk_bruteforce" -> bruteforceOracle,
+    "ann_topk_ivf" -> ivfOracle,
+    "multimodal_meta" ->
+      """SELECT doc_id, encode(text) AS payload,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  substr(hex(encode(text)), 1, 8) AS header_hex
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,212 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis and deduplication operators for large-scale training-data
+ * pipelines (the extended surface beyond the reference — builder brief; the
+ * reference's own string layer stops at sanitization/regex,
+ * reference: binlog2sql_util.py:180-193, matomo2clickhouse.py:108-122).
+ *
+ * Design for 100 TB:
+ *  - near-dup detection NEVER does all-pairs: MinHash/SimHash signatures are
+ *    banded and candidate pairs come from equi-joins on band values, so the
+ *    shuffle key is the band signature and cost is proportional to bucket
+ *    collisions, not n²;
+ *  - every hash is deterministic and engine-portable (md5-derived 60-bit
+ *    ints), so results are reproducible across runs/engines and the DuckDB
+ *    oracle can replay them bit-for-bit;
+ *  - all operators are pure column expressions (whole-stage codegen) — no
+ *    UDFs, no driver-side loops.
+ */
+object TextOps {
+
+  /** Portable 60-bit hash: first 15 hex digits of md5, as a positive long.
+    * Identical in DuckDB as CAST(CONCAT('0x', substr(md5(s),1,15)) AS BIGINT). */
+  def hash64(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace-collapsed, trimmed, lower-cased canonical text form. */
+  def normalizeText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Word array of the normalized text (no empty tokens by construction). */
+  def wordsOf(c: Column): Column = split(normalizeText(c), " ")
+
+  // ---------------------------------------------------------------- shingles
+
+  /** Distinct word n-gram shingles: (doc_id, shingle). Docs shorter than n
+    * words produce no shingles (and therefore never pair). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"), wordsOf(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
+        .as("shingle"))
+      .distinct()
+
+  // ----------------------------------------------------------------- minhash
+
+  /** k salted minhashes per doc: h_j = min over shingles of hash64(shingle#j).
+    * Salting gives k independent hash functions without 128-bit mulmod
+    * arithmetic, keeping the whole signature portable and codegen-friendly. */
+  def minhashSignature(shingled: DataFrame, k: Int = 12): DataFrame = {
+    val aggs = (0 until k).map(j =>
+      min(hash64(concat(col("shingle"), lit(s"#$j")))).as(s"h$j"))
+    shingled.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Banded signature: (doc_id, band, sig) — b = k/r bands of r rows each.
+    * Docs sharing any (band, sig) are candidate near-dup pairs. */
+  def lshBands(sig: DataFrame, k: Int = 12, r: Int = 3): DataFrame = {
+    require(k % r == 0, s"k=$k not divisible by band rows r=$r")
+    val bands = (0 until k / r).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until r).map(i => col(s"h${b * r + i}")): _*).as("sig"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Candidate pairs (a < b) from band-bucket collisions — an equi-join on
+    * (band, sig), never an all-pairs product. */
+  def lshCandidatePairs(bands: DataFrame): DataFrame =
+    bands.alias("x").join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+  /** Exact n-gram Jaccard verification of candidate pairs: keep pairs with
+    * similarity >= threshold. The intersect/union counts come from the
+    * shingle sets collected per doc (bounded by doc length, not corpus). */
+  def verifiedNearDupPairs(shingled: DataFrame, candidates: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val sets = shingled.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("s"), count(lit(1)).as("n"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb"), col("n").as("nb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** End-to-end MinHash/LSH near-dup pairs over a document table. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 12, r: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    verifiedNearDupPairs(sh, lshCandidatePairs(lshBands(minhashSignature(sh, k), k, r)), threshold)
+  }
+
+  // ----------------------------------------------------------------- simhash
+
+  /** 48-bit SimHash over distinct word n-gram shingles: bit p is set iff the
+    * count of shingles whose hash has bit p set is >= the count where it is
+    * clear. Shingle tokens (not unigrams) are essential for discrimination on
+    * narrow vocabularies — unigram SimHash collapses when all docs share one
+    * word distribution. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 48, n: Int = 3): DataFrame = {
+    val tokens = shingles(docs, idCol, textCol, n).withColumnRenamed("shingle", "tok")
+      .withColumn("h", hash64(col("tok")))
+    val bitAggs = (0 until bits).map(p =>
+      sum(when(shiftright(col("h"), p).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$p"))
+    tokens.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(p =>
+          when(col(s"b$p") >= 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: band the fingerprint into bandBits-sized
+    * chunks (pigeonhole: hamming <= bands-1 guarantees a shared band),
+    * equi-join on band values, verify with exact hamming distance. */
+  def simhashPairs(sims: DataFrame, bits: Int = 48, bandBits: Int = 12,
+      maxDist: Int = 3): DataFrame = {
+    val bands = (0 until bits / bandBits).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1)).as("v"))
+    }
+    val banded = sims.select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.v").as("v"))
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ------------------------------------------------------------- exact dedup
+
+  /** Exact dedup by normalized-text hash: every doc mapped to the canonical
+    * (minimum) doc_id of its content group. `is_dup` marks rows a distributed
+    * dedup pass would drop. One shuffle on the content hash. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("text_hash"))
+    docs.select(col(idCol).as("doc_id"), md5(normalizeText(col(textCol))).as("text_hash"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+  }
+
+  // ------------------------------------------------------------ text metrics
+
+  /** Per-doc quality statistics: char/word counts, punctuation/digit ratios,
+    * stopword ratio, and a composite quality score — the standard pre-training
+    * corpus filters, all as codegen'd column arithmetic. */
+  def textStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col("__t")
+    val nChars = length(t).cast("long")
+    val nWords = size(col("__w")).cast("long")
+    val punct = length(regexp_replace(t, "[^.,!?;:]", "")).cast("double") / nChars.cast("double")
+    val digit = length(regexp_replace(t, "[^0-9]", "")).cast("double") / nChars.cast("double")
+    val stop = expr("size(filter(__w, x -> x IN ('the','and','of','to','in','a')))")
+      .cast("double") / nWords.cast("double")
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("__w", wordsOf(t))
+      .select(col("doc_id"),
+        nChars.as("n_chars"), nWords.as("n_words"),
+        (length(regexp_replace(normalizeText(t), " ", "")).cast("double") /
+          nWords.cast("double")).as("avg_word_len"),
+        punct.as("punct_ratio"), digit.as("digit_ratio"), stop.as("stop_ratio"),
+        (lit(0.4) * stop + lit(0.3) * least(nWords.cast("double") / lit(50.0), lit(1.0)) +
+          lit(0.3) * (lit(1.0) - digit)).as("quality_score"))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-style pre-tokenizer regex
+    * (letter runs | single digits | punctuation runs). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(wordsOf(col(textCol))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"), lit(0))).cast("long").as("bpe_tokens"))
+
+  /** N-gram-lexicon language ID: per-language stopword hit counts over the
+    * word array, highest count wins (ties broken en > de > fr). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def hits(words: Seq[String]) =
+      expr(s"size(filter(__w, x -> x IN (${words.map("'" + _ + "'").mkString(",")})))")
+        .cast("long")
+    val en = hits(Seq("the", "and", "of", "to", "in", "a"))
+    val de = hits(Seq("der", "die", "das", "und", "ist"))
+    val fr = hits(Seq("le", "la", "et", "les", "des"))
+    docs.select(col(idCol).as("doc_id"), wordsOf(col(textCol)).as("__w"))
+      .select(col("doc_id"), en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits"), "en")
+          .when(col("de_hits") >= col("fr_hits"), "de")
+          .otherwise("fr"))
+  }
+
+  /** Document fingerprints: whole-content hash plus the minimum shingle hash
+    * (a 1-permutation MinHash — the winnowing anchor). */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+      .groupBy(col("doc_id")).agg(min(hash64(col("shingle"))).as("min_shingle_hash"))
+    docs.select(col(idCol).as("doc_id"), hash64(normalizeText(col(textCol))).as("content_hash"))
+      .join(sh, Seq("doc_id"), "left")
+  }
+}

@@ -1,0 +1,42 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+  import Multimodal._
+
+  test("withPayload: byte length, md5, and header of the binary payload") {
+    val out = withPayload(Seq((1L, "hello")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(out.getAs[Long]("n_bytes") == 5L)
+    assert(out.getAs[String]("payload_md5") == "5d41402abc4b2a76b9719d911017c592")
+    assert(out.getAs[String]("header_hex") == "68656C6C") // 'hell'
+    assert(out.getAs[Array[Byte]]("payload").sameElements("hello".getBytes("UTF-8")))
+  }
+
+  test("sampleBytes takes every Nth byte") {
+    val df = withPayload(Seq((1L, "abcdefg")).toDF("doc_id", "text"), "doc_id", "text")
+    val sampled = sampleBytes(df, "payload", 3).select("sampled")
+      .collect().head.getAs[Array[Byte]](0)
+    assert(new String(sampled, "UTF-8") == "adg")
+  }
+
+  test("extractFeatures: deterministic stub histogram, normalized, fixed width") {
+    implicit val s = spark
+    val media = Seq(
+      MediaRow(1L, Array[Byte](0, 0, 127, -1)),   // buckets: 0,0,3,7 (dim 8)
+      MediaRow(2L, Array.emptyByteArray))
+      .toDS()
+    val out = extractFeatures(media, dim = 8).collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).n_bytes == 4)
+    assert(out(1L).feature.toSeq == Seq(0.5f, 0f, 0f, 0.25f, 0f, 0f, 0f, 0.25f))
+    assert(out(2L).n_bytes == 0)
+    assert(out(2L).feature.forall(_ == 0f))
+    // determinism: running twice yields identical features
+    val again = extractFeatures(media, dim = 8).collect().map(f => f.doc_id -> f.feature.toSeq).toMap
+    assert(again(1L) == out(1L).feature.toSeq)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("hash64 matches the DuckDB-portable value (cross-engine pin)") {
+    // DuckDB: SELECT CAST(CONCAT('0x', substr(md5('hello'),1,15)) AS BIGINT)
+    val v = docs((1L, "x")).select(TextOps.hash64(lit("hello"))).as[Long].head()
+    assert(v == 419982666956583591L)
+  }
+
+  test("shingles: distinct word 3-grams; short docs produce none") {
+    val sh = TextOps.shingles(docs((1L, "a b c d"), (2L, "x y")), "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(sh == Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("normalizeText collapses whitespace and lowercases") {
+    val n = docs((1L, "  Foo\t BAR \n baz ")).select(TextOps.normalizeText($"text"))
+      .as[String].head()
+    assert(n == "foo bar baz")
+  }
+
+  test("exactDedup maps every doc to the canonical min doc_id of its content group") {
+    val out = TextOps.exactDedup(
+      docs((1L, "same text"), (2L, "Same   TEXT"), (3L, "other")), "doc_id", "text")
+      .select("doc_id", "canonical_id", "is_dup").as[(Long, Long, Boolean)]
+      .collect().toSet
+    assert(out == Set((1L, 1L, false), (2L, 1L, true), (3L, 3L, false)))
+  }
+
+  test("minhashNearDups finds a planted near-dup and not an unrelated doc") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " zz"
+    val other = (1 to 40).map(i => s"v$i").mkString(" ")
+    val pairs = TextOps.minhashNearDups(
+      docs((1L, base), (2L, nearDup), (3L, other)), "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash jaccard is the exact shingle-set similarity") {
+    val a = "a b c d e"   // shingles: abc bcd cde
+    val b = "a b c d x"   // shingles: abc bcd cdx -> inter 2, union 4 -> 0.5
+    val sh = TextOps.shingles(docs((1L, a), (2L, b)), "doc_id", "text")
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = TextOps.verifiedNearDupPairs(sh, cand, threshold = 0.0)
+      .select("jaccard").as[Double].head()
+    assert(out == 0.5)
+  }
+
+  test("simhash of identical content is identical; near-dup within small hamming") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val tweaked = base.replace("w30", "qq")
+    val sims = TextOps.simhash(docs((1L, base), (2L, base), (3L, tweaked)), "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sims(1L) == sims(2L))
+    val hd = java.lang.Long.bitCount(sims(1L) ^ sims(3L))
+    assert(hd > 0 && hd <= 12, s"hamming=$hd")
+  }
+
+  test("simhashPairs returns exact duplicates at hamming 0") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val other = (1 to 60).map(i => s"v$i").mkString(" ")
+    val out = TextOps.simhashPairs(
+      TextOps.simhash(docs((1L, base), (2L, base), (3L, other)), "doc_id", "text"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L, 0L)))
+    assert(!out.exists(p => p._3 > 3))
+  }
+
+  test("textStats: counts and ratios on a crafted doc") {
+    val out = TextOps.textStats(docs((1L, "The cat, the hat! 42 in a box.")), "doc_id", "text")
+      .collect().head
+    assert(out.getAs[Long]("n_chars") == 30L)
+    assert(out.getAs[Long]("n_words") == 8L)
+    assert(out.getAs[Double]("digit_ratio") == 2.0 / 30.0)
+    assert(out.getAs[Double]("punct_ratio") == 3.0 / 30.0)
+    // stopwords among [the cat, the hat! 42 in a box.]: the, the(x? "the" twice), in, a
+    assert(out.getAs[Double]("stop_ratio") == 4.0 / 8.0)
+  }
+
+  test("tokenCounts: whitespace vs BPE-ish tokens") {
+    val out = TextOps.tokenCounts(docs((1L, "ab 12 c!")), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().head
+    // ws: [ab, 12, c!] = 3; bpe: [ab, 1, 2, c, !] = 5
+    assert(out == ((1L, 3L, 5L)))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val out = TextOps.langId(docs(
+      (1L, "the cat and the dog of a to in"),
+      (2L, "der hund und die katze ist das"),
+      (3L, "le chat et la maison les des")), "doc_id", "text")
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr"))
+  }
+
+  test("fingerprints: content hash set for all docs, min shingle null for short docs") {
+    val out = TextOps.fingerprints(docs((1L, "a b c d"), (2L, "xy")), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Long]("min_shingle_hash"))).toMap
+    assert(out(1L).isDefined && out(2L).isEmpty)
+  }
+}
