@@ -1,0 +1,120 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.cdc.Cdc
+import graft.model.Schemas
+
+/**
+ * The incremental, resumable CDC pipeline — the Spark-native re-expression of
+ * the reference's event loop + checkpoint/resume machinery
+ * (reference: matomo2clickhouse.py:490-533 loop, 632-720 checkpoint/flush,
+ * 786-812 resume):
+ *
+ *  - S1: `readStream` over a change-log directory of parquet files (the
+ *    offline stand-in for a binlog/Debezium feed);
+ *  - S3/O11: `maxFilesPerTrigger` bounds each micro-batch exactly like the
+ *    reference's 20-binlog-files-per-run clamp (reference: _settings.py:79-80);
+ *  - S4: with no checkpoint, the file source starts from the earliest file —
+ *    the reference's default-start behavior (matomo2clickhouse.py:310-319);
+ *  - ST1: `Trigger.AvailableNow` = "process everything present, then stop" —
+ *    the reference's run-until-EOF-then-exit cron contract;
+ *  - ST2: `checkpointLocation` holds the source offsets — the engine-level
+ *    equivalent of resuming from max(dateid) in `log_replication`; the ledger
+ *    table is still appended per batch (S8) as the auditable replica of that
+ *    checkpoint, exactly like the reference keeps both;
+ *  - ST3: the apply functions are idempotent on replay (latest-wins), so
+ *    at-least-once delivery after a crash converges — property-tested in
+ *    CdcPropertySpec and exercised end-to-end in ChangeStreamSpec;
+ *  - ST7: ordering inside a batch is recovered per key by the version
+ *    reduction in applyMutable/applyVersioned;
+ *  - S9: `dryRun` logs per-table counts instead of writing — the reference's
+ *    EXECUTE_CLICKHOUSE=False inspection mode (reference: _settings.py:53-55).
+ */
+object ChangeStream {
+
+  final case class StreamConfig(
+      changeLogDir: String,
+      checkpointDir: String,
+      stateDir: String,
+      ledgerDir: String,
+      maxFilesPerTrigger: Int = 20,
+      onlyTables: Seq[String] = Nil,
+      onlySchemas: Seq[String] = Nil,
+      deleteMaxAgeDays: Int = 31,
+      /** Deterministic "now" for the delete-age guard (tests); wall clock if None. */
+      nowOverride: Option[java.sql.Timestamp] = None,
+      dryRun: Boolean = false)
+
+  /** History schema of a versioned table / state schema of a mutable one. */
+  def stateSchema(table: String): StructType = {
+    val payload = StructType(Schemas.tableSchemas(table).fields
+      .filterNot(_.name == Schemas.VersionCol))
+    if (Schemas.tableMeta(table).versioned)
+      StructType(payload.fields :+ StructField(Schemas.VersionCol, LongType, nullable = false))
+    else payload
+  }
+
+  /** Apply one micro-batch: filter → per-table typed apply → ledger append. */
+  def applyBatch(spark: SparkSession, cfg: StreamConfig)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val filtered = Cdc.filterEvents(batch,
+      onlyTables = cfg.onlyTables, onlySchemas = cfg.onlySchemas)
+      .persist()
+    try {
+      val tables = filtered.select(col("table")).distinct()
+        .collect().map(_.getString(0)).filter(Schemas.tableMeta.contains).sorted
+      tables.foreach { table =>
+        val meta = Schemas.tableMeta(table)
+        val typed = Cdc.typedChanges(filtered, table)
+        val dir = s"${cfg.stateDir}/$table"
+        val state = StateStore.read(spark, dir, stateSchema(table))
+        val now = cfg.nowOverride.map(lit(_)).getOrElse(current_timestamp())
+        val next =
+          if (meta.versioned)
+            Cdc.applyVersioned(state, typed, meta.keyCols,
+              deleteDateCol = meta.deleteDateCol, now = now,
+              maxAgeDays = cfg.deleteMaxAgeDays)
+          else Cdc.applyMutable(state, typed, meta.keyCols)
+        if (cfg.dryRun) {
+          // S9: inspect, don't apply — counts force the plan like the real write
+          System.err.println(s"[dry-run] batch=$batchId table=$table " +
+            s"changes=${typed.count()} next_state_rows=${next.count()}")
+        } else {
+          StateStore.replace(next, dir)
+        }
+      }
+      if (!cfg.dryRun && !filtered.isEmpty) {
+        Cdc.ledgerEntry(filtered)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(cfg.ledgerDir)
+      }
+    } finally filtered.unpersist()
+  }
+
+  /** Start one bounded run (AvailableNow): processes all files currently in
+    * the change-log dir in micro-batches of `maxFilesPerTrigger`, then stops.
+    * Re-invoking with the same checkpoint resumes where the last run ended. */
+  def run(spark: SparkSession, cfg: StreamConfig): StreamingQuery =
+    spark.readStream
+      .schema(Schemas.changeEventSchema)
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .parquet(cfg.changeLogDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) => applyBatch(spark, cfg)(b, id))
+      .start()
+
+  /** S2 — resume coordinates from the audit ledger (the reference's
+    * get_ch_param_for_next, matomo2clickhouse.py:786-812). */
+  def resumeFromLedger(spark: SparkSession, cfg: StreamConfig): Option[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(cfg.ledgerDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Cdc.resumePosition(spark.read.parquet(cfg.ledgerDir))
+  }
+}

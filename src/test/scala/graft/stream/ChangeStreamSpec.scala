@@ -1,0 +1,158 @@
+package graft.stream
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cdc.Cdc
+import graft.model.Schemas
+import ChangeStream._
+
+/** End-to-end streaming pipeline: staged micro-batches, checkpoint resume,
+  * maxFilesPerTrigger batching, dry-run, and batch/stream equivalence. */
+class ChangeStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-stream").toString
+
+  /** One envelope row; payloads are JSON strings (the heterogeneous-table
+    * carrier per SURVEY.md §1.3). */
+  private def env(op: String, table: String, pos: Long,
+      before: String, after: String, ts: String = "2024-01-05T10:00:00"): (
+      String, String, String, String, String, Long, Int, String, String) =
+    (op, "db", table, ts, "mysql-bin.000001", pos, 0, before, after)
+
+  /** Writes one flat parquet file `dir/name.parquet` (the file stream source
+    * lists files at the top level; a per-write subdirectory would be invisible). */
+  private def writeLog(dir: String, name: String, rows: Seq[(
+      String, String, String, String, String, Long, Int, String, String)]): Unit = {
+    val staging = tmpDir()
+    rows.toDF("op", "schema", "table", "ts", "log_file", "log_pos", "row_index",
+        "before", "after")
+      .select(col("op"), col("schema"), col("table"),
+        col("ts").cast("timestamp").as("ts"),
+        col("log_file"), col("log_pos"), col("row_index"), col("before"), col("after"))
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    Files.move(part.toPath, java.nio.file.Paths.get(dir, s"$name.parquet"))
+  }
+
+  private def siteState(cfg: StreamConfig): Set[(Long, String)] =
+    StateStore.read(spark, s"${cfg.stateDir}/matomo_site", stateSchema("matomo_site"))
+      .select("idsite", "name").as[(Long, String)].collect().toSet
+
+  private def visitLatest(cfg: StreamConfig): Set[(Long, String)] = {
+    val h = StateStore.read(spark, s"${cfg.stateDir}/matomo_log_visit",
+      stateSchema("matomo_log_visit"))
+    Cdc.latestWins(h, Seq("idvisit"))
+      .select("idvisit", "location_country").as[(Long, String)].collect().toSet
+  }
+
+  private val batch1 = Seq(
+    env("INSERT", "matomo_site", 100, null,
+      """{"idsite":1,"name":"alpha","main_url":"http://a"}"""),
+    env("INSERT", "matomo_site", 200, null,
+      """{"idsite":2,"name":"beta","main_url":"http://b"}"""),
+    env("INSERT", "matomo_log_visit", 300, null,
+      """{"idvisit":10,"idsite":1,"location_country":"de","visit_first_action_time":"2024-01-05T09:00:00"}"""))
+
+  private val batch2 = Seq(
+    env("UPDATE", "matomo_site", 400,
+      """{"idsite":1,"name":"alpha","main_url":"http://a"}""",
+      """{"idsite":1,"name":"alpha2","main_url":"http://a"}"""),
+    env("DELETE", "matomo_site", 500,
+      """{"idsite":2,"name":"beta","main_url":"http://b"}""", null),
+    env("UPDATE", "matomo_log_visit", 600,
+      """{"idvisit":10,"idsite":1,"location_country":"de","visit_first_action_time":"2024-01-05T09:00:00"}""",
+      """{"idvisit":10,"idsite":1,"location_country":"fr","visit_first_action_time":"2024-01-05T09:00:00"}"""))
+
+  private def freshCfg(logDir: String, maxFiles: Int = 20, dry: Boolean = false) = {
+    val base = tmpDir()
+    StreamConfig(changeLogDir = logDir, checkpointDir = s"$base/ckpt",
+      stateDir = s"$base/state", ledgerDir = s"$base/ledger",
+      maxFilesPerTrigger = maxFiles,
+      nowOverride = Some(java.sql.Timestamp.valueOf("2024-01-06 00:00:00")),
+      dryRun = dry)
+  }
+
+  test("stream applies staged batches and resumes from checkpoint") {
+    val logDir = tmpDir()
+    writeLog(logDir, "f1", batch1)
+    val cfg = freshCfg(logDir)
+
+    ChangeStream.run(spark, cfg).awaitTermination()
+    assert(siteState(cfg) == Set((1L, "alpha"), (2L, "beta")))
+    assert(visitLatest(cfg) == Set((10L, "de")))
+    val ledger1 = spark.read.parquet(cfg.ledgerDir)
+    assert(ledger1.count() == 1)
+
+    // second run with NEW file: resumes, does not reprocess f1
+    writeLog(logDir, "f2", batch2)
+    ChangeStream.run(spark, cfg).awaitTermination()
+    assert(siteState(cfg) == Set((1L, "alpha2")))
+    assert(visitLatest(cfg) == Set((10L, "fr")))
+    val ledger2 = spark.read.parquet(cfg.ledgerDir)
+    assert(ledger2.count() == 2)
+    // ledger positions advance strictly (batch 2 starts after batch 1 ends)
+    val heads = ledger2.select("log_pos_end").as[Long].collect().sorted
+    assert(heads.last == 600L && heads.head == 300L)
+
+    // S2: resume coordinates from the audit ledger
+    assert(ChangeStream.resumeFromLedger(spark, cfg)
+      .contains(("mysql-bin.000001", 600L)))
+
+    // third run with nothing new: no-op, no extra ledger rows
+    ChangeStream.run(spark, cfg).awaitTermination()
+    assert(spark.read.parquet(cfg.ledgerDir).count() == 2)
+  }
+
+  test("streamed result equals one-shot batch apply (stream/batch equivalence)") {
+    val logDir = tmpDir()
+    writeLog(logDir, "f1", batch1)
+    writeLog(logDir, "f2", batch2)
+    val cfg = freshCfg(logDir)
+    ChangeStream.run(spark, cfg).awaitTermination()
+
+    // one-shot batch apply of the full log against empty state
+    val all = spark.read.schema(Schemas.changeEventSchema).parquet(logDir)
+    val site = Cdc.applyMutable(
+      StateStore.read(spark, "/nonexistent-site", stateSchema("matomo_site")),
+      Cdc.typedChanges(all, "matomo_site"), Seq("idsite"))
+      .select("idsite", "name").as[(Long, String)].collect().toSet
+    val visit = Cdc.latestWins(Cdc.applyVersioned(
+      StateStore.read(spark, "/nonexistent-visit", stateSchema("matomo_log_visit")),
+      Cdc.typedChanges(all, "matomo_log_visit"), Seq("idvisit"),
+      deleteDateCol = Some("visit_first_action_time"),
+      now = lit("2024-01-06 00:00:00").cast("timestamp")), Seq("idvisit"))
+      .select("idvisit", "location_country").as[(Long, String)].collect().toSet
+
+    assert(siteState(cfg) == site)
+    assert(visitLatest(cfg) == visit)
+  }
+
+  test("maxFilesPerTrigger=1 splits one run into one micro-batch per file (S3/O11)") {
+    val logDir = tmpDir()
+    writeLog(logDir, "f1", batch1)
+    writeLog(logDir, "f2", batch2)
+    val cfg = freshCfg(logDir, maxFiles = 1)
+    ChangeStream.run(spark, cfg).awaitTermination()
+    val ledger = spark.read.parquet(cfg.ledgerDir)
+    assert(ledger.count() == 2)
+    assert(ledger.select("batch_id").as[Long].collect().toSet == Set(0L, 1L))
+    assert(siteState(cfg) == Set((1L, "alpha2")))
+  }
+
+  test("dry-run processes but writes neither state nor ledger (S9)") {
+    val logDir = tmpDir()
+    writeLog(logDir, "f1", batch1)
+    val cfg = freshCfg(logDir, dry = true)
+    ChangeStream.run(spark, cfg).awaitTermination()
+    assert(!Files.exists(java.nio.file.Paths.get(cfg.stateDir, "matomo_site")))
+    assert(!Files.exists(java.nio.file.Paths.get(cfg.ledgerDir)))
+  }
+}
