@@ -103,11 +103,20 @@ object CdcWorkload {
     Cdc.ledgerEntry(env).drop("created_at")
   }
 
+  /** S11 — the bounded retention delete as a whole-table operator: the
+    * surviving rows after the SRT1-watermark purge
+    * (reference: matomo2clickhouse.py:401-443). */
+  def s11RetentionDelete(spark: SparkSession, dir: String): DataFrame =
+    graft.maintain.Maintain.retentionDelete(
+      Tables(spark, dir, "events"), "event_id", "ts", minAgeDays = 21)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_apply_versioned" -> cdcApplyVersioned,
     "cdc_latest_wins" -> cdcLatestWins,
     "cdc_apply_mutable" -> cdcApplyMutable,
-    "cdc_ledger_entry" -> cdcLedgerEntry
+    "cdc_ledger_entry" -> cdcLedgerEntry,
+    "s11_retention_delete" -> s11RetentionDelete
   )
 
   val oracles: Map[String, String] = Map(
@@ -165,6 +174,13 @@ object CdcWorkload {
         |  arg_max(log_file, version) AS log_file,
         |  min(log_pos) AS log_pos_start, max(log_pos) AS log_pos_end,
         |  count(*) AS rows_applied
-        |FROM v""".stripMargin
+        |FROM v""".stripMargin,
+    "s11_retention_delete" ->
+      """WITH wm AS (
+        |  SELECT max(event_id) AS w FROM (
+        |    SELECT event_id, ts FROM events ORDER BY event_id ASC LIMIT 10001) t
+        |  WHERE ts < (SELECT max(ts) FROM events) - INTERVAL 21 DAY)
+        |SELECT event_id, user_id, ts, event_type FROM events
+        |WHERE (SELECT w FROM wm) IS NULL OR event_id > (SELECT w FROM wm)""".stripMargin
   )
 }

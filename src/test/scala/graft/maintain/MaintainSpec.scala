@@ -1,0 +1,81 @@
+package graft.maintain
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cdc.{Cdc, CdcFixtures}
+import graft.model.Schemas
+import graft.stream.StateStore
+
+class MaintainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("maintain").toString
+
+  private def writeEnvFile(dir: String, name: String,
+      rows: Seq[(String, Long, String)]): Unit = { // (log_file, log_pos, ts)
+    val staging = tmp()
+    rows.toDF("log_file", "log_pos", "ts")
+      .select(lit("INSERT").as("op"), lit("db").as("schema"), lit("t").as("table"),
+        col("ts").cast("timestamp").as("ts"), col("log_file"), col("log_pos"),
+        lit(0).as("row_index"),
+        lit(null).cast("string").as("before"), lit(null).cast("string").as("after"))
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    Files.move(part.toPath, java.nio.file.Paths.get(dir, s"$name.parquet"))
+  }
+
+  test("S10: purge deletes only fully-applied, expired change-log files") {
+    val dir = tmp() + "/log"
+    writeEnvFile(dir, "old", Seq(("mysql-bin.000001", 100L, "2024-01-01T00:00:00")))
+    writeEnvFile(dir, "newer", Seq(("mysql-bin.000002", 50L, "2024-01-20T00:00:00")))
+    val watermark = Cdc.versionOf("mysql-bin.000001", 100L, Cdc.MaxRowIndex)
+    val now = lit("2024-02-01 00:00:00").cast("timestamp")
+    val deleted = Maintain.purgeChangeLog(spark, dir, watermark, retainDays = 7, now = now)
+    assert(deleted.size == 1 && deleted.head.contains("old.parquet"))
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(left == Set("newer.parquet"))
+  }
+
+  test("S10: a file inside the retention window survives even if applied") {
+    val dir = tmp() + "/log"
+    writeEnvFile(dir, "recent", Seq(("mysql-bin.000001", 100L, "2024-01-30T00:00:00")))
+    val watermark = Cdc.versionOf("mysql-bin.000009", 1L)
+    val now = lit("2024-02-01 00:00:00").cast("timestamp")
+    assert(Maintain.purgeChangeLog(spark, dir, watermark, 7, now).isEmpty)
+  }
+
+  test("S11: retention delete keeps rows above the bounded watermark") {
+    val df = (1L to 20L).map(i =>
+      (i, java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00")))
+      .toDF("id", "t")
+    // head ts = 2024-01-20; rows older than 10 days: ids 1..9; watermark = 9
+    val out = Maintain.retentionDelete(df, "id", "t", minAgeDays = 10, probeLimit = 10001)
+      .select("id").as[Long].collect().toSet
+    assert(out == (10L to 20L).toSet)
+  }
+
+  test("S11: with nothing old enough, everything survives (null watermark)") {
+    val df = Seq((1L, "2024-01-19 00:00:00"), (2L, "2024-01-20 00:00:00"))
+      .toDF("id", "t").select(col("id"), col("t").cast("timestamp").as("t"))
+    val out = Maintain.retentionDelete(df, "id", "t", minAgeDays = 10)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L))
+  }
+
+  test("ST8: compactState keeps only the max version per key in place") {
+    val dir = tmp() + "/state"
+    val h = CdcFixtures.history(spark, Seq(
+      (1L, "v0", null, 1L), (1L, "v1", null, 2L), (2L, "w0", null, 5L)))
+    StateStore.replace(h, dir)
+    val (before, after) = Maintain.compactState(spark, dir, h.schema, Seq("id"))
+    assert(before == 3 && after == 2)
+    val left = StateStore.read(spark, dir, h.schema)
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(left == Set((1L, "v1"), (2L, "w0")))
+  }
+}
