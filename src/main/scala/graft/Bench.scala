@@ -1,23 +1,48 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query seconds on stdout.
+  * Hardened per VERDICT round 1: deterministic (sorted) query order, a
+  * warm-up pass at a small scale factor so no timed query pays JVM/JIT/
+  * parquet-footer warm-up, and per-query error capture with nonzero exit —
+  * a crashing query must never bench as ~0 s and pass silently. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // warm-up: full pass at the small sf (codegen, JIT, readers) — untimed
+    ordered.foreach { case (_, fn) =>
+      try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () } // warm-up failures surface in the timed pass
+    }
+
+    var errors = Map.empty[String, String]
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column;
       // count() would let Catalyst prune the projections being measured
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

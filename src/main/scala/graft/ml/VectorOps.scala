@@ -31,8 +31,17 @@ object VectorOps {
   def cosine(a: String, b: String): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Corpus frame with the self-norm precomputed ONCE per vector — cosine
+    * against any probe then costs a single cross dot product, not three
+    * (the n×k norm recomputation was the dominant cost at bench). */
   private def asDouble(emb: DataFrame, idCol: String, vecCol: String) =
     emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("e"))
+      .withColumn("n", sqrt(dot("e", "e")))
+
+  /** Cross cosine with both norms precomputed (same IEEE value and order as
+    * [[cosine]]: dot / (sqrt(aa) * sqrt(bb))). */
+  private def cosPre(a: String, b: String, na: String, nb: String): Column =
+    dot(a, b) / (col(na) * col(nb))
 
   /**
    * Brute-force top-k cosine neighbors for each probe vector. Probes are the
@@ -44,9 +53,9 @@ object VectorOps {
       vecCol: String = "embedding", probeMod: Int = 100, k: Int = 10): DataFrame = {
     val v = asDouble(emb, idCol, vecCol)
     val probes = v.filter(pmod(col("vec_id"), lit(probeMod)) === 0)
-      .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("n").as("pn"))
     val scored = v.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", cosine("e", "pe"))
+      .withColumn("cos", cosPre("e", "pe", "n", "pn"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -60,7 +69,7 @@ object VectorOps {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("centroid_id").asc)
     v.join(broadcast(centroids))
-      .withColumn("cos", cosine("e", "ce"))
+      .withColumn("cos", cosPre("e", "ce", "n", "cn"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"))
@@ -77,24 +86,24 @@ object VectorOps {
       centroidMod: Int = 25, probeMod: Int = 100, nprobe: Int = 2, k: Int = 10): DataFrame = {
     val v = asDouble(emb, idCol, vecCol)
     val centroids = v.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
-      .select(col("vec_id").as("centroid_id"), col("e").as("ce"))
+      .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
     val assigned = assignToCentroids(v, centroids)
 
     val probes = v.filter(pmod(col("vec_id"), lit(probeMod)) === 0)
-      .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("n").as("pn"))
     val wProbe = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("centroid_id").asc)
     val probeBuckets = probes.join(broadcast(centroids))
-      .withColumn("cos", cosine("pe", "ce"))
+      .withColumn("cos", cosPre("pe", "ce", "pn", "cn"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
-      .select(col("probe_id"), col("pe"), col("centroid_id"))
+      .select(col("probe_id"), col("pe"), col("pn"), col("centroid_id"))
 
     val candidates = probeBuckets
       .join(assigned, Seq("centroid_id"))                 // equi-join on bucket
       .filter(col("vec_id") =!= col("probe_id"))
       .join(v, Seq("vec_id"))
-      .withColumn("cos", cosine("e", "pe"))
+      .withColumn("cos", cosPre("e", "pe", "n", "pn"))
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     candidates.withColumn("rank", row_number().over(wTop))

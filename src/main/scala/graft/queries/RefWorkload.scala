@@ -142,7 +142,13 @@ object RefWorkload {
       get_json_object(col("props"), "$.k").as("prop_k"),
       datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).cast("long").as("days_since_epoch"),
       upper(col("event_type")).as("type_upper"),
-      concat_ws("-", col("event_type"), col("user_id")).as("type_user"))
+      concat_ws("-", col("event_type"), col("user_id")).as("type_user"),
+      // Q7 set→CSV (reference: binlog2sql_util.py:182-183 ','.join(set))
+      array_join(array(col("event_type"), col("user_id").cast("string")), ",").as("set_csv"),
+      // Q10 timestamp parse round-trip (reference: strptime/strftime,
+      // matomo2clickhouse.py:241-253)
+      to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss")
+        .cast("timestamp_ntz").as("parsed_ts"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -205,7 +211,9 @@ object RefWorkload {
         |  json_extract_string(props, '$.k') AS prop_k,
         |  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since_epoch,
         |  upper(event_type) AS type_upper,
-        |  concat_ws('-', event_type, user_id) AS type_user
+        |  concat_ws('-', event_type, user_id) AS type_user,
+        |  array_to_string([event_type, CAST(user_id AS VARCHAR)], ',') AS set_csv,
+        |  strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS parsed_ts
         |FROM events""".stripMargin
   )
 }
