@@ -23,9 +23,16 @@ import org.apache.spark.sql.functions._
  */
 object VectorOps {
 
-  /** Sequential-fold dot product of two double arrays (deterministic order). */
-  def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+  /** Sequential-fold dot product of two double arrays (deterministic order).
+    * Uses the native codegen'd `graft_dot` (graft.functions.DotProduct) when
+    * the session carries GraftExtensions, with the composable higher-order-
+    * function form as the fallback — both are the same strict left-to-right
+    * multiply-accumulate, so results are bit-identical. */
+  def dot(a: String, b: String): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (spark.catalog.functionExists("graft_dot")) expr(s"graft_dot($a, $b)")
+    else expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+  }
 
   /** Cosine similarity of two double-array columns. */
   def cosine(a: String, b: String): Column =
@@ -109,5 +116,31 @@ object VectorOps {
     candidates.withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs — the vector member of the dedup family:
+   * candidate pairs are vectors sharing an IVF bucket (equi-join on the
+   * nearest-centroid assignment — never an all-pairs product), verified with
+   * the exact cosine and kept above `threshold`. Recall is bounded by the
+   * bucketing exactly like text LSH; widen with more probes per vector if
+   * the corpus needs it.
+   */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", centroidMod: Int = 25,
+      threshold: Double = 0.4): DataFrame = {
+    val v = asDouble(emb, idCol, vecCol)
+    val centroids = v.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
+    val assigned = assignToCentroids(v, centroids)
+    val side = assigned.join(v, Seq("vec_id"))
+    val pairs = side.select(col("centroid_id"), col("vec_id").as("vec_a"),
+        col("e").as("ea"), col("n").as("na"))
+      .join(side.select(col("centroid_id"), col("vec_id").as("vec_b"),
+        col("e").as("eb"), col("n").as("nb")), Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosPre("ea", "eb", "na", "nb"))
+      .filter(col("cos") >= threshold)
+    pairs.select(col("vec_a"), col("vec_b"), col("cos"))
   }
 }

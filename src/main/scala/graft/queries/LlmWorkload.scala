@@ -67,6 +67,9 @@ object LlmWorkload {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.withPayload(Tables(spark, dir, "documents"), "doc_id", "text")
 
+  def dedupEmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.embeddingNearDupPairs(Tables(spark, dir, "embeddings"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
@@ -77,7 +80,8 @@ object LlmWorkload {
     "text_fingerprints" -> textFingerprints,
     "ann_topk_bruteforce" -> annTopkBruteforce,
     "ann_topk_ivf" -> annTopkIvf,
-    "multimodal_meta" -> multimodalMeta
+    "multimodal_meta" -> multimodalMeta,
+    "dedup_embedding_pairs" -> dedupEmbeddingPairs
   )
 
   // --- oracles --------------------------------------------------------------
@@ -224,6 +228,23 @@ object LlmWorkload {
          |FROM documents d LEFT JOIN mn ON mn.doc_id = d.doc_id""".stripMargin,
     "ann_topk_bruteforce" -> bruteforceOracle,
     "ann_topk_ivf" -> ivfOracle,
+    "dedup_embedding_pairs" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % 25 = 0),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT v.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.centroid_id ASC) AS rn
+         |    FROM v, c) WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${cosSql("va.e", "vb.e")} AS cos
+         |  FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id
+         |    AND a.vec_id < b.vec_id
+         |  JOIN v va ON va.vec_id = a.vec_id
+         |  JOIN v vb ON vb.vec_id = b.vec_id)
+         |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, encode(text) AS payload,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
