@@ -1,0 +1,63 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+import graft.cdc.Cdc
+
+/**
+ * Event-time streaming aggregations and custom keyed state — the Structured
+ * Streaming surface beyond the micro-batch apply (design points from the
+ * build brief: watermarks + windowed aggs; mapGroupsWithState for custom
+ * state). The reference's only windowed shape is the per-day histogram run
+ * as a batch query (reference: _settings.py:146-162) and its running
+ * counters live in driver variables (reference: matomo2clickhouse.py:616,
+ * 598-601); both become first-class incremental operators here.
+ *
+ * Scale notes: windowed counts shuffle once on (window, key) with partial
+ * aggregation map-side; the watermark bounds state size (windows older than
+ * the watermark are finalized and evicted). The keyed counters hold O(keys)
+ * state in the state store, not O(events).
+ */
+object StreamAggs {
+
+  /** A5 as an incremental operator: watermarked tumbling-window counts per
+    * key. In append mode a window is emitted exactly once, when the
+    * watermark passes its end — late rows beyond `watermarkDelay` are
+    * dropped (ST6 late-data policy as event-time semantics). */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowDuration: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol), col("cnt"))
+
+  /** Per-table running totals (A6) carried in keyed state. */
+  final case class TableCounters(table: String, rows: Long, maxVersion: Long)
+
+  /** A6 via mapGroupsWithState: per-table applied-row counters + high-water
+    * version, accumulated across micro-batches in the state store (the
+    * reference keeps these in single-process driver variables). Update-mode
+    * output: one refreshed counter row per table per batch. */
+  def runningCounters(events: DataFrame)(
+      implicit spark: SparkSession): Dataset[TableCounters] = {
+    import spark.implicits._
+    val keyed = events
+      .select(col("table"), Cdc.versionExpr.as("v"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+    keyed.mapGroupsWithState[TableCounters, TableCounters] {
+      (table: String, rows: Iterator[(String, Long)], state: GroupState[TableCounters]) =>
+        val prev = state.getOption.getOrElse(TableCounters(table, 0L, Long.MinValue))
+        var n = prev.rows
+        var maxV = prev.maxVersion
+        rows.foreach { case (_, v) => n += 1; if (v > maxV) maxV = v }
+        val next = TableCounters(table, n, maxV)
+        state.update(next)
+        next
+    }
+  }
+}

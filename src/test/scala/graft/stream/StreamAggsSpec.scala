@@ -1,0 +1,76 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class StreamAggsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked windowed counts: windows finalize once the watermark passes (A5/ST6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val counts = StreamAggs.windowedCounts(
+      ms.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      windowDuration = "1 hour", watermarkDelay = "10 minutes")
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData((ts("2024-01-01 10:05:00"), "click"),
+        (ts("2024-01-01 10:20:00"), "click"),
+        (ts("2024-01-01 10:40:00"), "view"))
+      q.processAllAvailable()
+      // nothing finalized yet: watermark still inside the 10:00 window
+      assert(spark.table("wc").count() == 0)
+
+      // an event far ahead pushes the watermark past 11:00 -> 10:00 window emits
+      ms.addData((ts("2024-01-01 12:00:00"), "click"))
+      q.processAllAvailable()
+      val out = spark.table("wc")
+        .select("window_start", "event_type", "cnt")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(out == Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L),
+        (ts("2024-01-01 10:00:00"), "view", 1L)))
+
+      // a late row behind the watermark is dropped, closed window not re-emitted
+      ms.addData((ts("2024-01-01 10:50:00"), "click"))
+      q.processAllAvailable()
+      assert(spark.table("wc").count() == 2)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running counters accumulate across micro-batches (A6)") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, String, Long, Int)] // table, log_file, log_pos, row_index
+    val env = ms.toDF().toDF("table", "log_file", "log_pos", "row_index")
+    val counters = StreamAggs.runningCounters(env)
+    val q = counters.writeStream.format("memory").queryName("rc")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      ms.addData(("site", "mysql-bin.000001", 100L, 0),
+        ("site", "mysql-bin.000001", 200L, 0),
+        ("visit", "mysql-bin.000001", 300L, 0))
+      q.processAllAvailable()
+      ms.addData(("site", "mysql-bin.000002", 10L, 0))
+      q.processAllAvailable()
+      // update mode appends one refreshed row per key per batch: latest wins
+      val last = spark.table("rc").groupBy("table")
+        .agg(max(struct(col("rows"), col("maxVersion"))).as("s"))
+        .select(col("table"), col("s.rows"), col("s.maxVersion"))
+        .as[(String, Long, Long)].collect()
+        .map { case (k, r, v) => k -> ((r, v)) }.toMap
+      assert(last("site") == ((3L,
+        graft.cdc.Cdc.versionOf("mysql-bin.000002", 10L, 0))))
+      assert(last("visit") == ((1L,
+        graft.cdc.Cdc.versionOf("mysql-bin.000001", 300L, 0))))
+    } finally q.stop()
+  }
+}
