@@ -1,0 +1,29 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Plan-audit dump: `.explain("formatted")` for every registered query at a
+  * given sf dir → one markdown file. Used to review pushdown/pruning/
+  * broadcast/codegen structure per round (the brief's "iterate until it's
+  * the plan you'd want"). */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("PLANS.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    sb.append(s"# Query plans (formatted) at $sfDir\n")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
+      sb.append(s"\n## $name\n\n```\n$plan```\n")
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"[plans] wrote $out")
+    spark.stop()
+  }
+}
