@@ -71,20 +71,34 @@ object ChangeStream {
         val meta = Schemas.tableMeta(table)
         val typed = Cdc.typedChanges(filtered, table)
         val dir = s"${cfg.stateDir}/$table"
-        val state = StateStore.read(spark, dir, stateSchema(table))
         val now = cfg.nowOverride.map(lit(_)).getOrElse(current_timestamp())
-        val next =
-          if (meta.versioned)
-            Cdc.applyVersioned(state, typed, meta.keyCols,
-              deleteDateCol = meta.deleteDateCol, now = now,
-              maxAgeDays = cfg.deleteMaxAgeDays)
-          else Cdc.applyMutable(state, typed, meta.keyCols)
         if (cfg.dryRun) {
           // S9: inspect, don't apply — counts force the plan like the real write
+          val state = StateStore.read(spark, dir, stateSchema(table))
+          val next =
+            if (meta.versioned)
+              Cdc.applyVersioned(state, typed, meta.keyCols, meta.deleteDateCol,
+                now, cfg.deleteMaxAgeDays)
+            else Cdc.applyMutable(state, typed, meta.keyCols)
           System.err.println(s"[dry-run] batch=$batchId table=$table " +
             s"changes=${typed.count()} next_state_rows=${next.count()}")
-        } else {
-          StateStore.replace(next, dir)
+        } else meta.partitionCol match {
+          // scale path: tables with a monthly partition column apply
+          // partition-pruned — only touched months are read and rewritten
+          case Some(pc) if meta.versioned =>
+            PartitionedState.applyVersioned(spark, dir, stateSchema(table), typed,
+              meta.keyCols, pc, meta.deleteDateCol, now, cfg.deleteMaxAgeDays)
+          case Some(pc) =>
+            PartitionedState.applyMutable(spark, dir, stateSchema(table), typed,
+              meta.keyCols, pc)
+          case None =>
+            val state = StateStore.read(spark, dir, stateSchema(table))
+            val next =
+              if (meta.versioned)
+                Cdc.applyVersioned(state, typed, meta.keyCols, meta.deleteDateCol,
+                  now, cfg.deleteMaxAgeDays)
+              else Cdc.applyMutable(state, typed, meta.keyCols)
+            StateStore.replace(next, dir)
         }
       }
       if (!cfg.dryRun && !filtered.isEmpty) {
@@ -108,6 +122,22 @@ object ChangeStream {
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch((b: DataFrame, id: Long) => applyBatch(spark, cfg)(b, id))
       .start()
+
+  /** Read a table's current state regardless of layout (flat StateStore dir
+    * for unpartitioned tables, month-partitioned parquet otherwise). */
+  def readState(spark: SparkSession, cfg: StreamConfig, table: String): DataFrame = {
+    val dir = s"${cfg.stateDir}/$table"
+    if (Schemas.tableMeta(table).partitionCol.isEmpty)
+      StateStore.read(spark, dir, stateSchema(table))
+    else {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema(table))
+      else spark.read.parquet(dir).drop(PartitionedState.PartCol)
+    }
+  }
 
   /** S2 — resume coordinates from the audit ledger (the reference's
     * get_ch_param_for_next, matomo2clickhouse.py:786-812). */

@@ -58,10 +58,13 @@ object PartitionedState {
         .drop(PartCol)
   }
 
-  /** The months a change batch touches: union of before/after image months. */
+  /** The months a change batch touches: the UNION of before- and after-image
+    * months — an UPDATE that moves a row's partition column must invalidate
+    * both the partition it leaves and the one it enters. */
   def touchedMonths(changes: DataFrame, dateCol: String): Seq[String] =
-    changes.select(monthOf(coalesce(
-        col("after").getField(dateCol), col("before").getField(dateCol))).as(PartCol))
+    changes.select(explode(array(
+        monthOf(col("after").getField(dateCol)),
+        monthOf(col("before").getField(dateCol)))).as(PartCol))
       .where(col(PartCol).isNotNull)
       .distinct().collect().map(_.getString(0)).toSeq.sorted
 

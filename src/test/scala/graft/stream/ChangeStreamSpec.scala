@@ -47,8 +47,7 @@ class ChangeStreamSpec extends SparkSpec {
       .select("idsite", "name").as[(Long, String)].collect().toSet
 
   private def visitLatest(cfg: StreamConfig): Set[(Long, String)] = {
-    val h = StateStore.read(spark, s"${cfg.stateDir}/matomo_log_visit",
-      stateSchema("matomo_log_visit"))
+    val h = ChangeStream.readState(spark, cfg, "matomo_log_visit")
     Cdc.latestWins(h, Seq("idvisit"))
       .select("idvisit", "location_country").as[(Long, String)].collect().toSet
   }
@@ -109,6 +108,24 @@ class ChangeStreamSpec extends SparkSpec {
     // third run with nothing new: no-op, no extra ledger rows
     ChangeStream.run(spark, cfg).awaitTermination()
     assert(spark.read.parquet(cfg.ledgerDir).count() == 2)
+
+    // the versioned hot table landed month-partitioned (the scale path is
+    // the default path, not a separate API)
+    val visitDir = new java.io.File(s"${cfg.stateDir}/matomo_log_visit")
+    assert(visitDir.listFiles().exists(_.getName.startsWith("yyyymm=")),
+      visitDir.listFiles().map(_.getName).mkString(","))
+
+    // ST3 crash replay: wiping the checkpoint re-processes everything; the
+    // latest-wins views converge to the same state (at-least-once +
+    // idempotent apply)
+    val (site0, visit0) = (siteState(cfg), visitLatest(cfg))
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete()
+    }
+    rmrf(new java.io.File(cfg.checkpointDir))
+    ChangeStream.run(spark, cfg).awaitTermination()
+    assert(siteState(cfg) == site0)
+    assert(visitLatest(cfg) == visit0)
   }
 
   test("streamed result equals one-shot batch apply (stream/batch equivalence)") {
