@@ -88,15 +88,18 @@ object LlmWorkload {
 
   private val minhashOracle: String = {
     val k = 12; val r = 3
-    val hCols = (0 until k).map(j => s"min(${h64(s"shingle || '#$j'")}) AS h$j").mkString(",\n  ")
+    val h2mod = graft.text.TextOps.MinhashH2Mod
+    val hCols = (0 until k).map(j => s"min(h1 + $j * h2) AS h$j").mkString(",\n  ")
     val bandSelects = (0 until k / r).map { b =>
       val cols = (0 until r).map(i => s"h${b * r + i}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS sig FROM sig"
     }.mkString("\nUNION ALL\n")
     s"""WITH $shingleCte,
+       |hashed AS (SELECT doc_id, ${h64("shingle")} AS h1,
+       |  (${h64("shingle || '#'")}) % $h2mod AS h2 FROM sh),
        |sig AS (SELECT doc_id,
        |  $hCols
-       |  FROM sh GROUP BY doc_id),
+       |  FROM hashed GROUP BY doc_id),
        |bands AS (
        |$bandSelects),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

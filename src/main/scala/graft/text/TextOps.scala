@@ -47,13 +47,22 @@ object TextOps {
 
   // ----------------------------------------------------------------- minhash
 
-  /** k salted minhashes per doc: h_j = min over shingles of hash64(shingle#j).
-    * Salting gives k independent hash functions without 128-bit mulmod
-    * arithmetic, keeping the whole signature portable and codegen-friendly. */
+  /** Cap for the second hash so `h1 + 11*h2` stays inside a signed 64-bit
+    * long (11 · 2^58 + 2^60 < 2^63) — identical arithmetic in the oracle. */
+  val MinhashH2Mod: Long = 1L << 58
+
+  /** k minhashes per doc via double hashing (Kirsch–Mitzenmacher):
+    * h_j = min over shingles of (h1 + j·h2) with h1 = hash64(shingle),
+    * h2 = hash64(shingle#) mod 2^58. Two md5s per shingle instead of k —
+    * the hash CPU was the dominant cost of the LSH pipeline — while staying
+    * overflow-free, engine-portable, and codegen-friendly. */
   def minhashSignature(shingled: DataFrame, k: Int = 12): DataFrame = {
+    val hashed = shingled.select(col("doc_id"),
+      hash64(col("shingle")).as("h1"),
+      pmod(hash64(concat(col("shingle"), lit("#"))), lit(MinhashH2Mod)).as("h2"))
     val aggs = (0 until k).map(j =>
-      min(hash64(concat(col("shingle"), lit(s"#$j")))).as(s"h$j"))
-    shingled.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      min(col("h1") + lit(j.toLong) * col("h2")).as(s"h$j"))
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Banded signature: (doc_id, band, sig) — b = k/r bands of r rows each.
