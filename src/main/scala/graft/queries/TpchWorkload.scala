@@ -111,6 +111,30 @@ object TpchWorkload {
       .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"),
         count(lit(1)).as("cnt"))
 
+  /** CUBE — the full grouping-sets lattice over the same keys. */
+  def cubePricing(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+
+  /** Analytic window surface beyond row_number (SURVEY.md §2.5 extended):
+    * lag/lead, rank/dense_rank, and a bounded running-sum frame — per
+    * customer over order time. One shuffle on the partition key. */
+  def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+      lead(col("o_orderkey"), 1).over(w).as("next_order"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      sum(dec("o_totalprice")).over(wSum).cast("double").as("running_total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing_summary" -> aggPricingSummary,
     "join_revenue_by_nation" -> joinRevenueByNation,
@@ -120,7 +144,9 @@ object TpchWorkload {
     "set_intersect_custkeys" -> setIntersectCustkeys,
     "set_except_custkeys" -> setExceptCustkeys,
     "monthly_orders" -> monthlyOrders,
-    "rollup_pricing" -> rollupPricing
+    "rollup_pricing" -> rollupPricing,
+    "cube_pricing" -> cubePricing,
+    "window_funcs" -> windowFuncs
   )
 
   val oracles: Map[String, String] = Map(
@@ -166,6 +192,23 @@ object TpchWorkload {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS cnt
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "cube_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "window_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  lead(o_orderkey, 1) OVER w AS next_order,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin
   )
 }
