@@ -121,11 +121,11 @@ object LlmWorkload {
 
   private val simhashOracle: String = {
     val bits = 48; val bandBits = 12
-    val bitSums = (0 until bits)
-      .map(p => s"sum(CASE WHEN (h >> $p) & 1 = 1 THEN 1 ELSE -1 END) AS b$p")
+    val bitSums = ((0 until bits)
+      .map(p => s"sum((h >> $p) & 1) AS b$p") :+ "count(*) AS n")
       .mkString(",\n  ")
     val simExpr = (0 until bits)
-      .map(p => s"(CASE WHEN b$p >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)")
+      .map(p => s"(CASE WHEN b$p * 2 >= n THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
     s"""WITH $shingleCte,
        |hs AS (SELECT doc_id, ${h64("shingle")} AS h FROM sh),

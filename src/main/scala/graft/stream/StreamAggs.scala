@@ -35,6 +35,19 @@ object StreamAggs {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col(keyCol), col("cnt"))
 
+  /** Sessionization: gap-based session windows per key (the visit-session
+    * shape of the reference's data model, as an event-time operator).
+    * Sessions close when no event arrives within `gapDuration`; the
+    * watermark finalizes and evicts them. */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+      gapDuration: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gapDuration), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol), col("cnt"))
+
   /** Per-table running totals (A6) carried in keyed state. */
   final case class TableCounters(table: String, rows: Long, maxVersion: Long)
 

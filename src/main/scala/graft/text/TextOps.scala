@@ -121,12 +121,16 @@ object TextOps {
       bits: Int = 48, n: Int = 3): DataFrame = {
     val tokens = shingles(docs, idCol, textCol, n).withColumnRenamed("shingle", "tok")
       .withColumn("h", hash64(col("tok")))
+    // plain bit sums (cheaper than a CASE per bit); bit p is set iff
+    // ones >= zeros, i.e. 2*sum_p >= count — identical to the ±1-sum >= 0 form
     val bitAggs = (0 until bits).map(p =>
-      sum(when(shiftright(col("h"), p).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$p"))
+      sum(shiftright(col("h"), p).bitwiseAND(lit(1L))).as(s"b$p")) :+
+      count(lit(1)).as("__n")
     tokens.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"),
         (0 until bits).map(p =>
-          when(col(s"b$p") >= 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+          when(col(s"b$p") * 2 >= col("__n"), lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash: band the fingerprint into bandBits-sized

@@ -46,6 +46,31 @@ class StreamAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows merge events within the gap and finalize on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val sessions = StreamAggs.sessionCounts(
+      ms.toDF().toDF("ts", "user"), "ts", "user",
+      gapDuration = "10 minutes", watermarkDelay = "5 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two events 5 min apart merge into one session; a third 30 min later opens another
+      ms.addData((ts("2024-01-01 10:00:00"), "u1"),
+        (ts("2024-01-01 10:05:00"), "u1"),
+        (ts("2024-01-01 10:40:00"), "u1"))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 12:00:00"), "u1")) // watermark far forward
+      q.processAllAvailable()
+      val out = spark.table("sess")
+        .select("session_start", "session_end", "cnt")
+        .as[(Timestamp, Timestamp, Long)].collect().toSet
+      assert(out == Set(
+        (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:15:00"), 2L),
+        (ts("2024-01-01 10:40:00"), ts("2024-01-01 10:50:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running counters accumulate across micro-batches (A6)") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
