@@ -135,7 +135,25 @@ object TpchWorkload {
       sum(dec("o_totalprice")).over(wSum).cast("double").as("running_total"))
   }
 
+  /** Distinct aggregation (SURVEY.md §2.4 extended row). */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .agg(countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))
+
+  /** Sketch aggregates — HLL cardinality + t-digest-style quantiles. No SQL
+    * oracle (DuckDB's sketch algorithms differ); the driver records the
+    * weaker rows-only check, and the exact-distinct twin above pins the
+    * same surface with a full hash match. */
+  def sketchAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_distinct_count" -> distinctCounts,
+    "agg_sketches" -> sketchAggs,
     "agg_pricing_summary" -> aggPricingSummary,
     "join_revenue_by_nation" -> joinRevenueByNation,
     "topk_customers" -> topCustomers,
@@ -150,6 +168,9 @@ object TpchWorkload {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_distinct_count" ->
+      "SELECT count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders FROM orders",
+    // agg_sketches intentionally has NO oracle entry (rows-only check)
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

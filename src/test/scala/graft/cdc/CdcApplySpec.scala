@@ -129,6 +129,26 @@ class CdcApplySpec extends SparkSpec {
     assert(stale == Set((1L, Some("a0"), None, 10L), (1L, Some("a1"), None, 20L)))
   }
 
+  test("lastEventPerKey keeps the max-version event and the batch-insert flag (ST7)") {
+    val ch = changes(spark, Seq(
+      ins(1, 10, "a"), upd(2, 10, "a", "b"),   // key 10: last=UPDATE, had insert
+      upd(5, 20, "x", "y")))                   // key 20: last=UPDATE, no insert
+    val out = Cdc.lastEventPerKey(ch, Seq("id")).collect().map { r =>
+      (r.getAs[Long]("__key_id"), r.getAs[String]("op"),
+        r.getAs[Long](graft.model.Schemas.VersionCol), r.getAs[Boolean]("__had_insert"))
+    }.toSet
+    assert(out == Set((10L, "UPDATE", 2L, true), (20L, "UPDATE", 5L, false)))
+  }
+
+  test("unknown table fails fast at the registry, mirroring the reference's strict-schema errors") {
+    // reference: README.md:196-206 — schema drift is a hard error, not a skip
+    val ch = changes(spark, Seq(ins(1, 10, "a")))
+    intercept[NoSuchElementException] {
+      Cdc.typedChanges(ch.withColumn("table", org.apache.spark.sql.functions.lit("nope")),
+        "no_such_table")
+    }
+  }
+
   test("purge with window predicate leaves rows outside the window untouched") {
     val h = history(spark, Seq(
       (1L, "old-dup", null, 1L), (1L, "old-dup2", null, 2L), // outside window
