@@ -183,15 +183,18 @@ object Cdc {
     val keyRefs = keyCols.map(k => col(s"__key_$k"))
     val wAll = Window.partitionBy(keyRefs: _*)
     val wOrd = wAll.orderBy(col(Schemas.VersionCol).desc)
-    var flagged = changes.select(col("*") +: keyExprs: _*)
-      .withColumn("__had_insert",
-        max(when(col("op") === "INSERT", 1).otherwise(0)).over(wAll) === 1)
-    dataCols.foreach { c =>
-      flagged = flagged.withColumn(s"__chg_$c",
-        max(when(col("op") === "UPDATE" &&
+    // all same-spec window flags in ONE select so they collapse into a single
+    // Window node (a withColumn chain leaves one Window operator per column)
+    val flagCols =
+      (max(when(col("op") === "INSERT", 1).otherwise(0)).over(wAll) === 1)
+        .as("__had_insert") +:
+      dataCols.map { c =>
+        (max(when(col("op") === "UPDATE" &&
           !(col("after").getField(c) <=> col("before").getField(c)), 1)
-          .otherwise(0)).over(wAll) === 1)
-    }
+          .otherwise(0)).over(wAll) === 1).as(s"__chg_$c")
+      }
+    val flagged = changes.select(col("*") +: keyExprs: _*)
+      .select(col("*") +: flagCols: _*)
     val last = flagged.withColumn("__rn", row_number().over(wOrd))
       .filter(col("__rn") === 1).drop("__rn")
 
