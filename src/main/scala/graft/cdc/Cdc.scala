@@ -55,10 +55,14 @@ object Cdc {
   val PosShift = 14
   val MaxRowIndex: Int = (1 << PosShift) - 1
   private val MaxPos: Long = (1L << (FileShift - PosShift)) - 1
+  /** 17 bits of file index (max 131071): the full composite then tops out at
+    * exactly Long.MaxValue, never touching the sign bit. */
+  private val MaxFileIdx: Long = (1L << (63 - FileShift)) - 1
 
   /** Driver-side version encode for a concrete binlog coordinate. */
   def versionOf(logFile: String, logPos: Long, rowIndex: Int = 0): Long = {
     val fileIdx = logFile.substring(logFile.lastIndexOf('.') + 1).toLong
+    require(fileIdx >= 0 && fileIdx <= MaxFileIdx, s"binlog file index out of range: $fileIdx")
     require(logPos >= 0 && logPos <= MaxPos, s"log_pos out of range: $logPos")
     require(rowIndex >= 0 && rowIndex <= MaxRowIndex, s"row_index out of range: $rowIndex")
     (fileIdx << FileShift) | (logPos << PosShift) | rowIndex.toLong
@@ -78,9 +82,11 @@ object Cdc {
   def versionExpr: Column = {
     val fileIdx = element_at(split(col("log_file"), "\\."), -1).cast("long")
     val guarded = when(
-      col("row_index") > lit(MaxRowIndex) || col("row_index") < 0 ||
+      fileIdx.isNull || fileIdx > lit(MaxFileIdx) || fileIdx < 0 ||
+        col("row_index") > lit(MaxRowIndex) || col("row_index") < 0 ||
         col("log_pos") > lit(MaxPos) || col("log_pos") < 0,
-      raise_error(concat(lit("version field overflow: log_pos="), col("log_pos"),
+      raise_error(concat(lit("version field overflow: log_file="), col("log_file"),
+        lit(" log_pos="), col("log_pos"),
         lit(" row_index="), col("row_index"))).cast("long"))
       .otherwise(shiftleft(fileIdx, FileShift) +
         shiftleft(col("log_pos"), PosShift) + col("row_index"))
@@ -138,14 +144,23 @@ object Cdc {
     * whose key was INSERTed earlier in the same batch must materialize the row
     * (the reference applies sequentially, matomo2clickhouse.py:648-653: the
     * INSERT lands first, then the UPDATE mutates it). */
-  def lastEventPerKey(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+  /** Shared key derivation for the apply reductions: the change frame with
+    * `__key_<k>` columns (null-safe, from whichever image carries the key)
+    * plus the per-key window specs over them. */
+  private def keyed(changes: DataFrame, keyCols: Seq[String]):
+      (DataFrame, org.apache.spark.sql.expressions.WindowSpec,
+        org.apache.spark.sql.expressions.WindowSpec) = {
     val keyExprs = keyCols.map(k =>
       coalesce(col("after").getField(k), col("before").getField(k)).as(s"__key_$k"))
     val keyRefs = keyCols.map(k => col(s"__key_$k"))
-    val wOrd = Window.partitionBy(keyRefs: _*).orderBy(col(Schemas.VersionCol).desc)
     val wAll = Window.partitionBy(keyRefs: _*)
-    changes.select(col("*") +: keyExprs: _*)
-      .withColumn("__rn", row_number().over(wOrd))
+    val wOrd = wAll.orderBy(col(Schemas.VersionCol).desc)
+    (changes.select(col("*") +: keyExprs: _*), wAll, wOrd)
+  }
+
+  def lastEventPerKey(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val (kd, wAll, wOrd) = keyed(changes, keyCols)
+    kd.withColumn("__rn", row_number().over(wOrd))
       .withColumn("__had_insert",
         max(when(col("op") === "INSERT", 1).otherwise(0)).over(wAll) === 1)
       .filter(col("__rn") === 1)
@@ -178,11 +193,7 @@ object Cdc {
     //    two-update chain a→b, b→b must land b: eliding against only the LAST
     //    event's (before,after) pair would silently drop v1's change (F8 over
     //    the whole chain, reference: binlog2sql_util.py:329-335 per event).
-    val keyExprs = keyCols.map(k =>
-      coalesce(col("after").getField(k), col("before").getField(k)).as(s"__key_$k"))
-    val keyRefs = keyCols.map(k => col(s"__key_$k"))
-    val wAll = Window.partitionBy(keyRefs: _*)
-    val wOrd = wAll.orderBy(col(Schemas.VersionCol).desc)
+    val (kd, wAll, wOrd) = keyed(changes, keyCols)
     // all same-spec window flags in ONE select so they collapse into a single
     // Window node (a withColumn chain leaves one Window operator per column)
     val flagCols =
@@ -193,8 +204,7 @@ object Cdc {
           !(col("after").getField(c) <=> col("before").getField(c)), 1)
           .otherwise(0)).over(wAll) === 1).as(s"__chg_$c")
       }
-    val flagged = changes.select(col("*") +: keyExprs: _*)
-      .select(col("*") +: flagCols: _*)
+    val flagged = kd.select(col("*") +: flagCols: _*)
     val last = flagged.withColumn("__rn", row_number().over(wOrd))
       .filter(col("__rn") === 1).drop("__rn")
 

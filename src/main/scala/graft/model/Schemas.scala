@@ -359,6 +359,9 @@ object Schemas {
       partitionCol = Some("server_time")),
     "matomo_log_conversion" -> TableMeta(
       keyCols = Seq("idvisit", "idsite", "idgoal", "buster"),
+      // in CONST_TBL_NOT_DELETE_OLD (reference: _settings.py:132-138) even
+      // though it takes the plain-UPDATE path: old DELETEs are suppressed
+      deleteDateCol = Some("server_time"),
       partitionCol = Some("server_time")),
     "matomo_log_profiling" -> TableMeta(keyCols = Seq("idprofiling")),
     "matomo_log_action" -> TableMeta(keyCols = Seq("idaction")),

@@ -57,7 +57,11 @@ object Jdbc {
     val row = readQuery(spark, url,
       s"""SELECT MAX("$idCol") AS id_max FROM $table""", driver)
       .collect().headOption
-    row.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    // MAX() comes back as whatever the dialect maps the column to — BIGINT
+    // UNSIGNED is DecimalType(20,0), INT is IntegerType — so convert through
+    // Number instead of assuming LongType
+    row.flatMap(r => if (r.isNullAt(0)) None
+      else Some(r.get(0).asInstanceOf[Number].longValue()))
   }
 
   /** S6 — batched append sink (multi-row INSERTs of `batchSize` rows). */

@@ -65,16 +65,30 @@ object ChangeStream {
       onlyTables = cfg.onlyTables, onlySchemas = cfg.onlySchemas)
       .persist()
     try {
-      val tables = filtered.select(col("table")).distinct()
-        .collect().map(_.getString(0)).filter(Schemas.tableMeta.contains).sorted
-      tables.foreach { table =>
+      val present = filtered.select(col("table")).distinct()
+        .collect().map(_.getString(0)).sorted
+      // schema drift is a hard error, exactly like the reference
+      // (reference: README.md:196-206) — a silently skipped table would also
+      // poison the ledger, which must record only applied events
+      val unknown = present.filterNot(Schemas.tableMeta.contains)
+      require(unknown.isEmpty,
+        s"change events for unregistered tables: ${unknown.mkString(", ")}")
+      present.foreach { table =>
         val meta = Schemas.tableMeta(table)
-        val typed = Cdc.typedChanges(filtered, table)
-        val dir = s"${cfg.stateDir}/$table"
         val now = cfg.nowOverride.map(lit(_)).getOrElse(current_timestamp())
+        // F7 applies to every table in CONST_TBL_NOT_DELETE_OLD regardless of
+        // path (reference: matomo2clickhouse.py:583-606); applyVersioned
+        // guards internally, the mutable path guards here
+        val typedRaw = Cdc.typedChanges(filtered, table)
+        val typed = meta.deleteDateCol match {
+          case Some(dc) if !meta.versioned =>
+            Cdc.suppressOldDeletes(typedRaw, dc, now, cfg.deleteMaxAgeDays)
+          case _ => typedRaw
+        }
+        val dir = s"${cfg.stateDir}/$table"
         if (cfg.dryRun) {
           // S9: inspect, don't apply — counts force the plan like the real write
-          val state = StateStore.read(spark, dir, stateSchema(table))
+          val state = readState(spark, cfg, table)
           val next =
             if (meta.versioned)
               Cdc.applyVersioned(state, typed, meta.keyCols, meta.deleteDateCol,

@@ -16,10 +16,15 @@ import org.apache.spark.sql.types.StructType
  */
 object StateStore {
 
-  /** Read the state at `dir`, or an empty frame of `schema` if absent. */
+  /** Read the state at `dir`, or an empty frame of `schema` if absent.
+    * Crash recovery: if a previous replace() died between its two renames,
+    * the data sits intact at `dir.__old` — roll it back rather than silently
+    * reporting empty state (which the next apply would persist as truth). */
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(dir + ".__old")
+    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
     if (fs.exists(path)) spark.read.schema(schema).parquet(dir)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }

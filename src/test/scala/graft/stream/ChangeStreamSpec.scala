@@ -164,6 +164,36 @@ class ChangeStreamSpec extends SparkSpec {
     assert(siteState(cfg) == Set((1L, "alpha2")))
   }
 
+  test("events for an unregistered table fail the batch loudly (strict schema)") {
+    val cfg = freshCfg(tmpDir())
+    val batch = Seq(env("INSERT", "not_in_registry", 1, null, """{"x":1}"""))
+      .toDF("op", "schema", "table", "ts", "log_file", "log_pos", "row_index",
+        "before", "after")
+      .select(col("op"), col("schema"), col("table"),
+        col("ts").cast("timestamp").as("ts"), col("log_file"), col("log_pos"),
+        col("row_index"), col("before"), col("after"))
+    val e = intercept[IllegalArgumentException] {
+      ChangeStream.applyBatch(spark, cfg)(batch, 0L)
+    }
+    assert(e.getMessage.contains("not_in_registry"))
+  }
+
+  test("old DELETEs are suppressed on the mutable conversion table too (F7)") {
+    val logDir = tmpDir()
+    // conversion key: (idvisit, idsite, idgoal, buster); server_time is both
+    // the delete-age guard and the partition column
+    val conv =
+      """{"idvisit":1,"idsite":1,"idgoal":2,"buster":3,"server_time":"2023-11-01T00:00:00","url":"u"}"""
+    writeLog(logDir, "f1", Seq(
+      env("INSERT", "matomo_log_conversion", 10, null, conv),
+      // DELETE of a >31-day-old row (now = 2024-01-06): must be suppressed
+      env("DELETE", "matomo_log_conversion", 20, conv, null)))
+    val cfg = freshCfg(logDir)
+    ChangeStream.run(spark, cfg).awaitTermination()
+    val state = ChangeStream.readState(spark, cfg, "matomo_log_conversion")
+    assert(state.count() == 1, "old DELETE must not remove the conversion row")
+  }
+
   test("dry-run processes but writes neither state nor ledger (S9)") {
     val logDir = tmpDir()
     writeLog(logDir, "f1", batch1)
