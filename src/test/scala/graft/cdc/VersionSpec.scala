@@ -45,6 +45,21 @@ class VersionSpec extends SparkSpec {
     }
   }
 
+  test("file-index overflow or a malformed log_file raises (no silent sign flip / null)") {
+    intercept[Exception] {
+      Cdc.withVersion(envelope(Seq(("mysql-bin.131072", 10L, 0)))).collect()
+    }
+    intercept[Exception] {
+      Cdc.withVersion(envelope(Seq(("no-numeric-suffix", 10L, 0)))).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Cdc.versionOf("mysql-bin.131072", 10L, 0)
+    }
+    // the last valid coordinate tops out exactly at Long.MaxValue
+    assert(Cdc.versionOf("mysql-bin.131071", (1L << 32) - 1, Cdc.MaxRowIndex) ==
+      Long.MaxValue)
+  }
+
   test("property: versionOf is monotone in (fileIdx, pos, row) lexicographic order") {
     val rnd = new scala.util.Random(42)
     def coord(): (Int, Long, Int) = (
