@@ -15,16 +15,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
 
-    // warm-up: full pass at the small sf (codegen, JIT, readers) — untimed
+    // warm-up: full pass at the small sf (codegen, JIT) — untimed. Listings
+    // and footers are NOT shared between file indexes, so the only way to
+    // fully de-skew the first timed query is an untimed run of that same
+    // first query against the timed dataset.
     ordered.foreach { case (_, fn) =>
       try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // warm-up failures surface in the timed pass
     }
-    // also touch the TIMED dataset once so the first timed query doesn't pay
-    // sfDir's one-time file listing + parquet footer reads
-    graft.queries.Catalog.TableNames.foreach { t =>
-      try graft.queries.Tables(spark, sfDir, t).limit(1)
-        .write.format("noop").mode("overwrite").save()
+    ordered.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
 

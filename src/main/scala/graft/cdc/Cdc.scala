@@ -128,22 +128,21 @@ object Cdc {
   def suppressOldDeletes(changes: DataFrame, dateCol: String,
       now: Column, maxAgeDays: Int = 31): DataFrame =
     changes.filter(!(col("op") === "DELETE" &&
-      datediff(to_date(now), to_date(col("before").getField(dateCol))) > maxAgeDays))
+      datediff(to_date(now),
+        // a missing/unparseable row date defaults to NOW — the DELETE is then
+        // APPLIED, exactly like the reference's .get(col_date, datetime.now())
+        // fallback (matomo2clickhouse.py:592); a bare null comparison would
+        // silently suppress instead
+        coalesce(to_date(col("before").getField(dateCol)), to_date(now))) > maxAgeDays))
 
   /** Count of the DELETEs F7 would reject, per reporting counter A6
     * (reference: matomo2clickhouse.py:598-601, 728-731). */
   def rejectedDeleteCount(changes: DataFrame, dateCol: String,
       now: Column, maxAgeDays: Int = 31): Long =
     changes.filter(col("op") === "DELETE" &&
-      datediff(to_date(now), to_date(col("before").getField(dateCol))) > maxAgeDays).count()
+      datediff(to_date(now),
+        coalesce(to_date(col("before").getField(dateCol)), to_date(now))) > maxAgeDays).count()
 
-  /** Reduce a typed change frame to the LAST event per key (by version).
-    * This is the ordering barrier ST7/SRT4 re-expressed order-insensitively.
-    * Alongside the last event the reduction keeps `__had_insert` — whether ANY
-    * event in the batch for this key was an INSERT — because a final UPDATE
-    * whose key was INSERTed earlier in the same batch must materialize the row
-    * (the reference applies sequentially, matomo2clickhouse.py:648-653: the
-    * INSERT lands first, then the UPDATE mutates it). */
   /** Shared key derivation for the apply reductions: the change frame with
     * `__key_<k>` columns (null-safe, from whichever image carries the key)
     * plus the per-key window specs over them. */
@@ -158,6 +157,13 @@ object Cdc {
     (changes.select(col("*") +: keyExprs: _*), wAll, wOrd)
   }
 
+  /** Reduce a typed change frame to the LAST event per key (by version).
+    * This is the ordering barrier ST7/SRT4 re-expressed order-insensitively.
+    * Alongside the last event the reduction keeps `__had_insert` — whether ANY
+    * event in the batch for this key was an INSERT — because a final UPDATE
+    * whose key was INSERTed earlier in the same batch must materialize the row
+    * (the reference applies sequentially, matomo2clickhouse.py:648-653: the
+    * INSERT lands first, then the UPDATE mutates it). */
   def lastEventPerKey(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
     val (kd, wAll, wOrd) = keyed(changes, keyCols)
     kd.withColumn("__rn", row_number().over(wOrd))

@@ -24,10 +24,26 @@ object Bucketed {
       .mode("overwrite")
       .saveAsTable(table)
 
-  /** Join two bucketed tables on their bucket key — plans shuffle-free when
-    * both were bucketed with the same bucket count. */
+  /** Join two bucketed tables on their bucket key. The co-location contract
+    * is VALIDATED, not assumed: mismatched bucket counts (or an unbucketed
+    * table) would silently re-introduce the shuffle this helper exists to
+    * eliminate, so they fail loudly here instead. */
   def join(spark: SparkSession, left: String, right: String,
       leftKey: String, rightKey: String): DataFrame = {
+    def spec(name: String) = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+      .bucketSpec
+    (spec(left), spec(right)) match {
+      case (Some(ls), Some(rs)) =>
+        require(ls.numBuckets == rs.numBuckets,
+          s"bucket counts differ: $left=${ls.numBuckets} vs $right=${rs.numBuckets}")
+        require(ls.bucketColumnNames == Seq(leftKey) &&
+          rs.bucketColumnNames == Seq(rightKey),
+          s"join keys must be the bucket columns: $left=${ls.bucketColumnNames} " +
+            s"$right=${rs.bucketColumnNames}")
+      case _ => throw new IllegalArgumentException(
+        s"both tables must be bucketed: $left=${spec(left)} $right=${spec(right)}")
+    }
     val l = spark.table(left)
     val r = spark.table(right)
     l.join(r, l(leftKey) === r(rightKey))

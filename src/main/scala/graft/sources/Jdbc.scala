@@ -58,10 +58,15 @@ object Jdbc {
       s"""SELECT MAX("$idCol") AS id_max FROM $table""", driver)
       .collect().headOption
     // MAX() comes back as whatever the dialect maps the column to — BIGINT
-    // UNSIGNED is DecimalType(20,0), INT is IntegerType — so convert through
-    // Number instead of assuming LongType
+    // UNSIGNED is DecimalType(20,0), INT is IntegerType. Convert exactly:
+    // a value above Long.MaxValue must fail loudly, not wrap negative into
+    // a corrupt watermark
     row.flatMap(r => if (r.isNullAt(0)) None
-      else Some(r.get(0).asInstanceOf[Number].longValue()))
+      else Some(r.get(0) match {
+        case d: java.math.BigDecimal => d.longValueExact()
+        case d: scala.math.BigDecimal => d.bigDecimal.longValueExact()
+        case n: Number => n.longValue()
+      }))
   }
 
   /** S6 — batched append sink (multi-row INSERTs of `batchSize` rows). */

@@ -106,7 +106,7 @@ object ChangeStream {
             PartitionedState.applyMutable(spark, dir, stateSchema(table), typed,
               meta.keyCols, pc)
           case None =>
-            val state = StateStore.read(spark, dir, stateSchema(table))
+            val state = readState(spark, cfg, table)
             val next =
               if (meta.versioned)
                 Cdc.applyVersioned(state, typed, meta.keyCols, meta.deleteDateCol,

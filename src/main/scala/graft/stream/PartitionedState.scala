@@ -31,6 +31,17 @@ import graft.model.Schemas
  * At a 1000-executor / 100 TB scale this turns per-batch cost from
  * O(total state) into O(state of months with changes) — for CDC traffic that
  * is concentrated in the current month, effectively O(one partition).
+ *
+ * Crash semantics: partition overwrites are NOT atomic across months — a
+ * crash mid-write leaves some touched months new and some old. That is safe
+ * by the same contract the reference leans on (ReplacingMergeTree +
+ * at-least-once, reference: README.md:358-362): the streaming checkpoint
+ * has not committed the batch, so the whole batch re-applies on restart,
+ * and the apply is convergent — INSERT/UPDATE land absolute after-images
+ * (idempotent on the mutable path; duplicate same-version physical rows on
+ * the versioned path, which latest-wins ignores and ST8 compaction removes),
+ * DELETEs are naturally idempotent. Pinned by the replay test in
+ * PartitionedStateSpec.
  */
 object PartitionedState {
 

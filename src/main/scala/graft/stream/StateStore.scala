@@ -24,7 +24,11 @@ object StateStore {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(dir + ".__old")
-    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
+    if (!fs.exists(path) && fs.exists(old)) {
+      // Hadoop rename reports failure by RETURNING false — falling through
+      // would re-introduce the silent-empty-state bug the rollback prevents
+      require(fs.rename(old, path), s"state rollback failed: $old -> $path")
+    }
     if (fs.exists(path)) spark.read.schema(schema).parquet(dir)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
@@ -39,8 +43,8 @@ object StateStore {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(path)) fs.rename(path, old)
-    fs.rename(tmp, path)
+    if (fs.exists(path)) require(fs.rename(path, old), s"swap-out failed: $path -> $old")
+    require(fs.rename(tmp, path), s"swap-in failed: $tmp -> $path")
     fs.delete(old, true)
   }
 }

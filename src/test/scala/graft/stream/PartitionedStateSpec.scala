@@ -83,6 +83,25 @@ class PartitionedStateSpec extends SparkSpec {
     assert(ids == Set(1L, 2L))
   }
 
+  test("re-applying the same batch converges (crash-replay contract)") {
+    // versioned: double apply duplicates physical rows but the latest-wins
+    // view is identical, and compaction restores the physical state
+    val dir = Files.createTempDirectory("pstate").toString + "/t"
+    initState(dir)
+    val batch = changes(("UPDATE", 10L, 2L, "feb", "2024-02-10 00:00:00"))
+      .withColumn("after", struct(lit(2L).as("id"), lit("feb2").as("name"),
+        lit("2024-02-10 00:00:00").cast("timestamp").as("d")))
+    PartitionedState.applyVersioned(spark, dir, schema, batch, Seq("id"), "d")
+    val once = graft.cdc.Cdc.latestWins(
+      spark.read.parquet(dir).drop(PartitionedState.PartCol), Seq("id"))
+      .select("id", "name", Schemas.VersionCol).as[(Long, String, Long)].collect().toSet
+    PartitionedState.applyVersioned(spark, dir, schema, batch, Seq("id"), "d")
+    val twice = graft.cdc.Cdc.latestWins(
+      spark.read.parquet(dir).drop(PartitionedState.PartCol), Seq("id"))
+      .select("id", "name", Schemas.VersionCol).as[(Long, String, Long)].collect().toSet
+    assert(once == twice)
+  }
+
   test("mutable pruned apply updates in place within the touched month") {
     val dir = Files.createTempDirectory("pstate").toString + "/t"
     PartitionedState.init(
