@@ -151,7 +151,27 @@ object RefWorkload {
         .cast("timestamp_ntz").as("parsed_ts"))
   }
 
+  /** A5 as a tumbling event-time window (the batch twin of
+    * StreamAggs.windowedCounts — same expression, no watermark needed). */
+  def tumblingWindowCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+
+  /** Gap-based session windows in batch (twin of StreamAggs.sessionCounts);
+    * the oracle is the classic gaps-and-islands SQL formulation — a genuine
+    * cross-check of session semantics, not a restatement. */
+  def sessionWindowCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("cnt"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a5_tumbling_window" -> tumblingWindowCounts,
+    "session_windows" -> sessionWindowCounts,
     "j1_latest_record" -> j1LatestRecord,
     "j2_dup_count" -> j2DupCount,
     "j3_dedup_purge" -> j3DedupPurge,
@@ -167,6 +187,24 @@ object RefWorkload {
     * (J1/J2), the oracle keeps that original formulation as the cross-check
     * against our window formulation. */
   val oracles: Map[String, String] = Map(
+    "a5_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "session_windows" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, count(*) AS cnt
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "j1_latest_record" ->
       """SELECT e.user_id, e.event_id, e.ts, e.event_type, e.value
         |FROM events e
