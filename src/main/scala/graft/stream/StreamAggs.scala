@@ -2,7 +2,7 @@ package graft.stream
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.cdc.Cdc
 
@@ -47,6 +47,52 @@ object StreamAggs {
       .agg(count(lit(1)).as("cnt"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col(keyCol), col("cnt"))
+
+  /** A closed visit: emitted once, when the key's session times out. */
+  final case class VisitSummary(user: String, events: Long,
+      firstTs: java.sql.Timestamp, lastTs: java.sql.Timestamp)
+
+  /** Internal keyed state of [[visitSummaries]] (public: encoders need an
+    * accessible constructor for codegen). */
+  final case class VisitState(events: Long, firstMs: Long, lastMs: Long)
+
+  /**
+   * flatMapGroupsWithState with an EVENT-TIME TIMEOUT: accumulate per-user
+   * visit state and emit a single closed-visit summary when the watermark
+   * passes lastEvent + gap — the "visit ended" semantics the reference
+   * derives offline from visit_last_action_time, as a live operator. Output
+   * appears ONLY at expiry (append mode), state is evicted on emit, so the
+   * state store holds O(active visits).
+   */
+  def visitSummaries(events: DataFrame, tsCol: String, keyCol: String,
+      gap: java.time.Duration, watermarkDelay: String)(
+      implicit spark: SparkSession): Dataset[VisitSummary] = {
+    import spark.implicits._
+    val gapMs = gap.toMillis
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).cast("string"), col(tsCol))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[VisitState, VisitSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(VisitSummary(user, s.events,
+              new java.sql.Timestamp(s.firstMs), new java.sql.Timestamp(s.lastMs)))
+          } else {
+            val ts = rows.map(_._2.getTime).toSeq
+            val prev = state.getOption.getOrElse(VisitState(0L, Long.MaxValue, Long.MinValue))
+            val next = VisitState(prev.events + ts.size,
+              math.min(prev.firstMs, ts.min), math.max(prev.lastMs, ts.max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastMs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
 
   /** Per-table running totals (A6) carried in keyed state. */
   final case class TableCounters(table: String, rows: Long, maxVersion: Long)

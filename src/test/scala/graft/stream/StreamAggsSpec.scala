@@ -71,6 +71,35 @@ class StreamAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits a visit summary only when the session times out") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val summaries = StreamAggs.visitSummaries(
+      ms.toDF().toDF("ts", "user"), "ts", "user",
+      gap = java.time.Duration.ofMinutes(10), watermarkDelay = "5 minutes")
+    val q = summaries.writeStream.format("memory").queryName("vs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData((ts("2024-01-01 10:00:00"), "u1"),
+        (ts("2024-01-01 10:04:00"), "u1"))
+      q.processAllAvailable()
+      // session still open: watermark has not passed lastTs + gap
+      assert(spark.table("vs").count() == 0)
+
+      // far-future event for another user advances the watermark past the
+      // timeout -> u1's visit closes and emits exactly one summary
+      ms.addData((ts("2024-01-01 11:00:00"), "u2"))
+      q.processAllAvailable()
+      val out = spark.table("vs")
+        .as[StreamAggs.VisitSummary].collect()
+      assert(out.length == 1)
+      assert(out.head.user == "u1" && out.head.events == 2L)
+      assert(out.head.firstTs == ts("2024-01-01 10:00:00"))
+      assert(out.head.lastTs == ts("2024-01-01 10:04:00"))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running counters accumulate across micro-batches (A6)") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
