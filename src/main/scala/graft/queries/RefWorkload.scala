@@ -169,7 +169,25 @@ object RefWorkload {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("user_id"), col("cnt"))
 
+  /** As-of join: every event annotated with the user's most recent purchase
+    * at or before the event's time (graft.operators.Asof; oracle is DuckDB's
+    * native ASOF JOIN — a fully independent implementation of the
+    * semantics). */
+  def asofLastPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val purchases = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("purchase_ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+      .select(col("user_id"), col("purchase_ts"), col("purchase_id"))
+    graft.operators.Asof.asofJoin(e, purchases, Seq("user_id"),
+      leftTime = "ts", rightTime = "purchase_ts",
+      payloadCols = Seq("purchase_id", "purchase_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_last_purchase" -> asofLastPurchase,
     "a5_tumbling_window" -> tumblingWindowCounts,
     "session_windows" -> sessionWindowCounts,
     "j1_latest_record" -> j1LatestRecord,
@@ -187,6 +205,13 @@ object RefWorkload {
     * (J1/J2), the oracle keeps that original formulation as the cross-check
     * against our window formulation. */
   val oracles: Map[String, String] = Map(
+    "asof_last_purchase" ->
+      """WITH p AS (
+        |  SELECT user_id, ts AS purchase_ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, e.ts, e.event_type, p.purchase_id, p.purchase_ts
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.purchase_ts""".stripMargin,
     "a5_tumbling_window" ->
       """SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,
