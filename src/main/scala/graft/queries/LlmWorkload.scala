@@ -64,8 +64,13 @@ object LlmWorkload {
   def annTopkIvf(spark: SparkSession, dir: String): DataFrame =
     VectorOps.annIvf(Tables(spark, dir, "embeddings"))
 
+  /** Byte-safe projection of [[Multimodal.withPayload]]: the raw binary
+    * payload column is hex-encoded so the frame is hash-comparable by the
+    * oracle harness (raw `binary` stays covered by `MultimodalSpec`). */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.withPayload(Tables(spark, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), hex(col("payload")).as("payload_hex"),
+        col("n_bytes"), col("payload_md5"), col("header_hex"))
 
   def dedupEmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
     VectorOps.embeddingNearDupPairs(Tables(spark, dir, "embeddings"))
@@ -249,7 +254,7 @@ object LlmWorkload {
          |  JOIN v vb ON vb.vec_id = b.vec_id)
          |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
     "multimodal_meta" ->
-      """SELECT doc_id, encode(text) AS payload,
+      """SELECT doc_id, hex(encode(text)) AS payload_hex,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS payload_md5,
         |  substr(hex(encode(text)), 1, 8) AS header_hex

@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Text-analysis and deduplication operators for large-scale training-data
@@ -91,8 +92,11 @@ object TextOps {
     * shingle sets collected per doc (bounded by doc length, not corpus). */
   def verifiedNearDupPairs(shingled: DataFrame, candidates: DataFrame,
       threshold: Double = 0.8): DataFrame = {
+    // `sets` feeds two joins (doc_a and doc_b side); cache so the shingle
+    // scan + collect_set shuffle evaluates once, not once per side
     val sets = shingled.groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("s"), count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("n").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb"), col("n").as("nb")), "doc_b")
@@ -103,11 +107,17 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** End-to-end MinHash/LSH near-dup pairs over a document table. */
+  /** End-to-end MinHash/LSH near-dup pairs over a document table.
+    *
+    * The shingle scan and the banded signature each feed a self-join (or a
+    * two-sided join), so both are cached — without this the md5-per-shingle
+    * subtree evaluates ~4× (once per join side). At 100 TB the same move is
+    * materializing signatures to a table before the pair-join. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 12, r: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
-    verifiedNearDupPairs(sh, lshCandidatePairs(lshBands(minhashSignature(sh, k), k, r)), threshold)
+    val sh = shingles(docs, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = lshBands(minhashSignature(sh, k), k, r).persist(StorageLevel.MEMORY_AND_DISK)
+    verifiedNearDupPairs(sh, lshCandidatePairs(banded), threshold)
   }
 
   // ----------------------------------------------------------------- simhash
@@ -142,8 +152,11 @@ object TextOps {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1)).as("v"))
     }
+    // cache before the self-join: the upstream (typically the full shingle →
+    // bit-sum aggregation of `simhash`) must not evaluate once per join side
     val banded = sims.select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.v").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
