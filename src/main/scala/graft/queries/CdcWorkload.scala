@@ -103,6 +103,46 @@ object CdcWorkload {
     Cdc.ledgerEntry(env).drop("created_at")
   }
 
+  /**
+   * The registry path end-to-end: an envelope whose payloads are JSON strings
+   * shaped like the reference's hot table `matomo_log_visit`
+   * (reference: script_create_clickhouse_table.sql:16-97) is parsed against
+   * the schema registry (`Cdc.typedChanges`, F9), applied versioned (key
+   * `idvisit`, version `dateid` from binlog coordinates) and reduced by the
+   * reference's own latest-record view shape
+   * (reference: script_create_clickhouse_table.sql:484-494). The oracle
+   * replays the identical log in pure SQL, so the JSON-parse → typed apply →
+   * view chain that production tables take is pinned rows+schema+hash.
+   */
+  def cdcApplyRegistry(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val op = when(pmod(col("event_id"), lit(10)) <= 5, "INSERT")
+      .when(pmod(col("event_id"), lit(10)) <= 8, "UPDATE")
+      .otherwise("DELETE")
+    val afterJson = to_json(struct(
+      col("user_id").as("idvisit"),
+      pmod(col("event_id"), lit(5)).as("idsite"),
+      concat(lit("v"), col("user_id")).as("idvisitor"),
+      when(pmod(col("user_id"), lit(7)) =!= 0, concat(lit("u"), col("user_id")))
+        .as("user_id"),
+      pmod(col("event_id"), lit(100)).as("visit_total_actions"),
+      pmod(col("event_id"), lit(1000)).as("visit_total_time")))
+    val beforeJson = to_json(struct(col("user_id").as("idvisit")))
+    val env = e.select(
+      op.as("op"), lit("matomo").as("schema"), lit("matomo_log_visit").as("table"),
+      col("ts"), lit("mysql-bin.000001").as("log_file"),
+      col("event_id").as("log_pos"), lit(0).as("row_index"),
+      when(op =!= "INSERT", beforeJson).as("before"),
+      when(op =!= "DELETE", afterJson).as("after"))
+    val typed = Cdc.typedChanges(env, "matomo_log_visit")
+    val emptyHistory = typed.filter(lit(false))
+      .select(col("after.*"), col(Schemas.VersionCol))
+    Cdc.latestWins(Cdc.applyVersioned(emptyHistory, typed, Seq("idvisit")),
+        Seq("idvisit"))
+      .select(col("idvisit"), col("idsite"), col("idvisitor"), col("user_id"),
+        col("visit_total_actions"), col("visit_total_time"), col(Schemas.VersionCol))
+  }
+
   /** S11 — the bounded retention delete as a whole-table operator: the
     * surviving rows after the SRT1-watermark purge
     * (reference: matomo2clickhouse.py:401-443). */
@@ -116,6 +156,7 @@ object CdcWorkload {
     "cdc_latest_wins" -> cdcLatestWins,
     "cdc_apply_mutable" -> cdcApplyMutable,
     "cdc_ledger_entry" -> cdcLedgerEntry,
+    "cdc_apply_registry" -> cdcApplyRegistry,
     "s11_retention_delete" -> s11RetentionDelete
   )
 
@@ -175,6 +216,33 @@ object CdcWorkload {
         |  min(log_pos) AS log_pos_start, max(log_pos) AS log_pos_end,
         |  count(*) AS rows_applied
         |FROM v""".stripMargin,
+    // same replay as cdc_latest_wins but with the matomo_log_visit column
+    // reconstruction and the binlog-coordinate version arithmetic
+    // (fileIdx=1: 2^46 + log_pos*2^14)
+    "cdc_apply_registry" ->
+      """WITH log AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 10 <= 5 THEN 'INSERT'
+        |         WHEN event_id % 10 <= 8 THEN 'UPDATE'
+        |         ELSE 'DELETE' END AS op,
+        |    CAST(70368744177664 + CAST(event_id AS BIGINT) * 16384 AS BIGINT) AS dateid
+        |  FROM events),
+        |dels AS (SELECT user_id, max(dateid) AS del_v FROM log
+        |         WHERE op = 'DELETE' GROUP BY user_id),
+        |hist AS (
+        |  SELECT l.user_id, l.event_id, l.dateid
+        |  FROM log l LEFT JOIN dels d ON l.user_id = d.user_id
+        |  WHERE l.op <> 'DELETE' AND (d.del_v IS NULL OR l.dateid > d.del_v))
+        |SELECT CAST(h.user_id AS BIGINT) AS idvisit,
+        |  CAST(h.event_id % 5 AS BIGINT) AS idsite,
+        |  'v' || CAST(h.user_id AS VARCHAR) AS idvisitor,
+        |  CASE WHEN h.user_id % 7 <> 0 THEN 'u' || CAST(h.user_id AS VARCHAR) END AS user_id,
+        |  CAST(h.event_id % 100 AS BIGINT) AS visit_total_actions,
+        |  CAST(h.event_id % 1000 AS BIGINT) AS visit_total_time,
+        |  h.dateid AS dateid
+        |FROM hist h
+        |JOIN (SELECT user_id, max(dateid) AS m FROM hist GROUP BY user_id) t
+        |  ON h.user_id = t.user_id AND h.dateid = t.m""".stripMargin,
     "s11_retention_delete" ->
       """WITH wm AS (
         |  SELECT max(event_id) AS w FROM (
