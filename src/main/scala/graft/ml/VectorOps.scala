@@ -70,15 +70,20 @@ object VectorOps {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
-  /** Nearest-centroid assignment: (vec_id, centroid_id) — one broadcast join
-    * against the centroid set, argmax cosine with centroid-id tiebreak. */
-  def assignToCentroids(v: DataFrame, centroids: DataFrame): DataFrame = {
+  /** Nearest-centroid assignment: (vec_id, centroid_id) for each of the
+    * vector's `nprobe` nearest centroids — one broadcast join against the
+    * centroid set, top-n cosine with centroid-id tiebreak. `nprobe = 1` is
+    * classic IVF assignment; `nprobe >= 2` is multi-probe: a vector sitting
+    * on a centroid boundary lands in both buckets, so near-dup pairs that
+    * straddle the boundary are not lost. */
+  def assignToCentroids(v: DataFrame, centroids: DataFrame,
+      nprobe: Int = 1): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("centroid_id").asc)
     v.join(broadcast(centroids))
       .withColumn("cos", cosPre("e", "ce", "n", "cn"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id"), col("centroid_id"))
   }
 
@@ -122,25 +127,52 @@ object VectorOps {
    * Embedding-cosine near-dup pairs — the vector member of the dedup family:
    * candidate pairs are vectors sharing an IVF bucket (equi-join on the
    * nearest-centroid assignment — never an all-pairs product), verified with
-   * the exact cosine and kept above `threshold`. Recall is bounded by the
-   * bucketing exactly like text LSH; widen with more probes per vector if
-   * the corpus needs it.
+   * the exact cosine and kept above `threshold`.
+   *
+   * Two scale/recall refinements over plain single-probe bucketing:
+   *  - **multi-probe** (`nprobe`, default 2): every vector lands in its
+   *    `nprobe` nearest buckets, so a near-dup pair straddling a centroid
+   *    boundary still shares a bucket; candidate id-pairs are de-duplicated
+   *    BEFORE the exact-cosine verify, so each pair is scored once;
+   *  - **bucket-size guard** (`maxBucket`): a pathologically clustered corpus
+   *    can concentrate the corpus in one bucket and make the self-join
+   *    quadratic in one reducer. Buckets larger than `maxBucket` are split
+   *    into `ceil(size / maxBucket)` sub-buckets by a deterministic hash of
+   *    the vector id; pairs are generated within sub-buckets only. Work per
+   *    reducer is then O(maxBucket²) regardless of skew, at the price of
+   *    recall inside oversized buckets — the same boundedness-for-recall
+   *    trade LSH banding makes. At test scales no bucket reaches the
+   *    default cap, so the oracle models the unsplit semantics.
    */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", centroidMod: Int = 25,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4, nprobe: Int = 2,
+      maxBucket: Int = 4096): DataFrame = {
     val v = asDouble(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = v.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
-    val assigned = assignToCentroids(v, centroids)
-    val side = assigned.join(v, Seq("vec_id"))
-    val pairs = side.select(col("centroid_id"), col("vec_id").as("vec_a"),
-        col("e").as("ea"), col("n").as("na"))
-      .join(side.select(col("centroid_id"), col("vec_id").as("vec_b"),
-        col("e").as("eb"), col("n").as("nb")), Seq("centroid_id"))
+    val assigned = assignToCentroids(v, centroids, nprobe)
+    // skew guard: sub-split oversized buckets by a deterministic id hash
+    val wBucket = Window.partitionBy(col("centroid_id"))
+    val bucketed = assigned
+      .withColumn("__nsub",
+        ceil(count(lit(1)).over(wBucket) / lit(maxBucket)).cast("long"))
+      .withColumn("__sub", pmod(xxhash64(col("vec_id")), greatest(col("__nsub"), lit(1L))))
+      .select(col("centroid_id"), col("__sub"), col("vec_id"))
+    // candidate id pairs, de-duplicated across shared buckets before the
+    // (expensive) exact verify — ids only, so the distinct shuffles no arrays
+    val cand = bucketed.select(col("centroid_id"), col("__sub"), col("vec_id").as("vec_a"))
+      .join(bucketed.select(col("centroid_id"), col("__sub"), col("vec_id").as("vec_b")),
+        Seq("centroid_id", "__sub"))
       .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("n").as("na")), Seq("vec_a"))
+      .join(v.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("n").as("nb")), Seq("vec_b"))
       .withColumn("cos", cosPre("ea", "eb", "na", "nb"))
       .filter(col("cos") >= threshold)
-    pairs.select(col("vec_a"), col("vec_b"), col("cos"))
+      .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 }

@@ -244,14 +244,16 @@ object LlmWorkload {
          |    SELECT v.vec_id, c.centroid_id,
          |      row_number() OVER (PARTITION BY v.vec_id
          |        ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.centroid_id ASC) AS rn
-         |    FROM v, c) WHERE rn = 1),
-         |pairs AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    ${cosSql("va.e", "vb.e")} AS cos
+         |    FROM v, c) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id
-         |    AND a.vec_id < b.vec_id
-         |  JOIN v va ON va.vec_id = a.vec_id
-         |  JOIN v vb ON vb.vec_id = b.vec_id)
+         |    AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT c.vec_a, c.vec_b, ${cosSql("va.e", "vb.e")} AS cos
+         |  FROM cand c
+         |  JOIN v va ON va.vec_id = c.vec_a
+         |  JOIN v vb ON vb.vec_id = c.vec_b)
          |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, hex(encode(text)) AS payload_hex,

@@ -60,4 +60,42 @@ class VectorOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("multi-probe near-dup recalls a pair straddling a centroid boundary") {
+    // centroids: 0 -> x-axis, 25 -> y-axis. Planted near-dups 1 and 2 sit on
+    // the bisector, each nearest a DIFFERENT centroid — single-probe puts
+    // them in different buckets and misses the pair; multi-probe finds it.
+    val rows = Seq(
+      (0L, Seq(1.0, 0.0)), (25L, Seq(0.0, 1.0)),
+      (1L, Seq(0.72, 0.69)), (2L, Seq(0.69, 0.72)),
+      (3L, Seq(0.95, 0.05)), (26L, Seq(0.05, 0.95)))
+    val df = emb(rows: _*)
+    def pairs(np: Int) =
+      VectorOps.embeddingNearDupPairs(df, centroidMod = 25, threshold = 0.99,
+        nprobe = np).select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // brute-force ground truth: both within-cluster pairs + the boundary pair
+    val v = df.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val brute = v.select(col("vec_id").as("vec_a"), col("e").as("ea"))
+      .join(v.select(col("vec_id").as("vec_b"), col("e").as("eb")),
+        col("vec_a") < col("vec_b"))
+      .filter(VectorOps.cosine("ea", "eb") >= 0.99)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(brute == Set((0L, 3L), (25L, 26L), (1L, 2L)))
+    // single-probe finds the within-bucket pairs but loses the boundary pair
+    assert(pairs(1) == brute - ((1L, 2L)))
+    assert(pairs(2) == brute)
+  }
+
+  test("bucket-size guard bounds pair generation on a clustered corpus") {
+    // 60 near-identical vectors, single centroid (only id 0 % 1000 == 0):
+    // unguarded, one bucket generates all C(60,2) = 1770 pairs in one task.
+    val rows = (0L until 60L).map(i => (i, Seq(1.0, i * 1e-6)))
+    val df = emb(rows: _*)
+    def n(cap: Int) = VectorOps.embeddingNearDupPairs(df, centroidMod = 1000,
+      threshold = 0.5, nprobe = 2, maxBucket = cap).count()
+    assert(n(4096) == 1770L)             // cap not reached: full bucket pairing
+    val guarded = n(10)                  // 6 hash sub-buckets of ~10
+    assert(guarded > 0L && guarded < 600L,
+      s"expected bounded sub-bucket pairing, got $guarded")
+  }
 }
