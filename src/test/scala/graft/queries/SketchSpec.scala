@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Tolerance gate for the sketch aggregates: `agg_sketches` has no DuckDB
+ * oracle (sketch algorithms differ across engines), so correctness is pinned
+ * here against the exact twins computed in the SAME entry, using each
+ * sketch's documented error bound:
+ *  - `approx_count_distinct` default rsd = 5%: assert within 3σ = 15%
+ *    relative error of the exact distinct count;
+ *  - `percentile_approx(accuracy = 1000)` guarantees rank error ≤
+ *    1/accuracy: assert the approx value is bracketed by the exact
+ *    percentiles at q ± 4/accuracy (4× slack on the documented bound).
+ */
+class SketchSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sketch aggregates stay inside their documented error bounds") {
+    val row = TpchWorkload.sketchAggs(spark, dir).collect().head
+    val approxOrders = row.getAs[Long]("approx_orders").toDouble
+    val exactOrders = row.getAs[Long]("exact_orders").toDouble
+    assert(math.abs(approxOrders - exactOrders) / exactOrders <= 0.15,
+      s"HLL outside 3σ: approx=$approxOrders exact=$exactOrders")
+
+    val brackets = Tables(spark, dir, "lineitem").agg(
+      expr("percentile(l_extendedprice, 0.496)").as("p50_lo"),
+      expr("percentile(l_extendedprice, 0.504)").as("p50_hi"),
+      expr("percentile(l_extendedprice, 0.986)").as("p99_lo"),
+      expr("percentile(l_extendedprice, 0.994)").as("p99_hi")).collect().head
+    val p50 = row.getAs[Double]("p50_price")
+    val p99 = row.getAs[Double]("p99_price")
+    assert(p50 >= brackets.getAs[Double]("p50_lo") &&
+      p50 <= brackets.getAs[Double]("p50_hi"),
+      s"p50 approx $p50 outside rank-error bracket")
+    assert(p99 >= brackets.getAs[Double]("p99_lo") &&
+      p99 <= brackets.getAs[Double]("p99_hi"),
+      s"p99 approx $p99 outside rank-error bracket")
+  }
+}
