@@ -257,28 +257,41 @@ object Cdc {
       case Some(dc) => suppressOldDeletes(changes, dc, now, maxAgeDays)
       case None => changes
     }
-    val appends = guarded.filter(col("op") =!= "DELETE")
-      .select(col("after.*"), col(Schemas.VersionCol))
-    // per key: the max DELETE version in this batch. A DELETE removes every
-    // version that existed BEFORE it in binlog order — all of `history` (whose
-    // versions predate the batch) and any same-batch append with a smaller
-    // version; appends after the delete survive (the reference applies
-    // sequentially, matomo2clickhouse.py:648-653 — an INSERT(v1)→DELETE(v2)
-    // pair must NOT resurrect v1). Null-safe key equality throughout (F13).
-    val deleteMax = guarded.filter(col("op") === "DELETE")
-      .select(keyCols.map(k => col("before").getField(k).as(k)) :+
-        col(Schemas.VersionCol).as("__del_v"): _*)
-      .groupBy(keyCols.map(col): _*)
-      .agg(max(col("__del_v")).as("__del_v"))
+    val deleteMax = deleteFrontier(guarded, keyCols)
     def delCond(side: String) =
       keyCols.map(k => col(s"$side.$k") <=> col(s"d.$k")).reduce(_ && _)
     val afterDeletes = history.alias("h")
       .join(deleteMax.alias("d"), delCond("h"), "left_anti")
-    val keptAppends = appends.alias("a")
+    val keptAppends = survivingAppends(guarded, keyCols)
+    afterDeletes.unionByName(keptAppends.select(afterDeletes.columns.map(col): _*))
+  }
+
+  /** Per-key max DELETE version of a batch — the batch's delete frontier.
+    * A DELETE removes every version that existed BEFORE it in binlog order:
+    * all prior history (whose versions predate the batch) and any same-batch
+    * append with a smaller version (the reference applies sequentially,
+    * matomo2clickhouse.py:648-653 — an INSERT(v1)→DELETE(v2) pair must NOT
+    * resurrect v1). Columns: keyCols..., `__del_v`. */
+  def deleteFrontier(changes: DataFrame, keyCols: Seq[String]): DataFrame =
+    changes.filter(col("op") === "DELETE")
+      .select(keyCols.map(k => col("before").getField(k).as(k)) :+
+        col(Schemas.VersionCol).as("__del_v"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("__del_v")).as("__del_v"))
+
+  /** The batch's INS-UPD appends surviving its own delete frontier — the
+    * after-images (+ version) whose version lies beyond the key's max
+    * same-batch DELETE. Null-safe key equality throughout (F13). */
+  def survivingAppends(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val appends = changes.filter(col("op") =!= "DELETE")
+      .select(col("after.*"), col(Schemas.VersionCol))
+    val deleteMax = deleteFrontier(changes, keyCols)
+    def delCond(side: String) =
+      keyCols.map(k => col(s"$side.$k") <=> col(s"d.$k")).reduce(_ && _)
+    appends.alias("a")
       .join(deleteMax.alias("d"), delCond("a"), "left")
       .filter(col("d.__del_v").isNull || col(s"a.${Schemas.VersionCol}") > col("d.__del_v"))
       .select(appends.columns.map(c => col(s"a.$c")): _*)
-    afterDeletes.unionByName(keptAppends.select(afterDeletes.columns.map(col): _*))
   }
 
   /**

@@ -47,7 +47,12 @@ object ChangeStream {
       deleteMaxAgeDays: Int = 31,
       /** Deterministic "now" for the delete-age guard (tests); wall clock if None. */
       nowOverride: Option[java.sql.Timestamp] = None,
-      dryRun: Boolean = false)
+      dryRun: Boolean = false,
+      /** When set, VERSIONED tables apply to this JDBC target (batched
+        * INSERTs + version-qualified DELETE mutations — the reference's
+        * ClickHouse write path, S6) and the ledger is mirrored there;
+        * mutable tables and the parquet ledger keep their normal paths. */
+      jdbcSink: Option[JdbcState.SinkConfig] = None)
 
   /** History schema of a versioned table / state schema of a mutable one. */
   def stateSchema(table: String): StructType = {
@@ -96,6 +101,15 @@ object ChangeStream {
             else Cdc.applyMutable(state, typed, meta.keyCols)
           System.err.println(s"[dry-run] batch=$batchId table=$table " +
             s"changes=${typed.count()} next_state_rows=${next.count()}")
+        } else if (cfg.jdbcSink.isDefined && meta.versioned) {
+          // sink mode: versioned tables write to the JDBC target. F7 applies
+          // here (applyVersioned's internal guard is bypassed by the sink)
+          val guarded = meta.deleteDateCol match {
+            case Some(dc) =>
+              Cdc.suppressOldDeletes(typedRaw, dc, now, cfg.deleteMaxAgeDays)
+            case None => typedRaw
+          }
+          JdbcState.applyVersioned(guarded, cfg.jdbcSink.get, table, meta.keyCols)
         } else meta.partitionCol match {
           // scale path: tables with a monthly partition column apply
           // partition-pruned — only touched months are read and rewritten
@@ -116,9 +130,13 @@ object ChangeStream {
         }
       }
       if (!cfg.dryRun && !filtered.isEmpty) {
-        Cdc.ledgerEntry(filtered)
+        val ledger = Cdc.ledgerEntry(filtered)
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(cfg.ledgerDir)
+          .persist()
+        try {
+          ledger.write.mode("append").parquet(cfg.ledgerDir)
+          cfg.jdbcSink.foreach(JdbcState.appendLedger(ledger, _))
+        } finally ledger.unpersist()
       }
     } finally filtered.unpersist()
   }

@@ -202,4 +202,60 @@ class ChangeStreamSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(cfg.stateDir, "matomo_site")))
     assert(!Files.exists(java.nio.file.Paths.get(cfg.ledgerDir)))
   }
+
+  test("jdbc sink mode: two staged runs against Derby equal the batch apply") {
+    val derby = Some("org.apache.derby.jdbc.EmbeddedDriver")
+    val url = s"jdbc:derby:${tmpDir()}/db;create=true"
+    val logDir = tmpDir()
+    // batch3 exercises the DELETE mutation on the versioned table, plus an
+    // append AFTER the delete in the same file (must survive — no resurrect,
+    // no over-delete)
+    val batch3 = Seq(
+      env("DELETE", "matomo_log_visit", 700,
+        """{"idvisit":10,"idsite":1,"location_country":"fr","visit_first_action_time":"2024-01-05T09:00:00"}""",
+        null),
+      env("INSERT", "matomo_log_visit", 800, null,
+        """{"idvisit":11,"idsite":1,"location_country":"us","visit_first_action_time":"2024-01-05T11:00:00"}"""))
+    writeLog(logDir, "f1", batch1)
+    val cfg = freshCfg(logDir).copy(
+      jdbcSink = Some(JdbcState.SinkConfig(url, derby)))
+
+    def derbyLatest(): Set[(Long, String)] =
+      Cdc.latestWins(
+        graft.sources.Jdbc.readTable(spark, url, "state_matomo_log_visit", derby),
+        Seq("idvisit"))
+        .select("idvisit", "location_country").as[(Long, String)].collect().toSet
+
+    ChangeStream.run(spark, cfg).awaitTermination()
+    assert(derbyLatest() == Set((10L, "de")))
+    // mutable tables keep the parquet path in sink mode
+    assert(siteState(cfg) == Set((1L, "alpha"), (2L, "beta")))
+
+    // second run resumes from the checkpoint: only the new files apply
+    writeLog(logDir, "f2", batch2)
+    writeLog(logDir, "f3", batch3)
+    ChangeStream.run(spark, cfg).awaitTermination()
+    assert(derbyLatest() == Set((11L, "us")))
+
+    // delete mutation removed every version of idvisit 10 from the history
+    val hist = graft.sources.Jdbc.readTable(spark, url, "state_matomo_log_visit", derby)
+    assert(hist.filter($"idvisit" === 10L).count() == 0)
+
+    // equals the one-shot batch apply of the full log against empty state
+    val all = spark.read.schema(Schemas.changeEventSchema).parquet(logDir)
+    val expected = Cdc.latestWins(Cdc.applyVersioned(
+      StateStore.read(spark, "/nonexistent-visit", stateSchema("matomo_log_visit")),
+      Cdc.typedChanges(all, "matomo_log_visit"), Seq("idvisit"),
+      deleteDateCol = Some("visit_first_action_time"),
+      now = lit("2024-01-06 00:00:00").cast("timestamp")), Seq("idvisit"))
+      .select("idvisit", "location_country").as[(Long, String)].collect().toSet
+    assert(derbyLatest() == expected)
+
+    // the ledger is mirrored into the target database (S8 target-side audit)
+    // run 1 = one batch (f1); run 2 = one batch (f2+f3 fit in one trigger)
+    val ledger = graft.sources.Jdbc.readTable(spark, url, "state_log_replication", derby)
+    assert(ledger.count() == 2)
+    assert(graft.sources.Jdbc.maxId(spark, url, "state_log_replication",
+      "log_pos_end", derby).contains(800L))
+  }
 }
