@@ -1,0 +1,44 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/**
+ * Plan-regression guard: a future edit that turns any registered query into
+ * an accidental cartesian (or an unjustified nested-loop broadcast) fails
+ * `sbt test` instead of waiting for a bench/judge round to notice.
+ *
+ * `CartesianProduct` is never acceptable. `BroadcastNestedLoopJoin` is
+ * acceptable only on the audited whitelist: queries whose plans broadcast a
+ * ONE-ROW scalar anchor (watermark/threshold probes) or the intentionally
+ * broadcast ANN probe/centroid sets — each verified individually in the
+ * round-2 plan audit (PLANS.md / VERDICT r2).
+ */
+class PlanGuardSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val bnljAllowed = Set(
+    "ann_topk_bruteforce",    // probe set broadcast against the corpus
+    "ann_topk_ivf",           // centroid set broadcast (bucketing)
+    "dedup_embedding_pairs",  // centroid set broadcast (bucketing)
+    "f7_delete_suppression",  // 1-row max(ts) "now" anchor
+    "j2_dup_count",           // 1-row time-window anchor
+    "j3_dedup_purge",         // 1-row time-window anchor
+    "s11_retention_delete",   // 1-row retention-watermark anchor
+    "srt1_retention_watermark") // 1-row watermark probe
+
+  test("no registered query plans a cartesian or unjustified nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+        if (cart || bnlj)
+          Some(s"$name: cartesian=$cart unjustifiedBnlj=$bnlj")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"plan regressions:\n${offenders.mkString("\n")}")
+  }
+}
