@@ -143,19 +143,17 @@ object TpchWorkload {
 
   /** Sketch aggregates — HLL cardinality + t-digest-style quantiles. No SQL
     * oracle (DuckDB's sketch algorithms differ); the driver records the
-    * weaker rows-only check. The entry is self-auditing instead: each sketch
-    * is computed next to its EXACT twin in the same aggregation, and
-    * `SketchSpec` asserts every approx lies within the sketch's documented
-    * error bound of the twin (HLL: 3σ of the 5% default rsd; quantiles:
-    * exact values at rank q ± 4/accuracy bracket the approx). */
+    * weaker rows-only check. Correctness is pinned by `SketchSpec` instead:
+    * it computes the EXACT twins (distinct count, exact percentiles) next to
+    * this entry's sketches and asserts each approx within the sketch's
+    * documented error bound. The twins deliberately stay OUT of this
+    * aggregation: countDistinct + exact percentile force an expand + value-
+    * buffering sort aggregate that made the benched entry ~3× slower. */
   def sketchAggs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
-        expr("percentile(l_extendedprice, 0.99)").as("p99_exact"))
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_distinct_count" -> distinctCounts,

@@ -46,6 +46,17 @@ object TextOps {
         .as("shingle"))
       .distinct()
 
+  /** Non-distinct word n-gram shingles: (doc_id, shingle) with duplicates
+    * kept — for consumers whose aggregation dedups anyway (min, collect_set),
+    * saving the distinct's exchange. */
+  def rawShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"), wordsOf(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
+        .as("shingle"))
+
   // ----------------------------------------------------------------- minhash
 
   /** Cap for the second hash so `h1 + 11*h2` stays inside a signed 64-bit
@@ -109,15 +120,39 @@ object TextOps {
 
   /** End-to-end MinHash/LSH near-dup pairs over a document table.
     *
-    * The shingle scan and the banded signature each feed a self-join (or a
-    * two-sided join), so both are cached — without this the md5-per-shingle
-    * subtree evaluates ~4× (once per join side). At 100 TB the same move is
-    * materializing signatures to a table before the pair-join. */
+    * Plan shape: ONE codegen'd pass computes the exploded shingles and both
+    * md5 hashes, persisted; the signature groupBy and the set-collect groupBy
+    * both read from that cache. No `distinct()` — `min` and `collect_set`
+    * dedup inside their own aggregation, so the distinct's separate exchange
+    * (the largest in the pipeline) is dropped. The band-bucket self-join is
+    * the one shuffle the algorithm inherently needs; `banded` is cached so
+    * the signature subtree does not evaluate once per join side. At 100 TB
+    * the same move is materializing signatures to a table first. A HOF
+    * (array-transform) variant was measured 2× SLOWER: lambda bodies are
+    * interpreted per element, losing whole-stage codegen over the md5s. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 12, r: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = lshBands(minhashSignature(sh, k), k, r).persist(StorageLevel.MEMORY_AND_DISK)
-    verifiedNearDupPairs(sh, lshCandidatePairs(banded), threshold)
+    val ex = rawShingles(docs, idCol, textCol, n)
+      .select(col("doc_id"), col("shingle"),
+        hash64(col("shingle")).as("h1"),
+        pmod(hash64(concat(col("shingle"), lit("#"))), lit(MinhashH2Mod)).as("h2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val aggs = (0 until k).map(j =>
+      min(col("h1") + lit(j.toLong) * col("h2")).as(s"h$j"))
+    val sig = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val banded = lshBands(sig, k, r).persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = ex.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("s"))
+      .select(col("doc_id"), col("s"), size(col("s")).cast("long").as("n"))
+    val candidates = lshCandidatePairs(banded)
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb"), col("n").as("nb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   // ----------------------------------------------------------------- simhash

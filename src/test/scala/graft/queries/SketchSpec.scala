@@ -7,13 +7,16 @@ import graft.SparkSpec
 /**
  * Tolerance gate for the sketch aggregates: `agg_sketches` has no DuckDB
  * oracle (sketch algorithms differ across engines), so correctness is pinned
- * here against the exact twins computed in the SAME entry, using each
- * sketch's documented error bound:
+ * here against exact twins computed over the same table, using each sketch's
+ * documented error bound:
  *  - `approx_count_distinct` default rsd = 5%: assert within 3σ = 15%
  *    relative error of the exact distinct count;
  *  - `percentile_approx(accuracy = 1000)` guarantees rank error ≤
  *    1/accuracy: assert the approx value is bracketed by the exact
  *    percentiles at q ± 4/accuracy (4× slack on the documented bound).
+ * The twins live here rather than in the benched entry: mixing countDistinct
+ * and exact percentile into the sketch aggregation forces an expand + value-
+ * buffering sort aggregate (~3× slower at bench scale).
  */
 class SketchSpec extends SparkSpec {
 
@@ -22,7 +25,8 @@ class SketchSpec extends SparkSpec {
   test("sketch aggregates stay inside their documented error bounds") {
     val row = TpchWorkload.sketchAggs(spark, dir).collect().head
     val approxOrders = row.getAs[Long]("approx_orders").toDouble
-    val exactOrders = row.getAs[Long]("exact_orders").toDouble
+    val exactOrders = Tables(spark, dir, "lineitem")
+      .agg(countDistinct(col("l_orderkey"))).collect().head.getLong(0).toDouble
     assert(math.abs(approxOrders - exactOrders) / exactOrders <= 0.15,
       s"HLL outside 3σ: approx=$approxOrders exact=$exactOrders")
 
