@@ -46,6 +46,9 @@ object LlmWorkload {
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.simhashPairs(TextOps.simhash(Tables(spark, dir, "documents"), "doc_id", "text"))
 
+  def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.jaccardNearDups(Tables(spark, dir, "documents"), "doc_id", "text")
+
   def textStats(spark: SparkSession, dir: String): DataFrame =
     TextOps.textStats(Tables(spark, dir, "documents"), "doc_id", "text")
 
@@ -79,6 +82,7 @@ object LlmWorkload {
     "dedup_exact" -> dedupExact,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
+    "dedup_jaccard_pairs" -> dedupJaccardPairs,
     "text_stats" -> textStats,
     "text_token_counts" -> textTokenCounts,
     "text_lang_id" -> textLangId,
@@ -123,6 +127,39 @@ object LlmWorkload {
        |JOIN cnt cb ON cb.doc_id = t.doc_b
        |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8""".stripMargin
   }
+
+  /** Exact prefix-filter Jaccard replay: same rarity order (df asc, shingle
+    * asc), same prefix length n - ceil(t·n) + 1, same length filter, same
+    * set-intersection verify — deterministic end-to-end, so the whole exact
+    * path hash-matches. */
+  private val jaccardOracle: String =
+    s"""WITH $shingleCte,
+       |freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |ranked AS (
+       |  SELECT s.doc_id, s.shingle, c.n,
+       |    row_number() OVER (PARTITION BY s.doc_id
+       |      ORDER BY f.df ASC, s.shingle ASC) AS rn
+       |  FROM sh s
+       |  JOIN freq f ON f.shingle = s.shingle
+       |  JOIN cnt c ON c.doc_id = s.doc_id),
+       |pre AS (SELECT shingle, doc_id, n FROM ranked
+       |        WHERE rn <= n - ceil(0.8 * n) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  WHERE least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+       |          FROM cand c
+       |          JOIN sh sa ON sa.doc_id = c.doc_a
+       |          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |          GROUP BY 1, 2)
+       |SELECT t.doc_a, t.doc_b,
+       |  CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+       |FROM inter t
+       |JOIN cnt ca ON ca.doc_id = t.doc_a
+       |JOIN cnt cb ON cb.doc_id = t.doc_b
+       |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8""".stripMargin
 
   private val simhashOracle: String = {
     val bits = 48; val bandBits = 12
@@ -192,6 +229,7 @@ object LlmWorkload {
          |FROM documents""".stripMargin,
     "dedup_minhash_pairs" -> minhashOracle,
     "dedup_simhash_pairs" -> simhashOracle,
+    "dedup_jaccard_pairs" -> jaccardOracle,
     "text_stats" ->
       s"""WITH s AS (
          |  SELECT doc_id, text, $normSql AS norm, string_split($normSql, ' ') AS w

@@ -155,6 +155,49 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /**
+   * EXACT n-gram Jaccard near-dup pairs via prefix filtering (the PPJoin
+   * family) — the no-false-negative member of the dedup suite, where
+   * MinHash/SimHash trade recall for speed:
+   *
+   *  - shingles are globally ordered by document frequency (rarest first,
+   *    lexical tiebreak — a total order both engines reproduce bit-for-bit);
+   *  - a doc of n shingles exposes only its first (n - ceil(t·n) + 1)
+   *    shingles as join keys: two sets with J ≥ t MUST share one inside
+   *    these prefixes (pigeonhole), so the candidate join touches the rare
+   *    end of the frequency spectrum instead of every posting;
+   *  - the length filter min(na,nb) ≥ t·max(na,nb) prunes before the
+   *    verify, since J ≤ min/max;
+   *  - surviving candidates get the exact set-intersection Jaccard.
+   *
+   * Scale: the equi-join key is the prefix shingle — cost follows the
+   * document frequency of RARE shingles (bounded bucket sizes), never the
+   * full inverted index; everything else is groupBy/window shuffles on
+   * doc_id. Exactness costs one df-computation pass more than LSH.
+   */
+  def jaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ranked = sh.join(freq, "shingle")
+      .withColumn("rn", row_number().over(
+        wDoc.orderBy(col("df").asc, col("shingle").asc)))
+      .withColumn("n", count(lit(1)).over(wDoc))
+    val prefix = ranked
+      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("shingle"), col("doc_id"), col("n"))
+    val candidates = prefix
+      .select(col("shingle"), col("doc_id").as("doc_a"), col("n").as("na"))
+      .join(prefix.select(col("shingle"), col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    verifiedNearDupPairs(sh, candidates, threshold)
+  }
+
   // ----------------------------------------------------------------- simhash
 
   /** 48-bit SimHash over distinct word n-gram shingles: bit p is set iff the

@@ -21,6 +21,30 @@ class TextOpsSpec extends SparkSpec {
     assert(sh == Set((1L, "a b c"), (1L, "b c d")))
   }
 
+  test("jaccardNearDups is exact: equals brute-force Jaccard at the threshold") {
+    val d = docs(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"),   // 7/9 shingles shared with 1
+      (3L, "a b c d x y z w q r"),   // small overlap with 1/2
+      (4L, "m n o p q r s t u v"))   // disjoint
+    def pairsOf(t: Double) =
+      TextOps.jaccardNearDups(d, "doc_id", "text", threshold = t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute-force ground truth over all pairs (no prefix/length pruning)
+    val sets = TextOps.shingles(d, "doc_id", "text")
+      .groupBy($"doc_id").agg(collect_set($"shingle").as("s"), count(lit(1)).as("n"))
+    def bruteOf(t: Double) = sets.select($"doc_id".as("doc_a"), $"s".as("sa"), $"n".as("na"))
+      .join(sets.select($"doc_id".as("doc_b"), $"s".as("sb"), $"n".as("nb")),
+        $"doc_a" < $"doc_b")
+      .withColumn("i", size(array_intersect($"sa", $"sb")).cast("long"))
+      .filter($"i".cast("double") / ($"na" + $"nb" - $"i").cast("double") >= t)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(bruteOf(0.5) == Set((1L, 2L)))
+    assert(pairsOf(0.5) == bruteOf(0.5))
+    // at a permissive threshold the pruned join still finds every true pair
+    assert(pairsOf(0.1) == bruteOf(0.1) && bruteOf(0.1).size > 1)
+  }
+
   test("normalizeText collapses whitespace and lowercases") {
     val n = docs((1L, "  Foo\t BAR \n baz ")).select(TextOps.normalizeText($"text"))
       .as[String].head()
