@@ -186,8 +186,28 @@ object RefWorkload {
       payloadCols = Seq("purchase_id", "purchase_ts"))
   }
 
+  /** Range join: probe events (1/97 sample) matched into ALL users'
+    * gap-based session intervals by timestamp containment, counted per
+    * probe (graft.operators.RangeJoin — bucketized equi-join; the oracle is
+    * DuckDB's plain inequality join over the gaps-and-islands sessions, a
+    * fully independent formulation). */
+  def rangeJoinSessions(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val sessions = e
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      .select(col("user_id").as("s_user"), col("s_start"), col("s_end"))
+    val probes = e.filter(pmod(col("event_id"), lit(97)) === 0)
+      .select(col("event_id"), col("ts"))
+    graft.operators.RangeJoin.pointInInterval(probes, sessions,
+        tsCol = "ts", startCol = "s_start", endCol = "s_end")
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_last_purchase" -> asofLastPurchase,
+    "range_join_sessions" -> rangeJoinSessions,
     "a5_tumbling_window" -> tumblingWindowCounts,
     "session_windows" -> sessionWindowCounts,
     "j1_latest_record" -> j1LatestRecord,
@@ -230,6 +250,26 @@ object RefWorkload {
         |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  user_id, count(*) AS cnt
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // plain inequality join over gaps-and-islands sessions — independent of
+    // the repo's bucketized formulation
+    "range_join_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |iv AS (SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+        |       FROM s GROUP BY user_id, sid),
+        |p AS (SELECT event_id, ts FROM events WHERE event_id % 97 = 0)
+        |SELECT p.event_id, count(*) AS n_sessions
+        |FROM p JOIN iv ON p.ts >= iv.s_start AND p.ts <= iv.s_end
+        |GROUP BY p.event_id""".stripMargin,
     "j1_latest_record" ->
       """SELECT e.user_id, e.event_id, e.ts, e.event_type, e.value
         |FROM events e
