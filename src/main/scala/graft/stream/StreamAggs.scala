@@ -48,6 +48,19 @@ object StreamAggs {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col(keyCol), col("cnt"))
 
+  /** Streaming exact dedup — the incremental member of the dedup family
+    * (batch twin: `TextOps.exactDedup`): emit only the FIRST arrival of each
+    * dedup key, with state bounded by the watermark. State evicts as event
+    * time advances, so the store holds O(keys inside the watermark horizon),
+    * not O(stream) — the property that makes streaming dedup viable at all
+    * on an unbounded feed. A key re-appearing after the horizon is emitted
+    * again (by contract: the horizon IS the dedup scope). */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+      keyCols: Seq[String], watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** A closed visit: emitted once, when the key's session times out. */
   final case class VisitSummary(user: String, events: Long,
       firstTs: java.sql.Timestamp, lastTs: java.sql.Timestamp)

@@ -127,4 +127,35 @@ class StreamAggsSpec extends SparkSpec {
         graft.cdc.Cdc.versionOf("mysql-bin.000001", 300L, 0))))
     } finally q.stop()
   }
+
+  test("streaming dedup emits first arrivals only; state evicts past the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val out = StreamAggs.dedupWithinWatermark(
+      ms.toDF().toDF("ts", "k"), "ts", Seq("k"), watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData((ts("2024-01-01 10:00:00"), "a"),
+        (ts("2024-01-01 10:01:00"), "a"),
+        (ts("2024-01-01 10:02:00"), "b"))
+      q.processAllAvailable()
+      assert(spark.table("dd").select("k").as[String].collect().sorted
+        .toSeq == Seq("a", "b"))
+
+      // duplicate inside the horizon: still dropped
+      ms.addData((ts("2024-01-01 10:05:00"), "a"))
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == 2)
+
+      // advance the watermark far past a's last arrival, then send a again:
+      // its state has been evicted, so it re-emits (the horizon IS the scope)
+      ms.addData((ts("2024-01-01 12:00:00"), "w"))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 11:58:00"), "a"))
+      q.processAllAvailable()
+      val ks = spark.table("dd").select("k").as[String].collect().sorted.toSeq
+      assert(ks == Seq("a", "a", "b", "w"))
+    } finally q.stop()
+  }
 }
