@@ -124,6 +124,64 @@ object VectorOps {
   }
 
   /**
+   * SRP-LSH (signed-random-projection) near-dup pairs — the LSH-bucketed
+   * alternative to [[embeddingNearDupPairs]]'s IVF bucketing: no centroid
+   * set at all. Each vector gets a `bits`-bit signature (bit j = sign of the
+   * dot product against a deterministic ±1 hyperplane derived from the md5
+   * parity of "j:d"), the signature splits into `bits/bandBits` bands, and
+   * candidates are pairs sharing any (band, band-code) — an equi-join on the
+   * band code, never all-pairs. Exact-cosine verify keeps pairs ≥ threshold.
+   *
+   * Per SRP theory P(bit agrees) = 1 − θ/π, so recall falls with the
+   * threshold while bucket sizes stay ~n/2^bandBits regardless of data
+   * distribution — the complementary trade to IVF, whose buckets track the
+   * corpus's cluster structure. Hyperplanes, dots (strict left fold), and
+   * banding are all deterministic and engine-portable: the oracle replays
+   * the identical pruning bit-for-bit.
+   */
+  def srpNearDupPairs(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", bits: Int = 16, bandBits: Int = 4,
+      threshold: Double = 0.4): DataFrame = {
+    require(bits % bandBits == 0, s"bits=$bits not divisible by bandBits=$bandBits")
+    val spark = emb.sparkSession
+    val v = asDouble(emb, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ±1 hyperplanes from md5 parity of "j:d" — a 1-row dim anchor plus a
+    // bits-row broadcast, built once (the HOF here touches bits×dim cells
+    // total, not per data row)
+    val dim = v.select(size(col("e")).as("dim")).limit(1)
+    val hp = spark.range(bits).toDF("j").crossJoin(broadcast(dim))
+      .select(col("j"), expr(
+        """transform(sequence(0, dim - 1), d ->
+          |  CASE WHEN CAST(conv(substring(md5(concat(CAST(j AS STRING), ':',
+          |    CAST(d AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0
+          |  THEN 1.0D ELSE -1.0D END)""".stripMargin).as("harr"))
+    val bit = when(dot("e", "harr") >= 0d, 1L).otherwise(0L)
+    val codes = v.crossJoin(broadcast(hp))
+      .select(col("vec_id"), (bit * expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).as("c"))
+      .groupBy(col("vec_id")).agg(sum(col("c")).as("code"))
+    val bandCols = (0 until bits / bandBits).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("code"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("v"))
+    }
+    val banded = codes.select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.v").as("bv"))
+    val cand = banded.select(col("band"), col("bv"), col("vec_id").as("vec_a"))
+      .join(banded.select(col("band"), col("bv"), col("vec_id").as("vec_b")),
+        Seq("band", "bv"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("n").as("na")), Seq("vec_a"))
+      .join(v.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("n").as("nb")), Seq("vec_b"))
+      .withColumn("cos", cosPre("ea", "eb", "na", "nb"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /**
    * Embedding-cosine near-dup pairs — the vector member of the dedup family:
    * candidate pairs are vectors sharing an IVF bucket (equi-join on the
    * nearest-centroid assignment — never an all-pairs product), verified with

@@ -78,6 +78,9 @@ object LlmWorkload {
   def dedupEmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
     VectorOps.embeddingNearDupPairs(Tables(spark, dir, "embeddings"))
 
+  def dedupEmbeddingSrpPairs(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.srpNearDupPairs(Tables(spark, dir, "embeddings"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
@@ -90,7 +93,8 @@ object LlmWorkload {
     "ann_topk_bruteforce" -> annTopkBruteforce,
     "ann_topk_ivf" -> annTopkIvf,
     "multimodal_meta" -> multimodalMeta,
-    "dedup_embedding_pairs" -> dedupEmbeddingPairs
+    "dedup_embedding_pairs" -> dedupEmbeddingPairs,
+    "dedup_embedding_srp_pairs" -> dedupEmbeddingSrpPairs
   )
 
   // --- oracles --------------------------------------------------------------
@@ -287,6 +291,35 @@ object LlmWorkload {
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id
          |    AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT c.vec_a, c.vec_b, ${cosSql("va.e", "vb.e")} AS cos
+         |  FROM cand c
+         |  JOIN v va ON va.vec_id = c.vec_a
+         |  JOIN v vb ON vb.vec_id = c.vec_b)
+         |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
+    // SRP-LSH replay: same md5-parity hyperplanes, same strict left-fold
+    // dots, same band codes — the pruning is deterministic on both engines
+    "dedup_embedding_srp_pairs" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |dims AS (SELECT len(e) AS dim FROM v LIMIT 1),
+         |hp AS (
+         |  SELECT j, list_transform(range(0, (SELECT dim FROM dims)), d ->
+         |    CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(j AS VARCHAR) || ':' ||
+         |      CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+         |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS harr
+         |  FROM (SELECT unnest(range(0, 16)) AS j)),
+         |codes AS (
+         |  SELECT vec_id,
+         |    sum(CASE WHEN ${dotSql("e", "harr")} >= 0
+         |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS code
+         |  FROM v, hp GROUP BY vec_id),
+         |bands AS (
+         |  SELECT vec_id, b AS band, (code >> (b * 4)) & 15 AS bv
+         |  FROM codes, (SELECT unnest(range(0, 4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
          |pairs AS (
          |  SELECT c.vec_a, c.vec_b, ${cosSql("va.e", "vb.e")} AS cos
          |  FROM cand c

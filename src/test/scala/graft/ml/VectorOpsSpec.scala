@@ -86,6 +86,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(pairs(2) == brute)
   }
 
+  test("SRP-LSH finds near-identical pairs and never reports cos below threshold") {
+    // near-identical vectors agree on every hyperplane sign -> always share
+    // all bands; the orthogonal vector should never pair above threshold
+    val rows = Seq(
+      (1L, Seq(0.8, 0.6, 0.1, 0.2)),
+      (2L, Seq(0.8, 0.6, 0.1, 0.21)),   // cos ~ 0.9999 with 1
+      (3L, Seq(-0.6, 0.8, 0.0, 0.0)),   // orthogonal-ish to 1/2
+      (4L, Seq(0.81, 0.59, 0.1, 0.2)))  // cos ~ 0.9999 with 1
+    val out = VectorOps.srpNearDupPairs(emb(rows: _*), threshold = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // deterministic: a second run returns the identical pair set
+    val again = VectorOps.srpNearDupPairs(emb(rows: _*), threshold = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(again == out)
+  }
+
   test("bucket-size guard bounds pair generation on a clustered corpus") {
     // 60 near-identical vectors, single centroid (only id 0 % 1000 == 0):
     // unguarded, one bucket generates all C(60,2) = 1770 pairs in one task.

@@ -22,6 +22,7 @@ class PlanGuardSpec extends SparkSpec {
     "ann_topk_bruteforce",    // probe set broadcast against the corpus
     "ann_topk_ivf",           // centroid set broadcast (bucketing)
     "dedup_embedding_pairs",  // centroid set broadcast (bucketing)
+    "dedup_embedding_srp_pairs", // hyperplane set + 1-row dim anchor broadcast
     "f7_delete_suppression",  // 1-row max(ts) "now" anchor
     "j2_dup_count",           // 1-row time-window anchor
     "j3_dedup_purge",         // 1-row time-window anchor
