@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ml.{Multimodal, VectorOps}
-import graft.text.TextOps
+import graft.text.{Prep, TextOps}
 
 /**
  * The LLM-training-data-pipeline workload over the `documents` and
@@ -81,6 +81,25 @@ object LlmWorkload {
   def dedupEmbeddingSrpPairs(spark: SparkSession, dir: String): DataFrame =
     VectorOps.srpNearDupPairs(Tables(spark, dir, "embeddings"))
 
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(Tables(spark, dir, "documents"), "doc_id", "text")
+
+  /** Deterministic 80/10/10 split assignment, reduced to per-split counts. */
+  def prepHashSplit(spark: SparkSession, dir: String): DataFrame =
+    Prep.hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+
+  /** Token-budget packing per writer task (4 writers, 2000-token shards),
+    * reduced to per-shard doc counts and token sums. */
+  def prepPackShards(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokenCounts(Tables(spark, dir, "documents"), "doc_id", "text")
+      .withColumn("writer", pmod(col("doc_id"), lit(4)))
+    Prep.packShards(toks, "doc_id", "ws_tokens", budget = 2000L,
+        partitionCols = Seq("writer"))
+      .groupBy(col("writer"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("tok_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
@@ -94,7 +113,10 @@ object LlmWorkload {
     "ann_topk_ivf" -> annTopkIvf,
     "multimodal_meta" -> multimodalMeta,
     "dedup_embedding_pairs" -> dedupEmbeddingPairs,
-    "dedup_embedding_srp_pairs" -> dedupEmbeddingSrpPairs
+    "dedup_embedding_srp_pairs" -> dedupEmbeddingSrpPairs,
+    "text_repetition" -> textRepetition,
+    "prep_hash_split" -> prepHashSplit,
+    "prep_pack_shards" -> prepPackShards
   )
 
   // --- oracles --------------------------------------------------------------
@@ -297,6 +319,44 @@ object LlmWorkload {
          |  JOIN v va ON va.vec_id = c.vec_a
          |  JOIN v vb ON vb.vec_id = c.vec_b)
          |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
+    "text_repetition" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |bg AS (SELECT doc_id,
+         |  CASE WHEN len(w) >= 2
+         |    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         |    ELSE [] END AS b
+         |  FROM w),
+         |br AS (SELECT doc_id,
+         |  CASE WHEN len(b) > 0
+         |    THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(b)) AS DOUBLE) / CAST(len(b) AS DOUBLE)
+         |    ELSE CAST(0 AS DOUBLE) END AS bigram_dup_ratio
+         |  FROM bg),
+         |tw AS (SELECT doc_id,
+         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_word_ratio
+         |  FROM (SELECT doc_id, word, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(w) AS word FROM w)
+         |        GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT br.doc_id, br.bigram_dup_ratio, tw.top_word_ratio
+         |FROM br JOIN tw USING (doc_id)""".stripMargin,
+    "prep_hash_split" ->
+      s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs
+         |FROM (SELECT ${h64("CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents)
+         |GROUP BY 1""".stripMargin,
+    "prep_pack_shards" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % 4 AS writer,
+         |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS ws_tokens
+         |  FROM documents),
+         |s AS (
+         |  SELECT writer, ws_tokens,
+         |    COALESCE(sum(ws_tokens) OVER (PARTITION BY writer ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+         |  FROM t)
+         |SELECT writer, CAST(floor(prev / 2000) AS BIGINT) AS shard,
+         |  count(*) AS n_docs, CAST(sum(ws_tokens) AS BIGINT) AS tok_sum
+         |FROM s GROUP BY 1, 2""".stripMargin,
     // SRP-LSH replay: same md5-parity hyperplanes, same strict left-fold
     // dots, same band codes — the pruning is deterministic on both engines
     "dedup_embedding_srp_pairs" ->

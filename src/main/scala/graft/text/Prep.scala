@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data preparation operators — the last-mile steps between a
+ * cleaned corpus and a training run (builder brief: the operations a
+ * large-scale training-data pipeline needs beyond the reference's surface).
+ *
+ * Everything is deterministic BY CONSTRUCTION (content hash / document id,
+ * never randomness or wall clock): re-running a split or a packing over the
+ * same corpus yields byte-identical assignments, which is what makes
+ * incremental re-builds and cross-engine verification possible at all.
+ */
+object Prep {
+
+  /**
+   * Deterministic train/val/test split: bucket = md5-hash of the id modulo
+   * 100, split by cumulative weight ranges. Stable under corpus growth (a
+   * doc's split never depends on other rows), engine-portable (the oracle
+   * replays the same arithmetic), and a pure narrow map — no shuffle at all.
+   */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)] = Seq(("train", 80), ("val", 10), ("test", 10))): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split weights must sum to 100: $splits")
+    val bucket = pmod(TextOps.hash64(col(idCol).cast("string")), lit(100L))
+    val bounds = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val head = when(bucket < bounds.head, splits.head._1)
+    val assign = splits.tail.zip(bounds.tail).foldLeft(head) {
+      case (c, ((name, _), bound)) => c.when(bucket < bound, name)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /**
+   * Token-budget shard packing: documents are laid out in id order and cut
+   * into shards of ~`budget` tokens (a doc belongs to the shard its
+   * EXCLUSIVE prefix token sum falls in, so shards are contiguous id ranges
+   * and every shard except the last holds >= budget only if a single doc
+   * overflows it — the classic greedy layout for sequence-packing input).
+   *
+   * Scale: with no `partitionCols` the running sum is a single global sort —
+   * fine for a driver-side manifest, wrong for 100 TB. Pass partition
+   * columns (writer task, date, language...) to pack independently within
+   * each partition: the window then shuffles once on the partition key and
+   * sorts per partition, fully parallel.
+   */
+  def packShards(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    val base =
+      if (partitionCols.isEmpty) Window.orderBy(col(idCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(idCol))
+    val w = base.rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard",
+        floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / lit(budget))
+          .cast("long"))
+  }
+}

@@ -280,6 +280,33 @@ object TextOps {
           lit(0.3) * (lit(1.0) - digit)).as("quality_score"))
   }
 
+  /** Repetition quality signals (the Gopher-style repetitiousness cues):
+    * fraction of duplicate word bigrams and the frequency share of the
+    * single most common word. Bigram stats are per-row array ops; the top
+    * word share is one exploded groupBy — exact integer counts, so both are
+    * engine-portable without float-order concerns (the final ratios are one
+    * division each). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), wordsOf(col(textCol)).as("__w"))
+    val bigrams = when(size(col("__w")) >= 2, expr(
+      "transform(sequence(1, size(__w) - 1), i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"))
+      .otherwise(expr("CAST(array() AS array<string>)"))
+    val withBg = base
+      .withColumn("__nb", size(bigrams).cast("long"))
+      .withColumn("__db", size(array_distinct(bigrams)).cast("long"))
+      .select(col("doc_id"),
+        when(col("__nb") > 0,
+          lit(1.0) - col("__db").cast("double") / col("__nb").cast("double"))
+          .otherwise(lit(0.0)).as("bigram_dup_ratio"))
+    val topWord = base
+      .select(col("doc_id"), explode(col("__w")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("top_word_ratio"))
+    withBg.join(topWord, Seq("doc_id"))
+  }
+
   /** Token counts: whitespace tokens and a BPE-style pre-tokenizer regex
     * (letter runs | single digits | punctuation runs). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
