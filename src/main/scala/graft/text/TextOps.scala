@@ -177,13 +177,17 @@ object TextOps {
    */
   def jaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = shingles(docs, idCol, textCol, n)
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
+    // ranked is the ONLY materialization of the exploded frame: the prefix
+    // filter, the per-doc sizes, and the verify sets all derive from it (a
+    // second scan of `sh` would repeat the explode + two shuffles)
     val ranked = sh.join(freq, "shingle")
       .withColumn("rn", row_number().over(
         wDoc.orderBy(col("df").asc, col("shingle").asc)))
       .withColumn("n", count(lit(1)).over(wDoc))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val prefix = ranked
       .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("shingle"), col("doc_id"), col("n"))
@@ -195,7 +199,8 @@ object TextOps {
         least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    verifiedNearDupPairs(sh, candidates, threshold)
+    verifiedNearDupPairs(ranked.select(col("doc_id"), col("shingle")), candidates,
+      threshold)
   }
 
   // ----------------------------------------------------------------- simhash
