@@ -102,15 +102,22 @@ object Cdc {
    * the registry schema (SURVEY.md §7.4 hard part 5 — registry-driven fan-out,
    * no hand-written per-table code). Output columns:
    * op, ts, dateid, before:Struct, after:Struct.
+   *
+   * `strict = true` turns payload corruption into a loud failure via the
+   * parser's FAILFAST mode — the reference's fail-fast schema-drift contract
+   * (reference: README.md:196-206) extended to the payload itself. The
+   * default PERMISSIVE parse turns a malformed payload into an all-null
+   * struct, which a latest-wins apply would then treat as real data.
    */
   def typedChanges(events: DataFrame, table: String,
-      schema: Option[StructType] = None): DataFrame = {
+      schema: Option[StructType] = None, strict: Boolean = false): DataFrame = {
     val s = schema.getOrElse(payloadSchemaOf(table))
+    val opts = if (strict) Map("mode" -> "FAILFAST") else Map.empty[String, String]
     withVersion(events)
       .filter(col("table") === table)
       .select(col("op"), col("ts"), col(Schemas.VersionCol),
-        from_json(col("before"), s).as("before"),
-        from_json(col("after"), s).as("after"))
+        from_json(col("before"), s, opts).as("before"),
+        from_json(col("after"), s, opts).as("after"))
   }
 
   private def payloadSchemaOf(table: String): StructType = {

@@ -84,6 +84,34 @@ object LlmWorkload {
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     TextOps.repetitionStats(Tables(spark, dir, "documents"), "doc_id", "text")
 
+  /**
+   * The capstone composition — the whole clean-corpus pipeline as ONE
+   * logical plan: exact dedup keeps canonical docs, the quality score gates,
+   * language id labels, the deterministic hash split partitions, and the
+   * result reduces to per-(split, language) counts with min/max quality
+   * (order-independent float aggregates only — no float SUM crosses the
+   * engine boundary). What a user actually runs before a training job, and
+   * proof the operators compose as plain DataFrames under one optimizer
+   * pass.
+   */
+  def pipelineCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val canonical = TextOps.exactDedup(docs, "doc_id", "text")
+      .filter(!col("is_dup")).select(col("doc_id"))
+    val quality = TextOps.textStats(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+    val lang = TextOps.langId(docs, "doc_id", "text")
+      .select(col("doc_id"), col("lang_pred"))
+    Prep.hashSplit(canonical, "doc_id")
+      .join(quality, "doc_id")
+      .join(lang, "doc_id")
+      .filter(col("quality_score") >= 0.5)
+      .groupBy(col("split"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"))
+  }
+
   /** Deterministic 80/10/10 split assignment, reduced to per-split counts. */
   def prepHashSplit(spark: SparkSession, dir: String): DataFrame =
     Prep.hashSplit(Tables(spark, dir, "documents"), "doc_id")
@@ -116,7 +144,8 @@ object LlmWorkload {
     "dedup_embedding_srp_pairs" -> dedupEmbeddingSrpPairs,
     "text_repetition" -> textRepetition,
     "prep_hash_split" -> prepHashSplit,
-    "prep_pack_shards" -> prepPackShards
+    "prep_pack_shards" -> prepPackShards,
+    "pipeline_clean_corpus" -> pipelineCleanCorpus
   )
 
   // --- oracles --------------------------------------------------------------
@@ -339,6 +368,33 @@ object LlmWorkload {
          |  GROUP BY 1)
          |SELECT br.doc_id, br.bigram_dup_ratio, tw.top_word_ratio
          |FROM br JOIN tw USING (doc_id)""".stripMargin,
+    "pipeline_clean_corpus" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $normSql AS norm, string_split($normSql, ' ') AS w,
+         |    min(doc_id) OVER (PARTITION BY md5($normSql)) AS canonical_id
+         |  FROM documents),
+         |kept AS (SELECT * FROM base WHERE doc_id = canonical_id),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(0.4 AS DOUBLE) * (CAST(len(list_filter(w, x -> x IN ('the','and','of','to','in','a'))) AS DOUBLE)
+         |      / CAST(len(w) AS DOUBLE))
+         |    + CAST(0.3 AS DOUBLE) * least(CAST(len(w) AS DOUBLE) / CAST(50 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE)
+         |      - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE)) AS quality_score,
+         |    CAST(len(list_filter(w, x -> x IN ('the','and','of','to','in','a'))) AS BIGINT) AS en_hits,
+         |    CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS de_hits,
+         |    CAST(len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS fr_hits,
+         |    ${h64("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |  FROM kept)
+         |SELECT
+         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+         |       WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS lang_pred,
+         |  count(*) AS n_docs, min(quality_score) AS min_quality,
+         |  max(quality_score) AS max_quality
+         |FROM scored WHERE quality_score >= 0.5
+         |GROUP BY 1, 2""".stripMargin,
     "prep_hash_split" ->
       s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
          |  count(*) AS n_docs

@@ -84,7 +84,9 @@ object ChangeStream {
         // F7 applies to every table in CONST_TBL_NOT_DELETE_OLD regardless of
         // path (reference: matomo2clickhouse.py:583-606); applyVersioned
         // guards internally, the mutable path guards here
-        val typedRaw = Cdc.typedChanges(filtered, table)
+        // strict: corrupt payloads fail the batch loudly, like unregistered
+        // tables — a nulled payload would read as data loss downstream
+        val typedRaw = Cdc.typedChanges(filtered, table, strict = true)
         val typed = meta.deleteDateCol match {
           case Some(dc) if !meta.versioned =>
             Cdc.suppressOldDeletes(typedRaw, dc, now, cfg.deleteMaxAgeDays)

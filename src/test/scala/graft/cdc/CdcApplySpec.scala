@@ -149,6 +149,26 @@ class CdcApplySpec extends SparkSpec {
     }
   }
 
+  test("strict typedChanges raises on a corrupt payload; permissive nulls it") {
+    import spark.implicits._
+    val env = Seq(("INSERT", "db", "matomo_site", "2024-01-05 10:00:00",
+        "mysql-bin.000001", 100L, 0, null: String, """{"idsite": NOT-JSON"""))
+      .toDF("op", "schema", "table", "ts", "log_file", "log_pos", "row_index",
+        "before", "after")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // permissive (default): parse failure becomes an all-null struct — which
+    // downstream would mistake for real data, hence the strict mode
+    val lax = Cdc.typedChanges(env, "matomo_site").collect()
+    assert(lax.length == 1)
+    val after = lax.head.getStruct(lax.head.fieldIndex("after"))
+    assert(after != null && after.isNullAt(after.fieldIndex("idsite")))
+    // strict: the batch fails loudly instead
+    val e = intercept[Exception] {
+      Cdc.typedChanges(env, "matomo_site", strict = true).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("malformed"), e.getMessage)
+  }
+
   test("purge with window predicate leaves rows outside the window untouched") {
     val h = history(spark, Seq(
       (1L, "old-dup", null, 1L), (1L, "old-dup2", null, 2L), // outside window
