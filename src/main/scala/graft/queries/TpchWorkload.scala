@@ -60,6 +60,35 @@ object TpchWorkload {
       .orderBy(col("total").desc, col("c_custkey").asc)
       .limit(10)
 
+  /** SRT3 per group — top-3 customers by order revenue WITHIN each nation:
+    * one shuffle on the group key, rank inside the partition, never a global
+    * sort (the global-top-k twin is `topk_customers`). */
+  def topkPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(sum(dec("o_totalprice")).cast("double").as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_name"))
+      .orderBy(col("total").desc, col("c_custkey").asc)
+    revenue.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("n_name"), col("c_custkey"), col("total"), col("rnk"))
+  }
+
+  /** Pivot — event-type counts spread to columns per user: Spark's
+    * `groupBy.pivot` with an EXPLICIT value list (no extra distinct pass,
+    * deterministic column order). The oracle restates it as conditional
+    * aggregation, which is exactly what the pivot lowers to. */
+  def pivotEventTypes(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   /** J3-surface — LEFT SEMI: customers with at least one urgent order
     * (the purge IN-subquery shape, reference: _settings.py:233-257). */
   def semiJoinUrgentCustomers(spark: SparkSession, dir: String): DataFrame = {
@@ -161,6 +190,8 @@ object TpchWorkload {
     "agg_pricing_summary" -> aggPricingSummary,
     "join_revenue_by_nation" -> joinRevenueByNation,
     "topk_customers" -> topCustomers,
+    "topk_per_nation" -> topkPerNation,
+    "pivot_event_types" -> pivotEventTypes,
     "semi_join_urgent" -> semiJoinUrgentCustomers,
     "anti_join_no_orders" -> antiJoinNoOrders,
     "set_intersect_custkeys" -> setIntersectCustkeys,
@@ -195,6 +226,28 @@ object TpchWorkload {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY total DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "topk_per_nation" ->
+      """WITH rev AS (
+        |  SELECT n_name, c_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, c_custkey)
+        |SELECT n_name, c_custkey, total, rnk FROM (
+        |  SELECT n_name, c_custkey, total,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY total DESC, c_custkey ASC) AS INT) AS rnk
+        |  FROM rev)
+        |WHERE rnk <= 3""".stripMargin,
+    "pivot_event_types" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS "click",
+        |  count(*) FILTER (event_type = 'view') AS "view",
+        |  count(*) FILTER (event_type = 'purchase') AS "purchase",
+        |  count(*) FILTER (event_type = 'signup') AS "signup",
+        |  count(*) FILTER (event_type = 'error') AS "error"
+        |FROM events GROUP BY user_id""".stripMargin,
     "semi_join_urgent" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,

@@ -43,6 +43,27 @@ class RangeJoinSpec extends SparkSpec {
     assert(rows.count(_ == (2L, 11L)) == 1)
   }
 
+  test("randomized: equals the theta-join for arbitrary data across widths") {
+    val rnd = new scala.util.Random(42)  // seeded: deterministic fixture
+    val base = ts("2024-01-01 00:00:00").getTime
+    def t(offsetMin: Long) = new java.sql.Timestamp(base + offsetMin * 60000L)
+    val ps = (1L to 120L).map(i => (i, t(rnd.nextInt(7 * 24 * 60).toLong)))
+      .toDF("p_id", "t")
+    val ivs = (1L to 60L).map { i =>
+      val s = rnd.nextInt(7 * 24 * 60).toLong
+      (i, t(s), t(s + rnd.nextInt(36 * 60).toLong))
+    }.toDF("iv_id", "s", "e")
+    val naive = ps.join(ivs, $"t" >= $"s" && $"t" <= $"e")
+      .select("p_id", "iv_id").as[(Long, Long)].collect().toSet
+    for (width <- Seq(60L, 3600L, 86400L)) {
+      val out = RangeJoin.pointInInterval(ps, ivs, "t", "s", "e", width)
+        .select("p_id", "iv_id").as[(Long, Long)].collect()
+      assert(out.length == out.distinct.length, s"dup pairs at width=$width")
+      assert(out.toSet == naive, s"mismatch at width=$width")
+    }
+    assert(naive.nonEmpty)
+  }
+
   test("plans as an equi-join on the tile, not a nested-loop product") {
     val plan = RangeJoin.pointInInterval(points, intervals, "t", "s", "e")
       .queryExecution.executedPlan.toString
