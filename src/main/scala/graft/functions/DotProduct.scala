@@ -81,5 +81,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_intersect_count"),
+      new ExpressionInfo(classOf[IntersectCount].getName, "graft_intersect_count"),
+      (children: Seq[Expression]) => IntersectCount(children.head, children(1))))
   }
 }

@@ -98,20 +98,34 @@ object TextOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
+  /** Set-intersection size of two SORTED distinct string arrays: the native
+    * codegen'd merge counter (graft.functions.IntersectCount) when the
+    * session carries GraftExtensions, with `array_intersect` as the
+    * composable fallback — same count either way; the native form runs an
+    * allocation-free two-pointer loop instead of a per-pair hash set. */
+  private def intersectCount(a: String, b: String): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (spark.catalog.functionExists("graft_intersect_count"))
+      expr(s"graft_intersect_count($a, $b)")
+    else size(array_intersect(col(a), col(b))).cast("long")
+  }
+
   /** Exact n-gram Jaccard verification of candidate pairs: keep pairs with
     * similarity >= threshold. The intersect/union counts come from the
-    * shingle sets collected per doc (bounded by doc length, not corpus). */
+    * shingle sets collected per doc (bounded by doc length, not corpus);
+    * sets are sorted at aggregation time so the native merge counter
+    * applies. */
   def verifiedNearDupPairs(shingled: DataFrame, candidates: DataFrame,
       threshold: Double = 0.8): DataFrame = {
     // `sets` feeds two joins (doc_a and doc_b side); cache so the shingle
     // scan + collect_set shuffle evaluates once, not once per side
     val sets = shingled.groupBy(col("doc_id"))
-      .agg(collect_set(col("shingle")).as("s"), count(lit(1)).as("n"))
+      .agg(sort_array(collect_set(col("shingle"))).as("s"), count(lit(1)).as("n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("n").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb"), col("n").as("nb")), "doc_b")
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("i", intersectCount("sa", "sb"))
       .withColumn("jaccard",
         col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -142,13 +156,13 @@ object TextOps {
     val sig = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val banded = lshBands(sig, k, r).persist(StorageLevel.MEMORY_AND_DISK)
     val sets = ex.groupBy(col("doc_id"))
-      .agg(collect_set(col("shingle")).as("s"))
+      .agg(sort_array(collect_set(col("shingle"))).as("s"))
       .select(col("doc_id"), col("s"), size(col("s")).cast("long").as("n"))
     val candidates = lshCandidatePairs(banded)
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("n").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb"), col("n").as("nb")), "doc_b")
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("i", intersectCount("sa", "sb"))
       .withColumn("jaccard",
         col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
       .filter(col("jaccard") >= threshold)
