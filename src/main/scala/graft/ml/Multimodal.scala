@@ -42,6 +42,39 @@ object Multimodal {
          |            i -> substring($payloadCol, (i - 1) * $stride + 1, 1)),
          |  cast(X'' as binary), (acc, x) -> concat(acc, x))""".stripMargin))
 
+  /** Nearest-neighbor "resize" — the image-resize plumbing shape: a
+    * variable-length payload mapped to EXACTLY `targetLen` bytes, byte i of
+    * the output sampled at floor(i·len/targetLen) of the input (the same
+    * index arithmetic NN image scaling uses, in one dimension). Empty
+    * payloads resize to empty. Pure column expression — a real pixel-aware
+    * resize would replace only the sampling kernel. */
+  def resizeBytes(df: DataFrame, payloadCol: String, targetLen: Int): DataFrame = {
+    require(targetLen > 0, s"target length must be positive: $targetLen")
+    df.withColumn("resized", expr(
+      s"""CASE WHEN length($payloadCol) = 0 THEN $payloadCol ELSE
+         |aggregate(
+         |  transform(sequence(0, ${targetLen - 1}),
+         |    i -> substring($payloadCol,
+         |           int(floor(i * length($payloadCol) / ${targetLen}D)) + 1, 1)),
+         |  cast(X'' as binary), (acc, x) -> concat(acc, x)) END""".stripMargin))
+  }
+
+  /** Fixed-width frame sampling — the video shape: the payload is a
+    * sequence of `frameSize`-byte frames; keep every `stride`-th frame,
+    * starting at frame 0 (a trailing partial frame is kept as-is). */
+  def sampleFrames(df: DataFrame, payloadCol: String, frameSize: Int,
+      stride: Int): DataFrame = {
+    require(frameSize > 0 && stride > 0, s"frameSize=$frameSize stride=$stride")
+    df.withColumn("frames", expr(
+      s"""aggregate(
+         |  transform(
+         |    sequence(0, greatest(int(ceil(length($payloadCol) / ${frameSize}D)) - 1, 0)),
+         |    f -> CASE WHEN f % $stride = 0
+         |           THEN substring($payloadCol, f * $frameSize + 1, $frameSize)
+         |           ELSE cast(X'' as binary) END),
+         |  cast(X'' as binary), (acc, x) -> concat(acc, x))""".stripMargin))
+  }
+
   /** STUB decode + featurize: fold the payload bytes into a `dim`-bucket
     * histogram normalized by length. Deterministic, so tests can pin it; a
     * real decoder would replace only the body of the per-row lambda. */

@@ -39,4 +39,30 @@ class MultimodalSpec extends SparkSpec {
     val again = extractFeatures(media, dim = 8).collect().map(f => f.doc_id -> f.feature.toSeq).toMap
     assert(again(1L) == out(1L).feature.toSeq)
   }
+
+  test("resizeBytes emits exactly targetLen bytes via nearest-neighbor sampling") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdefgh"), (2L, "xy"), (3L, ""))
+      .toDF("doc_id", "t")
+      .select($"doc_id", org.apache.spark.sql.functions.encode($"t", "UTF-8").as("p"))
+    val out = Multimodal.resizeBytes(df, "p", targetLen = 4)
+      .select($"doc_id", org.apache.spark.sql.functions.decode($"resized", "UTF-8"))
+      .as[(Long, String)].collect().toMap
+    // len 8 -> indices floor(i*8/4) = 0,2,4,6 -> "aceg"
+    assert(out(1L) == "aceg")
+    // len 2 -> indices floor(i*2/4) = 0,0,1,1 -> "xxyy" (upsample repeats)
+    assert(out(2L) == "xxyy")
+    assert(out(3L) == "")
+  }
+
+  test("sampleFrames keeps every stride-th fixed-width frame incl. a partial tail") {
+    import spark.implicits._
+    val df = Seq((1L, "AABBCCDDE"))   // frames of 2: AA BB CC DD E
+      .toDF("doc_id", "t")
+      .select($"doc_id", org.apache.spark.sql.functions.encode($"t", "UTF-8").as("p"))
+    val out = Multimodal.sampleFrames(df, "p", frameSize = 2, stride = 2)
+      .select(org.apache.spark.sql.functions.decode($"frames", "UTF-8"))
+      .as[String].head()
+    assert(out == "AACCE")   // frames 0, 2, 4 (the partial tail "E")
+  }
 }
