@@ -84,6 +84,9 @@ object LlmWorkload {
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     TextOps.repetitionStats(Tables(spark, dir, "documents"), "doc_id", "text")
 
+  def textWinnowing(spark: SparkSession, dir: String): DataFrame =
+    TextOps.winnowingFingerprints(Tables(spark, dir, "documents"), "doc_id", "text")
+
   /**
    * The capstone composition — the whole clean-corpus pipeline as ONE
    * logical plan: exact dedup keeps canonical docs, the quality score gates,
@@ -143,6 +146,7 @@ object LlmWorkload {
     "dedup_embedding_pairs" -> dedupEmbeddingPairs,
     "dedup_embedding_srp_pairs" -> dedupEmbeddingSrpPairs,
     "text_repetition" -> textRepetition,
+    "text_winnowing" -> textWinnowing,
     "prep_hash_split" -> prepHashSplit,
     "prep_pack_shards" -> prepPackShards,
     "pipeline_clean_corpus" -> pipelineCleanCorpus
@@ -395,6 +399,22 @@ object LlmWorkload {
          |  max(quality_score) AS max_quality
          |FROM scored WHERE quality_score >= 0.5
          |GROUP BY 1, 2""".stripMargin,
+    // winnowing replay: same k-gram rolling hashes, same w-window minima
+    // (k=5, w=4), same full-window start
+    "text_winnowing" ->
+      s"""WITH t AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |g AS (
+         |  SELECT doc_id, i AS pos, ${h64("substr(nt, i, 5)")} AS h
+         |  FROM t, UNNEST(range(1, length(nt) - 3)) AS u(i)
+         |  WHERE length(nt) >= 5),
+         |m AS (
+         |  SELECT doc_id, pos,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+         |  FROM g)
+         |SELECT doc_id, count(DISTINCT m) AS n_fingerprints,
+         |  min(m) AS min_fp, max(m) AS max_fp
+         |FROM m WHERE pos >= 4 GROUP BY doc_id""".stripMargin,
     "prep_hash_split" ->
       s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
          |  count(*) AS n_docs

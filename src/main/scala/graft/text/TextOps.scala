@@ -217,6 +217,41 @@ object TextOps {
       threshold)
   }
 
+  /**
+   * Winnowing fingerprints (Schleimer/Wilkerson/Aiken) — the rolling-hash
+   * document fingerprint: hash every char k-gram of the normalized text,
+   * slide a w-wide window over the hash sequence, keep each window's
+   * minimum; the DISTINCT minima are the document's fingerprint set. The
+   * guarantee: any match of length >= w + k − 1 between two documents
+   * shares at least one fingerprint, at ~2/(w+1) the storage of all grams.
+   * Output: doc_id, n_fingerprints, min_fp, max_fp (the set summarized by
+   * order-independent aggregates — engine-portable).
+   *
+   * Shape: one explode of char positions (codegen'd md5 per gram), one
+   * window min per doc ordered by position, one groupBy — the same
+   * shuffle topology as the MinHash signature.
+   */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), normalizeText(col(textCol)).as("__t"))
+      .filter(length(col("__t")) >= k)
+      .select(col("doc_id"), col("__t"),
+        explode(expr(s"sequence(1, length(__t) - ${k - 1})")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        hash64(expr(s"substring(__t, pos, $k)")).as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    grams
+      .withColumn("m", min(col("h")).over(win))
+      // the first w-1 windows are partial; standard winnowing starts at the
+      // first FULL window so short prefixes do not over-fingerprint
+      .filter(col("pos") >= w)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("m")).as("n_fingerprints"),
+        min(col("m")).as("min_fp"), max(col("m")).as("max_fp"))
+  }
+
   // ----------------------------------------------------------------- simhash
 
   /** 48-bit SimHash over distinct word n-gram shingles: bit p is set iff the

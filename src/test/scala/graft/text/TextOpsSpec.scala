@@ -21,6 +21,21 @@ class TextOpsSpec extends SparkSpec {
     assert(sh == Set((1L, "a b c"), (1L, "b c d")))
   }
 
+  test("winnowing: deterministic per content, bounded count, short docs skipped") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val out = TextOps.winnowingFingerprints(
+      docs((1L, text), (2L, text), (3L, "hi")), "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // identical content -> identical fingerprint summary
+    assert(out(1L) == out(2L))
+    assert(!out.contains(3L))  // shorter than k: no grams, no row
+    // k=5, w=4: full windows = len - k + 1 - (w - 1); minima dedup below that,
+    // but winnowing guarantees at least one fingerprint per window stretch
+    val fullWindows = text.length - 5 + 1 - 3
+    val n = out(1L)._1
+    assert(n >= fullWindows / 4 && n <= fullWindows, s"n=$n windows=$fullWindows")
+  }
+
   test("jaccardNearDups is exact: equals brute-force Jaccard at the threshold") {
     val d = docs(
       (1L, "a b c d e f g h i j"),
