@@ -60,6 +60,28 @@ class TextOpsSpec extends SparkSpec {
     assert(pairsOf(0.1) == bruteOf(0.1) && bruteOf(0.1).size > 1)
   }
 
+  test("jaccardNearDups randomized: prefix pruning never loses a pair") {
+    // random corpora stress the ceil/length-filter boundary arithmetic
+    val rnd = new scala.util.Random(1234)
+    val vocab = (1 to 40).map(i => s"w$i")
+    val d = docs((1L to 60L).map { i =>
+      (i, Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }: _*)
+    val sets = TextOps.shingles(d, "doc_id", "text")
+      .groupBy($"doc_id").agg(collect_set($"shingle").as("s"), count(lit(1)).as("n"))
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val brute = sets.select($"doc_id".as("doc_a"), $"s".as("sa"), $"n".as("na"))
+        .join(sets.select($"doc_id".as("doc_b"), $"s".as("sb"), $"n".as("nb")),
+          $"doc_a" < $"doc_b")
+        .withColumn("i", size(array_intersect($"sa", $"sb")).cast("long"))
+        .filter($"i".cast("double") / ($"na" + $"nb" - $"i").cast("double") >= t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val pruned = TextOps.jaccardNearDups(d, "doc_id", "text", threshold = t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(pruned == brute, s"threshold=$t: pruned=$pruned brute=$brute")
+    }
+  }
+
   test("normalizeText collapses whitespace and lowercases") {
     val n = docs((1L, "  Foo\t BAR \n baz ")).select(TextOps.normalizeText($"text"))
       .as[String].head()
