@@ -22,10 +22,12 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // warm-up failures surface in the timed pass
+      finally Caching.releaseAll()
     }
     ordered.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      finally Caching.releaseAll()
     }
 
     var errors = Map.empty[String, String]
@@ -37,7 +39,10 @@ object Bench {
       catch { case e: Throwable =>
         errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // cache release is cleanup between queries, not part of the query cost
+      Caching.releaseAll()
+      name -> dt
     }
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -20,6 +20,7 @@ object Plans {
         try fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
+        finally Caching.releaseAll()
       sb.append(s"\n## $name\n\n```\n$plan```\n")
     }
     Files.writeString(Paths.get(out), sb.toString)

@@ -269,7 +269,7 @@ object Cdc {
       keyCols.map(k => col(s"$side.$k") <=> col(s"d.$k")).reduce(_ && _)
     val afterDeletes = history.alias("h")
       .join(deleteMax.alias("d"), delCond("h"), "left_anti")
-    val keptAppends = survivingAppends(guarded, keyCols)
+    val keptAppends = survivingAppends(guarded, keyCols, deleteMax)
     afterDeletes.unionByName(keptAppends.select(afterDeletes.columns.map(col): _*))
   }
 
@@ -289,10 +289,15 @@ object Cdc {
   /** The batch's INS-UPD appends surviving its own delete frontier — the
     * after-images (+ version) whose version lies beyond the key's max
     * same-batch DELETE. Null-safe key equality throughout (F13). */
-  def survivingAppends(changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+  def survivingAppends(changes: DataFrame, keyCols: Seq[String]): DataFrame =
+    survivingAppends(changes, keyCols, deleteFrontier(changes, keyCols))
+
+  /** As above, reusing an already-built delete frontier so callers that also
+    * need the frontier (the versioned applies) build its aggregation once. */
+  def survivingAppends(changes: DataFrame, keyCols: Seq[String],
+      deleteMax: DataFrame): DataFrame = {
     val appends = changes.filter(col("op") =!= "DELETE")
       .select(col("after.*"), col(Schemas.VersionCol))
-    val deleteMax = deleteFrontier(changes, keyCols)
     def delCond(side: String) =
       keyCols.map(k => col(s"$side.$k") <=> col(s"d.$k")).reduce(_ && _)
     appends.alias("a")

@@ -47,7 +47,9 @@ object Multimodal {
     * the output sampled at floor(i·len/targetLen) of the input (the same
     * index arithmetic NN image scaling uses, in one dimension). Empty
     * payloads resize to empty. Pure column expression — a real pixel-aware
-    * resize would replace only the sampling kernel. */
+    * resize would replace only the sampling kernel. The i·len product is
+    * computed in 64-bit: at the multi-megabyte payloads this op exists for,
+    * i·len exceeds Int.MaxValue long before the final index does. */
   def resizeBytes(df: DataFrame, payloadCol: String, targetLen: Int): DataFrame = {
     require(targetLen > 0, s"target length must be positive: $targetLen")
     df.withColumn("resized", expr(
@@ -55,7 +57,7 @@ object Multimodal {
          |aggregate(
          |  transform(sequence(0, ${targetLen - 1}),
          |    i -> substring($payloadCol,
-         |           int(floor(i * length($payloadCol) / ${targetLen}D)) + 1, 1)),
+         |           int((bigint(i) * length($payloadCol)) div $targetLen) + 1, 1)),
          |  cast(X'' as binary), (acc, x) -> concat(acc, x)) END""".stripMargin))
   }
 

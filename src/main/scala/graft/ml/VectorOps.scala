@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Caching
+
 /**
  * Similarity search over embedding columns (`Array[Float]`) — the extended
  * LLM-pipeline surface (builder brief; absent from the reference, which has
@@ -144,8 +146,7 @@ object VectorOps {
       threshold: Double = 0.4): DataFrame = {
     require(bits % bandBits == 0, s"bits=$bits not divisible by bandBits=$bandBits")
     val spark = emb.sparkSession
-    val v = asDouble(emb, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = Caching.scoped(asDouble(emb, idCol, vecCol))
     // ±1 hyperplanes from md5 parity of "j:d" — a 1-row dim anchor plus a
     // bits-row broadcast, built once (the HOF here touches bits×dim cells
     // total, not per data row)
@@ -206,8 +207,7 @@ object VectorOps {
       vecCol: String = "embedding", centroidMod: Int = 25,
       threshold: Double = 0.4, nprobe: Int = 2,
       maxBucket: Int = 4096): DataFrame = {
-    val v = asDouble(emb, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = Caching.scoped(asDouble(emb, idCol, vecCol))
     val centroids = v.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
     val assigned = assignToCentroids(v, centroids, nprobe)

@@ -2,6 +2,7 @@ package graft.stream
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects}
 
 import graft.cdc.Cdc
 import graft.model.Schemas
@@ -20,16 +21,27 @@ import graft.sources.Jdbc
  *    reference's mutation. The version qualification makes delete-vs-append
  *    order within a batch irrelevant: a DELETE removes exactly the versions
  *    at or before it, and the surviving appends (version > frontier, already
- *    filtered by `Cdc.survivingAppends`) are untouched either way. The
- *    result is the same state `Cdc.applyVersioned` computes, so at-least-once
- *    replay converges identically.
+ *    filtered by `Cdc.survivingAppends`) are untouched either way.
+ *
+ * At-least-once replay converges on the RAW history too, not just the
+ * latest-wins view: before appending, the batch scrubs its own version span
+ * per key (engine versions are deterministic functions of binlog coordinates,
+ * so a replayed batch carries the same versions a crashed attempt wrote —
+ * and no other batch's versions can fall in the span). A crash between the
+ * append and the checkpoint commit therefore cannot leave duplicate
+ * (key, version) rows behind: the retry deletes-then-reinserts them.
+ *
+ * Identifier quoting comes from the `JdbcDialect` registered for the target
+ * URL, matching how Spark's own JDBC writer quotes the columns it creates
+ * (double quotes on Derby/Postgres, backticks on MySQL).
  *
  * Scale notes: appends go through Spark's distributed JDBC writer (one
  * connection per partition); deletes run `foreachPartition` with batched
- * PreparedStatements — the delete frontier is one row per deleted key per
- * batch, orders of magnitude smaller than the append stream. Key columns are
- * primary keys in the reference schema (non-null by construction); a null
- * key would not match the `= ?` predicate, exactly like the reference's SQL.
+ * PreparedStatements — the scrub span and delete frontier are one row per
+ * touched key per batch, orders of magnitude smaller than the append stream.
+ * Key columns are primary keys in the reference schema (non-null by
+ * construction); a null key would not match the `= ?` predicate, exactly
+ * like the reference's SQL.
  */
 object JdbcState {
 
@@ -48,11 +60,19 @@ object JdbcState {
   def applyVersioned(typed: DataFrame, cfg: SinkConfig, table: String,
       keyCols: Seq[String]): Unit = {
     val target = cfg.tablePrefix + table
-    // append first: Spark's JDBC append creates the table on first contact,
-    // so the delete mutation below always has a target to run against
-    Jdbc.append(Cdc.survivingAppends(typed, keyCols), cfg.url, target,
-      cfg.driver, cfg.batchSize)
-    deleteAtOrBelow(Cdc.deleteFrontier(typed, keyCols), cfg, target, keyCols)
+    val dialect = JdbcDialects.get(cfg.url)
+    val frontier = Cdc.deleteFrontier(typed, keyCols)
+    val survivors = Cdc.survivingAppends(typed, keyCols, frontier)
+    // schema-only append first: Spark's JDBC append creates the table on
+    // first contact, so the mutations below always have a target to run on
+    Jdbc.append(survivors.limit(0), cfg.url, target, cfg.driver, cfg.batchSize)
+    // idempotency scrub: delete this batch's own (key, version-span) rows —
+    // a no-op on the first attempt, removes a crashed attempt's partial
+    // append on replay (versions replay identically; no other batch's
+    // versions can land inside the span)
+    deleteVersionSpan(appendSpan(typed, keyCols), cfg, target, keyCols, dialect)
+    Jdbc.append(survivors, cfg.url, target, cfg.driver, cfg.batchSize)
+    deleteAtOrBelow(frontier, cfg, target, keyCols, dialect)
   }
 
   /** Ledger append into the target database (S8 target-side audit). */
@@ -60,36 +80,64 @@ object JdbcState {
     Jdbc.append(ledgerRow, cfg.url, cfg.tablePrefix + "log_replication",
       cfg.driver, cfg.batchSize)
 
-  /** Version-qualified batched DELETE mutations, one connection per
-    * partition of the frontier frame. */
+  /** Per-key [min, max] engine-version span of the batch's appends
+    * (a superset of the surviving appends — safe to scrub, since only this
+    * batch's rows can carry versions inside its own span). */
+  private def appendSpan(changes: DataFrame, keyCols: Seq[String]): DataFrame =
+    changes.filter(col("op") =!= "DELETE")
+      .select(keyCols.map(k => col("after").getField(k).as(k)) :+
+        col(Schemas.VersionCol).as("__v"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col("__v")).as("__v_lo"), max(col("__v")).as("__v_hi"))
+
+  /** Version-qualified batched DELETE mutations (key = ? AND v <= ?), one
+    * connection per partition of the frontier frame. */
   private def deleteAtOrBelow(frontier: DataFrame, cfg: SinkConfig,
-      target: String, keyCols: Seq[String]): Unit = {
+      target: String, keyCols: Seq[String], dialect: JdbcDialect): Unit = {
     val sql = s"DELETE FROM $target WHERE " +
-      keyCols.map(k => s""""$k" = ?""").mkString(" AND ") +
-      s""" AND "${Schemas.VersionCol}" <= ?"""
+      keyCols.map(k => s"${dialect.quoteIdentifier(k)} = ?").mkString(" AND ") +
+      s" AND ${dialect.quoteIdentifier(Schemas.VersionCol)} <= ?"
+    batchedDelete(frontier.select(keyCols.map(col) :+ col("__del_v"): _*),
+      cfg, sql, nKeys = keyCols.size, nVersions = 1)
+  }
+
+  /** Replay scrub: `key = ? AND v BETWEEN ? AND ?` batched deletes. */
+  private def deleteVersionSpan(span: DataFrame, cfg: SinkConfig,
+      target: String, keyCols: Seq[String], dialect: JdbcDialect): Unit = {
+    val v = dialect.quoteIdentifier(Schemas.VersionCol)
+    val sql = s"DELETE FROM $target WHERE " +
+      keyCols.map(k => s"${dialect.quoteIdentifier(k)} = ?").mkString(" AND ") +
+      s" AND $v >= ? AND $v <= ?"
+    batchedDelete(span.select(keyCols.map(col) :+ col("__v_lo") :+ col("__v_hi"): _*),
+      cfg, sql, nKeys = keyCols.size, nVersions = 2)
+  }
+
+  /** Executes a keyed DELETE statement per row of `frame`: the first `nKeys`
+    * columns bind as objects, the trailing `nVersions` columns as longs. */
+  private def batchedDelete(frame: DataFrame, cfg: SinkConfig, sql: String,
+      nKeys: Int, nVersions: Int): Unit = {
     val (url, driver, batch) = (cfg.url, cfg.driver, cfg.batchSize)
-    val nKeys = keyCols.size
     val perPartition: Iterator[Row] => Unit = { rows =>
-        if (rows.hasNext) {
-          driver.foreach(Class.forName(_))
-          val conn = java.sql.DriverManager.getConnection(url)
+      if (rows.hasNext) {
+        driver.foreach(Class.forName(_))
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.prepareStatement(sql)
           try {
-            val st = conn.prepareStatement(sql)
-            try {
-              var n = 0
-              rows.foreach { r =>
-                (0 until nKeys).foreach(i => st.setObject(i + 1, r.get(i)))
-                st.setLong(nKeys + 1, r.getLong(nKeys))
-                st.addBatch()
-                n += 1
-                if (n % batch == 0) st.executeBatch()
-              }
-              st.executeBatch()
-            } finally st.close()
-          } finally conn.close()
-        }
+            var n = 0
+            rows.foreach { r =>
+              (0 until nKeys).foreach(i => st.setObject(i + 1, r.get(i)))
+              (0 until nVersions).foreach(i =>
+                st.setLong(nKeys + i + 1, r.getLong(nKeys + i)))
+              st.addBatch()
+              n += 1
+              if (n % batch == 0) st.executeBatch()
+            }
+            st.executeBatch()
+          } finally st.close()
+        } finally conn.close()
       }
-    frontier.select(keyCols.map(col) :+ col("__del_v"): _*)
-      .foreachPartition(perPartition)
+    }
+    frame.foreachPartition(perPartition)
   }
 }

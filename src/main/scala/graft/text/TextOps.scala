@@ -3,7 +3,8 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+
+import graft.Caching
 
 /**
  * Text-analysis and deduplication operators for large-scale training-data
@@ -119,9 +120,8 @@ object TextOps {
       threshold: Double = 0.8): DataFrame = {
     // `sets` feeds two joins (doc_a and doc_b side); cache so the shingle
     // scan + collect_set shuffle evaluates once, not once per side
-    val sets = shingled.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("shingle"))).as("s"), count(lit(1)).as("n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = Caching.scoped(shingled.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("shingle"))).as("s"), count(lit(1)).as("n")))
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("n").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb"), col("n").as("nb")), "doc_b")
@@ -146,15 +146,14 @@ object TextOps {
     * interpreted per element, losing whole-stage codegen over the md5s. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 12, r: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val ex = rawShingles(docs, idCol, textCol, n)
+    val ex = Caching.scoped(rawShingles(docs, idCol, textCol, n)
       .select(col("doc_id"), col("shingle"),
         hash64(col("shingle")).as("h1"),
-        pmod(hash64(concat(col("shingle"), lit("#"))), lit(MinhashH2Mod)).as("h2"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        pmod(hash64(concat(col("shingle"), lit("#"))), lit(MinhashH2Mod)).as("h2")))
     val aggs = (0 until k).map(j =>
       min(col("h1") + lit(j.toLong) * col("h2")).as(s"h$j"))
     val sig = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val banded = lshBands(sig, k, r).persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = Caching.scoped(lshBands(sig, k, r))
     val sets = ex.groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("shingle"))).as("s"))
       .select(col("doc_id"), col("s"), size(col("s")).cast("long").as("n"))
@@ -197,11 +196,11 @@ object TextOps {
     // ranked is the ONLY materialization of the exploded frame: the prefix
     // filter, the per-doc sizes, and the verify sets all derive from it (a
     // second scan of `sh` would repeat the explode + two shuffles)
-    val ranked = sh.join(freq, "shingle")
+    val ranked0 = sh.join(freq, "shingle")
       .withColumn("rn", row_number().over(
         wDoc.orderBy(col("df").asc, col("shingle").asc)))
       .withColumn("n", count(lit(1)).over(wDoc))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ranked = Caching.scoped(ranked0)
     val prefix = ranked
       .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("shingle"), col("doc_id"), col("n"))
@@ -286,9 +285,9 @@ object TextOps {
     }
     // cache before the self-join: the upstream (typically the full shingle →
     // bit-sum aggregation of `simhash`) must not evaluate once per join side
-    val banded = sims.select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("bs"))
-      .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.v").as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = Caching.scoped(
+      sims.select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("bs"))
+        .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.v").as("v")))
     banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))

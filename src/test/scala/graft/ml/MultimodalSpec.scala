@@ -55,6 +55,21 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == "")
   }
 
+  test("resizeBytes survives payloads where i*len overflows 32-bit") {
+    import spark.implicits._
+    // 3 MB payload at targetLen 1024: i*len peaks at 1023*3145728 ≈ 3.2e9 > 2^31.
+    // The final byte of the resize must be the byte at floor(1023*len/1024),
+    // which sits in the last 1/1024th of the payload — a marker region.
+    val len = 3 * 1024 * 1024
+    val payload = new Array[Byte](len)
+    java.util.Arrays.fill(payload, len - len / 1024, len, 'Z'.toByte)
+    val df = Seq((1L, payload)).toDF("doc_id", "p")
+    val out = Multimodal.resizeBytes(df, "p", targetLen = 1024)
+      .select($"resized").as[Array[Byte]].head()
+    assert(out.length == 1024)
+    assert(out.last == 'Z'.toByte)
+  }
+
   test("sampleFrames keeps every stride-th fixed-width frame incl. a partial tail") {
     import spark.implicits._
     val df = Seq((1L, "AABBCCDDE"))   // frames of 2: AA BB CC DD E

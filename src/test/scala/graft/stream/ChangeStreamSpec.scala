@@ -203,6 +203,39 @@ class ChangeStreamSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(cfg.ledgerDir)))
   }
 
+  test("jdbc sink applyVersioned replay converges on the RAW history (at-least-once)") {
+    val derby = Some("org.apache.derby.jdbc.EmbeddedDriver")
+    val url = s"jdbc:derby:${tmpDir()}/db;create=true"
+    val logDir = tmpDir()
+    // an INSERT→DELETE→INSERT chain on one key plus a plain insert: both the
+    // append path and the delete mutation replay
+    writeLog(logDir, "f1", Seq(
+      env("INSERT", "matomo_log_visit", 100, null,
+        """{"idvisit":1,"idsite":1,"location_country":"de","visit_first_action_time":"2024-01-05T09:00:00"}"""),
+      env("DELETE", "matomo_log_visit", 200,
+        """{"idvisit":1,"idsite":1,"location_country":"de","visit_first_action_time":"2024-01-05T09:00:00"}""",
+        null),
+      env("INSERT", "matomo_log_visit", 300, null,
+        """{"idvisit":1,"idsite":1,"location_country":"fr","visit_first_action_time":"2024-01-05T09:30:00"}"""),
+      env("INSERT", "matomo_log_visit", 400, null,
+        """{"idvisit":2,"idsite":1,"location_country":"us","visit_first_action_time":"2024-01-05T10:00:00"}""")))
+    val typed = Cdc.typedChanges(
+      spark.read.schema(Schemas.changeEventSchema).parquet(logDir), "matomo_log_visit")
+    val cfg = JdbcState.SinkConfig(url, derby)
+    def rawHistory(): Seq[(Long, String, Long)] =
+      graft.sources.Jdbc.readTable(spark, url, "state_matomo_log_visit", derby)
+        .select($"idvisit", $"location_country", col(Schemas.VersionCol))
+        .as[(Long, String, Long)].collect().toSeq.sorted
+
+    JdbcState.applyVersioned(typed, cfg, "matomo_log_visit", Seq("idvisit"))
+    val once = rawHistory()
+    assert(once.map(r => (r._1, r._2)) == Seq((1L, "fr"), (2L, "us")))
+    // a crash after the append but before the checkpoint commit replays the
+    // whole batch: raw history must be identical, not doubled
+    JdbcState.applyVersioned(typed, cfg, "matomo_log_visit", Seq("idvisit"))
+    assert(rawHistory() == once)
+  }
+
   test("jdbc sink mode: two staged runs against Derby equal the batch apply") {
     val derby = Some("org.apache.derby.jdbc.EmbeddedDriver")
     val url = s"jdbc:derby:${tmpDir()}/db;create=true"
