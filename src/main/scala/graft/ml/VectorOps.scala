@@ -183,6 +183,84 @@ object VectorOps {
   }
 
   /**
+   * Lloyd's k-means over the embedding corpus — the codebook trainer behind
+   * IVF/PQ indexing ([[annIvf]]'s mod-sampled codebook stands in for exactly
+   * this at identical plumbing). Deterministic and engine-portable:
+   *
+   *  - seeds are the vectors with `vec_id % centroidMod == 0` (k-means‖-style
+   *    seeding would add a shuffled sampling pass; mod-sampling keeps the
+   *    oracle replayable);
+   *  - assignment is argmax cosine (ties: lowest cluster id) — the same
+   *    strict-left-fold dot products as the rest of the vector suite;
+   *  - the centroid UPDATE is the one float reduction in the engine whose
+   *    order Spark cannot pin, so per-dimension means go through exact
+   *    DECIMAL(38,18) sums (order-independent) and a single double division
+   *    — bit-identical across partitionings AND engines.
+   *
+   * Per iteration: one broadcast of the k centroids, one argmax pass, one
+   * posexplode + (cluster, dim) aggregation — shuffle volume is corpus×dim
+   * rows of (long, int, double), never corpus². Empty clusters drop out
+   * (standard Lloyd's). Returns the final assignment (vec_id, cluster_id).
+   */
+  def kmeansAssign(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", centroidMod: Int = 25,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val v = Caching.scoped(asDouble(emb, idCol, vecCol))
+    var centroids = v.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = assignToCentroids(v, centroids)
+      centroids = v.join(assigned, Seq("vec_id"))
+        .select(col("centroid_id"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)).cast("double")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("ce"))
+        .withColumn("cn", sqrt(dot("ce", "ce")))
+    }
+    assigned.select(col("vec_id"), col("centroid_id").as("cluster_id"))
+  }
+
+  /**
+   * Scalar int8 quantization of the embedding corpus — the compression stage
+   * of a vector index: each dimension is linearly mapped to 0..255 using the
+   * CORPUS-WIDE per-dimension [min, max] (order-independent aggregates), and
+   * each vector reports its quantized summary plus the mean absolute
+   * reconstruction error in 1e-12 units (per-element errors floor-scaled to
+   * exact integers, summed as bigints — a DECIMAL cast of full-precision
+   * doubles rounds its 18th digit differently across engines; floor(x·1e12)
+   * is IEEE-exact everywhere).
+   *
+   * Scale: one posexplode + per-dimension min/max (dim-sized result,
+   * broadcast back over the exploded frame), one groupBy vec_id. The 4×
+   * compressed codes this models are what a 100 TB ANN index actually
+   * scans; `recon_mae` is the quality gauge for choosing bits-per-dim.
+   */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    // cells feeds both the range aggregation and the quantization join —
+    // scope-cache so the explode scan runs once
+    val cells = Caching.scoped(asDouble(emb, idCol, vecCol)
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "x"))))
+    val ranges = cells.groupBy(col("pos"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val q = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(round((col("x") - col("lo")) / (col("hi") - col("lo")) * 255).cast("long"))
+    cells.join(broadcast(ranges), Seq("pos"))
+      .withColumn("q", q)
+      .withColumn("err",
+        abs(col("x") - (col("lo") + col("q").cast("double") / 255.0 * (col("hi") - col("lo")))))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("dim"),
+        sum(col("q")).as("q_sum"), min(col("q")).as("q_min"), max(col("q")).as("q_max"),
+        (sum(floor(col("err") * lit(1e12)).cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("recon_mae_e12"))
+  }
+
+  /**
    * Embedding-cosine near-dup pairs — the vector member of the dedup family:
    * candidate pairs are vectors sharing an IVF bucket (equi-join on the
    * nearest-centroid assignment — never an all-pairs product), verified with

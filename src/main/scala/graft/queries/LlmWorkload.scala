@@ -131,7 +131,51 @@ object LlmWorkload {
       .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("tok_sum"))
   }
 
+  /** Train/eval decontamination over the hash split: train docs checked for
+    * 3-gram overlap against the val+test eval pool. */
+  def textDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val split = Prep.hashSplit(Tables(spark, dir, "documents"), "doc_id")
+    TextOps.decontamination(
+      split.filter(col("split") === "train"),
+      split.filter(col("split") =!= "train"),
+      "doc_id", "text")
+  }
+
+  /** BM25 (rational-idf variant) of every doc for a fixed stopword probe. */
+  def textBm25(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bm25(Tables(spark, dir, "documents"), "doc_id", "text",
+      terms = Seq("the", "of", "and"))
+
+  /** PII scrub over deterministically enriched text (the corpus itself is
+    * synthetic and PII-free, so the query plants one email/IP/card per doc —
+    * derived from doc_id, replayed identically by the oracle). */
+  def textScrubPii(spark: SparkSession, dir: String): DataFrame = {
+    val enriched = Tables(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), pmod(col("doc_id"), lit(97)).cast("string"),
+        lit("@example.com via 10.0."), pmod(col("doc_id"), lit(251)).cast("string"),
+        lit(".7 card 4111111111111111")).as("text"))
+    TextOps.scrubPii(enriched, "doc_id", "text")
+  }
+
+  /** Two Lloyd iterations of k-means on the embeddings, reduced to
+    * per-cluster membership summaries. */
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.kmeansAssign(Tables(spark, dir, "embeddings"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("vec_id")).as("min_member"), max(col("vec_id")).as("max_member"))
+
+  /** Corpus-range int8 quantization of every embedding. */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.quantizeInt8(Tables(spark, dir, "embeddings"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontamination" -> textDecontamination,
+    "text_bm25" -> textBm25,
+    "text_scrub_pii" -> textScrubPii,
+    "kmeans_clusters" -> kmeansClusters,
+    "embedding_quantize" -> embeddingQuantize,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
@@ -462,6 +506,115 @@ object LlmWorkload {
          |  JOIN v va ON va.vec_id = c.vec_a
          |  JOIN v vb ON vb.vec_id = c.vec_b)
          |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
+    // decontamination replay: same hash split, same distinct 3-gram shingles,
+    // same semi-join overlap counts
+    "text_decontamination" ->
+      s"""WITH base AS (SELECT doc_id, $normSql AS norm,
+         |  ${h64("CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents),
+         |trw AS (SELECT doc_id, string_split(norm, ' ') AS w FROM base WHERE b < 80),
+         |tsh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         |        FROM trw, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+         |evw AS (SELECT doc_id, string_split(norm, ' ') AS w FROM base WHERE b >= 80),
+         |esh AS (SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         |        FROM evw, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY 1),
+         |hits AS (SELECT doc_id, count(*) AS n_overlap FROM tsh
+         |         WHERE shingle IN (SELECT shingle FROM esh) GROUP BY 1)
+         |SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS overlap_ratio,
+         |  COALESCE(h.n_overlap, 0) > 0 AS is_contaminated
+         |FROM tot t LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    // BM25 replay: every constant is COMPUTED the same way on both sides
+    // ((1.2 + 1) rather than 2.2) so each double is bit-identical
+    "text_bm25" -> {
+      val terms = Seq("the", "of", "and")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf$i" }.mkString(",\n  ")
+      val dfCols = terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n  ")
+      val avgdl = "CAST(dl_sum AS DOUBLE) / CAST(N AS DOUBLE)"
+      val score = terms.indices.map(i =>
+        s"""(CAST(N AS DOUBLE) - CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           | / (CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           | * (CAST(tf$i AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+           | / (CAST(tf$i AS DOUBLE) + CAST(1.2 AS DOUBLE)
+           |    * ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+           |       + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / ($avgdl)))""".stripMargin)
+        .mkString("(", ")\n + (", ")")
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         |  $tfCols
+         |  FROM w),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS N, CAST(sum(dl) AS BIGINT) AS dl_sum,
+         |  $dfCols
+         |  FROM base)
+         |SELECT doc_id, dl, tf0, tf1, tf2,
+         |  $score AS bm25
+         |FROM base, st""".stripMargin
+    },
+    // PII scrub replay: same enrichment, same patterns, same replace order
+    "text_scrub_pii" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val num = "\\b[0-9]{13,19}\\b"
+      s"""WITH t AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id % 97 AS VARCHAR)
+         |    || '@example.com via 10.0.' || CAST(doc_id % 251 AS VARCHAR)
+         |    || '.7 card 4111111111111111' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '$num')) AS BIGINT) AS n_longnums,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$ip', '<IP>', 'g'),
+         |    '$num', '<NUM>', 'g')) AS scrubbed_md5
+         |FROM t""".stripMargin
+    },
+    // k-means replay: two unrolled Lloyd iterations — argmax-cosine assign,
+    // DECIMAL-exact per-dimension centroid means, reassign
+    "kmeans_clusters" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |c0 AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % 25 = 0),
+         |a1 AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT v.vec_id, c0.centroid_id,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${cosSql("v.e", "c0.ce")} DESC, c0.centroid_id ASC) AS rn
+         |  FROM v, c0) WHERE rn = 1),
+         |cells AS (SELECT a1.centroid_id, t.i AS pos, va.e[t.i] AS x
+         |  FROM a1 JOIN v va USING (vec_id), UNNEST(range(1, len(va.e) + 1)) AS t(i)),
+         |m AS (SELECT centroid_id, pos,
+         |  CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+         |  FROM cells GROUP BY 1, 2),
+         |c1 AS (SELECT centroid_id, list(m ORDER BY pos) AS ce FROM m GROUP BY 1),
+         |a2 AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT v.vec_id, c1.centroid_id,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${cosSql("v.e", "c1.ce")} DESC, c1.centroid_id ASC) AS rn
+         |  FROM v, c1) WHERE rn = 1)
+         |SELECT centroid_id AS cluster_id, count(*) AS n_members,
+         |  min(vec_id) AS min_member, max(vec_id) AS max_member
+         |FROM a2 GROUP BY 1""".stripMargin,
+    // int8 quantization replay: per-dimension corpus ranges, same rounding
+    // (both engines round positive halves up), DECIMAL-exact error sums
+    "embedding_quantize" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cells AS (SELECT vec_id, t.i AS pos, e[t.i] AS x
+         |  FROM v, UNNEST(range(1, len(e) + 1)) AS t(i)),
+         |r AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM cells GROUP BY 1),
+         |q AS (SELECT vec_id, x, lo, hi,
+         |    CASE WHEN hi = lo THEN 0
+         |      ELSE CAST(round((x - lo) / (hi - lo) * CAST(255 AS DOUBLE)) AS BIGINT)
+         |    END AS q
+         |  FROM cells JOIN r USING (pos))
+         |SELECT vec_id, CAST(count(*) AS BIGINT) AS dim, CAST(sum(q) AS BIGINT) AS q_sum,
+         |  min(q) AS q_min, max(q) AS q_max,
+         |  CAST(CAST(sum(CAST(floor(abs(x - (lo + CAST(q AS DOUBLE) / CAST(255 AS DOUBLE) * (hi - lo)))
+         |    * CAST(1000000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS recon_mae_e12
+         |FROM q GROUP BY vec_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, hex(encode(text)) AS payload_hex,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -385,10 +385,107 @@ object TextOps {
           .otherwise("fr"))
   }
 
+  /**
+   * Train/eval decontamination — the n-gram overlap check every training
+   * pipeline runs before a model sees the corpus: for each training document,
+   * how many of its distinct n-gram shingles also occur ANYWHERE in the eval
+   * set. `is_contaminated` flags any overlap; `overlap_ratio` grades it.
+   *
+   * Scale: one equi-join of the training shingles against the DISTINCT eval
+   * shingle set (shuffle keyed on the shingle — never doc×doc), then one
+   * groupBy per side. Eval sets are typically corpus-scale too (every
+   * benchmark ever published), so the join stays a shuffle join; Spark
+   * broadcasts automatically when the eval side is small.
+   */
+  def decontamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val trainSh = shingles(train, idCol, textCol, n)
+    // no distinct on the eval side: left_semi treats the build side as a set
+    val evalSh = rawShingles(eval, idCol, textCol, n).select(col("shingle"))
+    val totals = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = trainSh.join(evalSh, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_ratio",
+        col("n_overlap").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("is_contaminated", col("n_overlap") > 0)
+  }
+
+  /**
+   * BM25 relevance of every document for a fixed term set — the ranking
+   * function of the keyword-retrieval stage. Uses the RATIONAL idf variant
+   * idf(t) = (N − df + 0.5)/(df + 0.5) (the argument of BM25's log, without
+   * the log): same ordering, but free of transcendental functions whose last
+   * ulp differs across math libraries — every operation is IEEE-defined
+   * +/-/×/÷, so scores are engine-portable bit-for-bit. Term contributions
+   * sum in the fixed order of `terms`.
+   *
+   * Scale: corpus statistics (N, Σdl, per-term df) reduce to ONE row —
+   * integer-exact aggregates only — broadcast back over the corpus; the
+   * per-doc pass is pure codegen'd column arithmetic. No shuffle beyond the
+   * 1-row reduction.
+   */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    def tf(t: String): Column =
+      expr(s"size(filter(__w, x -> x = '$t'))").cast("long")
+    val base = docs.select(col(idCol).as("doc_id"), wordsOf(col(textCol)).as("__w"))
+      .withColumn("dl", size(col("__w")).cast("long"))
+      .select(col("doc_id") +: col("dl") +:
+        terms.zipWithIndex.map { case (t, i) => tf(t).as(s"tf$i") }: _*)
+    val statAggs = count(lit(1)).as("N") +: sum(col("dl")).as("dl_sum") +:
+      terms.indices.map(i => sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val withStats = base.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("dl_sum").cast("double") / col("N").cast("double"))
+    val score = terms.indices.map { i =>
+      val idf = (col("N").cast("double") - col(s"df$i").cast("double") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+      val tfD = col(s"tf$i").cast("double")
+      idf * (tfD * lit(k1 + 1.0)) /
+        (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    }.reduce(_ + _)
+    withStats.select(col("doc_id") +: col("dl") +:
+      terms.indices.map(i => col(s"tf$i")) :+ score.as("bm25"): _*)
+  }
+
+  /** Email / IPv4 / long-digit-run (card-shaped) patterns — Java-regex and
+    * RE2 compatible, so the oracle replays them. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val LongNumRe = "\\b[0-9]{13,19}\\b"
+
+  /**
+   * PII scrub — redact emails, IPv4 addresses, and card-shaped digit runs,
+   * reporting per-document counts and the scrubbed content hash (F14's
+   * regex-masking family, applied corpus-wide). Pure codegen'd regex columns;
+   * replacement order is email → ip → longnum so the patterns cannot feed
+   * each other (an email's host can contain digits but never 13+ in a row).
+   */
+  def scrubPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        LongNumRe, "<NUM>")
+    docs.select(col(idCol).as("doc_id"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t, lit(LongNumRe), lit(0))).cast("long").as("n_longnums"),
+      md5(scrubbed).as("scrubbed_md5"))
+  }
+
   /** Document fingerprints: whole-content hash plus the minimum shingle hash
     * (a 1-permutation MinHash — the winnowing anchor). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+    // rawShingles: `min` dedups inside its own aggregation, so the distinct's
+    // separate exchange would be pure waste
+    val sh = rawShingles(docs, idCol, textCol, n)
       .groupBy(col("doc_id")).agg(min(hash64(col("shingle"))).as("min_shingle_hash"))
     docs.select(col(idCol).as("doc_id"), hash64(normalizeText(col(textCol))).as("content_hash"))
       .join(sh, Seq("doc_id"), "left")

@@ -115,4 +115,33 @@ class VectorOpsSpec extends SparkSpec {
     assert(guarded > 0L && guarded < 600L,
       s"expected bounded sub-bucket pairing, got $guarded")
   }
+
+  test("kmeansAssign separates two obvious clusters and converges members to their centroid") {
+    // ids 0 and 25 are the seeds (mod 25): 0 sits in cluster A, 25 in cluster B
+    val a = Seq(1.0, 0.0); val b = Seq(0.0, 1.0)
+    def jitter(v: Seq[Double], eps: Double) = Seq(v(0) + eps, v(1) - eps)
+    val rows = Seq(
+      0L -> a, 1L -> jitter(a, 0.01), 2L -> jitter(a, 0.02), 3L -> jitter(a, -0.01),
+      25L -> b, 26L -> jitter(b, 0.01), 27L -> jitter(b, -0.02), 28L -> jitter(b, 0.02))
+    val out = VectorOps.kmeansAssign(emb(rows: _*), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(Set(0L, 1L, 2L, 3L).forall(id => out(id) == 0L))
+    assert(Set(25L, 26L, 27L, 28L).forall(id => out(id) == 25L))
+  }
+
+  test("quantizeInt8: endpoints map to 0/255, midpoint rounds, flat dims quantize to 0") {
+    val out = VectorOps.quantizeInt8(emb(
+      0L -> Seq(0.0, 5.0),
+      1L -> Seq(1.0, 5.0),
+      2L -> Seq(0.5, 5.0))).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // dim 0 range [0,1]: 0.0->q0, 1.0->q255, 0.5->round(127.5)=128; dim 1 flat -> 0
+    assert(out(0L).getAs[Long]("q_sum") == 0L)
+    assert(out(1L).getAs[Long]("q_sum") == 255L)
+    assert(out(2L).getAs[Long]("q_sum") == 128L)
+    assert(out.values.forall(_.getAs[Long]("dim") == 2L))
+    // exact grid points reconstruct exactly: zero scaled error
+    assert(out(0L).getAs[Double]("recon_mae_e12") == 0.0)
+    assert(out(1L).getAs[Double]("recon_mae_e12") == 0.0)
+  }
 }

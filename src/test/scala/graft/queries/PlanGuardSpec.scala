@@ -27,7 +27,9 @@ class PlanGuardSpec extends SparkSpec {
     "j2_dup_count",           // 1-row time-window anchor
     "j3_dedup_purge",         // 1-row time-window anchor
     "s11_retention_delete",   // 1-row retention-watermark anchor
-    "srt1_retention_watermark") // 1-row watermark probe
+    "srt1_retention_watermark", // 1-row watermark probe
+    "text_bm25",              // 1-row corpus-statistics (N, Σdl, df) anchor
+    "kmeans_clusters")        // k-row centroid set broadcast (argmax assign)
 
   test("no registered query plans a cartesian or unjustified nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

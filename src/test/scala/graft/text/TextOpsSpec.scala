@@ -169,4 +169,40 @@ class TextOpsSpec extends SparkSpec {
         Option(r.getAs[java.lang.Long]("min_shingle_hash"))).toMap
     assert(out(1L).isDefined && out(2L).isEmpty)
   }
+
+  test("decontamination flags train docs overlapping the eval set") {
+    val train = docs((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+    val eval_ = docs((10L, "beta gamma delta epsilon"), (11L, "unrelated words entirely here"))
+    val out = TextOps.decontamination(train, eval_, "doc_id", "text")
+      .select("doc_id", "n_shingles", "n_overlap", "is_contaminated")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // train 1: shingles {alpha beta gamma, beta gamma delta}; eval has {beta gamma delta, ...}
+    assert(out(1L) == ((1L, 2L, 1L, true)))
+    assert(out(2L) == ((2L, 2L, 0L, false)))
+  }
+
+  test("bm25: zero for absent terms, higher for denser matches at equal length") {
+    val out = TextOps.bm25(docs(
+      (1L, "the the the cat sat"),
+      (2L, "the cat sat mat hat"),
+      (3L, "cat sat mat hat bat")), "doc_id", "text", terms = Seq("the"))
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    assert(out(3L) == 0.0)                       // term absent
+    assert(out(1L) > out(2L) && out(2L) > 0.0)   // tf 3 beats tf 1 at equal dl
+  }
+
+  test("scrubPii counts and redacts emails, IPs, and long digit runs") {
+    val out = TextOps.scrubPii(docs(
+      (1L, "mail a.user@test.org or 10.1.2.3 card 4111111111111111 ok"),
+      (2L, "nothing here")), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1L)
+    assert(out(1L).getAs[Long]("n_ips") == 1L)
+    assert(out(1L).getAs[Long]("n_longnums") == 1L)
+    assert(out(2L).getAs[Long]("n_emails") == 0L)
+    // the scrubbed hash equals md5 of the expected redacted text
+    val expected = spark.sql(
+      "SELECT md5('mail <EMAIL> or <IP> card <NUM> ok')").as[String].head()
+    assert(out(1L).getAs[String]("scrubbed_md5") == expected)
+  }
 }
