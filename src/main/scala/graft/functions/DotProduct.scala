@@ -77,6 +77,8 @@ case class DotProduct(left: Expression, right: Expression)
   * `builder.withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // auto-vectorize the HOF dot-product spelling into the native Expression
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
