@@ -182,6 +182,64 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** Squared L2 via dot products — 3 strict folds, the same IEEE value on
+    * every engine: ((a·a − 2(a·b)) + b·b). */
+  private def sqDist(a: String, b: String): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /**
+   * PQ (product-quantization) ANN top-k — the compressed scale path of the
+   * similarity suite: the 64-dim corpus is split into `m` subspaces, every
+   * sub-vector is ENCODED as its nearest codeword id (codebooks are the
+   * mod-sampled sub-vectors — the training-free stand-in for per-subspace
+   * [[kmeansAssign]]), and probes score the whole corpus with ADC: distance
+   * table probe×codeword per subspace (tiny), then an equi-join against the
+   * corpus CODES — the full float vectors never move after encoding. This is
+   * what a 100 TB ANN index actually scans: m small ints per vector instead
+   * of the embedding.
+   *
+   * Determinism: per-subspace distances are strict-fold doubles (identical
+   * on every engine), the ADC total is a sum of floor(d²·1e12) integers —
+   * exact and order-independent — and all argmins tie-break on id, so the
+   * DuckDB oracle replays the encoding and the ranking bit-for-bit.
+   */
+  def annPq(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      m: Int = 4, codebookMod: Int = 25, probeMod: Int = 100, k: Int = 10): DataFrame = {
+    val v = emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("e"))
+    val subCols = (0 until m).map { j =>
+      struct(lit(j).as("j"),
+        expr(s"slice(e, $j * (size(e) div $m) + 1, size(e) div $m)").as("se"))
+    }
+    val subs = Caching.scoped(
+      v.select(col("vec_id"), explode(array(subCols: _*)).as("s"))
+        .select(col("vec_id"), col("s.j").as("j"), col("s.se").as("se")))
+    val codebook = subs.filter(pmod(col("vec_id"), lit(codebookMod)) === 0)
+      .select(col("j"), col("vec_id").as("code_id"), col("se").as("ce"))
+    // encode: nearest codeword per (vector, subspace) — broadcast codebook,
+    // struct-min argmin (order-independent, ties on code_id)
+    val codes = subs.join(broadcast(codebook), Seq("j"))
+      .withColumn("d2", sqDist("se", "ce"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d2"), col("code_id"))).as("mn"))
+      .select(col("vec_id"), col("j"), col("mn.code_id").as("code_id"))
+    // ADC: probe → per-(subspace, codeword) distance table in exact 1e-12
+    // integer units; corpus distance = integer sum over the m code lookups
+    val dt = subs.filter(pmod(col("vec_id"), lit(probeMod)) === 0)
+      .select(col("vec_id").as("probe_id"), col("j"), col("se").as("pe"))
+      .join(broadcast(codebook), Seq("j"))
+      .select(col("probe_id"), col("j"), col("code_id"),
+        floor(sqDist("pe", "ce") * lit(1e12)).cast("long").as("d2e"))
+    val scored = codes.join(broadcast(dt), Seq("j", "code_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("d2e")).as("adc"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
   /**
    * Lloyd's k-means over the embedding corpus — the codebook trainer behind
    * IVF/PQ indexing ([[annIvf]]'s mod-sampled codebook stands in for exactly

@@ -170,12 +170,17 @@ object LlmWorkload {
   def embeddingQuantize(spark: SparkSession, dir: String): DataFrame =
     VectorOps.quantizeInt8(Tables(spark, dir, "embeddings"))
 
+  /** PQ-compressed ANN: encode to per-subspace codewords, ADC top-k. */
+  def annTopkPq(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.annPq(Tables(spark, dir, "embeddings"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_decontamination" -> textDecontamination,
     "text_bm25" -> textBm25,
     "text_scrub_pii" -> textScrubPii,
     "kmeans_clusters" -> kmeansClusters,
     "embedding_quantize" -> embeddingQuantize,
+    "ann_topk_pq" -> annTopkPq,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
@@ -597,6 +602,34 @@ object LlmWorkload {
          |SELECT centroid_id AS cluster_id, count(*) AS n_members,
          |  min(vec_id) AS min_member, max(vec_id) AS max_member
          |FROM a2 GROUP BY 1""".stripMargin,
+    // PQ replay: same mod-sampled codebooks, same strict-fold squared
+    // distances, same floor(d2*1e12) integer ADC, same tie-breaks
+    "ann_topk_pq" -> {
+      def d2(a: String, b: String) =
+        s"(${dotSql(a, a)} - CAST(2 AS DOUBLE) * ${dotSql(a, b)} + ${dotSql(b, b)})"
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |sub AS (SELECT vec_id, j,
+         |  list_slice(e, j * (len(e) // 4) + 1, (j + 1) * (len(e) // 4)) AS se
+         |  FROM v, (SELECT unnest(range(0, 4)) AS j)),
+         |cb AS (SELECT j, vec_id AS code_id, se AS ce FROM sub WHERE vec_id % 25 = 0),
+         |enc AS (SELECT vec_id, j, code_id FROM (
+         |  SELECT s.vec_id, s.j, cb.code_id,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.j
+         |      ORDER BY ${d2("s.se", "cb.ce")} ASC, cb.code_id ASC) AS rn
+         |  FROM sub s JOIN cb ON cb.j = s.j) WHERE rn = 1),
+         |p AS (SELECT vec_id AS probe_id, j, se AS pe FROM sub WHERE vec_id % 100 = 0),
+         |dt AS (SELECT p.probe_id, p.j, cb.code_id,
+         |    CAST(floor(${d2("p.pe", "cb.ce")} * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS d2e
+         |  FROM p JOIN cb ON cb.j = p.j),
+         |adc AS (SELECT dt.probe_id, enc.vec_id, sum(d2e) AS adc
+         |  FROM enc JOIN dt ON dt.j = enc.j AND dt.code_id = enc.code_id
+         |  WHERE enc.vec_id <> dt.probe_id
+         |  GROUP BY 1, 2),
+         |r AS (SELECT probe_id, vec_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY adc ASC, vec_id ASC) AS rnk
+         |  FROM adc)
+         |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin
+    },
     // int8 quantization replay: per-dimension corpus ranges, same rounding
     // (both engines round positive halves up), DECIMAL-exact error sums
     "embedding_quantize" ->

@@ -144,4 +144,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(out(0L).getAs[Double]("recon_mae_e12") == 0.0)
     assert(out(1L).getAs[Double]("recon_mae_e12") == 0.0)
   }
+
+  test("annPq ranks an exact duplicate of the probe first and never returns the probe") {
+    val rows = Seq(
+      0L -> Seq(1.0, 0.0, 0.0, 1.0),     // codeword
+      1L -> Seq(0.0, 0.9, 0.9, 0.0),
+      2L -> Seq(0.0, 1.0, 1.0, 0.0),     // codeword
+      3L -> Seq(0.1, 1.0, 1.0, 0.1),
+      4L -> Seq(1.0, 0.1, 0.1, 1.0),     // probe (and codeword, mod 2)
+      5L -> Seq(1.0, 0.1, 0.1, 1.0))     // exact duplicate of the probe
+    val out = VectorOps.annPq(emb(rows: _*), m = 2, codebookMod = 2,
+        probeMod = 4, k = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(!out.exists(r => r._1 == r._2), "probe must never be its own neighbor")
+    val probe4 = out.filter(_._1 == 4L).sortBy(_._3)
+    assert(probe4.head._2 == 5L, s"duplicate must rank first: ${probe4.toSeq}")
+    assert(probe4.map(_._3).toSeq == (1 to probe4.length).toSeq)
+    assert(probe4.length <= 3)
+  }
 }
