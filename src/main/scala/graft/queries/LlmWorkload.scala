@@ -174,6 +174,20 @@ object LlmWorkload {
   def annTopkPq(spark: SparkSession, dir: String): DataFrame =
     VectorOps.annPq(Tables(spark, dir, "embeddings"))
 
+  /** TF-IDF top term per document (rational idf). */
+  def textTfidfTop(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfTopTerm(Tables(spark, dir, "documents"), "doc_id", "text")
+
+  /** Language-stratified deterministic sampling (en 50% / de 25% / fr 10%),
+    * reduced to per-stratum kept counts. */
+  def prepStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val lang = TextOps.langId(Tables(spark, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("lang_pred"))
+    Prep.stratifiedSample(lang, "doc_id", "lang_pred",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1))
+      .groupBy(col("lang_pred")).agg(count(lit(1)).as("n_kept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_decontamination" -> textDecontamination,
     "text_bm25" -> textBm25,
@@ -181,6 +195,8 @@ object LlmWorkload {
     "kmeans_clusters" -> kmeansClusters,
     "embedding_quantize" -> embeddingQuantize,
     "ann_topk_pq" -> annTopkPq,
+    "text_tfidf_top" -> textTfidfTop,
+    "prep_stratified_sample" -> prepStratifiedSample,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
@@ -602,6 +618,39 @@ object LlmWorkload {
          |SELECT centroid_id AS cluster_id, count(*) AS n_members,
          |  min(vec_id) AS min_member, max(vec_id) AS max_member
          |FROM a2 GROUP BY 1""".stripMargin,
+    // TF-IDF replay: same tf/df integer counts, same rational idf
+    "text_tfidf_top" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word
+         |  FROM (SELECT doc_id, $normSql AS norm FROM documents)),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(DISTINCT doc_id) AS N FROM documents),
+         |s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         |    CAST(tf.tf AS DOUBLE) * ((CAST(N AS DOUBLE) + CAST(1 AS DOUBLE))
+         |      / (CAST(df.df AS DOUBLE) + CAST(1 AS DOUBLE))) AS tfidf
+         |  FROM tf JOIN df USING (word), n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, word ASC) AS rn FROM s)
+         |SELECT doc_id, word AS top_word, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df AS BIGINT) AS df, tfidf
+         |FROM r WHERE rn = 1""".stripMargin,
+    // stratified-sample replay: same langId strata, same salted hash grid
+    "prep_stratified_sample" ->
+      s"""WITH s AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(list_filter(w, x -> x IN ('the','and','of','to','in','a'))) AS BIGINT) AS en_hits,
+         |  CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS de_hits,
+         |  CAST(len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS fr_hits
+         |  FROM s),
+         |lang AS (SELECT doc_id,
+         |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+         |       WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS lang_pred
+         |  FROM m),
+         |kept AS (SELECT doc_id, lang_pred FROM lang
+         |  WHERE ${h64("CAST(doc_id AS VARCHAR) || '#strat'")} % 10000 <
+         |    CASE lang_pred WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+         |      WHEN 'fr' THEN 1000 ELSE 0 END)
+         |SELECT lang_pred, count(*) AS n_kept FROM kept GROUP BY 1""".stripMargin,
     // PQ replay: same mod-sampled codebooks, same strict-fold squared
     // distances, same floor(d2*1e12) integer ADC, same tie-breaks
     "ann_topk_pq" -> {

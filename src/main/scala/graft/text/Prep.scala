@@ -36,6 +36,28 @@ object Prep {
   }
 
   /**
+   * Deterministic stratified sampling: keep each row with its stratum's
+   * rate, decided by the md5 hash of (id + salt) against a 1/10000 grid —
+   * the per-stratum up/down-sampling step of corpus mixing (e.g. keep 50%
+   * of English, 10% of the long tail). Like [[hashSplit]], membership is a
+   * pure per-row function of the id: stable under corpus growth, replayable
+   * by any engine, no shuffle at all. Strata absent from `rates` are
+   * dropped (rate 0).
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], salt: String = "strat"): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1),
+      s"rates must be in [0, 1]: $rates")
+    val grid = rates.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (stratum, r)) =>
+        when(col(stratumCol) === stratum, lit(math.round(r * 10000).toLong))
+          .otherwise(acc)
+    }
+    df.filter(pmod(TextOps.hash64(
+      concat(col(idCol).cast("string"), lit("#" + salt))), lit(10000L)) < grid)
+  }
+
+  /**
    * Token-budget shard packing: documents are laid out in id order and cut
    * into shards of ~`budget` tokens (a doc belongs to the shard its
    * EXCLUSIVE prefix token sum falls in, so shards are contiguous id ranges

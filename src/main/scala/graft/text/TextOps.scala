@@ -452,6 +452,35 @@ object TextOps {
       terms.indices.map(i => col(s"tf$i")) :+ score.as("bm25"): _*)
   }
 
+  /**
+   * TF-IDF top term per document — the inverted-index ranking shape: explode
+   * words, per-(doc, word) term frequencies, corpus document frequencies,
+   * score tf · (N+1)/(df+1) (the rational idf — monotone with the log form,
+   * but free of transcendentals so scores are engine-portable), keep each
+   * document's best term (ties: lexicographically first).
+   *
+   * Scale: the word explode shuffles once on (doc, word) for tf, once on
+   * word for df (both with map-side partial aggregation), one broadcast of
+   * the 1-row corpus count, one window per doc. The df frame is the actual
+   * inverted-index vocabulary — vocabulary-sized, not corpus-sized.
+   */
+  def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(wordsOf(col(textCol))).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("N"))
+    val scored = tf.join(df, Seq("word")).crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf").cast("double") *
+        ((col("N").cast("double") + lit(1.0)) / (col("df").cast("double") + lit(1.0))))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("word").as("top_word"),
+        col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Email / IPv4 / long-digit-run (card-shaped) patterns — Java-regex and
     * RE2 compatible, so the oracle replays them. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -37,4 +37,24 @@ class PrepSpec extends SparkSpec {
       .select("w", "id", "shard").as[(String, Long, Long)].collect().toSet
     assert(out == Set(("a", 1L, 0L), ("a", 2L, 0L), ("b", 3L, 0L), ("b", 4L, 0L)))
   }
+
+  test("stratifiedSample keeps deterministic per-stratum fractions and drops unknown strata") {
+    val rows = (0L until 1000L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
+    val df = rows.toDF("doc_id", "stratum")
+    val kept = Prep.stratifiedSample(df, "doc_id", "stratum",
+      Map("en" -> 0.5, "de" -> 0.1))
+    val counts = kept.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    // deterministic: the same call yields the same rows
+    val again = Prep.stratifiedSample(df, "doc_id", "stratum",
+      Map("en" -> 0.5, "de" -> 0.1)).select("doc_id").as[Long].collect().toSet
+    assert(kept.select("doc_id").as[Long].collect().toSet == again)
+    // unknown stratum dropped entirely; rates roughly honored (hash grid)
+    assert(!counts.contains("xx"))
+    assert(counts("en") > 100 && counts("en") < 234)   // ~167 expected of 334
+    assert(counts("de") > 5 && counts("de") < 70)      // ~33 expected of 333
+    // rate 1.0 keeps everything, rate 0 would keep nothing
+    val full = Prep.stratifiedSample(df, "doc_id", "stratum", Map("xx" -> 1.0))
+    assert(full.count() == rows.count(_._2 == "xx"))
+  }
 }

@@ -205,4 +205,13 @@ class TextOpsSpec extends SparkSpec {
       "SELECT md5('mail <EMAIL> or <IP> card <NUM> ok')").as[String].head()
     assert(out(1L).getAs[String]("scrubbed_md5") == expected)
   }
+
+  test("tfidfTopTerm picks the rarest-weighted frequent term, ties by word") {
+    val out = TextOps.tfidfTopTerm(docs(
+      (1L, "apple apple banana"),       // apple tf2 df1 -> 2*(3+1)/(1+1)=4; banana tf1 df2 -> 1.33
+      (2L, "banana cherry cherry"),     // cherry tf2 df1 -> 4
+      (3L, "banana zebra zebra zebra")), "doc_id", "text")
+      .select("doc_id", "top_word").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "apple", 2L -> "cherry", 3L -> "zebra"))
+  }
 }
