@@ -174,6 +174,13 @@ object LlmWorkload {
   def annTopkPq(spark: SparkSession, dir: String): DataFrame =
     VectorOps.annPq(Tables(spark, dir, "embeddings"))
 
+  /** Canonical near-dup clusters: connected components over the MinHash/LSH
+    * pair graph — every clustered doc labeled with its component's min id. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    TextOps.connectedComponents(
+      TextOps.minhashNearDups(Tables(spark, dir, "documents"), "doc_id", "text"))
+      .select(col("id").as("doc_id"), col("component"))
+
   /** TF-IDF top term per document (rational idf). */
   def textTfidfTop(spark: SparkSession, dir: String): DataFrame =
     TextOps.tfidfTopTerm(Tables(spark, dir, "documents"), "doc_id", "text")
@@ -197,6 +204,7 @@ object LlmWorkload {
     "ann_topk_pq" -> annTopkPq,
     "text_tfidf_top" -> textTfidfTop,
     "prep_stratified_sample" -> prepStratifiedSample,
+    "dedup_clusters" -> dedupClusters,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
@@ -618,6 +626,19 @@ object LlmWorkload {
          |SELECT centroid_id AS cluster_id, count(*) AS n_members,
          |  min(vec_id) AS min_member, max(vec_id) AS max_member
          |FROM a2 GROUP BY 1""".stripMargin,
+    // cluster replay: the same MinHash pair graph, closed transitively with
+    // a recursive CTE — both engines converge to the unique min-label fixpoint
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT doc_a, doc_b FROM ($minhashOracle)),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+         |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1""".stripMargin,
     // TF-IDF replay: same tf/df integer counts, same rational idf
     "text_tfidf_top" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word

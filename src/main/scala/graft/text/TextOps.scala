@@ -297,6 +297,58 @@ object TextOps {
       .filter(col("hamming") <= maxDist)
   }
 
+  /**
+   * Connected components over near-dup pairs — the step that turns pairwise
+   * dedup output into CANONICAL CLUSTERS (every member labeled with the
+   * minimum doc id of its component, the id a dedup pass would keep).
+   * Min-label propagation to the fixpoint: each iteration every node takes
+   * the minimum of its own label and its neighbors' labels; the loop stops
+   * when an iteration changes nothing. The fixpoint (min id reachable from
+   * each node) is unique, so the result is independent of iteration count,
+   * partitioning, and engine — the oracle computes the same closure with a
+   * recursive CTE.
+   *
+   * Scale: each iteration is one equi-join on the node id plus a groupBy —
+   * O(E) shuffle per round, rounds ≈ component diameter. Near-dup components
+   * are tiny by construction (a handful of variants of one document), so
+   * 2–3 rounds converge; for adversarial long-chain graphs the same loop
+   * accepts the large-star/small-star optimization without changing the
+   * contract. Labels persist per round and release on the next (driver
+   * convergence check is one count per round — the standard distributed CC
+   * shape, not a driver-side algorithm).
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIters: Int = 50): DataFrame = {
+    val edges = Caching.scoped(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    var labels = Caching.scoped(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("component")))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("nc")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nc")).as("nc"))
+        .select(col("src").as("id"), col("nc"))
+      val next = Caching.scoped(
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nc"), col("component")))
+              .as("component")))
+      val changed = next.alias("n")
+        .join(labels.alias("l"), col("n.id") === col("l.id"))
+        .filter(col("n.component") < col("l.component"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
   // ------------------------------------------------------------- exact dedup
 
   /** Exact dedup by normalized-text hash: every doc mapped to the canonical

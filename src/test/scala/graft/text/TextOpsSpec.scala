@@ -214,4 +214,20 @@ class TextOpsSpec extends SparkSpec {
       .select("doc_id", "top_word").as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "apple", 2L -> "cherry", 3L -> "zebra"))
   }
+
+  test("connectedComponents: chain collapses to one component, pairs stay separate") {
+    // chain 5-3-8 (needs >1 propagation round) plus an isolated pair 10-9
+    val pairs = Seq((5L, 3L), (3L, 8L), (10L, 9L)).toDF("doc_a", "doc_b")
+    val out = TextOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(3L -> 3L, 5L -> 3L, 8L -> 3L, 9L -> 9L, 10L -> 9L))
+  }
+
+  test("connectedComponents reaches the fixpoint on a long chain") {
+    // a path graph 0-1-2-...-9: min label must ripple the full diameter
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = TextOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out.size == 10 && out.values.forall(_ == 0L))
+  }
 }
