@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ml.{Multimodal, VectorOps}
@@ -174,6 +175,22 @@ object LlmWorkload {
   def annTopkPq(spark: SparkSession, dir: String): DataFrame =
     VectorOps.annPq(Tables(spark, dir, "embeddings"))
 
+  /** Quality-decile binning — the curriculum/filtering cutpoint table: rank
+    * every doc by quality score (doc_id tie-break for a total order), ntile
+    * into 10 buckets, summarize each. The global-sort window is exact decile
+    * semantics; at 100 TB the same table comes from `approx_percentile`
+    * cutpoints joined back (approximate boundaries, no global sort) — this
+    * entry pins the exact semantics the approximation targets. */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.textStats(Tables(spark, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.orderBy(col("quality_score").asc, col("doc_id").asc)
+    q.withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality_score")).as("min_q"), max(col("quality_score")).as("max_q"))
+  }
+
   /** Canonical near-dup clusters: connected components over the MinHash/LSH
     * pair graph — every clustered doc labeled with its component's min id. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
@@ -205,6 +222,7 @@ object LlmWorkload {
     "text_tfidf_top" -> textTfidfTop,
     "prep_stratified_sample" -> prepStratifiedSample,
     "dedup_clusters" -> dedupClusters,
+    "quality_deciles" -> qualityDeciles,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
@@ -626,6 +644,24 @@ object LlmWorkload {
          |SELECT centroid_id AS cluster_id, count(*) AS n_members,
          |  min(vec_id) AS min_member, max(vec_id) AS max_member
          |FROM a2 GROUP BY 1""".stripMargin,
+    // decile replay: same quality formula (pinned by text_stats), same
+    // total order (score, doc_id), standard ntile on both engines
+    "quality_deciles" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, text, string_split($normSql, ' ') AS w FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(0.4 AS DOUBLE) * (CAST(len(list_filter(w, x -> x IN ('the','and','of','to','in','a'))) AS DOUBLE)
+         |      / CAST(len(w) AS DOUBLE))
+         |    + CAST(0.3 AS DOUBLE) * least(CAST(len(w) AS DOUBLE) / CAST(50 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE)
+         |      - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE)) AS q
+         |  FROM s),
+         |d AS (SELECT doc_id, q,
+         |    ntile(10) OVER (ORDER BY q ASC, doc_id ASC) AS decile FROM m)
+         |SELECT decile, count(*) AS n_docs, min(q) AS min_q, max(q) AS max_q
+         |FROM d GROUP BY 1""".stripMargin,
     // cluster replay: the same MinHash pair graph, closed transitively with
     // a recursive CTE — both engines converge to the unique min-label fixpoint
     "dedup_clusters" ->

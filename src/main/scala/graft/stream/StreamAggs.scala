@@ -35,6 +35,25 @@ object StreamAggs {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col(keyCol), col("cnt"))
 
+  /** Stream–static enrichment: join the unbounded stream against a bounded
+    * dimension (the reference enriches visits with site metadata the same
+    * way — site registry joined to the visit stream), then windowed counts
+    * per dimension attribute. The static side is broadcast: every
+    * micro-batch probes the in-memory dim table, no stream-side shuffle for
+    * the join and no state beyond the windowed aggregation. Rows with no
+    * dimension match are kept with a null attribute (left join) — an
+    * unknown key must surface, not silently drop. */
+  def enrichedWindowedCounts(events: DataFrame, dim: DataFrame,
+      tsCol: String, keyCol: String, attrCol: String,
+      windowDuration: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .join(broadcast(dim.select(col(keyCol), col(attrCol))), Seq(keyCol), "left")
+      .groupBy(window(col(tsCol), windowDuration), col(attrCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(attrCol), col("cnt"))
+
   /** Sessionization: gap-based session windows per key (the visit-session
     * shape of the reference's data model, as an event-time operator).
     * Sessions close when no event arrives within `gapDuration`; the

@@ -158,4 +158,26 @@ class StreamAggsSpec extends SparkSpec {
       assert(ks == Seq("a", "a", "b", "w"))
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins the broadcast dim per micro-batch, keeps unknown keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "shop"), (2L, "blog")).toDF("idsite", "site_kind")
+    val ms = MemoryStream[(Timestamp, Long)]
+    val out = StreamAggs.enrichedWindowedCounts(
+      ms.toDF().toDF("ts", "idsite"), dim, "ts", "idsite", "site_kind",
+      windowDuration = "1 hour", watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData((ts("2024-01-01 10:05:00"), 1L), (ts("2024-01-01 10:10:00"), 1L),
+        (ts("2024-01-01 10:20:00"), 2L), (ts("2024-01-01 10:30:00"), 99L))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 12:00:00"), 1L))   // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("site_kind", "cnt").collect()
+        .map(r => Option(r.getString(0)) -> r.getLong(1)).toSet
+      assert(rows == Set(Some("shop") -> 2L, Some("blog") -> 1L, None -> 1L))
+    } finally q.stop()
+  }
 }
