@@ -143,6 +143,16 @@ object CdcWorkload {
         col("visit_total_actions"), col("visit_total_time"), col(Schemas.VersionCol))
   }
 
+  /** Materialized-view maintenance: the per-event_type (count, Σvalue)
+    * aggregate maintained purely from change deltas — never recomputed from
+    * the table. Sums in exact integer micro-units so batching cannot drift. */
+  def cdcIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val empty = Tables(spark, dir, "events")
+      .select(col("event_type")).filter(lit(false))
+      .select(col("event_type"), lit(0L).as("cnt"), lit(0L).as("sum_micro"))
+    Cdc.incrementalAgg(empty, changeLog(spark, dir), "event_type", "value")
+  }
+
   /** S11 — the bounded retention delete as a whole-table operator: the
     * surviving rows after the SRT1-watermark purge
     * (reference: matomo2clickhouse.py:401-443). */
@@ -157,6 +167,7 @@ object CdcWorkload {
     "cdc_apply_mutable" -> cdcApplyMutable,
     "cdc_ledger_entry" -> cdcLedgerEntry,
     "cdc_apply_registry" -> cdcApplyRegistry,
+    "cdc_incremental_agg" -> cdcIncrementalAgg,
     "s11_retention_delete" -> s11RetentionDelete
   )
 
@@ -243,6 +254,19 @@ object CdcWorkload {
         |FROM hist h
         |JOIN (SELECT user_id, max(dateid) AS m FROM hist GROUP BY user_id) t
         |  ON h.user_id = t.user_id AND h.dateid = t.m""".stripMargin,
+    // delta replay: INSERT +after, DELETE -before, UPDATE -before +after,
+    // exact integer micro-unit sums (before.value = value - 1 per the log)
+    "cdc_incremental_agg" ->
+      s"""WITH $changeLogSql,
+        |minus AS (SELECT event_type AS g, -1 AS dc,
+        |    -CAST(floor((value - CAST(1 AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS dv
+        |  FROM log WHERE op IN ('DELETE', 'UPDATE')),
+        |plus AS (SELECT event_type AS g, 1 AS dc,
+        |    CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS dv
+        |  FROM log WHERE op IN ('INSERT', 'UPDATE'))
+        |SELECT g AS event_type, CAST(sum(dc) AS BIGINT) AS cnt,
+        |  CAST(sum(dv) AS BIGINT) AS sum_micro
+        |FROM (SELECT * FROM minus UNION ALL SELECT * FROM plus) GROUP BY 1""".stripMargin,
     "s11_retention_delete" ->
       """WITH wm AS (
         |  SELECT max(event_id) AS w FROM (

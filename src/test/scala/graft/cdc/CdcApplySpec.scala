@@ -179,4 +179,32 @@ class CdcApplySpec extends SparkSpec {
       (1L, Some("old-dup"), None, 1L), (1L, Some("old-dup2"), None, 2L),
       (2L, Some("w1"), None, 200L)))
   }
+
+  test("incrementalAgg: batched maintenance equals whole-log maintenance exactly") {
+    import spark.implicits._
+    val raw = Seq(
+      ("INSERT", None, Some(("x", 2.25))),
+      ("INSERT", None, Some(("y", 1.0))),
+      ("UPDATE", Some(("x", 2.25)), Some(("x", 3.5))),
+      ("DELETE", Some(("y", 1.0)), None),
+      ("INSERT", None, Some(("y", 7.125))))
+      .toDF("op", "b", "a")
+    val changes = raw.select(col("op"),
+      when(col("b").isNotNull, struct(col("b._1").as("g"), col("b._2").as("v"))).as("before"),
+      when(col("a").isNotNull, struct(col("a._1").as("g"), col("a._2").as("v"))).as("after"))
+    val empty = Seq.empty[(String, Long, Long)].toDF("g", "cnt", "sum_micro")
+
+    val whole = Cdc.incrementalAgg(empty, changes, "g", "v")
+      .as[(String, Long, Long)].collect().toSet
+    // x: +2250000, then -2250000 +3500000 -> cnt 1, 3500000
+    // y: +1000000, -1000000, +7125000 -> cnt 1, 7125000
+    assert(whole == Set(("x", 1L, 3500000L), ("y", 1L, 7125000L)))
+
+    // maintaining across an arbitrary batch boundary is EXACT (integer deltas)
+    val batched = Cdc.incrementalAgg(
+      Cdc.incrementalAgg(empty, changes.limit(2), "g", "v"),
+      changes.exceptAll(changes.limit(2)), "g", "v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(batched == whole)
+  }
 }
