@@ -202,6 +202,22 @@ object LlmWorkload {
   def textTfidfTop(spark: SparkSession, dir: String): DataFrame =
     TextOps.tfidfTopTerm(Tables(spark, dir, "documents"), "doc_id", "text")
 
+  /** Z-order layout assignment over the events table: Morton-interleave
+    * (user_id, event_id) low bits, range-bucket by z-value into 16 "files",
+    * summarize each — the data-skipping layout a 100 TB table is written in. */
+  def prepZorder(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events").select(
+      col("event_id"),
+      pmod(col("user_id"), lit(65536L)).as("x"),
+      pmod(col("event_id"), lit(65536L)).as("y"))
+    val z = e.withColumn("zval", Prep.zorderValue(col("x"), col("y")))
+    val w = Window.orderBy(col("zval").asc, col("event_id").asc)
+    z.withColumn("bucket", ntile(16).over(w))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("zval")).as("z_min"), max(col("zval")).as("z_max"))
+  }
+
   /** Language-stratified deterministic sampling (en 50% / de 25% / fr 10%),
     * reduced to per-stratum kept counts. */
   def prepStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
@@ -223,6 +239,7 @@ object LlmWorkload {
     "prep_stratified_sample" -> prepStratifiedSample,
     "dedup_clusters" -> dedupClusters,
     "quality_deciles" -> qualityDeciles,
+    "prep_zorder" -> prepZorder,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
@@ -644,6 +661,21 @@ object LlmWorkload {
          |SELECT centroid_id AS cluster_id, count(*) AS n_members,
          |  min(vec_id) AS min_member, max(vec_id) AS max_member
          |FROM a2 GROUP BY 1""".stripMargin,
+    // z-order replay: same unrolled Morton interleave, same bucket order
+    "prep_zorder" -> {
+      val terms = (0 until 16).map(i =>
+        s"((((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT event_id,
+         |    CAST(user_id % 65536 AS BIGINT) AS x,
+         |    CAST(event_id % 65536 AS BIGINT) AS y
+         |  FROM events),
+         |z AS (SELECT event_id, $terms AS zval FROM e),
+         |b AS (SELECT zval,
+         |    ntile(16) OVER (ORDER BY zval ASC, event_id ASC) AS bucket FROM z)
+         |SELECT bucket, count(*) AS n_rows, min(zval) AS z_min, max(zval) AS z_max
+         |FROM b GROUP BY 1""".stripMargin
+    },
     // decile replay: same quality formula (pinned by text_stats), same
     // total order (score, doc_id), standard ntile on both engines
     "quality_deciles" ->

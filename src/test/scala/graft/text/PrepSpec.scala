@@ -57,4 +57,14 @@ class PrepSpec extends SparkSpec {
     val full = Prep.stratifiedSample(df, "doc_id", "stratum", Map("xx" -> 1.0))
     assert(full.count() == rows.count(_._2 == "xx"))
   }
+
+  test("zorderValue interleaves bits: the 2x2 block maps to 0..3, (3,1) -> 7") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 1L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select($"x", $"y", Prep.zorderValue($"x", $"y").as("z"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(df((0L, 0L)) == 0L && df((1L, 0L)) == 1L && df((0L, 1L)) == 2L && df((1L, 1L)) == 3L)
+    assert(df((3L, 1L)) == 7L)
+    assert(df((65535L, 65535L)) == (1L << 32) - 1L)   // all 32 low bits set
+  }
 }
