@@ -70,6 +70,29 @@ object RefWorkload {
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
   }
 
+  /** Per-group z-score outlier detection over `value` — the data-quality
+    * gate of an ingest pipeline, engine-portable WITHOUT integer-unit
+    * output tricks: values quantize to exact centi-unit integers whose
+    * count/sum/sum-of-squares stay below 2^53, so every float the mean/
+    * std/threshold computation touches is derived from exactly-converted
+    * integers by identical IEEE operations on both engines. One aggregation
+    * pass plus one broadcast join of the (tiny) per-group stats. */
+  def eventsOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_type"), floor(col("value") * lit(100.0)).cast("long").as("xc"))
+    val stats = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("xc")).as("s"), sum(col("xc") * col("xc")).as("sq"))
+      .withColumn("mean_c", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("std_c", sqrt(col("sq").cast("double") / col("n").cast("double")
+        - col("mean_c") * col("mean_c")))
+    e.join(broadcast(stats), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"),
+        first(col("mean_c")).as("mean_c"), first(col("std_c")).as("std_c"),
+        sum(when(abs(col("xc").cast("double") - col("mean_c")) >
+          lit(2.0) * col("std_c"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** A5 — per-day histogram (reference: _settings.py:146-162). */
   def a5DayHistogram(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
@@ -206,6 +229,7 @@ object RefWorkload {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_outliers" -> eventsOutliers,
     "asof_last_purchase" -> asofLastPurchase,
     "range_join_sessions" -> rangeJoinSessions,
     "a5_tumbling_window" -> tumblingWindowCounts,
@@ -270,6 +294,24 @@ object RefWorkload {
         |SELECT p.event_id, count(*) AS n_sessions
         |FROM p JOIN iv ON p.ts >= iv.s_start AND p.ts <= iv.s_end
         |GROUP BY p.event_id""".stripMargin,
+    // outlier replay: exact centi-unit integer moments (< 2^53, so every
+    // int->double conversion is exact), identical IEEE mean/std/threshold
+    "events_outliers" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT) AS xc FROM events),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xc) AS BIGINT) AS s, CAST(sum(xc * xc) AS BIGINT) AS sq
+        |  FROM e GROUP BY 1),
+        |m AS (SELECT event_type, n,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+        |    sqrt(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS std_c
+        |  FROM st)
+        |SELECT e.event_type, m.n, m.mean_c, m.std_c,
+        |  CAST(sum(CASE WHEN abs(CAST(e.xc AS DOUBLE) - m.mean_c)
+        |    > CAST(2 AS DOUBLE) * m.std_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM e JOIN m USING (event_type)
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
     "j1_latest_record" ->
       """SELECT e.user_id, e.event_id, e.ts, e.event_type, e.value
         |FROM events e
