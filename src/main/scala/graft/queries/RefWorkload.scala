@@ -93,6 +93,33 @@ object RefWorkload {
           lit(2.0) * col("std_c"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Exact per-group median of `value` — the quantile operator, portable
+    * by construction: rank over centi-unit integers, pick the middle one
+    * (odd n) or the exact two-int average (even n) — no float interpolation
+    * whose arithmetic could differ between engines. One window shuffle on
+    * the group; at 100 TB the same semantics come from approx_percentile
+    * with this entry as the exactness target. */
+  def eventsMedian(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_type"), floor(col("value") * lit(100.0)).cast("long").as("xc"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("xc").asc)
+    e.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("n div 2 + 1"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"),
+        (sum(col("xc")).cast("double") / count(lit(1)).cast("double")).as("median_c"))
+  }
+
+  /** Per-group fixed-width histogram of `value` (50-unit bins, capped at
+    * bin 9) — pure integer bucketing, one aggregation. */
+  def eventsHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        least(floor(col("value") / lit(50.0)).cast("long"), lit(9L)).as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** A5 — per-day histogram (reference: _settings.py:146-162). */
   def a5DayHistogram(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
@@ -230,6 +257,8 @@ object RefWorkload {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_outliers" -> eventsOutliers,
+    "events_median" -> eventsMedian,
+    "events_histogram" -> eventsHistogram,
     "asof_last_purchase" -> asofLastPurchase,
     "range_join_sessions" -> rangeJoinSessions,
     "a5_tumbling_window" -> tumblingWindowCounts,
@@ -312,6 +341,24 @@ object RefWorkload {
         |    > CAST(2 AS DOUBLE) * m.std_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM e JOIN m USING (event_type)
         |GROUP BY 1, 2, 3, 4""".stripMargin,
+    // median replay: same centi-unit ranks, same middle positions; the
+    // value at a sorted position is tie-order independent
+    "events_median" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT) AS xc FROM events),
+        |r AS (SELECT event_type, xc,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY xc ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e)
+        |SELECT event_type, CAST(min(n) AS BIGINT) AS n,
+        |  CAST(sum(xc) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS median_c
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |GROUP BY 1""".stripMargin,
+    "events_histogram" ->
+      """SELECT event_type,
+        |  least(CAST(floor(value / CAST(50 AS DOUBLE)) AS BIGINT), 9) AS bin,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "j1_latest_record" ->
       """SELECT e.user_id, e.event_id, e.ts, e.event_type, e.value
         |FROM events e
