@@ -313,9 +313,13 @@ object TextOps {
    * are tiny by construction (a handful of variants of one document), so
    * 2–3 rounds converge; for adversarial long-chain graphs the same loop
    * accepts the large-star/small-star optimization without changing the
-   * contract. Labels persist per round and release on the next (driver
-   * convergence check is one count per round — the standard distributed CC
-   * shape, not a driver-side algorithm).
+   * contract. Each round's labels are eagerly `localCheckpoint`ed: the new
+   * label frame references the old one TWICE (join + convergence compare),
+   * so without lineage truncation the logical plan doubles per round —
+   * exponential analysis cost long before any data is big. On a real
+   * cluster, periodic reliable `checkpoint()` replaces localCheckpoint
+   * (non-replicated blocks do not survive executor loss); the convergence
+   * contract is unchanged.
    */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIters: Int = 50): DataFrame = {
@@ -323,9 +327,9 @@ object TextOps {
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
-    var labels = Caching.scoped(
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("component")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -333,15 +337,16 @@ object TextOps {
         .join(labels.select(col("id").as("dst"), col("component").as("nc")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("nc")).as("nc"))
         .select(col("src").as("id"), col("nc"))
-      val next = Caching.scoped(
-        labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("component"), coalesce(col("nc"), col("component")))
-              .as("component")))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nc"), col("component")))
+            .as("component"))
+        .localCheckpoint()
       val changed = next.alias("n")
         .join(labels.alias("l"), col("n.id") === col("l.id"))
         .filter(col("n.component") < col("l.component"))
         .limit(1).count()
+      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       it += 1

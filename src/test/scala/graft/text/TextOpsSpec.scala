@@ -230,4 +230,30 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out.size == 10 && out.values.forall(_ == 0L))
   }
+
+  test("connectedComponents randomized: equals a union-find reference") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find reference
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = ids.map(id => id -> find(id)).toMap
+      // min-of-component canonicalization: find() already chains to the min
+      // because unions always point the larger root at the smaller
+      val got = TextOps.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
 }
