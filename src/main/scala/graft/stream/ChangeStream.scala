@@ -52,7 +52,18 @@ object ChangeStream {
         * INSERTs + version-qualified DELETE mutations — the reference's
         * ClickHouse write path, S6) and the ledger is mirrored there;
         * mutable tables and the parquet ledger keep their normal paths. */
-      jdbcSink: Option[JdbcState.SinkConfig] = None)
+      jdbcSink: Option[JdbcState.SinkConfig] = None,
+      /** Streaming materialized views: per-group (count, Σvalue-micro)
+        * aggregates maintained from each micro-batch's change deltas
+        * (`Cdc.incrementalAgg`) — a view refresh costs the batch, never a
+        * state scan. State lives at `<stateDir>/__agg_<table>__<group>`. */
+      maintainedAggs: Seq[MaintainedAgg] = Nil)
+
+  /** One maintained view: per-`groupCol` count + micro-unit sum of
+    * `valueCol` over the logical rows of `table`. */
+  final case class MaintainedAgg(table: String, groupCol: String, valueCol: String) {
+    def dir(stateDir: String): String = s"$stateDir/__agg_${table}__$groupCol"
+  }
 
   /** History schema of a versioned table / state schema of a mutable one. */
   def stateSchema(table: String): StructType = {
@@ -129,6 +140,25 @@ object ChangeStream {
                   now, cfg.deleteMaxAgeDays)
               else Cdc.applyMutable(state, typed, meta.keyCols)
             StateStore.replace(next, dir)
+        }
+        // maintained views see the same F7-guarded deltas as the table apply
+        if (!cfg.dryRun) cfg.maintainedAggs.filter(_.table == table).foreach { ma =>
+          val aggTyped =
+            if (meta.versioned) meta.deleteDateCol match {
+              case Some(dc) =>
+                Cdc.suppressOldDeletes(typedRaw, dc, now, cfg.deleteMaxAgeDays)
+              case None => typedRaw
+            } else typed
+          val gField = Schemas.tableSchemas(table)(ma.groupCol)
+          val aggSchema = StructType(Seq(
+            gField.copy(name = ma.groupCol),
+            StructField("cnt", LongType, nullable = false),
+            StructField("sum_micro", LongType, nullable = false)))
+          val aggDir = ma.dir(cfg.stateDir)
+          StateStore.replace(
+            Cdc.incrementalAgg(StateStore.read(spark, aggDir, aggSchema),
+              aggTyped, ma.groupCol, ma.valueCol),
+            aggDir)
         }
       }
       if (!cfg.dryRun && !filtered.isEmpty) {

@@ -203,6 +203,48 @@ class ChangeStreamSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(cfg.ledgerDir)))
   }
 
+  test("maintained aggregate view tracks the logical table across staged runs") {
+    val logDir = tmpDir()
+    writeLog(logDir, "f1", batch1)
+    val cfg = freshCfg(logDir).copy(maintainedAggs = Seq(
+      ChangeStream.MaintainedAgg("matomo_log_visit", "location_country", "idsite")))
+    def aggState(): Set[(String, Long, Long)] = {
+      val ma = cfg.maintainedAggs.head
+      StateStore.read(spark, ma.dir(cfg.stateDir),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("location_country",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("sum_micro",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .as[(String, Long, Long)].collect().toSet
+    }
+    ChangeStream.run(spark, cfg).awaitTermination()
+    // batch1: INSERT visit 10 (de, idsite 1)
+    assert(aggState() == Set(("de", 1L, 1000000L)))
+
+    // batch2 updates de->fr; a third batch deletes visit 10 and inserts 11 (us)
+    writeLog(logDir, "f2", batch2)
+    writeLog(logDir, "f3", Seq(
+      env("DELETE", "matomo_log_visit", 700,
+        """{"idvisit":10,"idsite":1,"location_country":"fr","visit_first_action_time":"2024-01-05T09:00:00"}""",
+        null),
+      env("INSERT", "matomo_log_visit", 800, null,
+        """{"idvisit":11,"idsite":2,"location_country":"us","visit_first_action_time":"2024-01-05T11:00:00"}""")))
+    ChangeStream.run(spark, cfg).awaitTermination()
+    val finalAgg = aggState().filter(_._2 != 0)
+    assert(finalAgg == Set(("us", 1L, 2000000L)))
+    // the maintained view equals a recompute over the applied logical table
+    val recomputed = Cdc.latestWins(
+      ChangeStream.readState(spark, cfg, "matomo_log_visit"), Seq("idvisit"))
+      .groupBy($"location_country")
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("CAST(floor(idsite * 1e6) AS BIGINT)")).as("sum_micro"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(finalAgg == recomputed)
+  }
+
   test("jdbc sink applyVersioned replay converges on the RAW history (at-least-once)") {
     val derby = Some("org.apache.derby.jdbc.EmbeddedDriver")
     val url = s"jdbc:derby:${tmpDir()}/db;create=true"
