@@ -198,6 +198,13 @@ object LlmWorkload {
       TextOps.minhashNearDups(Tables(spark, dir, "documents"), "doc_id", "text"))
       .select(col("id").as("doc_id"), col("component"))
 
+  /** Feature-hashed text vectors (dim 16), flattened to scalar columns for
+    * the compare harness; the array form feeds kmeansAssign (spec-pinned). */
+  def textHashedFeatures(spark: SparkSession, dir: String): DataFrame =
+    TextOps.hashedFeatures(Tables(spark, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id") +:
+        (0 until 16).map(b => element_at(col("feature"), b + 1).as(s"f$b")): _*)
+
   /** TF-IDF top term per document (rational idf). */
   def textTfidfTop(spark: SparkSession, dir: String): DataFrame =
     TextOps.tfidfTopTerm(Tables(spark, dir, "documents"), "doc_id", "text")
@@ -236,6 +243,7 @@ object LlmWorkload {
     "embedding_quantize" -> embeddingQuantize,
     "ann_topk_pq" -> annTopkPq,
     "text_tfidf_top" -> textTfidfTop,
+    "text_hashed_features" -> textHashedFeatures,
     "prep_stratified_sample" -> prepStratifiedSample,
     "dedup_clusters" -> dedupClusters,
     "quality_deciles" -> qualityDeciles,
@@ -723,6 +731,20 @@ object LlmWorkload {
          |SELECT doc_id, word AS top_word, CAST(tf AS BIGINT) AS tf,
          |  CAST(df AS BIGINT) AS df, tfidf
          |FROM r WHERE rn = 1""".stripMargin,
+    // feature-hashing replay: same bucket mod, same sign bit, exact counts
+    "text_hashed_features" -> {
+      val fCols = (0 until 16).map(b =>
+        s"CAST(COALESCE(sum(CASE WHEN bucket = $b THEN sgn END), 0) AS BIGINT) AS f$b")
+        .mkString(",\n  ")
+      s"""WITH w AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS word
+         |  FROM documents),
+         |h AS (SELECT doc_id, ${h64("word")} AS hv FROM w),
+         |s AS (SELECT doc_id, hv % 16 AS bucket,
+         |    CASE WHEN (hv >> 32) & 1 = 1 THEN 1 ELSE -1 END AS sgn FROM h)
+         |SELECT doc_id,
+         |  $fCols
+         |FROM s GROUP BY doc_id""".stripMargin
+    },
     // stratified-sample replay: same langId strata, same salted hash grid
     "prep_stratified_sample" ->
       s"""WITH s AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),

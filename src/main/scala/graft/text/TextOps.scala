@@ -538,6 +538,34 @@ object TextOps {
         col("tf"), col("df"), col("tfidf"))
   }
 
+  /**
+   * Feature hashing (the hashing trick) — model-free dense text vectors:
+   * every word maps to bucket `hash64(word) mod dim` with a ±1 sign from the
+   * hash's next bit (sign-hashing keeps collisions unbiased), and a doc's
+   * vector is the per-bucket signed count. No vocabulary, no model, no
+   * driver state — the featurizer a 100 TB corpus can run in one pass, and
+   * the input [[graft.ml.VectorOps.kmeansAssign]] needs to cluster documents
+   * end-to-end. Counts are exact integers, so vectors are engine-portable.
+   */
+  def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 16): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2: $dim")
+    val h = hash64(col("word"))
+    val signed = docs
+      .select(col(idCol).as("doc_id"), explode(wordsOf(col(textCol))).as("word"))
+      .select(col("doc_id"), pmod(h, lit(dim.toLong)).as("bucket"),
+        when(shiftright(h, 32).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L).as("sgn"))
+      .groupBy(col("doc_id"), col("bucket")).agg(sum(col("sgn")).as("v"))
+    // densify: absent buckets are zero; sort by bucket to rebuild the array
+    signed.groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(bucket, v))), s -> s.v)").as("sparse"),
+        expr("transform(array_sort(collect_list(struct(bucket, v))), s -> s.bucket)").as("idx"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, ${dim - 1}), b ->
+           |  coalesce(element_at(map_from_arrays(idx, sparse), bigint(b)), 0L))"""
+          .stripMargin).as("feature"))
+  }
+
   /** Email / IPv4 / long-digit-run (card-shaped) patterns — Java-regex and
     * RE2 compatible, so the oracle replays them. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -256,4 +256,29 @@ class TextOpsSpec extends SparkSpec {
       assert(got == expected, s"trial $trial")
     }
   }
+
+  test("hashedFeatures: exact signed counts, dense dim, clusters compose with kmeans") {
+    val out = TextOps.hashedFeatures(docs(
+      (1L, "apple apple apple"),
+      (2L, "apple apple apple"),
+      (3L, "zebra lion tiger bear wolf")), "doc_id", "text", dim = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    // fixed width, identical content -> identical vector, |sum| bounded by words
+    assert(out.values.forall(_.length == 8))
+    assert(out(1L) == out(2L))
+    assert(out(1L).map(math.abs).sum == 3L)   // one bucket holds +-3
+    assert(out(3L) != out(1L))
+    // composition: the hashing-trick vectors feed kmeans directly
+    implicit val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    val vecs = TextOps.hashedFeatures(docs(
+      (0L, "apple apple apple"), (1L, "apple apple"),
+      (25L, "zebra lion tiger"), (26L, "zebra lion")), "doc_id", "text", dim = 8)
+      .withColumnRenamed("doc_id", "vec_id")
+    val clusters = graft.ml.VectorOps.kmeansAssign(vecs, vecCol = "feature",
+      centroidMod = 25, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == clusters(0L), "apple docs cluster with the apple seed")
+    assert(clusters(26L) == clusters(25L), "zebra docs cluster with the zebra seed")
+  }
 }
