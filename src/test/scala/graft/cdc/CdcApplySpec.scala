@@ -207,4 +207,33 @@ class CdcApplySpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(batched == whole)
   }
+
+  test("incrementalAgg randomized: any batch partitioning equals the whole-log result") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val groups = Seq("a", "b", "c")
+    val ops = Seq.tabulate(60) { i =>
+      val g = groups(rnd.nextInt(3))
+      val v = rnd.nextInt(1000) / 4.0
+      rnd.nextInt(3) match {
+        case 0 => ("INSERT", None, Some((g, v)))
+        case 1 => ("UPDATE", Some((g, v)), Some((groups(rnd.nextInt(3)), v + 0.25)))
+        case _ => ("DELETE", Some((g, v)), None)
+      }
+    }
+    def frame(rows: Seq[(String, Option[(String, Double)], Option[(String, Double)])]) =
+      rows.toDF("op", "b", "a").select(col("op"),
+        when(col("b").isNotNull, struct(col("b._1").as("g"), col("b._2").as("v"))).as("before"),
+        when(col("a").isNotNull, struct(col("a._1").as("g"), col("a._2").as("v"))).as("after"))
+    val empty = Seq.empty[(String, Long, Long)].toDF("g", "cnt", "sum_micro")
+    val whole = Cdc.incrementalAgg(empty, frame(ops), "g", "v")
+      .as[(String, Long, Long)].collect().toSet
+    for (cut1 <- Seq(13, 29, 47)) {
+      val staged = Cdc.incrementalAgg(
+        Cdc.incrementalAgg(empty, frame(ops.take(cut1)), "g", "v"),
+        frame(ops.drop(cut1)), "g", "v")
+        .as[(String, Long, Long)].collect().toSet
+      assert(staged == whole, s"cut at $cut1")
+    }
+  }
 }
