@@ -198,6 +198,25 @@ object LlmWorkload {
       TextOps.minhashNearDups(Tables(spark, dir, "documents"), "doc_id", "text"))
       .select(col("id").as("doc_id"), col("component"))
 
+  /** ANN recall audit — the evaluation you run before trusting an
+    * approximate index at scale: IVF and PQ top-10 sets measured against
+    * the brute-force truth (matched pairs / truth pairs, exact integers). */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val bf = graft.Caching.scoped(
+      VectorOps.annBruteForce(emb).select(col("probe_id"), col("neighbor_id")))
+    val total = bf.agg(count(lit(1)).as("total"))
+    def row(m: DataFrame, name: String): DataFrame =
+      m.select(col("probe_id"), col("neighbor_id"))
+        .join(bf, Seq("probe_id", "neighbor_id"))
+        .agg(count(lit(1)).as("matched"))
+        .crossJoin(broadcast(total))
+        .select(lit(name).as("method"), col("matched"), col("total"),
+          (col("matched").cast("double") / col("total").cast("double")).as("recall"))
+    row(VectorOps.annIvf(emb), "ivf")
+      .unionByName(row(VectorOps.annPq(emb), "pq"))
+  }
+
   /** Feature-hashed text vectors (dim 16), flattened to scalar columns for
     * the compare harness; the array form feeds kmeansAssign (spec-pinned). */
   def textHashedFeatures(spark: SparkSession, dir: String): DataFrame =
@@ -244,6 +263,7 @@ object LlmWorkload {
     "ann_topk_pq" -> annTopkPq,
     "text_tfidf_top" -> textTfidfTop,
     "text_hashed_features" -> textHashedFeatures,
+    "ann_recall" -> annRecall,
     "prep_stratified_sample" -> prepStratifiedSample,
     "dedup_clusters" -> dedupClusters,
     "quality_deciles" -> qualityDeciles,
@@ -395,6 +415,33 @@ object LlmWorkload {
        |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC) AS rnk
        |      FROM cand)
        |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin
+
+  private val pqOracle: String = {
+      def d2(a: String, b: String) =
+        s"(${dotSql(a, a)} - CAST(2 AS DOUBLE) * ${dotSql(a, b)} + ${dotSql(b, b)})"
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |sub AS (SELECT vec_id, j,
+         |  list_slice(e, j * (len(e) // 4) + 1, (j + 1) * (len(e) // 4)) AS se
+         |  FROM v, (SELECT unnest(range(0, 4)) AS j)),
+         |cb AS (SELECT j, vec_id AS code_id, se AS ce FROM sub WHERE vec_id % 25 = 0),
+         |enc AS (SELECT vec_id, j, code_id FROM (
+         |  SELECT s.vec_id, s.j, cb.code_id,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.j
+         |      ORDER BY ${d2("s.se", "cb.ce")} ASC, cb.code_id ASC) AS rn
+         |  FROM sub s JOIN cb ON cb.j = s.j) WHERE rn = 1),
+         |p AS (SELECT vec_id AS probe_id, j, se AS pe FROM sub WHERE vec_id % 100 = 0),
+         |dt AS (SELECT p.probe_id, p.j, cb.code_id,
+         |    CAST(floor(${d2("p.pe", "cb.ce")} * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS d2e
+         |  FROM p JOIN cb ON cb.j = p.j),
+         |adc AS (SELECT dt.probe_id, enc.vec_id, sum(d2e) AS adc
+         |  FROM enc JOIN dt ON dt.j = enc.j AND dt.code_id = enc.code_id
+         |  WHERE enc.vec_id <> dt.probe_id
+         |  GROUP BY 1, 2),
+         |r AS (SELECT probe_id, vec_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY adc ASC, vec_id ASC) AS rnk
+         |  FROM adc)
+         |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -731,6 +778,20 @@ object LlmWorkload {
          |SELECT doc_id, word AS top_word, CAST(tf AS BIGINT) AS tf,
          |  CAST(df AS BIGINT) AS df, tfidf
          |FROM r WHERE rn = 1""".stripMargin,
+    // recall replay: the three ANN oracles composed — matched/truth counts
+    "ann_recall" ->
+      s"""WITH bf AS (SELECT probe_id, neighbor_id FROM ($bruteforceOracle)),
+         |ivf AS (SELECT probe_id, neighbor_id FROM ($ivfOracle)),
+         |pq AS (SELECT probe_id, neighbor_id FROM ($pqOracle)),
+         |t AS (SELECT count(*) AS total FROM bf),
+         |mi AS (SELECT count(*) AS matched FROM ivf JOIN bf USING (probe_id, neighbor_id)),
+         |mp AS (SELECT count(*) AS matched FROM pq JOIN bf USING (probe_id, neighbor_id))
+         |SELECT 'ivf' AS method, CAST(matched AS BIGINT) AS matched,
+         |  CAST(total AS BIGINT) AS total,
+         |  CAST(matched AS DOUBLE) / CAST(total AS DOUBLE) AS recall FROM mi, t
+         |UNION ALL
+         |SELECT 'pq', CAST(matched AS BIGINT), CAST(total AS BIGINT),
+         |  CAST(matched AS DOUBLE) / CAST(total AS DOUBLE) FROM mp, t""".stripMargin,
     // feature-hashing replay: same bucket mod, same sign bit, exact counts
     "text_hashed_features" -> {
       val fCols = (0 until 16).map(b =>
@@ -764,32 +825,7 @@ object LlmWorkload {
          |SELECT lang_pred, count(*) AS n_kept FROM kept GROUP BY 1""".stripMargin,
     // PQ replay: same mod-sampled codebooks, same strict-fold squared
     // distances, same floor(d2*1e12) integer ADC, same tie-breaks
-    "ann_topk_pq" -> {
-      def d2(a: String, b: String) =
-        s"(${dotSql(a, a)} - CAST(2 AS DOUBLE) * ${dotSql(a, b)} + ${dotSql(b, b)})"
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |sub AS (SELECT vec_id, j,
-         |  list_slice(e, j * (len(e) // 4) + 1, (j + 1) * (len(e) // 4)) AS se
-         |  FROM v, (SELECT unnest(range(0, 4)) AS j)),
-         |cb AS (SELECT j, vec_id AS code_id, se AS ce FROM sub WHERE vec_id % 25 = 0),
-         |enc AS (SELECT vec_id, j, code_id FROM (
-         |  SELECT s.vec_id, s.j, cb.code_id,
-         |    row_number() OVER (PARTITION BY s.vec_id, s.j
-         |      ORDER BY ${d2("s.se", "cb.ce")} ASC, cb.code_id ASC) AS rn
-         |  FROM sub s JOIN cb ON cb.j = s.j) WHERE rn = 1),
-         |p AS (SELECT vec_id AS probe_id, j, se AS pe FROM sub WHERE vec_id % 100 = 0),
-         |dt AS (SELECT p.probe_id, p.j, cb.code_id,
-         |    CAST(floor(${d2("p.pe", "cb.ce")} * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS d2e
-         |  FROM p JOIN cb ON cb.j = p.j),
-         |adc AS (SELECT dt.probe_id, enc.vec_id, sum(d2e) AS adc
-         |  FROM enc JOIN dt ON dt.j = enc.j AND dt.code_id = enc.code_id
-         |  WHERE enc.vec_id <> dt.probe_id
-         |  GROUP BY 1, 2),
-         |r AS (SELECT probe_id, vec_id,
-         |    row_number() OVER (PARTITION BY probe_id ORDER BY adc ASC, vec_id ASC) AS rnk
-         |  FROM adc)
-         |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin
-    },
+    "ann_topk_pq" -> pqOracle,
     // int8 quantization replay: per-dimension corpus ranges, same rounding
     // (both engines round positive halves up), DECIMAL-exact error sums
     "embedding_quantize" ->
