@@ -40,16 +40,21 @@ object Bench {
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column;
         // count() would let Catalyst prune the projections being measured
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // cache release is cleanup between queries, not part of the query cost
         Caching.releaseAll()
-        dt
+        (dt, ok)
       }
-      name -> dts.min
+      // a failed run aborts early — its near-zero elapsed must not win the
+      // min over a successful run's true cost
+      val good = dts.filter(_._2)
+      name -> (if (good.nonEmpty) good.map(_._1).min else dts.map(_._1).min)
     }
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -20,11 +20,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
  * dot product IS the inner loop over the whole corpus. This expression
  * compiles to a tight primitive `for` loop inside the generated code.
  *
- * Semantics: identical to the composable form for equal-length, non-null-
- * element arrays — a strict left-to-right multiply-accumulate, so IEEE
- * results are bit-identical (the DuckDB oracle parity depends on that fold
- * order). Null inputs yield null; element nulls are not supported (embedding
- * vectors are dense by contract).
+ * Semantics: identical to the composable form for non-null-element arrays —
+ * a strict left-to-right multiply-accumulate, so IEEE results are
+ * bit-identical (the DuckDB oracle parity depends on that fold order). Null
+ * inputs yield null, and so do UNEQUAL-length inputs (`zip_with` pads the
+ * short side with null, which poisons the HOF sum to null — this expression
+ * must agree, or the optimizer rewrite would change results). Element nulls
+ * are not supported (embedding vectors are dense by contract; the rewrite
+ * rule additionally refuses array types that admit null elements).
  */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -42,14 +45,19 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
-    acc
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      acc
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -58,12 +66,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

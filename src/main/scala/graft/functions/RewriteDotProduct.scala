@@ -26,8 +26,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
  */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 
+  /** `array<double>` with NO null elements: zip_with's null-element
+    * propagation cannot be reproduced by the tight loop, so types that
+    * admit element nulls are left on the HOF path. */
   private def isDoubleArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(DoubleType, _) => true
+    case ArrayType(DoubleType, containsNull) => !containsNull
     case _ => false
   }
 

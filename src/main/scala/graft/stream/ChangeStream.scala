@@ -60,9 +60,14 @@ object ChangeStream {
       maintainedAggs: Seq[MaintainedAgg] = Nil)
 
   /** One maintained view: per-`groupCol` count + micro-unit sum of
-    * `valueCol` over the logical rows of `table`. */
+    * `valueCol` over the logical rows of `table`. Assumes a CONSISTENT
+    * change log (the binlog contract: INSERT only for new keys, UPDATE/
+    * DELETE before-images match the current row) — the delta model cannot
+    * see a collision-INSERT replacing an existing row, so degenerate logs
+    * that `applyMutable` absorbs defensively would drift the view. */
   final case class MaintainedAgg(table: String, groupCol: String, valueCol: String) {
-    def dir(stateDir: String): String = s"$stateDir/__agg_${table}__$groupCol"
+    def dir(stateDir: String): String =
+      s"$stateDir/__agg_${table}__${groupCol}__$valueCol"
   }
 
   /** History schema of a versioned table / state schema of a mutable one. */
@@ -153,11 +158,22 @@ object ChangeStream {
           val aggSchema = StructType(Seq(
             gField.copy(name = ma.groupCol),
             StructField("cnt", LongType, nullable = false),
-            StructField("sum_micro", LongType, nullable = false)))
+            StructField("sum_micro", LongType, nullable = false),
+            StructField("__batch_id", LongType, nullable = false)))
           val aggDir = ma.dir(cfg.stateDir)
-          StateStore.replace(
-            Cdc.incrementalAgg(StateStore.read(spark, aggDir, aggSchema),
-              aggTyped, ma.groupCol, ma.valueCol),
+          val state = StateStore.read(spark, aggDir, aggSchema)
+          // replay guard: foreachBatch is at-least-once — a crash between
+          // this replace and the checkpoint commit replays the batch, and
+          // deltas (unlike the idempotent table applies) would double-apply.
+          // The state records the last applied batch id; a replayed batch is
+          // a no-op. batchIds are monotone per checkpoint, so one max row
+          // decides (tiny state: one row per group)
+          val applied = state.agg(max(col("__batch_id"))).collect().head
+          val alreadyApplied = !applied.isNullAt(0) && applied.getLong(0) >= batchId
+          if (!alreadyApplied) StateStore.replace(
+            Cdc.incrementalAgg(state.drop("__batch_id"), aggTyped,
+                ma.groupCol, ma.valueCol)
+              .withColumn("__batch_id", lit(batchId)),
             aggDir)
         }
       }

@@ -42,7 +42,10 @@ object StreamAggs {
     * micro-batch probes the in-memory dim table, no stream-side shuffle for
     * the join and no state beyond the windowed aggregation. Rows with no
     * dimension match are kept with a null attribute (left join) — an
-    * unknown key must surface, not silently drop. */
+    * unknown key must surface, not silently drop. The dimension must be
+    * UNIQUE per key (standard join contract): a history-keeping dim (SCD
+    * rows) fans events out and inflates counts — reduce it to current rows
+    * (e.g. `Cdc.latestWins`) before passing it here. */
   def enrichedWindowedCounts(events: DataFrame, dim: DataFrame,
       tsCol: String, keyCol: String, attrCol: String,
       windowDuration: String, watermarkDelay: String): DataFrame =

@@ -36,6 +36,16 @@ class RewriteDotProductSpec extends SparkSpec {
     assert(viaRule == expected && viaNative == expected)
   }
 
+  test("unequal-length arrays yield null on both the HOF and the native path") {
+    val df = spark.range(1).select(
+      array($"id".cast("double")).as("a"),
+      array($"id".cast("double"), lit(2.0)).as("b"))
+    // zip_with pads the short side with null, poisoning the HOF sum to null;
+    // the native expression must agree or the rewrite changes results
+    assert(df.select(expr(hof)).collect().head.isNullAt(0))
+    assert(df.select(expr("graft_dot(a, b)")).collect().head.isNullAt(0))
+  }
+
   test("other fold shapes are left untouched") {
     // reversed merge operands (x + acc): NOT the strict left-fold shape
     val other = "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> x + acc)"

@@ -217,7 +217,10 @@ class ChangeStreamSpec extends SparkSpec {
           org.apache.spark.sql.types.StructField("cnt",
             org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("sum_micro",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("__batch_id",
             org.apache.spark.sql.types.LongType, nullable = false))))
+        .drop("__batch_id")
         .as[(String, Long, Long)].collect().toSet
     }
     ChangeStream.run(spark, cfg).awaitTermination()
@@ -243,6 +246,16 @@ class ChangeStreamSpec extends SparkSpec {
         sum(expr("CAST(floor(idsite * 1e6) AS BIGINT)")).as("sum_micro"))
       .as[(String, Long, Long)].collect().toSet
     assert(finalAgg == recomputed)
+
+    // at-least-once replay: wiping the checkpoint replays every batch; the
+    // batch-id guard must keep the maintained view fixed (deltas, unlike
+    // the idempotent table applies, would otherwise double-apply)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete()
+    }
+    rmrf(new java.io.File(cfg.checkpointDir))
+    ChangeStream.run(spark, cfg).awaitTermination()
+    assert(aggState().filter(_._2 != 0) == finalAgg)
   }
 
   test("jdbc sink applyVersioned replay converges on the RAW history (at-least-once)") {
