@@ -67,4 +67,22 @@ class PrepSpec extends SparkSpec {
     assert(df((3L, 1L)) == 7L)
     assert(df((65535L, 65535L)) == (1L << 32) - 1L)   // all 32 low bits set
   }
+
+  test("zorderValue locality: any aligned 2^k block is a contiguous z-range") {
+    // the property file-skipping relies on: the z-values of an aligned
+    // (2^k x 2^k) block occupy EXACTLY [z(x0,y0), z(x0,y0) + 4^k - 1]
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 20) {
+      val k = 1 + rnd.nextInt(4)
+      val side = 1L << k
+      val x0 = rnd.nextInt(1 << 10).toLong / side * side
+      val y0 = rnd.nextInt(1 << 10).toLong / side * side
+      val block = for (dx <- 0L until side; dy <- 0L until side) yield (x0 + dx, y0 + dy)
+      val zs = block.toDF("x", "y")
+        .select(Prep.zorderValue($"x", $"y").as("z")).as[Long].collect().sorted
+      assert(zs.length == side * side)
+      assert(zs.last - zs.head == side * side - 1, s"block at ($x0,$y0) size $side")
+      assert(zs.zip(zs.tail).forall { case (a, b) => b == a + 1 }, "contiguous")
+    }
+  }
 }
