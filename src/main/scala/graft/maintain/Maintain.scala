@@ -24,6 +24,27 @@ import graft.stream.StateStore
 object Maintain {
 
   /**
+   * Layout optimization — write `df` Z-ORDERED on two integer dimensions:
+   * rows range-partition by their Morton value into `numFiles` contiguous
+   * z-ranges (one parquet file each) and sort within each file. Because any
+   * aligned 2^k block is a contiguous z-range (PrepSpec property), each
+   * file's footer min/max statistics cover a tight bounding box in BOTH
+   * dimensions — a scan filtered on either column prunes most files, which
+   * at 100 TB is the difference between touching every file and touching
+   * the overlap. The rewrite itself is one range-exchange + local sort.
+   */
+  def writeZOrdered(df: DataFrame, dir: String, xCol: String, yCol: String,
+      numFiles: Int, bits: Int = 16): Unit = {
+    require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    df.withColumn("__z", graft.text.Prep.zorderValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+
+  /**
    * S10 — delete change-log files that are (a) fully covered by the applied
    * watermark version and (b) whose newest event is older than `retainDays`
    * before `now`. Returns the deleted file paths. One pass over the file

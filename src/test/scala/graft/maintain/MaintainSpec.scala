@@ -78,4 +78,25 @@ class MaintainSpec extends SparkSpec {
       .select("id", "name").as[(Long, String)].collect().toSet
     assert(left == Set((1L, "v1"), (2L, "w0")))
   }
+
+  test("writeZOrdered: every file covers a tight bounding box in both dimensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a full 64x64 grid: 16 contiguous z-ranges are 16 aligned 16x16 blocks,
+    // so each file's (x, y) bounding box must cover ~1/16 of the area --
+    // an unordered layout would give every file the full grid
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val grid = (0L until 4096L).map(i => (i % 64, i / 64)).toDF("x", "y")
+    Maintain.writeZOrdered(grid, dir, "x", "y", numFiles = 16)
+    val boxes = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(((max($"x") - min($"x") + 1) * (max($"y") - min($"y") + 1)).as("area"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(boxes.length == 16)
+    assert(boxes.map(_.getAs[Long]("n")).sum == 4096L)
+    // every file's bounding box is exactly one aligned 16x16 block
+    assert(boxes.forall(_.getAs[Long]("area") == 256L),
+      boxes.map(r => r.getAs[Long]("area")).mkString(","))
+  }
 }
