@@ -120,6 +120,24 @@ object RefWorkload {
       .groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Training-sequence builder: each user's events in (ts, event_id) order
+    * reduced to a bounded event-type sequence + portable content hash — the
+    * "visit history → model input" step of a behavioral pipeline. One
+    * groupBy; the in-group order is recovered by sorting the collected
+    * structs (total order: event_id is unique), never by assuming shuffle
+    * order. */
+  def eventSequences(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .select(col("user_id"),
+        size(col("evs")).cast("long").as("n_events"),
+        expr("transform(slice(evs, 1, 32), e -> e.event_type)").as("__seq"))
+      .select(col("user_id"), col("n_events"),
+        size(col("__seq")).cast("long").as("seq_len"),
+        md5(concat_ws("|", col("__seq"))).as("seq_hash"))
+
   /** A5 — per-day histogram (reference: _settings.py:146-162). */
   def a5DayHistogram(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
@@ -259,6 +277,7 @@ object RefWorkload {
     "events_outliers" -> eventsOutliers,
     "events_median" -> eventsMedian,
     "events_histogram" -> eventsHistogram,
+    "event_sequences" -> eventSequences,
     "asof_last_purchase" -> asofLastPurchase,
     "range_join_sessions" -> rangeJoinSessions,
     "a5_tumbling_window" -> tumblingWindowCounts,
@@ -354,6 +373,16 @@ object RefWorkload {
         |  CAST(sum(xc) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS median_c
         |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
         |GROUP BY 1""".stripMargin,
+    // sequence replay: same (ts, event_id) total order, same 32-cap, same
+    // '|'-joined md5
+    "event_sequences" ->
+      """WITH s AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+        |  CAST(len(seq[1:32]) AS BIGINT) AS seq_len,
+        |  md5(array_to_string(seq[1:32], '|')) AS seq_hash
+        |FROM s""".stripMargin,
     "events_histogram" ->
       """SELECT event_type,
         |  least(CAST(floor(value / CAST(50 AS DOUBLE)) AS BIGINT), 9) AS bin,
