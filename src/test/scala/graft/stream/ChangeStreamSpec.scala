@@ -258,6 +258,31 @@ class ChangeStreamSpec extends SparkSpec {
     assert(aggState().filter(_._2 != 0) == finalAgg)
   }
 
+  test("maintained aggregate view tracks a MUTABLE table, including group moves") {
+    val logDir = tmpDir()
+    writeLog(logDir, "f1", batch1)
+    writeLog(logDir, "f2", batch2)   // UPDATE moves site 1 name alpha->alpha2; DELETE site 2
+    val cfg = freshCfg(logDir).copy(maintainedAggs = Seq(
+      ChangeStream.MaintainedAgg("matomo_site", "name", "idsite")))
+    ChangeStream.run(spark, cfg).awaitTermination()
+    val ma = cfg.maintainedAggs.head
+    val agg = StateStore.read(spark, ma.dir(cfg.stateDir),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("sum_micro",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__batch_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .drop("__batch_id")
+      .as[(String, Long, Long)].collect().toSet
+    // alpha: +1 then moved away (-1); beta: +1 then deleted (-1); alpha2: +1
+    assert(agg.filter(_._2 != 0) == Set(("alpha2", 1L, 1000000L)))
+    assert(agg == Set(("alpha", 0L, 0L), ("beta", 0L, 0L), ("alpha2", 1L, 1000000L)))
+  }
+
   test("jdbc sink applyVersioned replay converges on the RAW history (at-least-once)") {
     val derby = Some("org.apache.derby.jdbc.EmbeddedDriver")
     val url = s"jdbc:derby:${tmpDir()}/db;create=true"
