@@ -44,7 +44,12 @@ object VectorOps {
     * against any probe then costs a single cross dot product, not three
     * (the n×k norm recomputation was the dominant cost at bench). */
   private def asDouble(emb: DataFrame, idCol: String, vecCol: String) =
-    emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("e"))
+    // spread the (often one-file) embedding read before the per-element
+    // arithmetic: every consumer fans each vector out ~dim× (posexplode,
+    // centroid cross joins), and a single scan partition would run all of
+    // it on one core
+    graft.Spread.byKey(emb, col(idCol))
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("e"))
       .withColumn("n", sqrt(dot("e", "e")))
 
   /** Cross cosine with both norms precomputed (same IEEE value and order as

@@ -40,20 +40,24 @@ object TextOps {
   /** Distinct word n-gram shingles: (doc_id, shingle). Docs shorter than n
     * words produce no shingles (and therefore never pair). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"), wordsOf(col(textCol)).as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
-        .as("shingle"))
-      .distinct()
+    rawShingles(docs, idCol, textCol, n).distinct()
 
   /** Non-distinct word n-gram shingles: (doc_id, shingle) with duplicates
     * kept — for consumers whose aggregation dedups anyway (min, collect_set),
-    * saving the distinct's exchange. */
+    * saving the distinct's exchange.
+    *
+    * The doc frame is hash-repartitioned on doc_id BEFORE the explode: a
+    * shingle explode is a ~100–300× row blowup, and a small corpus read
+    * (one parquet file → one scan partition) would otherwise hash every
+    * shingle on a single core. Repartitioning the cheap pre-explode side
+    * also pre-satisfies the per-doc distribution every downstream
+    * signature/window aggregation requires, so the exploded rows are never
+    * themselves shuffled. */
   def rawShingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"), wordsOf(col(textCol)).as("w"))
       .filter(size(col("w")) >= n)
+      .transform(graft.Spread.byKey(_, col("doc_id")))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
         .as("shingle"))
@@ -235,6 +239,11 @@ object TextOps {
     val grams = docs
       .select(col(idCol).as("doc_id"), normalizeText(col(textCol)).as("__t"))
       .filter(length(col("__t")) >= k)
+      // spread the cheap side before the ~300x char-gram blowup: a one-file
+      // corpus read would md5 every gram on one core, and the per-doc
+      // distribution is exactly what the sliding window needs, so the
+      // exploded rows are never shuffled
+      .transform(graft.Spread.byKey(_, col("doc_id")))
       .select(col("doc_id"), col("__t"),
         explode(expr(s"sequence(1, length(__t) - ${k - 1})")).as("pos"))
       .select(col("doc_id"), col("pos"),
@@ -399,7 +408,8 @@ object TextOps {
     val digit = length(regexp_replace(t, "[^0-9]", "")).cast("double") / nChars.cast("double")
     val stop = expr("size(filter(__w, x -> x IN ('the','and','of','to','in','a')))")
       .cast("double") / nWords.cast("double")
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+    graft.Spread.byKey(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")), col("doc_id"))
       .withColumn("__w", wordsOf(t))
       .select(col("doc_id"),
         nChars.as("n_chars"), nWords.as("n_words"),
@@ -417,7 +427,11 @@ object TextOps {
     * engine-portable without float-order concerns (the final ratios are one
     * division each). */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), wordsOf(col(textCol)).as("__w"))
+    // spread a (possibly one-file) corpus read across the cluster before the
+    // per-row array work and the word explode
+    val base = graft.Spread.byKey(
+      docs.select(col(idCol).as("doc_id"), wordsOf(col(textCol)).as("__w")),
+      col("doc_id"))
     val bigrams = when(size(col("__w")) >= 2, expr(
       "transform(sequence(1, size(__w) - 1), i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"))
       .otherwise(expr("CAST(array() AS array<string>)"))
@@ -542,8 +556,8 @@ object TextOps {
    * inverted-index vocabulary — vocabulary-sized, not corpus-sized.
    */
   def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = docs.select(col(idCol).as("doc_id"),
-      explode(wordsOf(col(textCol))).as("word"))
+    val words = graft.Spread.byKey(docs, col(idCol))
+      .select(col(idCol).as("doc_id"), explode(wordsOf(col(textCol))).as("word"))
     val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col(idCol)).as("N"))
@@ -571,7 +585,7 @@ object TextOps {
       dim: Int = 16): DataFrame = {
     require(dim >= 2, s"dim must be >= 2: $dim")
     val h = hash64(col("word"))
-    val signed = docs
+    val signed = graft.Spread.byKey(docs, col(idCol))
       .select(col(idCol).as("doc_id"), explode(wordsOf(col(textCol))).as("word"))
       .select(col("doc_id"), pmod(h, lit(dim.toLong)).as("bucket"),
         when(shiftright(h, 32).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L).as("sgn"))

@@ -47,9 +47,13 @@ class PushdownSpec extends SparkSpec {
   }
 
   test("hot-path expressions run inside whole-stage codegen") {
-    // codegen stages carry the "*(n)" prefix in the simple plan string
-    val plan = LlmWorkload.textStats(spark, dir)
-      .queryExecution.executedPlan.toString
+    // the pre-explode spread gives the plan an exchange, so AQE wraps it and
+    // the codegen "*(n)" markers only appear in the FINAL adaptive plan —
+    // execute first, then read the plan
+    val df = LlmWorkload.textStats(spark, dir)
+    df.collect() // a write would plan its own QueryExecution; collect finalizes THIS one
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan)
     assert(plan.contains("*("), plan)
   }
 }
