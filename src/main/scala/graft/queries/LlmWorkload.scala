@@ -50,6 +50,18 @@ object LlmWorkload {
   def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.jaccardNearDups(Tables(spark, dir, "documents"), "doc_id", "text")
 
+  /** Incremental dedup: even doc_ids stand in for the already-ingested
+    * corpus (its signature index), odd ids are the arriving batch. */
+  def dedupIncrementalProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    TextOps.minhashProbe(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text")
+  }
+
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    TextOps.containmentPairs(Tables(spark, dir, "documents"), "doc_id", "text")
+
   def textStats(spark: SparkSession, dir: String): DataFrame =
     TextOps.textStats(Tables(spark, dir, "documents"), "doc_id", "text")
 
@@ -272,6 +284,8 @@ object LlmWorkload {
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
+    "dedup_incremental_probe" -> dedupIncrementalProbe,
+    "dedup_containment" -> dedupContainment,
     "text_stats" -> textStats,
     "text_token_counts" -> textTokenCounts,
     "text_lang_id" -> textLangId,
@@ -322,6 +336,68 @@ object LlmWorkload {
        |JOIN cnt cb ON cb.doc_id = t.doc_b
        |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8""".stripMargin
   }
+
+  /** Batch-vs-corpus MinHash probe replay: identical signatures/banding to
+    * `minhashOracle`, but the candidate join is batch bands × corpus bands
+    * (doc_id parity splits the sides) and the verify joins each side's own
+    * shingles. */
+  private val incrementalProbeOracle: String = {
+    val k = 12; val r = 3
+    val h2mod = graft.text.TextOps.MinhashH2Mod
+    val hCols = (0 until k).map(j => s"min(h1 + $j * h2) AS h$j").mkString(",\n  ")
+    def bandSelects(sig: String) = (0 until k / r).map { b =>
+      val cols = (0 until r).map(i => s"h${b * r + i}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS sig FROM $sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $shingleCte,
+       |shc AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+       |shb AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+       |hc AS (SELECT doc_id, ${h64("shingle")} AS h1,
+       |  (${h64("shingle || '#'")}) % $h2mod AS h2 FROM shc),
+       |hb AS (SELECT doc_id, ${h64("shingle")} AS h1,
+       |  (${h64("shingle || '#'")}) % $h2mod AS h2 FROM shb),
+       |sigc AS (SELECT doc_id, $hCols FROM hc GROUP BY doc_id),
+       |sigb AS (SELECT doc_id, $hCols FROM hb GROUP BY doc_id),
+       |bandsc AS (${bandSelects("sigc")}),
+       |bandsb AS (${bandSelects("sigb")}),
+       |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+       |         FROM bandsb b JOIN bandsc c
+       |           ON b.band = c.band AND b.sig = c.sig AND b.doc_id <> c.doc_id),
+       |cntc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+       |cntb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY doc_id),
+       |inter AS (SELECT c.batch_id, c.corpus_id, count(*) AS i
+       |          FROM cand c
+       |          JOIN shb sa ON sa.doc_id = c.batch_id
+       |          JOIN shc sb ON sb.doc_id = c.corpus_id AND sb.shingle = sa.shingle
+       |          GROUP BY 1, 2)
+       |SELECT t.batch_id, t.corpus_id,
+       |  CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+       |FROM inter t
+       |JOIN cntb ca ON ca.doc_id = t.batch_id
+       |JOIN cntc cb ON cb.doc_id = t.corpus_id
+       |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8""".stripMargin
+  }
+
+  /** Containment replay: df-capped candidate join, exact-set verify, i/|A|. */
+  private val containmentOracle: String =
+    s"""WITH $shingleCte,
+       |freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+       |rare AS (SELECT s.doc_id, s.shingle FROM sh s
+       |         JOIN freq f ON f.shingle = s.shingle WHERE f.df <= 100),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM rare a JOIN rare b
+       |           ON a.shingle = b.shingle AND a.doc_id <> b.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+       |          FROM cand c
+       |          JOIN sh sa ON sa.doc_id = c.doc_a
+       |          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |          GROUP BY 1, 2)
+       |SELECT t.doc_a, t.doc_b,
+       |  CAST(i AS DOUBLE) / CAST(ca.n AS DOUBLE) AS containment
+       |FROM inter t
+       |JOIN cnt ca ON ca.doc_id = t.doc_a
+       |WHERE CAST(i AS DOUBLE) / CAST(ca.n AS DOUBLE) >= 0.9""".stripMargin
 
   /** Exact prefix-filter Jaccard replay: same rarity order (df asc, shingle
     * asc), same prefix length n - ceil(t·n) + 1, same length filter, same
@@ -452,6 +528,8 @@ object LlmWorkload {
     "dedup_minhash_pairs" -> minhashOracle,
     "dedup_simhash_pairs" -> simhashOracle,
     "dedup_jaccard_pairs" -> jaccardOracle,
+    "dedup_incremental_probe" -> incrementalProbeOracle,
+    "dedup_containment" -> containmentOracle,
     "text_stats" ->
       s"""WITH s AS (
          |  SELECT doc_id, text, $normSql AS norm, string_split($normSql, ' ') AS w

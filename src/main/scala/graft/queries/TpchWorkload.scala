@@ -184,9 +184,29 @@ object TpchWorkload {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
 
+  /** KMV distinct-count sketch over the fact key, with the mergeability
+    * identity proven on-data: the direct global sketch and the merge of
+    * per-returnflag sketches are bit-identical (graft.operators.Kmv). The
+    * portable counterpart to `agg_sketches`' engine-private HLL — this one
+    * the oracle replays exactly. */
+  def kmvSketch(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val k = 256
+    val direct = graft.operators.Kmv.estimate(
+      graft.operators.Kmv.sketch(li, col("l_orderkey"), k), k)
+    val merged = graft.operators.Kmv.estimate(
+      graft.operators.Kmv.mergedSketch(li, col("l_orderkey"), col("l_returnflag"), k), k)
+      .select(col("k_kept").as("m_kept"), col("kth_min").as("merged_kth"))
+    direct.crossJoin(merged)
+      .select(col("k_kept"), col("kth_min"), col("est_distinct"), col("merged_kth"),
+        (col("kth_min") === col("merged_kth") && col("k_kept") === col("m_kept"))
+          .as("merge_exact"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_distinct_count" -> distinctCounts,
     "agg_sketches" -> sketchAggs,
+    "agg_kmv_sketch" -> kmvSketch,
     "agg_pricing_summary" -> aggPricingSummary,
     "join_revenue_by_nation" -> joinRevenueByNation,
     "topk_customers" -> topCustomers,
@@ -206,6 +226,27 @@ object TpchWorkload {
     "agg_distinct_count" ->
       "SELECT count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders FROM orders",
     // agg_sketches intentionally has NO oracle entry (rows-only check)
+    "agg_kmv_sketch" ->
+      """WITH h AS (SELECT DISTINCT
+        |    CAST(CONCAT('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |mk AS (SELECT h FROM h ORDER BY h LIMIT 256),
+        |direct AS (SELECT CAST(count(*) AS BIGINT) AS k_kept, max(h) AS kth_min FROM mk),
+        |gh AS (SELECT DISTINCT l_returnflag AS g,
+        |    CAST(CONCAT('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |gk AS (SELECT h FROM (
+        |    SELECT h, row_number() OVER (PARTITION BY g ORDER BY h ASC) AS rn FROM gh)
+        |  WHERE rn <= 256),
+        |mk2 AS (SELECT h FROM (SELECT DISTINCT h FROM gk) ORDER BY h LIMIT 256),
+        |merged AS (SELECT CAST(count(*) AS BIGINT) AS m_kept, max(h) AS merged_kth FROM mk2)
+        |SELECT d.k_kept, d.kth_min,
+        |  CAST(CASE WHEN d.k_kept < 256 THEN d.k_kept
+        |       ELSE CAST(255 AS HUGEINT) * 1152921504606846976 // d.kth_min END AS BIGINT)
+        |    AS est_distinct,
+        |  m.merged_kth,
+        |  (d.kth_min = m.merged_kth AND d.k_kept = m.m_kept) AS merge_exact
+        |FROM direct d, merged m""".stripMargin,
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -173,6 +173,55 @@ object TextOps {
   }
 
   /**
+   * Incremental near-dup probe: a NEW BATCH of documents checked against an
+   * EXISTING CORPUS — the shape every production dedup actually runs at
+   * 100 TB. The corpus's banded MinHash signatures are the stand-in for a
+   * materialized signature index (built once, appended per ingest); the
+   * batch computes its own signatures and the candidate join is
+   * batch-bands ⋈ index-bands on (band, sig) — cost proportional to the
+   * BATCH, never a corpus self-join, never a corpus rescan. Same
+   * double-hashed signatures and exact-Jaccard verify as
+   * [[minhashNearDups]], so a batch pair surfaces iff the self-join on the
+   * concatenated corpus would surface it. Output: (batch_id, corpus_id,
+   * jaccard).
+   */
+  def minhashProbe(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, k: Int = 12, r: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    def hashed(docs: DataFrame) = Caching.scoped(
+      rawShingles(docs, idCol, textCol, n)
+        .select(col("doc_id"), col("shingle"),
+          hash64(col("shingle")).as("h1"),
+          pmod(hash64(concat(col("shingle"), lit("#"))), lit(MinhashH2Mod)).as("h2")))
+    val aggs = (0 until k).map(j =>
+      min(col("h1") + lit(j.toLong) * col("h2")).as(s"h$j"))
+    def bandsOf(ex: DataFrame) =
+      lshBands(ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*), k, r)
+    def setsOf(ex: DataFrame) = ex.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("shingle"))).as("s"))
+      .select(col("doc_id"), col("s"), size(col("s")).cast("long").as("n"))
+
+    val exC = hashed(corpus)
+    val exB = hashed(batch)
+    val candidates = bandsOf(exB).alias("b")
+      .join(bandsOf(exC).alias("c"),
+        col("b.band") === col("c.band") && col("b.sig") === col("c.sig") &&
+          col("b.doc_id") =!= col("c.doc_id"))
+      .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    candidates
+      .join(setsOf(exB).select(col("doc_id").as("batch_id"),
+        col("s").as("sa"), col("n").as("na")), "batch_id")
+      .join(setsOf(exC).select(col("doc_id").as("corpus_id"),
+        col("s").as("sb"), col("n").as("nb")), "corpus_id")
+      .withColumn("i", intersectCount("sa", "sb"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /**
    * EXACT n-gram Jaccard near-dup pairs via prefix filtering (the PPJoin
    * family) — the no-false-negative member of the dedup suite, where
    * MinHash/SimHash trade recall for speed:
@@ -218,6 +267,45 @@ object TextOps {
       .distinct()
     verifiedNearDupPairs(ranked.select(col("doc_id"), col("shingle")), candidates,
       threshold)
+  }
+
+  /**
+   * ASYMMETRIC containment pairs: C(a→b) = |A∩B| / |A| ≥ threshold — doc_a
+   * is (mostly) INSIDE doc_b. The dedup case Jaccard structurally misses: a
+   * paragraph quoted whole inside a much longer document has tiny
+   * union-normalized similarity but containment ≈ 1, and training-corpus
+   * policy usually wants such subsumed texts dropped too.
+   *
+   * Candidates come from a shingle equi-join restricted to shingles with
+   * document frequency ≤ maxDf (two docs sharing ONLY corpus-hot shingles
+   * are boilerplate overlap, not inclusion — and the df cap is what bounds
+   * the join fan-out at corpus scale: cost is Σ df² over rare shingles,
+   * never n²). Verification is exact set intersection over the FULL shingle
+   * sets, so the threshold is exact; only candidate GENERATION is df-capped,
+   * and the cap is part of the operator contract the oracle replays.
+   */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.9, maxDf: Int = 100): DataFrame = {
+    // one distinct-shingle pass feeds the df count, the capped join, and the
+    // verify sets
+    val sh = Caching.scoped(shingles(docs, idCol, textCol, n))
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(freq.filter(col("df") <= maxDf), "shingle")
+      .select(col("doc_id"), col("shingle"))
+    val candidates = rare.alias("a")
+      .join(rare.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = Caching.scoped(sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("shingle"))).as("s"), count(lit(1)).as("n")))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .withColumn("i", intersectCount("sa", "sb"))
+      .withColumn("containment", col("i").cast("double") / col("na").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
   }
 
   /**

@@ -31,7 +31,8 @@ class PlanGuardSpec extends SparkSpec {
     "text_bm25",              // 1-row corpus-statistics (N, Σdl, df) anchor
     "ann_recall",             // probe-set broadcasts + 1-row total anchor
     "text_tfidf_top",         // 1-row corpus-count anchor
-    "kmeans_clusters")        // k-row centroid set broadcast (argmax assign)
+    "kmeans_clusters",        // k-row centroid set broadcast (argmax assign)
+    "agg_kmv_sketch")         // 1-row direct × 1-row merged sketch summary
 
   test("no registered query plans a cartesian or unjustified nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -44,4 +44,24 @@ class SketchSpec extends SparkSpec {
       p99 <= brackets.getAs[Double]("p99_hi"),
       s"p99 approx $p99 outside rank-error bracket")
   }
+
+  test("KMV sketch: estimate near exact, merge bit-identical, small-n exact") {
+    val row = TpchWorkload.kmvSketch(spark, dir).collect().head
+    assert(row.getAs[Boolean]("merge_exact"),
+      "per-group sketch merge must reproduce the direct global sketch")
+    val exact = Tables(spark, dir, "lineitem")
+      .agg(countDistinct(col("l_orderkey"))).collect().head.getLong(0).toDouble
+    val est = row.getAs[Long]("est_distinct").toDouble
+    // k=256 → stderr ≈ 1/√(k−2) ≈ 6.3%; assert within 3σ = 19%
+    assert(math.abs(est - exact) / exact <= 0.19,
+      s"KMV estimate $est outside 3σ of exact $exact")
+
+    // fewer distinct values than k: the sketch is the exact set
+    import spark.implicits._
+    val tiny = Seq.tabulate(40)(i => i % 10).toDF("v")
+    val one = graft.operators.Kmv.estimate(
+      graft.operators.Kmv.sketch(tiny, col("v"), k = 256), k = 256).collect().head
+    assert(one.getAs[Long]("k_kept") == 10L &&
+      one.getAs[Long]("est_distinct") == 10L)
+  }
 }

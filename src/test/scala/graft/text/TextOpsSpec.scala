@@ -106,6 +106,32 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("minhashProbe pairs batch against corpus only, never batch-vs-batch") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " zz"
+    val other = (1 to 40).map(i => s"v$i").mkString(" ")
+    // corpus: base(10), other(12); batch: nearDup(11) + an exact copy of
+    // nearDup(13) — 11↔13 is a batch-internal pair and must NOT surface
+    val out = TextOps.minhashProbe(
+      docs((10L, base), (12L, other)),
+      docs((11L, nearDup), (13L, nearDup)), "doc_id", "text")
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((11L, 10L), (13L, 10L)))
+  }
+
+  test("containmentPairs: subsumed doc surfaces one-directionally") {
+    val para = (1 to 20).map(i => s"w$i").mkString(" ")
+    val big = para + " " + (1 to 60).map(i => s"x$i").mkString(" ")
+    val other = (1 to 40).map(i => s"v$i").mkString(" ")
+    val out = TextOps.containmentPairs(
+      docs((1L, para), (2L, big), (3L, other)), "doc_id", "text")
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect()
+    // para's 18 shingles all appear in big -> containment 1.0 for 1→2 only;
+    // big→para is 18/79 and must stay below threshold
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("minhash jaccard is the exact shingle-set similarity") {
     val a = "a b c d e"   // shingles: abc bcd cde
     val b = "a b c d x"   // shingles: abc bcd cdx -> inter 2, union 4 -> 0.5
