@@ -65,12 +65,28 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
-      .mkString("{", ",", "}")
+    // The harness that consumes this line keeps only the last ~2000 chars of
+    // process output (sbt adds an "[info] " prefix and a trailing "[success]"
+    // line), and with 60+ queries the full double repr overflows that window
+    // and the line never parses. Emit the shortest precision (3 → 1 decimals)
+    // that fits a 1800-char budget; values stay in seconds per the contract.
+    def fmt(v: Double, dec: Int) = {
+      val s = BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP).toString
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    def line(dec: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + fmt(v, dec) }
+        .mkString("{", ",", "}")
+      val errs =
+        if (errors.isEmpty) ""
+        else errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v).take(60) + "\"" }
+          .mkString(""","errors":{""", ",", "}")
+      val sfName = sfDir.stripSuffix("/").split('/').last
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$errs,"sf":"$sfName"}"""
+    }
+    val out = (3 to 1 by -1).map(line).find(_.length <= 1800).getOrElse(line(1))
+    println(out)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

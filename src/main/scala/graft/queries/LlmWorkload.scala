@@ -266,7 +266,45 @@ object LlmWorkload {
       .groupBy(col("lang_pred")).agg(count(lit(1)).as("n_kept"))
   }
 
+  /** Per-source quota caps ([[Prep.capPerGroup]]): at most 15 docs per
+    * source, chosen by id hash; the kept set is pinned exactly by the
+    * per-source id sum. */
+  def prepSourceCaps(spark: SparkSession, dir: String): DataFrame =
+    Prep.capPerGroup(Tables(spark, dir, "documents"), "doc_id", "source", cap = 15)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+
+  /** Corpus mixture sampling ([[Prep.mixtureSample]]): downsample languages
+    * to a 50/20/15/10/5 en/zh/de/fr/es target; integer sizing + hash-grid
+    * membership make the kept set exactly replayable. */
+  def prepMixtureSample(spark: SparkSession, dir: String): DataFrame =
+    Prep.mixtureSample(Tables(spark, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 5000, "zh" -> 2000, "de" -> 1500, "fr" -> 1000, "es" -> 500))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+
+  /** Count-LM quality scoring ([[TextOps.lmScore]]): per-doc mean corpus
+    * bigram frequency + hapax fraction. */
+  def qualityLmScore(spark: SparkSession, dir: String): DataFrame =
+    TextOps.lmScore(Tables(spark, dir, "documents"), "doc_id", "text")
+
+  /** Grouped top-k bigrams per language ([[TextOps.groupedTopTerms]]). */
+  def textNgramTopk(spark: SparkSession, dir: String): DataFrame =
+    TextOps.groupedTopTerms(Tables(spark, dir, "documents"), "lang", "text")
+      .select(col("grp").as("lang"), col("term"), col("cnt"),
+        col("rank").cast("long").as("rank"))
+
+  /** Winnowing overlap pairs ([[TextOps.winnowingPairs]]): docs sharing >= 3
+    * non-ubiquitous fingerprints — the clone-detection report. */
+  def dedupWinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.winnowingPairs(Tables(spark, dir, "documents"), "doc_id", "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prep_source_caps" -> prepSourceCaps,
+    "prep_mixture_sample" -> prepMixtureSample,
+    "quality_lm_score" -> qualityLmScore,
+    "text_ngram_topk" -> textNgramTopk,
+    "dedup_winnow_pairs" -> dedupWinnowPairs,
     "text_decontamination" -> textDecontamination,
     "text_bm25" -> textBm25,
     "text_scrub_pii" -> textScrubPii,
@@ -520,6 +558,76 @@ object LlmWorkload {
   }
 
   val oracles: Map[String, String] = Map(
+    // per-source quota replay: same hash order, same cap, kept set pinned
+    // by the id sum
+    "prep_source_caps" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY ${h64("CAST(doc_id AS VARCHAR) || '#cap'")}, doc_id) AS rk
+         |  FROM documents)
+         |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM r WHERE rk <= 15 GROUP BY 1""".stripMargin,
+    // mixture replay: identical integer sizing (K = min floor(n·10000/w),
+    // grid = floor(w·K/n)) and the same hash-grid membership
+    "prep_mixture_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |w AS (SELECT lang, n,
+         |    CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000 WHEN 'de' THEN 1500
+         |              WHEN 'fr' THEN 1000 WHEN 'es' THEN 500 END AS wt
+         |  FROM c),
+         |k AS (SELECT min(n * 10000 // wt) AS kk FROM w WHERE wt IS NOT NULL),
+         |g AS (SELECT w.lang, w.wt * k.kk // w.n AS grid
+         |      FROM w, k WHERE w.wt IS NOT NULL),
+         |kept AS (SELECT d.doc_id, d.lang FROM documents d JOIN g ON d.lang = g.lang
+         |  WHERE ${h64("CAST(doc_id AS VARCHAR) || '#mix'")} % 10000 < g.grid)
+         |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM kept GROUP BY 1""".stripMargin,
+    // count-LM replay: same non-distinct bigrams, integer frequency sums,
+    // single final IEEE divisions
+    "quality_lm_score" ->
+      s"""WITH words AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |oc AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+         |       FROM words, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+         |f AS (SELECT g, count(*) AS freq FROM oc GROUP BY 1)
+         |SELECT oc.doc_id, count(*) AS n_ngrams,
+         |  CAST(sum(f.freq) AS BIGINT) AS freq_sum,
+         |  CAST(sum(CASE WHEN f.freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  CAST(CAST(sum(f.freq) AS BIGINT) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS avg_freq,
+         |  CAST(CAST(sum(CASE WHEN f.freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS hapax_frac
+         |FROM oc JOIN f USING (g) GROUP BY 1""".stripMargin,
+    // grouped top-k replay: same counts, same (cnt desc, term asc) order
+    "text_ngram_topk" ->
+      s"""WITH words AS (SELECT lang, string_split($normSql, ' ') AS w FROM documents),
+         |oc AS (SELECT lang, w[i] || ' ' || w[i+1] AS term
+         |       FROM words, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+         |counted AS (SELECT lang, term, count(*) AS cnt FROM oc GROUP BY 1, 2),
+         |r AS (SELECT lang, term, cnt,
+         |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term ASC) AS rank
+         |  FROM counted)
+         |SELECT lang, term, cnt, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 5""".stripMargin,
+    // winnowing-pair replay: same k=5/w=4 minima, same df<=20 stop-gram
+    // guard, same >=3 shared-fingerprint threshold
+    "dedup_winnow_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |g AS (
+         |  SELECT doc_id, i AS pos, ${h64("substr(nt, i, 5)")} AS h
+         |  FROM t, UNNEST(range(1, length(nt) - 3)) AS u(i)
+         |  WHERE length(nt) >= 5),
+         |mm AS (
+         |  SELECT doc_id, pos,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+         |  FROM g),
+         |fp AS (SELECT DISTINCT doc_id, m FROM mm WHERE pos >= 4),
+         |df AS (SELECT m, count(*) AS ndocs FROM fp GROUP BY 1),
+         |kept AS (SELECT fp.doc_id, fp.m FROM fp JOIN df USING (m)
+         |         WHERE df.ndocs <= 20)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM kept a JOIN kept b ON a.m = b.m AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     "dedup_exact" ->
       s"""SELECT doc_id, md5($normSql) AS text_hash,
          |  min(doc_id) OVER (PARTITION BY md5($normSql)) AS canonical_id,

@@ -120,6 +120,39 @@ object RefWorkload {
       .groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Ordered funnel over the event stream: users reaching view → click →
+    * purchase, each stage strictly after the previous one's first entry
+    * ([[graft.operators.Funnel]]). Pure min aggregates and integer counts —
+    * exactly replayable. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.steps(Tables(spark, dir, "events"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+
+  /** Histogram-sketch quantiles per event type — the scale path for
+    * percentiles (exact median is [[eventsMedian]]'s job): bucket `value`
+    * into centi-unit-exact 5-unit bins, then read p50/p90/p99 as the first
+    * bin whose cumulative count crosses the rank threshold. The crossing
+    * test is pure integer arithmetic (2·cum ≥ n, 10·cum ≥ 9n, 100·cum ≥
+    * 99n) — no float ranks, so the sketch replays bit-identically in any
+    * engine while shuffling only (type, bin) pairs, never rows. */
+  def eventsQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        floor(floor(col("value") * lit(100.0)).cast("long") / lit(500L))
+          .cast("long").as("bin"))
+      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("event_type"))
+    val cum = binned.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(tot))
+    cum.groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"),
+        min(when(col("cum") * 2 >= col("n"), col("bin"))).as("p50_bin"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("bin"))).as("p90_bin"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("bin"))).as("p99_bin"))
+  }
+
   /** Training-sequence builder: each user's events in (ts, event_id) order
     * reduced to a bounded event-type sequence + portable content hash — the
     * "visit history → model input" step of a behavioral pipeline. One
@@ -277,6 +310,8 @@ object RefWorkload {
     "events_outliers" -> eventsOutliers,
     "events_median" -> eventsMedian,
     "events_histogram" -> eventsHistogram,
+    "events_quantiles" -> eventsQuantiles,
+    "funnel_steps" -> funnelSteps,
     "event_sequences" -> eventSequences,
     "asof_last_purchase" -> asofLastPurchase,
     "range_join_sessions" -> rangeJoinSessions,
@@ -388,6 +423,39 @@ object RefWorkload {
         |  least(CAST(floor(value / CAST(50 AS DOUBLE)) AS BIGINT), 9) AS bin,
         |  count(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // histogram-quantile replay: same centi-unit 5-unit bins, same integer
+    // rank-crossing tests
+    "events_quantiles" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT)
+        |      / CAST(500 AS DOUBLE)) AS BIGINT) AS bin FROM events),
+        |b AS (SELECT event_type, bin, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin ASC
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM b)
+        |SELECT event_type, CAST(min(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum * 2 >= n THEN bin END) AS p50_bin,
+        |  min(CASE WHEN cum * 10 >= n * 9 THEN bin END) AS p90_bin,
+        |  min(CASE WHEN cum * 100 >= n * 99 THEN bin END) AS p99_bin
+        |FROM c GROUP BY 1""".stripMargin,
+    // funnel replay: per-user earliest-entry chain with strict-after joins
+    "funnel_steps" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+        |       FROM s1 LEFT JOIN events e
+        |         ON e.user_id = s1.user_id AND e.event_type = 'click' AND e.ts > s1.t1
+        |       GROUP BY s1.user_id, s1.t1),
+        |s3 AS (SELECT s2.user_id, min(e.ts) AS t3
+        |       FROM s2 LEFT JOIN events e
+        |         ON e.user_id = s2.user_id AND e.event_type = 'purchase' AND e.ts > s2.t2
+        |       GROUP BY s2.user_id)
+        |SELECT 1 AS step, 'view' AS stage,
+        |  (SELECT count(t1) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(t2) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(t3) FROM s3)""".stripMargin,
     "j1_latest_record" ->
       """SELECT e.user_id, e.event_id, e.ts, e.event_type, e.value
         |FROM events e

@@ -75,6 +75,57 @@ object Prep {
   }
 
   /**
+   * Per-group quota cap: keep at most `cap` rows per group, chosen by the
+   * md5 hash of the id (a deterministic "random" sample of each group, not
+   * a prefix). The domain/source-cap step of corpus mixing — one shuffle on
+   * the group key; the hash order makes the kept subset independent of the
+   * input's physical row order, so it is stable across engines and runs.
+   */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String, cap: Int,
+      salt: String = "cap"): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val w = Window.partitionBy(col(groupCol)).orderBy(
+      TextOps.hash64(concat(col(idCol).cast("string"), lit("#" + salt))),
+      col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap).drop("__rk")
+  }
+
+  /**
+   * Deterministic mixture sampling: downsample strata so the kept corpus
+   * matches target proportions (`weights` in parts-per-10000, e.g. en=5000
+   * means half the kept tokens should be English). The scale is set by the
+   * binding stratum — the one whose supply runs out first: K = min over
+   * strata of floor(n_s·10000/w_s) is the largest total size every stratum
+   * can fill, and stratum s keeps hash(id)%10000 < floor(w_s·K/n_s).
+   *
+   * All sizing arithmetic is 64-bit integer (exact in any engine); per-row
+   * membership is the same hash-grid test as [[stratifiedSample]], so the
+   * kept set is a pure function of (corpus counts, id). Strata missing
+   * from `weights` are dropped. Two scans: one tiny counts aggregate
+   * (broadcast back), one filter — no extra shuffle of the corpus itself.
+   */
+  def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
+      weights: Map[String, Int], salt: String = "mix"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"weights must be positive parts-per-10000: $weights")
+    val wExpr = weights.toSeq.sortBy(_._1).foldLeft(lit(null).cast("long")) {
+      case (acc, (s, w)) => when(col(stratumCol) === s, lit(w.toLong)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", wExpr).filter(col("__w").isNotNull)
+    // `div` (not `/`): Spark's `/` on longs is fractional; the sizing must
+    // stay exact 64-bit integer arithmetic for cross-engine replay
+    val scale = counts.agg(min(expr("__n * 10000 div __w")).as("__k"))
+    val grids = counts.crossJoin(broadcast(scale))
+      .select(col(stratumCol), expr("__w * __k div __n").as("__grid"))
+    df.join(broadcast(grids), Seq(stratumCol))
+      .filter(pmod(TextOps.hash64(
+        concat(col(idCol).cast("string"), lit("#" + salt))), lit(10000L)) < col("__grid"))
+      .drop("__grid")
+  }
+
+  /**
    * Token-budget shard packing: documents are laid out in id order and cut
    * into shards of ~`budget` tokens (a doc belongs to the shard its
    * EXCLUSIVE prefix token sum falls in, so shards are contiguous id ranges

@@ -322,7 +322,10 @@ object TextOps {
    * window min per doc ordered by position, one groupBy — the same
    * shuffle topology as the MinHash signature.
    */
-  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+  /** The winnowing core: (doc_id, pos, m) — every full w-window's minimum
+    * k-gram hash, position-ordered. Shared by the per-doc fingerprint
+    * summary and the cross-doc pair detector. */
+  def winnowingMinima(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     val grams = docs
       .select(col(idCol).as("doc_id"), normalizeText(col(textCol)).as("__t"))
@@ -343,9 +346,43 @@ object TextOps {
       // the first w-1 windows are partial; standard winnowing starts at the
       // first FULL window so short prefixes do not over-fingerprint
       .filter(col("pos") >= w)
+      .select(col("doc_id"), col("pos"), col("m"))
+  }
+
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame =
+    winnowingMinima(docs, idCol, textCol, k, w)
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("m")).as("n_fingerprints"),
         min(col("m")).as("min_fp"), max(col("m")).as("max_fp"))
+
+  /**
+   * Cross-document overlap pairs from shared winnowing fingerprints — the
+   * plagiarism/clone-detection shape (Schleimer et al. §5): two documents
+   * sharing any fingerprint share a substring of length >= w + k − 1; pairs
+   * are ranked by how many DISTINCT fingerprints they share.
+   *
+   * Corpus-frequency guard: fingerprints present in more than `maxDf` docs
+   * (ubiquitous phrases — the character-level analogue of stopwords) are
+   * dropped BEFORE pairing, the same pigeonhole discipline as the LSH band
+   * join: candidate generation stays an equi-join on a bounded-fanout key,
+   * never quadratic in the corpus. Output: (doc_a, doc_b, n_shared).
+   */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, maxDf: Int = 20, minShared: Int = 3): DataFrame = {
+    val fps = Caching.scoped(
+      winnowingMinima(docs, idCol, textCol, k, w)
+        .select(col("doc_id"), col("m")).distinct())
+    val rare = fps.groupBy(col("m"))
+      .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxDf)
+      .select(col("m"))
+    val kept = fps.join(rare, "m")
+    kept.select(col("m"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("m"), col("doc_id").as("doc_b")), "m")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   // ----------------------------------------------------------------- simhash
@@ -562,6 +599,59 @@ object TextOps {
         when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits"), "en")
           .when(col("de_hits") >= col("fr_hits"), "de")
           .otherwise("fr"))
+  }
+
+  /**
+   * Corpus-frequency language-model scoring — the model-free quality
+   * signal behind perplexity filters: score each document by how typical
+   * its word n-grams are of the corpus itself. A self-trained count LM:
+   * `avg_freq` is the mean corpus occurrence count of the document's n-gram
+   * tokens (high = phrasing the corpus repeats; low = noise or novelty) and
+   * `hapax_frac` the fraction occurring nowhere else (a strong gibberish
+   * detector). Arithmetic stays engine-portable: integer count sums with
+   * single final divisions — no logs, whose last ulp differs per libm.
+   *
+   * Scale: the n-gram explode shuffles once on the shingle (count + join
+   * back), once on doc_id — the same topology as TF-IDF; the frequency
+   * table is Zipf-small relative to the corpus and AQE broadcasts it when
+   * it fits.
+   */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val occ = Caching.scoped(rawShingles(docs, idCol, textCol, n))
+    val freq = occ.groupBy(col("shingle")).agg(count(lit(1)).as("__freq"))
+    occ.join(freq, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(col("__freq")).as("freq_sum"),
+        sum(when(col("__freq") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("avg_freq",
+        col("freq_sum").cast("double") / col("n_ngrams").cast("double"))
+      .withColumn("hapax_frac",
+        col("n_hapax").cast("double") / col("n_ngrams").cast("double"))
+  }
+
+  /** Top-k word n-grams per group (language, source, ...) by occurrence
+    * count — the grouped-top-k reporting shape over text. Deterministic
+    * ranking: count desc, then shingle asc. One shuffle to count, one
+    * window per group to rank. */
+  def groupedTopTerms(docs: DataFrame, groupCol: String, textCol: String,
+      n: Int = 2, topK: Int = 5): DataFrame = {
+    val counted = docs
+      .select(col(groupCol).as("grp"), wordsOf(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      // spread on the words array (high cardinality), not the group key —
+      // a handful of groups would collapse the pre-explode spread to a
+      // handful of cores
+      .transform(graft.Spread.byKey(_, col("w")))
+      .select(col("grp"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
+        .as("term"))
+      .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("cnt").desc, col("term").asc)
+    counted.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
   }
 
   /**

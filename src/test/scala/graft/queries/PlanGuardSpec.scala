@@ -32,7 +32,8 @@ class PlanGuardSpec extends SparkSpec {
     "ann_recall",             // probe-set broadcasts + 1-row total anchor
     "text_tfidf_top",         // 1-row corpus-count anchor
     "kmeans_clusters",        // k-row centroid set broadcast (argmax assign)
-    "agg_kmv_sketch")         // 1-row direct × 1-row merged sketch summary
+    "agg_kmv_sketch",         // 1-row direct × 1-row merged sketch summary
+    "prep_mixture_sample")    // 1-row mixture-scale (K) anchor
 
   test("no registered query plans a cartesian or unjustified nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

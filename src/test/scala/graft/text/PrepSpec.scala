@@ -68,6 +68,41 @@ class PrepSpec extends SparkSpec {
     assert(df((65535L, 65535L)) == (1L << 32) - 1L)   // all 32 low bits set
   }
 
+  test("capPerGroup: at most cap rows per group, hash-stable selection") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val out = Prep.capPerGroup(df, "id", "grp", cap = 10)
+      .select("grp", "id").as[(String, Long)].collect()
+    val byGrp = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byGrp.values.forall(_.size == 10))
+    // groups under the cap keep everything
+    val small = Prep.capPerGroup(df.filter($"id" <= 5), "id", "grp", cap = 10)
+    assert(small.count() == 5)
+    // selection is a pure function of the id, not of the corpus: the kept
+    // set of a group does not change when OTHER groups change
+    val out2 = Prep.capPerGroup(df.filter($"grp" === "g1"), "id", "grp", cap = 10)
+      .select("id").as[Long].collect().toSet
+    assert(out2 == byGrp("g1"))
+  }
+
+  test("mixtureSample: kept proportions track the target weights exactly as sized") {
+    val df = ((1L to 600L).map(i => (i, "en")) ++ (601L to 900L).map(i => (i, "de")) ++
+      (901L to 1000L).map(i => (i, "xx"))).toDF("id", "lang")
+    val weights = Map("en" -> 7500, "de" -> 2500)
+    val kept = Prep.mixtureSample(df, "id", "lang", weights)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // strata outside the weight map are dropped
+    assert(!kept.contains("xx"))
+    // binding stratum: en supplies 600 of 75% -> K = 800; de target = 200 of 300
+    // hash thinning is exact-in-expectation on the 1/10000 grid; allow slack
+    val en = kept.getOrElse("en", 0L); val de = kept.getOrElse("de", 0L)
+    assert(en > 480 && en <= 600, s"en=$en")
+    assert(de > 120 && de < 280, s"de=$de")
+    // deterministic: same corpus -> same kept set
+    val again = Prep.mixtureSample(df, "id", "lang", weights)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(again == kept)
+  }
+
   test("zorderValue locality: any aligned 2^k block is a contiguous z-range") {
     // the property file-skipping relies on: the z-values of an aligned
     // (2^k x 2^k) block occupy EXACTLY [z(x0,y0), z(x0,y0) + 4^k - 1]

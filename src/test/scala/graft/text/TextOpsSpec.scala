@@ -307,4 +307,47 @@ class TextOpsSpec extends SparkSpec {
     assert(clusters(1L) == clusters(0L), "apple docs cluster with the apple seed")
     assert(clusters(26L) == clusters(25L), "zebra docs cluster with the zebra seed")
   }
+
+  test("lmScore: repeated phrasing scores high, gibberish is all hapax") {
+    val d = docs(
+      (1L, "the cat sat"), (2L, "the cat sat"), (3L, "the cat sat"),
+      (4L, "qz wv xj kp"),   // bigrams occur nowhere else
+      (5L, "x"))             // < n words: no row
+    val out = TextOps.lmScore(d, "doc_id", "text")
+      .select("doc_id", "n_ngrams", "freq_sum", "n_hapax")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // docs 1-3: bigrams "the cat"/"cat sat" each occur 3x -> freq_sum 6, no hapax
+    assert(out(1L) == ((2L, 6L, 0L)) && out(2L) == out(1L) && out(3L) == out(1L))
+    // doc 4: 3 bigrams, each corpus-unique
+    assert(out(4L) == ((3L, 3L, 3L)))
+    assert(!out.contains(5L))
+  }
+
+  test("groupedTopTerms ranks by count with deterministic ties") {
+    val d = Seq(
+      ("en", "a b a b a b"),    // "a b" x3, "b a" x2
+      ("en", "c d"),
+      ("fr", "x y")).toDF("lang", "text")
+    val out = TextOps.groupedTopTerms(d, "lang", "text", n = 2, topK = 2)
+      .select("grp", "term", "cnt", "rank")
+      .as[(String, String, Long, Int)].collect().toSet
+    assert(out == Set(("en", "a b", 3L, 1), ("en", "b a", 2L, 2),
+      ("fr", "x y", 1L, 1)))
+  }
+
+  test("winnowingPairs: identical docs pair via shared fingerprints; ubiquitous fingerprints are guarded") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs((1L, text), (2L, text), (3L, "completely different words here xyzzy"))
+    val out = TextOps.winnowingPairs(d, "doc_id", "text", minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    // identical docs share their whole fingerprint set
+    val nFp = TextOps.winnowingFingerprints(docs((1L, text)), "doc_id", "text")
+      .select("n_fingerprints").as[Long].head()
+    assert(out.head._3 == nFp)
+    // maxDf guard: a fingerprint in every doc generates no pairs at maxDf=1
+    val none = TextOps.winnowingPairs(d, "doc_id", "text", maxDf = 1, minShared = 1)
+    assert(none.count() == 0)
+  }
 }
