@@ -67,26 +67,45 @@ object Bench {
     }
     // The harness that consumes this line keeps only the last ~2000 chars of
     // process output (sbt adds an "[info] " prefix and a trailing "[success]"
-    // line), and with 60+ queries the full double repr overflows that window
-    // and the line never parses. Emit the shortest precision (3 → 1 decimals)
-    // that fits a 1800-char budget; values stay in seconds per the contract.
+    // line), and with 80 queries the full double repr overflows that window
+    // and the line never parses. Two outputs: BENCH_DETAIL.json always gets
+    // the complete full-precision map; the stdout line fits a 1800-char
+    // budget by degrading precision (3 → 1 decimals) and, if names alone
+    // still overflow, keeping the slowest entries plus an "omitted" summary
+    // of the fast tail. Values stay in seconds per the contract.
     def fmt(v: Double, dec: Int) = {
       val s = BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP).toString
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
     val total = results.map(_._2).sum
-    def line(dec: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + fmt(v, dec) }
+    val sfName = sfDir.stripSuffix("/").split('/').last
+    val errs =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v).take(60) + "\"" }
+        .mkString(""","errors":{""", ",", "}")
+    def line(dec: Int, keep: Int): String = {
+      val bySlowest = results.sortBy(-_._2)
+      val kept = bySlowest.take(keep).sortBy(_._1)
+      val dropped = bySlowest.drop(keep)
+      val qs = kept.map { case (k, v) => "\"" + esc(k) + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
-      val errs =
-        if (errors.isEmpty) ""
-        else errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v).take(60) + "\"" }
-          .mkString(""","errors":{""", ",", "}")
-      val sfName = sfDir.stripSuffix("/").split('/').last
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$errs,"sf":"$sfName"}"""
+      val omitted =
+        if (dropped.isEmpty) ""
+        else s""","omitted":${dropped.size},"omitted_sec":${fmt(dropped.map(_._2).sum, 1)}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$omitted$errs,"sf":"$sfName"}"""
     }
-    val out = (3 to 1 by -1).map(line).find(_.length <= 1800).getOrElse(line(1))
-    println(out)
+    val n = results.size
+    val candidates =
+      (3 to 1 by -1).iterator.map(line(_, n)) ++
+        Iterator.iterate(n - 5)(_ - 5).takeWhile(_ > 0).map(line(1, _))
+    println(candidates.find(_.length <= 1800).getOrElse(line(1, 1)))
+    val detail = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
+      .mkString("{", ",", "}")
+    val detailJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail$errs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detailJson.getBytes("UTF-8"))
+    catch { case _: Throwable => () } // the sidecar must never fail the bench
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -359,6 +359,28 @@ object Cdc {
   }
 
   /**
+   * Replication-lag report — the monitoring query a replication operator
+   * runs between cron windows (the reference budgets 50 of every 60
+   * minutes and resumes from the ledger head; "how far behind is the sink"
+   * is the question its runbook answers from log_replication). Given the
+   * pending slice of the change log (version > the sink's applied head),
+   * report per op type: pending row count and the min/max pending version —
+   * plus the log head and applied head on every row for a one-glance read.
+   *
+   * One filter + one tiny groupBy; the applied head comes from the ledger
+   * (a 1-row frame), so the report never scans sink state.
+   */
+  def lagReport(changes: DataFrame, appliedMax: Long, opCol: String = "op",
+      versionCol: String = Schemas.VersionCol): DataFrame = {
+    val pending = changes.filter(col(versionCol) > appliedMax)
+    pending.groupBy(col(opCol))
+      .agg(count(lit(1)).as("n_pending"),
+        min(col(versionCol)).as("min_pending"),
+        max(col(versionCol)).as("max_pending"))
+      .withColumn("applied_head", lit(appliedMax))
+  }
+
+  /**
    * J2/A2 — duplicate finder: the STALE versions (every physical row that is
    * not its key's max-version row) within an optional trailing time window
    * (reference: _settings.py:237-256, doc_old_duplicates.md:32-70).

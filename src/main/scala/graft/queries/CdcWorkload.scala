@@ -161,7 +161,23 @@ object CdcWorkload {
       Tables(spark, dir, "events"), "event_id", "ts", minAgeDays = 21)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
 
+  /** Replication-lag monitoring ([[Cdc.lagReport]]): pending ops beyond the
+    * sink's applied head — here the head is pinned deterministically at 70%
+    * of the log's max version, standing in for the ledger's 1-row lookup. */
+  def cdcLagReport(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val op = when(pmod(col("event_id"), lit(10)) <= 5, "INSERT")
+      .when(pmod(col("event_id"), lit(10)) <= 8, "UPDATE")
+      .otherwise("DELETE")
+    val log = e.select(op.as("op"), col("event_id").as(Schemas.VersionCol))
+    // the applied head is ledger-sized metadata: a 1-row lookup, same shape
+    // as the stream resume head (Cdc.resumeHead)
+    val head = log.agg(max(col(Schemas.VersionCol))).head.getLong(0)
+    Cdc.lagReport(log, head * 7 / 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_lag_report" -> cdcLagReport,
     "cdc_apply_versioned" -> cdcApplyVersioned,
     "cdc_latest_wins" -> cdcLatestWins,
     "cdc_apply_mutable" -> cdcApplyMutable,
@@ -172,6 +188,15 @@ object CdcWorkload {
   )
 
   val oracles: Map[String, String] = Map(
+    // lag replay: same op derivation, same integer 70%-of-head applied mark
+    "cdc_lag_report" ->
+      s"""WITH $changeLogSql,
+        |a AS (SELECT max(event_id) * 7 // 10 AS applied FROM log)
+        |SELECT op, count(*) AS n_pending,
+        |  min(event_id) AS min_pending, max(event_id) AS max_pending,
+        |  a.applied AS applied_head
+        |FROM log, a WHERE event_id > a.applied
+        |GROUP BY op, a.applied""".stripMargin,
     // a DELETE removes every version before it; appends after it survive
     "cdc_apply_versioned" ->
       s"""WITH $changeLogSql,

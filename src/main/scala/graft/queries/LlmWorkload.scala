@@ -299,12 +299,32 @@ object LlmWorkload {
   def dedupWinnowPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.winnowingPairs(Tables(spark, dir, "documents"), "doc_id", "text")
 
+  /** Canonical corpus: per near-dup cluster (MinHash pairs → connected
+    * components), keep the highest-quality doc — quality desc, doc_id asc;
+    * unclustered docs are their own cluster. The final select step of a
+    * dedup pipeline: clusters ⋈ quality, one window per component. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val q = TextOps.textStats(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+    val comp = TextOps.connectedComponents(
+        TextOps.minhashNearDups(docs, "doc_id", "text"))
+      .select(col("id").as("doc_id"), col("component"))
+    val labeled = q.join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    labeled.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("component"), col("doc_id").as("kept_doc"), col("quality_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prep_source_caps" -> prepSourceCaps,
     "prep_mixture_sample" -> prepMixtureSample,
     "quality_lm_score" -> qualityLmScore,
     "text_ngram_topk" -> textNgramTopk,
     "dedup_winnow_pairs" -> dedupWinnowPairs,
+    "dedup_keep_best" -> dedupKeepBest,
     "text_decontamination" -> textDecontamination,
     "text_bm25" -> textBm25,
     "text_scrub_pii" -> textScrubPii,
@@ -948,6 +968,35 @@ object LlmWorkload {
          |  UNION
          |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b)
          |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1""".stripMargin,
+    // keep-best replay: recursive-CTE components over the minhash pairs,
+    // the pinned quality formula, one window per component
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT doc_a, doc_b FROM ($minhashOracle)),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(0.4 AS DOUBLE) * (CAST(len(list_filter(w, x -> x IN ('the','and','of','to','in','a'))) AS DOUBLE)
+         |      / CAST(len(w) AS DOUBLE))
+         |    + CAST(0.3 AS DOUBLE) * least(CAST(len(w) AS DOUBLE) / CAST(50 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE)
+         |      - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE)) AS quality_score
+         |  FROM (SELECT doc_id, text, string_split($normSql, ' ') AS w FROM documents)),
+         |lab AS (SELECT q.doc_id, COALESCE(comp.component, q.doc_id) AS component,
+         |               q.quality_score
+         |        FROM q LEFT JOIN comp USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY component
+         |        ORDER BY quality_score DESC, doc_id ASC) AS rn FROM lab)
+         |SELECT component, doc_id AS kept_doc, quality_score
+         |FROM r WHERE rn = 1""".stripMargin,
     // TF-IDF replay: same tf/df integer counts, same rational idf
     "text_tfidf_top" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word

@@ -51,6 +51,46 @@ object TpchWorkload {
         .cast("double").as("revenue"))
   }
 
+  /** The classic shipping-priority shape (TPC-H Q3): segment-filtered
+    * customers ⋈ open orders ⋈ late shipments, revenue per order, top 10.
+    * The date filters push into both fact scans; the two fact joins shuffle
+    * on the order key; top-k plans as TakeOrderedAndProject. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1998-06-01"))
+    val cust = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount", 4, 2)))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** The promotion-share shape (TPC-H Q14): ratio of PROMO-part revenue to
+    * total revenue in one month — two conditional DECIMAL sums (exact under
+    * any partitioning), one final IEEE division. part broadcasts. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1997-01-01")); val hi = to_timestamp(lit("1997-04-01"))
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+    val part = Tables(spark, dir, "part").select(col("p_partkey"), col("p_type"))
+    val disc = dec("l_extendedprice") * (lit(1) - dec("l_discount", 4, 2))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double").as("promo_revenue"),
+        sum(disc).cast("double").as("total_revenue"))
+      .withColumn("promo_share", col("promo_revenue") / col("total_revenue"))
+  }
+
   /** SRT3-family — top-k by aggregate (sort+limit → TakeOrderedAndProject). */
   def topCustomers(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "customer")
@@ -209,6 +249,8 @@ object TpchWorkload {
     "agg_kmv_sketch" -> kmvSketch,
     "agg_pricing_summary" -> aggPricingSummary,
     "join_revenue_by_nation" -> joinRevenueByNation,
+    "q3_shipping_priority" -> q3ShippingPriority,
+    "q14_promo_share" -> q14PromoShare,
     "topk_customers" -> topCustomers,
     "topk_per_nation" -> topkPerNation,
     "pivot_event_types" -> pivotEventTypes,
@@ -262,6 +304,31 @@ object TpchWorkload {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q14_promo_share" ->
+      """WITH l AS (
+        |  SELECT p_type,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS disc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN disc ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+        |    CAST(sum(disc) AS DOUBLE) AS total_revenue
+        |  FROM l)
+        |SELECT promo_revenue, total_revenue,
+        |  promo_revenue / total_revenue AS promo_share
+        |FROM s""".stripMargin,
     "topk_customers" ->
       """SELECT c_custkey, c_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM customer JOIN orders ON c_custkey = o_custkey

@@ -236,4 +236,18 @@ class CdcApplySpec extends SparkSpec {
       assert(staged == whole, s"cut at $cut1")
     }
   }
+
+  test("lagReport counts only ops beyond the applied head, per op type") {
+    import spark.implicits._
+    val log = Seq(
+      ("INSERT", 1L), ("UPDATE", 2L), ("DELETE", 3L),
+      ("INSERT", 4L), ("UPDATE", 5L), ("INSERT", 6L))
+      .toDF("op", Schemas.VersionCol)
+    val out = Cdc.lagReport(log, appliedMax = 3L)
+      .select("op", "n_pending", "min_pending", "max_pending", "applied_head")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(("INSERT", 2L, 4L, 6L, 3L), ("UPDATE", 1L, 5L, 5L, 3L)))
+    // fully caught up: empty report
+    assert(Cdc.lagReport(log, appliedMax = 6L).isEmpty)
+  }
 }

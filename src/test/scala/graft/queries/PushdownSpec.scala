@@ -46,6 +46,14 @@ class PushdownSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("q3: both date filters push into their fact scans; top-k plans as TakeOrdered") {
+    val plan = TpchWorkload.q3ShippingPriority(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(l_shipdate"), plan)
+    assert(plan.contains("LessThan(o_orderdate"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("hot-path expressions run inside whole-stage codegen") {
     // the pre-explode spread gives the plan an exchange, so AQE wraps it and
     // the codegen "*(n)" markers only appear in the FINAL adaptive plan —
