@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ml.{Multimodal, VectorOps}
-import graft.text.{Prep, TextOps}
+import graft.text.{HeavyHitters, Prep, TextOps}
 
 /**
  * The LLM-training-data-pipeline workload over the `documents` and
@@ -318,7 +318,19 @@ object LlmWorkload {
       .select(col("component"), col("doc_id").as("kept_doc"), col("quality_score"))
   }
 
+  /** Corpus token heavy hitters ([[HeavyHitters.heavyHitters]]): every token
+    * with ≥ 1/k of all occurrences, exact, via per-partition Misra–Gries
+    * candidates + a broadcast recount — only candidate tokens ever shuffle. */
+  def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.wordsOf(col("text")).as("w"))
+      .transform(graft.Spread.byKey(_, col("doc_id")))
+      .select(explode(col("w")).as("token"))
+    HeavyHitters.heavyHitters(toks, "token", k = 100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" -> textHeavyHitters,
     "prep_source_caps" -> prepSourceCaps,
     "prep_mixture_sample" -> prepMixtureSample,
     "quality_lm_score" -> qualityLmScore,
@@ -578,6 +590,16 @@ object LlmWorkload {
   }
 
   val oracles: Map[String, String] = Map(
+    // heavy-hitter replay: exact counts + integer threshold (cnt·k ≥ n);
+    // the MG candidate pass only affects a superset, never the answer
+    "text_heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest(string_split($normSql, ' ')) AS token
+         |           FROM documents),
+         |t AS (SELECT count(*) AS n FROM w),
+         |c AS (SELECT token, count(*) AS n_occurrences FROM w GROUP BY token)
+         |SELECT c.token, c.n_occurrences,
+         |  CAST(c.n_occurrences AS DOUBLE) / CAST(t.n AS DOUBLE) AS share
+         |FROM c, t WHERE c.n_occurrences * 100 >= t.n""".stripMargin,
     // per-source quota replay: same hash order, same cap, kept set pinned
     // by the id sum
     "prep_source_caps" ->

@@ -210,19 +210,36 @@ object TpchWorkload {
       .agg(countDistinct(col("o_custkey")).as("n_custs"),
         count(lit(1)).as("n_orders"))
 
-  /** Sketch aggregates — HLL cardinality + t-digest-style quantiles. No SQL
-    * oracle (DuckDB's sketch algorithms differ); the driver records the
-    * weaker rows-only check. Correctness is pinned by `SketchSpec` instead:
-    * it computes the EXACT twins (distinct count, exact percentiles) next to
-    * this entry's sketches and asserts each approx within the sketch's
-    * documented error bound. The twins deliberately stay OUT of this
-    * aggregation: countDistinct + exact percentile force an expand + value-
-    * buffering sort aggregate that made the benched entry ~3× slower. */
-  def sketchAggs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "lineitem")
-      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+  /** Sketch aggregates — HLL cardinality + t-digest-style quantiles —
+    * pinned by an oracle-comparable tolerance check: the engine-private
+    * approximations never leave the query; what's emitted is the EXACT
+    * distinct count plus one boolean per sketch asserting the approx landed
+    * within its documented error budget of the exact twin computed in the
+    * same entry. DuckDB replays the exact count and pins every boolean at
+    * TRUE, so the entry is rows+schema+hash comparable even though the
+    * sketch algorithms differ across engines. The aggregations stay three
+    * separate 1-row plans (crossJoined) so the HLL keeps its partial-agg
+    * shape instead of the expand a mixed distinct+value aggregate forces;
+    * `SketchSpec` still pins the numeric error bounds directly. */
+  def sketchAggs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val approx = li.agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
+      percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("ap99"))
+    val exactCd = li.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("exact_orders"))
+    val exactP = li.agg(
+      expr("percentile(l_extendedprice, array(0.5D, 0.99D))").as("ep"))
+    approx.crossJoin(exactCd).crossJoin(exactP)
+      .select(col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders"))
+          <= col("exact_orders") * lit(0.10)).as("cd_within_10pct"),
+        (abs(col("ap50") - element_at(col("ep"), 1))
+          <= abs(element_at(col("ep"), 1)) * lit(0.05)).as("p50_within_5pct"),
+        (abs(col("ap99") - element_at(col("ep"), 2))
+          <= abs(element_at(col("ep"), 2)) * lit(0.05)).as("p99_within_5pct"))
+  }
 
   /** KMV distinct-count sketch over the fact key, with the mergeability
     * identity proven on-data: the direct global sketch and the merge of
@@ -267,7 +284,12 @@ object TpchWorkload {
   val oracles: Map[String, String] = Map(
     "agg_distinct_count" ->
       "SELECT count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders FROM orders",
-    // agg_sketches intentionally has NO oracle entry (rows-only check)
+    // sketch replay: only the exact twin and the TRUE tolerance verdicts are
+    // comparable — the approx values themselves are engine-private
+    "agg_sketches" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS cd_within_10pct, TRUE AS p50_within_5pct, TRUE AS p99_within_5pct
+        |FROM lineitem""".stripMargin,
     "agg_kmv_sketch" ->
       """WITH h AS (SELECT DISTINCT
         |    CAST(CONCAT('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h

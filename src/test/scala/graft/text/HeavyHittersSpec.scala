@@ -1,0 +1,57 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class HeavyHittersSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def expected(tokens: Seq[String], k: Int): Set[(String, Long, Double)] = {
+    val n = tokens.size.toLong
+    tokens.groupBy(identity).view.mapValues(_.size.toLong).toMap.collect {
+      case (t, c) if c * k >= n => (t, c, c.toDouble / n.toDouble)
+    }.toSet
+  }
+
+  test("exact heavy hitters match a full count under any partitioning") {
+    val tokens = Seq.fill(300)("alpha") ++ Seq.fill(150)("beta") ++
+      Seq.fill(60)("gamma") ++ (0 until 490).map(i => s"unique_$i")
+    val want = expected(tokens, k = 10)
+    assert(want.map(_._1) == Set("alpha", "beta"), "test fixture sanity")
+    for (p <- Seq(1, 3, 13)) {
+      val got = HeavyHitters.heavyHitters(
+          tokens.toDF("token").repartition(p), "token", k = 10)
+        .as[(String, Long, Double)].collect().toSet
+      assert(got == want, s"partitioning p=$p")
+      graft.Caching.releaseAll()
+    }
+  }
+
+  test("a long flat tail cannot evict a true heavy hitter (MG superset)") {
+    // 30 hits of the hitter among 170 distinct fillers, capacity 10:
+    // constant decrement pressure, but cnt=30 > n/(k+1)=18 must survive
+    val tokens = scala.util.Random.shuffle(
+      Seq.fill(30)("hot") ++ (0 until 170).map(i => s"cold_$i"))
+    val got = HeavyHitters.heavyHitters(
+        tokens.toDF("token").repartition(4), "token", k = 10)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == expected(tokens, k = 10))
+    assert(got.map(_._1) == Set("hot"))
+    graft.Caching.releaseAll()
+  }
+
+  test("threshold is integer-exact: cnt*k == n is in, one less is out") {
+    // n = 40, k = 4: "edge" has exactly 10 = n/k occurrences (in);
+    // "below" has 9 (out); fillers make up the rest
+    val tokens = Seq.fill(10)("edge") ++ Seq.fill(9)("below") ++
+      (0 until 21).map(i => s"f_$i")
+    val got = HeavyHitters.heavyHitters(
+        tokens.toDF("token").repartition(2), "token", k = 4)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got.map(_._1) == Set("edge"))
+    assert(got == expected(tokens, k = 4))
+    graft.Caching.releaseAll()
+  }
+}
