@@ -374,4 +374,42 @@ object VectorOps {
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
+
+  /**
+   * SemDeDup-style semantic dedup: cluster the corpus with [[kmeansAssign]]
+   * (Lloyd iterations over the trained centroids — the clusters bound the
+   * quadratic), then inside each cluster mark every vector that has a
+   * LOWER-id peer with cosine ≥ `threshold` as a semantic duplicate. The
+   * keep-lowest rule is deterministic under any partitioning, and the
+   * within-cluster self-join is an equi-join on cluster_id — the corpus is
+   * never all-pairs joined. Output: one verdict row per vector
+   * (vec_id, cluster_id, kept).
+   *
+   * At 100 TB the cluster count scales with the corpus (k ≈ n/avg-cluster)
+   * so per-reducer work stays O(cluster²) with clusters sized by the
+   * centroid stride; a skew-guard identical to [[embeddingNearDupPairs]]'s
+   * sub-bucketing applies if the corpus collapses onto few centroids.
+   */
+  def semanticDedup(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", centroidMod: Int = 25, iters: Int = 2,
+      threshold: Double = 0.4): DataFrame = {
+    val v = Caching.scoped(asDouble(emb, idCol, vecCol))
+    val assigned = Caching.scoped(
+      kmeansAssign(emb, idCol, vecCol, centroidMod, iters))
+    val sides = assigned.join(v, Seq("vec_id"))
+    val a = sides.select(col("cluster_id"), col("vec_id").as("vec_a"),
+      col("e").as("ea"), col("n").as("na"))
+    val b = sides.select(col("cluster_id"), col("vec_id").as("vec_b"),
+      col("e").as("eb"), col("n").as("nb"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosPre("ea", "eb", "na", "nb"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_b").as("vec_id"))
+      .distinct()
+      .withColumn("__dup", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(!col("__dup"), lit(true)).as("kept"))
+  }
 }

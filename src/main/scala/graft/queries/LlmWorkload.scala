@@ -36,6 +36,29 @@ object LlmWorkload {
   private def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** Two unrolled Lloyd iterations ending in assignment `a2(vec_id,
+    * centroid_id)` — VectorOps.kmeansAssign(centroidMod=25, iters=2).
+    * Shared by the kmeans and SemDeDup oracles. */
+  private lazy val kmeansCte =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c0 AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % 25 = 0),
+       |a1 AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT v.vec_id, c0.centroid_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${cosSql("v.e", "c0.ce")} DESC, c0.centroid_id ASC) AS rn
+       |  FROM v, c0) WHERE rn = 1),
+       |cells AS (SELECT a1.centroid_id, t.i AS pos, va.e[t.i] AS x
+       |  FROM a1 JOIN v va USING (vec_id), UNNEST(range(1, len(va.e) + 1)) AS t(i)),
+       |m AS (SELECT centroid_id, pos,
+       |  CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+       |  FROM cells GROUP BY 1, 2),
+       |c1 AS (SELECT centroid_id, list(m ORDER BY pos) AS ce FROM m GROUP BY 1),
+       |a2 AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT v.vec_id, c1.centroid_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${cosSql("v.e", "c1.ce")} DESC, c1.centroid_id ASC) AS rn
+       |  FROM v, c1) WHERE rn = 1)""".stripMargin
+
   // --- queries --------------------------------------------------------------
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -178,6 +201,11 @@ object LlmWorkload {
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
         min(col("vec_id")).as("min_member"), max(col("vec_id")).as("max_member"))
+
+  /** SemDeDup ([[VectorOps.semanticDedup]]): per-vector kept/dropped verdict
+    * — k-means clusters bound the pairwise cosine check, keep-lowest-id. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.semanticDedup(Tables(spark, dir, "embeddings"))
 
   /** Corpus-range int8 quantization of every embedding. */
   def embeddingQuantize(spark: SparkSession, dir: String): DataFrame =
@@ -331,6 +359,7 @@ object LlmWorkload {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_heavy_hitters" -> textHeavyHitters,
+    "dedup_semantic" -> dedupSemantic,
     "prep_source_caps" -> prepSourceCaps,
     "prep_mixture_sample" -> prepMixtureSample,
     "quality_lm_score" -> qualityLmScore,
@@ -923,27 +952,25 @@ object LlmWorkload {
     // k-means replay: two unrolled Lloyd iterations — argmax-cosine assign,
     // DECIMAL-exact per-dimension centroid means, reassign
     "kmeans_clusters" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |c0 AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % 25 = 0),
-         |a1 AS (SELECT vec_id, centroid_id FROM (
-         |  SELECT v.vec_id, c0.centroid_id,
-         |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${cosSql("v.e", "c0.ce")} DESC, c0.centroid_id ASC) AS rn
-         |  FROM v, c0) WHERE rn = 1),
-         |cells AS (SELECT a1.centroid_id, t.i AS pos, va.e[t.i] AS x
-         |  FROM a1 JOIN v va USING (vec_id), UNNEST(range(1, len(va.e) + 1)) AS t(i)),
-         |m AS (SELECT centroid_id, pos,
-         |  CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
-         |  FROM cells GROUP BY 1, 2),
-         |c1 AS (SELECT centroid_id, list(m ORDER BY pos) AS ce FROM m GROUP BY 1),
-         |a2 AS (SELECT vec_id, centroid_id FROM (
-         |  SELECT v.vec_id, c1.centroid_id,
-         |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${cosSql("v.e", "c1.ce")} DESC, c1.centroid_id ASC) AS rn
-         |  FROM v, c1) WHERE rn = 1)
+      s"""WITH $kmeansCte
          |SELECT centroid_id AS cluster_id, count(*) AS n_members,
          |  min(vec_id) AS min_member, max(vec_id) AS max_member
          |FROM a2 GROUP BY 1""".stripMargin,
+    // SemDeDup replay: same two-iteration assignment, within-cluster pairs,
+    // keep-lowest-id verdict (cosines are identical strict folds, so the
+    // >= threshold cut is bit-portable)
+    "dedup_semantic" ->
+      s"""WITH $kmeansCte,
+         |pr AS (SELECT y.vec_id AS vb
+         |  FROM a2 x JOIN a2 y
+         |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+         |  JOIN v ve ON ve.vec_id = x.vec_id
+         |  JOIN v vf ON vf.vec_id = y.vec_id
+         |  WHERE ${cosSql("ve.e", "vf.e")} >= 0.4),
+         |dr AS (SELECT DISTINCT vb FROM pr)
+         |SELECT a2.vec_id, a2.centroid_id AS cluster_id,
+         |  dr.vb IS NULL AS kept
+         |FROM a2 LEFT JOIN dr ON a2.vec_id = dr.vb""".stripMargin,
     // z-order replay: same unrolled Morton interleave, same bucket order
     "prep_zorder" -> {
       val terms = (0 until 16).map(i =>

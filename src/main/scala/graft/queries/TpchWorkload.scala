@@ -91,6 +91,41 @@ object TpchWorkload {
       .withColumn("promo_share", col("promo_revenue") / col("total_revenue"))
   }
 
+  /** The large-volume-customer shape (TPC-H Q18): a HAVING-filtered fact
+    * aggregate reused as the driving side of a dimension join. The quantity
+    * rollup shuffles once on the order key; only the (rare) qualifying
+    * orders join onward, so the customer join's build side is tiny. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    Tables(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("sum_qty").cast("double").as("sum_qty"))
+  }
+
+  /** The top-supplier shape (TPC-H Q15): a quarter's per-supplier revenue
+    * compared against its own global max — the classic aggregate-vs-scalar
+    * self-comparison. DECIMAL revenue keeps the max-equality exact under
+    * any partitioning; the 1-row max broadcasts. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1997-01-01")); val hi = to_timestamp(lit("1997-04-01"))
+    val rev = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount", 4, 2)))
+        .as("rev"))
+    val top = rev.agg(max(col("rev")).as("max_rev"))
+    rev.join(broadcast(top), col("rev") === col("max_rev"))
+      .join(Tables(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev").cast("double").as("total_revenue"))
+  }
+
   /** SRT3-family — top-k by aggregate (sort+limit → TakeOrderedAndProject). */
   def topCustomers(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "customer")
@@ -268,6 +303,8 @@ object TpchWorkload {
     "join_revenue_by_nation" -> joinRevenueByNation,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q14_promo_share" -> q14PromoShare,
+    "q18_large_orders" -> q18LargeOrders,
+    "q15_top_supplier" -> q15TopSupplier,
     "topk_customers" -> topCustomers,
     "topk_per_nation" -> topkPerNation,
     "pivot_event_types" -> pivotEventTypes,
@@ -351,6 +388,25 @@ object TpchWorkload {
         |SELECT promo_revenue, total_revenue,
         |  promo_revenue / total_revenue AS promo_share
         |FROM s""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev = (SELECT max(rev) FROM rev)""".stripMargin,
     "topk_customers" ->
       """SELECT c_custkey, c_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM customer JOIN orders ON c_custkey = o_custkey

@@ -162,4 +162,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(probe4.map(_._3).toSeq == (1 to probe4.length).toSeq)
     assert(probe4.length <= 3)
   }
+
+  test("semanticDedup drops higher-id near-copies, keeps dissimilar vectors") {
+    // one centroid (id 0 % 25 == 0) → one cluster; 1 and 2 are near-copies
+    // of 0 (dropped: 0 is the lowest id of the similar group); 3 is
+    // orthogonal to everything (kept) even though it shares the cluster
+    val df = emb(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.99, 0.05)),
+      (3L, Seq(0.0, 1.0)))
+    val out = VectorOps.semanticDedup(df, threshold = 0.4)
+      .as[(Long, Long, Boolean)].collect().map { case (id, _, k) => id -> k }.toMap
+    assert(out == Map(0L -> true, 1L -> false, 2L -> false, 3L -> true))
+    graft.Caching.releaseAll()
+  }
 }
