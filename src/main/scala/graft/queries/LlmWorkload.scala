@@ -414,6 +414,7 @@ object LlmWorkload {
     s"""WITH $shingleCte,
        |hashed AS (SELECT doc_id, ${h64("shingle")} AS h1,
        |  (${h64("shingle || '#'")}) % $h2mod AS h2 FROM sh),
+       |hs AS (SELECT DISTINCT doc_id, h1 AS h FROM hashed),
        |sig AS (SELECT doc_id,
        |  $hCols
        |  FROM hashed GROUP BY doc_id),
@@ -422,11 +423,11 @@ object LlmWorkload {
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
-       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
        |          FROM cand c
-       |          JOIN sh sa ON sa.doc_id = c.doc_a
-       |          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |          JOIN hs sa ON sa.doc_id = c.doc_a
+       |          JOIN hs sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
        |          GROUP BY 1, 2)
        |SELECT t.doc_a, t.doc_b,
        |  CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
@@ -457,17 +458,19 @@ object LlmWorkload {
        |  (${h64("shingle || '#'")}) % $h2mod AS h2 FROM shb),
        |sigc AS (SELECT doc_id, $hCols FROM hc GROUP BY doc_id),
        |sigb AS (SELECT doc_id, $hCols FROM hb GROUP BY doc_id),
+       |hsc AS (SELECT DISTINCT doc_id, h1 AS h FROM hc),
+       |hsb AS (SELECT DISTINCT doc_id, h1 AS h FROM hb),
        |bandsc AS (${bandSelects("sigc")}),
        |bandsb AS (${bandSelects("sigb")}),
        |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
        |         FROM bandsb b JOIN bandsc c
        |           ON b.band = c.band AND b.sig = c.sig AND b.doc_id <> c.doc_id),
-       |cntc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-       |cntb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY doc_id),
+       |cntc AS (SELECT doc_id, count(*) AS n FROM hsc GROUP BY doc_id),
+       |cntb AS (SELECT doc_id, count(*) AS n FROM hsb GROUP BY doc_id),
        |inter AS (SELECT c.batch_id, c.corpus_id, count(*) AS i
        |          FROM cand c
-       |          JOIN shb sa ON sa.doc_id = c.batch_id
-       |          JOIN shc sb ON sb.doc_id = c.corpus_id AND sb.shingle = sa.shingle
+       |          JOIN hsb sa ON sa.doc_id = c.batch_id
+       |          JOIN hsc sb ON sb.doc_id = c.corpus_id AND sb.h = sa.h
        |          GROUP BY 1, 2)
        |SELECT t.batch_id, t.corpus_id,
        |  CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
@@ -477,20 +480,22 @@ object LlmWorkload {
        |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8""".stripMargin
   }
 
-  /** Containment replay: df-capped candidate join, exact-set verify, i/|A|. */
+  /** Containment replay: hashed shingles, df-capped candidate join,
+    * exact-set verify, i/|A|. */
   private val containmentOracle: String =
     s"""WITH $shingleCte,
-       |freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-       |rare AS (SELECT s.doc_id, s.shingle FROM sh s
-       |         JOIN freq f ON f.shingle = s.shingle WHERE f.df <= 100),
+       |hs AS (SELECT DISTINCT doc_id, ${h64("shingle")} AS h FROM sh),
+       |freq AS (SELECT h, count(*) AS df FROM hs GROUP BY h),
+       |rare AS (SELECT s.doc_id, s.h FROM hs s
+       |         JOIN freq f ON f.h = s.h WHERE f.df <= 100),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM rare a JOIN rare b
-       |           ON a.shingle = b.shingle AND a.doc_id <> b.doc_id),
-       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |           ON a.h = b.h AND a.doc_id <> b.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
        |          FROM cand c
-       |          JOIN sh sa ON sa.doc_id = c.doc_a
-       |          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |          JOIN hs sa ON sa.doc_id = c.doc_a
+       |          JOIN hs sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
        |          GROUP BY 1, 2)
        |SELECT t.doc_a, t.doc_b,
        |  CAST(i AS DOUBLE) / CAST(ca.n AS DOUBLE) AS containment
@@ -498,31 +503,32 @@ object LlmWorkload {
        |JOIN cnt ca ON ca.doc_id = t.doc_a
        |WHERE CAST(i AS DOUBLE) / CAST(ca.n AS DOUBLE) >= 0.9""".stripMargin
 
-  /** Exact prefix-filter Jaccard replay: same rarity order (df asc, shingle
+  /** Exact prefix-filter Jaccard replay: same rarity order (df asc, hash
     * asc), same prefix length n - ceil(t·n) + 1, same length filter, same
-    * set-intersection verify — deterministic end-to-end, so the whole exact
-    * path hash-matches. */
+    * set-intersection verify over the hashed shingles — deterministic
+    * end-to-end, so the whole exact path hash-matches. */
   private val jaccardOracle: String =
     s"""WITH $shingleCte,
-       |freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |hs AS (SELECT DISTINCT doc_id, ${h64("shingle")} AS h FROM sh),
+       |freq AS (SELECT h, count(*) AS df FROM hs GROUP BY h),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
        |ranked AS (
-       |  SELECT s.doc_id, s.shingle, c.n,
+       |  SELECT s.doc_id, s.h, c.n,
        |    row_number() OVER (PARTITION BY s.doc_id
-       |      ORDER BY f.df ASC, s.shingle ASC) AS rn
-       |  FROM sh s
-       |  JOIN freq f ON f.shingle = s.shingle
+       |      ORDER BY f.df ASC, s.h ASC) AS rn
+       |  FROM hs s
+       |  JOIN freq f ON f.h = s.h
        |  JOIN cnt c ON c.doc_id = s.doc_id),
-       |pre AS (SELECT shingle, doc_id, n FROM ranked
+       |pre AS (SELECT h, doc_id, n FROM ranked
        |        WHERE rn <= n - ceil(0.8 * n) + 1),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id
        |  WHERE least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)),
        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
        |          FROM cand c
-       |          JOIN sh sa ON sa.doc_id = c.doc_a
-       |          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |          JOIN hs sa ON sa.doc_id = c.doc_a
+       |          JOIN hs sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
        |          GROUP BY 1, 2)
        |SELECT t.doc_a, t.doc_b,
        |  CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard

@@ -42,6 +42,19 @@ object TextOps {
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     rawShingles(docs, idCol, textCol, n).distinct()
 
+  /** Distinct HASHED shingles (doc_id, h) — the 60-bit portable hash of each
+    * distinct word n-gram. The dedup join/verify stages operate on the 8-byte
+    * hash instead of the shingle string: the distinct, every equi-join, the
+    * collected sets, and the merge-intersections all move/compare primitive
+    * longs (~3× smaller shuffle payload than the avg shingle). The oracle
+    * replays the identical md5-derived hashes, so set sizes and intersection
+    * counts — hash collisions included — match bit-for-bit across engines. */
+  def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    rawShingles(docs, idCol, textCol, n)
+      .select(col("doc_id"), hash64(col("shingle")).as("h"))
+      .distinct()
+
   /** Non-distinct word n-gram shingles: (doc_id, shingle) with duplicates
     * kept — for consumers whose aggregation dedups anyway (min, collect_set),
     * saving the distinct's exchange.
@@ -116,16 +129,16 @@ object TextOps {
   }
 
   /** Exact n-gram Jaccard verification of candidate pairs: keep pairs with
-    * similarity >= threshold. The intersect/union counts come from the
-    * shingle sets collected per doc (bounded by doc length, not corpus);
-    * sets are sorted at aggregation time so the native merge counter
-    * applies. */
-  def verifiedNearDupPairs(shingled: DataFrame, candidates: DataFrame,
+    * similarity >= threshold. Input is the HASHED shingle frame (doc_id, h)
+    * of [[hashedShingles]]; the intersect/union counts come from the hash
+    * sets collected per doc (bounded by doc length, not corpus); sets are
+    * sorted at aggregation time so the native merge counter applies. */
+  def verifiedNearDupPairs(hashed: DataFrame, candidates: DataFrame,
       threshold: Double = 0.8): DataFrame = {
     // `sets` feeds two joins (doc_a and doc_b side); cache so the shingle
     // scan + collect_set shuffle evaluates once, not once per side
-    val sets = Caching.scoped(shingled.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("shingle"))).as("s"), count(lit(1)).as("n")))
+    val sets = Caching.scoped(hashed.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("s"), count(lit(1)).as("n")))
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("n").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb"), col("n").as("nb")), "doc_b")
@@ -158,8 +171,10 @@ object TextOps {
       min(col("h1") + lit(j.toLong) * col("h2")).as(s"h$j"))
     val sig = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val banded = Caching.scoped(lshBands(sig, k, r))
+    // sets of the already-computed h1 hash, not the shingle string: the
+    // collect shuffle and the per-pair merge-intersect move primitive longs
     val sets = ex.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("shingle"))).as("s"))
+      .agg(sort_array(collect_set(col("h1"))).as("s"))
       .select(col("doc_id"), col("s"), size(col("s")).cast("long").as("n"))
     val candidates = lshCandidatePairs(banded)
     candidates
@@ -198,7 +213,7 @@ object TextOps {
     def bandsOf(ex: DataFrame) =
       lshBands(ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*), k, r)
     def setsOf(ex: DataFrame) = ex.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("shingle"))).as("s"))
+      .agg(sort_array(collect_set(col("h1"))).as("s"))
       .select(col("doc_id"), col("s"), size(col("s")).cast("long").as("n"))
 
     val exC = hashed(corpus)
@@ -243,29 +258,31 @@ object TextOps {
    */
   def jaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
-    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val sh = hashedShingles(docs, idCol, textCol, n)
+    val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
     // ranked is the ONLY materialization of the exploded frame: the prefix
     // filter, the per-doc sizes, and the verify sets all derive from it (a
-    // second scan of `sh` would repeat the explode + two shuffles)
-    val ranked0 = sh.join(freq, "shingle")
+    // second scan of `sh` would repeat the explode + two shuffles); the
+    // rarity order ties on the HASH (df asc, h asc) — portable because the
+    // oracle ranks the same hashes
+    val ranked0 = sh.join(freq, "h")
       .withColumn("rn", row_number().over(
-        wDoc.orderBy(col("df").asc, col("shingle").asc)))
+        wDoc.orderBy(col("df").asc, col("h").asc)))
       .withColumn("n", count(lit(1)).over(wDoc))
     val ranked = Caching.scoped(ranked0)
     val prefix = ranked
       .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("shingle"), col("doc_id"), col("n"))
+      .select(col("h"), col("doc_id"), col("n"))
     val candidates = prefix
-      .select(col("shingle"), col("doc_id").as("doc_a"), col("n").as("na"))
-      .join(prefix.select(col("shingle"), col("doc_id").as("doc_b"), col("n").as("nb")),
-        Seq("shingle"))
+      .select(col("h"), col("doc_id").as("doc_a"), col("n").as("na"))
+      .join(prefix.select(col("h"), col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("h"))
       .filter(col("doc_a") < col("doc_b") &&
         least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    verifiedNearDupPairs(ranked.select(col("doc_id"), col("shingle")), candidates,
+    verifiedNearDupPairs(ranked.select(col("doc_id"), col("h")), candidates,
       threshold)
   }
 
@@ -280,25 +297,26 @@ object TextOps {
    * document frequency ≤ maxDf (two docs sharing ONLY corpus-hot shingles
    * are boilerplate overlap, not inclusion — and the df cap is what bounds
    * the join fan-out at corpus scale: cost is Σ df² over rare shingles,
-   * never n²). Verification is exact set intersection over the FULL shingle
-   * sets, so the threshold is exact; only candidate GENERATION is df-capped,
-   * and the cap is part of the operator contract the oracle replays.
+   * never n²). Verification is exact set intersection over the FULL hashed
+   * shingle sets ([[hashedShingles]] — 8-byte keys everywhere), so the
+   * threshold is exact; only candidate GENERATION is df-capped, and the cap
+   * is part of the operator contract the oracle replays.
    */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.9, maxDf: Int = 100): DataFrame = {
-    // one distinct-shingle pass feeds the df count, the capped join, and the
-    // verify sets
-    val sh = Caching.scoped(shingles(docs, idCol, textCol, n))
-    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val rare = sh.join(freq.filter(col("df") <= maxDf), "shingle")
-      .select(col("doc_id"), col("shingle"))
+    // one distinct-hashed-shingle pass feeds the df count, the capped join,
+    // and the verify sets — every downstream key/element is an 8-byte long
+    val sh = Caching.scoped(hashedShingles(docs, idCol, textCol, n))
+    val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(freq.filter(col("df") <= maxDf), "h")
+      .select(col("doc_id"), col("h"))
     val candidates = rare.alias("a")
       .join(rare.alias("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sets = Caching.scoped(sh.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("shingle"))).as("s"), count(lit(1)).as("n")))
+      .agg(sort_array(collect_set(col("h"))).as("s"), count(lit(1)).as("n")))
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("n").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")

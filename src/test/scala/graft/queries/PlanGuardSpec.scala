@@ -33,7 +33,10 @@ class PlanGuardSpec extends SparkSpec {
     "text_tfidf_top",         // 1-row corpus-count anchor
     "kmeans_clusters",        // k-row centroid set broadcast (argmax assign)
     "agg_kmv_sketch",         // 1-row direct × 1-row merged sketch summary
-    "prep_mixture_sample")    // 1-row mixture-scale (K) anchor
+    "prep_mixture_sample",    // 1-row mixture-scale (K) anchor
+    "agg_sketches",           // 1-row approx × exact-twin summaries crossJoined
+    "dedup_semantic",         // k-row centroid set broadcast (argmax assign)
+    "text_heavy_hitters")     // 1-row total-count anchor
 
   test("no registered query plans a cartesian or unjustified nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

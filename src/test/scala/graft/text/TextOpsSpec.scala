@@ -135,7 +135,7 @@ class TextOpsSpec extends SparkSpec {
   test("minhash jaccard is the exact shingle-set similarity") {
     val a = "a b c d e"   // shingles: abc bcd cde
     val b = "a b c d x"   // shingles: abc bcd cdx -> inter 2, union 4 -> 0.5
-    val sh = TextOps.shingles(docs((1L, a), (2L, b)), "doc_id", "text")
+    val sh = TextOps.hashedShingles(docs((1L, a), (2L, b)), "doc_id", "text")
     val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
     val out = TextOps.verifiedNearDupPairs(sh, cand, threshold = 0.0)
       .select("jaccard").as[Double].head()
