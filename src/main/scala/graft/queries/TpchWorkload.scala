@@ -258,22 +258,25 @@ object TpchWorkload {
     * `SketchSpec` still pins the numeric error bounds directly. */
   def sketchAggs(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
+    // exact quantile twins via bracket-then-sort-the-sliver (never buffers
+    // the column the way `percentile()` would — see graft.operators
+    // .ExactQuantile); type-1 ranks, well inside the 5% tolerance
+    val Seq(p50, p99) = graft.operators.ExactQuantile.values(
+      li, "l_extendedprice", Seq(0.5, 0.99))
     val approx = li.agg(
       approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
       percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("ap99"))
     val exactCd = li.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("exact_orders"))
-    val exactP = li.agg(
-      expr("percentile(l_extendedprice, array(0.5D, 0.99D))").as("ep"))
-    approx.crossJoin(exactCd).crossJoin(exactP)
+    approx.crossJoin(exactCd)
       .select(col("exact_orders"),
         (abs(col("approx_orders") - col("exact_orders"))
           <= col("exact_orders") * lit(0.10)).as("cd_within_10pct"),
-        (abs(col("ap50") - element_at(col("ep"), 1))
-          <= abs(element_at(col("ep"), 1)) * lit(0.05)).as("p50_within_5pct"),
-        (abs(col("ap99") - element_at(col("ep"), 2))
-          <= abs(element_at(col("ep"), 2)) * lit(0.05)).as("p99_within_5pct"))
+        (abs(col("ap50") - lit(p50)) <= lit(math.abs(p50) * 0.05))
+          .as("p50_within_5pct"),
+        (abs(col("ap99") - lit(p99)) <= lit(math.abs(p99) * 0.05))
+          .as("p99_within_5pct"))
   }
 
   /** KMV distinct-count sketch over the fact key, with the mergeability
