@@ -663,7 +663,7 @@ object LlmWorkload {
     // single final IEEE divisions
     "quality_lm_score" ->
       s"""WITH words AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
-         |oc AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+         |oc AS (SELECT doc_id, ${h64("w[i] || ' ' || w[i+1]")} AS g
          |       FROM words, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
          |f AS (SELECT g, count(*) AS freq FROM oc GROUP BY 1)
          |SELECT oc.doc_id, count(*) AS n_ngrams,
@@ -894,14 +894,15 @@ object LlmWorkload {
       s"""WITH base AS (SELECT doc_id, $normSql AS norm,
          |  ${h64("CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents),
          |trw AS (SELECT doc_id, string_split(norm, ' ') AS w FROM base WHERE b < 80),
-         |tsh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         |tsh AS (SELECT DISTINCT doc_id,
+         |          ${h64("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
          |        FROM trw, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
          |evw AS (SELECT doc_id, string_split(norm, ' ') AS w FROM base WHERE b >= 80),
-         |esh AS (SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         |esh AS (SELECT DISTINCT ${h64("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
          |        FROM evw, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
          |tot AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY 1),
          |hits AS (SELECT doc_id, count(*) AS n_overlap FROM tsh
-         |         WHERE shingle IN (SELECT shingle FROM esh) GROUP BY 1)
+         |         WHERE h IN (SELECT h FROM esh) GROUP BY 1)
          |SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
          |  CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
          |  CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS overlap_ratio,

@@ -636,9 +636,13 @@ object TextOps {
    */
   def lmScore(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 2): DataFrame = {
-    val occ = Caching.scoped(rawShingles(docs, idCol, textCol, n))
-    val freq = occ.groupBy(col("shingle")).agg(count(lit(1)).as("__freq"))
-    occ.join(freq, "shingle")
+    // count and join on the 60-bit hash of the n-gram, not the string —
+    // the two corpus-wide shuffles move 8-byte keys (oracle replays the
+    // same hashes, so collision-induced count quirks match bit-for-bit)
+    val occ = Caching.scoped(rawShingles(docs, idCol, textCol, n)
+      .select(col("doc_id"), hash64(col("shingle")).as("h")))
+    val freq = occ.groupBy(col("h")).agg(count(lit(1)).as("__freq"))
+    occ.join(freq, "h")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(col("__freq")).as("freq_sum"),
@@ -686,11 +690,14 @@ object TextOps {
    */
   def decontamination(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
-    val trainSh = shingles(train, idCol, textCol, n)
+    // the semi-join keys on the 60-bit shingle hash, not the string (same
+    // hashes in the oracle, so totals/hits match collisions included)
+    val trainSh = hashedShingles(train, idCol, textCol, n)
     // no distinct on the eval side: left_semi treats the build side as a set
-    val evalSh = rawShingles(eval, idCol, textCol, n).select(col("shingle"))
+    val evalSh = rawShingles(eval, idCol, textCol, n)
+      .select(hash64(col("shingle")).as("h"))
     val totals = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val hits = trainSh.join(evalSh, Seq("shingle"), "left_semi")
+    val hits = trainSh.join(evalSh, Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
     totals.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
