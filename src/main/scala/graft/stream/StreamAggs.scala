@@ -83,6 +83,34 @@ object StreamAggs {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream–stream interval join — the attribution shape (impression ⋈
+    * click within an event-time window): each left event pairs with right
+    * events of the same key whose timestamp lies in
+    * [left.ts, left.ts + maxDelay]. Both sides carry watermarks and the
+    * join condition bounds event time in BOTH directions, so Spark can
+    * evict join state as the watermarks advance — state is
+    * O(rate · (watermarkDelay + maxDelay)), never unbounded. With
+    * `joinType = "leftOuter"` an unmatched left event is emitted exactly
+    * once, null-extended, after the watermark passes its match window —
+    * the "impression that never converted" row a funnel needs.
+    *
+    * Right-side columns come back suffixed `_r` (the right key column is
+    * dropped — it equals the left's). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, maxDelay: String,
+      watermarkDelay: String, joinType: String = "inner"): DataFrame = {
+    val renamed = right.columns.foldLeft(right)(
+      (d, c) => d.withColumnRenamed(c, c + "_r"))
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = renamed.withWatermark(rightTs + "_r", watermarkDelay)
+    l.join(r,
+      col(keyCol) === col(keyCol + "_r") &&
+        col(rightTs + "_r") >= col(leftTs) &&
+        col(rightTs + "_r") <= col(leftTs) + expr(s"INTERVAL $maxDelay"),
+      joinType)
+      .drop(keyCol + "_r")
+  }
+
   /** A closed visit: emitted once, when the key's session times out. */
   final case class VisitSummary(user: String, events: Long,
       firstTs: java.sql.Timestamp, lastTs: java.sql.Timestamp)

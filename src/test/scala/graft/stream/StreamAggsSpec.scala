@@ -180,4 +180,35 @@ class StreamAggsSpec extends SparkSpec {
       assert(rows == Set(Some("shop") -> 2L, Some("blog") -> 1L, None -> 1L))
     } finally q.stop()
   }
+
+  test("stream-stream interval join pairs within the window; leftOuter emits non-converts") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, String)]
+    val clicks = MemoryStream[(Timestamp, String)]
+    val joined = StreamAggs.intervalJoin(
+      imps.toDF().toDF("its", "ad"), clicks.toDF().toDF("cts", "ad"),
+      keyCol = "ad", leftTs = "its", rightTs = "cts",
+      maxDelay = "15 minutes", watermarkDelay = "5 minutes",
+      joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData((ts("2024-01-01 10:00:00"), "a1"),
+        (ts("2024-01-01 10:00:00"), "a2"))
+      clicks.addData((ts("2024-01-01 10:05:00"), "a1"),  // inside 15 min
+        (ts("2024-01-01 10:40:00"), "a2"))               // outside
+      q.processAllAvailable()
+      // advance BOTH watermarks far enough to close a2's match window
+      imps.addData((ts("2024-01-01 12:00:00"), "zz"))
+      clicks.addData((ts("2024-01-01 12:00:00"), "zz"))
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .filter(col("ad") =!= "zz")
+        .select("ad", "cts_r").collect()
+        .map(r => r.getString(0) -> Option(r.getTimestamp(1))).toSet
+      assert(got == Set(
+        "a1" -> Some(ts("2024-01-01 10:05:00")),  // converted inside window
+        "a2" -> None))                            // never converted: one null row
+    } finally q.stop()
+  }
 }
