@@ -65,7 +65,10 @@ object VectorOps {
    */
   def annBruteForce(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", probeMod: Int = 100, k: Int = 10): DataFrame = {
-    val v = asDouble(emb, idCol, vecCol)
+    // scoped cache: the corpus+norm subtree feeds both the probe filter and
+    // the scored join here, and is plan-identical across the ANN variants a
+    // recall job runs side by side — one materialization serves them all
+    val v = Caching.scoped(asDouble(emb, idCol, vecCol))
     val probes = v.filter(pmod(col("vec_id"), lit(probeMod)) === 0)
       .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("n").as("pn"))
     val scored = v.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
@@ -103,7 +106,7 @@ object VectorOps {
    */
   def annIvf(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       centroidMod: Int = 25, probeMod: Int = 100, nprobe: Int = 2, k: Int = 10): DataFrame = {
-    val v = asDouble(emb, idCol, vecCol)
+    val v = Caching.scoped(asDouble(emb, idCol, vecCol))
     val centroids = v.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
     val assigned = assignToCentroids(v, centroids)
