@@ -279,6 +279,18 @@ object TpchWorkload {
           .as("p99_within_5pct"))
   }
 
+  /** Exact order statistics via bracket-then-sliver
+    * (graft.operators.ExactQuantile — never a whole-column buffer, never a
+    * global sort). Type-1 ranks are DuckDB's quantile_disc, and the values
+    * are untouched source doubles, so the oracle matches bit-for-bit. */
+  def exactQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.5, 0.9, 0.99)
+    val vs = graft.operators.ExactQuantile.values(
+      Tables(spark, dir, "lineitem"), "l_extendedprice", qs)
+    import spark.implicits._
+    qs.zip(vs).toDF("q", "value")
+  }
+
   /** KMV distinct-count sketch over the fact key, with the mergeability
     * identity proven on-data: the direct global sketch and the merge of
     * per-returnflag sketches are bit-identical (graft.operators.Kmv). The
@@ -301,6 +313,7 @@ object TpchWorkload {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_distinct_count" -> distinctCounts,
     "agg_sketches" -> sketchAggs,
+    "agg_exact_quantiles" -> exactQuantiles,
     "agg_kmv_sketch" -> kmvSketch,
     "agg_pricing_summary" -> aggPricingSummary,
     "join_revenue_by_nation" -> joinRevenueByNation,
@@ -330,6 +343,12 @@ object TpchWorkload {
       """SELECT count(DISTINCT l_orderkey) AS exact_orders,
         |  TRUE AS cd_within_10pct, TRUE AS p50_within_5pct, TRUE AS p99_within_5pct
         |FROM lineitem""".stripMargin,
+    "agg_exact_quantiles" ->
+      """SELECT CAST(0.5 AS DOUBLE) AS q, quantile_disc(l_extendedprice, 0.5) AS value FROM lineitem
+        |UNION ALL
+        |SELECT CAST(0.9 AS DOUBLE), quantile_disc(l_extendedprice, 0.9) FROM lineitem
+        |UNION ALL
+        |SELECT CAST(0.99 AS DOUBLE), quantile_disc(l_extendedprice, 0.99) FROM lineitem""".stripMargin,
     "agg_kmv_sketch" ->
       """WITH h AS (SELECT DISTINCT
         |    CAST(CONCAT('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h

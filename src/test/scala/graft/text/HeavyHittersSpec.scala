@@ -42,6 +42,25 @@ class HeavyHittersSpec extends SparkSpec {
     graft.Caching.releaseAll()
   }
 
+  test("property: random Zipf-ish corpora match brute force for any k/partitioning") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val vocab = 1 + rnd.nextInt(200)
+      // Zipf-ish: token t drawn with weight ~ 1/(rank+1)
+      val tokens = Seq.fill(500 + rnd.nextInt(1500)) {
+        val r = math.min(vocab - 1, (1.0 / (rnd.nextDouble() + 0.005)).toInt % vocab)
+        s"t$r"
+      }
+      val k = 2 + rnd.nextInt(30)
+      val p = 1 + rnd.nextInt(16)
+      val got = HeavyHitters.heavyHitters(
+          tokens.toDF("token").repartition(p), "token", k)
+        .as[(String, Long, Double)].collect().toSet
+      assert(got == expected(tokens, k), s"trial=$trial k=$k p=$p vocab=$vocab")
+      graft.Caching.releaseAll()
+    }
+  }
+
   test("threshold is integer-exact: cnt*k == n is in, one less is out") {
     // n = 40, k = 4: "edge" has exactly 10 = n/k occurrences (in);
     // "below" has 9 (out); fillers make up the rest
