@@ -91,6 +91,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // auto-vectorize the HOF dot-product spelling into the native Expression
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    // plan the native as-of join node (graft.plans.AsofJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -51,4 +51,33 @@ object Asof {
       else cols.map(c => df.schema(c)).toArray
     org.apache.spark.sql.types.StructType(fields)
   }
+
+  /**
+   * The same ASOF semantics through the NATIVE plan node
+   * (graft.plans.AsofJoin → AsofJoinExec, preference (c) of the ladder):
+   * a per-partition two-pointer merge instead of union + running window —
+   * same single exchange and sort, none of the union/window machinery.
+   * Requires the session to carry GraftExtensions (graft.Sessions does).
+   *
+   * Contracts beyond [[asofJoin]]: time columns non-null; the two sides
+   * must not share lineage (a self-asof needs a fresh re-read — the node
+   * bypasses the analyzer's relation dedup); payload names must not
+   * collide with left column names.
+   */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTime: String, rightTime: String, payloadCols: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    // pre-prune the right side: the custom node is opaque to column pruning
+    val r = right.select((keyCols ++ Seq(rightTime) ++ payloadCols).distinct.map(col): _*)
+    val lp = left.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not found in ${p.output}"))
+    org.apache.spark.sql.GraftBridge.ofRows(spark, graft.plans.AsofJoin(
+      lp, rp,
+      keyCols.map(attr(lp, _)), keyCols.map(attr(rp, _)),
+      attr(lp, leftTime), attr(rp, rightTime),
+      payloadCols.map(attr(rp, _))))
+  }
 }

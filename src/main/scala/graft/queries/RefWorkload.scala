@@ -287,6 +287,24 @@ object RefWorkload {
       payloadCols = Seq("purchase_id", "purchase_ts"))
   }
 
+  /** The same as-of semantics through the NATIVE plan node
+    * ([[graft.plans.AsofJoin]] → AsofJoinExec, injected by GraftExtensions):
+    * per-partition two-pointer merge instead of union + running window.
+    * Shares `asof_last_purchase`'s oracle — DuckDB's ASOF JOIN pins both
+    * formulations to the same rows. */
+  def asofLastPurchaseNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val purchases = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("purchase_ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+      .select(col("user_id"), col("purchase_ts"), col("purchase_id"))
+    graft.operators.Asof.asofJoinNative(e, purchases, Seq("user_id"),
+      leftTime = "ts", rightTime = "purchase_ts",
+      payloadCols = Seq("purchase_id", "purchase_ts"))
+  }
+
   /** Range join: probe events (1/97 sample) matched into ALL users'
     * gap-based session intervals by timestamp containment, counted per
     * probe (graft.operators.RangeJoin — bucketized equi-join; the oracle is
@@ -314,6 +332,7 @@ object RefWorkload {
     "funnel_steps" -> funnelSteps,
     "event_sequences" -> eventSequences,
     "asof_last_purchase" -> asofLastPurchase,
+    "asof_last_purchase_native" -> asofLastPurchaseNative,
     "range_join_sessions" -> rangeJoinSessions,
     "a5_tumbling_window" -> tumblingWindowCounts,
     "session_windows" -> sessionWindowCounts,
@@ -333,6 +352,13 @@ object RefWorkload {
     * against our window formulation. */
   val oracles: Map[String, String] = Map(
     "asof_last_purchase" ->
+      """WITH p AS (
+        |  SELECT user_id, ts AS purchase_ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, e.ts, e.event_type, p.purchase_id, p.purchase_ts
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.purchase_ts""".stripMargin,
+    "asof_last_purchase_native" ->
       """WITH p AS (
         |  SELECT user_id, ts AS purchase_ts, max(event_id) AS purchase_id
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)

@@ -40,4 +40,54 @@ class AsofSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan.take(500))
   }
+
+  test("native asof exec matches the edge semantics of the composed form") {
+    val left = Seq(
+      (1L, "u1", "2024-01-01 10:00:00"),
+      (2L, "u1", "2024-01-01 12:00:00"),
+      (3L, "u1", "2024-01-01 09:00:00"),
+      (4L, "u2", "2024-01-01 10:00:00"))
+      .toDF("id", "user", "ts")
+      .select(col("id"), col("user"), col("ts").cast("timestamp").as("ts"))
+    val right = Seq(
+      ("u1", "2024-01-01 09:30:00", 100L),
+      ("u1", "2024-01-01 12:00:00", 200L))
+      .toDF("user", "rts", "rid")
+      .select(col("user"), col("rts").cast("timestamp").as("rts"), col("rid"))
+    val out = Asof.asofJoinNative(left, right, Seq("user"), "ts", "rts", Seq("rid"))
+      .select("id", "rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(out == Map(1L -> Some(100L), 2L -> Some(200L), 3L -> None, 4L -> None))
+  }
+
+  test("native asof plans AsofJoinExec (no window, no union) and matches composed on random data") {
+    val rnd = new scala.util.Random(11)
+    val base = t("2024-01-01 00:00:00").getTime
+    val left = Seq.tabulate(800) { i =>
+      (i.toLong, s"u${rnd.nextInt(20)}",
+        new java.sql.Timestamp(base + rnd.nextInt(1000000) * 1000L))
+    }.toDF("id", "user", "ts")
+    val right = {
+      // unique per (key, time) as the ASOF contract requires
+      val seen = scala.collection.mutable.Set.empty[(String, Long)]
+      Seq.fill(300) {
+        (s"u${rnd.nextInt(25)}",
+          new java.sql.Timestamp(base + rnd.nextInt(1000000) * 1000L),
+          rnd.nextInt(10000).toLong)
+      }.filter(r => seen.add((r._1, r._2.getTime)))
+    }.toDF("user", "rts", "rid")
+
+    val native = Asof.asofJoinNative(
+      left.repartition(7), right.repartition(3), Seq("user"), "ts", "rts", Seq("rid"))
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan.take(800))
+    assert(!plan.contains("Window") && !plan.contains("Union"), plan.take(800))
+
+    val n = native.select("id", "rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val c = Asof.asofJoin(left, right, Seq("user"), "ts", "rts", Seq("rid"))
+      .select("id", "rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(n == c)
+  }
 }
