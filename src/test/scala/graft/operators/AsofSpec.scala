@@ -90,4 +90,25 @@ class AsofSpec extends SparkSpec {
       .map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(n == c)
   }
+
+  test("native asof generalizes: composite (string, long) key and long time column") {
+    val rnd = new scala.util.Random(23)
+    val left = Seq.tabulate(400) { i =>
+      (i.toLong, s"r${rnd.nextInt(5)}", rnd.nextInt(4).toLong,
+        rnd.nextInt(100000).toLong)
+    }.toDF("id", "region", "shard", "t")
+    val right = {
+      val seen = scala.collection.mutable.Set.empty[(String, Long, Long)]
+      Seq.fill(200) {
+        (s"r${rnd.nextInt(6)}", rnd.nextInt(5).toLong,
+          rnd.nextInt(100000).toLong, rnd.nextInt(999).toLong)
+      }.filter(r => seen.add((r._1, r._2, r._3)))
+    }.toDF("region", "shard", "rt", "v")
+    val n = Asof.asofJoinNative(left.repartition(5), right.repartition(4),
+        Seq("region", "shard"), "t", "rt", Seq("v"))
+      .select("id", "v").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val c = Asof.asofJoin(left, right, Seq("region", "shard"), "t", "rt", Seq("v"))
+      .select("id", "v").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(n == c)
+  }
 }

@@ -28,4 +28,38 @@ class SkewSpec extends SparkSpec {
       .select("__salt").distinct().count()
     assert(buckets > 4, s"only $buckets salt buckets used")
   }
+
+  test("AQE splits a skewed sort-merge partition at runtime (skew=true in the final plan)") {
+    // graft.Sessions enables adaptive.skewJoin; this pins that the engine's
+    // first line of skew defense actually fires. Thresholds are lowered so
+    // unit-test-sized data crosses them; restored after.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force sort-merge
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      import spark.implicits._
+      // one key carries 50k rows, the tail is tiny -> one oversized partition
+      val left = ((1 to 50000).map(i => (1L, s"payload-$i-${"x" * 40}")) ++
+        (1 to 200).map(i => (1L + i % 13, s"cold$i"))).toDF("k", "p")
+      val right = (1L to 14L).map(k => (k, s"dim$k")).toDF("k", "attr")
+      val joined = left.join(right, Seq("k"))
+      // drive THIS QueryExecution to completion (count() would plan a new
+      // one), then read the finalized adaptive plan
+      val qe = joined.queryExecution
+      assert(qe.executedPlan.execute().count() == 50200L)
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE skew split did not fire:\n${plan.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
