@@ -91,6 +91,35 @@ object TpchWorkload {
       .withColumn("promo_share", col("promo_revenue") / col("total_revenue"))
   }
 
+  /** The local-supplier-volume snowflake (TPC-H Q5): region-filtered
+    * nation/customer/supplier dims around two fact joins. The region filter
+    * prunes through two broadcast dim joins BEFORE any fact shuffles; the
+    * c_nationkey = s_nationkey locality predicate rides the order-key join.
+    * Exercises every remaining dim table, region included. */
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1997-01-01")); val hi = to_timestamp(lit("1998-01-01"))
+    val asiaNations = Tables(spark, dir, "nation")
+      .join(broadcast(Tables(spark, dir, "region")
+        .filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables(spark, dir, "supplier")
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount", 4, 2)))
+        .cast("double").as("revenue"))
+  }
+
   /** The large-volume-customer shape (TPC-H Q18): a HAVING-filtered fact
     * aggregate reused as the driving side of a dimension join. The quantity
     * rollup shuffles once on the order key; only the (rare) qualifying
@@ -321,6 +350,7 @@ object TpchWorkload {
     "q14_promo_share" -> q14PromoShare,
     "q18_large_orders" -> q18LargeOrders,
     "q15_top_supplier" -> q15TopSupplier,
+    "q5_local_supplier_volume" -> q5LocalSupplierVolume,
     "topk_customers" -> topCustomers,
     "topk_per_nation" -> topkPerNation,
     "pivot_event_types" -> pivotEventTypes,
@@ -410,6 +440,19 @@ object TpchWorkload {
         |SELECT promo_revenue, total_revenue,
         |  promo_revenue / total_revenue AS promo_share
         |FROM s""".stripMargin,
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
