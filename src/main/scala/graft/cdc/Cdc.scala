@@ -359,6 +359,35 @@ object Cdc {
   }
 
   /**
+   * Transactionally consistent cross-table cut. The reference's
+   * single-threaded loop gets cross-table consistency for free — every
+   * table is applied up to the same binlog position when a run ends
+   * (reference: matomo2clickhouse.py:648-653 applies events in global
+   * binlog order). A distributed apply loses that: per-table sinks commit
+   * at different heads. This operator restores it for readers: given each
+   * table's applied head (ledger metadata, one number per table), the
+   * consistent watermark is the MINIMUM head — every table has applied
+   * everything at or below it — and each table's consistent view is its
+   * history filtered to `version <= watermark` before latest-wins.
+   *
+   * Pure plan surgery: one `lit` filter per table (partition/file pruning
+   * applies when history is version- or month-partitioned) + the same
+   * latest-wins window the sink already uses. No cross-table join, no
+   * coordination beyond the ledger numbers.
+   */
+  def consistentCut(heads: Map[String, Long]): Long = {
+    require(heads.nonEmpty, "consistent cut of zero tables")
+    heads.values.min
+  }
+
+  /** A table's read view at the consistent cut: history filtered to the
+    * watermark, then latest-wins (DELETE rows excluded by the caller's
+    * usual op filter if the history carries ops). */
+  def cutView(history: DataFrame, keyCols: Seq[String], watermark: Long,
+      versionCol: String = Schemas.VersionCol): DataFrame =
+    latestWins(history.filter(col(versionCol) <= watermark), keyCols, versionCol)
+
+  /**
    * Replication-lag report — the monitoring query a replication operator
    * runs between cron windows (the reference budgets 50 of every 60
    * minutes and resumes from the ledger head; "how far behind is the sink"

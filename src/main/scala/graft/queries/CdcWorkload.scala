@@ -176,7 +176,30 @@ object CdcWorkload {
     Cdc.lagReport(log, head * 7 / 10)
   }
 
+  /** Consistent cross-table cut ([[Cdc.consistentCut]]/[[Cdc.cutView]]):
+    * two per-table logs (event_id parity) with different applied heads
+    * (90% / 70% of the global max); the watermark is the min head, and each
+    * table's view is latest-wins over versions ≤ watermark — the
+    * transactionally consistent read the reference's single-threaded loop
+    * provides implicitly at run boundaries. */
+  def cdcConsistentCut(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val head = e.agg(max(col("event_id"))).head.getLong(0)
+    val wm = Cdc.consistentCut(Map("evens" -> head * 9 / 10, "odds" -> head * 7 / 10))
+    def cut(parity: Int, name: String) = Cdc.cutView(
+        e.filter(pmod(col("event_id"), lit(2)) === parity)
+          .select(col("user_id"), col("event_id").as(Schemas.VersionCol),
+            col("event_type")),
+        Seq("user_id"), wm)
+      .agg(count(lit(1)).as("n_rows"),
+        max(col(Schemas.VersionCol)).as("max_version"))
+      .select(lit(name).as("tbl"), col("n_rows"), col("max_version"),
+        lit(wm).as("watermark"))
+    cut(0, "evens").unionByName(cut(1, "odds"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_consistent_cut" -> cdcConsistentCut,
     "cdc_lag_report" -> cdcLagReport,
     "cdc_apply_versioned" -> cdcApplyVersioned,
     "cdc_latest_wins" -> cdcLatestWins,
@@ -188,6 +211,19 @@ object CdcWorkload {
   )
 
   val oracles: Map[String, String] = Map(
+    // consistent-cut replay: watermark = min(90%, 70%) of the head; per
+    // parity table, latest-wins over versions <= watermark reduces to one
+    // row per user, so n_rows = distinct users and max_version = max id
+    "cdc_consistent_cut" ->
+      """WITH h AS (SELECT max(event_id) AS m FROM events),
+        |wm AS (SELECT least(m * 9 // 10, m * 7 // 10) AS w FROM h),
+        |a AS (SELECT count(DISTINCT user_id) AS n_rows, max(event_id) AS max_version
+        |      FROM events, wm WHERE event_id % 2 = 0 AND event_id <= w),
+        |b AS (SELECT count(DISTINCT user_id) AS n_rows, max(event_id) AS max_version
+        |      FROM events, wm WHERE event_id % 2 = 1 AND event_id <= w)
+        |SELECT 'evens' AS tbl, a.n_rows, a.max_version, wm.w AS watermark FROM a, wm
+        |UNION ALL
+        |SELECT 'odds', b.n_rows, b.max_version, wm.w FROM b, wm""".stripMargin,
     // lag replay: same op derivation, same integer 70%-of-head applied mark
     "cdc_lag_report" ->
       s"""WITH $changeLogSql,

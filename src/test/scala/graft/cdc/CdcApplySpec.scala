@@ -237,6 +237,20 @@ class CdcApplySpec extends SparkSpec {
     }
   }
 
+  test("consistentCut: min head; cutView hides post-watermark versions") {
+    import spark.implicits._
+    assert(Cdc.consistentCut(Map("a" -> 90L, "b" -> 70L, "c" -> 80L)) == 70L)
+    val hist = Seq(
+      (1L, 10L, "v1"), (1L, 60L, "v2"), (1L, 75L, "v3-after-cut"),
+      (2L, 70L, "w1"))
+      .toDF("user_id", Schemas.VersionCol, "payload")
+    val view = Cdc.cutView(hist, Seq("user_id"), watermark = 70L)
+      .select("user_id", "payload").as[(Long, String)].collect().toSet
+    // user 1's v3 (version 75 > 70) must be invisible; v2 wins; the
+    // watermark boundary itself (70) is included
+    assert(view == Set((1L, "v2"), (2L, "w1")))
+  }
+
   test("lagReport counts only ops beyond the applied head, per op type") {
     import spark.implicits._
     val log = Seq(
