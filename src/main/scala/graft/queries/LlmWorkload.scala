@@ -202,6 +202,26 @@ object LlmWorkload {
       .agg(count(lit(1)).as("n_members"),
         min(col("vec_id")).as("min_member"), max(col("vec_id")).as("max_member"))
 
+  /** The multimodal featurize path end-to-end through the typed Dataset +
+    * `mapPartitions` batch shape ([[Multimodal.extractFeatures]] — where a
+    * real codec would run): payload → per-partition stub decode → fixed-
+    * width features. Compared as integer byte-histogram counts (recovered
+    * exactly from the normalized floats: count = round(f·n), exact while
+    * count < 2^24/ε), so the oracle replays pure integer arithmetic and
+    * the float normalization stays pinned by MultimodalSpec. */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val media = Multimodal.withPayload(
+        Tables(spark, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("payload")).as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(media, dim = 8).toDF()
+    feats.select(col("doc_id") +: col("n_bytes").cast("long").as("n_bytes") +:
+      (0 until 8).map(j =>
+        round(element_at(col("feature"), j + 1).cast("double") *
+          greatest(col("n_bytes"), lit(1))).cast("long").as(s"c$j")): _*)
+  }
+
   /** SemDeDup ([[VectorOps.semanticDedup]]): per-vector kept/dropped verdict
     * — k-means clusters bound the pairwise cosine check, keep-lowest-id. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
@@ -360,6 +380,7 @@ object LlmWorkload {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_heavy_hitters" -> textHeavyHitters,
     "dedup_semantic" -> dedupSemantic,
+    "multimodal_features" -> multimodalFeatures,
     "prep_source_caps" -> prepSourceCaps,
     "prep_mixture_sample" -> prepMixtureSample,
     "quality_lm_score" -> qualityLmScore,
@@ -625,6 +646,21 @@ object LlmWorkload {
   }
 
   val oracles: Map[String, String] = Map(
+    // featurize replay: the byte histogram as pure integer counts — ASCII
+    // text makes ord(char) == byte; bucket = (byte*8)//256, same arithmetic
+    "multimodal_features" -> {
+      val cs = (0 until 8).map(j =>
+        s"CAST(count(*) FILTER (bucket = $j) AS BIGINT) AS c$j").mkString(",\n  ")
+      s"""WITH e AS (SELECT doc_id, text, length(text) AS len FROM documents),
+         |b AS (SELECT doc_id, (ord(substr(text, CAST(i AS INT), 1)) * 8) // 256 AS bucket
+         |      FROM e, UNNEST(range(1, len + 1)) AS t(i)),
+         |h AS (SELECT doc_id,
+         |  $cs
+         |  FROM b GROUP BY doc_id)
+         |SELECT e.doc_id, CAST(e.len AS BIGINT) AS n_bytes,
+         |  ${(0 until 8).map(j => s"COALESCE(h.c$j, 0) AS c$j").mkString(", ")}
+         |FROM e LEFT JOIN h USING (doc_id)""".stripMargin
+    },
     // heavy-hitter replay: exact counts + integer threshold (cnt·k ≥ n);
     // the MG candidate pass only affects a superset, never the answer
     "text_heavy_hitters" ->
