@@ -101,5 +101,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[IntersectCount].getName, "graft_intersect_count"),
       (children: Seq[Expression]) => IntersectCount(children.head, children(1))))
+    // graft_might_contain(bloomBytes, longValue): Spark's own codegen'd
+    // Bloom-membership expression (the engine behind runtime-filter
+    // injection), exposed as a callable function so operators can prefilter
+    // a huge probe side with a driver-built filter shipped as a literal.
+    // The serialized form carries its version header, so filters built by
+    // DataFrameStatFunctions.bloomFilter deserialize to the same impl whose
+    // mightContainLong the codegen calls — build and probe cannot disagree.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))))
   }
 }

@@ -25,6 +25,28 @@ object LlmWorkload {
   /** TextOps.hash64 of an arbitrary SQL expression. */
   private def h64(e: String) = s"CAST(CONCAT('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Shared oracle for both decontamination paths (plain and
+    * bloom-prefiltered): the bloom variant must produce the identical exact
+    * answer, so both entries pin against this one replay. */
+  private lazy val decontOracleSql: String =
+    s"""WITH base AS (SELECT doc_id, $normSql AS norm,
+       |  ${h64("CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents),
+       |trw AS (SELECT doc_id, string_split(norm, ' ') AS w FROM base WHERE b < 80),
+       |tsh AS (SELECT DISTINCT doc_id,
+       |          ${h64("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+       |        FROM trw, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+       |evw AS (SELECT doc_id, string_split(norm, ' ') AS w FROM base WHERE b >= 80),
+       |esh AS (SELECT DISTINCT ${h64("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+       |        FROM evw, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+       |tot AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY 1),
+       |hits AS (SELECT doc_id, count(*) AS n_overlap FROM tsh
+       |         WHERE h IN (SELECT h FROM esh) GROUP BY 1)
+       |SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS overlap_ratio,
+       |  COALESCE(h.n_overlap, 0) > 0 AS is_contaminated
+       |FROM tot t LEFT JOIN hits h USING (doc_id)""".stripMargin
+
   /** words + distinct 3-gram shingles CTEs. */
   private val shingleCte =
     s"""words AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
@@ -172,6 +194,16 @@ object LlmWorkload {
   def textDecontamination(spark: SparkSession, dir: String): DataFrame = {
     val split = Prep.hashSplit(Tables(spark, dir, "documents"), "doc_id")
     TextOps.decontamination(
+      split.filter(col("split") === "train"),
+      split.filter(col("split") =!= "train"),
+      "doc_id", "text")
+  }
+
+  /** Bloom-prefiltered decontamination — same split, same exact answer as
+    * [[textDecontamination]]; the bloom prunes the big side's shuffle. */
+  def textDecontaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val split = Prep.hashSplit(Tables(spark, dir, "documents"), "doc_id")
+    TextOps.decontaminationBloom(
       split.filter(col("split") === "train"),
       split.filter(col("split") =!= "train"),
       "doc_id", "text")
@@ -388,6 +420,7 @@ object LlmWorkload {
     "dedup_winnow_pairs" -> dedupWinnowPairs,
     "dedup_keep_best" -> dedupKeepBest,
     "text_decontamination" -> textDecontamination,
+    "text_decontamination_bloom" -> textDecontaminationBloom,
     "text_bm25" -> textBm25,
     "text_scrub_pii" -> textScrubPii,
     "kmeans_clusters" -> kmeansClusters,
@@ -926,24 +959,11 @@ object LlmWorkload {
          |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
     // decontamination replay: same hash split, same distinct 3-gram shingles,
     // same semi-join overlap counts
-    "text_decontamination" ->
-      s"""WITH base AS (SELECT doc_id, $normSql AS norm,
-         |  ${h64("CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents),
-         |trw AS (SELECT doc_id, string_split(norm, ' ') AS w FROM base WHERE b < 80),
-         |tsh AS (SELECT DISTINCT doc_id,
-         |          ${h64("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
-         |        FROM trw, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
-         |evw AS (SELECT doc_id, string_split(norm, ' ') AS w FROM base WHERE b >= 80),
-         |esh AS (SELECT DISTINCT ${h64("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
-         |        FROM evw, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
-         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY 1),
-         |hits AS (SELECT doc_id, count(*) AS n_overlap FROM tsh
-         |         WHERE h IN (SELECT h FROM esh) GROUP BY 1)
-         |SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
-         |  CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
-         |  CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS overlap_ratio,
-         |  COALESCE(h.n_overlap, 0) > 0 AS is_contaminated
-         |FROM tot t LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "text_decontamination" -> decontOracleSql,
+    // the bloom variant is exact by construction (the filter only prunes
+    // candidates the semi-join re-checks), so the SAME oracle pins it — a
+    // hash mismatch here would mean a false negative leaked through
+    "text_decontamination_bloom" -> decontOracleSql,
     // BM25 replay: every constant is COMPUTED the same way on both sides
     // ((1.2 + 1) rather than 2.2) so each double is bit-identical
     "text_bm25" -> {

@@ -708,6 +708,72 @@ object TextOps {
   }
 
   /**
+   * Bloom-prefiltered decontamination — byte-identical output to
+   * [[decontamination]] (the Bloom filter only PRUNES candidates; the exact
+   * semi-join still decides membership, so false positives are re-checked
+   * and removed), built for the asymmetric case that dominates practice: a
+   * fixed, bounded eval suite against an unbounded training corpus.
+   *
+   * Scale: the eval shingle set reduces to a driver-built Bloom filter
+   * (~1.2 MB per million distinct shingles at fpp=1e-2) shipped to every
+   * task as a plan literal; the training side tests membership inside
+   * whole-stage codegen (`graft_might_contain` = Spark's native
+   * BloomFilterMightContain, the same machinery Catalyst's runtime-filter
+   * injection uses) BEFORE any exchange, so the shuffle feeding the verify
+   * semi-join carries O(|overlap| + fpp·|train shingles|) rows instead of
+   * every shingle in the corpus — on a clean 100 TB corpus that is the
+   * difference between shuffling terabytes and shuffling megabytes. The
+   * eval side is scanned twice (sizing count + bloom build + verify join
+   * share one cached frame); for an eval set too large to bloom cheaply,
+   * use [[decontamination]] — the crossover is exactly the point where the
+   * filter no longer fits a task comfortably.
+   */
+  def decontaminationBloom(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, fpp: Double = 0.01): DataFrame = {
+    val evalSh = Caching.scoped(
+      rawShingles(eval, idCol, textCol, n)
+        .select(hash64(col("shingle")).as("h")).distinct())
+    // sizing the filter needs the true distinct count — an underestimate
+    // silently degrades fpp and with it the prefilter's selectivity. An
+    // empty eval set short-circuits to a no-bits filter: stat.bloomFilter
+    // NPEs on an empty frame (its aggregate returns null bytes)
+    val nEval = evalSh.count()
+    val bloom =
+      if (nEval == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+      else evalSh.stat.bloomFilter("h", nEval, fpp)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val trainSh = hashedShingles(train, idCol, textCol, n)
+    val totals = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = trainSh.filter(mightContain(bloomBytes, col("h")))
+      .join(evalSh, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_ratio",
+        col("n_overlap").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("is_contaminated", col("n_overlap") > 0)
+  }
+
+  /** Codegen'd Bloom membership via the registered `graft_might_contain`;
+    * without the extension, the same test through the deserialized filter
+    * (closure-serialized to tasks — correct, just not codegen'd). */
+  private def mightContain(bloomBytes: Array[Byte], h: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (spark.catalog.functionExists("graft_might_contain"))
+      call_function("graft_might_contain", lit(bloomBytes), h)
+    else {
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes))
+      udf((x: Long) => bf.mightContainLong(x)).apply(h)
+    }
+  }
+
+  /**
    * BM25 relevance of every document for a fixed term set — the ranking
    * function of the keyword-retrieval stage. Uses the RATIONAL idf variant
    * idf(t) = (N − df + 0.5)/(df + 0.5) (the argument of BM25's log, without

@@ -207,6 +207,32 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 2L, 0L, false)))
   }
 
+  test("decontaminationBloom equals decontamination on randomized corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def doc(): String = Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val train = docs((1L to 60L).map(i => i -> doc()): _*)
+    val eval_ = docs((100L to 110L).map(i => i -> doc()): _*)
+    val exact = TextOps.decontamination(train, eval_, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    // fpp high enough that false positives certainly occur — the semi-join
+    // must still kill every one of them
+    val bloomed = TextOps.decontaminationBloom(train, eval_, "doc_id", "text", fpp = 0.3)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloomed == exact)
+    graft.Caching.releaseAll()
+  }
+
+  test("decontaminationBloom: empty eval set contaminates nothing") {
+    val train = docs((1L, "alpha beta gamma delta"))
+    val eval_ = docs((10L, "ab")) // too short for a 3-shingle: empty eval shingle set
+    val out = TextOps.decontaminationBloom(train, eval_, "doc_id", "text")
+      .select("doc_id", "n_overlap", "is_contaminated")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.toSeq == Seq((1L, 0L, false)))
+    graft.Caching.releaseAll()
+  }
+
   test("bm25: zero for absent terms, higher for denser matches at equal length") {
     val out = TextOps.bm25(docs(
       (1L, "the the the cat sat"),
