@@ -120,6 +120,13 @@ object TpchWorkload {
         .cast("double").as("revenue"))
   }
 
+  /** Fuzzy entity matching over the part-name catalog: distinct normalized
+    * names within 2 edits, via two linear sorted-neighborhood passes
+    * (forward + reversed key) and exact Levenshtein verify
+    * ([[graft.text.FuzzyMatch.nearNames]]). */
+  def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.text.FuzzyMatch.nearNames(Tables(spark, dir, "part"), "p_name")
+
   /** The large-volume-customer shape (TPC-H Q18): a HAVING-filtered fact
     * aggregate reused as the driving side of a dimension join. The quantity
     * rollup shuffles once on the order key; only the (rare) qualifying
@@ -351,6 +358,7 @@ object TpchWorkload {
     "q18_large_orders" -> q18LargeOrders,
     "q15_top_supplier" -> q15TopSupplier,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
+    "fuzzy_name_pairs" -> fuzzyNamePairs,
     "topk_customers" -> topCustomers,
     "topk_per_nation" -> topkPerNation,
     "pivot_event_types" -> pivotEventTypes,
@@ -453,6 +461,28 @@ object TpchWorkload {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name""".stripMargin,
+    // fuzzy matching replay: same normalization, same two sorted-neighborhood
+    // passes (forward / reversed key, prefix-4 blocks, 5 leads), same exact
+    // Levenshtein verify — candidate sets and distances must agree exactly
+    "fuzzy_name_pairs" -> {
+      val norm = """lower(trim(regexp_replace(p_name, '\s+', ' ', 'g')))"""
+      def passSql(from: String): String = (1 to 5).map { i =>
+        s"""SELECT least(name, cand) AS name_a, greatest(name, cand) AS name_b FROM (
+           |  SELECT name, lead(name, $i) OVER (
+           |    PARTITION BY substr(key, 1, 4) ORDER BY key, name) AS cand
+           |  FROM $from) WHERE cand IS NOT NULL""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH n AS (SELECT DISTINCT $norm AS name FROM part),
+         |k1 AS (SELECT name, name AS key FROM n),
+         |k2 AS (SELECT name, reverse(name) AS key FROM n),
+         |cand AS (
+         |${passSql("k1")}
+         |UNION ALL
+         |${passSql("k2")})
+         |SELECT DISTINCT name_a, name_b,
+         |  CAST(levenshtein(name_a, name_b) AS INT) AS dist
+         |FROM cand WHERE levenshtein(name_a, name_b) <= 2""".stripMargin
+    },
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
