@@ -101,6 +101,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[IntersectCount].getName, "graft_intersect_count"),
       (children: Seq[Expression]) => IntersectCount(children.head, children(1))))
+    // graft_topk(value, tie, k): bounded per-group top-k with map-side
+    // partial aggregation — k pairs per (group × partition) shuffle instead
+    // of every row (the scale-safe form of row_number() <= k)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopK].getName, "graft_topk"),
+      (children: Seq[Expression]) => TopK(children.head, children(1), children(2))))
     // graft_might_contain(bloomBytes, longValue): Spark's own codegen'd
     // Bloom-membership expression (the engine behind runtime-filter
     // injection), exposed as a callable function so operators can prefilter

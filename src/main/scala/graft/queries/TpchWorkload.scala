@@ -189,6 +189,26 @@ object TpchWorkload {
       .select(col("n_name"), col("c_custkey"), col("total"), col("rnk"))
   }
 
+  /** The same per-nation top-3 as [[topkPerNation]], computed with the
+    * native bounded aggregate ([[graft.functions.TopK]]) instead of a
+    * window: map-side partial aggregation ships at most k pairs per
+    * (nation × partition), so the exchange never carries the full customer
+    * roll-up — the scale-safe spelling of `row_number() <= k`. Same rows,
+    * same oracle. */
+  def topkPerNationAgg(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(sum(dec("o_totalprice")).cast("double").as("total"))
+    revenue.groupBy(col("n_name"))
+      .agg(expr("graft_topk(total, c_custkey, 3)").as("top"))
+      .select(col("n_name"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("n_name"), col("e.tie").as("c_custkey"),
+        col("e.value").as("total"), (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Pivot — event-type counts spread to columns per user: Spark's
     * `groupBy.pivot` with an EXPLICIT value list (no extra distinct pass,
     * deterministic column order). The oracle restates it as conditional
@@ -361,6 +381,7 @@ object TpchWorkload {
     "fuzzy_name_pairs" -> fuzzyNamePairs,
     "topk_customers" -> topCustomers,
     "topk_per_nation" -> topkPerNation,
+    "topk_per_nation_agg" -> topkPerNationAgg,
     "pivot_event_types" -> pivotEventTypes,
     "semi_join_urgent" -> semiJoinUrgentCustomers,
     "anti_join_no_orders" -> antiJoinNoOrders,
@@ -371,6 +392,23 @@ object TpchWorkload {
     "cube_pricing" -> cubePricing,
     "window_funcs" -> windowFuncs
   )
+
+  /** Shared replay for both top-k-per-nation spellings (window and bounded
+    * aggregate) — they must agree row-for-row. */
+  private lazy val topkPerNationOracle: String =
+    """WITH rev AS (
+      |  SELECT n_name, c_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, c_custkey)
+      |SELECT n_name, c_custkey, total, rnk FROM (
+      |  SELECT n_name, c_custkey, total,
+      |    CAST(row_number() OVER (PARTITION BY n_name
+      |      ORDER BY total DESC, c_custkey ASC) AS INT) AS rnk
+      |  FROM rev)
+      |WHERE rnk <= 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "agg_distinct_count" ->
@@ -507,20 +545,10 @@ object TpchWorkload {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY total DESC, c_custkey ASC LIMIT 10""".stripMargin,
-    "topk_per_nation" ->
-      """WITH rev AS (
-        |  SELECT n_name, c_custkey,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |  FROM customer
-        |  JOIN orders ON c_custkey = o_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |  GROUP BY n_name, c_custkey)
-        |SELECT n_name, c_custkey, total, rnk FROM (
-        |  SELECT n_name, c_custkey, total,
-        |    CAST(row_number() OVER (PARTITION BY n_name
-        |      ORDER BY total DESC, c_custkey ASC) AS INT) AS rnk
-        |  FROM rev)
-        |WHERE rnk <= 3""".stripMargin,
+    "topk_per_nation" -> topkPerNationOracle,
+    // the bounded-aggregate spelling must produce the identical rows —
+    // one oracle pins both the window and the partial-agg top-k paths
+    "topk_per_nation_agg" -> topkPerNationOracle,
     "pivot_event_types" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS "click",
