@@ -199,6 +199,12 @@ object LlmWorkload {
       "doc_id", "text")
   }
 
+  /** Context-window chunking: 32-word windows advancing by 24 (8-word
+    * overlap) over every document — chunk content pinned by md5. */
+  def prepChunkWindows(spark: SparkSession, dir: String): DataFrame =
+    Prep.chunkWindows(Tables(spark, dir, "documents"), "doc_id", "text",
+      window = 32, stride = 24)
+
   /** Bloom-prefiltered decontamination — same split, same exact answer as
     * [[textDecontamination]]; the bloom prunes the big side's shuffle. */
   def textDecontaminationBloom(spark: SparkSession, dir: String): DataFrame = {
@@ -421,6 +427,7 @@ object LlmWorkload {
     "dedup_keep_best" -> dedupKeepBest,
     "text_decontamination" -> textDecontamination,
     "text_decontamination_bloom" -> textDecontaminationBloom,
+    "prep_chunk_windows" -> prepChunkWindows,
     "text_bm25" -> textBm25,
     "text_scrub_pii" -> textScrubPii,
     "kmeans_clusters" -> kmeansClusters,
@@ -959,6 +966,17 @@ object LlmWorkload {
          |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
     // decontamination replay: same hash split, same distinct 3-gram shingles,
     // same semi-join overlap counts
+    // chunking replay: same normalization, same ceil((len-32)/24)+1 window
+    // count, same 1-based inclusive slices, chunk content pinned by md5
+    "prep_chunk_windows" ->
+      s"""WITH words AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_id,
+         |        array_to_string(w[i*24+1 : i*24+32], ' ') AS chunk,
+         |        len(w[i*24+1 : i*24+32]) AS n_tokens
+         |      FROM words,
+         |        UNNEST(range(0, ((greatest(len(w) - 32, 0) + 23) // 24) + 1)) AS t(i))
+         |SELECT doc_id, chunk_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  md5(chunk) AS chunk_hash FROM c""".stripMargin,
     "text_decontamination" -> decontOracleSql,
     // the bloom variant is exact by construction (the filter only prunes
     // candidates the semi-join re-checks), so the SAME oracle pins it — a

@@ -138,6 +138,36 @@ object Prep {
    * each partition: the window then shuffles once on the partition key and
    * sorts per partition, fully parallel.
    */
+  /**
+   * Fixed-size overlapping token windows — the context-packing step that
+   * turns variable-length documents into training-length chunks: window i
+   * covers words [i·stride, i·stride + window) of the normalized text
+   * (overlap = window − stride), the final window truncating at the end of
+   * the document. A document shorter than one window yields exactly one
+   * chunk. `chunk_hash` (md5 of the chunk text) pins content without
+   * materializing long strings downstream.
+   *
+   * Scale: a pure narrow map — word split, a per-row sequence of
+   * O(len/stride) chunk indices, one generator; no shuffle at all. Chunk
+   * identity (doc_id, chunk_id) is deterministic by construction, so
+   * incremental rebuilds produce byte-identical chunking.
+   */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    docs.select(col(idCol).as("doc_id"), TextOps.wordsOf(col(textCol)).as("w"))
+      .transform(graft.Spread.byKey(_, col("doc_id")))
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(0, (greatest(size(w) - $window, 0) + $stride - 1) div $stride)")))
+      .withColumn("chunk",
+        concat_ws(" ", slice(col("w"), col("chunk_id") * stride + 1, lit(window))))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        size(slice(col("w"), col("chunk_id") * stride + 1, lit(window)))
+          .cast("long").as("n_tokens"),
+        md5(col("chunk")).as("chunk_hash"))
+  }
+
   def packShards(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long, partitionCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"token budget must be positive: $budget")

@@ -103,6 +103,34 @@ class PrepSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("chunkWindows: full coverage, correct overlap, truncated tail, short-doc singleton") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "a b c")                                   // shorter than one window
+    ).toDF("doc_id", "text")
+    val out = Prep.chunkWindows(docs, "doc_id", "text", window = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, Long, String)].collect().toSeq
+    val d1 = out.filter(_._1 == 1L)
+    // starts 0,2,4,6 -> 4 chunks; last covers words 7..10 (full window)
+    assert(d1.map(_._2) == Seq(0, 1, 2, 3))
+    assert(d1.map(_._3) == Seq(4L, 4L, 4L, 4L))
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(d1.head._4 == h("w1 w2 w3 w4"))
+    assert(d1.last._4 == h("w7 w8 w9 w10"))
+    // doc 2: one truncated chunk with all 3 words
+    assert(out.filter(_._1 == 2L) == Seq((2L, 0, 3L, h("a b c"))))
+  }
+
+  test("chunkWindows: a truncated tail window keeps the remainder words") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text") // 5 words, w=4, s=2
+    val out = Prep.chunkWindows(docs, "doc_id", "text", window = 4, stride = 2)
+      .orderBy("chunk_id").as[(Long, Int, Long, String)].collect().toSeq
+    // starts 0 and 2: chunk 1 covers c d e (3 words)
+    assert(out.map(c => (c._2, c._3)) == Seq((0, 4L), (1, 3L)))
+  }
+
   test("zorderValue locality: any aligned 2^k block is a contiguous z-range") {
     // the property file-skipping relies on: the z-values of an aligned
     // (2^k x 2^k) block occupy EXACTLY [z(x0,y0), z(x0,y0) + 4^k - 1]
