@@ -169,6 +169,33 @@ class CdcApplySpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("malformed"), e.getMessage)
   }
 
+  test("schema drift: extra payload columns are ignored, absent ones read as null — in BOTH parse modes") {
+    import spark.implicits._
+    // upstream ALTER TABLE ADD COLUMN lands in the binlog before the registry
+    // learns it: the payload carries a field the schema lacks (brand_new_col)
+    // and omits one it has (name). Neither is corruption — replication must
+    // keep flowing (new column dropped, missing column null), and strict
+    // mode must reserve its failure for MALFORMED payloads only.
+    val env = Seq(("INSERT", "db", "matomo_site", "2024-01-05 10:00:00",
+        "mysql-bin.000001", 100L, 0, null: String,
+        """{"idsite": 7, "brand_new_col": "surprise", "timezone": "UTC"}"""))
+      .toDF("op", "schema", "table", "ts", "log_file", "log_pos", "row_index",
+        "before", "after")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    for (strict <- Seq(false, true)) {
+      val out = Cdc.typedChanges(env, "matomo_site", strict = strict).collect()
+      assert(out.length == 1, s"strict=$strict")
+      val after = out.head.getStruct(out.head.fieldIndex("after"))
+      assert(after.getLong(0) == 7L, s"strict=$strict idsite")          // kept
+      assert(after.isNullAt(1), s"strict=$strict absent 'name' -> null") // missing
+      // the registry schema, not the payload, decides the output width —
+      // the unknown field must not widen the struct
+      val registryWidth = graft.model.Schemas.tableSchemas("matomo_site")
+        .fields.count(_.name != graft.model.Schemas.VersionCol)
+      assert(after.length == registryWidth, s"strict=$strict width")
+    }
+  }
+
   test("purge with window predicate leaves rows outside the window untouched") {
     val h = history(spark, Seq(
       (1L, "old-dup", null, 1L), (1L, "old-dup2", null, 2L), // outside window
