@@ -1,0 +1,144 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.Caching
+import graft.text.TextOps
+
+/**
+ * Continuous corpus ingestion with streaming deduplication — the streaming
+ * face of the dedup family: documents arrive as parquet files, each
+ * micro-batch is deduplicated (exact hash, within-batch near-dup, then a
+ * MinHash probe against the PERSISTED index of everything accepted so far)
+ * and the survivors are appended to the corpus plus its signature index.
+ * The reference's streaming loop does the same continuous-apply job for CDC
+ * rows (matomo2clickhouse.py:660-726); this transplants the discipline to
+ * corpus building.
+ *
+ * Scale + exactly-once design:
+ *  - the index is APPEND-ONLY: an accepted batch appends its own rows to
+ *    the hash/band/set tables under `ingest_batch=<batchId>` partitions —
+ *    per-batch cost is O(batch + candidate joins), never an O(corpus)
+ *    state rewrite;
+ *  - at-least-once replay is idempotent: every write is a dynamic
+ *    partition OVERWRITE of that batch's own `ingest_batch` partition, so
+ *    a crashed-and-replayed batch rewrites the identical rows (dedup
+ *    decisions are deterministic, and the replayed batch's own prior
+ *    output is excluded from the index it probes);
+ *  - probing joins the BATCH's bands against the index bands — cost
+ *    follows the batch, the corpus is never rescanned.
+ */
+object CorpusIngest {
+
+  final case class IngestConfig(
+      /** Streaming source dir of incoming docs (parquet: doc_id, text). */
+      docsDir: String,
+      /** Root of the ingested corpus: docs/, hashes/, bands/, sets/, ledger/. */
+      corpusRoot: String,
+      checkpointDir: String,
+      threshold: Double = 0.8,
+      maxFilesPerTrigger: Int = 20)
+
+  def docsPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/docs"
+  private def hashesPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/hashes"
+  private def bandsPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/bands"
+  private def setsPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/sets"
+  def ledgerPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/ledger"
+
+  private def readOrEmpty(spark: SparkSession, path: String,
+      ddl: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+  }
+
+  /** Ingest one batch; returns the accepted-doc count. Public so batch
+    * callers (backfills, tests) can drive it without a streaming query. */
+  def ingestBatch(spark: SparkSession, cfg: IngestConfig, batch: DataFrame,
+      batchId: Long): Long = {
+    // the batch frame may belong to the stream's CLONED session (foreachBatch)
+    // — the overwrite mode must be dynamic on the session whose conf the
+    // WRITES consult, or the per-partition overwrite silently becomes a
+    // whole-table overwrite and erases every previously accepted batch
+    val sessions = Set(spark, batch.sparkSession)
+    val prevConf = sessions.map(s =>
+      s -> s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")).toMap
+    sessions.foreach(_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic"))
+    try {
+      // a replayed batch must not probe the rows IT wrote before crashing —
+      // its decisions would then flip from accept to reject
+      def idx(path: String, ddl: String) =
+        readOrEmpty(spark, path, ddl).filter(col("ingest_batch") =!= batchId)
+
+      val norm = Caching.scoped(batch
+        .select(col("doc_id"), col("text"),
+          md5(TextOps.normalizeText(col("text"))).as("text_hash")))
+      // within-batch exact dedup: the canonical (min doc_id) copy survives
+      val w = Window.partitionBy(col("text_hash"))
+      val firstOfHash = norm
+        .withColumn("__min", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("__min")).drop("__min")
+      // cross-corpus exact dedup against the accepted hash index
+      val fresh = Caching.scoped(firstOfHash.join(
+        idx(hashesPath(cfg), "text_hash STRING, ingest_batch BIGINT")
+          .select(col("text_hash")),
+        Seq("text_hash"), "left_anti"))
+      // within-batch near-dup: drop the higher id of each verified pair
+      val inBatchPairs = TextOps.minhashNearDups(fresh, "doc_id", "text",
+        threshold = cfg.threshold)
+      val batchSurvivors = Caching.scoped(fresh.join(
+        inBatchPairs.select(greatest(col("doc_a"), col("doc_b")).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"))
+      // near-dup probe against the persisted signature index
+      val probeHits = TextOps.minhashProbeIndexed(
+        idx(bandsPath(cfg), "doc_id BIGINT, band INT, sig STRING, ingest_batch BIGINT"),
+        idx(setsPath(cfg), "doc_id BIGINT, s ARRAY<BIGINT>, n BIGINT, ingest_batch BIGINT"),
+        batchSurvivors, "doc_id", "text", threshold = cfg.threshold)
+      val accepted = Caching.scoped(batchSurvivors.join(
+        probeHits.select(col("batch_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"))
+
+      val stamp = lit(batchId).as("ingest_batch")
+      accepted.select(col("doc_id"), col("text"), stamp)
+        .write.mode("overwrite").partitionBy("ingest_batch").parquet(docsPath(cfg))
+      accepted.select(col("text_hash"), stamp)
+        .write.mode("overwrite").partitionBy("ingest_batch").parquet(hashesPath(cfg))
+      val (ab, as) = TextOps.minhashIndex(accepted, "doc_id", "text")
+      ab.select(col("doc_id"), col("band"), col("sig"), stamp)
+        .write.mode("overwrite").partitionBy("ingest_batch").parquet(bandsPath(cfg))
+      as.select(col("doc_id"), col("s"), col("n"), stamp)
+        .write.mode("overwrite").partitionBy("ingest_batch").parquet(setsPath(cfg))
+
+      val nIn = batch.count()
+      val nAccepted = accepted.count()
+      spark.createDataFrame(Seq((batchId, nIn, nAccepted)))
+        .toDF("ingest_batch", "n_in", "n_accepted")
+        .write.mode("overwrite").partitionBy("ingest_batch").parquet(ledgerPath(cfg))
+      nAccepted
+    } finally {
+      Caching.releaseAll()
+      prevConf.foreach { case (s, v) =>
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", v) }
+    }
+  }
+
+  /** Start the continuous ingest (AvailableNow: drain pending files, stop —
+    * the reference's budgeted-run cadence, ST1). */
+  def start(spark: SparkSession, cfg: IngestConfig): StreamingQuery =
+    spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .parquet(cfg.docsDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, cfg, batch, batchId): Unit
+      }
+      .start()
+}

@@ -203,31 +203,49 @@ object TextOps {
   def minhashProbe(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, n: Int = 3, k: Int = 12, r: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    def hashed(docs: DataFrame) = Caching.scoped(
+    val (cb, cs) = minhashIndex(corpus, idCol, textCol, n, k, r)
+    minhashProbeIndexed(cb, cs, batch, idCol, textCol, n, k, r, threshold)
+  }
+
+  /** The PERSISTED form of a corpus's near-dup index: banded MinHash
+    * signatures (doc_id, band, sig) and sorted shingle-hash sets
+    * (doc_id, s, n) built from ONE cached shingle scan — exactly what an
+    * ingest pipeline appends per accepted batch (see
+    * [[graft.stream.CorpusIngest]]) so later batches probe the index
+    * instead of rescanning the corpus. */
+  def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 12, r: Int = 3): (DataFrame, DataFrame) = {
+    val ex = Caching.scoped(
       rawShingles(docs, idCol, textCol, n)
         .select(col("doc_id"), col("shingle"),
           hash64(col("shingle")).as("h1"),
           pmod(hash64(concat(col("shingle"), lit("#"))), lit(MinhashH2Mod)).as("h2")))
     val aggs = (0 until k).map(j =>
       min(col("h1") + lit(j.toLong) * col("h2")).as(s"h$j"))
-    def bandsOf(ex: DataFrame) =
-      lshBands(ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*), k, r)
-    def setsOf(ex: DataFrame) = ex.groupBy(col("doc_id"))
+    val bands = lshBands(ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*), k, r)
+    val sets = ex.groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("h1"))).as("s"))
       .select(col("doc_id"), col("s"), size(col("s")).cast("long").as("n"))
+    (bands, sets)
+  }
 
-    val exC = hashed(corpus)
-    val exB = hashed(batch)
-    val candidates = bandsOf(exB).alias("b")
-      .join(bandsOf(exC).alias("c"),
+  /** Probe a batch against a persisted index: candidates from the
+    * batch-bands ⋈ index-bands equi-join, exact-Jaccard verified against
+    * the index's stored shingle sets — cost proportional to the BATCH. */
+  def minhashProbeIndexed(indexBands: DataFrame, indexSets: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      k: Int = 12, r: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val (bb, bs) = minhashIndex(batch, idCol, textCol, n, k, r)
+    val candidates = bb.alias("b")
+      .join(indexBands.alias("c"),
         col("b.band") === col("c.band") && col("b.sig") === col("c.sig") &&
           col("b.doc_id") =!= col("c.doc_id"))
       .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
       .distinct()
     candidates
-      .join(setsOf(exB).select(col("doc_id").as("batch_id"),
+      .join(bs.select(col("doc_id").as("batch_id"),
         col("s").as("sa"), col("n").as("na")), "batch_id")
-      .join(setsOf(exC).select(col("doc_id").as("corpus_id"),
+      .join(indexSets.select(col("doc_id").as("corpus_id"),
         col("s").as("sb"), col("n").as("nb")), "corpus_id")
       .withColumn("i", intersectCount("sa", "sb"))
       .withColumn("jaccard",

@@ -1,0 +1,71 @@
+package graft.stream
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-ingest").toString
+
+  // 20 words — long enough that a one-word change stays above J=0.8
+  private val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+  private val nearVariant = (1 to 19).map(i => s"tok$i").mkString(" ") + " changed"
+  private val unrelated = (1 to 20).map(i => s"other$i").mkString(" ")
+
+  private def writeDocs(dir: String, name: String, rows: (Long, String)*): Unit = {
+    val staging = tmpDir()
+    rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dir, name))
+  }
+
+  private def acceptedIds(cfg: CorpusIngest.IngestConfig): Set[Long] =
+    spark.read.parquet(CorpusIngest.docsPath(cfg))
+      .select("doc_id").as[Long].collect().toSet
+
+  test("e2e: exact dup, within-batch near-dup, and cross-batch near-dup are all dropped; resume works") {
+    val src = tmpDir(); val root = tmpDir(); val ckpt = tmpDir()
+    val cfg = CorpusIngest.IngestConfig(src, root, ckpt)
+    // batch 1: doc 1 (base), doc 2 = exact dup of 1 (case/whitespace), doc 3 =
+    // near-dup of 1 (one word changed), doc 4 unrelated
+    writeDocs(src, "f1.parquet",
+      1L -> base, 2L -> ("  " + base.toUpperCase + "  "), 3L -> nearVariant,
+      4L -> unrelated)
+    CorpusIngest.start(spark, cfg).awaitTermination()
+    assert(acceptedIds(cfg) == Set(1L, 4L))
+
+    // batch 2 (new file, resumed checkpoint): doc 5 = exact dup of the
+    // ALREADY-INGESTED doc 1, doc 6 = near-dup of ingested doc 1 (must be
+    // caught by the PERSISTED index probe), doc 7 fresh
+    writeDocs(src, "f2.parquet",
+      5L -> base, 6L -> nearVariant, 7L -> (1 to 20).map(i => s"fresh$i").mkString(" "))
+    CorpusIngest.start(spark, cfg).awaitTermination()
+    assert(acceptedIds(cfg) == Set(1L, 4L, 7L))
+
+    // ledger: one row per batch, accepted counts as observed
+    val ledger = spark.read.parquet(CorpusIngest.ledgerPath(cfg))
+      .select("ingest_batch", "n_in", "n_accepted")
+      .as[(Long, Long, Long)].collect().map { case (b, n, a) => b -> ((n, a)) }.toMap
+    assert(ledger(0L) == ((4L, 2L)) && ledger(1L) == ((3L, 1L)))
+  }
+
+  test("replaying a batch converges: identical accepted set, no duplicate rows") {
+    val root = tmpDir()
+    val cfg = CorpusIngest.IngestConfig("unused", root, "unused")
+    val b0 = Seq(1L -> base, 2L -> nearVariant, 3L -> unrelated).toDF("doc_id", "text")
+    assert(CorpusIngest.ingestBatch(spark, cfg, b0, 0L) == 2L)
+    // crash-replay of batch 0: the batch's own prior output is excluded from
+    // the index it probes, so decisions repeat and the partition rewrite is
+    // byte-identical — never a self-collision that rejects everything
+    assert(CorpusIngest.ingestBatch(spark, cfg, b0, 0L) == 2L)
+    assert(acceptedIds(cfg) == Set(1L, 3L))
+    val n = spark.read.parquet(CorpusIngest.docsPath(cfg)).count()
+    assert(n == 2L, s"expected no duplicated state rows, got $n")
+    // and a LATER batch still probes batch 0's index
+    val b1 = Seq(10L -> base).toDF("doc_id", "text")
+    assert(CorpusIngest.ingestBatch(spark, cfg, b1, 1L) == 0L)
+  }
+}
