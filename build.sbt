@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default sized for the bench host (125 GiB): 97 queries share one JVM
+  // and an 8g heap showed cross-query GC contention inflating per-query
+  // times ~3x over their isolated cost
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // ~100 registered queries x whole-stage codegen overflow the default
+  // 240 MB JIT code cache; once it fills the compiler shuts off and later
+  // queries run interpreted, showing as random 3-6x per-query spikes in
+  // full bench runs that vanish in isolation
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )
