@@ -127,6 +127,49 @@ object CorpusIngest {
     }
   }
 
+  /**
+   * Fold the accumulated per-batch partitions of every corpus table into a
+   * single `ingest_batch = -1` partition — the maintenance job that keeps
+   * the append-only design viable long-term (thousands of tiny partitions
+   * otherwise grow listing cost and band-join file counts without bound;
+   * the reference runs the same end-of-run compaction discipline,
+   * ST8: matomo2clickhouse.py:756).
+   *
+   * Contract: run BETWEEN ingest runs (stream stopped, all batches
+   * committed) — the same quiesced-maintenance contract as
+   * [[graft.maintain.Maintain]]. A batch replayed AFTER its rows were
+   * compacted would re-create its partition alongside the compacted copy;
+   * the checkpoint guarantees committed batches never replay, which is
+   * exactly why the contract requires commit-quiescence. Each table swaps
+   * atomically (write-new-then-rename, the [[StateStore]] discipline), so
+   * a crash mid-compaction leaves every table either fully old or fully
+   * new, never doubled.
+   */
+  def compact(spark: SparkSession, cfg: IngestConfig): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the ledger stays per-batch: its ingest_batch is the AUDIT key, not
+    // provenance, and one row per batch never needs compaction
+    Seq(docsPath(cfg), hashesPath(cfg), bandsPath(cfg), setsPath(cfg))
+      .foreach { dir =>
+      val path = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(path)) {
+        val compacted = spark.read.parquet(dir)
+          .withColumn("ingest_batch", lit(-1L))
+          .localCheckpoint() // sever lineage: the swap deletes what it reads
+        val tmp = new org.apache.hadoop.fs.Path(dir + ".__next")
+        val old = new org.apache.hadoop.fs.Path(dir + ".__old")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        compacted.write.partitionBy("ingest_batch").parquet(tmp.toString)
+        if (fs.exists(old)) fs.delete(old, true)
+        require(fs.rename(path, old), s"compact swap-out failed: $dir")
+        require(fs.rename(tmp, path), s"compact swap-in failed: $dir")
+        fs.delete(old, true)
+        compacted.unpersist(blocking = false)
+      }
+    }
+  }
+
   /** Start the continuous ingest (AvailableNow: drain pending files, stop —
     * the reference's budgeted-run cadence, ST1). */
   def start(spark: SparkSession, cfg: IngestConfig): StreamingQuery =

@@ -52,6 +52,27 @@ class CorpusIngestSpec extends SparkSpec {
     assert(ledger(0L) == ((4L, 2L)) && ledger(1L) == ((3L, 1L)))
   }
 
+  test("compact folds index partitions; dedup against compacted history still works") {
+    val root = tmpDir()
+    val cfg = CorpusIngest.IngestConfig("unused", root, "unused")
+    CorpusIngest.ingestBatch(spark, cfg, Seq(1L -> base).toDF("doc_id", "text"), 0L)
+    CorpusIngest.ingestBatch(spark, cfg, Seq(2L -> unrelated).toDF("doc_id", "text"), 1L)
+    CorpusIngest.compact(spark, cfg)
+    // everything folded into the single compacted partition, rows intact
+    val docs = spark.read.parquet(CorpusIngest.docsPath(cfg))
+    assert(docs.select("ingest_batch").distinct().as[Long].collect().toSeq == Seq(-1L))
+    assert(docs.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // the ledger keeps its per-batch audit rows
+    assert(spark.read.parquet(CorpusIngest.ledgerPath(cfg))
+      .select("ingest_batch").as[Long].collect().toSet == Set(0L, 1L))
+    // a post-compaction batch still sees the compacted index: exact dup of
+    // doc 1 and near-dup of doc 1 both rejected, fresh doc accepted
+    val b2 = Seq(10L -> base, 11L -> nearVariant,
+      12L -> (1 to 20).map(i => s"novel$i").mkString(" ")).toDF("doc_id", "text")
+    assert(CorpusIngest.ingestBatch(spark, cfg, b2, 2L) == 1L)
+    assert(acceptedIds(cfg) == Set(1L, 2L, 12L))
+  }
+
   test("replaying a batch converges: identical accepted set, no duplicate rows") {
     val root = tmpDir()
     val cfg = CorpusIngest.IngestConfig("unused", root, "unused")
