@@ -80,6 +80,32 @@ object VectorOps {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
+  /**
+   * Metadata-FILTERED ANN — the filtered-vector-search shape (top-k
+   * neighbors among only the vectors whose documents satisfy a predicate:
+   * language, source, license, date...). The allowed-id set semi-joins the
+   * corpus BEFORE any distance arithmetic, so a selective filter prunes the
+   * dot products themselves, not just the output — on a 100 TB corpus with
+   * a 1% filter that is 100× less distance math than post-filtering the
+   * unfiltered top-k (which also under-fills k). Probes are NOT filtered:
+   * any vector may query. `allowed`'s first column is the id.
+   */
+  def annFiltered(emb: DataFrame, allowed: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", probeMod: Int = 100, k: Int = 10): DataFrame = {
+    val v = Caching.scoped(asDouble(emb, idCol, vecCol))
+    val ids = allowed.select(col(allowed.columns.head).as("vec_id"))
+    val probes = v.filter(pmod(col("vec_id"), lit(probeMod)) === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("n").as("pn"))
+    val scored = v.join(ids, Seq("vec_id"), "left_semi")
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", cosPre("e", "pe", "n", "pn"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
   /** Nearest-centroid assignment: (vec_id, centroid_id) for each of the
     * vector's `nprobe` nearest centroids — one broadcast join against the
     * centroid set, top-n cosine with centroid-id tiebreak. `nprobe = 1` is

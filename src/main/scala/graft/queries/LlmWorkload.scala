@@ -125,6 +125,15 @@ object LlmWorkload {
   def annTopkIvf(spark: SparkSession, dir: String): DataFrame =
     VectorOps.annIvf(Tables(spark, dir, "embeddings"))
 
+  /** Filtered vector search: top-k neighbors among ENGLISH documents only
+    * (the embedding ids are the doc ids); the predicate prunes the corpus
+    * before any distance arithmetic. */
+  def annTopkFiltered(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.annFiltered(
+      Tables(spark, dir, "embeddings"),
+      Tables(spark, dir, "documents").filter(col("lang") === "en")
+        .select(col("doc_id")))
+
   /** Byte-safe projection of [[Multimodal.withPayload]]: the raw binary
     * payload column is hex-encoded so the frame is hash-comparable by the
     * oracle harness (raw `binary` stays covered by `MultimodalSpec`). */
@@ -452,6 +461,7 @@ object LlmWorkload {
     "text_fingerprints" -> textFingerprints,
     "ann_topk_bruteforce" -> annTopkBruteforce,
     "ann_topk_ivf" -> annTopkIvf,
+    "ann_topk_filtered" -> annTopkFiltered,
     "multimodal_meta" -> multimodalMeta,
     "dedup_embedding_pairs" -> dedupEmbeddingPairs,
     "dedup_embedding_srp_pairs" -> dedupEmbeddingSrpPairs,
@@ -835,6 +845,19 @@ object LlmWorkload {
          |FROM documents d LEFT JOIN mn ON mn.doc_id = d.doc_id""".stripMargin,
     "ann_topk_bruteforce" -> bruteforceOracle,
     "ann_topk_ivf" -> ivfOracle,
+    // filtered search replay: the semi-join restricts CANDIDATES before the
+    // distance math; probes stay unrestricted
+    "ann_topk_filtered" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+         |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+         |d AS (SELECT p.probe_id, v.vec_id, ${cosSql("v.e", "p.pe")} AS cos
+         |      FROM v, p WHERE v.vec_id <> p.probe_id
+         |        AND v.vec_id IN (SELECT vec_id FROM allowed)),
+         |r AS (SELECT probe_id, vec_id,
+         |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC) AS rnk
+         |      FROM d)
+         |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin,
     "dedup_embedding_pairs" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % 25 = 0),

@@ -31,6 +31,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(out == Set((0L, 1L, 1), (0L, 4L, 2), (0L, 2L, 3)))
   }
 
+  test("annFiltered restricts candidates but not probes; ranks re-pack within the allowed set") {
+    val df = emb(
+      (0L, Seq(1.0, 0.0)),   // probe — NOT in the allowed set, still queries
+      (1L, Seq(1.0, 0.1)),   // closest overall but filtered OUT
+      (2L, Seq(1.0, 1.0)),   // allowed
+      (3L, Seq(0.0, 1.0)),   // allowed
+      (4L, Seq(1.0, 0.2)))   // allowed — closest among allowed
+    val allowed = Seq(2L, 3L, 4L).toDF("doc_id")
+    val out = VectorOps.annFiltered(df, allowed, probeMod = 100, k = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // rank 1 goes to the best ALLOWED neighbor; the filtered-out id 1 never
+    // appears and ranks are dense within the allowed set
+    assert(out == Set((0L, 4L, 1), (0L, 2L, 2), (0L, 3L, 3)))
+  }
+
   test("annIvf searches only nprobe buckets and never returns the probe itself") {
     // centroids: ids 0, 25; two clusters around x-axis and y-axis
     val rows = Seq(
