@@ -50,11 +50,16 @@ object CorpusIngest {
 
   private def readOrEmpty(spark: SparkSession, path: String,
       ddl: String): DataFrame = {
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    if (!fs.exists(p)) empty
+    // an all-rejected batch leaves the dir present but partition-less
+    // (_SUCCESS only); schema inference then throws — treat as empty
+    else try spark.read.parquet(path)
+    catch { case _: org.apache.spark.sql.AnalysisException => empty }
   }
 
   /** Ingest one batch; returns the accepted-doc count. Public so batch

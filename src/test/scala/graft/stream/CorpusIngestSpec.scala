@@ -73,6 +73,18 @@ class CorpusIngestSpec extends SparkSpec {
     assert(acceptedIds(cfg) == Set(1L, 2L, 12L))
   }
 
+  test("an empty first batch leaves readable state for the next batch") {
+    val root = tmpDir()
+    val cfg = CorpusIngest.IngestConfig("unused", root, "unused")
+    // batch 0 carries no rows (an empty source file): writes create bare
+    // dirs — the next batch must still read them as empty, not crash
+    val emptyBatch = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(CorpusIngest.ingestBatch(spark, cfg, emptyBatch, 0L) == 0L)
+    assert(CorpusIngest.ingestBatch(spark, cfg,
+      Seq(1L -> base).toDF("doc_id", "text"), 1L) == 1L)
+    assert(acceptedIds(cfg) == Set(1L))
+  }
+
   test("replaying a batch converges: identical accepted set, no duplicate rows") {
     val root = tmpDir()
     val cfg = CorpusIngest.IngestConfig("unused", root, "unused")
