@@ -20,6 +20,7 @@ class PlanGuardSpec extends SparkSpec {
 
   private val bnljAllowed = Set(
     "ann_topk_bruteforce",    // probe set broadcast against the corpus
+    "ann_topk_filtered",      // probe set broadcast against the FILTERED corpus
     "ann_topk_ivf",           // centroid set broadcast (bucketing)
     "dedup_embedding_pairs",  // centroid set broadcast (bucketing)
     "dedup_embedding_srp_pairs", // hyperplane set + 1-row dim anchor broadcast
