@@ -131,6 +131,35 @@ class PrepSpec extends SparkSpec {
     assert(out.map(c => (c._2, c._3)) == Seq((0, 4L), (1, 3L)))
   }
 
+  test("chunkWindows property: full word coverage, exact chunk count and sizes for random shapes") {
+    val rnd = new scala.util.Random(19)
+    val cases = Seq.fill(12) {
+      val window = 1 + rnd.nextInt(8)
+      val stride = 1 + rnd.nextInt(window)
+      val nWords = 1 + rnd.nextInt(30)
+      (window, stride, nWords)
+    }
+    for ((window, stride, nWords) <- cases) {
+      val text = (1 to nWords).map(i => s"w$i").mkString(" ")
+      val out = Prep.chunkWindows(Seq((1L, text)).toDF("doc_id", "text"),
+          "doc_id", "text", window, stride)
+        .orderBy("chunk_id").as[(Long, Int, Long, String)].collect().toSeq
+      val lastStart = ((math.max(nWords - window, 0) + stride - 1) / stride) * stride
+      // chunk ids dense from 0; count matches the closed-form
+      assert(out.map(_._2) == (0 to lastStart / stride).toList,
+        s"w=$window s=$stride n=$nWords")
+      // each chunk's token count is exactly min(window, nWords - start)
+      out.foreach { case (_, id, nTok, _) =>
+        assert(nTok == math.min(window, nWords - id * stride),
+          s"w=$window s=$stride n=$nWords chunk=$id")
+      }
+      // coverage: the union of [start, start+len) is [0, nWords)
+      val covered = out.flatMap { case (_, id, nTok, _) =>
+        (id * stride) until (id * stride + nTok.toInt) }.toSet
+      assert(covered == (0 until nWords).toSet, s"w=$window s=$stride n=$nWords")
+    }
+  }
+
   test("zorderValue locality: any aligned 2^k block is a contiguous z-range") {
     // the property file-skipping relies on: the z-values of an aligned
     // (2^k x 2^k) block occupy EXACTLY [z(x0,y0), z(x0,y0) + 4^k - 1]
