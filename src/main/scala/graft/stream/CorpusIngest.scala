@@ -158,7 +158,11 @@ object CorpusIngest {
     Seq(docsPath(cfg), hashesPath(cfg), bandsPath(cfg), setsPath(cfg))
       .foreach { dir =>
       val path = new org.apache.hadoop.fs.Path(dir)
-      if (fs.exists(path)) {
+      // an empty-batch run can leave a partition-less dir: nothing to fold
+      val readable =
+        try { spark.read.parquet(dir).schema; true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (fs.exists(path) && readable) {
         val compacted = spark.read.parquet(dir)
           .withColumn("ingest_batch", lit(-1L))
           .localCheckpoint() // sever lineage: the swap deletes what it reads

@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
  * Recall is the standard SNM tradeoff: pairs sorted further than `window`
  * apart in BOTH passes, or split across block boundaries in both, are
  * missed — widen `window`/shrink `blockLen` to trade cost for recall.
+ * PARALLELISM follows blocks (each block is one window partition): total
+ * work in a hot block stays linear, but it runs on one task — if one
+ * prefix dominates the corpus, raise `blockLen` to subdivide it, paying
+ * the boundary cost above (pairs whose keys diverge inside the longer
+ * prefix now land in different blocks).
  * Output is partitioning-independent: the sort key is a total order derived
  * from the name alone, so neighbor sets are deterministic.
  */
