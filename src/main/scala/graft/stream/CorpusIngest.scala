@@ -93,30 +93,39 @@ object CorpusIngest {
         idx(hashesPath(cfg), "text_hash STRING, ingest_batch BIGINT")
           .select(col("text_hash")),
         Seq("text_hash"), "left_anti"))
+      // ONE signature build for the whole batch: within-batch dedup, the
+      // index probe, and the accepted-index append all derive from these
+      // two cached frames — the shingle→md5 scan (the batch's dominant
+      // CPU) runs once, not three times
+      val (fb, fsets) = TextOps.minhashIndex(fresh, "doc_id", "text")
+      val freshBands = Caching.scoped(fb)
+      val freshSets = Caching.scoped(fsets)
       // within-batch near-dup: drop the higher id of each verified pair
-      val inBatchPairs = TextOps.minhashNearDups(fresh, "doc_id", "text",
-        threshold = cfg.threshold)
-      val batchSurvivors = Caching.scoped(fresh.join(
+      val inBatchPairs = TextOps.minhashNearDupsIndexed(freshBands, freshSets,
+        cfg.threshold)
+      val survivorIds = fresh.join(
         inBatchPairs.select(greatest(col("doc_a"), col("doc_b")).as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti"))
+        Seq("doc_id"), "left_anti").select(col("doc_id"))
+      def ofSurvivors(f: DataFrame) = f.join(survivorIds, Seq("doc_id"), "left_semi")
       // near-dup probe against the persisted signature index
       val probeHits = TextOps.minhashProbeIndexed(
         idx(bandsPath(cfg), "doc_id BIGINT, band INT, sig STRING, ingest_batch BIGINT"),
         idx(setsPath(cfg), "doc_id BIGINT, s ARRAY<BIGINT>, n BIGINT, ingest_batch BIGINT"),
-        batchSurvivors, "doc_id", "text", threshold = cfg.threshold)
-      val accepted = Caching.scoped(batchSurvivors.join(
-        probeHits.select(col("batch_id").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti"))
+        ofSurvivors(freshBands), ofSurvivors(freshSets), cfg.threshold)
+      val rejectedIds = probeHits.select(col("batch_id").as("doc_id")).distinct()
+      val accepted = Caching.scoped(
+        ofSurvivors(fresh).join(rejectedIds, Seq("doc_id"), "left_anti"))
 
       val stamp = lit(batchId).as("ingest_batch")
       accepted.select(col("doc_id"), col("text"), stamp)
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(docsPath(cfg))
       accepted.select(col("text_hash"), stamp)
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(hashesPath(cfg))
-      val (ab, as) = TextOps.minhashIndex(accepted, "doc_id", "text")
-      ab.select(col("doc_id"), col("band"), col("sig"), stamp)
+      def ofAccepted(f: DataFrame) =
+        f.join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      ofAccepted(freshBands).select(col("doc_id"), col("band"), col("sig"), stamp)
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(bandsPath(cfg))
-      as.select(col("doc_id"), col("s"), col("n"), stamp)
+      ofAccepted(freshSets).select(col("doc_id"), col("s"), col("n"), stamp)
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(setsPath(cfg))
 
       val nIn = batch.count()

@@ -229,6 +229,21 @@ object TextOps {
     (bands, sets)
   }
 
+  /** Within-corpus near-dup pairs from PREBUILT index frames — the same
+    * candidates + exact-Jaccard verify as [[minhashNearDups]], for callers
+    * (the ingest loop) that already hold the index and must not pay the
+    * shingle scan again. */
+  def minhashNearDupsIndexed(bands: DataFrame, sets: DataFrame,
+      threshold: Double = 0.8): DataFrame =
+    lshCandidatePairs(bands)
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb"), col("n").as("nb")), "doc_b")
+      .withColumn("i", intersectCount("sa", "sb"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
   /** Probe a batch against a persisted index: candidates from the
     * batch-bands ⋈ index-bands equi-join, exact-Jaccard verified against
     * the index's stored shingle sets — cost proportional to the BATCH. */
@@ -236,14 +251,21 @@ object TextOps {
       batch: DataFrame, idCol: String, textCol: String, n: Int = 3,
       k: Int = 12, r: Int = 3, threshold: Double = 0.8): DataFrame = {
     val (bb, bs) = minhashIndex(batch, idCol, textCol, n, k, r)
-    val candidates = bb.alias("b")
+    minhashProbeIndexed(indexBands, indexSets, bb, bs, threshold)
+  }
+
+  /** As above, with the batch's index frames PREBUILT by the caller. */
+  def minhashProbeIndexed(indexBands: DataFrame, indexSets: DataFrame,
+      batchBands: DataFrame, batchSets: DataFrame,
+      threshold: Double): DataFrame = {
+    val candidates = batchBands.alias("b")
       .join(indexBands.alias("c"),
         col("b.band") === col("c.band") && col("b.sig") === col("c.sig") &&
           col("b.doc_id") =!= col("c.doc_id"))
       .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
       .distinct()
     candidates
-      .join(bs.select(col("doc_id").as("batch_id"),
+      .join(batchSets.select(col("doc_id").as("batch_id"),
         col("s").as("sa"), col("n").as("na")), "batch_id")
       .join(indexSets.select(col("doc_id").as("corpus_id"),
         col("s").as("sb"), col("n").as("nb")), "corpus_id")
