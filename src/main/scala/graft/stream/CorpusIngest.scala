@@ -55,17 +55,41 @@ object CorpusIngest {
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rollbackIfStranded(fs, path)
     if (!fs.exists(p)) empty
     // an all-rejected batch leaves the dir present but partition-less
-    // (_SUCCESS only); schema inference then throws — treat as empty
+    // (_SUCCESS only); ONLY that schema-inference failure means empty — any
+    // other analysis error (corrupt footer, conflicting schema) must
+    // surface, not silently disable deduplication
     else try spark.read.parquet(path)
-    catch { case _: org.apache.spark.sql.AnalysisException => empty }
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => empty
+    }
+  }
+
+  /** A compact() that died between its two renames leaves a table
+    * stranded at `<dir>.__old` — roll it back (the StateStore.read
+    * discipline); proceeding as if empty would silently reset the dedup
+    * index and orphan the accepted corpus. */
+  private def rollbackIfStranded(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(dir + ".__old")
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"state rollback failed: $old -> $p")
   }
 
   /** Ingest one batch; returns the accepted-doc count. Public so batch
     * callers (backfills, tests) can drive it without a streaming query. */
   def ingestBatch(spark: SparkSession, cfg: IngestConfig, batch: DataFrame,
       batchId: Long): Long = {
+    // recover every table a crashed compaction may have stranded — not
+    // just the index tables the dedup reads, but docs and ledger too
+    val rootFs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(docsPath(cfg), hashesPath(cfg), bandsPath(cfg), setsPath(cfg),
+      ledgerPath(cfg)).foreach(rollbackIfStranded(rootFs, _))
     // the batch frame may belong to the stream's CLONED session (foreachBatch)
     // — the overwrite mode must be dynamic on the session whose conf the
     // WRITES consult, or the per-partition overwrite silently becomes a
@@ -93,28 +117,33 @@ object CorpusIngest {
         idx(hashesPath(cfg), "text_hash STRING, ingest_batch BIGINT")
           .select(col("text_hash")),
         Seq("text_hash"), "left_anti"))
-      // ONE signature build for the whole batch: within-batch dedup, the
-      // index probe, and the accepted-index append all derive from these
-      // two cached frames — the shingle→md5 scan (the batch's dominant
-      // CPU) runs once, not three times
+      // ONE signature build for the whole batch: the index probe, the
+      // within-batch dedup, and the accepted-index append all derive from
+      // these two cached frames — the shingle→md5 scan (the batch's
+      // dominant CPU) runs once, not three times
       val (fb, fsets) = TextOps.minhashIndex(fresh, "doc_id", "text")
       val freshBands = Caching.scoped(fb)
       val freshSets = Caching.scoped(fsets)
-      // within-batch near-dup: drop the higher id of each verified pair
-      val inBatchPairs = TextOps.minhashNearDupsIndexed(freshBands, freshSets,
-        cfg.threshold)
-      val survivorIds = fresh.join(
-        inBatchPairs.select(greatest(col("doc_a"), col("doc_b")).as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti").select(col("doc_id"))
-      def ofSurvivors(f: DataFrame) = f.join(survivorIds, Seq("doc_id"), "left_semi")
-      // near-dup probe against the persisted signature index
+      // probe the persisted index FIRST: a doc already near-duplicated in
+      // the corpus must not also act as a within-batch "winner" — dropping
+      // its batch near-dups in its favor and then rejecting it would lose
+      // content that has no accepted near-duplicate at all, and would make
+      // the accepted set depend on batch boundaries
       val probeHits = TextOps.minhashProbeIndexed(
         idx(bandsPath(cfg), "doc_id BIGINT, band INT, sig STRING, ingest_batch BIGINT"),
         idx(setsPath(cfg), "doc_id BIGINT, s ARRAY<BIGINT>, n BIGINT, ingest_batch BIGINT"),
-        ofSurvivors(freshBands), ofSurvivors(freshSets), cfg.threshold)
-      val rejectedIds = probeHits.select(col("batch_id").as("doc_id")).distinct()
-      val accepted = Caching.scoped(
-        ofSurvivors(fresh).join(rejectedIds, Seq("doc_id"), "left_anti"))
+        freshBands, freshSets, cfg.threshold)
+      val corpusNovelIds = fresh.join(
+        probeHits.select(col("batch_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti").select(col("doc_id"))
+      def ofNovel(f: DataFrame) = f.join(corpusNovelIds, Seq("doc_id"), "left_semi")
+      // within-batch near-dup among the corpus-novel docs: drop the higher
+      // id of each verified pair (keep-lowest, the cluster canonical)
+      val inBatchPairs = TextOps.minhashNearDupsIndexed(
+        ofNovel(freshBands), ofNovel(freshSets), cfg.threshold)
+      val accepted = Caching.scoped(ofNovel(fresh).join(
+        inBatchPairs.select(greatest(col("doc_a"), col("doc_b")).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"))
 
       val stamp = lit(batchId).as("ingest_batch")
       accepted.select(col("doc_id"), col("text"), stamp)
@@ -128,7 +157,9 @@ object CorpusIngest {
       ofAccepted(freshSets).select(col("doc_id"), col("s"), col("n"), stamp)
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(setsPath(cfg))
 
-      val nIn = batch.count()
+      // norm is a pure select over the batch (same cardinality) and already
+      // cached by the dedup pipeline — counting it avoids rescanning source
+      val nIn = norm.count()
       val nAccepted = accepted.count()
       spark.createDataFrame(Seq((batchId, nIn, nAccepted)))
         .toDF("ingest_batch", "n_in", "n_accepted")
@@ -166,6 +197,7 @@ object CorpusIngest {
     // provenance, and one row per batch never needs compaction
     Seq(docsPath(cfg), hashesPath(cfg), bandsPath(cfg), setsPath(cfg))
       .foreach { dir =>
+      rollbackIfStranded(fs, dir) // a prior compaction may have died mid-swap
       val path = new org.apache.hadoop.fs.Path(dir)
       // an empty-batch run can leave a partition-less dir: nothing to fold
       val readable =
@@ -183,7 +215,9 @@ object CorpusIngest {
         require(fs.rename(path, old), s"compact swap-out failed: $dir")
         require(fs.rename(tmp, path), s"compact swap-in failed: $dir")
         fs.delete(old, true)
-        compacted.unpersist(blocking = false)
+        // no unpersist: localCheckpoint blocks live outside the
+        // CacheManager (Dataset.unpersist would be a no-op on them) and
+        // are reclaimed by the ContextCleaner once unreferenced
       }
     }
   }

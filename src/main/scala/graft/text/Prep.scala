@@ -138,6 +138,18 @@ object Prep {
    * each partition: the window then shuffles once on the partition key and
    * sorts per partition, fully parallel.
    */
+  def packShards(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    val base =
+      if (partitionCols.isEmpty) Window.orderBy(col(idCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(idCol))
+    val w = base.rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard",
+        floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / lit(budget))
+          .cast("long"))
+  }
+
   /**
    * Fixed-size overlapping token windows — the context-packing step that
    * turns variable-length documents into training-length chunks: window i
@@ -147,10 +159,13 @@ object Prep {
    * chunk. `chunk_hash` (md5 of the chunk text) pins content without
    * materializing long strings downstream.
    *
-   * Scale: a pure narrow map — word split, a per-row sequence of
-   * O(len/stride) chunk indices, one generator; no shuffle at all. Chunk
-   * identity (doc_id, chunk_id) is deterministic by construction, so
-   * incremental rebuilds produce byte-identical chunking.
+   * Scale: per-row arithmetic only — word split, a per-row sequence of
+   * O(len/stride) chunk indices, one generator; no aggregation or join
+   * shuffle. The one exchange is the explicit `Spread.byKey` repartition
+   * that opens parallelism before the row-multiplying explode (a few-file
+   * input would otherwise chunk on a handful of cores). Chunk identity
+   * (doc_id, chunk_id) is deterministic by construction, so incremental
+   * rebuilds produce byte-identical chunking.
    */
   def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
       window: Int, stride: Int): DataFrame = {
@@ -166,17 +181,5 @@ object Prep {
         size(slice(col("w"), col("chunk_id") * stride + 1, lit(window)))
           .cast("long").as("n_tokens"),
         md5(col("chunk")).as("chunk_hash"))
-  }
-
-  def packShards(df: DataFrame, idCol: String, tokensCol: String,
-      budget: Long, partitionCols: Seq[String] = Nil): DataFrame = {
-    require(budget > 0, s"token budget must be positive: $budget")
-    val base =
-      if (partitionCols.isEmpty) Window.orderBy(col(idCol))
-      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(idCol))
-    val w = base.rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("shard",
-        floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / lit(budget))
-          .cast("long"))
   }
 }

@@ -163,28 +163,11 @@ object TextOps {
     * interpreted per element, losing whole-stage codegen over the md5s. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 12, r: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val ex = Caching.scoped(rawShingles(docs, idCol, textCol, n)
-      .select(col("doc_id"), col("shingle"),
-        hash64(col("shingle")).as("h1"),
-        pmod(hash64(concat(col("shingle"), lit("#"))), lit(MinhashH2Mod)).as("h2")))
-    val aggs = (0 until k).map(j =>
-      min(col("h1") + lit(j.toLong) * col("h2")).as(s"h$j"))
-    val sig = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val banded = Caching.scoped(lshBands(sig, k, r))
-    // sets of the already-computed h1 hash, not the shingle string: the
-    // collect shuffle and the per-pair merge-intersect move primitive longs
-    val sets = ex.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("h1"))).as("s"))
-      .select(col("doc_id"), col("s"), size(col("s")).cast("long").as("n"))
-    val candidates = lshCandidatePairs(banded)
-    candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("n").as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb"), col("n").as("nb")), "doc_b")
-      .withColumn("i", intersectCount("sa", "sb"))
-      .withColumn("jaccard",
-        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // one implementation for self-join and ingest paths: the index builder
+    // caches the shingle scan; the bands additionally cache here because
+    // the candidate self-join reads them twice
+    val (bands, sets) = minhashIndex(docs, idCol, textCol, n, k, r)
+    minhashNearDupsIndexed(Caching.scoped(bands), sets, threshold)
   }
 
   /**

@@ -55,8 +55,6 @@ class TopKSpec extends SparkSpec {
     val agg = TopK(Literal(0.0), Literal(0L), Literal(3))
     val buf = agg.createAggregationBuffer()
     Seq((5.0, 1L), (3.0, 2L), (9.0, 3L), (7.0, 4L)).foreach { case (v, t) =>
-      val row = org.apache.spark.sql.catalyst.InternalRow(v, t)
-      // drive offer() through deserialize(serialize) round trips
       buf.enqueue((v, t)); if (buf.size > 3) buf.dequeue()
     }
     val back = agg.deserialize(agg.serialize(buf))

@@ -73,6 +73,43 @@ class CorpusIngestSpec extends SparkSpec {
     assert(acceptedIds(cfg) == Set(1L, 2L, 12L))
   }
 
+  test("a doc rejected by the corpus cannot drag its batch near-dups down with it") {
+    // Z accepted; next batch holds Y (near-dup of Z) and X (near-dup of Y
+    // but NOT of Z). Y must be rejected by the index probe BEFORE the
+    // within-batch stage, so X — whose content has no accepted
+    // near-duplicate — is ingested. Deciding within-batch first would drop
+    // X in favor of Y and then reject Y: unique content silently lost, and
+    // the accepted set would depend on batch boundaries.
+    val ws = (1 to 20).map(i => s"w$i")
+    val z = ws.mkString(" ")
+    val y = (ws.dropRight(1) :+ "endchg").mkString(" ")           // J(Y,Z)=17/19
+    val x = (("startchg" +: ws.drop(1).dropRight(1)) :+ "endchg") // J(X,Y)=17/19
+      .mkString(" ")                                              // J(X,Z)=16/20 < 0.85
+    val root = tmpDir()
+    val cfg = CorpusIngest.IngestConfig("unused", root, "unused", threshold = 0.85)
+    assert(CorpusIngest.ingestBatch(spark, cfg,
+      Seq(1L -> z).toDF("doc_id", "text"), 0L) == 1L)
+    assert(CorpusIngest.ingestBatch(spark, cfg,
+      Seq(2L -> y, 3L -> x).toDF("doc_id", "text"), 1L) == 1L)
+    assert(acceptedIds(cfg) == Set(1L, 3L))
+  }
+
+  test("a compaction crash between renames rolls back instead of resetting the index") {
+    val root = tmpDir()
+    val cfg = CorpusIngest.IngestConfig("unused", root, "unused")
+    CorpusIngest.ingestBatch(spark, cfg, Seq(1L -> base).toDF("doc_id", "text"), 0L)
+    // simulate compact() dying after swap-out: the live dir is gone, data
+    // stranded at .__old — the next batch must roll it back, not see empty
+    for (sub <- Seq("docs", "hashes", "bands", "sets")) {
+      val d = java.nio.file.Paths.get(root, sub)
+      java.nio.file.Files.move(d, java.nio.file.Paths.get(root, sub + ".__old"))
+    }
+    // an exact dup of doc 1 must still be rejected (the rolled-back index)
+    assert(CorpusIngest.ingestBatch(spark, cfg,
+      Seq(2L -> base).toDF("doc_id", "text"), 1L) == 0L)
+    assert(acceptedIds(cfg) == Set(1L))
+  }
+
   test("an empty first batch leaves readable state for the next batch") {
     val root = tmpDir()
     val cfg = CorpusIngest.IngestConfig("unused", root, "unused")
