@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench harness parses a JSON *final* line from the tail of sbt's
+// output. sbt's "[success] Total time: ..." trailer and the forked-run
+// "[info] " logger prefix both broke that parse for five rounds —
+// suppress the trailer and pass forked stdout through verbatim.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -37,3 +44,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
 )
+// The sf0.001 test suites don't need the bench-host heap above, and a
+// 24g -Xmx can get a memory-limited dev/CI cgroup OOM-killed — tests
+// fork with a conservative default instead (override: SPARK_TEST_MEM).
+Test / javaOptions ~= (opts => opts.filterNot(_.startsWith("-Xmx")) :+
+  s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "8g")}")

@@ -98,7 +98,7 @@ object Bench {
     val candidates =
       (3 to 1 by -1).iterator.map(line(_, n)) ++
         Iterator.iterate(n - 5)(_ - 5).takeWhile(_ > 0).map(line(1, _))
-    println(candidates.find(_.length <= 1800).getOrElse(line(1, 1)))
+    val metricLine = candidates.find(_.length <= 1800).getOrElse(line(1, 1))
     val detail = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
     val detailJson =
@@ -106,7 +106,17 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detailJson.getBytes("UTF-8"))
     catch { case _: Throwable => () } // the sidecar must never fail the bench
+    // The consuming harness parses a JSON FINAL line from the last ~2000
+    // chars of process output; five rounds recorded parsed:null because
+    // Spark shutdown chatter and sbt's "[success] Total time" trailer
+    // followed the metric line. Stop Spark FIRST (its shutdown logging,
+    // if any, lands before the metric), print the JSON as the process's
+    // very last stdout line, and build.sbt suppresses sbt's success
+    // trailer (showSuccess := false) + strips the logger prefix
+    // (StdoutOutput strategy) so nothing follows it.
     spark.stop()
+    println(metricLine)
+    System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -63,4 +63,60 @@ object ExactQuantile {
         .agg(max(col("v"))).head().getDouble(0)
     }
   }
+
+  /** The exact (value, tie) row at each requested 1-based rank of the
+    * ascending (value, tie) lexicographic total order — the ntile-boundary
+    * primitive. An unpartitioned `ntile(k)` window moves the whole table
+    * through one task; the same exact buckets fall out of the k−1 boundary
+    * rows at the cumulative bucket-size ranks ([[ntileBoundaryRanks]]),
+    * assigned by comparison — so the only per-row work is a codegen'd
+    * predicate chain and a hash aggregate, never a global sort.
+    *
+    * Same three bounded passes as [[values]]; because sorting by
+    * (value, tie) refines sorting by value alone, the value-bracket from
+    * pass 1 still provably contains the rank-k row of the refined order,
+    * and only the ≈8n/accuracy in-bracket sliver is ever sorted. Both
+    * columns must be non-null; `tieCol` must be unique for the boundaries
+    * to define the exact ntile buckets. */
+  def rankRows(df: DataFrame, valueCol: String, tieCol: String,
+      ranks: Seq[Long], accuracy: Int = 10000): Seq[(Double, Long)] = {
+    require(ranks.nonEmpty && ranks.forall(_ >= 1), s"bad ranks: $ranks")
+    val v = Caching.scoped(df.select(
+      col(valueCol).cast("double").as("v"), col(tieCol).cast("long").as("t")))
+    val n = v.count()
+    require(ranks.forall(_ <= n), s"rank beyond row count $n: $ranks")
+    val slack = 4.0 / accuracy
+    val loHiQs = ranks.flatMap { k =>
+      val q = k.toDouble / n
+      Seq(math.max(slack / 4, q - slack), math.min(1.0, q + slack))
+    }
+    val brackets = v
+      .agg(percentile_approx(col("v"), typedlit(loHiQs), lit(accuracy)).as("b"))
+      .head().getAs[scala.collection.Seq[Double]]("b")
+    val belowAggs = ranks.indices.map(i =>
+      sum(when(col("v") < brackets(2 * i), 1L).otherwise(0L)).as(s"below_$i"))
+    val below = v.agg(belowAggs.head, belowAggs.tail: _*).head()
+    ranks.indices.map { i =>
+      val (lo, hi) = (brackets(2 * i), brackets(2 * i + 1))
+      val take = ranks(i) - below.getAs[Long](s"below_$i")
+      require(take > 0, s"bracket below rank ${ranks(i)}")
+      require(take <= Int.MaxValue,
+        s"bracket sliver too large (raise accuracy so n/accuracy fits a node)")
+      val r = v.filter(col("v") >= lo && col("v") <= hi)
+        .orderBy(col("v").asc, col("t").asc).limit(take.toInt)
+        .agg(max(struct(col("v"), col("t")))).head().getStruct(0)
+      (r.getDouble(0), r.getLong(1))
+    }
+  }
+
+  /** Cumulative bucket-end ranks of `ntile(buckets)` over `n` rows: the
+    * first `n % buckets` buckets carry one extra row (SQL-standard ntile,
+    * identical in Spark and DuckDB). Returns `buckets − 1` boundary ranks —
+    * rows at rank ≤ ranks(i−1) belong to buckets ≤ i. */
+  def ntileBoundaryRanks(n: Long, buckets: Int): Seq[Long] = {
+    require(n > 0 && buckets > 1, s"ntile over n=$n buckets=$buckets")
+    val base = n / buckets
+    val rem = n % buckets
+    (1 until buckets).map(i => base * i + math.min(i.toLong, rem))
+  }
 }

@@ -143,6 +143,52 @@ object CdcWorkload {
         col("visit_total_actions"), col("visit_total_time"), col(Schemas.VersionCol))
   }
 
+  /**
+   * The registry path on its SECOND hot table, `matomo_log_link_visit_action`
+   * (reference: script_create_clickhouse_table.sql:99-154) — same
+   * JSON-envelope → `Cdc.typedChanges` → versioned apply → latest-wins chain
+   * as [[cdcApplyRegistry]], but against a different registry schema (key
+   * `idlink_va`, nullable action/search columns, a required DateTime) so the
+   * registry's per-table fan-out — schema lookup, typed projection, null
+   * passthrough for absent JSON fields — is pinned on more than one shape.
+   * `server_time` is second-truncated on both engines: the JSON envelope
+   * round-trips millisecond precision, the parquet source carries
+   * nanoseconds.
+   */
+  def cdcApplyRegistryAction(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val op = when(pmod(col("event_id"), lit(10)) <= 5, "INSERT")
+      .when(pmod(col("event_id"), lit(10)) <= 8, "UPDATE")
+      .otherwise("DELETE")
+    val afterJson = to_json(struct(
+      col("user_id").as("idlink_va"),
+      pmod(col("event_id"), lit(5)).as("idsite"),
+      concat(lit("v"), col("user_id")).as("idvisitor"),
+      pmod(col("event_id"), lit(997)).as("idvisit"),
+      when(pmod(col("user_id"), lit(5)) =!= 0, pmod(col("event_id"), lit(4096)))
+        .as("idaction_url"),
+      date_trunc("second", col("ts")).as("server_time"),
+      when(pmod(col("user_id"), lit(3)) === 0,
+        concat(lit("cat"), pmod(col("event_id"), lit(7)))).as("search_cat"),
+      pmod(col("event_id"), lit(300)).as("time_spent")))
+    val beforeJson = to_json(struct(col("user_id").as("idlink_va")))
+    val env = e.select(
+      op.as("op"), lit("matomo").as("schema"),
+      lit("matomo_log_link_visit_action").as("table"),
+      col("ts"), lit("mysql-bin.000001").as("log_file"),
+      col("event_id").as("log_pos"), lit(0).as("row_index"),
+      when(op =!= "INSERT", beforeJson).as("before"),
+      when(op =!= "DELETE", afterJson).as("after"))
+    val typed = Cdc.typedChanges(env, "matomo_log_link_visit_action")
+    val emptyHistory = typed.filter(lit(false))
+      .select(col("after.*"), col(Schemas.VersionCol))
+    Cdc.latestWins(Cdc.applyVersioned(emptyHistory, typed, Seq("idlink_va")),
+        Seq("idlink_va"))
+      .select(col("idlink_va"), col("idsite"), col("idvisitor"), col("idvisit"),
+        col("idaction_url"), col("server_time"), col("search_cat"),
+        col("time_spent"), col(Schemas.VersionCol))
+  }
+
   /** Materialized-view maintenance: the per-event_type (count, Σvalue)
     * aggregate maintained purely from change deltas — never recomputed from
     * the table. Sums in exact integer micro-units so batching cannot drift. */
@@ -206,6 +252,7 @@ object CdcWorkload {
     "cdc_apply_mutable" -> cdcApplyMutable,
     "cdc_ledger_entry" -> cdcLedgerEntry,
     "cdc_apply_registry" -> cdcApplyRegistry,
+    "cdc_apply_registry_action" -> cdcApplyRegistryAction,
     "cdc_incremental_agg" -> cdcIncrementalAgg,
     "s11_retention_delete" -> s11RetentionDelete
   )
@@ -311,6 +358,38 @@ object CdcWorkload {
         |  CASE WHEN h.user_id % 7 <> 0 THEN 'u' || CAST(h.user_id AS VARCHAR) END AS user_id,
         |  CAST(h.event_id % 100 AS BIGINT) AS visit_total_actions,
         |  CAST(h.event_id % 1000 AS BIGINT) AS visit_total_time,
+        |  h.dateid AS dateid
+        |FROM hist h
+        |JOIN (SELECT user_id, max(dateid) AS m FROM hist GROUP BY user_id) t
+        |  ON h.user_id = t.user_id AND h.dateid = t.m""".stripMargin,
+    // the action-table replay: same dateid arithmetic and latest-wins-after-
+    // delete shape as cdc_apply_registry, with the link_visit_action column
+    // reconstruction (nullable idaction_url/search_cat, second-truncated
+    // server_time matching the JSON envelope's millisecond round-trip)
+    "cdc_apply_registry_action" ->
+      """WITH log AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 10 <= 5 THEN 'INSERT'
+        |         WHEN event_id % 10 <= 8 THEN 'UPDATE'
+        |         ELSE 'DELETE' END AS op,
+        |    CAST(70368744177664 + CAST(event_id AS BIGINT) * 16384 AS BIGINT) AS dateid
+        |  FROM events),
+        |dels AS (SELECT user_id, max(dateid) AS del_v FROM log
+        |         WHERE op = 'DELETE' GROUP BY user_id),
+        |hist AS (
+        |  SELECT l.user_id, l.event_id, l.ts, l.dateid
+        |  FROM log l LEFT JOIN dels d ON l.user_id = d.user_id
+        |  WHERE l.op <> 'DELETE' AND (d.del_v IS NULL OR l.dateid > d.del_v))
+        |SELECT CAST(h.user_id AS BIGINT) AS idlink_va,
+        |  CAST(h.event_id % 5 AS BIGINT) AS idsite,
+        |  'v' || CAST(h.user_id AS VARCHAR) AS idvisitor,
+        |  CAST(h.event_id % 997 AS BIGINT) AS idvisit,
+        |  CASE WHEN h.user_id % 5 <> 0 THEN CAST(h.event_id % 4096 AS BIGINT) END
+        |    AS idaction_url,
+        |  date_trunc('second', h.ts) AS server_time,
+        |  CASE WHEN h.user_id % 3 = 0 THEN 'cat' || CAST(h.event_id % 7 AS VARCHAR) END
+        |    AS search_cat,
+        |  CAST(h.event_id % 300 AS BIGINT) AS time_spent,
         |  h.dateid AS dateid
         |FROM hist h
         |JOIN (SELECT user_id, max(dateid) AS m FROM hist GROUP BY user_id) t

@@ -282,17 +282,28 @@ object LlmWorkload {
   def annTopkPq(spark: SparkSession, dir: String): DataFrame =
     VectorOps.annPq(Tables(spark, dir, "embeddings"))
 
-  /** Quality-decile binning — the curriculum/filtering cutpoint table: rank
-    * every doc by quality score (doc_id tie-break for a total order), ntile
-    * into 10 buckets, summarize each. The global-sort window is exact decile
-    * semantics; at 100 TB the same table comes from `approx_percentile`
-    * cutpoints joined back (approximate boundaries, no global sort) — this
-    * entry pins the exact semantics the approximation targets. */
+  /** Quality-decile binning — the curriculum/filtering cutpoint table:
+    * exact `ntile(10)` semantics over the (quality_score, doc_id) total
+    * order, WITHOUT the global window. An unpartitioned ntile funnels the
+    * whole table through one task; instead the 9 exact boundary rows at
+    * the cumulative decile ranks come from
+    * [[graft.operators.ExactQuantile.rankRows]] (three bounded passes,
+    * sorts only a sketch-bracketed sliver), and each row's decile is a
+    * codegen'd comparison chain against those driver-broadcast boundary
+    * pairs — identical output to the window form at any scale. */
   def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val q = TextOps.textStats(Tables(spark, dir, "documents"), "doc_id", "text")
-      .select(col("doc_id"), col("quality_score"))
-    val w = Window.orderBy(col("quality_score").asc, col("doc_id").asc)
-    q.withColumn("decile", ntile(10).over(w))
+    val q = graft.Caching.scoped(
+      TextOps.textStats(Tables(spark, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("quality_score")))
+    val bounds = graft.operators.ExactQuantile.rankRows(
+      q, "quality_score", "doc_id",
+      graft.operators.ExactQuantile.ntileBoundaryRanks(q.count(), 10))
+    val score = col("quality_score").cast("double")
+    val decile = bounds.foldLeft(lit(1)) { case (acc, (bv, bt)) =>
+      acc + when(score > bv || (score === bv && col("doc_id") > bt), 1)
+        .otherwise(0)
+    }
+    q.withColumn("decile", decile)
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("quality_score")).as("min_q"), max(col("quality_score")).as("max_q"))
@@ -337,15 +348,27 @@ object LlmWorkload {
 
   /** Z-order layout assignment over the events table: Morton-interleave
     * (user_id, event_id) low bits, range-bucket by z-value into 16 "files",
-    * summarize each — the data-skipping layout a 100 TB table is written in. */
+    * summarize each — the data-skipping layout a 100 TB table is written in.
+    * Exact `ntile(16)` bucket semantics, but via the 15 exact boundary rows
+    * from [[graft.operators.ExactQuantile.rankRows]] assigned by a
+    * comparison chain — no unpartitioned window, no single-task global
+    * sort; the write path at scale is the same cutpoints fed to
+    * `repartitionByRange`. */
   def prepZorder(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events").select(
       col("event_id"),
       pmod(col("user_id"), lit(65536L)).as("x"),
       pmod(col("event_id"), lit(65536L)).as("y"))
-    val z = e.withColumn("zval", Prep.zorderValue(col("x"), col("y")))
-    val w = Window.orderBy(col("zval").asc, col("event_id").asc)
-    z.withColumn("bucket", ntile(16).over(w))
+    val z = graft.Caching.scoped(
+      e.select(col("event_id"), Prep.zorderValue(col("x"), col("y")).as("zval")))
+    val bounds = graft.operators.ExactQuantile.rankRows(
+      z, "zval", "event_id",
+      graft.operators.ExactQuantile.ntileBoundaryRanks(z.count(), 16))
+    val zd = col("zval").cast("double")
+    val bucket = bounds.foldLeft(lit(1)) { case (acc, (bv, bt)) =>
+      acc + when(zd > bv || (zd === bv && col("event_id") > bt), 1).otherwise(0)
+    }
+    z.withColumn("bucket", bucket)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("zval")).as("z_min"), max(col("zval")).as("z_max"))

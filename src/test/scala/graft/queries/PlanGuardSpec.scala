@@ -1,5 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.window.WindowExec
+
 import graft.SparkSpec
 import graft.SparkEntry
 
@@ -13,8 +16,15 @@ import graft.SparkEntry
  * ONE-ROW scalar anchor (watermark/threshold probes) or the intentionally
  * broadcast ANN probe/centroid sets — each verified individually in the
  * round-2 plan audit (PLANS.md / VERDICT r2).
+ *
+ * A partition-less `WindowExec` ("Moving all data to a single partition")
+ * is the third guarded anti-pattern: every registered window must carry a
+ * partitionSpec, because an unpartitioned window funnels the whole input
+ * through one task at any scale. The former offenders (quality_deciles,
+ * prep_zorder) now derive exact ntile buckets from broadcast
+ * ExactQuantile boundary rows, so the whitelist is empty.
  */
-class PlanGuardSpec extends SparkSpec {
+class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -39,14 +49,21 @@ class PlanGuardSpec extends SparkSpec {
     "dedup_semantic",         // k-row centroid set broadcast (argmax assign)
     "text_heavy_hitters")     // 1-row total-count anchor
 
-  test("no registered query plans a cartesian or unjustified nested-loop join") {
+  test("no registered query plans a cartesian, unjustified nested-loop join, " +
+      "or partition-less window") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val exec = fn(spark, dir).queryExecution.executedPlan
+        val plan = exec.toString
         val cart = plan.contains("CartesianProduct")
         val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
-        if (cart || bnlj)
-          Some(s"$name: cartesian=$cart unjustifiedBnlj=$bnlj")
+        // collect() from AdaptiveSparkPlanHelper descends through AQE nodes
+        val globalWindow = collect(exec) {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+        if (cart || bnlj || globalWindow)
+          Some(s"$name: cartesian=$cart unjustifiedBnlj=$bnlj " +
+            s"globalWindow=$globalWindow")
         else None
     }
     assert(offenders.isEmpty,
