@@ -88,6 +88,23 @@ case class DotProduct(left: Expression, right: Expression)
   * `spark.sql.extensions=graft.functions.GraftExtensions` or
   * `builder.withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Arity-checked builder: a wrong argument count raises the standard
+    * WRONG_NUM_ARGS AnalysisException at analysis time (a bare
+    * `children(2)` would escape as an IndexOutOfBoundsException). */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.size != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> s"`$name`", "expectedNum" -> n.toString,
+            "actualNum" -> children.size.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(children)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // auto-vectorize the HOF dot-product spelling into the native Expression
     ext.injectOptimizerRule(_ => RewriteDotProduct)
@@ -96,18 +113,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      arity("graft_dot", 2)(c => DotProduct(c.head, c(1)))))
     ext.injectFunction((
       new FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[IntersectCount].getName, "graft_intersect_count"),
-      (children: Seq[Expression]) => IntersectCount(children.head, children(1))))
+      arity("graft_intersect_count", 2)(c => IntersectCount(c.head, c(1)))))
     // graft_topk(value, tie, k): bounded per-group top-k with map-side
     // partial aggregation — k pairs per (group × partition) shuffle instead
     // of every row (the scale-safe form of row_number() <= k)
     ext.injectFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopK].getName, "graft_topk"),
-      (children: Seq[Expression]) => TopK(children.head, children(1), children(2))))
+      arity("graft_topk", 3)(c => TopK(c.head, c(1), c(2)))))
     // graft_might_contain(bloomBytes, longValue): Spark's own codegen'd
     // Bloom-membership expression (the engine behind runtime-filter
     // injection), exposed as a callable function so operators can prefilter
@@ -120,8 +137,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "graft_might_contain"),
-      (children: Seq[Expression]) =>
+      arity("graft_might_contain", 2)(c =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          children.head, children(1))))
+          c.head, c(1)))))
   }
 }

@@ -30,6 +30,13 @@ import org.apache.spark.sql.types._
  * interchangeable by definition. NaN values order via
  * `java.lang.Double.compare` (NaN sorts above all — callers with NaN
  * measures should filter first).
+ *
+ * Null semantics: a row with a null VALUE or a null TIE is skipped, the
+ * standard SQL-aggregate rule (`max`, `collect_list` etc. ignore nulls).
+ * This intentionally differs from the `row_number()` window spelling,
+ * which RANKS null-tie rows (nulls first/last per sort order): callers
+ * whose tie column is nullable must `coalesce` it to a sentinel first if
+ * those rows should compete for the top k.
  */
 case class TopK(
     value: Expression,

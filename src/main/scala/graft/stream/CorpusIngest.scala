@@ -40,7 +40,11 @@ object CorpusIngest {
       corpusRoot: String,
       checkpointDir: String,
       threshold: Double = 0.8,
-      maxFilesPerTrigger: Int = 20)
+      maxFilesPerTrigger: Int = 20,
+      /** [[IngestLock]] staleness window: a holder whose heartbeat (one per
+        * micro-batch) is older than this is presumed dead and its lock
+        * broken — the reference's `replication_max_minutes * 2` rule. */
+      lockStaleMs: Long = 30 * 60 * 1000L)
 
   def docsPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/docs"
   private def hashesPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/hashes"
@@ -81,9 +85,13 @@ object CorpusIngest {
   }
 
   /** Ingest one batch; returns the accepted-doc count. Public so batch
-    * callers (backfills, tests) can drive it without a streaming query. */
+    * callers (backfills, tests) can drive it without a streaming query.
+    * Takes the corpus [[IngestLock]] for its duration — a concurrent
+    * [[compact]] (or a second ingest run against the same root) refuses
+    * instead of interleaving with the multi-table partition writes. */
   def ingestBatch(spark: SparkSession, cfg: IngestConfig, batch: DataFrame,
-      batchId: Long): Long = {
+      batchId: Long): Long = IngestLock.withLock(spark, cfg.corpusRoot,
+      s"ingest-batch-$batchId-${java.util.UUID.randomUUID()}", cfg.lockStaleMs) {
     // recover every table a crashed compaction may have stranded — not
     // just the index tables the dedup reads, but docs and ledger too
     val rootFs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
@@ -98,7 +106,11 @@ object CorpusIngest {
     val prevConf = sessions.map(s =>
       s -> s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")).toMap
     sessions.foreach(_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic"))
-    try {
+    // Caching.scope: the batch's cached intermediates are released when the
+    // batch ends — and ONLY them, never a concurrent pipeline's caches (a
+    // blanket releaseAll here would silently uncache an enclosing job's
+    // scoped frames mid-flight)
+    try Caching.scope {
       // a replayed batch must not probe the rows IT wrote before crashing —
       // its decisions would then flip from accept to reject
       def idx(path: String, ddl: String) =
@@ -137,13 +149,21 @@ object CorpusIngest {
         probeHits.select(col("batch_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti").select(col("doc_id"))
       def ofNovel(f: DataFrame) = f.join(corpusNovelIds, Seq("doc_id"), "left_semi")
-      // within-batch near-dup among the corpus-novel docs: drop the higher
-      // id of each verified pair (keep-lowest, the cluster canonical)
+      // within-batch near-dup among the corpus-novel docs: connected
+      // components over the verified pair graph, keep each component's
+      // canonical (min id) — the same transitive cluster-canonical policy
+      // as the batch dedup family (dedup_clusters / dedup_keep_best). A
+      // pairwise drop-the-greater rule would, on a chain A~B~C with A≁C,
+      // drop BOTH B and C (C's content then survives nowhere while its
+      // only near-dup B is also gone); component resolution makes the
+      // kept set a deliberate one-per-cluster, not a pair-order artifact.
       val inBatchPairs = TextOps.minhashNearDupsIndexed(
         ofNovel(freshBands), ofNovel(freshSets), cfg.threshold)
-      val accepted = Caching.scoped(ofNovel(fresh).join(
-        inBatchPairs.select(greatest(col("doc_a"), col("doc_b")).as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti"))
+      val inBatchDrops = TextOps.connectedComponents(inBatchPairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val accepted = Caching.scoped(
+        ofNovel(fresh).join(inBatchDrops, Seq("doc_id"), "left_anti"))
 
       val stamp = lit(batchId).as("ingest_batch")
       accepted.select(col("doc_id"), col("text"), stamp)
@@ -166,7 +186,6 @@ object CorpusIngest {
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(ledgerPath(cfg))
       nAccepted
     } finally {
-      Caching.releaseAll()
       prevConf.foreach { case (s, v) =>
         s.conf.set("spark.sql.sources.partitionOverwriteMode", v) }
     }
@@ -182,15 +201,21 @@ object CorpusIngest {
    *
    * Contract: run BETWEEN ingest runs (stream stopped, all batches
    * committed) — the same quiesced-maintenance contract as
-   * [[graft.maintain.Maintain]]. A batch replayed AFTER its rows were
-   * compacted would re-create its partition alongside the compacted copy;
-   * the checkpoint guarantees committed batches never replay, which is
-   * exactly why the contract requires commit-quiescence. Each table swaps
-   * atomically (write-new-then-rename, the [[StateStore]] discipline), so
-   * a crash mid-compaction leaves every table either fully old or fully
-   * new, never doubled.
+   * [[graft.maintain.Maintain]], now ENFORCED by [[IngestLock]]: a
+   * compaction attempted while an ingest batch holds the corpus lock (or
+   * vice versa) throws [[IngestLock.LockHeldException]] instead of
+   * interleaving with the multi-table writes. A batch replayed AFTER its
+   * rows were compacted converges (its docs reject as exact dups of the
+   * compacted index; the checkpoint guarantees committed batches never
+   * replay), which is exactly why the contract requires commit-quiescence
+   * only for in-flight writes, not history. Each table swaps atomically
+   * (write-new-then-rename, the [[StateStore]] discipline), so a crash
+   * mid-compaction leaves every table either fully old or fully new,
+   * never doubled.
    */
-  def compact(spark: SparkSession, cfg: IngestConfig): Unit = {
+  def compact(spark: SparkSession, cfg: IngestConfig): Unit =
+    IngestLock.withLock(spark, cfg.corpusRoot,
+        s"compact-${java.util.UUID.randomUUID()}", cfg.lockStaleMs) {
     val fs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the ledger stays per-batch: its ingest_batch is the AUDIT key, not
@@ -199,10 +224,17 @@ object CorpusIngest {
       .foreach { dir =>
       rollbackIfStranded(fs, dir) // a prior compaction may have died mid-swap
       val path = new org.apache.hadoop.fs.Path(dir)
-      // an empty-batch run can leave a partition-less dir: nothing to fold
+      // an empty-batch run can leave a partition-less dir: nothing to fold.
+      // ONLY the schema-inference failure of a partition-less dir means
+      // "skip" (mirroring readOrEmpty) — any other analysis error (corrupt
+      // footer, conflicting schema) must fail the compaction, not silently
+      // no-op it
       val readable =
         try { spark.read.parquet(dir).schema; true }
-        catch { case _: org.apache.spark.sql.AnalysisException => false }
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => false
+        }
       if (fs.exists(path) && readable) {
         val compacted = spark.read.parquet(dir)
           .withColumn("ingest_batch", lit(-1L))

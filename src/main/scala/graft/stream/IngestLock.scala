@@ -1,0 +1,128 @@
+package graft.stream
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Single-writer lock for a corpus root — the reference's run-lock
+ * discipline (reference: matomo2clickhouse.py:851-868: a lock file whose
+ * age gates a second runner; younger than the stale window → refuse,
+ * older → treat the holder as dead and take over) transplanted to the
+ * corpus-state directory tree.
+ *
+ * Why it exists: [[CorpusIngest.ingestBatch]] and [[CorpusIngest.compact]]
+ * both rewrite the same append-only partition tables; their quiesced-
+ * maintenance contract was documented but unenforced, and a compaction
+ * racing a live micro-batch would interleave with the batch's multi-table
+ * writes mid-swap. Every mutating operation now takes this lock for its
+ * duration, so batch-vs-compact and compact-vs-compact serialize (or
+ * refuse loudly) instead of corrupting state.
+ *
+ * Mechanics: one file at `<root>/__ingest.lock` holding `owner\nepochMs`.
+ * Acquisition creates it exclusively (FileSystem.create overwrite=false —
+ * atomic on local/HDFS semantics); an existing lock is honored unless its
+ * timestamp is older than `staleMs` (a crashed holder — broken and taken
+ * over, the reference's `replication_max_minutes * 2` rule) or its owner
+ * matches (reentrant refresh). [[heartbeat]] refreshes the timestamp so a
+ * long-running healthy stream never goes stale mid-run.
+ */
+object IngestLock {
+
+  final case class Handle(root: String, owner: String)
+
+  /** Thrown when the lock is held by a live (non-stale) other owner. */
+  final class LockHeldException(msg: String) extends IllegalStateException(msg)
+
+  private def lockPath(root: String) = new Path(root, "__ingest.lock")
+
+  private def fsFor(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readLock(fs: FileSystem, p: Path): Option[(String, Long)] =
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      new String(bytes, StandardCharsets.UTF_8).split("\n", 2) match {
+        case Array(owner, ts) => Some((owner, ts.trim.toLong))
+        case _ => None // malformed = treat as stale artifact
+      }
+    } catch { case _: java.io.IOException | _: NumberFormatException => None }
+
+  private def write(fs: FileSystem, p: Path, owner: String,
+      exclusive: Boolean): Unit = {
+    val out = fs.create(p, !exclusive)
+    try out.write(s"$owner\n${System.currentTimeMillis()}"
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Acquire the single-writer lock for `root`. Reentrant for the same
+    * `owner` (refreshes the heartbeat); breaks a lock whose heartbeat is
+    * older than `staleMs`; otherwise throws [[LockHeldException]]. */
+  def acquire(spark: SparkSession, root: String, owner: String,
+      staleMs: Long): Handle = {
+    val fs = fsFor(spark, root)
+    val p = lockPath(root)
+    fs.mkdirs(new Path(root)) // first batch may precede any table dir
+    readLock(fs, p) match {
+      case Some((held, _)) if held == owner =>
+        write(fs, p, owner, exclusive = false) // reentrant refresh
+      case Some((held, ts)) =>
+        val age = System.currentTimeMillis() - ts
+        if (age <= staleMs)
+          throw new LockHeldException(
+            s"corpus root $root is locked by '$held' (heartbeat ${age}ms ago, " +
+              s"stale after ${staleMs}ms) — wait for it to finish or release")
+        // stale holder: take over (delete + exclusive create closes most of
+        // the race; a lost race surfaces as the create failing)
+        fs.delete(p, false)
+        try write(fs, p, owner, exclusive = true)
+        catch { case _: java.io.IOException =>
+          throw new LockHeldException(
+            s"lost the takeover race for stale lock at $root")
+        }
+      case None =>
+        try write(fs, p, owner, exclusive = true)
+        catch { case _: java.io.IOException =>
+          throw new LockHeldException(
+            s"corpus root $root was locked concurrently — retry later")
+        }
+    }
+    Handle(root, owner)
+  }
+
+  /** Refresh the lock's heartbeat. Throws [[LockHeldException]] if the
+    * lock is no longer this handle's (a stale-break stole it): the holder
+    * must stop mutating state rather than write alongside the thief. */
+  def heartbeat(spark: SparkSession, h: Handle): Unit = {
+    val fs = fsFor(spark, h.root)
+    val p = lockPath(h.root)
+    readLock(fs, p) match {
+      case Some((held, _)) if held == h.owner => write(fs, p, h.owner, exclusive = false)
+      case other => throw new LockHeldException(
+        s"lock at ${h.root} no longer held by '${h.owner}' (now: $other)")
+    }
+  }
+
+  /** Release if still owned; a lock stolen after going stale is left to
+    * its new owner (releasing it would unlock someone else's run). */
+  def release(spark: SparkSession, h: Handle): Unit = {
+    val fs = fsFor(spark, h.root)
+    val p = lockPath(h.root)
+    readLock(fs, p) match {
+      case Some((held, _)) if held == h.owner => fs.delete(p, false)
+      case _ => ()
+    }
+  }
+
+  /** Acquire → body → release, the shape every mutating corpus operation
+    * uses. */
+  def withLock[A](spark: SparkSession, root: String, owner: String,
+      staleMs: Long)(body: => A): A = {
+    val h = acquire(spark, root, owner, staleMs)
+    try body finally release(spark, h)
+  }
+}

@@ -20,4 +20,36 @@ class CachingSpec extends SparkSpec {
     assert(back.storageLevel == StorageLevel.MEMORY_AND_DISK)
     Caching.releaseAll()
   }
+
+  test("scope releases exactly its own frames — outer caches survive") {
+    import spark.implicits._
+    val outer = Caching.scoped(Seq(1, 2).toDF("a").filter($"a" > 0))
+    val inner = Caching.scope {
+      val i = Caching.scoped(Seq(3, 4).toDF("b").filter($"b" > 3))
+      assert(i.storageLevel == StorageLevel.MEMORY_AND_DISK)
+      // a nested scope releases its frame at ITS exit, not the outer's
+      val n = Caching.scope {
+        Caching.scoped(Seq(5).toDF("c").filter($"c" > 0))
+      }
+      assert(n.storageLevel == StorageLevel.NONE)
+      assert(i.storageLevel == StorageLevel.MEMORY_AND_DISK)
+      i
+    }
+    // the scope closed: its frame is gone, the scope-less one survives
+    assert(inner.storageLevel == StorageLevel.NONE)
+    assert(outer.storageLevel == StorageLevel.MEMORY_AND_DISK)
+    // a failing body still releases its scope
+    var failing: org.apache.spark.sql.DataFrame = null
+    intercept[RuntimeException] {
+      Caching.scope {
+        failing = Caching.scoped(Seq(6).toDF("d").filter($"d" > 0))
+        assert(failing.storageLevel == StorageLevel.MEMORY_AND_DISK)
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(failing.storageLevel == StorageLevel.NONE)
+    assert(outer.storageLevel == StorageLevel.MEMORY_AND_DISK)
+    Caching.releaseAll()
+    assert(outer.storageLevel == StorageLevel.NONE)
+  }
 }

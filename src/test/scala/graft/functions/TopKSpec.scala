@@ -50,6 +50,24 @@ class TopKSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 2.0, 3L, 1), ("a", 1.0, 1L, 2)))
   }
 
+  test("graft_topk: null TIES are skipped too — the documented divergence " +
+      "from the window spelling") {
+    val df = Seq(("a", 5.0, Some(1L)), ("a", 9.0, None), ("a", 2.0, Some(3L)))
+      .toDF("g", "v", "t")
+    val out = viaAgg(df, 3).orderBy("rnk").as[(String, Double, Long, Int)].collect()
+    // the null-tie row (v=9.0, the would-be winner) does not compete;
+    // row_number() would rank it — callers must coalesce nullable ties
+    assert(out.toSeq == Seq(("a", 5.0, 1L, 1), ("a", 2.0, 3L, 2)))
+  }
+
+  test("graft_topk: wrong arity raises an AnalysisException, not IndexOutOfBounds") {
+    val df = Seq(("a", 1.0, 1L)).toDF("g", "v", "t")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy($"g").agg(expr("graft_topk(v, t)")).collect()
+    }
+    assert(e.getMessage.contains("graft_topk"))
+  }
+
   test("graft_topk serialization round-trips the heap") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val agg = TopK(Literal(0.0), Literal(0L), Literal(3))

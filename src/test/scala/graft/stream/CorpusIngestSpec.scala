@@ -122,6 +122,75 @@ class CorpusIngestSpec extends SparkSpec {
     assert(acceptedIds(cfg) == Set(1L))
   }
 
+  test("within-batch near-dup chains resolve to one canonical per component") {
+    // a ~ c and b ~ c but a !~ b: a chain through c. Component resolution
+    // keeps only the component's min id (the batch dedup family's
+    // cluster-canonical policy); the old pairwise drop-the-greater rule
+    // would have kept b as well, making the accepted set a pair-order
+    // artifact instead of one-doc-per-cluster.
+    val ws = (1 to 20).map(i => s"c$i")
+    val a = ws.mkString(" ")                                    // c1..c20
+    val cTxt = (ws.dropRight(1) :+ "tailchg").mkString(" ")     // J(a,c)=17/19
+    val b = (Seq("headchg1", "headchg2") ++ ws.drop(2).dropRight(1) :+ "tailchg")
+      .mkString(" ")                        // J(b,c)=16/20=0.8, J(a,b)=15/21
+    val root = tmpDir()
+    val cfg = CorpusIngest.IngestConfig("unused", root, "unused")
+    assert(CorpusIngest.ingestBatch(spark, cfg,
+      Seq(1L -> a, 2L -> b, 3L -> cTxt).toDF("doc_id", "text"), 0L) == 1L)
+    assert(acceptedIds(cfg) == Set(1L))
+  }
+
+  test("compact and ingest serialize on the corpus lock; stale locks break") {
+    val root = tmpDir()
+    val cfg = CorpusIngest.IngestConfig("unused", root, "unused")
+    CorpusIngest.ingestBatch(spark, cfg, Seq(1L -> base).toDF("doc_id", "text"), 0L)
+    // simulate an in-flight ingest batch holding the single-writer lock:
+    // a concurrent compaction (and a second ingest) must refuse, not
+    // interleave with the multi-table partition writes
+    val h = IngestLock.acquire(spark, root, "in-flight-batch", cfg.lockStaleMs)
+    intercept[IngestLock.LockHeldException] { CorpusIngest.compact(spark, cfg) }
+    intercept[IngestLock.LockHeldException] {
+      CorpusIngest.ingestBatch(spark, cfg,
+        Seq(2L -> unrelated).toDF("doc_id", "text"), 1L)
+    }
+    // reentrant refresh for the SAME owner is allowed (heartbeat path)
+    IngestLock.acquire(spark, root, "in-flight-batch", cfg.lockStaleMs)
+    IngestLock.release(spark, h)
+    // released: the same operations now serialize cleanly
+    CorpusIngest.compact(spark, cfg)
+    assert(spark.read.parquet(CorpusIngest.docsPath(cfg))
+      .select("ingest_batch").distinct().as[Long].collect().toSeq == Seq(-1L))
+    // a dead holder's lock (heartbeat older than staleMs) is broken and
+    // taken over — the reference's stale-lock rule
+    IngestLock.acquire(spark, root, "dead-run", 60000L)
+    Thread.sleep(20)
+    val staleCfg = cfg.copy(lockStaleMs = 1L)
+    assert(CorpusIngest.ingestBatch(spark, staleCfg,
+      Seq(3L -> (1 to 20).map(i => s"post$i").mkString(" "))
+        .toDF("doc_id", "text"), 1L) == 1L)
+  }
+
+  test("soak: 50 batches never release a foreign cache and leave state consistent") {
+    val root = tmpDir()
+    val cfg = CorpusIngest.IngestConfig("unused", root, "unused")
+    // a concurrently cached frame OUTSIDE the ingest's cache scope: the
+    // round-5 advisory regression was ingestBatch releasing every scoped
+    // frame process-wide, yanking caches from under concurrent pipelines
+    val sentinel = Seq((1L, "sentinel")).toDF("k", "v").persist()
+    sentinel.count()
+    try {
+      for (b <- 0 until 50) {
+        val txt = (1 to 20).map(i => s"b${b}w$i").mkString(" ")
+        assert(CorpusIngest.ingestBatch(spark, cfg,
+          Seq((100L + b) -> txt).toDF("doc_id", "text"), b.toLong) == 1L)
+        assert(sentinel.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+          s"batch $b unpersisted a cache it does not own")
+      }
+    } finally sentinel.unpersist(blocking = true)
+    assert(acceptedIds(cfg) == (0 until 50).map(b => 100L + b).toSet)
+    assert(spark.read.parquet(CorpusIngest.ledgerPath(cfg)).count() == 50L)
+  }
+
   test("replaying a batch converges: identical accepted set, no duplicate rows") {
     val root = tmpDir()
     val cfg = CorpusIngest.IngestConfig("unused", root, "unused")

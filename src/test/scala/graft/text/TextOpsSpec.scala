@@ -223,6 +223,35 @@ class TextOpsSpec extends SparkSpec {
     graft.Caching.releaseAll()
   }
 
+  test("decontaminationBloom UDF fallback (no graft_might_contain) is identical") {
+    // without GraftExtensions the bloom membership test runs through a
+    // closure-serialized UDF (TextOps.mightContain's degraded path) — pin
+    // that it cannot silently diverge from the codegen'd expression path
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("pa", "qb", "rc", "sd", "te", "uf", "vg", "wh")
+    def doc(): String =
+      Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val train = docs((1L to 60L).map(i => i -> doc()): _*)
+    val eval_ = docs((100L to 110L).map(i => i -> doc()): _*)
+    val codegen = TextOps.decontaminationBloom(train, eval_, "doc_id", "text", fpp = 0.3)
+      .orderBy("doc_id").collect().toSeq
+    graft.Caching.releaseAll()
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_might_contain")
+    val info = reg.lookupFunction(id)
+      .getOrElse(fail("graft_might_contain not registered by GraftExtensions"))
+    val builder = reg.lookupFunctionBuilder(id).getOrElse(fail("no builder"))
+    assert(reg.dropFunction(id))
+    try {
+      val fallback = TextOps.decontaminationBloom(train, eval_, "doc_id", "text", fpp = 0.3)
+        .orderBy("doc_id").collect().toSeq
+      assert(fallback == codegen)
+    } finally {
+      reg.registerFunction(id, info, builder)
+      graft.Caching.releaseAll()
+    }
+  }
+
   test("decontaminationBloom: empty eval set contaminates nothing") {
     val train = docs((1L, "alpha beta gamma delta"))
     val eval_ = docs((10L, "ab")) // too short for a 3-shingle: empty eval shingle set
