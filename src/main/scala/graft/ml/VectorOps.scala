@@ -174,6 +174,17 @@ object VectorOps {
    * corpus's cluster structure. Hyperplanes, dots (strict left fold), and
    * banding are all deterministic and engine-portable: the oracle replays
    * the identical pruning bit-for-bit.
+   *
+   * Cost model (measured, round 6): candidate volume is bounded below by
+   * ~n²/2^bandBits per band — 2^bandBits buckets exist no matter how big n
+   * gets — so the exact-cosine verify of band-colliding pairs dominates the
+   * runtime (at sf0.1, 2 000 vectors → 463 516 candidates ≈ 23% of all
+   * pairs with the default 4-bit bands; the per-pair verify, not the plan,
+   * is the cost). The defaults are sized for the small-sf oracle's recall;
+   * at corpus scale RAISE `bits`/`bandBits` together (e.g. 64/16 → 65 536
+   * buckets per band) so bucket occupancy — and with it the verify set —
+   * stays bounded; recall then comes from more, finer bands, exactly the
+   * MinHash b×r tuning discipline.
    */
   def srpNearDupPairs(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", bits: Int = 16, bandBits: Int = 4,
@@ -239,6 +250,23 @@ object VectorOps {
    */
   def annPq(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       m: Int = 4, codebookMod: Int = 25, probeMod: Int = 100, k: Int = 10): DataFrame = {
+    val (codes, dt) = pqEncode(emb, idCol, vecCol, m, codebookMod, probeMod)
+    val scored = codes.join(broadcast(dt), Seq("j", "code_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("d2e")).as("adc"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /** The PQ index pair shared by [[annPq]] and [[annIvfPq]]: per-vector
+    * codes (vec_id, j, code_id) and the probes' ADC distance tables
+    * (probe_id, j, code_id, d2e in exact 1e-12 integer units). */
+  private def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, codebookMod: Int, probeMod: Int): (DataFrame, DataFrame) = {
     val v = emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("e"))
     val subCols = (0 until m).map { j =>
       struct(lit(j).as("j"),
@@ -263,8 +291,53 @@ object VectorOps {
       .join(broadcast(codebook), Seq("j"))
       .select(col("probe_id"), col("j"), col("code_id"),
         floor(sqDist("pe", "ce") * lit(1e12)).cast("long").as("d2e"))
-    val scored = codes.join(broadcast(dt), Seq("j", "code_id"))
+    (codes, dt)
+  }
+
+  /**
+   * IVF-PQ top-k — the production composition of the two index stages, and
+   * what a real 100 TB vector index runs: IVF decides WHICH vectors each
+   * probe scores (its `nprobe` nearest centroid buckets — an equi-join on
+   * centroid id, shuffle proportional to bucket sizes), PQ-ADC decides HOW
+   * each candidate is scored (m integer code lookups against the probe's
+   * broadcast distance table — the full float vectors never move after
+   * encoding). Either stage alone leaves scale on the table: IVF-flat still
+   * ships full vectors through the candidate join; PQ-flat still scores the
+   * WHOLE corpus per probe. Composed, the scan cost is
+   * |bucket candidates| × m small ints.
+   *
+   * Same determinism contract as the parts: centroid assignment and probe
+   * buckets replay [[annIvf]]'s argmax-cosine with id tiebreaks, encoding
+   * and ADC replay [[annPq]]'s exact integer units — the DuckDB oracle
+   * composes the two replays and matches bit-for-bit. Recall compounds
+   * (bucket pruning × quantization error): [[graft.queries.LlmWorkload]]'s
+   * `ann_recall` entry measures all three variants against the brute-force
+   * truth, which is how nprobe/m get sized before trusting the index.
+   */
+  def annIvfPq(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", centroidMod: Int = 25, probeMod: Int = 100,
+      nprobe: Int = 2, m: Int = 4, codebookMod: Int = 25, k: Int = 10): DataFrame = {
+    val v = Caching.scoped(asDouble(emb, idCol, vecCol))
+    val centroids = v.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
+    val assigned = assignToCentroids(v, centroids)
+    val probes = v.filter(pmod(col("vec_id"), lit(probeMod)) === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("n").as("pn"))
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    val probeBuckets = probes.join(broadcast(centroids))
+      .withColumn("cos", cosPre("pe", "ce", "pn", "cn"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("centroid_id"))
+    // the IVF candidate set: vectors in the probe's buckets — ids only, the
+    // floats stay behind (PQ codes carry the geometry from here on)
+    val cand = probeBuckets.join(assigned, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    val (codes, dt) = pqEncode(emb, idCol, vecCol, m, codebookMod, probeMod)
+    val scored = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(dt), Seq("probe_id", "j", "code_id"))
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(sum(col("d2e")).as("adc"))
     val w = Window.partitionBy(col("probe_id"))

@@ -282,6 +282,12 @@ object LlmWorkload {
   def annTopkPq(spark: SparkSession, dir: String): DataFrame =
     VectorOps.annPq(Tables(spark, dir, "embeddings"))
 
+  /** IVF-PQ ANN ([[VectorOps.annIvfPq]]): bucket pruning picks the
+    * candidates, integer ADC over codes scores them — the composed index a
+    * production 100 TB vector search actually runs. */
+  def annTopkIvfPq(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.annIvfPq(Tables(spark, dir, "embeddings"))
+
   /** Quality-decile binning — the curriculum/filtering cutpoint table:
     * exact `ntile(10)` semantics over the (quality_score, doc_id) total
     * order, WITHOUT the global window. An unpartitioned ntile funnels the
@@ -317,8 +323,10 @@ object LlmWorkload {
       .select(col("id").as("doc_id"), col("component"))
 
   /** ANN recall audit — the evaluation you run before trusting an
-    * approximate index at scale: IVF and PQ top-10 sets measured against
-    * the brute-force truth (matched pairs / truth pairs, exact integers). */
+    * approximate index at scale: IVF, PQ, and composed IVF-PQ top-10 sets
+    * measured against the brute-force truth (matched pairs / truth pairs,
+    * exact integers). IVF-PQ's recall compounds bucket pruning with
+    * quantization error — this row is how nprobe/m get sized. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val bf = graft.Caching.scoped(
@@ -333,6 +341,7 @@ object LlmWorkload {
           (col("matched").cast("double") / col("total").cast("double")).as("recall"))
     row(VectorOps.annIvf(emb), "ivf")
       .unionByName(row(VectorOps.annPq(emb), "pq"))
+      .unionByName(row(VectorOps.annIvfPq(emb), "ivfpq"))
   }
 
   /** Feature-hashed text vectors (dim 16), flattened to scalar columns for
@@ -484,6 +493,7 @@ object LlmWorkload {
     "text_fingerprints" -> textFingerprints,
     "ann_topk_bruteforce" -> annTopkBruteforce,
     "ann_topk_ivf" -> annTopkIvf,
+    "ann_topk_ivfpq" -> annTopkIvfPq,
     "ann_topk_filtered" -> annTopkFiltered,
     "multimodal_meta" -> multimodalMeta,
     "dedup_embedding_pairs" -> dedupEmbeddingPairs,
@@ -718,6 +728,56 @@ object LlmWorkload {
          |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin
   }
 
+  /** IVF-PQ replay: the ivfOracle's bucket pruning (assign rn = 1, probe
+    * buckets rn <= 2) feeding the pqOracle's encode + integer ADC — composed
+    * CTE-for-CTE so the candidate set and the scoring both match
+    * bit-for-bit. */
+  private val ivfpqOracle: String = {
+    def d2(a: String, b: String) =
+      s"(${dotSql(a, a)} - CAST(2 AS DOUBLE) * ${dotSql(a, b)} + ${dotSql(b, b)})"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % 25 = 0),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT v.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.centroid_id ASC) AS rn
+       |    FROM v, c) WHERE rn = 1),
+       |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+       |pb AS (
+       |  SELECT probe_id, centroid_id FROM (
+       |    SELECT p.probe_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${cosSql("p.pe", "c.ce")} DESC, c.centroid_id ASC) AS rn
+       |    FROM p, c) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT DISTINCT pb.probe_id, a.vec_id
+       |  FROM pb JOIN assign a ON a.centroid_id = pb.centroid_id
+       |  WHERE a.vec_id <> pb.probe_id),
+       |sub AS (SELECT vec_id, j,
+       |  list_slice(e, j * (len(e) // 4) + 1, (j + 1) * (len(e) // 4)) AS se
+       |  FROM v, (SELECT unnest(range(0, 4)) AS j)),
+       |cb AS (SELECT j, vec_id AS code_id, se AS ce FROM sub WHERE vec_id % 25 = 0),
+       |enc AS (SELECT vec_id, j, code_id FROM (
+       |  SELECT s.vec_id, s.j, cb.code_id,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.j
+       |      ORDER BY ${d2("s.se", "cb.ce")} ASC, cb.code_id ASC) AS rn
+       |  FROM sub s JOIN cb ON cb.j = s.j) WHERE rn = 1),
+       |ps AS (SELECT vec_id AS probe_id, j, se AS pe FROM sub WHERE vec_id % 100 = 0),
+       |dt AS (SELECT ps.probe_id, ps.j, cb.code_id,
+       |    CAST(floor(${d2("ps.pe", "cb.ce")} * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS d2e
+       |  FROM ps JOIN cb ON cb.j = ps.j),
+       |adc AS (SELECT ca.probe_id, ca.vec_id, sum(d2e) AS adc
+       |  FROM cand ca
+       |  JOIN enc ON enc.vec_id = ca.vec_id
+       |  JOIN dt ON dt.probe_id = ca.probe_id AND dt.j = enc.j AND dt.code_id = enc.code_id
+       |  GROUP BY 1, 2),
+       |r AS (SELECT probe_id, vec_id,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY adc ASC, vec_id ASC) AS rnk
+       |  FROM adc)
+       |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // featurize replay: the byte histogram as pure integer counts — ASCII
     // text makes ord(char) == byte; bucket = (byte*8)//256, same arithmetic
@@ -868,6 +928,7 @@ object LlmWorkload {
          |FROM documents d LEFT JOIN mn ON mn.doc_id = d.doc_id""".stripMargin,
     "ann_topk_bruteforce" -> bruteforceOracle,
     "ann_topk_ivf" -> ivfOracle,
+    "ann_topk_ivfpq" -> ivfpqOracle,
     // filtered search replay: the semi-join restricts CANDIDATES before the
     // distance math; probes stay unrestricted
     "ann_topk_filtered" ->
@@ -1189,20 +1250,25 @@ object LlmWorkload {
          |SELECT doc_id, word AS top_word, CAST(tf AS BIGINT) AS tf,
          |  CAST(df AS BIGINT) AS df, tfidf
          |FROM r WHERE rn = 1""".stripMargin,
-    // recall replay: the three ANN oracles composed — matched/truth counts
+    // recall replay: the four ANN oracles composed — matched/truth counts
     "ann_recall" ->
       s"""WITH bf AS (SELECT probe_id, neighbor_id FROM ($bruteforceOracle)),
          |ivf AS (SELECT probe_id, neighbor_id FROM ($ivfOracle)),
          |pq AS (SELECT probe_id, neighbor_id FROM ($pqOracle)),
+         |ivfpq AS (SELECT probe_id, neighbor_id FROM ($ivfpqOracle)),
          |t AS (SELECT count(*) AS total FROM bf),
          |mi AS (SELECT count(*) AS matched FROM ivf JOIN bf USING (probe_id, neighbor_id)),
-         |mp AS (SELECT count(*) AS matched FROM pq JOIN bf USING (probe_id, neighbor_id))
+         |mp AS (SELECT count(*) AS matched FROM pq JOIN bf USING (probe_id, neighbor_id)),
+         |mc AS (SELECT count(*) AS matched FROM ivfpq JOIN bf USING (probe_id, neighbor_id))
          |SELECT 'ivf' AS method, CAST(matched AS BIGINT) AS matched,
          |  CAST(total AS BIGINT) AS total,
          |  CAST(matched AS DOUBLE) / CAST(total AS DOUBLE) AS recall FROM mi, t
          |UNION ALL
          |SELECT 'pq', CAST(matched AS BIGINT), CAST(total AS BIGINT),
-         |  CAST(matched AS DOUBLE) / CAST(total AS DOUBLE) FROM mp, t""".stripMargin,
+         |  CAST(matched AS DOUBLE) / CAST(total AS DOUBLE) FROM mp, t
+         |UNION ALL
+         |SELECT 'ivfpq', CAST(matched AS BIGINT), CAST(total AS BIGINT),
+         |  CAST(matched AS DOUBLE) / CAST(total AS DOUBLE) FROM mc, t""".stripMargin,
     // feature-hashing replay: same bucket mod, same sign bit, exact counts
     "text_hashed_features" -> {
       val fCols = (0 until 16).map(b =>

@@ -178,6 +178,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(probe4.length <= 3)
   }
 
+  test("annIvfPq prunes to the probe's buckets and scores by integer ADC") {
+    val rows = Seq(
+      0L -> Seq(1.0, 0.0, 1.0, 0.0),  // centroid, probe (mod 100), codeword
+      2L -> Seq(1.0, 0.0, 1.0, 0.0),  // exact dup of probe: codes cw0/cw0, ADC 0
+      3L -> Seq(0.4, 0.6, 1.0, 0.0),  // bucket 0, but first sub encodes cw25 → ADC > 0
+      25L -> Seq(0.0, 1.0, 0.0, 1.0), // other centroid + codeword (own bucket)
+      26L -> Seq(0.1, 0.9, 0.1, 0.9)) // y-bucket: pruned despite PQ scoring it
+    val out = VectorOps.annIvfPq(emb(rows: _*), centroidMod = 25, probeMod = 100,
+        nprobe = 1, m = 2, codebookMod = 25, k = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    // nprobe=1: only the probe's own bucket is scored (25/26 never appear);
+    // within it the integer ADC orders the same-code duplicate before the
+    // vector whose first subspace quantized to the far codeword
+    assert(out == Set((0L, 2L, 1), (0L, 3L, 2)))
+  }
+
   test("semanticDedup drops higher-id near-copies, keeps dissimilar vectors") {
     // one centroid (id 0 % 25 == 0) → one cluster; 1 and 2 are near-copies
     // of 0 (dropped: 0 is the lowest id of the similar group); 3 is
