@@ -96,15 +96,25 @@ object ExactQuantile {
     val belowAggs = ranks.indices.map(i =>
       sum(when(col("v") < brackets(2 * i), 1L).otherwise(0L)).as(s"below_$i"))
     val below = v.agg(belowAggs.head, belowAggs.tail: _*).head()
-    ranks.indices.map { i =>
+    // all boundary slivers resolve in ONE action: each rank's
+    // filter→sort→limit→max pipeline is a union branch (identical per-rank
+    // semantics and TakeOrdered memory bounds), so a 15-boundary ntile
+    // costs one scheduled job instead of fifteen driver round trips
+    val branches = ranks.indices.map { i =>
       val (lo, hi) = (brackets(2 * i), brackets(2 * i + 1))
       val take = ranks(i) - below.getAs[Long](s"below_$i")
       require(take > 0, s"bracket below rank ${ranks(i)}")
       require(take <= Int.MaxValue,
         s"bracket sliver too large (raise accuracy so n/accuracy fits a node)")
-      val r = v.filter(col("v") >= lo && col("v") <= hi)
+      v.filter(col("v") >= lo && col("v") <= hi)
         .orderBy(col("v").asc, col("t").asc).limit(take.toInt)
-        .agg(max(struct(col("v"), col("t")))).head().getStruct(0)
+        .agg(max(struct(col("v"), col("t"))).as("b"))
+        .select(lit(i).as("i"), col("b"))
+    }
+    val byIdx = branches.reduce(_.union(_)).collect()
+      .map(r => r.getInt(0) -> r.getStruct(1)).toMap
+    ranks.indices.map { i =>
+      val r = byIdx(i)
       (r.getDouble(0), r.getLong(1))
     }
   }

@@ -322,6 +322,16 @@ object LlmWorkload {
       TextOps.minhashNearDups(Tables(spark, dir, "documents"), "doc_id", "text"))
       .select(col("id").as("doc_id"), col("component"))
 
+  /** Embedding near-dup clusters — the embedding-side twin of
+    * [[dedupClusters]]: connected components over the SRP-LSH verified pair
+    * graph, every clustered vector labeled with its component's min id
+    * (the canonical each semantic-dup group collapses to). */
+  def dedupEmbeddingClusters(spark: SparkSession, dir: String): DataFrame =
+    TextOps.connectedComponents(
+      VectorOps.srpNearDupPairs(Tables(spark, dir, "embeddings")),
+      "vec_a", "vec_b")
+      .select(col("id").as("vec_id"), col("component"))
+
   /** ANN recall audit — the evaluation you run before trusting an
     * approximate index at scale: IVF, PQ, and composed IVF-PQ top-10 sets
     * measured against the brute-force truth (matched pairs / truth pairs,
@@ -498,6 +508,7 @@ object LlmWorkload {
     "multimodal_meta" -> multimodalMeta,
     "dedup_embedding_pairs" -> dedupEmbeddingPairs,
     "dedup_embedding_srp_pairs" -> dedupEmbeddingSrpPairs,
+    "dedup_embedding_clusters" -> dedupEmbeddingClusters,
     "text_repetition" -> textRepetition,
     "text_winnowing" -> textWinnowing,
     "prep_hash_split" -> prepHashSplit,
@@ -727,6 +738,36 @@ object LlmWorkload {
          |  FROM adc)
          |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin
   }
+
+  /** SRP-LSH pair replay, shared by the pairs entry and the recursive-CTE
+    * clusters entry. */
+  private val srpOracle: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |dims AS (SELECT len(e) AS dim FROM v LIMIT 1),
+       |hp AS (
+       |  SELECT j, list_transform(range(0, (SELECT dim FROM dims)), d ->
+       |    CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(j AS VARCHAR) || ':' ||
+       |      CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+       |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS harr
+       |  FROM (SELECT unnest(range(0, 16)) AS j)),
+       |codes AS (
+       |  SELECT vec_id,
+       |    sum(CASE WHEN ${dotSql("e", "harr")} >= 0
+       |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS code
+       |  FROM v, hp GROUP BY vec_id),
+       |bands AS (
+       |  SELECT vec_id, b AS band, (code >> (b * 4)) & 15 AS bv
+       |  FROM codes, (SELECT unnest(range(0, 4)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
+       |pairs AS (
+       |  SELECT c.vec_a, c.vec_b, ${cosSql("va.e", "vb.e")} AS cos
+       |  FROM cand c
+       |  JOIN v va ON va.vec_id = c.vec_a
+       |  JOIN v vb ON vb.vec_id = c.vec_b)
+       |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.4""".stripMargin
 
   /** IVF-PQ replay: the ivfOracle's bucket pruning (assign rn = 1, probe
     * buckets rn <= 2) feeding the pqOracle's encode + integer ADC — composed
@@ -1044,33 +1085,20 @@ object LlmWorkload {
          |FROM s GROUP BY 1, 2""".stripMargin,
     // SRP-LSH replay: same md5-parity hyperplanes, same strict left-fold
     // dots, same band codes — the pruning is deterministic on both engines
-    "dedup_embedding_srp_pairs" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |dims AS (SELECT len(e) AS dim FROM v LIMIT 1),
-         |hp AS (
-         |  SELECT j, list_transform(range(0, (SELECT dim FROM dims)), d ->
-         |    CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(j AS VARCHAR) || ':' ||
-         |      CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
-         |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS harr
-         |  FROM (SELECT unnest(range(0, 16)) AS j)),
-         |codes AS (
-         |  SELECT vec_id,
-         |    sum(CASE WHEN ${dotSql("e", "harr")} >= 0
-         |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS code
-         |  FROM v, hp GROUP BY vec_id),
-         |bands AS (
-         |  SELECT vec_id, b AS band, (code >> (b * 4)) & 15 AS bv
-         |  FROM codes, (SELECT unnest(range(0, 4)) AS b)),
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
-         |pairs AS (
-         |  SELECT c.vec_a, c.vec_b, ${cosSql("va.e", "vb.e")} AS cos
-         |  FROM cand c
-         |  JOIN v va ON va.vec_id = c.vec_a
-         |  JOIN v vb ON vb.vec_id = c.vec_b)
-         |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
+    "dedup_embedding_srp_pairs" -> srpOracle,
+    // embedding-cluster replay: recursive-CTE components over the SRP pair
+    // graph — the embedding-side twin of dedup_clusters
+    "dedup_embedding_clusters" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT vec_a, vec_b FROM ($srpOracle)),
+         |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+         |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+         |SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY 1""".stripMargin,
     // decontamination replay: same hash split, same distinct 3-gram shingles,
     // same semi-join overlap counts
     // chunking replay: same normalization, same ceil((len-32)/24)+1 window

@@ -35,6 +35,7 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "ann_topk_ivfpq",         // centroid set broadcast (bucketing) + code tables
     "dedup_embedding_pairs",  // centroid set broadcast (bucketing)
     "dedup_embedding_srp_pairs", // hyperplane set + 1-row dim anchor broadcast
+    "dedup_embedding_clusters",  // CC over the same SRP pair pipeline
     "f7_delete_suppression",  // 1-row max(ts) "now" anchor
     "j2_dup_count",           // 1-row time-window anchor
     "j3_dedup_purge",         // 1-row time-window anchor
