@@ -52,7 +52,9 @@ object ExactQuantile {
       sum(when(col("v") < brackets(2 * i), 1L).otherwise(0L)).as(s"below_$i"))
     val below = v.agg(belowAggs.head, belowAggs.tail: _*).head()
 
-    qs.indices.map { i =>
+    // all quantile slivers resolve in ONE action (see rankRows): a union of
+    // per-quantile filter→sort→limit→max branches
+    val branches = qs.indices.map { i =>
       val (lo, hi) = (brackets(2 * i), brackets(2 * i + 1))
       val take = ks(i) - below.getAs[Long](s"below_$i")
       require(take > 0, s"bracket below rank for q=${qs(i)}")
@@ -60,8 +62,12 @@ object ExactQuantile {
         s"bracket sliver too large (raise accuracy so n/accuracy fits a node)")
       v.filter(col("v") >= lo && col("v") <= hi)
         .orderBy(col("v").asc).limit(take.toInt)
-        .agg(max(col("v"))).head().getDouble(0)
+        .agg(max(col("v")).as("b"))
+        .select(lit(i).as("i"), col("b"))
     }
+    val byIdx = branches.reduce(_.union(_)).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    qs.indices.map(byIdx)
   }
 
   /** The exact (value, tie) row at each requested 1-based rank of the

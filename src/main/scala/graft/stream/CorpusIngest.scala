@@ -91,7 +91,8 @@ object CorpusIngest {
     * instead of interleaving with the multi-table partition writes. */
   def ingestBatch(spark: SparkSession, cfg: IngestConfig, batch: DataFrame,
       batchId: Long): Long = IngestLock.withLock(spark, cfg.corpusRoot,
-      s"ingest-batch-$batchId-${java.util.UUID.randomUUID()}", cfg.lockStaleMs) {
+      s"ingest-batch-$batchId-${java.util.UUID.randomUUID()}",
+      cfg.lockStaleMs) { lock =>
     // recover every table a crashed compaction may have stranded — not
     // just the index tables the dedup reads, but docs and ledger too
     val rootFs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
@@ -165,6 +166,10 @@ object CorpusIngest {
       val accepted = Caching.scoped(
         ofNovel(fresh).join(inBatchDrops, Seq("doc_id"), "left_anti"))
 
+      // the dedup computation above may outlive the staleness window on a
+      // huge batch; refresh the heartbeat (and fail loudly on a stolen
+      // lock) BEFORE the first state write, not after
+      IngestLock.heartbeat(spark, lock)
       val stamp = lit(batchId).as("ingest_batch")
       accepted.select(col("doc_id"), col("text"), stamp)
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(docsPath(cfg))
@@ -215,13 +220,16 @@ object CorpusIngest {
    */
   def compact(spark: SparkSession, cfg: IngestConfig): Unit =
     IngestLock.withLock(spark, cfg.corpusRoot,
-        s"compact-${java.util.UUID.randomUUID()}", cfg.lockStaleMs) {
+        s"compact-${java.util.UUID.randomUUID()}", cfg.lockStaleMs) { lock =>
     val fs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the ledger stays per-batch: its ingest_batch is the AUDIT key, not
     // provenance, and one row per batch never needs compaction
     Seq(docsPath(cfg), hashesPath(cfg), bandsPath(cfg), setsPath(cfg))
       .foreach { dir =>
+      // each table fold is a full rewrite; keep the heartbeat fresher than
+      // the staleness window across them
+      IngestLock.heartbeat(spark, lock)
       rollbackIfStranded(fs, dir) // a prior compaction may have died mid-swap
       val path = new org.apache.hadoop.fs.Path(dir)
       // an empty-batch run can leave a partition-less dir: nothing to fold.

@@ -91,7 +91,15 @@ object IngestLock {
             s"corpus root $root was locked concurrently — retry later")
         }
     }
-    Handle(root, owner)
+    // read-back verification: local filesystems implement exclusive create
+    // as exists-then-create (a TOCTOU window the reference's lock shares) —
+    // re-reading the file and requiring OUR owner collapses a double-create
+    // race to a single winner in all but a sub-write-latency interleaving
+    readLock(fs, p) match {
+      case Some((held, _)) if held == owner => Handle(root, owner)
+      case other => throw new LockHeldException(
+        s"lost the acquisition race for $root (now: $other)")
+    }
   }
 
   /** Refresh the lock's heartbeat. Throws [[LockHeldException]] if the
@@ -118,11 +126,12 @@ object IngestLock {
     }
   }
 
-  /** Acquire → body → release, the shape every mutating corpus operation
-    * uses. */
+  /** Acquire → body(handle) → release, the shape every mutating corpus
+    * operation uses; the handle lets long bodies [[heartbeat]] before
+    * critical sections so a slow-but-alive holder is never presumed dead. */
   def withLock[A](spark: SparkSession, root: String, owner: String,
-      staleMs: Long)(body: => A): A = {
+      staleMs: Long)(body: Handle => A): A = {
     val h = acquire(spark, root, owner, staleMs)
-    try body finally release(spark, h)
+    try body(h) finally release(spark, h)
   }
 }
