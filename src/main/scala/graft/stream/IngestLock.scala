@@ -85,6 +85,13 @@ object IngestLock {
             s"lost the takeover race for stale lock at $root")
         }
       case None =>
+        // free — or present but unparseable (a crashed writer's torn
+        // artifact, which would otherwise make the exclusive create refuse
+        // FOREVER: the stale-break above only fires on readable locks).
+        // Clear the debris; if it was a winner mid-write instead, the
+        // read-back below (and the pre-write heartbeat) resolves the race
+        // to a single survivor.
+        if (fs.exists(p)) fs.delete(p, false)
         try write(fs, p, owner, exclusive = true)
         catch { case _: java.io.IOException =>
           throw new LockHeldException(

@@ -170,6 +170,19 @@ class CorpusIngestSpec extends SparkSpec {
         .toDF("doc_id", "text"), 1L) == 1L)
   }
 
+  test("a malformed lock file is treated as a stale artifact, not a deadlock") {
+    val root = tmpDir()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    // a crashed writer can leave a torn/garbage lock file; acquisition must
+    // take over rather than refuse forever on unparseable content
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "__ingest.lock"), "garbage-no-newline")
+    val h = IngestLock.acquire(spark, root, "recoverer", 60000L)
+    IngestLock.release(spark, h)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "__ingest.lock")))
+  }
+
   test("soak: 50 batches never release a foreign cache and leave state consistent") {
     val root = tmpDir()
     val cfg = CorpusIngest.IngestConfig("unused", root, "unused")
