@@ -40,16 +40,51 @@ object IngestLock {
   private def fsFor(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def readLock(fs: FileSystem, p: Path): Option[(String, Long)] =
-    if (!fs.exists(p)) None
-    else try {
-      val in = fs.open(p)
-      val bytes = try in.readAllBytes() finally in.close()
-      new String(bytes, StandardCharsets.UTF_8).split("\n", 2) match {
-        case Array(owner, ts) => Some((owner, ts.trim.toLong))
-        case _ => None // malformed = treat as stale artifact
+  /** What one look at the lock file established. `Unreadable` means the file
+    * EXISTS but could not be parsed after bounded retries — which is NOT the
+    * same as free: it may be a live holder's heartbeat mid-write. The file's
+    * modification time rides along so the caller can age-gate takeover. */
+  private sealed trait LockState
+  private case object Absent extends LockState
+  private final case class Unreadable(mtimeMs: Long) extends LockState
+  private final case class Live(owner: String, ts: Long) extends LockState
+
+  private val ReadAttempts = 3
+  private val ReadBackoffMs = 40L
+
+  private def readOnce(fs: FileSystem, p: Path): Option[(String, Long)] = {
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    new String(bytes, StandardCharsets.UTF_8).split("\n", 2) match {
+      case Array(owner, ts) => Some((owner, ts.trim.toLong))
+      case _ => None // torn mid-write (retry may see the full file)
+    }
+  }
+
+  /** Read + parse with bounded retry: a torn or transiently unreadable file
+    * is retried (a heartbeat's rewrite completes within a write latency —
+    * one backoff usually resolves it) before being declared `Unreadable`.
+    * Without the retry, a single transient IO failure against a LIVE
+    * holder's lock looked like debris and triggered takeover. */
+  private def readLock(fs: FileSystem, p: Path): LockState = {
+    var attempt = 0
+    while (attempt < ReadAttempts) {
+      if (!fs.exists(p)) return Absent
+      try readOnce(fs, p) match {
+        case Some((owner, ts)) => return Live(owner, ts)
+        case None => // malformed — fall through to retry
+      } catch {
+        case _: java.io.FileNotFoundException => return Absent
+        case _: java.io.IOException | _: NumberFormatException => ()
       }
-    } catch { case _: java.io.IOException | _: NumberFormatException => None }
+      attempt += 1
+      if (attempt < ReadAttempts) Thread.sleep(ReadBackoffMs)
+    }
+    val mtime =
+      try fs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return Absent }
+    Unreadable(mtime)
+  }
 
   private def write(fs: FileSystem, p: Path, owner: String,
       exclusive: Boolean): Unit = {
@@ -67,31 +102,42 @@ object IngestLock {
     val fs = fsFor(spark, root)
     val p = lockPath(root)
     fs.mkdirs(new Path(root)) // first batch may precede any table dir
+    def takeoverOrThrow(why: String): Unit = {
+      // delete + exclusive create closes most of the race; a lost race
+      // surfaces as the create failing
+      fs.delete(p, false)
+      try write(fs, p, owner, exclusive = true)
+      catch { case _: java.io.IOException =>
+        throw new LockHeldException(s"lost the takeover race for $why at $root")
+      }
+    }
     readLock(fs, p) match {
-      case Some((held, _)) if held == owner =>
+      case Live(held, _) if held == owner =>
         write(fs, p, owner, exclusive = false) // reentrant refresh
-      case Some((held, ts)) =>
+      case Live(held, ts) =>
         val age = System.currentTimeMillis() - ts
         if (age <= staleMs)
           throw new LockHeldException(
             s"corpus root $root is locked by '$held' (heartbeat ${age}ms ago, " +
               s"stale after ${staleMs}ms) — wait for it to finish or release")
-        // stale holder: take over (delete + exclusive create closes most of
-        // the race; a lost race surfaces as the create failing)
-        fs.delete(p, false)
-        try write(fs, p, owner, exclusive = true)
-        catch { case _: java.io.IOException =>
+        takeoverOrThrow("stale lock")
+      case Unreadable(mtime) =>
+        // present but unparseable. That is EITHER a crashed writer's torn
+        // artifact (which would make the exclusive create refuse FOREVER —
+        // the stale-break above only fires on readable locks) OR a live
+        // holder's heartbeat caught mid-rewrite. The retries in readLock
+        // resolve the second within a write latency; if the file is STILL
+        // unreadable, its modification time decides: a live holder rewrites
+        // the file every heartbeat, so unreadable + fresh mtime = refuse,
+        // unreadable + mtime past the stale window = debris, take over.
+        val age = System.currentTimeMillis() - mtime
+        if (age <= staleMs)
           throw new LockHeldException(
-            s"lost the takeover race for stale lock at $root")
-        }
-      case None =>
-        // free — or present but unparseable (a crashed writer's torn
-        // artifact, which would otherwise make the exclusive create refuse
-        // FOREVER: the stale-break above only fires on readable locks).
-        // Clear the debris; if it was a winner mid-write instead, the
-        // read-back below (and the pre-write heartbeat) resolves the race
-        // to a single survivor.
-        if (fs.exists(p)) fs.delete(p, false)
+            s"corpus root $root holds an unreadable lock modified ${age}ms " +
+              s"ago (stale after ${staleMs}ms) — likely a live holder " +
+              "mid-heartbeat; refusing to take over")
+        takeoverOrThrow("unreadable stale lock")
+      case Absent =>
         try write(fs, p, owner, exclusive = true)
         catch { case _: java.io.IOException =>
           throw new LockHeldException(
@@ -103,7 +149,7 @@ object IngestLock {
     // re-reading the file and requiring OUR owner collapses a double-create
     // race to a single winner in all but a sub-write-latency interleaving
     readLock(fs, p) match {
-      case Some((held, _)) if held == owner => Handle(root, owner)
+      case Live(held, _) if held == owner => Handle(root, owner)
       case other => throw new LockHeldException(
         s"lost the acquisition race for $root (now: $other)")
     }
@@ -116,7 +162,7 @@ object IngestLock {
     val fs = fsFor(spark, h.root)
     val p = lockPath(h.root)
     readLock(fs, p) match {
-      case Some((held, _)) if held == h.owner => write(fs, p, h.owner, exclusive = false)
+      case Live(held, _) if held == h.owner => write(fs, p, h.owner, exclusive = false)
       case other => throw new LockHeldException(
         s"lock at ${h.root} no longer held by '${h.owner}' (now: $other)")
     }
@@ -128,7 +174,7 @@ object IngestLock {
     val fs = fsFor(spark, h.root)
     val p = lockPath(h.root)
     readLock(fs, p) match {
-      case Some((held, _)) if held == h.owner => fs.delete(p, false)
+      case Live(held, _) if held == h.owner => fs.delete(p, false)
       case _ => ()
     }
   }

@@ -170,17 +170,52 @@ class CorpusIngestSpec extends SparkSpec {
         .toDF("doc_id", "text"), 1L) == 1L)
   }
 
-  test("a malformed lock file is treated as a stale artifact, not a deadlock") {
+  test("a malformed lock file is debris only once its mtime goes stale") {
     val root = tmpDir()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-    // a crashed writer can leave a torn/garbage lock file; acquisition must
-    // take over rather than refuse forever on unparseable content
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(root, "__ingest.lock"), "garbage-no-newline")
+    val lockFile = java.nio.file.Paths.get(root, "__ingest.lock")
+    // a torn/garbage lock file with a FRESH modification time may be a live
+    // holder's heartbeat caught mid-rewrite — acquisition must refuse, not
+    // delete a live holder's lock and take over
+    java.nio.file.Files.writeString(lockFile, "garbage-no-newline")
+    intercept[IngestLock.LockHeldException] {
+      IngestLock.acquire(spark, root, "recoverer", 60000L)
+    }
+    assert(java.nio.file.Files.exists(lockFile),
+      "a fresh unreadable lock must be left in place")
+    // once the mtime is older than the stale window it is a crashed
+    // writer's debris; acquisition must take over rather than refuse
+    // forever on unparseable content
+    java.nio.file.Files.setLastModifiedTime(lockFile,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L))
     val h = IngestLock.acquire(spark, root, "recoverer", 60000L)
     IngestLock.release(spark, h)
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(root, "__ingest.lock")))
+    assert(!java.nio.file.Files.exists(lockFile))
+  }
+
+  test("a crashed batch's own lock does not block that batch's restart") {
+    val root = tmpDir()
+    val cfg = CorpusIngest.IngestConfig("unused", root, "ckpt-A")
+    // crash simulation: a prior incarnation of batch 0 (same checkpoint)
+    // died holding a fresh lock. The restart is the SAME logical batch —
+    // stable owner identity makes it the reentrant-refresh case instead of
+    // a foreign holder stalling the stream for lockStaleMs
+    IngestLock.acquire(spark, root,
+      CorpusIngest.batchLockOwner(cfg, 0L), cfg.lockStaleMs)
+    assert(CorpusIngest.ingestBatch(spark, cfg,
+      Seq(1L -> base).toDF("doc_id", "text"), 0L) == 1L)
+    // a DIFFERENT batch id (or checkpoint) is a foreign holder and refuses
+    IngestLock.acquire(spark, root,
+      CorpusIngest.batchLockOwner(cfg, 0L), cfg.lockStaleMs)
+    intercept[IngestLock.LockHeldException] {
+      CorpusIngest.ingestBatch(spark, cfg,
+        Seq(2L -> unrelated).toDF("doc_id", "text"), 1L)
+    }
+    intercept[IngestLock.LockHeldException] {
+      CorpusIngest.ingestBatch(spark, cfg.copy(checkpointDir = "ckpt-B"),
+        Seq(2L -> unrelated).toDF("doc_id", "text"), 0L)
+    }
   }
 
   test("soak: 50 batches never release a foreign cache and leave state consistent") {
