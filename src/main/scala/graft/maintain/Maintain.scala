@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.Cdc
 import graft.model.Schemas
-import graft.stream.StateStore
+import graft.stream.{IngestLock, StateStore}
 
 /**
  * Housekeeping jobs — the reference's post-run maintenance surface:
@@ -50,21 +50,34 @@ object Maintain {
    * before `now`. Returns the deleted file paths. One pass over the file
    * footers' worth of data (group by input file, two aggregates) — at scale
    * this reads only the scanned columns, not payloads.
+   *
+   * Takes the [[IngestLock]] on `lockRoot` — the STATE ROOT the owning
+   * [[graft.stream.ChangeStream]] heartbeats while applying (its
+   * `cfg.stateDir`) — so a purge racing a live stream refuses instead of
+   * deleting files out from under an in-flight batch. The reference runs
+   * its PURGE under the same whole-run lock (matomo2clickhouse.py:382-398,
+   * 851-868).
    */
   def purgeChangeLog(spark: SparkSession, changeLogDir: String,
-      appliedWatermark: Long, retainDays: Int, now: Column): Seq[String] = {
+      appliedWatermark: Long, retainDays: Int, now: Column,
+      lockRoot: String,
+      lockStaleMs: Long = IngestLock.DefaultStaleMs): Seq[String] =
+    IngestLock.withLock(spark, lockRoot,
+        s"purge-changelog-${java.util.UUID.randomUUID()}", lockStaleMs) { _ =>
     val p = new Path(changeLogDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Nil
-    val perFile = spark.read.schema(Schemas.changeEventSchema).parquet(changeLogDir)
-      .select(input_file_name().as("file"), Cdc.versionExpr.as("v"), col("ts"))
-      .groupBy(col("file"))
-      .agg(max(col("v")).as("max_v"), max(col("ts")).as("max_ts"))
-      .filter(col("max_v") <= appliedWatermark &&
-        col("max_ts") < now - expr(s"INTERVAL $retainDays DAYS"))
-    val doomed = perFile.select(col("file")).collect().map(_.getString(0)).toSeq
-    doomed.foreach(f => fs.delete(new Path(new java.net.URI(f).getPath), false))
-    doomed
+    if (!fs.exists(p)) Nil
+    else {
+      val perFile = spark.read.schema(Schemas.changeEventSchema).parquet(changeLogDir)
+        .select(input_file_name().as("file"), Cdc.versionExpr.as("v"), col("ts"))
+        .groupBy(col("file"))
+        .agg(max(col("v")).as("max_v"), max(col("ts")).as("max_ts"))
+        .filter(col("max_v") <= appliedWatermark &&
+          col("max_ts") < now - expr(s"INTERVAL $retainDays DAYS"))
+      val doomed = perFile.select(col("file")).collect().map(_.getString(0)).toSeq
+      doomed.foreach(f => fs.delete(new Path(new java.net.URI(f).getPath), false))
+      doomed
+    }
   }
 
   /**
@@ -89,16 +102,27 @@ object Maintain {
 
   /** ST8 — compact a versioned state dir in place: keep only the max-version
     * row per key among rows matching `windowPred` (rows outside pass through).
-    * Returns (rowsBefore, rowsAfter). */
+    * Returns (rowsBefore, rowsAfter).
+    *
+    * Takes the [[IngestLock]] on the STATE ROOT — by default the parent of
+    * `dir`, which is the `cfg.stateDir` every [[graft.stream.ChangeStream]]
+    * batch locks while applying — so compacting a table whose stream is
+    * mid-batch refuses instead of racing the state swap. Pass `lockRoot`
+    * explicitly when the dir layout differs. */
   def compactState(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType, keyCols: Seq[String],
-      windowPred: Option[Column] = None): (Long, Long) = {
-    val state = StateStore.read(spark, dir, schema)
-    val before = state.count()
-    val next = Cdc.dedupPurge(state, keyCols, Schemas.VersionCol, windowPred)
-      .localCheckpoint(true)
-    val after = next.count()
-    StateStore.replace(next, dir)
-    (before, after)
+      windowPred: Option[Column] = None, lockRoot: Option[String] = None,
+      lockStaleMs: Long = IngestLock.DefaultStaleMs): (Long, Long) = {
+    val root = lockRoot.getOrElse(new Path(dir).getParent.toString)
+    IngestLock.withLock(spark, root,
+        s"compact-state-${java.util.UUID.randomUUID()}", lockStaleMs) { _ =>
+      val state = StateStore.read(spark, dir, schema)
+      val before = state.count()
+      val next = Cdc.dedupPurge(state, keyCols, Schemas.VersionCol, windowPred)
+        .localCheckpoint(true)
+      val after = next.count()
+      StateStore.replace(next, dir)
+      (before, after)
+    }
   }
 }

@@ -121,6 +121,13 @@ object ExactQuantile {
       .map(r => r.getInt(0) -> r.getStruct(1)).toMap
     ranks.indices.map { i =>
       val r = byIdx(i)
+      // an empty bracket means the sketch broke its documented error bound
+      // (the filter matched nothing and max(struct) returned null) — name
+      // the rank and bracket instead of an opaque NPE downstream
+      require(r != null,
+        s"empty bracket [${brackets(2 * i)}, ${brackets(2 * i + 1)}] for rank " +
+          s"${ranks(i)}: percentile sketch exceeded its error bound " +
+          s"(accuracy=$accuracy, n=$n)")
       (r.getDouble(0), r.getLong(1))
     }
   }

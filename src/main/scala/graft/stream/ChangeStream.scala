@@ -57,7 +57,10 @@ object ChangeStream {
         * aggregates maintained from each micro-batch's change deltas
         * (`Cdc.incrementalAgg`) — a view refresh costs the batch, never a
         * state scan. State lives at `<stateDir>/__agg_<table>__<group>`. */
-      maintainedAggs: Seq[MaintainedAgg] = Nil)
+      maintainedAggs: Seq[MaintainedAgg] = Nil,
+      /** [[IngestLock]] staleness window for the state-root single-writer
+        * lock every applying batch holds (one heartbeat per table write). */
+      lockStaleMs: Long = IngestLock.DefaultStaleMs)
 
   /** One maintained view: per-`groupCol` count + micro-unit sum of
     * `valueCol` over the logical rows of `table`. Assumes a CONSISTENT
@@ -79,9 +82,34 @@ object ChangeStream {
     else payload
   }
 
-  /** Apply one micro-batch: filter → per-table typed apply → ledger append. */
+  /** The lock owner of an applying batch is its STABLE identity (checkpoint
+    * + batch id, the [[CorpusIngest.batchLockOwner]] discipline): a crashed
+    * batch's replay by the same stream is the reentrant-refresh case, never
+    * a foreign holder stalled behind its own dead incarnation. */
+  def batchLockOwner(cfg: StreamConfig, batchId: Long): String =
+    s"cdc-batch-$batchId@${cfg.checkpointDir}"
+
+  /** Apply one micro-batch: filter → per-table typed apply → ledger append.
+    *
+    * Holds the [[IngestLock]] on the STATE ROOT for the batch's duration
+    * (heartbeating before each table's state write), the same single-writer
+    * discipline the reference enforces over its whole run
+    * (matomo2clickhouse.py:851-868) and [[CorpusIngest.ingestBatch]] enforces
+    * on the corpus root — so [[graft.maintain.Maintain.compactState]] /
+    * [[graft.maintain.Maintain.purgeChangeLog]] racing a live stream REFUSE
+    * instead of interleaving with the per-table state rewrites. Dry-run mode
+    * mutates nothing and takes no lock, so it can inspect alongside a live
+    * run. */
   def applyBatch(spark: SparkSession, cfg: StreamConfig)(
-      batch: DataFrame, batchId: Long): Unit = {
+      batch: DataFrame, batchId: Long): Unit =
+    if (cfg.dryRun) applyBatchBody(spark, cfg, None)(batch, batchId)
+    else IngestLock.withLock(spark, cfg.stateDir,
+        batchLockOwner(cfg, batchId), cfg.lockStaleMs) { h =>
+      applyBatchBody(spark, cfg, Some(h))(batch, batchId)
+    }
+
+  private def applyBatchBody(spark: SparkSession, cfg: StreamConfig,
+      lock: Option[IngestLock.Handle])(batch: DataFrame, batchId: Long): Unit = {
     val filtered = Cdc.filterEvents(batch,
       onlyTables = cfg.onlyTables, onlySchemas = cfg.onlySchemas)
       .persist()
@@ -109,6 +137,9 @@ object ChangeStream {
           case _ => typedRaw
         }
         val dir = s"${cfg.stateDir}/$table"
+        // a long per-table apply must not outlive the staleness window:
+        // refresh (and fail loudly on a stolen lock) BEFORE each state write
+        lock.foreach(IngestLock.heartbeat(spark, _))
         if (cfg.dryRun) {
           // S9: inspect, don't apply — counts force the plan like the real write
           val state = readState(spark, cfg, table)

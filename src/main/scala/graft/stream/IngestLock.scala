@@ -27,8 +27,17 @@ import org.apache.spark.sql.SparkSession
  * over, the reference's `replication_max_minutes * 2` rule) or its owner
  * matches (reentrant refresh). [[heartbeat]] refreshes the timestamp so a
  * long-running healthy stream never goes stale mid-run.
+ *
+ * Scope and caveats (also in README "Single-writer locks"): the lock guards
+ * the registered MUTATORS of a root only — readers never take it — and on
+ * local filesystems exclusive create is exists-then-create, so exclusion is
+ * best-effort within a sub-write-latency race window.
  */
 object IngestLock {
+
+  /** Default staleness window — the reference's `replication_max_minutes*2`
+    * rule (reference: _settings.py:84-86, matomo2clickhouse.py:851-868). */
+  val DefaultStaleMs: Long = 30 * 60 * 1000L
 
   final case class Handle(root: String, owner: String)
 

@@ -35,7 +35,8 @@ class MaintainSpec extends SparkSpec {
     writeEnvFile(dir, "newer", Seq(("mysql-bin.000002", 50L, "2024-01-20T00:00:00")))
     val watermark = Cdc.versionOf("mysql-bin.000001", 100L, Cdc.MaxRowIndex)
     val now = lit("2024-02-01 00:00:00").cast("timestamp")
-    val deleted = Maintain.purgeChangeLog(spark, dir, watermark, retainDays = 7, now = now)
+    val deleted = Maintain.purgeChangeLog(spark, dir, watermark, retainDays = 7,
+      now = now, lockRoot = tmp())
     assert(deleted.size == 1 && deleted.head.contains("old.parquet"))
     val left = new java.io.File(dir).listFiles().map(_.getName).toSet
     assert(left == Set("newer.parquet"))
@@ -46,7 +47,8 @@ class MaintainSpec extends SparkSpec {
     writeEnvFile(dir, "recent", Seq(("mysql-bin.000001", 100L, "2024-01-30T00:00:00")))
     val watermark = Cdc.versionOf("mysql-bin.000009", 1L)
     val now = lit("2024-02-01 00:00:00").cast("timestamp")
-    assert(Maintain.purgeChangeLog(spark, dir, watermark, 7, now).isEmpty)
+    assert(Maintain.purgeChangeLog(spark, dir, watermark, 7, now,
+      lockRoot = tmp()).isEmpty)
   }
 
   test("S11: retention delete keeps rows above the bounded watermark") {
@@ -77,6 +79,34 @@ class MaintainSpec extends SparkSpec {
     val left = StateStore.read(spark, dir, h.schema)
       .select("id", "name").as[(Long, String)].collect().toSet
     assert(left == Set((1L, "v1"), (2L, "w0")))
+  }
+
+  test("state mutators refuse while a batch holds the state-root lock (ST4)") {
+    val root = tmp()
+    val dir = root + "/matomo_site"
+    val h = CdcFixtures.history(spark, Seq(
+      (1L, "v0", null, 1L), (1L, "v1", null, 2L)))
+    StateStore.replace(h, dir)
+    // simulate an in-flight ChangeStream batch holding the state-root lock
+    // (the owner every applying batch takes and heartbeats): both mutators
+    // must refuse, not interleave with the per-table state rewrites
+    val held = graft.stream.IngestLock.acquire(spark, root,
+      "cdc-batch-0@some-checkpoint", 60000L)
+    intercept[graft.stream.IngestLock.LockHeldException] {
+      Maintain.compactState(spark, dir, h.schema, Seq("id"))
+    }
+    intercept[graft.stream.IngestLock.LockHeldException] {
+      Maintain.purgeChangeLog(spark, root + "/log", 0L, 7,
+        lit("2024-02-01 00:00:00").cast("timestamp"), lockRoot = root)
+    }
+    // state untouched by the refused compaction
+    assert(StateStore.read(spark, dir, h.schema).count() == 2)
+    graft.stream.IngestLock.release(spark, held)
+    // released: the same operations serialize cleanly
+    val (before, after) = Maintain.compactState(spark, dir, h.schema, Seq("id"))
+    assert(before == 2 && after == 1)
+    assert(Maintain.purgeChangeLog(spark, root + "/log", 0L, 7,
+      lit("2024-02-01 00:00:00").cast("timestamp"), lockRoot = root).isEmpty)
   }
 
   test("writeZOrdered: every file covers a tight bounding box in both dimensions") {

@@ -68,6 +68,11 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
             s"globalWindow=$globalWindow")
         else None
     }
+    // building quality_deciles/prep_zorder runs real jobs (cutpoint
+    // collects) whose Caching.scoped frames belong to no enclosing scope
+    // here — release them so this plan-only loop doesn't carry cached
+    // state into later suites
+    graft.Caching.releaseAll()
     assert(offenders.isEmpty,
       s"plan regressions:\n${offenders.mkString("\n")}")
   }

@@ -194,6 +194,33 @@ class ChangeStreamSpec extends SparkSpec {
     assert(state.count() == 1, "old DELETE must not remove the conversion row")
   }
 
+  test("the apply loop holds the state-root lock: a foreign holder fails the batch") {
+    val logDir = tmpDir()
+    writeLog(logDir, "f1", batch1)
+    val cfg = freshCfg(logDir)
+    // a concurrent maintainer (compactState/purgeChangeLog) holds the state
+    // root: the stream's batch must REFUSE — fail the run — rather than
+    // interleave its per-table state rewrites with the maintenance swap
+    val held = IngestLock.acquire(spark, cfg.stateDir, "maintenance-run",
+      cfg.lockStaleMs)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      ChangeStream.run(spark, cfg).awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[IngestLock.LockHeldException]),
+      causes(e).map(_.getClass.getName).mkString(" <- "))
+    // nothing applied while refused
+    assert(!Files.exists(java.nio.file.Paths.get(cfg.stateDir, "matomo_site")))
+    IngestLock.release(spark, held)
+    // released: the retried run applies the batch the checkpoint never committed
+    ChangeStream.run(spark, cfg).awaitTermination()
+    assert(siteState(cfg) == Set((1L, "alpha"), (2L, "beta")))
+    // and the lock is released after the run, so maintenance can now acquire
+    IngestLock.release(spark,
+      IngestLock.acquire(spark, cfg.stateDir, "maintenance-run", cfg.lockStaleMs))
+  }
+
   test("dry-run processes but writes neither state nor ledger (S9)") {
     val logDir = tmpDir()
     writeLog(logDir, "f1", batch1)
