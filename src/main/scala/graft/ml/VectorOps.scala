@@ -189,6 +189,42 @@ object VectorOps {
   def srpNearDupPairs(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", bits: Int = 16, bandBits: Int = 4,
       threshold: Double = 0.4): DataFrame = {
+    val (banded, v) = srpIndex(emb, idCol, vecCol, bits, bandBits)
+    srpNearDupsIndexed(banded, v, threshold)
+  }
+
+  /** Within-corpus SRP near-dup pairs from PREBUILT index frames — the same
+    * candidates + exact-cosine verify as [[srpNearDupPairs]], for callers
+    * (the embedding ingest loop) that already hold the index and must not
+    * pay the signature build again. */
+  def srpNearDupsIndexed(banded: DataFrame, v: DataFrame,
+      threshold: Double = 0.4): DataFrame = {
+    val cand = banded.select(col("band"), col("bv"), col("vec_id").as("vec_a"))
+      .join(banded.select(col("band"), col("bv"), col("vec_id").as("vec_b")),
+        Seq("band", "bv"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("n").as("na")), Seq("vec_a"))
+      .join(v.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("n").as("nb")), Seq("vec_b"))
+      .withColumn("cos", cosPre("ea", "eb", "na", "nb"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** The PERSISTED form of an embedding corpus's SRP near-dup index — the
+    * embedding twin of [[graft.text.TextOps.minhashIndex]]: banded signature
+    * codes `(vec_id, band, bv)` for the candidate equi-join, plus the
+    * double-cast self-normed vectors `(vec_id, e, n)` the exact-cosine
+    * verify reads. Hyperplanes are deterministic in (j, dim) only, so
+    * signatures computed for a batch TODAY collide with signatures persisted
+    * LAST MONTH — the property an incremental index needs
+    * ([[graft.stream.EmbeddingIngest]] appends both frames per accepted
+    * batch so later batches probe instead of rescanning the corpus). */
+  def srpIndex(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", bits: Int = 16, bandBits: Int = 4)
+      : (DataFrame, DataFrame) = {
     require(bits % bandBits == 0, s"bits=$bits not divisible by bandBits=$bandBits")
     val spark = emb.sparkSession
     val v = Caching.scoped(asDouble(emb, idCol, vecCol))
@@ -213,18 +249,43 @@ object VectorOps {
     }
     val banded = codes.select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.v").as("bv"))
-    val cand = banded.select(col("band"), col("bv"), col("vec_id").as("vec_a"))
-      .join(banded.select(col("band"), col("bv"), col("vec_id").as("vec_b")),
+    (banded, v)
+  }
+
+  /** Probe a batch against a persisted SRP index: candidates from the
+    * batch-bands ⋈ index-bands equi-join on (band, band-code), exact-cosine
+    * verified against the index's stored vectors — cost proportional to the
+    * BATCH, the corpus never rescanned. Output: (batch_id, corpus_id, cos)
+    * for every cross pair with cosine ≥ threshold. The text twin is
+    * [[graft.text.TextOps.minhashProbeIndexed]]. */
+  def srpProbeIndexed(indexBands: DataFrame, indexVecs: DataFrame,
+      batchBands: DataFrame, batchVecs: DataFrame,
+      threshold: Double = 0.4): DataFrame = {
+    val cand = batchBands
+      .select(col("band"), col("bv"), col("vec_id").as("batch_id"))
+      .join(indexBands.select(col("band"), col("bv"), col("vec_id").as("corpus_id")),
         Seq("band", "bv"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"))
       .distinct()
     cand
-      .join(v.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("n").as("na")), Seq("vec_a"))
-      .join(v.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("n").as("nb")), Seq("vec_b"))
+      .join(batchVecs.select(col("vec_id").as("batch_id"),
+        col("e").as("ea"), col("n").as("na")), Seq("batch_id"))
+      .join(indexVecs.select(col("vec_id").as("corpus_id"),
+        col("e").as("eb"), col("n").as("nb")), Seq("corpus_id"))
       .withColumn("cos", cosPre("ea", "eb", "na", "nb"))
       .filter(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .select(col("batch_id"), col("corpus_id"), col("cos"))
+  }
+
+  /** [[srpProbeIndexed]] with the batch's index frames built here — the
+    * entry point for a probe straight from an embedding frame. */
+  def srpProbe(corpus: DataFrame, batch: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", bits: Int = 16, bandBits: Int = 4,
+      threshold: Double = 0.4): DataFrame = {
+    val (cb, cv) = srpIndex(corpus, idCol, vecCol, bits, bandBits)
+    val (bb, bv) = srpIndex(batch, idCol, vecCol, bits, bandBits)
+    srpProbeIndexed(cb, cv, bb, bv, threshold)
   }
 
   /** Squared L2 via dot products — 3 strict folds, the same IEEE value on

@@ -148,6 +148,19 @@ object LlmWorkload {
   def dedupEmbeddingSrpPairs(spark: SparkSession, dir: String): DataFrame =
     VectorOps.srpNearDupPairs(Tables(spark, dir, "embeddings"))
 
+  /** Incremental embedding dedup — the vector twin of
+    * [[dedupIncrementalProbe]]: even vec_ids stand in for the already-
+    * ingested corpus (its persisted SRP signature index, see
+    * [[graft.stream.EmbeddingIngest]]), odd ids are the arriving batch;
+    * candidates come from the batch-bands ⋈ index-bands equi-join, never a
+    * corpus rescan. */
+  def dedupEmbeddingIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    VectorOps.srpProbe(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+  }
+
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     TextOps.repetitionStats(Tables(spark, dir, "documents"), "doc_id", "text")
 
@@ -508,6 +521,7 @@ object LlmWorkload {
     "multimodal_meta" -> multimodalMeta,
     "dedup_embedding_pairs" -> dedupEmbeddingPairs,
     "dedup_embedding_srp_pairs" -> dedupEmbeddingSrpPairs,
+    "dedup_embedding_incremental" -> dedupEmbeddingIncremental,
     "dedup_embedding_clusters" -> dedupEmbeddingClusters,
     "text_repetition" -> textRepetition,
     "text_winnowing" -> textWinnowing,
@@ -1086,6 +1100,35 @@ object LlmWorkload {
     // SRP-LSH replay: same md5-parity hyperplanes, same strict left-fold
     // dots, same band codes — the pruning is deterministic on both engines
     "dedup_embedding_srp_pairs" -> srpOracle,
+    // incremental probe replay: identical signatures, but candidates come
+    // from odd (batch) × even (corpus) band collisions only
+    "dedup_embedding_incremental" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |dims AS (SELECT len(e) AS dim FROM v LIMIT 1),
+         |hp AS (
+         |  SELECT j, list_transform(range(0, (SELECT dim FROM dims)), d ->
+         |    CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(j AS VARCHAR) || ':' ||
+         |      CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+         |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS harr
+         |  FROM (SELECT unnest(range(0, 16)) AS j)),
+         |codes AS (
+         |  SELECT vec_id,
+         |    sum(CASE WHEN ${dotSql("e", "harr")} >= 0
+         |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS code
+         |  FROM v, hp GROUP BY vec_id),
+         |bands AS (
+         |  SELECT vec_id, b AS band, (code >> (b * 4)) & 15 AS bv
+         |  FROM codes, (SELECT unnest(range(0, 4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS batch_id, y.vec_id AS corpus_id
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
+         |  WHERE x.vec_id % 2 = 1 AND y.vec_id % 2 = 0),
+         |pairs AS (
+         |  SELECT c.batch_id, c.corpus_id, ${cosSql("va.e", "vb.e")} AS cos
+         |  FROM cand c
+         |  JOIN v va ON va.vec_id = c.batch_id
+         |  JOIN v vb ON vb.vec_id = c.corpus_id)
+         |SELECT batch_id, corpus_id, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
     // embedding-cluster replay: recursive-CTE components over the SRP pair
     // graph — the embedding-side twin of dedup_clusters
     "dedup_embedding_clusters" ->

@@ -52,7 +52,7 @@ object CorpusIngest {
   private def setsPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/sets"
   def ledgerPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/ledger"
 
-  private def readOrEmpty(spark: SparkSession, path: String,
+  private[stream] def readOrEmpty(spark: SparkSession, path: String,
       ddl: String): DataFrame = {
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -76,7 +76,7 @@ object CorpusIngest {
     * stranded at `<dir>.__old` — roll it back (the StateStore.read
     * discipline); proceeding as if empty would silently reset the dedup
     * index and orphan the accepted corpus. */
-  private def rollbackIfStranded(fs: org.apache.hadoop.fs.FileSystem,
+  private[stream] def rollbackIfStranded(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val old = new org.apache.hadoop.fs.Path(dir + ".__old")
@@ -241,35 +241,45 @@ object CorpusIngest {
       // each table fold is a full rewrite; keep the heartbeat fresher than
       // the staleness window across them
       IngestLock.heartbeat(spark, lock)
-      rollbackIfStranded(fs, dir) // a prior compaction may have died mid-swap
-      val path = new org.apache.hadoop.fs.Path(dir)
-      // an empty-batch run can leave a partition-less dir: nothing to fold.
-      // ONLY the schema-inference failure of a partition-less dir means
-      // "skip" (mirroring readOrEmpty) — any other analysis error (corrupt
-      // footer, conflicting schema) must fail the compaction, not silently
-      // no-op it
-      val readable =
-        try { spark.read.parquet(dir).schema; true }
-        catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => false
-        }
-      if (fs.exists(path) && readable) {
-        val compacted = spark.read.parquet(dir)
-          .withColumn("ingest_batch", lit(-1L))
-          .localCheckpoint() // sever lineage: the swap deletes what it reads
-        val tmp = new org.apache.hadoop.fs.Path(dir + ".__next")
-        val old = new org.apache.hadoop.fs.Path(dir + ".__old")
-        if (fs.exists(tmp)) fs.delete(tmp, true)
-        compacted.write.partitionBy("ingest_batch").parquet(tmp.toString)
-        if (fs.exists(old)) fs.delete(old, true)
-        require(fs.rename(path, old), s"compact swap-out failed: $dir")
-        require(fs.rename(tmp, path), s"compact swap-in failed: $dir")
-        fs.delete(old, true)
-        // no unpersist: localCheckpoint blocks live outside the
-        // CacheManager (Dataset.unpersist would be a no-op on them) and
-        // are reclaimed by the ContextCleaner once unreferenced
+      foldBatchPartitions(spark, fs, dir)
+    }
+  }
+
+  /** Fold one table's per-batch partitions into `ingest_batch = -1` with an
+    * atomic write-new-then-rename swap — the per-dir step of [[compact]]
+    * and [[EmbeddingIngest.compact]]. A crash mid-swap leaves the table
+    * either fully old (recovered by [[rollbackIfStranded]]) or fully new,
+    * never doubled. */
+  private[stream] def foldBatchPartitions(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    rollbackIfStranded(fs, dir) // a prior compaction may have died mid-swap
+    val path = new org.apache.hadoop.fs.Path(dir)
+    // an empty-batch run can leave a partition-less dir: nothing to fold.
+    // ONLY the schema-inference failure of a partition-less dir means
+    // "skip" (mirroring readOrEmpty) — any other analysis error (corrupt
+    // footer, conflicting schema) must fail the compaction, not silently
+    // no-op it
+    val readable =
+      try { spark.read.parquet(dir).schema; true }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => false
       }
+    if (fs.exists(path) && readable) {
+      val compacted = spark.read.parquet(dir)
+        .withColumn("ingest_batch", lit(-1L))
+        .localCheckpoint() // sever lineage: the swap deletes what it reads
+      val tmp = new org.apache.hadoop.fs.Path(dir + ".__next")
+      val old = new org.apache.hadoop.fs.Path(dir + ".__old")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      compacted.write.partitionBy("ingest_batch").parquet(tmp.toString)
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(path, old), s"compact swap-out failed: $dir")
+      require(fs.rename(tmp, path), s"compact swap-in failed: $dir")
+      fs.delete(old, true)
+      // no unpersist: localCheckpoint blocks live outside the
+      // CacheManager (Dataset.unpersist would be a no-op on them) and
+      // are reclaimed by the ContextCleaner once unreferenced
     }
   }
 

@@ -1,0 +1,175 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.Caching
+import graft.ml.VectorOps
+import graft.text.TextOps
+
+/**
+ * Continuous EMBEDDING ingestion with streaming near-duplicate rejection —
+ * the embedding twin of [[CorpusIngest]]: vectors arrive as parquet files,
+ * each micro-batch is deduplicated against the PERSISTED SRP signature index
+ * of everything accepted so far (plus a within-batch component resolution),
+ * and the survivors are appended to the corpus and its index. This closes
+ * the asymmetry where the streaming story deduped text incrementally but
+ * rebuilt every embedding-side structure per query.
+ *
+ * Scale + exactly-once design (all inherited from [[CorpusIngest]]):
+ *  - the index is APPEND-ONLY: an accepted batch appends its own rows to
+ *    the vecs/bands tables under `ingest_batch=<batchId>` partitions —
+ *    per-batch cost is O(batch + candidate joins), never an O(corpus)
+ *    rewrite; SRP hyperplanes are pure functions of (bit, dim)
+ *    ([[VectorOps.srpIndex]]), so band codes persisted months apart
+ *    collide correctly;
+ *  - at-least-once replay is idempotent: every write is a dynamic-partition
+ *    OVERWRITE of the batch's own partition, decisions are deterministic,
+ *    and a replayed batch's prior output is excluded from the index it
+ *    probes;
+ *  - probing joins the BATCH's bands against the index bands on
+ *    (band, band-code) — cost follows the batch, the corpus is never
+ *    rescanned; the stored per-vector norm keeps the verify to one cross
+ *    dot product per candidate;
+ *  - every mutating operation holds the corpus [[IngestLock]] (stable
+ *    checkpoint+batchId owner, heartbeat before state writes), so
+ *    batch-vs-compact serializes or refuses loudly.
+ */
+object EmbeddingIngest {
+
+  final case class IngestConfig(
+      /** Streaming source dir of incoming vectors (parquet: vec_id, embedding). */
+      vecsDir: String,
+      /** Root of the ingested corpus: vecs/, bands/, ledger/. */
+      corpusRoot: String,
+      checkpointDir: String,
+      /** Cosine at or above this rejects the newcomer as a near-duplicate. */
+      threshold: Double = 0.4,
+      bits: Int = 16,
+      bandBits: Int = 4,
+      maxFilesPerTrigger: Int = 20,
+      lockStaleMs: Long = IngestLock.DefaultStaleMs)
+
+  def vecsPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/vecs"
+  private def bandsPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/bands"
+  def ledgerPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/ledger"
+
+  /** Stable lock identity — see [[CorpusIngest.batchLockOwner]]. */
+  def batchLockOwner(cfg: IngestConfig, batchId: Long): String =
+    s"embed-batch-$batchId@${cfg.checkpointDir}"
+
+  /** Ingest one batch; returns the accepted-vector count. Public so batch
+    * callers (backfills, tests) can drive it without a streaming query. */
+  def ingestBatch(spark: SparkSession, cfg: IngestConfig, batch: DataFrame,
+      batchId: Long): Long = IngestLock.withLock(spark, cfg.corpusRoot,
+      batchLockOwner(cfg, batchId), cfg.lockStaleMs) { lock =>
+    val rootFs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(vecsPath(cfg), bandsPath(cfg), ledgerPath(cfg))
+      .foreach(CorpusIngest.rollbackIfStranded(rootFs, _))
+    // dynamic partition overwrite on every session whose conf a write may
+    // consult (the batch frame may belong to foreachBatch's cloned session)
+    val sessions = Set(spark, batch.sparkSession)
+    val prevConf = sessions.map(s =>
+      s -> s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")).toMap
+    sessions.foreach(_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic"))
+    try Caching.scope {
+      // a replayed batch must not probe the rows IT wrote before crashing
+      def idx(path: String, ddl: String) =
+        CorpusIngest.readOrEmpty(spark, path, ddl)
+          .filter(col("ingest_batch") =!= batchId)
+
+      // ONE signature build for the whole batch: the index probe, the
+      // within-batch dedup, and the accepted-index append all read these
+      // two cached frames
+      val (bb, bv) = VectorOps.srpIndex(batch, "vec_id", "embedding",
+        cfg.bits, cfg.bandBits)
+      val batchBands = Caching.scoped(bb)
+      val batchVecs = Caching.scoped(bv)
+      val indexBands = idx(bandsPath(cfg),
+        "vec_id BIGINT, band INT, bv BIGINT, ingest_batch BIGINT")
+      // the stored norm keeps the verify to one cross dot per candidate —
+      // no corpus-side norm folds at probe time
+      val indexVecs = idx(vecsPath(cfg),
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+          col("n"))
+      // probe the persisted index FIRST — same batch-boundary-independence
+      // argument as CorpusIngest.ingestBatch: a vector already
+      // near-duplicated in the corpus must not act as a within-batch winner
+      val probeHits = VectorOps.srpProbeIndexed(
+        indexBands, indexVecs, batchBands, batchVecs, cfg.threshold)
+      val novelIds = batchVecs.select(col("vec_id"))
+        .join(probeHits.select(col("batch_id").as("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti")
+      def ofNovel(f: DataFrame) = f.join(novelIds, Seq("vec_id"), "left_semi")
+      // within-batch near-dups among the corpus-novel vectors: connected
+      // components over the verified pair graph, keep each component's
+      // canonical (min id) — the cluster-canonical policy of the batch
+      // dedup family (a pairwise rule would make the kept set a pair-order
+      // artifact on chains)
+      val inBatchPairs = VectorOps.srpNearDupsIndexed(
+        ofNovel(batchBands), ofNovel(batchVecs), cfg.threshold)
+      val inBatchDrops = TextOps.connectedComponents(
+        inBatchPairs, aCol = "vec_a", bCol = "vec_b")
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("vec_id"))
+      val accepted = Caching.scoped(
+        ofNovel(batchVecs).join(inBatchDrops, Seq("vec_id"), "left_anti"))
+
+      // refresh the heartbeat (and fail loudly on a stolen lock) BEFORE the
+      // first state write — the dedup above may outlive the stale window
+      IngestLock.heartbeat(spark, lock)
+      val stamp = lit(batchId).as("ingest_batch")
+      // persist the ORIGINAL float embedding (storage stays float-sized)
+      // plus the double-fold norm used by every later verify
+      accepted
+        .join(batch.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("n"), stamp)
+        .write.mode("overwrite").partitionBy("ingest_batch").parquet(vecsPath(cfg))
+      batchBands.join(accepted.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("band"), col("bv"), stamp)
+        .write.mode("overwrite").partitionBy("ingest_batch").parquet(bandsPath(cfg))
+
+      val nIn = batchVecs.count()
+      val nAccepted = accepted.count()
+      spark.createDataFrame(Seq((batchId, nIn, nAccepted)))
+        .toDF("ingest_batch", "n_in", "n_accepted")
+        .write.mode("overwrite").partitionBy("ingest_batch").parquet(ledgerPath(cfg))
+      nAccepted
+    } finally {
+      prevConf.foreach { case (s, v) =>
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", v) }
+    }
+  }
+
+  /** Fold the accumulated per-batch partitions into a single
+    * `ingest_batch = -1` partition — same contract, locking, and
+    * atomic-swap discipline as [[CorpusIngest.compact]] (the ledger keeps
+    * its per-batch audit rows). */
+  def compact(spark: SparkSession, cfg: IngestConfig): Unit =
+    IngestLock.withLock(spark, cfg.corpusRoot,
+        s"compact-${java.util.UUID.randomUUID()}", cfg.lockStaleMs) { lock =>
+      val fs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(vecsPath(cfg), bandsPath(cfg)).foreach { dir =>
+        IngestLock.heartbeat(spark, lock)
+        CorpusIngest.foldBatchPartitions(spark, fs, dir)
+      }
+    }
+
+  /** Start the continuous ingest (AvailableNow: drain pending files, stop). */
+  def start(spark: SparkSession, cfg: IngestConfig): StreamingQuery =
+    spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .parquet(cfg.vecsDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, cfg, batch, batchId): Unit
+      }
+      .start()
+}

@@ -1,0 +1,58 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.{LlmWorkload, Tables}
+
+/**
+ * Recall floors for the approximate-ANN variants: `ann_recall` MEASURES
+ * ivf/pq/ivfpq recall against brute-force truth, but a green oracle row
+ * proves only that the measurement replays — an index-parameter regression
+ * (nprobe, m, centroidMod) would sail through with a silently worse index.
+ * These floors pin the operating point: drop nprobe to 1, coarsen the
+ * codebooks, or break the candidate join, and this spec goes red before a
+ * bench/judge round notices.
+ */
+class AnnRecallFloorSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def recalls(): Map[String, Double] =
+    LlmWorkload.annRecall(spark, dir).collect()
+      .map(r => r.getAs[String]("method") -> r.getAs[Double]("recall")).toMap
+
+  private def recallOf(approx: DataFrame): Double = {
+    val emb = Tables(spark, dir, "embeddings")
+    val bf = VectorOps.annBruteForce(emb)
+      .select(col("probe_id"), col("neighbor_id"))
+    val total = bf.count()
+    val matched = approx.select(col("probe_id"), col("neighbor_id"))
+      .join(bf, Seq("probe_id", "neighbor_id")).count()
+    matched.toDouble / total
+  }
+
+  test("ivf/pq/ivfpq recall stays above the pinned floors at current defaults") {
+    val r = recalls()
+    info(s"measured recalls: $r")
+    // floors sit between the defaults' measured recall on this fixture
+    // (ivf 0.86, pq 0.24, ivfpq 0.36 — deterministic: mod-sampled
+    // codebooks, tie-broken argmins) and what a degraded parameter
+    // produces (ivf at nprobe=1: 0.78 — see the sensitivity test)
+    assert(r("ivf") >= 0.80, s"ivf recall ${r("ivf")} fell below floor 0.80")
+    assert(r("pq") >= 0.20, s"pq recall ${r("pq")} fell below floor 0.20")
+    assert(r("ivfpq") >= 0.30, s"ivfpq recall ${r("ivfpq")} fell below floor 0.30")
+    graft.Caching.releaseAll()
+  }
+
+  test("the ivf floor is sensitive: nprobe = 1 falls below it") {
+    val emb = Tables(spark, dir, "embeddings")
+    val degraded = recallOf(VectorOps.annIvf(emb, nprobe = 1))
+    info(s"nprobe=1 ivf recall: $degraded")
+    assert(degraded < 0.80,
+      s"nprobe=1 recall $degraded did not fall below the 0.80 ivf floor — " +
+        "the floor no longer guards the parameter")
+    graft.Caching.releaseAll()
+  }
+}

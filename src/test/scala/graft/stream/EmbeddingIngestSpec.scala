@@ -1,0 +1,104 @@
+package graft.stream
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class EmbeddingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-embed-ingest").toString
+
+  // cos(base, nearBase) ≈ 0.99995 — far above the 0.4 threshold and close
+  // enough that the deterministic SRP signatures collide in every band;
+  // cos(base, orth) = 0 — below threshold even when bands collide
+  private val base = Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+  private val nearBase = Seq(1f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f)
+  private val orth = Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
+  private val other = Seq(0f, 0f, 1f, 1f, 0f, 0f, 0f, 0f)
+
+  private def vecs(rows: (Long, Seq[Float])*): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  private def writeVecs(dir: String, name: String, rows: (Long, Seq[Float])*): Unit = {
+    val staging = tmpDir()
+    vecs(rows: _*).coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dir, name))
+  }
+
+  private def acceptedIds(cfg: EmbeddingIngest.IngestConfig): Set[Long] =
+    spark.read.parquet(EmbeddingIngest.vecsPath(cfg))
+      .select("vec_id").as[Long].collect().toSet
+
+  test("e2e: within-batch and cross-batch near-dup vectors are rejected; resume works") {
+    val src = tmpDir(); val root = tmpDir(); val ckpt = tmpDir()
+    val cfg = EmbeddingIngest.IngestConfig(src, root, ckpt)
+    // batch 1: v1 base, v2 near-dup of v1 (within-batch reject, min id
+    // canonical), v3 orthogonal (accept even if bands collide: cos 0 < 0.4)
+    writeVecs(src, "f1.parquet", 1L -> base, 2L -> nearBase, 3L -> orth)
+    EmbeddingIngest.start(spark, cfg).awaitTermination()
+    assert(acceptedIds(cfg) == Set(1L, 3L))
+
+    // batch 2 (resumed checkpoint): v4 = near-dup of the ALREADY-INGESTED v1
+    // (must be caught by the PERSISTED index probe), v5 fresh
+    writeVecs(src, "f2.parquet", 4L -> nearBase, 5L -> other)
+    EmbeddingIngest.start(spark, cfg).awaitTermination()
+    assert(acceptedIds(cfg) == Set(1L, 3L, 5L))
+
+    // ledger: one row per batch with observed counts
+    val ledger = spark.read.parquet(EmbeddingIngest.ledgerPath(cfg))
+      .select("ingest_batch", "n_in", "n_accepted")
+      .as[(Long, Long, Long)].collect().map { case (b, n, a) => b -> ((n, a)) }.toMap
+    assert(ledger(0L) == ((3L, 2L)) && ledger(1L) == ((2L, 1L)))
+  }
+
+  test("replaying a batch converges: identical accepted set, no duplicate rows") {
+    val root = tmpDir()
+    val cfg = EmbeddingIngest.IngestConfig("unused", root, "ckpt-E")
+    val b0 = vecs(1L -> base, 2L -> nearBase, 3L -> orth)
+    assert(EmbeddingIngest.ingestBatch(spark, cfg, b0, 0L) == 2L)
+    // crash-replay of batch 0: its own prior output is excluded from the
+    // index it probes, so decisions repeat and the partition rewrite is
+    // byte-identical — never a self-collision that rejects everything
+    assert(EmbeddingIngest.ingestBatch(spark, cfg, b0, 0L) == 2L)
+    assert(acceptedIds(cfg) == Set(1L, 3L))
+    assert(spark.read.parquet(EmbeddingIngest.vecsPath(cfg)).count() == 2L)
+    // a LATER batch still probes batch 0's index
+    assert(EmbeddingIngest.ingestBatch(spark, cfg, vecs(10L -> base), 1L) == 0L)
+  }
+
+  test("compact folds index partitions; dedup against compacted history still works") {
+    val root = tmpDir()
+    val cfg = EmbeddingIngest.IngestConfig("unused", root, "ckpt-C")
+    EmbeddingIngest.ingestBatch(spark, cfg, vecs(1L -> base), 0L)
+    EmbeddingIngest.ingestBatch(spark, cfg, vecs(2L -> other), 1L)
+    EmbeddingIngest.compact(spark, cfg)
+    val stored = spark.read.parquet(EmbeddingIngest.vecsPath(cfg))
+    assert(stored.select("ingest_batch").distinct().as[Long].collect().toSeq == Seq(-1L))
+    assert(stored.select("vec_id").as[Long].collect().toSet == Set(1L, 2L))
+    // post-compaction: near-dup of v1 rejected by the folded index, fresh accepted
+    assert(EmbeddingIngest.ingestBatch(spark, cfg,
+      vecs(10L -> nearBase, 11L -> orth), 2L) == 1L)
+    assert(acceptedIds(cfg) == Set(1L, 2L, 11L))
+  }
+
+  test("ingest and compact serialize on the corpus lock; same-batch restart is reentrant") {
+    val root = tmpDir()
+    val cfg = EmbeddingIngest.IngestConfig("unused", root, "ckpt-L")
+    EmbeddingIngest.ingestBatch(spark, cfg, vecs(1L -> base), 0L)
+    // an in-flight foreign holder: both mutators refuse
+    val held = IngestLock.acquire(spark, root, "in-flight", cfg.lockStaleMs)
+    intercept[IngestLock.LockHeldException] { EmbeddingIngest.compact(spark, cfg) }
+    intercept[IngestLock.LockHeldException] {
+      EmbeddingIngest.ingestBatch(spark, cfg, vecs(2L -> other), 1L)
+    }
+    IngestLock.release(spark, held)
+    // a crashed incarnation of batch 1's OWN lock does not block its restart
+    IngestLock.acquire(spark, root,
+      EmbeddingIngest.batchLockOwner(cfg, 1L), cfg.lockStaleMs)
+    assert(EmbeddingIngest.ingestBatch(spark, cfg, vecs(2L -> other), 1L) == 1L)
+    assert(acceptedIds(cfg) == Set(1L, 2L))
+  }
+}
