@@ -193,6 +193,14 @@ object Cdc {
    *  - INSERT appends; on key collision the new version wins (latest-wins,
    *    the ReplacingMergeTree contract).
    */
+  /* Cost model (measured, round 7): the bench entry's reproducible isolated
+   * cost at sf0.1/local[32] is ~0.9-1.1 s — three key shuffles (state
+   * distinct, window flags, full-outer merge) over the events derivation.
+   * Round 5's ledger read 0.50 s and round 6's 1.13 s looked like a 2×
+   * regression; benching the round-5 COMMIT in isolation reproduces
+   * 0.88-1.02 s, so the 0.50 was a favorable full-run outlier (warm page
+   * cache + JIT from the alphabetically-adjacent registry entries), not a
+   * plan change — same resolution discipline as srpNearDupPairs round 6. */
   def applyMutable(state: DataFrame, changes: DataFrame, keyCols: Seq[String]): DataFrame = {
     val dataCols = state.columns.toSeq
 

@@ -189,6 +189,68 @@ object CdcWorkload {
         col("time_spent"), col(Schemas.VersionCol))
   }
 
+  /**
+   * The registry path through the MUTABLE apply branch: `matomo_goal`
+   * (reference: script_create_clickhouse_table.sql:252-266) is a
+   * NON-versioned registry table — update-in-place semantics, composite key
+   * (idsite, idgoal) — so this entry pins the registry fan-out
+   * (JSON parse → typed projection → [[Cdc.applyMutable]]) on the apply
+   * branch [[cdcApplyRegistry]]/[[cdcApplyRegistryAction]] never touch.
+   * The key is a bijection of user_id (idsite = user_id % 5,
+   * idgoal = user_id / 5), state0 pre-seeds every third user, and each
+   * UPDATE's before-image differs from its after-image ONLY in `name` — so
+   * pure-update chains exercise changed-column elision (name moves, every
+   * other column keeps the state's value) while INSERT-containing chains
+   * materialize the last full after-image.
+   *
+   * The log is the deterministic quarter `event_id % 4 == 0` of the events
+   * derivation: this entry pins the registry FAN-OUT on the mutable branch
+   * (schema lookup, typed projection, elision through JSON images), while
+   * full-volume mutable-apply throughput is already benched by
+   * [[cdcApplyMutable]] — the two full to_json images per event would
+   * otherwise make this the most expensive registry entry for no added
+   * coverage.
+   */
+  def cdcApplyRegistryMutable(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .filter(pmod(col("event_id"), lit(4)) === 0)
+    val op = when(pmod(col("event_id"), lit(10)) <= 5, "INSERT")
+      .when(pmod(col("event_id"), lit(10)) <= 8, "UPDATE")
+      .otherwise("DELETE")
+    val idsite = pmod(col("user_id"), lit(5)).cast("int")
+    val idgoal = (col("user_id") / lit(5)).cast("int")
+    def image(name: org.apache.spark.sql.Column) = to_json(struct(
+      idsite.as("idsite"), idgoal.as("idgoal"), name.as("name"),
+      concat(lit("d"), col("user_id")).as("description"),
+      lit("url").as("match_attribute"),
+      concat(lit("p"), pmod(col("event_id"), lit(7))).as("pattern"),
+      lit("contains").as("pattern_type"),
+      pmod(col("event_id"), lit(2)).cast("tinyint").as("case_sensitive"),
+      pmod(col("user_id"), lit(2)).cast("tinyint").as("allow_multiple"),
+      pmod(col("event_id"), lit(100)).cast("string").as("revenue"),
+      lit(0).cast("tinyint").as("deleted"),
+      pmod(col("user_id"), lit(2)).cast("tinyint").as("event_value_as_revenue")))
+    val env = e.select(
+      op.as("op"), lit("matomo").as("schema"), lit("matomo_goal").as("table"),
+      col("ts"), lit("mysql-bin.000001").as("log_file"),
+      col("event_id").as("log_pos"), lit(0).as("row_index"),
+      when(op =!= "INSERT", image(lit("old"))).as("before"),
+      when(op =!= "DELETE", image(concat(lit("g"), col("event_id")))).as("after"))
+    val typed = Cdc.typedChanges(env, "matomo_goal")
+    val state0 = e.select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(3)) === 0)
+      .select(idsite.as("idsite"), idgoal.as("idgoal"),
+        lit("init").as("name"),
+        concat(lit("d0u"), col("user_id")).as("description"),
+        lit("event").as("match_attribute"), lit("initp").as("pattern"),
+        lit("exact").as("pattern_type"),
+        lit(0).cast("tinyint").as("case_sensitive"),
+        lit(1).cast("tinyint").as("allow_multiple"),
+        lit("1").as("revenue"), lit(0).cast("tinyint").as("deleted"),
+        lit(1).cast("tinyint").as("event_value_as_revenue"))
+    Cdc.applyMutable(state0, typed, Seq("idsite", "idgoal"))
+  }
+
   /** Materialized-view maintenance: the per-event_type (count, Σvalue)
     * aggregate maintained purely from change deltas — never recomputed from
     * the table. Sums in exact integer micro-units so batching cannot drift. */
@@ -253,6 +315,7 @@ object CdcWorkload {
     "cdc_ledger_entry" -> cdcLedgerEntry,
     "cdc_apply_registry" -> cdcApplyRegistry,
     "cdc_apply_registry_action" -> cdcApplyRegistryAction,
+    "cdc_apply_registry_mutable" -> cdcApplyRegistryMutable,
     "cdc_incremental_agg" -> cdcIncrementalAgg,
     "s11_retention_delete" -> s11RetentionDelete
   )
@@ -394,6 +457,52 @@ object CdcWorkload {
         |FROM hist h
         |JOIN (SELECT user_id, max(dateid) AS m FROM hist GROUP BY user_id) t
         |  ON h.user_id = t.user_id AND h.dateid = t.m""".stripMargin,
+    // mutable registry replay (matomo_goal): per-user last event decides;
+    // INSERT-containing chains materialize the last full after-image;
+    // pure-update chains move ONLY `name` (the one column whose before and
+    // after images differ) over the seeded state; DELETE removes the key
+    "cdc_apply_registry_mutable" ->
+      """WITH log AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 10 <= 5 THEN 'INSERT'
+        |         WHEN event_id % 10 <= 8 THEN 'UPDATE'
+        |         ELSE 'DELETE' END AS op
+        |  FROM events WHERE event_id % 4 = 0),
+        |agg AS (
+        |  SELECT user_id, max(event_id) AS last_v,
+        |    bool_or(op = 'INSERT') AS had_insert
+        |  FROM log GROUP BY user_id),
+        |last AS (
+        |  SELECT l.user_id, l.event_id, l.op, a.had_insert
+        |  FROM log l JOIN agg a ON l.user_id = a.user_id AND l.event_id = a.last_v),
+        |seeded AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_id % 4 = 0 AND user_id % 3 = 0)
+        |SELECT CAST(s.user_id % 5 AS INTEGER) AS idsite,
+        |  CAST(s.user_id // 5 AS INTEGER) AS idgoal,
+        |  'init' AS name, 'd0u' || CAST(s.user_id AS VARCHAR) AS description,
+        |  'event' AS match_attribute, 'initp' AS pattern, 'exact' AS pattern_type,
+        |  CAST(0 AS TINYINT) AS case_sensitive, CAST(1 AS TINYINT) AS allow_multiple,
+        |  '1' AS revenue, CAST(0 AS TINYINT) AS deleted,
+        |  CAST(1 AS TINYINT) AS event_value_as_revenue
+        |FROM seeded s LEFT JOIN last c ON s.user_id = c.user_id
+        |WHERE c.user_id IS NULL
+        |UNION ALL
+        |SELECT CAST(c.user_id % 5 AS INTEGER), CAST(c.user_id // 5 AS INTEGER),
+        |  'g' || CAST(c.event_id AS VARCHAR), 'd' || CAST(c.user_id AS VARCHAR),
+        |  'url', 'p' || CAST(c.event_id % 7 AS VARCHAR), 'contains',
+        |  CAST(c.event_id % 2 AS TINYINT), CAST(c.user_id % 2 AS TINYINT),
+        |  CAST(c.event_id % 100 AS VARCHAR), CAST(0 AS TINYINT),
+        |  CAST(c.user_id % 2 AS TINYINT)
+        |FROM last c
+        |WHERE c.op = 'INSERT' OR (c.op = 'UPDATE' AND c.had_insert)
+        |UNION ALL
+        |SELECT CAST(c.user_id % 5 AS INTEGER), CAST(c.user_id // 5 AS INTEGER),
+        |  'g' || CAST(c.event_id AS VARCHAR), 'd0u' || CAST(c.user_id AS VARCHAR),
+        |  'event', 'initp', 'exact',
+        |  CAST(0 AS TINYINT), CAST(1 AS TINYINT), '1', CAST(0 AS TINYINT),
+        |  CAST(1 AS TINYINT)
+        |FROM last c JOIN seeded s ON c.user_id = s.user_id
+        |WHERE c.op = 'UPDATE' AND NOT c.had_insert""".stripMargin,
     // delta replay: INSERT +after, DELETE -before, UPDATE -before +after,
     // exact integer micro-unit sums (before.value = value - 1 per the log)
     "cdc_incremental_agg" ->

@@ -151,14 +151,17 @@ object LlmWorkload {
   /** Incremental embedding dedup — the vector twin of
     * [[dedupIncrementalProbe]]: even vec_ids stand in for the already-
     * ingested corpus (its persisted SRP signature index, see
-    * [[graft.stream.EmbeddingIngest]]), odd ids are the arriving batch;
-    * candidates come from the batch-bands ⋈ index-bands equi-join, never a
-    * corpus rescan. */
+    * [[graft.stream.EmbeddingIngest]]), ids ≡ 1 (mod 10) are the arriving
+    * batch — a tenth of the corpus's size, the proportion a real ingest
+    * micro-batch has. Candidates come from the batch-bands ⋈ index-bands
+    * equi-join, so the verify cost follows the BATCH (srp_pairs' cost model:
+    * exact-cosine verify of band collisions dominates); the corpus is never
+    * rescanned. */
   def dedupEmbeddingIncremental(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     VectorOps.srpProbe(
       emb.filter(pmod(col("vec_id"), lit(2)) === 0),
-      emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+      emb.filter(pmod(col("vec_id"), lit(10)) === 1))
   }
 
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
@@ -349,7 +352,17 @@ object LlmWorkload {
     * approximate index at scale: IVF, PQ, and composed IVF-PQ top-10 sets
     * measured against the brute-force truth (matched pairs / truth pairs,
     * exact integers). IVF-PQ's recall compounds bucket pruning with
-    * quantization error — this row is how nprobe/m get sized. */
+    * quantization error — this row is how nprobe/m get sized.
+    * [[graft.ml.AnnRecallFloorSpec]] pins per-variant floors so a parameter
+    * regression cannot pass as a green measurement.
+    *
+    * Cost model (measured, round 7): inherently four pipelines; only the
+    * corpus/norm and PQ-subvector subtrees are worth sharing. Scope-caching
+    * the centroid assignment and PQ codes across variants was MEASURED
+    * SLOWER (isolated sf0.1: recall 3.4→4.7 s, pq 0.95→1.22 s) — the
+    * materialization barrier plus InMemoryScan replacing whole-stage
+    * codegen costs more than recomputing those cheap subtrees, so they stay
+    * uncached by design. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val bf = graft.Caching.scoped(
@@ -1122,7 +1135,7 @@ object LlmWorkload {
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS batch_id, y.vec_id AS corpus_id
          |  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
-         |  WHERE x.vec_id % 2 = 1 AND y.vec_id % 2 = 0),
+         |  WHERE x.vec_id % 10 = 1 AND y.vec_id % 2 = 0),
          |pairs AS (
          |  SELECT c.batch_id, c.corpus_id, ${cosSql("va.e", "vb.e")} AS cos
          |  FROM cand c

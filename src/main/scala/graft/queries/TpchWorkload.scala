@@ -351,7 +351,13 @@ object TpchWorkload {
     * identity proven on-data: the direct global sketch and the merge of
     * per-returnflag sketches are bit-identical (graft.operators.Kmv). The
     * portable counterpart to `agg_sketches`' engine-private HLL — this one
-    * the oracle replays exactly. */
+    * the oracle replays exactly.
+    *
+    * Cost model (measured, round 7): two scans, each one md5 fold +
+    * distinct — caching a shared (group, hash) projection to merge them was
+    * MEASURED SLOWER (isolated sf0.1: 2.11→2.58 s; the cache barrier beats
+    * the page-cached rescan), so the two sketch shapes deliberately scan
+    * independently. */
   def kmvSketch(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val k = 256
