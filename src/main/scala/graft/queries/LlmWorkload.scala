@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ml.{Multimodal, VectorOps}
+import graft.ml.{Multimodal, Retrieval, VectorOps}
 import graft.text.{HeavyHitters, Prep, TextOps}
 
 /**
@@ -244,6 +244,21 @@ object LlmWorkload {
   def textBm25(spark: SparkSession, dir: String): DataFrame =
     TextOps.bm25(Tables(spark, dir, "documents"), "doc_id", "text",
       terms = Seq("the", "of", "and"))
+
+  /** Hybrid retrieval ([[graft.ml.Retrieval]]): the global BM25 top-20
+    * (lexical list) fused by reciprocal rank with each probe's brute-force
+    * cosine top-10 (semantic list; embedding ids are the doc ids) — the
+    * production RAG retrieval shape, candidate sets bounded by the two
+    * k's regardless of corpus size. */
+  def retrievalHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val lex = Retrieval.topKRanks(
+      textBm25(spark, dir).select(col("doc_id"), col("bm25")),
+      "doc_id", "bm25", k = 20, rankName = "lrank")
+    val sem = VectorOps.annBruteForce(Tables(spark, dir, "embeddings"))
+      .select(col("probe_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("srank"))
+    Retrieval.rrfFuse(sem, lex)
+  }
 
   /** PII scrub over deterministically enriched text (the corpus itself is
     * synthetic and PII-free, so the query plants one email/IP/card per doc —
@@ -506,6 +521,7 @@ object LlmWorkload {
     "text_decontamination_bloom" -> textDecontaminationBloom,
     "prep_chunk_windows" -> prepChunkWindows,
     "text_bm25" -> textBm25,
+    "retrieval_hybrid_rrf" -> retrievalHybridRrf,
     "text_scrub_pii" -> textScrubPii,
     "kmeans_clusters" -> kmeansClusters,
     "embedding_quantize" -> embeddingQuantize,
@@ -701,6 +717,37 @@ object LlmWorkload {
        |FROM banded x JOIN banded y
        |  ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
+  }
+
+  /** The BM25 replay's shared CTEs (`w`, `base`, `st`) and score expression
+    * — used verbatim by `text_bm25` and composed into the hybrid-retrieval
+    * fusion oracle. Every constant is COMPUTED the same way on both engines
+    * ((1.2 + 1) rather than 2.2) so each double is bit-identical. */
+  private val bm25OracleCtes: String = {
+    val terms = Seq("the", "of", "and")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf$i" }.mkString(",\n  ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n  ")
+    s"""w AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+       |  $tfCols
+       |  FROM w),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS N, CAST(sum(dl) AS BIGINT) AS dl_sum,
+       |  $dfCols
+       |  FROM base)""".stripMargin
+  }
+
+  private val bm25OracleScore: String = {
+    val avgdl = "CAST(dl_sum AS DOUBLE) / CAST(N AS DOUBLE)"
+    Seq(0, 1, 2).map(i =>
+      s"""(CAST(N AS DOUBLE) - CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         | / (CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         | * (CAST(tf$i AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+         | / (CAST(tf$i AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |    * ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+         |       + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / ($avgdl)))""".stripMargin)
+      .mkString("(", ")\n + (", ")")
   }
 
   private val bruteforceOracle: String =
@@ -1175,32 +1222,48 @@ object LlmWorkload {
     "text_decontamination_bloom" -> decontOracleSql,
     // BM25 replay: every constant is COMPUTED the same way on both sides
     // ((1.2 + 1) rather than 2.2) so each double is bit-identical
-    "text_bm25" -> {
-      val terms = Seq("the", "of", "and")
-      val tfCols = terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf$i" }.mkString(",\n  ")
-      val dfCols = terms.indices.map(i =>
-        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n  ")
-      val avgdl = "CAST(dl_sum AS DOUBLE) / CAST(N AS DOUBLE)"
-      val score = terms.indices.map(i =>
-        s"""(CAST(N AS DOUBLE) - CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE))
-           | / (CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE))
-           | * (CAST(tf$i AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
-           | / (CAST(tf$i AS DOUBLE) + CAST(1.2 AS DOUBLE)
-           |    * ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE))
-           |       + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / ($avgdl)))""".stripMargin)
-        .mkString("(", ")\n + (", ")")
-      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
-         |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
-         |  $tfCols
-         |  FROM w),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS N, CAST(sum(dl) AS BIGINT) AS dl_sum,
-         |  $dfCols
-         |  FROM base)
+    "text_bm25" ->
+      s"""WITH $bm25OracleCtes
          |SELECT doc_id, dl, tf0, tf1, tf2,
-         |  $score AS bm25
-         |FROM base, st""".stripMargin
-    },
+         |  $bm25OracleScore AS bm25
+         |FROM base, st""".stripMargin,
+    // hybrid-retrieval replay: the bm25 CTEs rank the lexical list, the
+    // brute-force cosine CTEs rank the semantic lists, and the RRF sum is
+    // two IEEE divisions in fixed order — bit-identical fusion scores
+    "retrieval_hybrid_rrf" ->
+      s"""WITH $bm25OracleCtes,
+         |lexscore AS (SELECT doc_id, $bm25OracleScore AS bm25 FROM base, st),
+         |lex AS (SELECT doc_id, CAST(rnk AS INTEGER) AS lrank FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+         |    FROM lexscore) WHERE rnk <= 20),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+         |d AS (SELECT p.probe_id, v.vec_id, ${cosSql("v.e", "p.pe")} AS cos
+         |      FROM v, p WHERE v.vec_id <> p.probe_id),
+         |sem AS (SELECT probe_id, vec_id AS doc_id, CAST(rnk AS INTEGER) AS srank
+         |        FROM (SELECT probe_id, vec_id,
+         |                row_number() OVER (PARTITION BY probe_id
+         |                  ORDER BY cos DESC, vec_id ASC) AS rnk
+         |              FROM d) WHERE rnk <= 10),
+         |probes AS (SELECT DISTINCT probe_id FROM sem),
+         |lexper AS (SELECT pr.probe_id, l.doc_id, l.lrank FROM probes pr, lex l),
+         |fused AS (
+         |  SELECT COALESCE(s.probe_id, lp.probe_id) AS probe_id,
+         |    COALESCE(s.doc_id, lp.doc_id) AS doc_id, s.srank, lp.lrank
+         |  FROM sem s FULL OUTER JOIN lexper lp
+         |    ON s.probe_id = lp.probe_id AND s.doc_id = lp.doc_id),
+         |scored AS (
+         |  SELECT probe_id, doc_id,
+         |    COALESCE(CAST(1 AS DOUBLE) / CAST(60 + srank AS DOUBLE), CAST(0 AS DOUBLE))
+         |    + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + lrank AS DOUBLE), CAST(0 AS DOUBLE))
+         |      AS rrf
+         |  FROM fused)
+         |SELECT probe_id, doc_id, rrf, CAST(rnk AS INTEGER) AS "rank" FROM (
+         |  SELECT probe_id, doc_id, rrf,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY rrf DESC, doc_id ASC) AS rnk
+         |  FROM scored) WHERE rnk <= 10""".stripMargin,
     // PII scrub replay: same enrichment, same patterns, same replace order
     "text_scrub_pii" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -35,6 +35,7 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "ann_topk_ivfpq",         // centroid set broadcast (bucketing) + code tables
     "dedup_embedding_pairs",  // centroid set broadcast (bucketing)
     "dedup_embedding_srp_pairs", // hyperplane set + 1-row dim anchor broadcast
+    "dedup_embedding_incremental", // same SRP hyperplane/dim broadcasts, both halves
     "dedup_embedding_clusters",  // CC over the same SRP pair pipeline
     "f7_delete_suppression",  // 1-row max(ts) "now" anchor
     "j2_dup_count",           // 1-row time-window anchor
@@ -49,7 +50,8 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "prep_mixture_sample",    // 1-row mixture-scale (K) anchor
     "agg_sketches",           // 1-row approx × exact-twin summaries crossJoined
     "dedup_semantic",         // k-row centroid set broadcast (argmax assign)
-    "text_heavy_hitters")     // 1-row total-count anchor
+    "text_heavy_hitters",     // 1-row total-count anchor
+    "retrieval_hybrid_rrf")   // probe-set + bounded (k=20) lexical-list broadcasts
 
   test("no registered query plans a cartesian, unjustified nested-loop join, " +
       "or partition-less window") {
