@@ -214,20 +214,7 @@ object Cdc {
     //    two-update chain a→b, b→b must land b: eliding against only the LAST
     //    event's (before,after) pair would silently drop v1's change (F8 over
     //    the whole chain, reference: binlog2sql_util.py:329-335 per event).
-    val (kd, wAll, wOrd) = keyed(changes, keyCols)
-    // all same-spec window flags in ONE select so they collapse into a single
-    // Window node (a withColumn chain leaves one Window operator per column)
-    val flagCols =
-      (max(when(col("op") === "INSERT", 1).otherwise(0)).over(wAll) === 1)
-        .as("__had_insert") +:
-      dataCols.map { c =>
-        (max(when(col("op") === "UPDATE" &&
-          !(col("after").getField(c) <=> col("before").getField(c)), 1)
-          .otherwise(0)).over(wAll) === 1).as(s"__chg_$c")
-      }
-    val flagged = kd.select(col("*") +: flagCols: _*)
-    val last = flagged.withColumn("__rn", row_number().over(wOrd))
-      .filter(col("__rn") === 1).drop("__rn")
+    val last = mutableLast(changes, keyCols, dataCols)
 
     val joinCond = keyCols.map(k => col(s"s.${k}") <=> col(s"c.__key_$k")).reduce(_ && _)
     val joined = state.alias("s").join(last.alias("c"), joinCond, "full_outer")
@@ -255,6 +242,30 @@ object Cdc {
       (col("c.op") === "UPDATE" &&
         (hasState || col("c.__had_insert")))                 // matched or batch-born update
     joined.filter(keep).select(outCols: _*)
+  }
+
+  /** The mutable apply's per-key reduction, shared with the JDBC sink twin
+    * ([[graft.stream.JdbcState.applyMutable]]): the LAST event per key plus
+    * `__had_insert` (any INSERT in the batch materializes the key) and the
+    * chain-merged `__chg_<c>` flags (column c changed in ANY update of the
+    * batch — eliding against only the last event's images would drop an
+    * earlier update's change, F8 over the whole chain). */
+  private[graft] def mutableLast(changes: DataFrame, keyCols: Seq[String],
+      dataCols: Seq[String]): DataFrame = {
+    val (kd, wAll, wOrd) = keyed(changes, keyCols)
+    // all same-spec window flags in ONE select so they collapse into a single
+    // Window node (a withColumn chain leaves one Window operator per column)
+    val flagCols =
+      (max(when(col("op") === "INSERT", 1).otherwise(0)).over(wAll) === 1)
+        .as("__had_insert") +:
+      dataCols.map { c =>
+        (max(when(col("op") === "UPDATE" &&
+          !(col("after").getField(c) <=> col("before").getField(c)), 1)
+          .otherwise(0)).over(wAll) === 1).as(s"__chg_$c")
+      }
+    val flagged = kd.select(col("*") +: flagCols: _*)
+    flagged.withColumn("__rn", row_number().over(wOrd))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /**

@@ -159,6 +159,11 @@ object ChangeStream {
             case None => typedRaw
           }
           JdbcState.applyVersioned(guarded, cfg.jdbcSink.get, table, meta.keyCols)
+        } else if (cfg.jdbcSink.isDefined) {
+          // sink mode, mutable table: update-in-place against the target —
+          // the reference applies EVERY table to its target, not just the
+          // versioned list. `typed` already carries the mutable F7 guard.
+          JdbcState.applyMutable(typed, cfg.jdbcSink.get, table, meta.keyCols)
         } else meta.partitionCol match {
           // scale path: tables with a monthly partition column apply
           // partition-pruned — only touched months are read and rewritten

@@ -75,6 +75,117 @@ object JdbcState {
     deleteAtOrBelow(frontier, cfg, target, keyCols, dialect)
   }
 
+  /**
+   * Apply one typed change batch of a MUTABLE (update-in-place) table to the
+   * JDBC target — the sink-side twin of `Cdc.applyMutable`, completing the
+   * reference's apply-everything-to-the-target contract for the tables its
+   * `tables_not_updated` list does NOT cover. Same per-key resolution
+   * ([[Cdc.mutableLast]]): the last event decides, any batch INSERT
+   * materializes the key, and pure-update chains move ONLY the chain's
+   * changed columns:
+   *
+   *  - last DELETE → batched keyed DELETE;
+   *  - last INSERT (or UPDATE after a batch INSERT) → delete-then-insert the
+   *    final after-image: an idempotent REPLACE that also absorbs
+   *    collision-INSERTs over an existing row;
+   *  - pure-update chain → `UPDATE ... SET <changed cols> = ? WHERE key` —
+   *    rows grouped by their changed-column mask, one PreparedStatement per
+   *    mask (the row-store spelling of F8 elision: unchanged columns keep
+   *    the TARGET's value without ever reading it); an update to an absent
+   *    key matches zero rows — the same drop semantics as the batch apply.
+   *
+   * At-least-once replay converges: DELETE and REPLACE are idempotent, and
+   * re-running an UPDATE rebinds the same values. No statement reads the
+   * target, so cost is one round of batched writes per category — never a
+   * target scan.
+   */
+  def applyMutable(typed: DataFrame, cfg: SinkConfig, table: String,
+      keyCols: Seq[String]): Unit = {
+    val target = cfg.tablePrefix + table
+    val dialect = JdbcDialects.get(cfg.url)
+    val dataCols = Schemas.tableSchemas(table).fields.map(_.name)
+      .filterNot(_ == Schemas.VersionCol).toSeq
+    val last = Cdc.mutableLast(typed, keyCols, dataCols).persist()
+    try {
+      val afterCols = dataCols.map(c => col("after").getField(c).as(c))
+      val keyFromKd = keyCols.map(k => col(s"__key_$k").as(k))
+      // schema-only append first: Spark's JDBC append creates the table on
+      // first contact, so the statements below always have a target
+      Jdbc.append(typed.filter(lit(false)).select(afterCols: _*),
+        cfg.url, target, cfg.driver, cfg.batchSize)
+      val delSql = s"DELETE FROM $target WHERE " +
+        keyCols.map(k => s"${dialect.quoteIdentifier(k)} = ?").mkString(" AND ")
+      batchedDelete(last.filter(col("op") === "DELETE").select(keyFromKd: _*),
+        cfg, delSql, nKeys = keyCols.size, nVersions = 0)
+      val repl = last.filter(col("op") === "INSERT" ||
+        (col("op") === "UPDATE" && col("__had_insert")))
+      batchedDelete(repl.select(keyFromKd: _*), cfg, delSql, keyCols.size, 0)
+      Jdbc.append(repl.select(afterCols: _*), cfg.url, target, cfg.driver,
+        cfg.batchSize)
+      val updRows = last.filter(col("op") === "UPDATE" && !col("__had_insert"))
+        .select(dataCols.map(c => col("after").getField(c).as(c)) ++
+          dataCols.map(c => col(s"__chg_$c").as(s"__chg_$c")) ++ keyFromKd: _*)
+      batchedUpdate(updRows, cfg, target, dialect, dataCols.size, keyCols.size)
+    } finally last.unpersist(blocking = false)
+  }
+
+  /** Per-mask batched UPDATEs: row layout is [n after-values][n changed
+    * flags][k keys]; each distinct changed-column mask gets one cached
+    * PreparedStatement per partition. All-unchanged rows are no-ops and
+    * skipped. */
+  private def batchedUpdate(frame: DataFrame, cfg: SinkConfig, target: String,
+      dialect: JdbcDialect, nData: Int, nKeys: Int): Unit = {
+    val (url, driver, batch) = (cfg.url, cfg.driver, cfg.batchSize)
+    val setFrags = frame.columns.take(nData)
+      .map(c => s"${dialect.quoteIdentifier(c)} = ?")
+    val whereFrag = frame.columns.takeRight(nKeys)
+      .map(k => s"${dialect.quoteIdentifier(k)} = ?").mkString(" AND ")
+    val perPartition: Iterator[Row] => Unit = { rows =>
+      if (rows.hasNext) {
+        driver.foreach(Class.forName(_))
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val stmts = scala.collection.mutable.Map
+            .empty[String, java.sql.PreparedStatement]
+          val counts = scala.collection.mutable.Map.empty[String, Int]
+          try {
+            rows.foreach { r =>
+              val changed = (0 until nData).filter(i => r.getBoolean(nData + i))
+              if (changed.nonEmpty) {
+                val mask = changed.mkString(",")
+                val st = stmts.getOrElseUpdate(mask, conn.prepareStatement(
+                  s"UPDATE $target SET " + changed.map(setFrags).mkString(", ") +
+                    s" WHERE $whereFrag"))
+                var p = 1
+                changed.foreach { i => bindValue(st, p, r, i); p += 1 }
+                (0 until nKeys).foreach { j =>
+                  st.setObject(p, r.get(2 * nData + j)); p += 1 }
+                st.addBatch()
+                val c = counts.getOrElse(mask, 0) + 1
+                counts(mask) = c
+                if (c % batch == 0) st.executeBatch()
+              }
+            }
+            stmts.values.foreach(_.executeBatch())
+          } finally stmts.values.foreach(_.close())
+        } finally conn.close()
+      }
+    }
+    frame.foreachPartition(perPartition)
+  }
+
+  /** Null-safe bind: nulls go through setNull with the statement's own
+    * parameter type (portable across drivers that reject untyped nulls);
+    * Byte widens to Short (several targets, Derby included, have no
+    * TINYINT). */
+  private def bindValue(st: java.sql.PreparedStatement, p: Int, r: Row,
+      i: Int): Unit =
+    if (r.isNullAt(i)) st.setNull(p, st.getParameterMetaData.getParameterType(p))
+    else r.get(i) match {
+      case b: java.lang.Byte => st.setShort(p, b.shortValue())
+      case v => st.setObject(p, v)
+    }
+
   /** Ledger append into the target database (S8 target-side audit). */
   def appendLedger(ledgerRow: DataFrame, cfg: SinkConfig): Unit =
     Jdbc.append(ledgerRow, cfg.url, cfg.tablePrefix + "log_replication",

@@ -365,17 +365,25 @@ class ChangeStreamSpec extends SparkSpec {
         graft.sources.Jdbc.readTable(spark, url, "state_matomo_log_visit", derby),
         Seq("idvisit"))
         .select("idvisit", "location_country").as[(Long, String)].collect().toSet
+    def derbySite(): Set[(Long, String)] =
+      graft.sources.Jdbc.readTable(spark, url, "state_matomo_site", derby)
+        .select($"idsite", $"name").as[(Long, String)].collect().toSet
 
     ChangeStream.run(spark, cfg).awaitTermination()
     assert(derbyLatest() == Set((10L, "de")))
-    // mutable tables keep the parquet path in sink mode
-    assert(siteState(cfg) == Set((1L, "alpha"), (2L, "beta")))
+    // mutable tables apply to the target too (update-in-place), not parquet
+    assert(derbySite() == Set((1L, "alpha"), (2L, "beta")))
+    assert(!Files.exists(java.nio.file.Paths.get(cfg.stateDir, "matomo_site")))
 
-    // second run resumes from the checkpoint: only the new files apply
+    // second run resumes from the checkpoint: only the new files apply.
+    // batch2's site events drive the mutable sink's OTHER two paths: a
+    // pure-update chain (alpha -> alpha2, name is the only changed column)
+    // and a keyed DELETE (site 2)
     writeLog(logDir, "f2", batch2)
     writeLog(logDir, "f3", batch3)
     ChangeStream.run(spark, cfg).awaitTermination()
     assert(derbyLatest() == Set((11L, "us")))
+    assert(derbySite() == Set((1L, "alpha2")))
 
     // delete mutation removed every version of idvisit 10 from the history
     val hist = graft.sources.Jdbc.readTable(spark, url, "state_matomo_log_visit", derby)
