@@ -461,6 +461,15 @@ object LlmWorkload {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
 
+  /** Epoch-based upsampling ([[Prep.upsampleEpochs]]): fr ~3.2 epochs,
+    * zh ~2.5, de 1.0, en 0.5, es dropped — summarized per (lang, epoch) so
+    * the exact replicated multiset is pinned. */
+  def prepEpochMix(spark: SparkSession, dir: String): DataFrame =
+    Prep.upsampleEpochs(Tables(spark, dir, "documents"), "doc_id", "lang",
+        Map("fr" -> 32000, "zh" -> 25000, "de" -> 10000, "en" -> 5000))
+      .groupBy(col("lang"), col("epoch"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_sum"))
+
   /** Count-LM quality scoring ([[TextOps.lmScore]]): per-doc mean corpus
     * bigram frequency + hapax fraction. */
   def qualityLmScore(spark: SparkSession, dir: String): DataFrame =
@@ -530,6 +539,7 @@ object LlmWorkload {
     "text_hashed_features" -> textHashedFeatures,
     "ann_recall" -> annRecall,
     "prep_stratified_sample" -> prepStratifiedSample,
+    "prep_epoch_mix" -> prepEpochMix,
     "dedup_clusters" -> dedupClusters,
     "quality_deciles" -> qualityDeciles,
     "prep_zorder" -> prepZorder,
@@ -928,6 +938,22 @@ object LlmWorkload {
          |  FROM documents)
          |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
          |FROM r WHERE rk <= 15 GROUP BY 1""".stripMargin,
+    // epoch-upsampling replay: floor(w) copies + one extra when the id hash
+    // lands under frac(w) — same integer grid, range() replays the explode
+    "prep_epoch_mix" ->
+      s"""WITH e AS (SELECT doc_id, lang,
+         |  CASE lang WHEN 'fr' THEN 32000 WHEN 'zh' THEN 25000
+         |            WHEN 'de' THEN 10000 WHEN 'en' THEN 5000 END AS ew
+         |  FROM documents),
+         |n AS (SELECT doc_id, lang, ew // 10000 +
+         |    CASE WHEN ${h64("CAST(doc_id AS VARCHAR) || '#epoch'")} % 10000
+         |      < ew % 10000 THEN 1 ELSE 0 END AS nc
+         |  FROM e WHERE ew IS NOT NULL),
+         |x AS (SELECT doc_id, lang, unnest(range(0, nc)) AS epoch
+         |      FROM n WHERE nc > 0)
+         |SELECT lang, epoch, count(*) AS n_rows,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM x GROUP BY 1, 2""".stripMargin,
     // mixture replay: identical integer sizing (K = min floor(n·10000/w),
     // grid = floor(w·K/n)) and the same hash-grid membership
     "prep_mixture_sample" ->

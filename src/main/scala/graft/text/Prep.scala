@@ -126,6 +126,41 @@ object Prep {
   }
 
   /**
+   * Epoch-based source upsampling — the REPLICATION side of corpus mixing
+   * (where [[stratifiedSample]]/[[mixtureSample]] select or drop, this one
+   * repeats): a stratum with weight w contributes floor(w) full epochs of
+   * its rows plus a deterministic hash-selected (w − floor(w)) fraction one
+   * extra time — the epochs-per-source discipline of pretraining mixes,
+   * where high-quality sources are seen several times per data pass.
+   * Weights are exact parts-per-10000 (25000 = 2.5 epochs); strata absent
+   * from `epochs10k` (or weighted 0) are dropped.
+   *
+   * Output rows carry `epoch` (0-based copy index), so (id, epoch) is
+   * unique and downstream packing/shuffling treats each copy as a distinct
+   * sample. Copy counts are a pure per-row function of (id, weights) —
+   * integer arithmetic plus the same hash grid as the samplers, so any
+   * engine replays the exact multiset. A narrow map + generator: no
+   * shuffle at all, rows fan out at most ceil(w)×.
+   */
+  def upsampleEpochs(df: DataFrame, idCol: String, stratumCol: String,
+      epochs10k: Map[String, Int], salt: String = "epoch"): DataFrame = {
+    require(epochs10k.nonEmpty && epochs10k.values.forall(_ >= 0),
+      s"epoch weights must be non-negative parts-per-10000: $epochs10k")
+    val eExpr = epochs10k.toSeq.sortBy(_._1).foldLeft(lit(null).cast("long")) {
+      case (acc, (s, e)) =>
+        when(col(stratumCol) === s, lit(e.toLong)).otherwise(acc)
+    }
+    val h = pmod(TextOps.hash64(
+      concat(col(idCol).cast("string"), lit("#" + salt))), lit(10000L))
+    df.withColumn("__e", eExpr).filter(col("__e").isNotNull)
+      .withColumn("__n", expr("__e div 10000") +
+        when(h < col("__e") % 10000, 1L).otherwise(0L))
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__e", "__n")
+  }
+
+  /**
    * Token-budget shard packing: documents are laid out in id order and cut
    * into shards of ~`budget` tokens (a doc belongs to the shard its
    * EXCLUSIVE prefix token sum falls in, so shards are contiguous id ranges

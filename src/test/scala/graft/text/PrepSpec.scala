@@ -58,6 +58,37 @@ class PrepSpec extends SparkSpec {
     assert(full.count() == rows.count(_._2 == "xx"))
   }
 
+  test("upsampleEpochs: floor(w) copies for all, one extra for the hash fraction") {
+    val rows = (0L until 600L).map(i =>
+      (i, if (i % 3 == 0) "hot" else if (i % 3 == 1) "base" else "cold"))
+    val df = rows.toDF("doc_id", "stratum")
+    // hot = 2.5 epochs, base = 1.0, cold omitted (dropped)
+    val out = Prep.upsampleEpochs(df, "doc_id", "stratum",
+      Map("hot" -> 25000, "base" -> 10000))
+    val perDoc = out.groupBy("doc_id", "stratum")
+      .agg(count(lit(1)).as("n"), max("epoch").as("emax"), min("epoch").as("emin"))
+      .as[(Long, String, Long, Long, Long)].collect()
+    // every base doc exactly once (epoch 0); every hot doc 2 or 3 times with
+    // contiguous 0-based epochs; cold gone entirely
+    assert(perDoc.forall { case (_, s, n, emax, emin) =>
+      emin == 0L && emax == n - 1 &&
+        (if (s == "base") n == 1L else s == "hot" && (n == 2L || n == 3L))
+    })
+    val hot = perDoc.filter(_._2 == "hot")
+    val extra = hot.count(_._3 == 3L)
+    // the fractional-epoch share tracks 0.5 (hash grid over 200 hot docs)
+    assert(extra > 60 && extra < 140, s"extra=$extra of ${hot.length}")
+    // deterministic: same call, same multiset
+    val again = Prep.upsampleEpochs(df, "doc_id", "stratum",
+      Map("hot" -> 25000, "base" -> 10000))
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(perDoc.map(r => r._1 -> r._3).toMap == again)
+    // pure fraction (0.5 epochs): only the hash-selected half, all epoch 0
+    val half = Prep.upsampleEpochs(df, "doc_id", "stratum", Map("hot" -> 5000))
+    assert(half.select("epoch").distinct().as[Long].collect().toSeq == Seq(0L))
+    assert(half.count() < 200)
+  }
+
   test("zorderValue interleaves bits: the 2x2 block maps to 0..3, (3,1) -> 7") {
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 1L), (65535L, 65535L))
       .toDF("x", "y")
