@@ -96,6 +96,42 @@ class JdbcMutableSpec extends SparkSpec {
     assert(state(url) == Map(1L -> (("final", "http://moved"))))
   }
 
+  test("composite keys: matomo_goal (idsite, idgoal) binds every key column") {
+    val url = freshUrl()
+    val cfg = JdbcState.SinkConfig(url, derby)
+    def goalEnv(op: String, pos: Long, before: String, after: String) =
+      (op, "db", "matomo_goal", "2024-01-05T10:00:00", "mysql-bin.000001",
+        pos, 0, before, after)
+    def typedGoal(rows: Seq[(String, String, String, String, String,
+        Long, Int, String, String)]) =
+      Cdc.typedChanges(
+        rows.toDF("op", "schema", "table", "ts", "log_file", "log_pos",
+            "row_index", "before", "after")
+          .select(col("op"), col("schema"), col("table"),
+            col("ts").cast("timestamp").as("ts"), col("log_file"),
+            col("log_pos"), col("row_index"), col("before"), col("after")),
+        "matomo_goal")
+    // two goals sharing idsite 1: the second key column must participate in
+    // every DELETE/REPLACE/UPDATE predicate or the wrong sibling mutates
+    JdbcState.applyMutable(typedGoal(Seq(
+      goalEnv("INSERT", 100, null, """{"idsite":1,"idgoal":1,"name":"g11","deleted":0}"""),
+      goalEnv("INSERT", 200, null, """{"idsite":1,"idgoal":2,"name":"g12","deleted":0}"""),
+      goalEnv("INSERT", 300, null, """{"idsite":2,"idgoal":1,"name":"g21","deleted":0}"""))),
+      cfg, "matomo_goal", Seq("idsite", "idgoal"))
+    // pure update of (1,2) only; delete of (2,1) only
+    JdbcState.applyMutable(typedGoal(Seq(
+      goalEnv("UPDATE", 400,
+        """{"idsite":1,"idgoal":2,"name":"g12","deleted":0}""",
+        """{"idsite":1,"idgoal":2,"name":"g12x","deleted":0}"""),
+      goalEnv("DELETE", 500,
+        """{"idsite":2,"idgoal":1,"name":"g21","deleted":0}""", null))),
+      cfg, "matomo_goal", Seq("idsite", "idgoal"))
+    val rows = graft.sources.Jdbc.readTable(spark, url, "state_matomo_goal", derby)
+      .select($"idsite", $"idgoal", $"name")
+      .as[(Int, Int, String)].collect().toSet
+    assert(rows == Set((1, 1, "g11"), (1, 2, "g12x")))
+  }
+
   test("sink-mode stream result equals the batch applyMutable on parquet semantics") {
     val url = freshUrl()
     val cfg = JdbcState.SinkConfig(url, derby)
