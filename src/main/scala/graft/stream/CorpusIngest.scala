@@ -208,6 +208,44 @@ object CorpusIngest {
   }
 
   /**
+   * Probe a batch against the ingested corpus WITHOUT ingesting — the
+   * read-only serving face of the persisted index ("would these docs be
+   * rejected?"): exact hits against the hash table, near-dup hits against
+   * the banded MinHash index, one row per (batch doc, reason). Takes no
+   * lock and writes nothing; cost follows the batch exactly like
+   * [[ingestBatch]]'s probe stage. Output: (doc_id, kind 'exact'|'near',
+   * corpus_id — the matched accepted doc for near hits, null for exact
+   * (the hash table stores content hashes, not ids), jaccard — null for
+   * exact). Scoped intermediates follow the query-function contract: the
+   * caller releases after its terminal action (Caching.releaseAll, or an
+   * enclosing Caching.scope).
+   */
+  def probe(spark: SparkSession, cfg: IngestConfig, batch: DataFrame): DataFrame = {
+    val norm = Caching.scoped(batch
+      .select(col("doc_id"), col("text"),
+        md5(TextOps.normalizeText(col("text"))).as("text_hash")))
+    val hashIdx = readOrEmpty(spark, hashesPath(cfg),
+      "text_hash STRING, ingest_batch BIGINT").select(col("text_hash"))
+    val exact = norm.join(hashIdx, Seq("text_hash"), "left_semi")
+      .select(col("doc_id"), lit("exact").as("kind"),
+        lit(null).cast("bigint").as("corpus_id"),
+        lit(null).cast("double").as("jaccard"))
+    // near hits only for docs that are NOT exact hits — the same staging as
+    // ingestBatch, where exact dups never reach the minhash probe (an exact
+    // dup is trivially also a near dup; one reason per doc suffices)
+    val fresh = norm.join(hashIdx, Seq("text_hash"), "left_anti")
+    val near = TextOps.minhashProbeIndexed(
+      readOrEmpty(spark, bandsPath(cfg),
+        "doc_id BIGINT, band INT, sig STRING, ingest_batch BIGINT"),
+      readOrEmpty(spark, setsPath(cfg),
+        "doc_id BIGINT, s ARRAY<BIGINT>, n BIGINT, ingest_batch BIGINT"),
+      fresh, "doc_id", "text", threshold = cfg.threshold)
+      .select(col("batch_id").as("doc_id"), lit("near").as("kind"),
+        col("corpus_id"), col("jaccard"))
+    exact.unionByName(near)
+  }
+
+  /**
    * Fold the accumulated per-batch partitions of every corpus table into a
    * single `ingest_batch = -1` partition — the maintenance job that keeps
    * the append-only design viable long-term (thousands of tiny partitions

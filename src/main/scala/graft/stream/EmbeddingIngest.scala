@@ -144,6 +144,24 @@ object EmbeddingIngest {
     }
   }
 
+  /** Probe a batch against the ingested corpus WITHOUT ingesting — the
+    * read-only serving face of the persisted SRP index (the embedding twin
+    * of [[CorpusIngest.probe]]): (vec_id, corpus_id, cos) for every batch
+    * vector within `cfg.threshold` of an accepted one. Takes no lock and
+    * writes nothing; cost follows the batch. */
+  def probe(spark: SparkSession, cfg: IngestConfig, batch: DataFrame): DataFrame = {
+    val (bb, bv) = VectorOps.srpIndex(batch, "vec_id", "embedding",
+      cfg.bits, cfg.bandBits)
+    val indexBands = CorpusIngest.readOrEmpty(spark, bandsPath(cfg),
+      "vec_id BIGINT, band INT, bv BIGINT, ingest_batch BIGINT")
+    val indexVecs = CorpusIngest.readOrEmpty(spark, vecsPath(cfg),
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+        col("n"))
+    VectorOps.srpProbeIndexed(indexBands, indexVecs, bb, bv, cfg.threshold)
+      .select(col("batch_id").as("vec_id"), col("corpus_id"), col("cos"))
+  }
+
   /** Fold the accumulated per-batch partitions into a single
     * `ingest_batch = -1` partition — same contract, locking, and
     * atomic-swap discipline as [[CorpusIngest.compact]] (the ledger keeps

@@ -94,6 +94,26 @@ class CorpusIngestSpec extends SparkSpec {
     assert(acceptedIds(cfg) == Set(1L, 3L))
   }
 
+  test("probe reports would-be rejections read-only: no state change, no lock") {
+    val root = tmpDir()
+    val cfg = CorpusIngest.IngestConfig("unused", root, "unused")
+    CorpusIngest.ingestBatch(spark, cfg,
+      Seq(1L -> base, 4L -> unrelated).toDF("doc_id", "text"), 0L)
+    // 5 = exact dup of accepted 1 (case/whitespace), 6 = near-dup of 1,
+    // 7 = fresh — probe must flag 5 and 6, stay silent on 7
+    val hits = CorpusIngest.probe(spark, cfg,
+      Seq(5L -> ("  " + base.toUpperCase + "  "), 6L -> nearVariant,
+        7L -> (1 to 20).map(i => s"probe$i").mkString(" ")).toDF("doc_id", "text"))
+      .select("doc_id", "kind", "corpus_id")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(hits == Set((5L, "exact", None), (6L, "near", Some(1L))))
+    // read-only: accepted set unchanged, no lock file left behind
+    assert(acceptedIds(cfg) == Set(1L, 4L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "__ingest.lock")))
+    graft.Caching.releaseAll()
+  }
+
   test("a compaction crash between renames rolls back instead of resetting the index") {
     val root = tmpDir()
     val cfg = CorpusIngest.IngestConfig("unused", root, "unused")

@@ -84,6 +84,31 @@ class EmbeddingIngestSpec extends SparkSpec {
     assert(acceptedIds(cfg) == Set(1L, 2L, 11L))
   }
 
+  test("probe reports near-dups read-only: no state change, no lock") {
+    val root = tmpDir()
+    val cfg = EmbeddingIngest.IngestConfig("unused", root, "ckpt-P")
+    EmbeddingIngest.ingestBatch(spark, cfg, vecs(1L -> base), 0L)
+    val hits = EmbeddingIngest.probe(spark, cfg,
+      vecs(10L -> nearBase, 11L -> orth))
+      .select("vec_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((10L, 1L)))
+    assert(acceptedIds(cfg) == Set(1L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "__ingest.lock")))
+    graft.Caching.releaseAll()
+  }
+
+  test("an empty first batch leaves readable state for the next batch") {
+    val root = tmpDir()
+    val cfg = EmbeddingIngest.IngestConfig("unused", root, "ckpt-0")
+    // batch 0 carries no rows: writes create bare dirs — the next batch
+    // must still read them as empty index state, not crash
+    val emptyBatch = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(EmbeddingIngest.ingestBatch(spark, cfg, emptyBatch, 0L) == 0L)
+    assert(EmbeddingIngest.ingestBatch(spark, cfg, vecs(1L -> base), 1L) == 1L)
+    assert(acceptedIds(cfg) == Set(1L))
+  }
+
   test("ingest and compact serialize on the corpus lock; same-batch restart is reentrant") {
     val root = tmpDir()
     val cfg = EmbeddingIngest.IngestConfig("unused", root, "ckpt-L")
