@@ -166,7 +166,18 @@ object IngestLock {
 
   /** Refresh the lock's heartbeat. Throws [[LockHeldException]] if the
     * lock is no longer this handle's (a stale-break stole it): the holder
-    * must stop mutating state rather than write alongside the thief. */
+    * must stop mutating state rather than write alongside the thief.
+    *
+    * Design note — why overwrite-in-place rather than write-temp-and-rename:
+    * a rename-based refresh needs delete-then-rename on filesystems whose
+    * rename refuses existing targets (Hadoop local FS), which opens an
+    * ABSENT window where a concurrent acquirer's exclusive create wins
+    * while the holder is alive — strictly worse than the torn-READ window
+    * of an in-place truncate+write, because acquire's mtime age gate
+    * already resolves torn reads in the holder's favor (fresh unreadable
+    * lock → refuse) while an absent lock is indistinguishable from a free
+    * one. The read-check-then-write TOCTOU that remains is inherent to
+    * filesystem locks and bounded by one write latency. */
   def heartbeat(spark: SparkSession, h: Handle): Unit = {
     val fs = fsFor(spark, h.root)
     val p = lockPath(h.root)
