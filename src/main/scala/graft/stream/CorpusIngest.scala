@@ -72,6 +72,31 @@ object CorpusIngest {
     }
   }
 
+  /** Read-only twin of [[readOrEmpty]] for the lock-less [[probe]] paths:
+    * NEVER mutates. A table stranded at `<dir>.__old` by a crashed
+    * compaction is READ from there instead of being rolled back — rollback
+    * belongs to the locked mutators; a probe racing a live compact's
+    * two-rename swap window must not rename directories out from under it
+    * (the rollback would make the compact's swap-in fail). */
+  private[stream] def readOrEmptyRO(spark: SparkSession, path: String,
+      ddl: String): DataFrame = {
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(path, path + ".__old")
+      .find(d => fs.exists(new org.apache.hadoop.fs.Path(d))) match {
+      case None => empty
+      case Some(dir) =>
+        try spark.read.parquet(dir)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => empty
+        }
+    }
+  }
+
   /** A compact() that died between its two renames leaves a table
     * stranded at `<dir>.__old` — roll it back (the StateStore.read
     * discipline); proceeding as if empty would silently reset the dedup
@@ -224,7 +249,7 @@ object CorpusIngest {
     val norm = Caching.scoped(batch
       .select(col("doc_id"), col("text"),
         md5(TextOps.normalizeText(col("text"))).as("text_hash")))
-    val hashIdx = readOrEmpty(spark, hashesPath(cfg),
+    val hashIdx = readOrEmptyRO(spark, hashesPath(cfg),
       "text_hash STRING, ingest_batch BIGINT").select(col("text_hash"))
     val exact = norm.join(hashIdx, Seq("text_hash"), "left_semi")
       .select(col("doc_id"), lit("exact").as("kind"),
@@ -235,9 +260,9 @@ object CorpusIngest {
     // dup is trivially also a near dup; one reason per doc suffices)
     val fresh = norm.join(hashIdx, Seq("text_hash"), "left_anti")
     val near = TextOps.minhashProbeIndexed(
-      readOrEmpty(spark, bandsPath(cfg),
+      readOrEmptyRO(spark, bandsPath(cfg),
         "doc_id BIGINT, band INT, sig STRING, ingest_batch BIGINT"),
-      readOrEmpty(spark, setsPath(cfg),
+      readOrEmptyRO(spark, setsPath(cfg),
         "doc_id BIGINT, s ARRAY<BIGINT>, n BIGINT, ingest_batch BIGINT"),
       fresh, "doc_id", "text", threshold = cfg.threshold)
       .select(col("batch_id").as("doc_id"), lit("near").as("kind"),

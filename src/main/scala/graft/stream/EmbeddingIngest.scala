@@ -152,9 +152,9 @@ object EmbeddingIngest {
   def probe(spark: SparkSession, cfg: IngestConfig, batch: DataFrame): DataFrame = {
     val (bb, bv) = VectorOps.srpIndex(batch, "vec_id", "embedding",
       cfg.bits, cfg.bandBits)
-    val indexBands = CorpusIngest.readOrEmpty(spark, bandsPath(cfg),
+    val indexBands = CorpusIngest.readOrEmptyRO(spark, bandsPath(cfg),
       "vec_id BIGINT, band INT, bv BIGINT, ingest_batch BIGINT")
-    val indexVecs = CorpusIngest.readOrEmpty(spark, vecsPath(cfg),
+    val indexVecs = CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg),
       "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
         col("n"))

@@ -114,6 +114,30 @@ class CorpusIngestSpec extends SparkSpec {
     graft.Caching.releaseAll()
   }
 
+  test("probe reads THROUGH a stranded compaction without rolling it back") {
+    val root = tmpDir()
+    val cfg = CorpusIngest.IngestConfig("unused", root, "unused")
+    CorpusIngest.ingestBatch(spark, cfg, Seq(1L -> base).toDF("doc_id", "text"), 0L)
+    // compact died after swap-out: tables stranded at .__old. A lock-less
+    // probe must still see the index (read .__old) but must NOT rename —
+    // rollback belongs to the locked mutators; renaming here would yank the
+    // dir out from under a compact that is mid-swap rather than dead
+    for (sub <- Seq("docs", "hashes", "bands", "sets")) {
+      val d = java.nio.file.Paths.get(root, sub)
+      java.nio.file.Files.move(d, java.nio.file.Paths.get(root, sub + ".__old"))
+    }
+    val hits = CorpusIngest.probe(spark, cfg,
+      Seq(2L -> base).toDF("doc_id", "text"))
+      .select("doc_id", "kind").as[(Long, String)].collect().toSet
+    assert(hits == Set((2L, "exact")))
+    for (sub <- Seq("docs", "hashes", "bands", "sets")) {
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, sub + ".__old")), s"$sub rolled back")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, sub)))
+    }
+    graft.Caching.releaseAll()
+  }
+
   test("a compaction crash between renames rolls back instead of resetting the index") {
     val root = tmpDir()
     val cfg = CorpusIngest.IngestConfig("unused", root, "unused")
