@@ -260,6 +260,33 @@ object LlmWorkload {
     Retrieval.rrfFuse(sem, lex)
   }
 
+  /** Retrieval eval: per-probe reciprocal rank of the TRUE nearest neighbor
+    * (brute-force cosine rank 1) inside the hybrid RRF top-10. Emitting the
+    * per-probe 1/rank instead of the fleet mean keeps the metric a per-row
+    * IEEE division with no order-sensitive float summation — the mean is one
+    * trivial reduction away for a human reader, and the per-probe rows name
+    * exactly which probes fusion hurt (found_rank 0 = pushed out of top-10).
+    * The semantic ranking is scoped-cached once and feeds both the fusion
+    * and the truth filter, so the brute-force scoring runs a single time. */
+  def retrievalMrr(spark: SparkSession, dir: String): DataFrame = {
+    val lex = Retrieval.topKRanks(
+      textBm25(spark, dir).select(col("doc_id"), col("bm25")),
+      "doc_id", "bm25", k = 20, rankName = "lrank")
+    val sem = graft.Caching.scoped(
+      VectorOps.annBruteForce(Tables(spark, dir, "embeddings"))
+        .select(col("probe_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("srank")))
+    val fused = Retrieval.rrfFuse(sem, lex)
+    val truth = sem.filter(col("srank") === 1)
+      .select(col("probe_id"), col("doc_id").as("truth_doc"))
+    val found = fused.select(col("probe_id"), col("doc_id").as("truth_doc"),
+      col("rank"))
+    truth.join(found, Seq("probe_id", "truth_doc"), "left")
+      .select(col("probe_id"), col("truth_doc"),
+        coalesce(col("rank").cast("long"), lit(0L)).as("found_rank"),
+        coalesce(lit(1.0) / col("rank"), lit(0.0)).as("rr"))
+  }
+
   /** PII scrub over deterministically enriched text (the corpus itself is
     * synthetic and PII-free, so the query plants one email/IP/card per doc —
     * derived from doc_id, replayed identically by the oracle). */
@@ -486,6 +513,24 @@ object LlmWorkload {
   def dedupWinnowPairs(spark: SparkSession, dir: String): DataFrame =
     TextOps.winnowingPairs(Tables(spark, dir, "documents"), "doc_id", "text")
 
+  /** Duplicated-passage spans ([[TextOps.duplicatedPassages]]): maximal token
+    * spans occurring verbatim in >= 2 docs — substring-level dedup, the span
+    * (not the document) is the dedup unit. */
+  def dedupPassages(spark: SparkSession, dir: String): DataFrame =
+    TextOps.duplicatedPassages(Tables(spark, dir, "documents"), "doc_id", "text")
+
+  /** PMI collocations ([[TextOps.pmiBigrams]]): top bigrams by adjacency
+    * surprise over the corpus — `pmi_ratio` is exp(PMI), log-monotone, so
+    * the ranking equals PMI's while staying engine-portable arithmetic. */
+  def textPmiBigrams(spark: SparkSession, dir: String): DataFrame =
+    TextOps.pmiBigrams(Tables(spark, dir, "documents"), "doc_id", "text")
+
+  /** Passage-mask apply ([[TextOps.applyPassageMask]]): each document
+    * rewritten with its duplicated spans cut out — the apply side of
+    * [[dedupPassages]]. */
+  def dedupPassagesApply(spark: SparkSession, dir: String): DataFrame =
+    TextOps.applyPassageMask(Tables(spark, dir, "documents"), "doc_id", "text")
+
   /** Canonical corpus: per near-dup cluster (MinHash pairs → connected
     * components), keep the highest-quality doc — quality desc, doc_id asc;
     * unclustered docs are their own cluster. The final select step of a
@@ -525,12 +570,16 @@ object LlmWorkload {
     "quality_lm_score" -> qualityLmScore,
     "text_ngram_topk" -> textNgramTopk,
     "dedup_winnow_pairs" -> dedupWinnowPairs,
+    "dedup_passages" -> dedupPassages,
+    "dedup_passages_apply" -> dedupPassagesApply,
+    "text_pmi_bigrams" -> textPmiBigrams,
     "dedup_keep_best" -> dedupKeepBest,
     "text_decontamination" -> textDecontamination,
     "text_decontamination_bloom" -> textDecontaminationBloom,
     "prep_chunk_windows" -> prepChunkWindows,
     "text_bm25" -> textBm25,
     "retrieval_hybrid_rrf" -> retrievalHybridRrf,
+    "retrieval_mrr" -> retrievalMrr,
     "text_scrub_pii" -> textScrubPii,
     "kmeans_clusters" -> kmeansClusters,
     "embedding_quantize" -> embeddingQuantize,
@@ -903,6 +952,70 @@ object LlmWorkload {
        |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin
   }
 
+  /** Shared CTE chain for the passage-dedup family: duplicated 8-token
+    * window hashes (2 <= df <= 64) merged into maximal per-doc spans —
+    * `sp` carries (doc_id, pos, df, sid); `t` carries (doc_id, w). */
+  private val passageSpansCte: String =
+    s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |wins AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    ${h64("array_to_string(w[i:i+7], ' ')")} AS h
+       |  FROM t, UNNEST(range(1, len(w) - 6)) AS u(i)
+       |  WHERE len(w) >= 8),
+       |dups AS (
+       |  SELECT h, count(DISTINCT doc_id) AS df FROM wins GROUP BY h
+       |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64),
+       |m AS (SELECT w.doc_id, w.pos, d.df FROM wins w JOIN dups d USING (h)),
+       |isl AS (
+       |  SELECT doc_id, pos, df,
+       |    CASE WHEN pos > COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -9) + 8
+       |      THEN 1 ELSE 0 END AS nw
+       |  FROM m),
+       |sp AS (
+       |  SELECT doc_id, pos, df,
+       |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM isl)""".stripMargin
+
+  /** Shared CTE chain for the retrieval family: BM25 global top-20 (`lex`),
+    * brute-force cosine top-10 per probe (`sem`), RRF fusion, and the
+    * per-probe fused ranking (`ranked`, rnk <= 10). */
+  private val hybridRrfCtes: String =
+    s"""WITH $bm25OracleCtes,
+       |lexscore AS (SELECT doc_id, $bm25OracleScore AS bm25 FROM base, st),
+       |lex AS (SELECT doc_id, CAST(rnk AS INTEGER) AS lrank FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+       |    FROM lexscore) WHERE rnk <= 20),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+       |d AS (SELECT p.probe_id, v.vec_id, ${cosSql("v.e", "p.pe")} AS cos
+       |      FROM v, p WHERE v.vec_id <> p.probe_id),
+       |sem AS (SELECT probe_id, vec_id AS doc_id, CAST(rnk AS INTEGER) AS srank
+       |        FROM (SELECT probe_id, vec_id,
+       |                row_number() OVER (PARTITION BY probe_id
+       |                  ORDER BY cos DESC, vec_id ASC) AS rnk
+       |              FROM d) WHERE rnk <= 10),
+       |probes AS (SELECT DISTINCT probe_id FROM sem),
+       |lexper AS (SELECT pr.probe_id, l.doc_id, l.lrank FROM probes pr, lex l),
+       |fused AS (
+       |  SELECT COALESCE(s.probe_id, lp.probe_id) AS probe_id,
+       |    COALESCE(s.doc_id, lp.doc_id) AS doc_id, s.srank, lp.lrank
+       |  FROM sem s FULL OUTER JOIN lexper lp
+       |    ON s.probe_id = lp.probe_id AND s.doc_id = lp.doc_id),
+       |scored AS (
+       |  SELECT probe_id, doc_id,
+       |    COALESCE(CAST(1 AS DOUBLE) / CAST(60 + srank AS DOUBLE), CAST(0 AS DOUBLE))
+       |    + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + lrank AS DOUBLE), CAST(0 AS DOUBLE))
+       |      AS rrf
+       |  FROM fused),
+       |ranked AS (
+       |  SELECT probe_id, doc_id, rrf, rnk FROM (
+       |    SELECT probe_id, doc_id, rrf,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY rrf DESC, doc_id ASC) AS rnk
+       |    FROM scored) WHERE rnk <= 10)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // featurize replay: the byte histogram as pure integer counts — ASCII
     // text makes ord(char) == byte; bucket = (byte*8)//256, same arithmetic
@@ -1015,6 +1128,51 @@ object LlmWorkload {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
          |FROM kept a JOIN kept b ON a.m = b.m AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+    // duplicated-passage replay: same 8-token window hashes, same 2<=df<=64
+    // duplicated-window set, same p..p+n adjacency islands
+    "dedup_passages" ->
+      s"""$passageSpansCte
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+         |  count(*) AS n_windows, max(df) AS max_df
+         |FROM sp GROUP BY doc_id, sid""".stripMargin,
+    // passage-mask replay: same spans, token-level anti-join (spans are
+    // disjoint so a covered token matches exactly one span), ordered
+    // string_agg rebuild; all-removed and span-less docs both survive
+    "dedup_passages_apply" ->
+      s"""$passageSpansCte,
+         |spansq AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+         |           FROM sp GROUP BY doc_id, sid),
+         |toks AS (SELECT doc_id, unnest(w) AS tok,
+         |                generate_subscripts(w, 1) AS pos FROM t),
+         |marked AS (
+         |  SELECT k.doc_id, k.tok, k.pos,
+         |    CASE WHEN sq.doc_id IS NULL THEN 0 ELSE 1 END AS cov
+         |  FROM toks k LEFT JOIN spansq sq
+         |    ON k.doc_id = sq.doc_id AND k.pos BETWEEN sq.s AND sq.e)
+         |SELECT doc_id,
+         |  COALESCE(string_agg(CASE WHEN cov = 0 THEN tok END, ' ' ORDER BY pos), '') AS clean_text,
+         |  CAST(sum(1 - cov) AS BIGINT) AS n_kept,
+         |  CAST(sum(cov) AS BIGINT) AS n_removed
+         |FROM marked GROUP BY doc_id""".stripMargin,
+    // PMI replay: same counts, same fixed-association double arithmetic
+    // ((c_ab*n_uni)*n_uni) / ((n_bi*c_a)*c_b), same desc-ratio/lex tiebreak
+    "text_pmi_bigrams" ->
+      s"""WITH words AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |uni AS (SELECT t, count(*) AS c
+         |        FROM (SELECT unnest(w) AS t FROM words) GROUP BY t),
+         |bi AS (
+         |  SELECT w[i] AS a, w[i+1] AS b, count(*) AS c_ab
+         |  FROM words, UNNEST(range(1, len(w))) AS u(i)
+         |  WHERE len(w) >= 2
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |tot AS (SELECT CAST(sum(len(w)) AS BIGINT) AS n_uni,
+         |               CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS n_bi
+         |        FROM words)
+         |SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b,
+         |  (CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)) /
+         |  (CAST(n_bi AS DOUBLE) * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS pmi_ratio
+         |FROM bi JOIN uni ua ON bi.a = ua.t JOIN uni ub ON bi.b = ub.t, tot
+         |ORDER BY pmi_ratio DESC, a, b LIMIT 20""".stripMargin,
     "dedup_exact" ->
       s"""SELECT doc_id, md5($normSql) AS text_hash,
          |  min(doc_id) OVER (PARTITION BY md5($normSql)) AS canonical_id,
@@ -1257,39 +1415,19 @@ object LlmWorkload {
     // brute-force cosine CTEs rank the semantic lists, and the RRF sum is
     // two IEEE divisions in fixed order — bit-identical fusion scores
     "retrieval_hybrid_rrf" ->
-      s"""WITH $bm25OracleCtes,
-         |lexscore AS (SELECT doc_id, $bm25OracleScore AS bm25 FROM base, st),
-         |lex AS (SELECT doc_id, CAST(rnk AS INTEGER) AS lrank FROM (
-         |    SELECT doc_id,
-         |      row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
-         |    FROM lexscore) WHERE rnk <= 20),
-         |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
-         |d AS (SELECT p.probe_id, v.vec_id, ${cosSql("v.e", "p.pe")} AS cos
-         |      FROM v, p WHERE v.vec_id <> p.probe_id),
-         |sem AS (SELECT probe_id, vec_id AS doc_id, CAST(rnk AS INTEGER) AS srank
-         |        FROM (SELECT probe_id, vec_id,
-         |                row_number() OVER (PARTITION BY probe_id
-         |                  ORDER BY cos DESC, vec_id ASC) AS rnk
-         |              FROM d) WHERE rnk <= 10),
-         |probes AS (SELECT DISTINCT probe_id FROM sem),
-         |lexper AS (SELECT pr.probe_id, l.doc_id, l.lrank FROM probes pr, lex l),
-         |fused AS (
-         |  SELECT COALESCE(s.probe_id, lp.probe_id) AS probe_id,
-         |    COALESCE(s.doc_id, lp.doc_id) AS doc_id, s.srank, lp.lrank
-         |  FROM sem s FULL OUTER JOIN lexper lp
-         |    ON s.probe_id = lp.probe_id AND s.doc_id = lp.doc_id),
-         |scored AS (
-         |  SELECT probe_id, doc_id,
-         |    COALESCE(CAST(1 AS DOUBLE) / CAST(60 + srank AS DOUBLE), CAST(0 AS DOUBLE))
-         |    + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + lrank AS DOUBLE), CAST(0 AS DOUBLE))
-         |      AS rrf
-         |  FROM fused)
-         |SELECT probe_id, doc_id, rrf, CAST(rnk AS INTEGER) AS "rank" FROM (
-         |  SELECT probe_id, doc_id, rrf,
-         |    row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY rrf DESC, doc_id ASC) AS rnk
-         |  FROM scored) WHERE rnk <= 10""".stripMargin,
+      s"""$hybridRrfCtes
+         |SELECT probe_id, doc_id, rrf, CAST(rnk AS INTEGER) AS "rank"
+         |FROM ranked""".stripMargin,
+    // MRR replay: truth = semantic rank 1 per probe; the reciprocal rank is
+    // one IEEE division (or exact 0 when fusion pushed the NN out of top-10)
+    "retrieval_mrr" ->
+      s"""$hybridRrfCtes,
+         |truth AS (SELECT probe_id, doc_id AS truth_doc FROM sem WHERE srank = 1)
+         |SELECT t.probe_id, t.truth_doc,
+         |  COALESCE(CAST(r.rnk AS BIGINT), 0) AS found_rank,
+         |  COALESCE(CAST(1 AS DOUBLE) / CAST(r.rnk AS DOUBLE), CAST(0 AS DOUBLE)) AS rr
+         |FROM truth t LEFT JOIN ranked r
+         |  ON t.probe_id = r.probe_id AND t.truth_doc = r.doc_id""".stripMargin,
     // PII scrub replay: same enrichment, same patterns, same replace order
     "text_scrub_pii" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -426,6 +426,102 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /**
+   * Exact duplicated-passage spans — substring-level deduplication. Whole-doc
+   * dedup (exact or MinHash) misses documents that are mostly unique but
+   * share verbatim passages (boilerplate headers, license blocks, quoted
+   * articles); the training-data fix is to find the maximal token spans that
+   * occur verbatim in >= 2 documents so those SPANS can be dropped or masked
+   * while the rest of the document survives.
+   *
+   * Distributed shape, never quadratic:
+   *  1. token n-gram windows per doc, hashed — a narrow explode whose
+   *     parallelism is pre-spread on doc_id, so the blowup never sits on one
+   *     scan partition and the rows arrive already distributed by doc;
+   *  2. one groupBy(h) counting DISTINCT docs per window (two-phase partial
+   *     agg) — a window is "duplicated" iff its df >= 2; a `maxDf` ceiling
+   *     drops ubiquitous boilerplate windows (the token-level stop-gram
+   *     guard), bounding the join fanout exactly like the LSH band joins;
+   *  3. equi-join the windows back on h (small side is the duplicated-hash
+   *     set — AQE broadcasts it when it fits);
+   *  4. per-doc gaps-and-islands over a PARTITIONED window: positions p < q
+   *     belong to one span iff q <= p + n (overlap or adjacency), so runs of
+   *     duplicated windows merge into maximal spans.
+   *
+   * Output: (doc_id, span_start, span_end, n_windows, max_df) — token
+   * offsets, 1-based inclusive; max_df is the widest sharing count among the
+   * span's windows. The oracle replays the identical md5 window hashes, so
+   * spans match bit-for-bit across engines.
+   */
+  def duplicatedPassages(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, maxDf: Int = 64): DataFrame = {
+    // wins feeds two consumers (the df agg and the join-back) and is
+    // deliberately NOT cached: it is corpus-token-sized, so materializing it
+    // buys a page-cached rescan at the price of a memory/disk barrier that
+    // cannot fit at scale — and an A/B at sf0.1 measured the cache within
+    // noise of the recompute (2.35 vs 2.43 s)
+    val wins = docs
+      .select(col(idCol).as("doc_id"), wordsOf(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= n)
+      .transform(graft.Spread.byKey(_, col("doc_id")))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, size(__w) - ${n - 1})")).as("pos"),
+        col("__w"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        hash64(expr(s"array_join(slice(__w, pos, $n), ' ')")).as("h"))
+    val dups = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    wins.join(dups, "h")
+      .select(col("doc_id"), col("pos"), col("df"))
+      // lag default -(n+1) makes the first window of every doc open a span
+      .withColumn("__new",
+        when(col("pos") > lag(col("pos"), 1, -(n + 1)).over(byDoc) + n, 1)
+          .otherwise(0))
+      .withColumn("__span", sum(col("__new")).over(byDoc))
+      .groupBy(col("doc_id"), col("__span"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"),
+        max(col("df")).as("max_df"))
+      .drop("__span")
+  }
+
+  /**
+   * Apply passage-level dedup: rewrite each document with its duplicated
+   * spans ([[duplicatedPassages]]) removed — the span, not the document, is
+   * the dedup unit, so mostly-unique documents survive with their boilerplate
+   * cut out.
+   *
+   * Scale: no token explode at all on the rewrite side — each doc row keeps
+   * its token array, the per-doc span list arrives through one equi-join on
+   * doc_id (the span table is a pruned aggregate, orders smaller than the
+   * corpus), and the mask is a codegen'd `filter`/`exists` over the two
+   * arrays followed by an `array_join`. Docs with no spans pass through on
+   * the left join's null branch. Spans are disjoint by construction (islands
+   * are maximal), so membership needs no overlap resolution.
+   *
+   * Output: (doc_id, clean_text, n_kept, n_removed) — clean_text is the
+   * normalized token stream minus every in-span token.
+   */
+  def applyPassageMask(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, maxDf: Int = 64): DataFrame = {
+    val spans = duplicatedPassages(docs, idCol, textCol, n, maxDf)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    docs.select(col(idCol).as("doc_id"), wordsOf(col(textCol)).as("__w"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__w"),
+        expr("filter(transform(__w, (t, i) -> struct(t AS tok, i + 1 AS pos)), " +
+          "s -> __spans IS NULL OR NOT exists(__spans, " +
+          "sp -> s.pos BETWEEN sp.span_start AND sp.span_end))").as("__kept"))
+      .select(col("doc_id"),
+        expr("array_join(transform(__kept, s -> s.tok), ' ')").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__w")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   // ----------------------------------------------------------------- simhash
 
   /** 48-bit SimHash over distinct word n-gram shingles: bit p is set iff the
@@ -862,6 +958,57 @@ object TextOps {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("word").as("top_word"),
         col("tf"), col("df"), col("tfidf"))
+  }
+
+  /**
+   * Corpus collocations by pointwise mutual information — the bigrams whose
+   * adjacency is most surprising given their unigram frequencies (the
+   * phrase-mining primitive behind tokenizer merge candidates and
+   * stop-phrase lists).
+   *
+   * The score column is `pmi_ratio` = p(ab) / (p(a)·p(b)) — the EXP of PMI.
+   * log is monotone, so the ranking is identical to PMI proper, and the
+   * ratio is a fixed-order chain of IEEE multiplies/divides over exact
+   * integer counts, which the DuckDB oracle replays bit-for-bit (ln would
+   * hostage the comparison to two libm implementations).
+   *
+   * Scale: one explode + groupBy(a, b) for bigram counts and one explode +
+   * groupBy(t) for unigram counts (both two-phase partial aggs over the
+   * pre-spread doc frame); corpus totals are 1-row broadcast anchors; the
+   * unigram join keys are vocabulary-sized, not corpus-sized; the `minCount`
+   * floor prunes the bigram tail BEFORE any join; top-k is a TakeOrdered
+   * with a lexicographic tiebreak, never a global sort.
+   */
+  def pmiBigrams(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 5, topK: Int = 20): DataFrame = {
+    val words = graft.Spread.byKey(docs, col(idCol))
+      .select(col(idCol).as("doc_id"), wordsOf(col(textCol)).as("__w"))
+    val uni = words.select(explode(col("__w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val bi = words.filter(size(col("__w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__w) - 1), " +
+          "i -> struct(element_at(__w, i) AS a, element_at(__w, i + 1) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val totals = words.agg(
+      sum(size(col("__w")).cast("long")).as("n_uni"),
+      sum(greatest(size(col("__w")) - 1, lit(0)).cast("long")).as("n_bi"))
+    bi.join(uni.select(col("t").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(totals))
+      // fixed association: ((c_ab * n_uni) * n_uni) / ((n_bi * c_a) * c_b)
+      .withColumn("pmi_ratio",
+        (col("c_ab").cast("double") * col("n_uni").cast("double") *
+          col("n_uni").cast("double")) /
+        (col("n_bi").cast("double") * col("c_a").cast("double") *
+          col("c_b").cast("double")))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        col("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("a").asc, col("b").asc)
+      .limit(topK)
   }
 
   /**

@@ -41,4 +41,18 @@ class RetrievalSpec extends SparkSpec {
     assert(perProbe.keySet == Set(0L, 1L, 2L) && perProbe.values.forall(_ <= 30))
     graft.Caching.releaseAll()
   }
+
+  test("retrievalMrr: one row per probe; rr is exactly 1/found_rank, 0 when fused out") {
+    val out = graft.queries.LlmWorkload.retrievalMrr(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Double)].collect()
+    val nProbes = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(pmod($"vec_id", lit(100)) === 0).count()
+    assert(out.length == nProbes && nProbes > 0)
+    out.foreach { case (_, _, fr, rr) =>
+      if (fr == 0L) assert(rr == 0.0)
+      else { assert(fr >= 1 && fr <= 10); assert(rr == 1.0 / fr) }
+    }
+    graft.Caching.releaseAll()
+  }
 }

@@ -51,7 +51,9 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "agg_sketches",           // 1-row approx × exact-twin summaries crossJoined
     "dedup_semantic",         // k-row centroid set broadcast (argmax assign)
     "text_heavy_hitters",     // 1-row total-count anchor
-    "retrieval_hybrid_rrf")   // probe-set + bounded (k=20) lexical-list broadcasts
+    "retrieval_hybrid_rrf",   // probe-set + bounded (k=20) lexical-list broadcasts
+    "retrieval_mrr",          // same retrieval broadcasts, truth-joined
+    "text_pmi_bigrams")       // 1-row corpus-totals (n_uni, n_bi) anchor
 
   test("no registered query plans a cartesian, unjustified nested-loop join, " +
       "or partition-less window") {

@@ -405,4 +405,62 @@ class TextOpsSpec extends SparkSpec {
     val none = TextOps.winnowingPairs(d, "doc_id", "text", maxDf = 1, minShared = 1)
     assert(none.count() == 0)
   }
+
+  test("duplicatedPassages: adjacent duplicated windows merge into maximal spans") {
+    val d = docs(
+      (1L, "a b c d e f g h"),           // shares a..e with 2, f g h with 4
+      (2L, "x x a b c d e y z w"),        // a..e at token offset 3
+      (3L, "p q r s t u"),                // unique: no spans
+      (4L, "a b c z1 z2 z3 z4 f g h"),    // two separated shared passages
+      (5L, "a b"))                        // shorter than n: no windows
+    val out = TextOps.duplicatedPassages(d, "doc_id", "text", n = 3)
+      .select("doc_id", "span_start", "span_end", "n_windows", "max_df")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // doc 1: dup windows at pos 1,2,3 ([abc][bcd][cde]) and 6 ([fgh]);
+    // pos 6 <= 3 + n so the runs chain into ONE maximal span 1..8
+    // doc 4: [abc] at pos 1 and [fgh] at pos 8 are > n apart -> two spans
+    assert(out == Set(
+      (1L, 1L, 8L, 4L, 3L),
+      (2L, 3L, 7L, 3L, 3L),
+      (4L, 1L, 3L, 1L, 3L),
+      (4L, 8L, 10L, 1L, 2L)))
+    // maxDf guard: a ceiling below every real df suppresses all spans
+    assert(TextOps.duplicatedPassages(d, "doc_id", "text", n = 3, maxDf = 1)
+      .count() == 0)
+  }
+
+  test("applyPassageMask: in-span tokens are cut; spanless and all-removed docs survive") {
+    val d = docs(
+      (1L, "a b c d e f g h"),           // one span covering the whole doc
+      (2L, "x x a b c d e y z w"),        // span 3..7 -> kept "x x y z w"
+      (3L, "p q r s t u"),                // no spans -> unchanged
+      (4L, "a b c z1 z2 z3 z4 f g h"),    // two spans -> kept middle
+      (5L, "a b"))                        // shorter than n -> unchanged
+    val out = TextOps.applyPassageMask(d, "doc_id", "text", n = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("", 0L, 8L)))
+    assert(out(2L) == (("x x y z w", 5L, 5L)))
+    assert(out(3L) == (("p q r s t u", 6L, 0L)))
+    assert(out(4L) == (("z1 z2 z3 z4", 4L, 6L)))
+    assert(out(5L) == (("a b", 2L, 0L)))
+  }
+
+  test("pmiBigrams: exact ratio arithmetic, minCount floor, deterministic tiebreak") {
+    val d = docs(
+      (1L, "new york new york city"),
+      (2L, "san francisco san francisco"),
+      (3L, "the the the the"))
+    // n_uni = 13, n_bi = 10; counts: new/york/san/francisco 2, city 1, the 4
+    val out = TextOps.pmiBigrams(d, "doc_id", "text", minCount = 2, topK = 3)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq == Seq(
+      ("new", "york", 2L), ("san", "francisco", 2L), ("the", "the", 3L)))
+    // (2*13*13)/(10*2*2) for both leaders (lex tiebreak picks new<san first)
+    assert(out(0)._6 == 338.0 / 40.0 && out(1)._6 == 338.0 / 40.0)
+    assert(out(2)._6 == 507.0 / 160.0)  // (3*13*13)/(10*4*4)
+    // minCount floor: at 1 every distinct adjacent pair survives
+    assert(TextOps.pmiBigrams(d, "doc_id", "text", minCount = 1, topK = 100)
+      .count() == 6)
+  }
 }
