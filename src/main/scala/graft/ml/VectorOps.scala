@@ -124,6 +124,73 @@ object VectorOps {
   }
 
   /**
+   * The PERSISTED/INCREMENTAL form of the IVF search index — frozen
+   * centroids. A production inverted-file index trains its coarse quantizer
+   * ONCE on a seed corpus and then only APPENDS: new vectors are assigned to
+   * the frozen centroid set and lands in existing buckets, because re-picking
+   * centroids per batch would silently re-bucket the whole corpus (an
+   * O(corpus) rewrite — exactly what an append-only index exists to avoid).
+   * Three pieces, each a plain DataFrame so callers persist them as parquet
+   * (per-batch `ingest_batch` partitions under the same append-only +
+   * single-writer discipline as [[graft.stream.EmbeddingIngest]]; bucket
+   * assignment is a pure function of the frozen centroids, so replaying a
+   * batch rewrites byte-identical rows):
+   *
+   *  - [[ivfCentroids]]: the frozen codebook from the SEED corpus
+   *    (deterministic training-free pick, as [[annIvf]]);
+   *  - [[ivfBuckets]]: bucket rows (vec_id, centroid_id, e, n) for ANY
+   *    vector frame against the frozen codebook — the inverted lists store
+   *    the vector and its norm, so search never rejoins the raw corpus;
+   *  - [[ivfSearchIndexed]]: nprobe-bucket top-k over the persisted lists.
+   */
+  def ivfCentroids(seed: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", centroidMod: Int = 25): DataFrame =
+    asDouble(seed, idCol, vecCol)
+      .filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
+
+  /** Bucket `vecs` against a FROZEN centroid set — one broadcast of the
+    * codebook, one per-vector argmax window; no shuffle of the vectors
+    * beyond the window's own partitioning. */
+  def ivfBuckets(centroids: DataFrame, vecs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(vecs, idCol, vecCol)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    v.join(broadcast(centroids))
+      .withColumn("cos", cosPre("e", "ce", "n", "cn"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("e"), col("n"))
+  }
+
+  /** Top-k cosine search over a persisted IVF index: probes pick their
+    * `nprobe` nearest frozen centroids, candidates come from ONE equi-join
+    * on centroid_id against the bucket table (ids + stored vectors — the
+    * corpus is never rescanned), ranks are per-probe windows. */
+  def ivfSearchIndexed(centroids: DataFrame, buckets: DataFrame,
+      probes: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val p = asDouble(probes, idCol, vecCol)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("n").as("pn"))
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    val probeBuckets = p.join(broadcast(centroids))
+      .withColumn("cos", cosPre("pe", "ce", "pn", "cn"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("pe"), col("pn"), col("centroid_id"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    probeBuckets.join(buckets, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", cosPre("e", "pe", "n", "pn"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /**
    * IVF (inverted-file) top-k: centroids are the rows where
    * `vec_id % centroidMod == 0` (a deterministic training-free codebook —
    * stands in for k-means at identical plumbing); every vector is bucketed by

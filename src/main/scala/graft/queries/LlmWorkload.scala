@@ -125,6 +125,23 @@ object LlmWorkload {
   def annTopkIvf(spark: SparkSession, dir: String): DataFrame =
     VectorOps.annIvf(Tables(spark, dir, "embeddings"))
 
+  /** Frozen-centroid IVF search through the split init+append build
+    * ([[VectorOps.ivfCentroids]]/[[VectorOps.ivfBuckets]]/
+    * [[VectorOps.ivfSearchIndexed]]): the codebook trains on the EVEN half
+    * (the seed corpus) only; the odd half is appended after the freeze and
+    * never contributes a centroid — the persisted-index semantics, pinned
+    * against a monolithic oracle assignment over the same frozen codebook. */
+  def annTopkIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val seed = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val late = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val cents = graft.Caching.scoped(VectorOps.ivfCentroids(seed))
+    val buckets = VectorOps.ivfBuckets(cents, seed)
+      .unionByName(VectorOps.ivfBuckets(cents, late))
+    val probes = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+    VectorOps.ivfSearchIndexed(cents, buckets, probes)
+  }
+
   /** Filtered vector search: top-k neighbors among ENGLISH documents only
     * (the embedding ids are the doc ids); the predicate prunes the corpus
     * before any distance arithmetic. */
@@ -604,6 +621,7 @@ object LlmWorkload {
     "text_fingerprints" -> textFingerprints,
     "ann_topk_bruteforce" -> annTopkBruteforce,
     "ann_topk_ivf" -> annTopkIvf,
+    "ann_topk_ivf_indexed" -> annTopkIvfIndexed,
     "ann_topk_ivfpq" -> annTopkIvfPq,
     "ann_topk_filtered" -> annTopkFiltered,
     "multimodal_meta" -> multimodalMeta,
@@ -1227,6 +1245,36 @@ object LlmWorkload {
          |FROM documents d LEFT JOIN mn ON mn.doc_id = d.doc_id""".stripMargin,
     "ann_topk_bruteforce" -> bruteforceOracle,
     "ann_topk_ivf" -> ivfOracle,
+    // frozen-codebook replay: centroids from the even (seed) half only;
+    // every vector — seed or appended — assigns to that frozen set
+    "ann_topk_ivf_indexed" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+         |      WHERE vec_id % 2 = 0 AND vec_id % 25 = 0),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT v.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.centroid_id ASC) AS rn
+         |    FROM v, c) WHERE rn = 1),
+         |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+         |pb AS (
+         |  SELECT probe_id, pe, centroid_id FROM (
+         |    SELECT p.probe_id, p.pe, c.centroid_id,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY ${cosSql("p.pe", "c.ce")} DESC, c.centroid_id ASC) AS rn
+         |    FROM p, c) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT pb.probe_id, v.vec_id, ${cosSql("v.e", "pb.pe")} AS cos
+         |  FROM pb JOIN assign a ON a.centroid_id = pb.centroid_id
+         |  JOIN v ON v.vec_id = a.vec_id
+         |  WHERE v.vec_id <> pb.probe_id),
+         |r AS (SELECT probe_id, vec_id,
+         |        row_number() OVER (PARTITION BY probe_id
+         |          ORDER BY cos DESC, vec_id ASC) AS rnk
+         |      FROM cand)
+         |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank"
+         |FROM r WHERE rnk <= 10""".stripMargin,
     "ann_topk_ivfpq" -> ivfpqOracle,
     // filtered search replay: the semi-join restricts CANDIDATES before the
     // distance math; probes stay unrestricted

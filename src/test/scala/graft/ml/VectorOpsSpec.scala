@@ -60,6 +60,43 @@ class VectorOpsSpec extends SparkSpec {
     assert(neighbors.subsetOf(Set(1L, 2L)))
   }
 
+  test("frozen-centroid IVF: appended vectors never re-train the codebook; " +
+      "split build equals monolithic; parquet round-trip serves identically") {
+    // seed = even ids (centroids: ids 0, 50); odd ids appended after freeze.
+    // id 75 would be a centroid under per-batch re-training (75 % 25 == 0)
+    // but is odd, so it must stay a plain bucket member.
+    val all = emb(
+      (0L, Seq(1.0, 0.0)), (50L, Seq(0.0, 1.0)),
+      (2L, Seq(1.0, 0.1)), (4L, Seq(0.1, 1.0)),
+      (75L, Seq(0.0, 0.9)), (3L, Seq(1.0, 0.2)))
+    val seed = all.filter(pmod($"vec_id", lit(2)) === 0)
+    val late = all.filter(pmod($"vec_id", lit(2)) === 1)
+    val cents = VectorOps.ivfCentroids(seed)
+    assert(cents.select("centroid_id").as[Long].collect().toSet == Set(0L, 50L))
+    val split = VectorOps.ivfBuckets(cents, seed)
+      .unionByName(VectorOps.ivfBuckets(cents, late))
+    val mono = VectorOps.ivfBuckets(cents, all)
+    assert(split.select($"vec_id", $"centroid_id").as[(Long, Long)].collect().toSet
+      == mono.select($"vec_id", $"centroid_id").as[(Long, Long)].collect().toSet)
+    // the appended 75 joined 50's bucket as a member, not a centroid
+    assert(split.filter($"vec_id" === 75L).select("centroid_id")
+      .as[Long].head() == 50L)
+    val direct = VectorOps.ivfSearchIndexed(cents, split,
+      all.filter(pmod($"vec_id", lit(100)) === 0), k = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // persisted index: parquet round-trip of codebook + buckets serves the
+    // same search result (the on-disk form IS the index)
+    val tmp = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    cents.write.parquet(s"$tmp/centroids")
+    split.write.parquet(s"$tmp/buckets")
+    val served = VectorOps.ivfSearchIndexed(
+      spark.read.parquet(s"$tmp/centroids"),
+      spark.read.parquet(s"$tmp/buckets"),
+      all.filter(pmod($"vec_id", lit(100)) === 0), k = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(served == direct && direct.nonEmpty)
+  }
+
   test("ivf with nprobe=2 reaches both buckets") {
     val rows = Seq(
       (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)),

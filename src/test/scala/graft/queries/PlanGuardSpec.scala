@@ -32,6 +32,7 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "ann_topk_bruteforce",    // probe set broadcast against the corpus
     "ann_topk_filtered",      // probe set broadcast against the FILTERED corpus
     "ann_topk_ivf",           // centroid set broadcast (bucketing)
+    "ann_topk_ivf_indexed",   // frozen centroid set broadcast (seed-trained)
     "ann_topk_ivfpq",         // centroid set broadcast (bucketing) + code tables
     "dedup_embedding_pairs",  // centroid set broadcast (bucketing)
     "dedup_embedding_srp_pairs", // hyperplane set + 1-row dim anchor broadcast
