@@ -149,12 +149,12 @@ object VectorOps {
       .filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
 
-  /** Bucket `vecs` against a FROZEN centroid set — one broadcast of the
-    * codebook, one per-vector argmax window; no shuffle of the vectors
-    * beyond the window's own partitioning. */
-  def ivfBuckets(centroids: DataFrame, vecs: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = asDouble(vecs, idCol, vecCol)
+  /** Assign PREPARED vectors (vec_id, e, n) to a frozen codebook — one
+    * broadcast of the codebook, one per-vector argmax window. Exposed on
+    * prepared frames so the streaming ingest (whose batch is already in
+    * (e, n) form) shares the exact assignment arithmetic with the batch
+    * builders. Returns (vec_id, centroid_id, e, n). */
+  def ivfAssign(centroids: DataFrame, v: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("centroid_id").asc)
     v.join(broadcast(centroids))
@@ -164,12 +164,23 @@ object VectorOps {
       .select(col("vec_id"), col("centroid_id"), col("e"), col("n"))
   }
 
-  /** Top-k cosine search over a persisted IVF index: probes pick their
-    * `nprobe` nearest frozen centroids, candidates come from ONE equi-join
-    * on centroid_id against the bucket table (ids + stored vectors — the
-    * corpus is never rescanned), ranks are per-probe windows. */
-  def ivfSearchIndexed(centroids: DataFrame, buckets: DataFrame,
-      probes: DataFrame, idCol: String = "vec_id",
+  /** Bucket `vecs` against a FROZEN centroid set ([[ivfAssign]] over the
+    * raw-embedding frame). */
+  def ivfBuckets(centroids: DataFrame, vecs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfAssign(centroids, asDouble(vecs, idCol, vecCol))
+
+  /** Top-k cosine search over the SPLIT persisted layout — assignment rows
+    * (vec_id, centroid_id) separate from the vector store (vec_id, e, n),
+    * the layout a streaming ingest maintains (assignments are tiny
+    * append-only rows; the embedding bytes live once, in the vec store).
+    * Join order is candidates-first by construction: probes pick their
+    * `nprobe` centroids, ONE equi-join on centroid_id against the
+    * assignment table prunes to candidate ids, and only those ids fetch
+    * their vectors — the corpus-sized frames are never joined to each
+    * other. */
+  def ivfSearchAssignments(centroids: DataFrame, assignments: DataFrame,
+      vecs: DataFrame, probes: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", nprobe: Int = 2, k: Int = 10): DataFrame = {
     val p = asDouble(probes, idCol, vecCol)
       .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("n").as("pn"))
@@ -182,13 +193,27 @@ object VectorOps {
       .select(col("probe_id"), col("pe"), col("pn"), col("centroid_id"))
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    probeBuckets.join(buckets, Seq("centroid_id"))
+    probeBuckets
+      .join(assignments.select(col("vec_id"), col("centroid_id")),
+        Seq("centroid_id"))
       .filter(col("vec_id") =!= col("probe_id"))
+      .join(vecs.select(col("vec_id"), col("e"), col("n")), Seq("vec_id"))
       .withColumn("cos", cosPre("e", "pe", "n", "pn"))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
+
+  /** Top-k cosine search over a MATERIALIZED bucket table (vector + norm
+    * stored in the inverted lists): [[ivfSearchAssignments]] with the
+    * bucket table serving both roles. */
+  def ivfSearchIndexed(centroids: DataFrame, buckets: DataFrame,
+      probes: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", nprobe: Int = 2, k: Int = 10): DataFrame =
+    ivfSearchAssignments(centroids,
+      buckets.select(col("vec_id"), col("centroid_id")),
+      buckets.select(col("vec_id"), col("e"), col("n")),
+      probes, idCol, vecCol, nprobe, k)
 
   /**
    * IVF (inverted-file) top-k: centroids are the rows where

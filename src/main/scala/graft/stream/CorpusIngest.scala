@@ -313,10 +313,32 @@ object CorpusIngest {
     * and [[EmbeddingIngest.compact]]. A crash mid-swap leaves the table
     * either fully old (recovered by [[rollbackIfStranded]]) or fully new,
     * never doubled. */
+  /** Atomically replace `dir` with `df` via the same .__next/.__old swap
+    * discipline as [[foldBatchPartitions]] (and the same
+    * [[rollbackIfStranded]] recovery). The caller guarantees `df` does not
+    * READ `dir` — here the swap deletes what the plan would re-scan. */
+  private[stream] def swapWrite(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".__next")
+    val old = new org.apache.hadoop.fs.Path(dir + ".__old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.write.parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(path))
+      require(fs.rename(path, old), s"swap-out failed: $dir")
+    require(fs.rename(tmp, path), s"swap-in failed: $dir")
+    fs.delete(old, true)
+  }
+
   private[stream] def foldBatchPartitions(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
     rollbackIfStranded(fs, dir) // a prior compaction may have died mid-swap
     val path = new org.apache.hadoop.fs.Path(dir)
+    // a table that never wrote (a root created before its layer existed)
+    // has nothing to fold — and reading a missing path would throw a
+    // PATH_NOT_FOUND the schema-inference catch below does not cover
+    if (!fs.exists(path)) return
     // an empty-batch run can leave a partition-less dir: nothing to fold.
     // ONLY the schema-inference failure of a partition-less dir means
     // "skip" (mirroring readOrEmpty) — any other analysis error (corrupt

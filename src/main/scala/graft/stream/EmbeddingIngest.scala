@@ -49,11 +49,23 @@ object EmbeddingIngest {
       bits: Int = 16,
       bandBits: Int = 4,
       maxFilesPerTrigger: Int = 20,
-      lockStaleMs: Long = IngestLock.DefaultStaleMs)
+      lockStaleMs: Long = IngestLock.DefaultStaleMs,
+      /** IVF codebook pick (vec_id % centroidMod == 0 at freeze time). */
+      centroidMod: Int = 25,
+      /** Buckets searched per probe by [[search]]. */
+      nprobe: Int = 2)
 
   def vecsPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/vecs"
   private def bandsPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/bands"
   def ledgerPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/ledger"
+  /** Append-only IVF assignment rows (vec_id, centroid_id, ingest_batch). */
+  def ivfPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/ivf"
+  /** The frozen IVF codebook (centroid_id, ce, cn, frozen_batch). */
+  def centroidsPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/centroids"
+
+  private val centDdl =
+    "centroid_id BIGINT, ce ARRAY<DOUBLE>, cn DOUBLE, frozen_batch BIGINT"
+  private val ivfDdl = "vec_id BIGINT, centroid_id BIGINT, ingest_batch BIGINT"
 
   /** Stable lock identity — see [[CorpusIngest.batchLockOwner]]. */
   def batchLockOwner(cfg: IngestConfig, batchId: Long): String =
@@ -66,7 +78,8 @@ object EmbeddingIngest {
       batchLockOwner(cfg, batchId), cfg.lockStaleMs) { lock =>
     val rootFs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(vecsPath(cfg), bandsPath(cfg), ledgerPath(cfg))
+    Seq(vecsPath(cfg), bandsPath(cfg), ledgerPath(cfg), ivfPath(cfg),
+        centroidsPath(cfg))
       .foreach(CorpusIngest.rollbackIfStranded(rootFs, _))
     // dynamic partition overwrite on every session whose conf a write may
     // consult (the batch frame may belong to foreachBatch's cloned session)
@@ -132,6 +145,43 @@ object EmbeddingIngest {
         .select(col("vec_id"), col("band"), col("bv"), stamp)
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(bandsPath(cfg))
 
+      // ---- IVF search-index layer: frozen codebook, append-only lists ----
+      // The codebook freezes ONCE — at the first batch where any
+      // centroid-eligible vector exists — and that freeze batch backfills
+      // assignments for every vector persisted before it, so pre-freeze
+      // batches are searchable too. Later batches only append their own
+      // assignment rows; an eligible id arriving after the freeze joins a
+      // bucket as a member, never as a centroid (re-training per batch
+      // would re-bucket the whole corpus). A replayed freeze batch excludes
+      // its own frozen_batch rows below, so a crash anywhere between the
+      // centroid swap and the assignment write replays as the freeze case
+      // and rewrites both — deterministically, hence byte-identically.
+      val priorCents = CorpusIngest.readOrEmpty(spark, centroidsPath(cfg), centDdl)
+        .filter(col("frozen_batch") =!= batchId)
+      val acceptedVecs = accepted.select(col("vec_id"), col("e"), col("n"))
+      val freezing = priorCents.isEmpty
+      val (codebook, targets) =
+        if (freezing) {
+          val allVecs = indexVecs.unionByName(acceptedVecs)
+          (allVecs.filter(pmod(col("vec_id"), lit(cfg.centroidMod)) === 0)
+            .select(col("vec_id").as("centroid_id"),
+              col("e").as("ce"), col("n").as("cn")),
+           allVecs)
+        } else
+          (priorCents.select(col("centroid_id"), col("ce"), col("cn")),
+           acceptedVecs)
+      if (freezing && !codebook.isEmpty) {
+        IngestLock.heartbeat(spark, lock)
+        // atomic swap: the codebook plan reads vecs/ and the batch, never
+        // centroids/, so the swap cannot delete its own input
+        CorpusIngest.swapWrite(rootFs, centroidsPath(cfg),
+          codebook.withColumn("frozen_batch", lit(batchId)))
+      }
+      IngestLock.heartbeat(spark, lock)
+      VectorOps.ivfAssign(codebook, targets)
+        .select(col("vec_id"), col("centroid_id"), stamp)
+        .write.mode("overwrite").partitionBy("ingest_batch").parquet(ivfPath(cfg))
+
       val nIn = batchVecs.count()
       val nAccepted = accepted.count()
       spark.createDataFrame(Seq((batchId, nIn, nAccepted)))
@@ -162,6 +212,26 @@ object EmbeddingIngest {
       .select(col("batch_id").as("vec_id"), col("corpus_id"), col("cos"))
   }
 
+  /** Read-only ANN top-k served from the persisted IVF layer — the search
+    * face of the streaming index (the SRP layer answers "is this a
+    * near-dup?", this answers "what are the k nearest?"). Takes no lock and
+    * writes nothing: reads go THROUGH a compaction-stranded `.__old` like
+    * [[probe]], and cost follows the probe set — candidates come from the
+    * probes' nprobe buckets, never a corpus scan. Probes arrive raw
+    * (vec_id, embedding). */
+  def search(spark: SparkSession, cfg: IngestConfig, probes: DataFrame,
+      k: Int = 10): DataFrame = {
+    val cents = CorpusIngest.readOrEmptyRO(spark, centroidsPath(cfg), centDdl)
+      .select(col("centroid_id"), col("ce"), col("cn"))
+    val assigns = CorpusIngest.readOrEmptyRO(spark, ivfPath(cfg), ivfDdl)
+    val vecs = CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg),
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+        col("n"))
+    VectorOps.ivfSearchAssignments(cents, assigns, vecs, probes,
+      nprobe = cfg.nprobe, k = k)
+  }
+
   /** Fold the accumulated per-batch partitions into a single
     * `ingest_batch = -1` partition — same contract, locking, and
     * atomic-swap discipline as [[CorpusIngest.compact]] (the ledger keeps
@@ -171,7 +241,7 @@ object EmbeddingIngest {
         s"compact-${java.util.UUID.randomUUID()}", cfg.lockStaleMs) { lock =>
       val fs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq(vecsPath(cfg), bandsPath(cfg)).foreach { dir =>
+      Seq(vecsPath(cfg), bandsPath(cfg), ivfPath(cfg)).foreach { dir =>
         IngestLock.heartbeat(spark, lock)
         CorpusIngest.foldBatchPartitions(spark, fs, dir)
       }

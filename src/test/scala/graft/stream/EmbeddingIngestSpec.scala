@@ -84,6 +84,60 @@ class EmbeddingIngestSpec extends SparkSpec {
     assert(acceptedIds(cfg) == Set(1L, 2L, 11L))
   }
 
+  test("IVF layer: codebook freezes at first eligible batch with backfill; " +
+      "later eligible ids never re-train; search serves the persisted index") {
+    val dirE = Seq(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f) // orthogonal to all fixtures
+    val root = tmpDir()
+    val cfg = EmbeddingIngest.IngestConfig("unused", root, "ckpt-IVF",
+      centroidMod = 5)
+    // batch 0: no id % 5 == 0 — no codebook yet; search is empty, not a crash
+    EmbeddingIngest.ingestBatch(spark, cfg, vecs(1L -> base, 3L -> orth), 0L)
+    assert(!new java.io.File(root, "centroids").exists())
+    assert(EmbeddingIngest.search(spark, cfg, vecs(100L -> nearBase)).count() == 0L)
+    // batch 1: id 5 is eligible — freeze NOW and backfill batches 0's vecs
+    EmbeddingIngest.ingestBatch(spark, cfg, vecs(5L -> other), 1L)
+    assert(spark.read.parquet(EmbeddingIngest.centroidsPath(cfg))
+      .select("centroid_id").as[Long].collect().toSet == Set(5L))
+    assert(spark.read.parquet(EmbeddingIngest.ivfPath(cfg))
+      .select("vec_id").as[Long].collect().toSet == Set(1L, 3L, 5L))
+    // batch 2: id 10 is eligible but arrives POST-freeze — bucket member,
+    // never a centroid
+    EmbeddingIngest.ingestBatch(spark, cfg, vecs(10L -> dirE), 2L)
+    assert(spark.read.parquet(EmbeddingIngest.centroidsPath(cfg))
+      .select("centroid_id").as[Long].collect().toSet == Set(5L))
+    assert(spark.read.parquet(EmbeddingIngest.ivfPath(cfg))
+      .select("vec_id").as[Long].collect().toSet == Set(1L, 3L, 5L, 10L))
+    // read-only search: nearest to a base-direction probe is vec 1
+    val top = EmbeddingIngest.search(spark, cfg, vecs(100L -> nearBase), k = 2)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(top.head == ((100L, 1L, 1)))
+    // compact folds the assignment partitions; search still serves
+    EmbeddingIngest.compact(spark, cfg)
+    assert(spark.read.parquet(EmbeddingIngest.ivfPath(cfg))
+      .select("ingest_batch").distinct().as[Long].collect().toSeq == Seq(-1L))
+    val topAfter = EmbeddingIngest.search(spark, cfg, vecs(100L -> nearBase), k = 2)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(topAfter.toSeq == top.toSeq)
+  }
+
+  test("IVF layer: a replayed freeze batch rewrites codebook and assignments identically") {
+    val root = tmpDir()
+    val cfg = EmbeddingIngest.IngestConfig("unused", root, "ckpt-IVF-R",
+      centroidMod = 5)
+    EmbeddingIngest.ingestBatch(spark, cfg, vecs(5L -> base, 7L -> orth), 0L)
+    def state() = (
+      spark.read.parquet(EmbeddingIngest.centroidsPath(cfg))
+        .select("centroid_id", "frozen_batch").as[(Long, Long)].collect().toSeq.sorted,
+      spark.read.parquet(EmbeddingIngest.ivfPath(cfg))
+        .select("vec_id", "centroid_id").as[(Long, Long)].collect().toSeq.sorted)
+    val before = state()
+    // crash-replay of the freeze batch: its own frozen rows are excluded
+    // from the codebook it reads, so the freeze re-runs deterministically
+    EmbeddingIngest.ingestBatch(spark, cfg, vecs(5L -> base, 7L -> orth), 0L)
+    assert(state() == before)
+    assert(before._1 == Seq((5L, 0L)) && before._2 == Seq((5L, 5L), (7L, 5L)))
+  }
+
   test("probe reports near-dups read-only: no state change, no lock") {
     val root = tmpDir()
     val cfg = EmbeddingIngest.IngestConfig("unused", root, "ckpt-P")
