@@ -262,6 +262,26 @@ object LlmWorkload {
     TextOps.bm25(Tables(spark, dir, "documents"), "doc_id", "text",
       terms = Seq("the", "of", "and"))
 
+  /** BM25 through the SPLIT index build ([[TextOps.invertedIndex]] /
+    * [[TextOps.corpusStats]] / [[TextOps.bm25Indexed]]): the even half is
+    * the seed corpus, the odd half a later ingest batch; their postings
+    * union and their 1-row stat frames sum — pinning the persisted lexical
+    * index's batch-composability (build-in-parts ≡ monolithic, the
+    * [[graft.stream.CorpusIngest]] serving contract) against a monolithic
+    * oracle. Top-20 docs by (bm25 desc, doc_id) — scores bit-identical to
+    * [[textBm25]]'s, so the LIMIT boundary is deterministic. */
+  def textBm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val seed = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val late = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val postings = TextOps.invertedIndex(seed, "doc_id", "text")
+      .unionByName(TextOps.invertedIndex(late, "doc_id", "text"))
+    val stats = TextOps.corpusStats(seed, "doc_id", "text")
+      .unionByName(TextOps.corpusStats(late, "doc_id", "text"))
+    TextOps.bm25Indexed(postings, stats, Seq("the", "of", "and"))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+  }
+
   /** Hybrid retrieval ([[graft.ml.Retrieval]]): the global BM25 top-20
     * (lexical list) fused by reciprocal rank with each probe's brute-force
     * cosine top-10 (semantic list; embedding ids are the doc ids) — the
@@ -595,6 +615,7 @@ object LlmWorkload {
     "text_decontamination_bloom" -> textDecontaminationBloom,
     "prep_chunk_windows" -> prepChunkWindows,
     "text_bm25" -> textBm25,
+    "text_bm25_indexed" -> textBm25Indexed,
     "retrieval_hybrid_rrf" -> retrievalHybridRrf,
     "retrieval_mrr" -> retrievalMrr,
     "text_scrub_pii" -> textScrubPii,
@@ -1459,6 +1480,17 @@ object LlmWorkload {
          |SELECT doc_id, dl, tf0, tf1, tf2,
          |  $bm25OracleScore AS bm25
          |FROM base, st""".stripMargin,
+    // indexed-BM25 replay: the SAME monolithic score (the split index build
+    // is provably the monolithic index), restricted to docs holding at
+    // least one query term (docs with no posting for any term are absent
+    // from the index-pruned scan) — bit-identical scores make the top-20
+    // boundary deterministic on both engines
+    "text_bm25_indexed" ->
+      s"""WITH $bm25OracleCtes
+         |SELECT doc_id, dl, $bm25OracleScore AS bm25
+         |FROM base, st
+         |WHERE tf0 + tf1 + tf2 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
     // hybrid-retrieval replay: the bm25 CTEs rank the lexical list, the
     // brute-force cosine CTEs rank the semantic lists, and the RRF sum is
     // two IEEE divisions in fixed order — bit-identical fusion scores

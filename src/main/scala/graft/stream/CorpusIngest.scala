@@ -50,6 +50,8 @@ object CorpusIngest {
   private def hashesPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/hashes"
   private def bandsPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/bands"
   private def setsPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/sets"
+  private def postingsPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/postings"
+  private def docstatsPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/docstats"
   def ledgerPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/ledger"
 
   private[stream] def readOrEmpty(spark: SparkSession, path: String,
@@ -134,7 +136,8 @@ object CorpusIngest {
     val rootFs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(docsPath(cfg), hashesPath(cfg), bandsPath(cfg), setsPath(cfg),
-      ledgerPath(cfg)).foreach(rollbackIfStranded(rootFs, _))
+      postingsPath(cfg), docstatsPath(cfg), ledgerPath(cfg))
+      .foreach(rollbackIfStranded(rootFs, _))
     // the batch frame may belong to the stream's CLONED session (foreachBatch)
     // — the overwrite mode must be dynamic on the session whose conf the
     // WRITES consult, or the per-partition overwrite silently becomes a
@@ -217,6 +220,17 @@ object CorpusIngest {
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(bandsPath(cfg))
       ofAccepted(freshSets).select(col("doc_id"), col("s"), col("n"), stamp)
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(setsPath(cfg))
+      // the lexical index layer: postings of the accepted docs plus the
+      // batch's 1-row additive corpus statistics — together exactly what
+      // [[search]] needs, and additive across batches (postings of disjoint
+      // batches union to the monolithic index; stat rows sum to the
+      // monolithic N/Σdl), so the incremental build IS the full rebuild
+      TextOps.invertedIndex(accepted, "doc_id", "text")
+        .select(col("word"), col("doc_id"), col("tf"), col("dl"), stamp)
+        .write.mode("overwrite").partitionBy("ingest_batch").parquet(postingsPath(cfg))
+      TextOps.corpusStats(accepted, "doc_id", "text")
+        .select(col("n_docs"), col("dl_sum"), stamp)
+        .write.mode("overwrite").partitionBy("ingest_batch").parquet(docstatsPath(cfg))
 
       // norm is a pure select over the batch (same cardinality) and already
       // cached by the dedup pipeline — counting it avoids rescanning source
@@ -271,6 +285,36 @@ object CorpusIngest {
   }
 
   /**
+   * BM25 top-k over the PERSISTED lexical index — the serving face of the
+   * postings/docstats layer [[ingestBatch]] maintains: score every accepted
+   * doc holding at least one query term, return the `topK` best. Read-only
+   * and lock-free like [[probe]] (reads through stranded compactions via
+   * [[readOrEmptyRO]]); never touches document text — the postings scan
+   * prunes to the query terms at the parquet filter, the stat rows sum to
+   * one broadcast row, so query cost follows df(terms), not the corpus.
+   * Output: (doc_id, dl, bm25, rank), rank 1-based by (bm25 desc, doc_id).
+   */
+  def search(spark: SparkSession, cfg: IngestConfig, terms: Seq[String],
+      topK: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val postings = readOrEmptyRO(spark, postingsPath(cfg),
+      "word STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, ingest_batch BIGINT")
+    val stats = readOrEmptyRO(spark, docstatsPath(cfg),
+      "n_docs BIGINT, dl_sum BIGINT, ingest_batch BIGINT")
+    val scored = TextOps.bm25Indexed(postings, stats, terms, k1, b)
+    // rank WITHOUT a partition-less window (the Retrieval.topKRanks shape):
+    // sort+limit plans as TakeOrdered, the ≤ topK survivors collapse to one
+    // sorted array row (order pinned by the unique (−score, id) struct
+    // prefix), and posexplode emits rank = position + 1
+    scored.orderBy(col("bm25").desc, col("doc_id").asc).limit(topK)
+      .agg(sort_array(collect_list(struct(
+        negate(col("bm25")).as("ns"), col("doc_id").as("id"),
+        col("dl").as("dl")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("pos", "s")))
+      .select(col("s.id").as("doc_id"), col("s.dl").as("dl"),
+        negate(col("s.ns")).as("bm25"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /**
    * Fold the accumulated per-batch partitions of every corpus table into a
    * single `ingest_batch = -1` partition — the maintenance job that keeps
    * the append-only design viable long-term (thousands of tiny partitions
@@ -298,8 +342,12 @@ object CorpusIngest {
     val fs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the ledger stays per-batch: its ingest_batch is the AUDIT key, not
-    // provenance, and one row per batch never needs compaction
-    Seq(docsPath(cfg), hashesPath(cfg), bandsPath(cfg), setsPath(cfg))
+    // provenance, and one row per batch never needs compaction; docstats
+    // DOES fold (its ingest_batch is provenance — [[search]] sums the rows
+    // regardless of which partition holds them, but thousands of one-row
+    // partitions would grow its listing cost without bound)
+    Seq(docsPath(cfg), hashesPath(cfg), bandsPath(cfg), setsPath(cfg),
+      postingsPath(cfg), docstatsPath(cfg))
       .foreach { dir =>
       // each table fold is a full rewrite; keep the heartbeat fresher than
       // the staleness window across them

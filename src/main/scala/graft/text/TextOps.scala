@@ -932,6 +932,82 @@ object TextOps {
   }
 
   /**
+   * Inverted-index postings of a corpus slice: one row per (word, doc) with
+   * the term frequency, the doc length denormalized onto every posting row
+   * (the classic impact-index layout — 8 bytes per posting buys back the
+   * corpus-sized doc-length join at every query). The building block of the
+   * PERSISTED lexical index ([[graft.stream.CorpusIngest]] appends one
+   * slice per accepted micro-batch): postings are additive across disjoint
+   * slices, so `invertedIndex(a) ∪ invertedIndex(b) =
+   * invertedIndex(a ∪ b)` — batch-incremental build is exactly the
+   * monolithic index.
+   *
+   * Scale: one explode + one (doc, word) aggregation with map-side partial
+   * combine; output is postings-sized (Σ distinct words per doc), the same
+   * asymptotic size any inverted index pays.
+   */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), wordsOf(col(textCol)).as("__w"))
+      .select(col("doc_id"), size(col("__w")).cast("long").as("dl"),
+        explode(col("__w")).as("word"))
+      .groupBy(col("doc_id"), col("dl"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("word"), col("doc_id"), col("tf"), col("dl"))
+
+  /** The 1-row additive corpus statistics of a slice — doc count and total
+    * doc length. Integer-exact, so per-slice rows SUM to the monolithic
+    * statistics (the reason [[bm25Indexed]] can take per-batch stat rows
+    * straight from the persisted index). Counts EVERY doc of the slice,
+    * including docs contributing no posting for any query term. */
+  def corpusStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(wordsOf(col(textCol)).as("__w"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("__w")).cast("long")), lit(0L)).as("dl_sum"))
+
+  /**
+   * BM25 over a PRE-BUILT inverted index — the serving-time face of
+   * [[invertedIndex]]/[[corpusStats]]: scores only the documents holding at
+   * least one query term, without touching document text. Identical
+   * arithmetic to [[bm25]] (rational idf, same operation order), so scores
+   * are bit-for-bit the monolithic scores; the fixed-order term sum is
+   * preserved by pivoting each term's contribution into its own conditional
+   * aggregate (at most ONE non-null element each — (word, doc) is unique in
+   * a postings table — so aggregation order cannot perturb the float) and
+   * adding the pivoted columns in the fixed order of `terms`.
+   *
+   * Scale: `postings` prunes to the query terms AT THE SCAN (a pushed
+   * equality-set filter — df(terms) rows survive of the whole index); df is
+   * a ≤|terms|-row aggregate broadcast back; corpus stats reduce the
+   * per-batch stat rows to one broadcast row; the only shuffle is the
+   * df(terms)-bounded per-doc pivot. Corpus size appears nowhere.
+   */
+  def bm25Indexed(postings: DataFrame, stats: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Indexed needs at least one term")
+    val st = stats.agg(sum(col("n_docs")).as("N"), sum(col("dl_sum")).as("dl_sum"))
+    val p = postings.filter(col("word").isin(terms: _*))
+    val dfF = p.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val contrib = {
+      val idf = (col("N").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val tfD = col("tf").cast("double")
+      val avgdl = col("dl_sum").cast("double") / col("N").cast("double")
+      idf * (tfD * lit(k1 + 1.0)) /
+        (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    }
+    val scored = p.join(broadcast(dfF), Seq("word"))
+      .crossJoin(broadcast(st))
+      .withColumn("__c", contrib)
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("word") === t, col("__c"))).as(s"c$i") }
+    val per = scored.groupBy(col("doc_id"), col("dl"))
+      .agg(pivots.head, pivots.tail: _*)
+    val score = terms.indices
+      .map(i => coalesce(col(s"c$i"), lit(0.0))).reduce(_ + _)
+    per.select(col("doc_id"), col("dl"), score.as("bm25"))
+  }
+
+  /**
    * TF-IDF top term per document — the inverted-index ranking shape: explode
    * words, per-(doc, word) term frequencies, corpus document frequencies,
    * score tf · (N+1)/(df+1) (the rational idf — monotone with the log form,

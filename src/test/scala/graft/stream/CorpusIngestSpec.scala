@@ -299,4 +299,48 @@ class CorpusIngestSpec extends SparkSpec {
     val b1 = Seq(10L -> base).toDF("doc_id", "text")
     assert(CorpusIngest.ingestBatch(spark, cfg, b1, 1L) == 0L)
   }
+
+  test("search serves BM25 from the persisted lexical index: batch-built ≡ monolithic, stable across replay and compact") {
+    val root = tmpDir()
+    val cfg = CorpusIngest.IngestConfig("unused", root, "unused")
+    // four clearly-unrelated docs (no near-dup rejections); doc 4 holds no
+    // query term and must be absent from the index-pruned result
+    val b0 = Seq(
+      1L -> "the cat sat on the mat near the door",
+      2L -> "a dog chased the ball out of the yard").toDF("doc_id", "text")
+    val b1 = Seq(
+      3L -> "ships of the line fired volleys of iron",
+      4L -> "zebra quagga xylophone marimba").toDF("doc_id", "text")
+    assert(CorpusIngest.ingestBatch(spark, cfg, b0, 0L) == 2L)
+    assert(CorpusIngest.ingestBatch(spark, cfg, b1, 1L) == 2L)
+
+    val terms = Seq("the", "of")
+    def got(): Seq[(Long, Long, Double, Int)] =
+      CorpusIngest.search(spark, cfg, terms, topK = 10)
+        .select("doc_id", "dl", "bm25", "rank")
+        .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    // the monolithic expectation: TextOps.bm25 over the accepted corpus,
+    // docs holding at least one term, ranked by (score desc, id) — the
+    // serving layer's scores must be BIT-identical (same arithmetic), so
+    // exact Double comparison is deliberate
+    val accepted = spark.read.parquet(CorpusIngest.docsPath(cfg))
+      .select("doc_id", "text")
+    val exp = graft.text.TextOps.bm25(accepted, "doc_id", "text", terms)
+      .filter(col("tf0") + col("tf1") > 0)
+      .select("doc_id", "dl", "bm25").as[(Long, Long, Double)]
+      .collect().sortBy { case (id, _, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, dl, s), i) => (id, dl, s, i + 1) }.toSeq
+    assert(exp.map(_._1).toSet == Set(1L, 2L, 3L), "fixture must exclude doc 4")
+    assert(got() == exp)
+
+    // a crash-replayed batch rewrites identical postings/stat partitions
+    assert(CorpusIngest.ingestBatch(spark, cfg, b1, 1L) == 2L)
+    assert(got() == exp)
+    // compaction folds the postings partitions without changing the scores
+    CorpusIngest.compact(spark, cfg)
+    assert(spark.read.parquet(s"$root/postings")
+      .select("ingest_batch").distinct().as[Long].collect().toSeq == Seq(-1L))
+    assert(got() == exp)
+    graft.Caching.releaseAll()
+  }
 }
