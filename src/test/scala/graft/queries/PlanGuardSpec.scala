@@ -44,6 +44,7 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "s11_retention_delete",   // 1-row retention-watermark anchor
     "srt1_retention_watermark", // 1-row watermark probe
     "text_bm25",              // 1-row corpus-statistics (N, Σdl, df) anchor
+    "text_bm25_indexed",      // 1-row summed-stats (N, Σdl) anchor
     "ann_recall",             // probe-set broadcasts + 1-row total anchor
     "text_tfidf_top",         // 1-row corpus-count anchor
     "kmeans_clusters",        // k-row centroid set broadcast (argmax assign)

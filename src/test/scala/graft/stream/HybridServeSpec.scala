@@ -1,7 +1,6 @@
 package graft.stream
 
 import graft.SparkSpec
-import graft.ml.Retrieval
 
 /**
  * The serving capstone: hybrid (RRF) retrieval running ENTIRELY off the
@@ -63,12 +62,9 @@ class HybridServeSpec extends SparkSpec {
     assert(!lex.map(_._1).contains(3L) && lex.map(_._1).toSet == Set(1L, 2L, 4L, 5L))
     assert(sem.map(_._2) == Seq(1L, 2L, 3L, 4L))
 
-    // --- the fused serving path
-    val fused = Retrieval.rrfFuse(
-      EmbeddingIngest.search(spark, vecCfg, probe, k = 4)
-        .select($"probe_id", $"neighbor_id".as("doc_id"), $"rank".as("srank")),
-      CorpusIngest.search(spark, lexCfg, terms, topK = 20)
-        .select($"doc_id", $"rank".as("lrank")))
+    // --- the fused serving path, through the one-call API
+    val fused = HybridServe.search(spark, lexCfg, vecCfg, terms, probe,
+        kLex = 20, kSem = 4)
       .select("probe_id", "doc_id", "rrf", "rank")
       .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
 
