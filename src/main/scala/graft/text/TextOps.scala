@@ -909,8 +909,11 @@ object TextOps {
   def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one term")
+    // Column-built lambda (not an expr() string interpolation): a term
+    // containing a quote is a literal here, never parsed SQL
     def tf(t: String): Column =
-      expr(s"size(filter(__w, x -> x = '$t'))").cast("long")
+      size(org.apache.spark.sql.functions.filter(col("__w"),
+        x => x === lit(t))).cast("long")
     val base = docs.select(col(idCol).as("doc_id"), wordsOf(col(textCol)).as("__w"))
       .withColumn("dl", size(col("__w")).cast("long"))
       .select(col("doc_id") +: col("dl") +:
