@@ -341,6 +341,13 @@ class CorpusIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/postings")
       .select("ingest_batch").distinct().as[Long].collect().toSeq == Seq(-1L))
     assert(got() == exp)
+    // the scale contract: the postings scan prunes to the query terms AT
+    // the parquet source (a pushed In filter), so serving cost follows
+    // df(terms) — a post-scan Filter over the whole index would not
+    val plan = CorpusIngest.search(spark, cfg, terms, topK = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(word"),
+      s"term filter not pushed to the postings scan:\n${plan.take(2000)}")
     graft.Caching.releaseAll()
   }
 }
