@@ -44,7 +44,11 @@ object CorpusIngest {
       /** [[IngestLock]] staleness window: a holder whose heartbeat (one per
         * micro-batch) is older than this is presumed dead and its lock
         * broken — the reference's `replication_max_minutes * 2` rule. */
-      lockStaleMs: Long = 30 * 60 * 1000L)
+      lockStaleMs: Long = 30 * 60 * 1000L,
+      /** Misra–Gries capacity of the per-batch vocabulary summaries:
+        * [[frequentTerms]] guarantees every word above an n/(mgK+1) share
+        * of all corpus words is reported. */
+      mgK: Int = 64)
 
   def docsPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/docs"
   private def hashesPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/hashes"
@@ -52,6 +56,7 @@ object CorpusIngest {
   private def setsPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/sets"
   private def postingsPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/postings"
   private def docstatsPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/docstats"
+  private def mgPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/mg"
   def ledgerPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/ledger"
 
   private[stream] def readOrEmpty(spark: SparkSession, path: String,
@@ -136,7 +141,7 @@ object CorpusIngest {
     val rootFs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(docsPath(cfg), hashesPath(cfg), bandsPath(cfg), setsPath(cfg),
-      postingsPath(cfg), docstatsPath(cfg), ledgerPath(cfg))
+      postingsPath(cfg), docstatsPath(cfg), mgPath(cfg), ledgerPath(cfg))
       .foreach(rollbackIfStranded(rootFs, _))
     // the batch frame may belong to the stream's CLONED session (foreachBatch)
     // — the overwrite mode must be dynamic on the session whose conf the
@@ -231,6 +236,15 @@ object CorpusIngest {
       TextOps.corpusStats(accepted, "doc_id", "text")
         .select(col("n_docs"), col("dl_sum"), stamp)
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(docstatsPath(cfg))
+      // the vocabulary-frequency layer: one mergeable Misra–Gries summary
+      // of the batch's accepted words — summaries of disjoint batches sum
+      // to a whole-corpus summary with the same n/(k+1) bound, so
+      // [[frequentTerms]] serves by plain integer addition
+      graft.text.HeavyHitters.mgSummary(
+        accepted.select(explode(TextOps.wordsOf(col("text"))).as("word")),
+        "word", cfg.mgK)
+        .select(col("token").as("word"), col("cnt"), stamp)
+        .write.mode("overwrite").partitionBy("ingest_batch").parquet(mgPath(cfg))
 
       // norm is a pure select over the batch (same cardinality) and already
       // cached by the dedup pipeline — counting it avoids rescanning source
@@ -315,6 +329,37 @@ object CorpusIngest {
   }
 
   /**
+   * Frequent corpus vocabulary from the PERSISTED per-batch Misra–Gries
+   * summaries — the streaming twin of
+   * [[graft.text.HeavyHitters.heavyHitters]]: summaries of disjoint
+   * batches sum by plain integer addition to a whole-corpus summary with
+   * the additive bound cnt ∈ [f − n/(mgK+1), f], so every word holding
+   * more than an n/(mgK+1) share of all accepted words is guaranteed
+   * reported, with its count never over-estimated. Read-only and
+   * lock-free like [[search]]/[[probe]]. Output: (word, approx_count,
+   * share_lb — approx_count/n, a LOWER bound on the true share), words
+   * whose merged counter cleared `minShare` of the corpus total.
+   *
+   * Scale: the serve reads summary rows (≤ batches·partitions·mgK before
+   * compaction, ≤ vocab after), never the corpus; n comes from the 1-row
+   * docstats sum.
+   */
+  def frequentTerms(spark: SparkSession, cfg: IngestConfig,
+      minShare: Double = 0.01): DataFrame = {
+    val mg = readOrEmptyRO(spark, mgPath(cfg),
+      "word STRING, cnt BIGINT, ingest_batch BIGINT")
+    val total = readOrEmptyRO(spark, docstatsPath(cfg),
+      "n_docs BIGINT, dl_sum BIGINT, ingest_batch BIGINT")
+      .agg(coalesce(sum(col("dl_sum")), lit(0L)).as("n_words"))
+    mg.groupBy(col("word")).agg(sum(col("cnt")).as("approx_count"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_lb",
+        col("approx_count").cast("double") / col("n_words").cast("double"))
+      .filter(col("share_lb") >= minShare)
+      .select(col("word"), col("approx_count"), col("share_lb"))
+  }
+
+  /**
    * Fold the accumulated per-batch partitions of every corpus table into a
    * single `ingest_batch = -1` partition — the maintenance job that keeps
    * the append-only design viable long-term (thousands of tiny partitions
@@ -342,17 +387,61 @@ object CorpusIngest {
     val fs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the ledger stays per-batch: its ingest_batch is the AUDIT key, not
-    // provenance, and one row per batch never needs compaction; docstats
-    // DOES fold (its ingest_batch is provenance — [[search]] sums the rows
-    // regardless of which partition holds them, but thousands of one-row
-    // partitions would grow its listing cost without bound)
+    // provenance, and one row per batch never needs compaction
     Seq(docsPath(cfg), hashesPath(cfg), bandsPath(cfg), setsPath(cfg),
-      postingsPath(cfg), docstatsPath(cfg))
+      postingsPath(cfg))
       .foreach { dir =>
       // each table fold is a full rewrite; keep the heartbeat fresher than
       // the staleness window across them
       IngestLock.heartbeat(spark, lock)
       foldBatchPartitions(spark, fs, dir)
+    }
+    // the additive stat tables fold FURTHER than a partition concat: their
+    // rows are provenance-free and only ever SUMMED by the read faces, so
+    // the compacted form is the aggregate itself — docstats to its one
+    // summed row, the MG vocabulary summaries to one summed counter per
+    // word (sound: the n/(k+1) bound is additive, see
+    // [[graft.text.HeavyHitters.mgSummary]]) — state stays O(1) / O(vocab)
+    // forever instead of growing a row set per historical batch
+    IngestLock.heartbeat(spark, lock)
+    foldAggregated(spark, fs, docstatsPath(cfg)) { df =>
+      df.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("dl_sum")), lit(0L)).as("dl_sum"))
+    }
+    IngestLock.heartbeat(spark, lock)
+    foldAggregated(spark, fs, mgPath(cfg)) { df =>
+      df.groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+    }
+  }
+
+  /** Fold a per-batch ADDITIVE table into its aggregate under
+    * `ingest_batch = -1`, same atomic-swap + rollback discipline as
+    * [[foldBatchPartitions]]. `agg` must not read `ingest_batch` (the
+    * fold re-stamps it). */
+  private[stream] def foldAggregated(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String)(
+      agg: DataFrame => DataFrame): Unit = {
+    rollbackIfStranded(fs, dir)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(path)) return
+    val readable =
+      try { spark.read.parquet(dir).schema; true }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => false
+      }
+    if (readable) {
+      val folded = agg(spark.read.parquet(dir))
+        .withColumn("ingest_batch", lit(-1L))
+        .localCheckpoint() // sever lineage: the swap deletes what it reads
+      val tmp = new org.apache.hadoop.fs.Path(dir + ".__next")
+      val old = new org.apache.hadoop.fs.Path(dir + ".__old")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      folded.write.partitionBy("ingest_batch").parquet(tmp.toString)
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(path, old), s"fold swap-out failed: $dir")
+      require(fs.rename(tmp, path), s"fold swap-in failed: $dir")
+      fs.delete(old, true)
     }
   }
 

@@ -29,6 +29,45 @@ import graft.Caching
  */
 object HeavyHitters {
 
+  /**
+   * One MERGEABLE Misra–Gries summary of the whole frame, counter values
+   * included: per-partition MG of capacity `k`, then a pointwise SUM of the
+   * per-partition counters. Each partition's counters satisfy
+   * cnt_p ∈ [f_p − n_p/(k+1), f_p] (absent ⇒ f_p ≤ n_p/(k+1)), and both
+   * bounds are additive, so the summed summary satisfies
+   * cnt ∈ [f − n/(k+1), f] over the whole frame — and summaries of DISJOINT
+   * frames keep the same bound when summed again (the property the
+   * persisted per-batch layer of [[graft.stream.CorpusIngest]] relies on:
+   * serving merges historical summaries by plain integer addition).
+   * Size: at most partitions·k rows (the pointwise sum skips the
+   * compress-back-to-k step — rows stay bounded and the bound proof stays
+   * two lines).
+   *
+   * Output: (token, cnt). Any token with f > n/(k+1) is guaranteed present.
+   */
+  def mgSummary(tokens: DataFrame, tokenCol: String, k: Int = 100): DataFrame = {
+    require(k >= 2, s"capacity k must be >= 2, got $k")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    tokens.select(col(tokenCol).cast("string").as("token")).as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        while (it.hasNext) {
+          val t = it.next()
+          counters.get(t) match {
+            case Some(c) => counters.update(t, c + 1)
+            case None if counters.size < k => counters.update(t, 1L)
+            case None =>
+              counters.toArray.foreach { case (key, c) =>
+                if (c == 1L) counters.remove(key) else counters.update(key, c - 1)
+              }
+          }
+        }
+        counters.iterator
+      }.toDF("token", "cnt")
+      .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
+  }
+
   def heavyHitters(tokens: DataFrame, tokenCol: String, k: Int = 100): DataFrame = {
     require(k >= 2, s"capacity k must be >= 2, got $k")
     val spark = tokens.sparkSession

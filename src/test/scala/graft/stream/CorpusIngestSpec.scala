@@ -340,6 +340,10 @@ class CorpusIngestSpec extends SparkSpec {
     CorpusIngest.compact(spark, cfg)
     assert(spark.read.parquet(s"$root/postings")
       .select("ingest_batch").distinct().as[Long].collect().toSeq == Seq(-1L))
+    // docstats folds further: ONE summed row, not a per-batch concat
+    assert(spark.read.parquet(s"$root/docstats")
+      .select("n_docs", "dl_sum", "ingest_batch")
+      .as[(Long, Long, Long)].collect().toSeq == Seq((4L, 30L, -1L)))
     assert(got() == exp)
     // the scale contract: the postings scan prunes to the query terms AT
     // the parquet source (a pushed In filter), so serving cost follows
@@ -348,6 +352,56 @@ class CorpusIngestSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [In(word"),
       s"term filter not pushed to the postings scan:\n${plan.take(2000)}")
+    graft.Caching.releaseAll()
+  }
+
+  test("frequentTerms serves the merged Misra–Gries vocabulary within its additive bound") {
+    val root = tmpDir()
+    val cfg = CorpusIngest.IngestConfig("unused", root, "unused", mgK = 4)
+    // 'alpha' dominates across two batches; the other words are distinct
+    // singletons so no doc near-dups another. n = 12 + 8 + 10 = 30 words,
+    // ε = n/(mgK+1) = 6: alpha (f = 15) is guaranteed reported with
+    // 9 ≤ approx ≤ 15; nothing may ever be over-counted.
+    val b0 = Seq(
+      1L -> Seq.fill(12)("alpha").mkString(" "),
+      2L -> "beta gamma delta epsilon zeta eta theta iota").toDF("doc_id", "text")
+    val b1 = Seq(
+      3L -> "alpha kappa lambda mu alpha nu xi alpha omicron pi").toDF("doc_id", "text")
+    assert(CorpusIngest.ingestBatch(spark, cfg, b0, 0L) == 2L)
+    assert(CorpusIngest.ingestBatch(spark, cfg, b1, 1L) == 1L)
+
+    def served(): Map[String, (Long, Double)] =
+      CorpusIngest.frequentTerms(spark, cfg, minShare = 0.1)
+        .select("word", "approx_count", "share_lb")
+        .as[(String, Long, Double)].collect()
+        .map { case (w, c, s) => w -> ((c, s)) }.toMap
+    // independent truth: exact counts over the accepted corpus
+    val truth = spark.read.parquet(CorpusIngest.docsPath(cfg))
+      .select(explode(graft.text.TextOps.wordsOf(col("text"))).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    assert(truth("alpha") == 15L && truth.values.sum == 30L)
+
+    val first = served()
+    val (alphaCnt, alphaShare) = first("alpha")
+    assert(alphaCnt >= 9L && alphaCnt <= 15L, s"alpha approx $alphaCnt")
+    assert(alphaShare == alphaCnt.toDouble / 30.0)
+    // no word is ever over-counted, and none below minShare·n survives
+    first.foreach { case (w, (c, _)) =>
+      assert(c <= truth(w), s"$w over-counted: $c > ${truth(w)}")
+      assert(c.toDouble / 30.0 >= 0.1) }
+
+    // replay of batch 1 rewrites its summary partition identically
+    assert(CorpusIngest.ingestBatch(spark, cfg, b1, 1L) == 1L)
+    assert(served() == first)
+    // compaction folds the summaries to one summed counter per word —
+    // plain addition, so the served result is untouched
+    CorpusIngest.compact(spark, cfg)
+    val mgRows = spark.read.parquet(s"$root/mg")
+    assert(mgRows.select("ingest_batch").distinct()
+      .as[Long].collect().toSeq == Seq(-1L))
+    assert(mgRows.groupBy("word").count()
+      .filter(col("count") > 1).count() == 0L, "fold left duplicate counters")
+    assert(served() == first)
     graft.Caching.releaseAll()
   }
 }
