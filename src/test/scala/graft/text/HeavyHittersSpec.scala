@@ -61,6 +61,43 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("property: merged mgSummary respects the additive n/(k+1) bound under any batch split") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val vocab = 1 + rnd.nextInt(100)
+      val tokens = Seq.fill(400 + rnd.nextInt(1200)) {
+        val r = math.min(vocab - 1, (1.0 / (rnd.nextDouble() + 0.01)).toInt % vocab)
+        s"t$r"
+      }
+      val k = 2 + rnd.nextInt(20)
+      // split the stream into disjoint "batches", summarize each under its
+      // own partitioning, merge by plain addition — exactly the persisted
+      // per-batch layer's serve path (CorpusIngest.frequentTerms)
+      val nb = 1 + rnd.nextInt(4)
+      val batches = tokens.grouped(math.max(1, tokens.size / nb + 1)).toSeq
+      val merged = batches.map { b =>
+        HeavyHitters.mgSummary(
+            b.toDF("token").repartition(1 + rnd.nextInt(8)), "token", k)
+          .as[(String, Long)].collect().toMap
+      }.reduce { (a, b) =>
+        (a.keySet ++ b.keySet).iterator
+          .map(t => t -> (a.getOrElse(t, 0L) + b.getOrElse(t, 0L))).toMap
+      }
+      val truth = tokens.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = tokens.size.toDouble
+      val eps = n / (k + 1)
+      merged.foreach { case (t, c) =>
+        assert(c <= truth(t), s"trial=$trial $t over-counted: $c > ${truth(t)}")
+        assert(c.toDouble >= truth(t) - eps,
+          s"trial=$trial $t under bound: $c < ${truth(t)} - $eps")
+      }
+      truth.foreach { case (t, f) =>
+        if (f.toDouble > eps)
+          assert(merged.contains(t), s"trial=$trial heavy $t (f=$f, eps=$eps) missing")
+      }
+    }
+  }
+
   test("threshold is integer-exact: cnt*k == n is in, one less is out") {
     // n = 40, k = 4: "edge" has exactly 10 = n/k occurrences (in);
     // "below" has 9 (out); fillers make up the rest
