@@ -48,7 +48,14 @@ object CorpusIngest {
       /** Misra–Gries capacity of the per-batch vocabulary summaries:
         * [[frequentTerms]] guarantees every word above an n/(mgK+1) share
         * of all corpus words is reported. */
-      mgK: Int = 64)
+      mgK: Int = 64,
+      /** Ingest quality gate: docs scoring below this
+        * ([[graft.text.TextOps.qualityScoreExpr]] — the same arithmetic as
+        * the `text_stats` quality score) are dropped BEFORE dedup and
+        * indexing. 0.0 (the default) admits everything. A row-local
+        * filter: no join, no shuffle, prunes the batch before the
+        * signature build pays for it. */
+      minQuality: Double = 0.0)
 
   def docsPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/docs"
   private def hashesPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/hashes"
@@ -164,9 +171,17 @@ object CorpusIngest {
       val norm = Caching.scoped(batch
         .select(col("doc_id"), col("text"),
           md5(TextOps.normalizeText(col("text"))).as("text_hash")))
+      // the quality gate runs FIRST: a below-threshold doc must not reach
+      // the dedup stages (where, as an exact-dup "winner" or a near-dup
+      // canonical, it could oust a higher-quality copy and then be the
+      // only surviving version of that content)
+      val gated =
+        if (cfg.minQuality <= 0.0) norm
+        else norm.filter(TextOps.qualityScoreExpr(col("text"),
+          TextOps.wordsOf(col("text"))) >= cfg.minQuality)
       // within-batch exact dedup: the canonical (min doc_id) copy survives
       val w = Window.partitionBy(col("text_hash"))
-      val firstOfHash = norm
+      val firstOfHash = gated
         .withColumn("__min", min(col("doc_id")).over(w))
         .filter(col("doc_id") === col("__min")).drop("__min")
       // cross-corpus exact dedup against the accepted hash index

@@ -662,6 +662,22 @@ object TextOps {
   /** Per-doc quality statistics: char/word counts, punctuation/digit ratios,
     * stopword ratio, and a composite quality score — the standard pre-training
     * corpus filters, all as codegen'd column arithmetic. */
+  /** The `quality_score` expression of [[textStats]] over a raw text column
+    * and its word array — factored out so row-local consumers (the
+    * [[graft.stream.CorpusIngest]] ingest quality gate) apply the IDENTICAL
+    * arithmetic without a stats join: 0.4·stop_ratio +
+    * 0.3·min(n_words/50, 1) + 0.3·(1 − digit_ratio). */
+  def qualityScoreExpr(t: Column, w: Column): Column = {
+    val nChars = length(t).cast("long")
+    val nWords = size(w).cast("long")
+    val digit = length(regexp_replace(t, "[^0-9]", "")).cast("double") / nChars.cast("double")
+    val stop = size(org.apache.spark.sql.functions.filter(w,
+        x => x.isin("the", "and", "of", "to", "in", "a")))
+      .cast("double") / nWords.cast("double")
+    lit(0.4) * stop + lit(0.3) * least(nWords.cast("double") / lit(50.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - digit)
+  }
+
   def textStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col("__t")
     val nChars = length(t).cast("long")
@@ -678,8 +694,7 @@ object TextOps {
         (length(regexp_replace(normalizeText(t), " ", "")).cast("double") /
           nWords.cast("double")).as("avg_word_len"),
         punct.as("punct_ratio"), digit.as("digit_ratio"), stop.as("stop_ratio"),
-        (lit(0.4) * stop + lit(0.3) * least(nWords.cast("double") / lit(50.0), lit(1.0)) +
-          lit(0.3) * (lit(1.0) - digit)).as("quality_score"))
+        qualityScoreExpr(t, col("__w")).as("quality_score"))
   }
 
   /** Repetition quality signals (the Gopher-style repetitiousness cues):

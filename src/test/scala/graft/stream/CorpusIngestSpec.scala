@@ -355,6 +355,30 @@ class CorpusIngestSpec extends SparkSpec {
     graft.Caching.releaseAll()
   }
 
+  test("ingest quality gate drops low-quality docs before dedup and indexing") {
+    val root = tmpDir()
+    val cfg = CorpusIngest.IngestConfig("unused", root, "unused", minQuality = 0.3)
+    val good = "the cat sat on the mat near the old door tonight"
+    val junk = "12345 67890 11111 22222" // digit-heavy, stopword-free
+    assert(CorpusIngest.ingestBatch(spark, cfg,
+      Seq(1L -> good, 2L -> junk).toDF("doc_id", "text"), 0L) == 1L)
+    assert(acceptedIds(cfg) == Set(1L))
+    // the gated doc reached NO index layer
+    assert(spark.read.parquet(s"$root/postings")
+      .filter(col("doc_id") === 2L).count() == 0L)
+    // n_in audits arrivals BEFORE the gate
+    assert(spark.read.parquet(CorpusIngest.ledgerPath(cfg))
+      .select("n_in", "n_accepted").as[(Long, Long)].collect().toSeq ==
+      Seq((2L, 1L)))
+    // gate off (the default config): the same doc is admitted — the gate
+    // alone rejected it, not a dedup or schema side effect
+    val root2 = tmpDir()
+    val cfg2 = CorpusIngest.IngestConfig("unused", root2, "unused")
+    assert(CorpusIngest.ingestBatch(spark, cfg2,
+      Seq(2L -> junk).toDF("doc_id", "text"), 0L) == 1L)
+    graft.Caching.releaseAll()
+  }
+
   test("frequentTerms serves the merged Misra–Gries vocabulary within its additive bound") {
     val root = tmpDir()
     val cfg = CorpusIngest.IngestConfig("unused", root, "unused", mgK = 4)
