@@ -281,17 +281,27 @@ object CorpusIngest {
    * rejected?"): exact hits against the hash table, near-dup hits against
    * the banded MinHash index, one row per (batch doc, reason). Takes no
    * lock and writes nothing; cost follows the batch exactly like
-   * [[ingestBatch]]'s probe stage. Output: (doc_id, kind 'exact'|'near',
-   * corpus_id — the matched accepted doc for near hits, null for exact
-   * (the hash table stores content hashes, not ids), jaccard — null for
-   * exact). Scoped intermediates follow the query-function contract: the
+   * [[ingestBatch]]'s probe stage. Output: (doc_id, kind
+   * 'quality'|'exact'|'near' — staged in ingest order, one reason per doc,
+   * corpus_id — the matched accepted doc for near hits, null otherwise
+   * (the hash table stores content hashes, not ids), jaccard — null except
+   * near). Scoped intermediates follow the query-function contract: the
    * caller releases after its terminal action (Caching.releaseAll, or an
    * enclosing Caching.scope).
    */
   def probe(spark: SparkSession, cfg: IngestConfig, batch: DataFrame): DataFrame = {
-    val norm = Caching.scoped(batch
+    val all = Caching.scoped(batch
       .select(col("doc_id"), col("text"),
         md5(TextOps.normalizeText(col("text"))).as("text_hash")))
+    // the gate stages FIRST, exactly like ingestBatch: a below-threshold
+    // doc reports 'quality' and never reaches the dup probes (one reason
+    // per doc, and the reason ingest would actually act on)
+    val gatePass = TextOps.qualityScoreExpr(col("text"),
+      TextOps.wordsOf(col("text"))) >= cfg.minQuality
+    val quality =
+      if (cfg.minQuality <= 0.0) all.limit(0)
+      else all.filter(!gatePass)
+    val norm = if (cfg.minQuality <= 0.0) all else all.filter(gatePass)
     val hashIdx = readOrEmptyRO(spark, hashesPath(cfg),
       "text_hash STRING, ingest_batch BIGINT").select(col("text_hash"))
     val exact = norm.join(hashIdx, Seq("text_hash"), "left_semi")
@@ -310,7 +320,11 @@ object CorpusIngest {
       fresh, "doc_id", "text", threshold = cfg.threshold)
       .select(col("batch_id").as("doc_id"), lit("near").as("kind"),
         col("corpus_id"), col("jaccard"))
-    exact.unionByName(near)
+    quality
+      .select(col("doc_id"), lit("quality").as("kind"),
+        lit(null).cast("bigint").as("corpus_id"),
+        lit(null).cast("double").as("jaccard"))
+      .unionByName(exact).unionByName(near)
   }
 
   /**

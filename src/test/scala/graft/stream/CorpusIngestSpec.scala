@@ -370,6 +370,12 @@ class CorpusIngestSpec extends SparkSpec {
     assert(spark.read.parquet(CorpusIngest.ledgerPath(cfg))
       .select("n_in", "n_accepted").as[(Long, Long)].collect().toSeq ==
       Seq((2L, 1L)))
+    // probe mirrors the gate: junk reports 'quality' (and nothing else),
+    // an exact dup of the accepted doc still reports 'exact'
+    val report = CorpusIngest.probe(spark, cfg,
+        Seq(10L -> junk, 11L -> good).toDF("doc_id", "text"))
+      .select("doc_id", "kind").as[(Long, String)].collect().toSet
+    assert(report == Set((10L, "quality"), (11L, "exact")))
     // gate off (the default config): the same doc is admitted — the gate
     // alone rejected it, not a dedup or schema side effect
     val root2 = tmpDir()
