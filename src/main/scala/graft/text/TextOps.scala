@@ -893,18 +893,19 @@ object TextOps {
       .withColumn("is_contaminated", col("n_overlap") > 0)
   }
 
-  /** Codegen'd Bloom membership via the registered `graft_might_contain`;
-    * without the extension, the same test through the deserialized filter
-    * (closure-serialized to tasks — correct, just not codegen'd). */
+  /** Codegen'd Bloom membership via the registered `graft_might_contain`
+    * (graft.functions.GraftExtensions). The extension is REQUIRED: every
+    * session entry point ([[graft.Sessions.builder]]) installs it, so a
+    * session without it is misconfigured — a silent per-row UDF fallback
+    * here would lose whole-stage codegen on the corpus-sized hot path
+    * without any signal. Fail loud instead. */
   private def mightContain(bloomBytes: Array[Byte], h: Column): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
-    if (spark.catalog.functionExists("graft_might_contain"))
-      call_function("graft_might_contain", lit(bloomBytes), h)
-    else {
-      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bloomBytes))
-      udf((x: Long) => bf.mightContainLong(x)).apply(h)
-    }
+    require(spark.catalog.functionExists("graft_might_contain"),
+      "graft_might_contain is not registered: build the session with " +
+        "graft.Sessions.builder (GraftExtensions) — a non-codegen fallback " +
+        "would silently serialize the Bloom filter into a per-row UDF")
+    call_function("graft_might_contain", lit(bloomBytes), h)
   }
 
   /**

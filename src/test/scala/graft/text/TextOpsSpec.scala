@@ -223,19 +223,13 @@ class TextOpsSpec extends SparkSpec {
     graft.Caching.releaseAll()
   }
 
-  test("decontaminationBloom UDF fallback (no graft_might_contain) is identical") {
-    // without GraftExtensions the bloom membership test runs through a
-    // closure-serialized UDF (TextOps.mightContain's degraded path) — pin
-    // that it cannot silently diverge from the codegen'd expression path
-    val rnd = new scala.util.Random(11)
-    val vocab = Vector("pa", "qb", "rc", "sd", "te", "uf", "vg", "wh")
-    def doc(): String =
-      Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
-    val train = docs((1L to 60L).map(i => i -> doc()): _*)
-    val eval_ = docs((100L to 110L).map(i => i -> doc()): _*)
-    val codegen = TextOps.decontaminationBloom(train, eval_, "doc_id", "text", fpp = 0.3)
-      .orderBy("doc_id").collect().toSeq
-    graft.Caching.releaseAll()
+  test("decontaminationBloom without graft_might_contain fails loud, not slow") {
+    // a session missing GraftExtensions used to fall back to a per-row
+    // closure-serialized UDF — correct but silently non-codegen on the
+    // corpus-sized hot path. The contract is now: require the registered
+    // expression and fail with an actionable message instead.
+    val train = docs((1L, "alpha beta gamma delta epsilon"))
+    val eval_ = docs((10L, "alpha beta gamma delta epsilon"))
     val reg = spark.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_might_contain")
     val info = reg.lookupFunction(id)
@@ -243,9 +237,12 @@ class TextOpsSpec extends SparkSpec {
     val builder = reg.lookupFunctionBuilder(id).getOrElse(fail("no builder"))
     assert(reg.dropFunction(id))
     try {
-      val fallback = TextOps.decontaminationBloom(train, eval_, "doc_id", "text", fpp = 0.3)
-        .orderBy("doc_id").collect().toSeq
-      assert(fallback == codegen)
+      val e = intercept[IllegalArgumentException] {
+        TextOps.decontaminationBloom(train, eval_, "doc_id", "text", fpp = 0.3)
+          .collect()
+      }
+      assert(e.getMessage.contains("graft_might_contain"))
+      assert(e.getMessage.contains("Sessions.builder"))
     } finally {
       reg.registerFunction(id, info, builder)
       graft.Caching.releaseAll()
