@@ -77,6 +77,57 @@ object Multimodal {
          |  cast(X'' as binary), (acc, x) -> concat(acc, x))""".stripMargin))
   }
 
+  /**
+   * Perceptual hash of the payload bytes — the multimodal twin of text
+   * SimHash, in the dHash (difference-hash) family: sample `samples` bytes
+   * at the nearest-neighbor resize positions ([[resizeBytes]]'s index
+   * arithmetic, so a payload scaled/padded by a constant factor samples
+   * ~the same content), set bit j iff sample j+1 > sample j. A real image
+   * dHash runs the identical comparison over a 9×8 downscaled luminance
+   * grid; with codecs stubbed out of this container the byte stream stands
+   * in for the pixel stream, and ONLY the sampling kernel would change —
+   * the signature/banding/verify plumbing is the production shape.
+   *
+   * 48 bits from 49 samples keeps the signature in a positive BIGINT
+   * (bit 47 < sign bit — the same budget as text SimHash) and splits
+   * evenly into 4 LSH bands of 12 bits. Byte values decode from the hex
+   * payload (CAST(conv(hex,16,10)) — engine-portable unsigned bytes);
+   * empty payloads produce no signature row. Pure column expressions: the
+   * per-row lambda touches `samples` cells, not payload-length.
+   */
+  def phash(media: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload", samples: Int = 49): DataFrame = {
+    require(samples >= 2 && samples <= 64, s"samples must be in [2, 64]: $samples")
+    media
+      .filter(length(col(payloadCol)) >= 1)
+      .select(col(idCol).as("doc_id"), hex(col(payloadCol)).as("__hx"),
+        length(col(payloadCol)).cast("long").as("__n"))
+      .select(col("doc_id"), expr(
+        s"""aggregate(
+           |  transform(sequence(0, ${samples - 2}),
+           |    j -> CASE WHEN
+           |      CAST(conv(substring(__hx,
+           |        CAST((CAST(j + 1 AS BIGINT) * __n) div $samples * 2 + 1 AS INT), 2),
+           |        16, 10) AS BIGINT) >
+           |      CAST(conv(substring(__hx,
+           |        CAST((CAST(j AS BIGINT) * __n) div $samples * 2 + 1 AS INT), 2),
+           |        16, 10) AS BIGINT)
+           |    THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END),
+           |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("phash"))
+  }
+
+  /** Near-dup payload pairs by perceptual hash: band the 48-bit signature
+    * into 12-bit chunks, equi-join on band values, verify with exact
+    * hamming distance — [[graft.text.TextOps.simhashPairs]]'s banding
+    * reused verbatim (pigeonhole: hamming <= bands-1 guarantees a shared
+    * band), so the candidate join stays an equi-join at any corpus size.
+    * Output: (doc_a, doc_b, hamming). */
+  def phashPairs(media: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload", maxDist: Int = 3): DataFrame =
+    graft.text.TextOps.simhashPairs(
+      phash(media, idCol, payloadCol).select(col("doc_id"), col("phash").as("simhash")),
+      bits = 48, bandBits = 12, maxDist = maxDist)
+
   /** STUB decode + featurize: fold the payload bytes into a `dim`-bucket
     * histogram normalized by length. Deterministic, so tests can pin it; a
     * real decoder would replace only the body of the per-row lambda. */

@@ -37,12 +37,13 @@ class AnnRecallFloorSpec extends SparkSpec {
     val r = recalls()
     info(s"measured recalls: $r")
     // floors sit between the defaults' measured recall on this fixture
-    // (ivf 0.86, pq 0.24, ivfpq 0.36 — deterministic: mod-sampled
-    // codebooks, tie-broken argmins) and what a degraded parameter
-    // produces (ivf at nprobe=1: 0.78 — see the sensitivity test)
+    // (deterministic: mod-sampled codebooks, tie-broken argmins; pq/ivfpq
+    // serve through the exact re-rank stage since round 8) and what a
+    // degraded parameter produces (ivf at nprobe=1, pq/ivfpq with re-rank
+    // disabled — see the sensitivity tests)
     assert(r("ivf") >= 0.80, s"ivf recall ${r("ivf")} fell below floor 0.80")
-    assert(r("pq") >= 0.20, s"pq recall ${r("pq")} fell below floor 0.20")
-    assert(r("ivfpq") >= 0.30, s"ivfpq recall ${r("ivfpq")} fell below floor 0.30")
+    assert(r("pq") >= 0.80, s"pq recall ${r("pq")} fell below floor 0.80")
+    assert(r("ivfpq") >= 0.80, s"ivfpq recall ${r("ivfpq")} fell below floor 0.80")
     graft.Caching.releaseAll()
   }
 
@@ -53,6 +54,20 @@ class AnnRecallFloorSpec extends SparkSpec {
     assert(degraded < 0.80,
       s"nprobe=1 recall $degraded did not fall below the 0.80 ivf floor — " +
         "the floor no longer guards the parameter")
+    graft.Caching.releaseAll()
+  }
+
+  test("the pq/ivfpq floors are sensitive: disabling the re-rank falls below") {
+    val emb = Tables(spark, dir, "embeddings")
+    val rawPq = recallOf(VectorOps.annPq(emb, rerank = 0))
+    val rawIvfPq = recallOf(VectorOps.annIvfPq(emb, rerank = 0))
+    info(s"raw-ADC recalls: pq=$rawPq ivfpq=$rawIvfPq")
+    assert(rawPq < 0.80,
+      s"raw-ADC pq recall $rawPq did not fall below the 0.80 floor — " +
+        "the floor no longer guards the re-rank stage")
+    assert(rawIvfPq < 0.80,
+      s"raw-ADC ivfpq recall $rawIvfPq did not fall below the 0.80 floor — " +
+        "the floor no longer guards the re-rank stage")
     graft.Caching.releaseAll()
   }
 }

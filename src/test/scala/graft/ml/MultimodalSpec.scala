@@ -70,6 +70,48 @@ class MultimodalSpec extends SparkSpec {
     assert(out.last == 'Z'.toByte)
   }
 
+  test("phash: planted near-identical payloads pair; unrelated payloads do not") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def blob(n: Int): String =
+      Iterator.continually(rnd.nextPrintableChar()).filter(_.isLetterOrDigit).take(n).mkString
+    val base = blob(400)
+    // 1 and 2: identical; 3: one flipped char (a near-dup byte stream);
+    // 4 and 5: unrelated payloads of the same length
+    val rows = Seq(
+      1L -> base,
+      2L -> base,
+      3L -> (base.substring(0, 200) + "#" + base.substring(201)),
+      4L -> blob(400),
+      5L -> blob(400))
+    val media = rows.toDF("doc_id", "t")
+      .select($"doc_id", encode($"t", "UTF-8").as("payload"))
+    val pairs = Multimodal.phashPairs(media)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Int)].collect().toSeq
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.get((1L, 2L)).contains(0), s"identical payloads must pair at hamming 0: $pairs")
+    assert(byPair.contains((1L, 3L)) && byPair((1L, 3L)) <= 3,
+      s"one-byte edit must stay within the banding's hamming budget: $pairs")
+    assert(!pairs.exists(p => Set(p._1, p._2).contains(4L) && Set(p._1, p._2).contains(5L)),
+      s"unrelated payloads must not pair: $pairs")
+    graft.Caching.releaseAll()
+  }
+
+  test("phash is invariant to constant-factor payload scaling (NN resample)") {
+    import spark.implicits._
+    // the dHash property the resize-position sampling buys: the same content
+    // at 2x the byte length samples the same positions and hashes identically
+    val content = (0 until 200).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val doubled = content.flatMap(c => s"$c$c")
+    val media = Seq(1L -> content, 2L -> doubled).toDF("doc_id", "t")
+      .select($"doc_id", encode($"t", "UTF-8").as("payload"))
+    val hashes = Multimodal.phash(media)
+      .select($"doc_id", $"phash").as[(Long, Long)].collect().toMap
+    assert(hashes(1L) == hashes(2L),
+      s"2x nearest-neighbor upsample must preserve the dHash: $hashes")
+  }
+
   test("sampleFrames keeps every stride-th fixed-width frame incl. a partial tail") {
     import spark.implicits._
     val df = Seq((1L, "AABBCCDDE"))   // frames of 2: AA BB CC DD E
