@@ -204,6 +204,47 @@ object VectorOps {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
+  /**
+   * IVF bucket-health / drift report over a frozen codebook — the
+   * maintenance gauge of the persisted index family. A codebook frozen on
+   * a seed corpus degrades as ingestion drifts from the seed distribution:
+   * newcomers either PILE into few buckets (skew — the candidate join's
+   * per-bucket cost grows quadratically in the hot bucket) or sit FAR from
+   * every centroid (low assignment cosine — nprobe bucket pruning starts
+   * missing true neighbors, recall decays silently). Both symptoms are
+   * cheap corpus-wide aggregates; this report surfaces them per bucket so
+   * an operator (or [[graft.stream.EmbeddingIngest.recluster]]) can act
+   * before the recall floor breaks.
+   *
+   * Input is the bucket table shape of [[ivfBuckets]] (vec_id,
+   * centroid_id, e, n). Output per centroid: `n_vecs`, `frac` (share of
+   * corpus), `skew` (n_vecs · k / total — 1.0 is perfectly balanced), and
+   * `mean_cos` (mean assignment cosine). Engine-portable: cosines are
+   * strict folds floored to exact 1e-12 integer units, summed as bigints
+   * (order-independent), divided once at the end.
+   *
+   * Scale: one broadcast of the codebook, one groupBy(centroid_id) with
+   * map-side partial aggregation, one k-row total broadcast back — no
+   * corpus-sized shuffle at all.
+   */
+  def ivfBucketHealth(centroids: DataFrame, buckets: DataFrame): DataFrame = {
+    val per = buckets
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .withColumn("__c12",
+        floor(cosPre("e", "ce", "n", "cn") * lit(1e12)).cast("long"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__c12")).as("__cs"))
+    val tot = per.agg(sum(col("n_vecs")).as("__total"),
+      count(lit(1)).as("__k"))
+    per.crossJoin(broadcast(tot))
+      .select(col("centroid_id"), col("n_vecs"),
+        (col("n_vecs").cast("double") / col("__total").cast("double")).as("frac"),
+        (col("n_vecs").cast("double") * col("__k").cast("double") /
+          col("__total").cast("double")).as("skew"),
+        (col("__cs").cast("double") / col("n_vecs").cast("double") /
+          lit(1e12)).as("mean_cos"))
+  }
+
   /** Top-k cosine search over a MATERIALIZED bucket table (vector + norm
     * stored in the inverted lists): [[ivfSearchAssignments]] with the
     * bucket table serving both roles. */

@@ -166,6 +166,19 @@ object LlmWorkload {
     VectorOps.ivfSearchIndexed(cents, buckets, probes)
   }
 
+  /** IVF bucket-health report over the frozen seed codebook
+    * ([[VectorOps.ivfBucketHealth]]): the even half freezes the centroids
+    * (as [[annTopkIvfIndexed]]), the whole corpus buckets against them, and
+    * each bucket reports size, share, skew, and mean assignment cosine —
+    * the drift gauge that decides when
+    * [[graft.stream.EmbeddingIngest.recluster]] must run. */
+  def annIvfDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val seed = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val cents = graft.Caching.scoped(VectorOps.ivfCentroids(seed))
+    VectorOps.ivfBucketHealth(cents, VectorOps.ivfBuckets(cents, emb))
+  }
+
   /** Filtered vector search: top-k neighbors among ENGLISH documents only
     * (the embedding ids are the doc ids); the predicate prunes the corpus
     * before any distance arithmetic. */
@@ -692,6 +705,7 @@ object LlmWorkload {
     "ann_topk_bruteforce" -> annTopkBruteforce,
     "ann_topk_ivf" -> annTopkIvf,
     "ann_topk_ivf_indexed" -> annTopkIvfIndexed,
+    "ann_ivf_drift" -> annIvfDrift,
     "ann_topk_ivfpq" -> annTopkIvfPq,
     "ann_topk_filtered" -> annTopkFiltered,
     "multimodal_meta" -> multimodalMeta,
@@ -1387,6 +1401,28 @@ object LlmWorkload {
          |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank"
          |FROM r WHERE rnk <= 10""".stripMargin,
     "ann_topk_ivfpq" -> ivfpqOracle,
+    // drift replay: frozen even-half codebook, rn=1 assignment, per-bucket
+    // integer-floored cosine sums, identical division order for the ratios
+    "ann_ivf_drift" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+         |      WHERE vec_id % 2 = 0 AND vec_id % 25 = 0),
+         |assign AS (
+         |  SELECT vec_id, centroid_id, cos FROM (
+         |    SELECT v.vec_id, c.centroid_id, ${cosSql("v.e", "c.ce")} AS cos,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.centroid_id ASC) AS rn
+         |    FROM v, c) WHERE rn = 1),
+         |per AS (SELECT centroid_id, count(*) AS n_vecs,
+         |          sum(CAST(floor(cos * CAST(1000000000000 AS DOUBLE)) AS BIGINT)) AS cs
+         |        FROM assign GROUP BY 1),
+         |tot AS (SELECT sum(n_vecs) AS total, count(*) AS k FROM per)
+         |SELECT centroid_id, n_vecs,
+         |  CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE) AS frac,
+         |  CAST(n_vecs AS DOUBLE) * CAST(k AS DOUBLE) / CAST(total AS DOUBLE) AS skew,
+         |  CAST(cs AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+         |    / CAST(1000000000000 AS DOUBLE) AS mean_cos
+         |FROM per, tot""".stripMargin,
     // filtered search replay: the semi-join restricts CANDIDATES before the
     // distance math; probes stay unrestricted
     "ann_topk_filtered" ->

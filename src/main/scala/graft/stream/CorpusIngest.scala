@@ -484,12 +484,15 @@ object CorpusIngest {
     * [[rollbackIfStranded]] recovery). The caller guarantees `df` does not
     * READ `dir` — here the swap deletes what the plan would re-scan. */
   private[stream] def swapWrite(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      dir: String, df: org.apache.spark.sql.DataFrame,
+      partitionCols: Seq[String] = Nil): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".__next")
     val old = new org.apache.hadoop.fs.Path(dir + ".__old")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    df.write.parquet(tmp.toString)
+    val w = df.write
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(path))
       require(fs.rename(path, old), s"swap-out failed: $dir")

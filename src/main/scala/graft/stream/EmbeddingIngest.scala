@@ -232,6 +232,81 @@ object EmbeddingIngest {
       nprobe = cfg.nprobe, k = k)
   }
 
+  /** The `frozen_batch` stamp of a reclustered codebook. Negative so it can
+    * never equal a streaming batch id — a replayed freeze batch's
+    * `frozen_batch =!= batchId` exclusion must not discard it. */
+  val ReclusterStamp: Long = -2L
+
+  /** Read-only IVF bucket-health report over the persisted index
+    * ([[VectorOps.ivfBucketHealth]] on the centroids/ivf/vecs tables):
+    * per-bucket size, corpus share, skew, and mean assignment cosine. The
+    * drift gauge for the frozen codebook — skew grows when ingestion piles
+    * into few buckets, mean_cos falls when newcomers sit far from every
+    * seed centroid; either says [[recluster]] is due. Takes no lock, writes
+    * nothing (reads through a stranded `.__old` like [[probe]]). */
+  def driftReport(spark: SparkSession, cfg: IngestConfig): DataFrame = {
+    val cents = CorpusIngest.readOrEmptyRO(spark, centroidsPath(cfg), centDdl)
+      .select(col("centroid_id"), col("ce"), col("cn"))
+    val assigns = CorpusIngest.readOrEmptyRO(spark, ivfPath(cfg), ivfDdl)
+      .select(col("vec_id"), col("centroid_id"))
+    val vecs = CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg),
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+        col("n"))
+    VectorOps.ivfBucketHealth(cents, assigns.join(vecs, Seq("vec_id")))
+  }
+
+  /**
+   * Recluster the IVF layer: retrain the codebook on the CURRENT corpus and
+   * rebuild every bucket assignment — the locked compaction that answers a
+   * drifted [[driftReport]]. The retrain uses the same deterministic
+   * centroid rule as the freeze (`vec_id % centroidMod == 0`), now over the
+   * full ingested corpus, so post-drift vectors are centroid-eligible and
+   * the buckets re-balance around where the corpus actually lives.
+   *
+   * Discipline matches [[compact]]: corpus [[IngestLock]] held throughout
+   * (a concurrent ingest refuses instead of appending against a codebook
+   * mid-swap); both writes are `.__next`/`.__old` atomic swaps with
+   * [[CorpusIngest.rollbackIfStranded]] recovery; inputs are
+   * `localCheckpoint`ed before the swap deletes what the plans read. A
+   * crash between the two swaps leaves new centroids with old assignments —
+   * re-running recluster (the caller's replay contract, as with any died
+   * maintenance pass) rewrites both deterministically. Assignments land as
+   * one `ingest_batch = -1` partition (compacted form); like [[compact]],
+   * run this at post-batch maintenance points, not between a batch's
+   * replays.
+   */
+  def recluster(spark: SparkSession, cfg: IngestConfig): Unit =
+    IngestLock.withLock(spark, cfg.corpusRoot,
+        s"recluster-${java.util.UUID.randomUUID()}", cfg.lockStaleMs) { lock =>
+      val fs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(vecsPath(cfg), ivfPath(cfg), centroidsPath(cfg))
+        .foreach(CorpusIngest.rollbackIfStranded(fs, _))
+      val vecs = CorpusIngest.readOrEmpty(spark, vecsPath(cfg),
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+          col("n"))
+        .localCheckpoint()
+      if (!vecs.isEmpty) {
+        val codebook = vecs
+          .filter(pmod(col("vec_id"), lit(cfg.centroidMod)) === 0)
+          .select(col("vec_id").as("centroid_id"),
+            col("e").as("ce"), col("n").as("cn"))
+          .localCheckpoint()
+        IngestLock.heartbeat(spark, lock)
+        CorpusIngest.swapWrite(fs, centroidsPath(cfg),
+          codebook.withColumn("frozen_batch", lit(ReclusterStamp)))
+        val assigns = VectorOps.ivfAssign(codebook, vecs)
+          .select(col("vec_id"), col("centroid_id"))
+          .withColumn("ingest_batch", lit(-1L))
+          .localCheckpoint()
+        IngestLock.heartbeat(spark, lock)
+        CorpusIngest.swapWrite(fs, ivfPath(cfg), assigns,
+          partitionCols = Seq("ingest_batch"))
+      }
+    }
+
   /** Fold the accumulated per-batch partitions into a single
     * `ingest_batch = -1` partition — same contract, locking, and
     * atomic-swap discipline as [[CorpusIngest.compact]] (the ledger keeps
