@@ -1,12 +1,91 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: one JSON line with per-query seconds on stdout.
   * Hardened per VERDICT round 1: deterministic (sorted) query order, a
   * warm-up pass at a small scale factor so no timed query pays JVM/JIT/
   * parquet-footer warm-up, and per-query error capture with nonzero exit —
-  * a crashing query must never bench as ~0 s and pass silently. */
+  * a crashing query must never bench as ~0 s and pass silently.
+  *
+  * Round-8 artifact hardening (VERDICT r7 item 1): the JSON line carries a
+  * disk-throughput probe taken before and after the timed loop plus the two
+  * control-anchor query times, so an IO-degraded environment window is
+  * SELF-IDENTIFYING in the artifact instead of needing a forensic ledger
+  * note — the r7 bench recorded 87.8 s in a hypervisor burst-credit trough
+  * that an isolated re-run measured at ~2.8× lower cost. */
 object Bench {
+
+  /** Sequential fsync'd write throughput in MiB/s, measured against the
+    * working directory's filesystem (the one the bench actually reads
+    * through the page cache / writes shuffle spills to). 128 MiB is large
+    * enough to leave the burst window of a throttled hypervisor volume
+    * visible and small enough to cost ~0.5 s when healthy. */
+  private def ioProbeMbps(): Double = {
+    val f = java.io.File.createTempFile("graft-io-probe", ".bin",
+      new java.io.File("."))
+    try {
+      val chunk = new Array[Byte](8 << 20)
+      java.util.Arrays.fill(chunk, 0x5a.toByte)
+      val t0 = System.nanoTime()
+      val out = new java.io.FileOutputStream(f)
+      try {
+        (1 to 16).foreach(_ => out.write(chunk))
+        out.getChannel.force(true)
+      } finally out.close()
+      128.0 / ((System.nanoTime() - t0) / 1e9)
+    } finally { f.delete(); () }
+  }
+
+  /** Synthetic CDC batch for the JDBC sink bench: `nSites` sites, each an
+    * INSERT + pure UPDATE chain, every 10th site then DELETEd — all three
+    * statement categories (REPLACE, per-mask UPDATE, keyed DELETE) exercised
+    * at the reference's 2000-rows-per-statement batching. Deterministic, so
+    * every run binds identical values. */
+  private def syntheticSiteChanges(spark: SparkSession, nSites: Int): DataFrame = {
+    def img(suffix: String) = format_string(
+      """{"idsite":%d,"name":"site%d""" + suffix + """","main_url":"http://s%d"}""",
+      col("id"), col("id"), col("id"))
+    val pairs = spark.range(nSites).select(col("id"), explode(array(
+      struct(lit("INSERT").as("op"), (col("id") * 3 + 100).as("log_pos"),
+        lit(null).cast("string").as("before"), img("").as("after")),
+      struct(lit("UPDATE").as("op"), (col("id") * 3 + 101).as("log_pos"),
+        img("").as("before"), img("-v2").as("after")))).as("e"))
+    val dels = spark.range(nSites).filter(col("id") % 10 === 9)
+      .select(col("id"), struct(lit("DELETE").as("op"),
+        (col("id") * 3 + 102).as("log_pos"),
+        img("-v2").as("before"), lit(null).cast("string").as("after")).as("e"))
+    pairs.unionByName(dels).select(
+      col("e.op").as("op"), lit("db").as("schema"),
+      lit("matomo_site").as("table"),
+      lit("2024-01-05 10:00:00").cast("timestamp").as("ts"),
+      lit("mysql-bin.000001").as("log_file"), col("e.log_pos").as("log_pos"),
+      lit(0).as("row_index"), col("e.before").as("before"),
+      col("e.after").as("after"))
+  }
+
+  /** One timed Derby e2e apply through [[graft.stream.JdbcState]] — the
+    * sink path every other operator family has a tracked number for.
+    * Cost model: ~3 batched-statement rounds over n_sites rows (REPLACE
+    * delete+insert, one UPDATE statement per changed-column mask, keyed
+    * DELETEs), so seconds ≈ rows / (statements-per-second × batchSize);
+    * an in-memory Derby keeps the number a sink-code measurement, not a
+    * disk benchmark (the disk story is the io_probe's job). */
+  private def benchJdbcSink(spark: SparkSession, run: Int): Double = {
+    val url = s"jdbc:derby:memory:graftbench$run;create=true"
+    val cfg = graft.stream.JdbcState.SinkConfig(url,
+      Some("org.apache.derby.jdbc.EmbeddedDriver"))
+    val typed = graft.cdc.Cdc.typedChanges(
+      syntheticSiteChanges(spark, 10000), "matomo_site")
+    val t0 = System.nanoTime()
+    graft.stream.JdbcState.applyMutable(typed, cfg, "matomo_site", Seq("idsite"))
+    val dt = (System.nanoTime() - t0) / 1e9
+    try java.sql.DriverManager
+      .getConnection(s"jdbc:derby:memory:graftbench$run;drop=true")
+    catch { case _: java.sql.SQLException => () } // drop "fails" by design
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
@@ -19,6 +98,8 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    val ioPre = ioProbeMbps()
 
     // warm-up: full pass at the small sf (codegen, JIT) — untimed. Listings
     // and footers are NOT shared between file indexes, so the only way to
@@ -36,7 +117,7 @@ object Bench {
     }
 
     var errors = Map.empty[String, String]
-    val results = ordered.map { case (name, fn) =>
+    val queryResults = ordered.map { case (name, fn) =>
       // min of two timed runs: single-run numbers at this scale are dominated
       // by GC pauses and JIT recompilation spikes (a past round chased a 4.5x
       // phantom regression that a re-run dissolved); the minimum is the
@@ -61,6 +142,24 @@ object Bench {
       val good = dts.filter(_._2)
       name -> (if (good.nonEmpty) good.map(_._1).min else dts.map(_._1).min)
     }
+
+    // the JDBC sink path, timed like every query (min of two runs, each
+    // against a FRESH in-memory Derby so both runs bind identical work)
+    val sinkName = "sink_jdbc_apply_mutable"
+    val sinkResults =
+      if (!only.forall(_.contains(sinkName))) Seq.empty
+      else try Seq(sinkName -> (1 to 2).map(benchJdbcSink(spark, _)).min)
+      catch { case e: Throwable =>
+        errors += sinkName -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        Seq(sinkName -> 0.0)
+      }
+    val results = queryResults ++ sinkResults
+
+    val ioPost = ioProbeMbps()
+    // control anchors (VERDICT r7): two stable queries whose drift flags an
+    // unhealthy environment window rather than a plan change
+    val anchors = Seq("cdc_apply_mutable", "agg_kmv_sketch")
+      .flatMap(a => results.find(_._1 == a))
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -83,6 +182,11 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v).take(60) + "\"" }
         .mkString(""","errors":{""", ",", "}")
+    val anchorsJson = anchors
+      .map { case (k, v) => "\"" + esc(k) + "\":" + fmt(v, 3) }
+      .mkString(""","anchors":{""", ",", "}")
+    val ioJson =
+      s""","io_probe":{"pre_mbps":${fmt(ioPre, 1)},"post_mbps":${fmt(ioPost, 1)}}"""
     def line(dec: Int, keep: Int): String = {
       val bySlowest = results.sortBy(-_._2)
       val kept = bySlowest.take(keep).sortBy(_._1)
@@ -92,7 +196,7 @@ object Bench {
       val omitted =
         if (dropped.isEmpty) ""
         else s""","omitted":${dropped.size},"omitted_sec":${fmt(dropped.map(_._2).sum, 1)}"""
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$omitted$errs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$omitted$anchorsJson$ioJson$errs,"sf":"$sfName"}"""
     }
     val n = results.size
     val candidates =
@@ -102,7 +206,7 @@ object Bench {
     val detail = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail$anchorsJson$ioJson$errs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detailJson.getBytes("UTF-8"))
     catch { case _: Throwable => () } // the sidecar must never fail the bench
