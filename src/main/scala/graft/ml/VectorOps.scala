@@ -537,6 +537,113 @@ object VectorOps {
     (codes, dt)
   }
 
+  /** The PERSISTED form of the PQ stage — frozen per-subspace codebooks
+    * from a SEED corpus (`(j, code_id, ce)`; the training-free mod-sampled
+    * pick, as [[annPq]]). Frozen for the same reason as [[ivfCentroids]]:
+    * re-picking codewords per batch would silently re-encode the whole
+    * corpus. Sub-vector slicing is a pure function of (dim, m), so codes
+    * computed months apart compare correctly. */
+  def pqCodebooks(seed: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", m: Int = 4,
+      codebookMod: Int = 25): DataFrame =
+    subVectors(seed.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("e")), m)
+      .filter(pmod(col("vec_id"), lit(codebookMod)) === 0)
+      .select(col("j"), col("vec_id").as("code_id"), col("se").as("ce"))
+
+  /** Per-(vector, subspace) slices of PREPARED vectors (vec_id, e). */
+  private def subVectors(v: DataFrame, m: Int): DataFrame = {
+    val subCols = (0 until m).map { j =>
+      struct(lit(j).as("j"),
+        expr(s"slice(e, $j * (size(e) div $m) + 1, size(e) div $m)").as("se"))
+    }
+    v.select(col("vec_id"), explode(array(subCols: _*)).as("s"))
+      .select(col("vec_id"), col("s.j").as("j"), col("s.se").as("se"))
+  }
+
+  /** Encode PREPARED vectors (vec_id, e) against FROZEN codebooks: nearest
+    * codeword per (vector, subspace), ties on code_id — the append-only
+    * code rows a persisted PQ index stores (m small ints per vector).
+    * Returns (vec_id, j, code_id). */
+  def pqEncodeWith(codebooks: DataFrame, v: DataFrame, m: Int = 4): DataFrame =
+    subVectors(v, m).join(broadcast(codebooks), Seq("j"))
+      .withColumn("d2", sqDist("se", "ce"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d2"), col("code_id"))).as("mn"))
+      .select(col("vec_id"), col("j"), col("mn.code_id").as("code_id"))
+
+  /** Probes' ADC distance tables against FROZEN codebooks: one row per
+    * (probe, subspace, codeword) with the squared distance in exact 1e-12
+    * integer units — tiny (|probes| × m × codewords), always broadcast. */
+  def adcTables(codebooks: DataFrame, probes: DataFrame, m: Int = 4): DataFrame =
+    subVectors(probes, m)
+      .select(col("vec_id").as("probe_id"), col("j"), col("se").as("pe"))
+      .join(broadcast(codebooks), Seq("j"))
+      .select(col("probe_id"), col("j"), col("code_id"),
+        floor(sqDist("pe", "ce") * lit(1e12)).cast("long").as("d2e"))
+
+  /**
+   * IVF-PQ top-k over the SPLIT persisted layout — the serving face of a
+   * disk-resident 100 TB vector index: coarse centroids pick each probe's
+   * `nprobe` buckets, the assignment table prunes to candidate ids, the
+   * CODE table (m ints per vector — the only corpus-sized thing scanned)
+   * scores candidates by integer ADC against the probe's broadcast
+   * distance table, and the top-`rerank` shortlist re-ranks by exact
+   * cosine against the vector store. The float vectors move only for the
+   * shortlist — |probes| × rerank rows, never the candidate set.
+   *
+   * Same determinism contract as [[annIvfPq]] (strict folds, exact integer
+   * ADC, id tiebreaks), so a disk round-trip of the four tables serves
+   * bit-identical results.
+   */
+  def ivfPqSearchIndexed(centroids: DataFrame, assignments: DataFrame,
+      codes: DataFrame, codebooks: DataFrame, vecs: DataFrame,
+      probes: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", nprobe: Int = 2, m: Int = 4,
+      k: Int = 10, rerank: Int = 150): DataFrame = {
+    val p = Caching.scoped(asDouble(probes, idCol, vecCol))
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    val probeBuckets = p
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("n").as("pn"))
+      .join(broadcast(centroids))
+      .withColumn("cos", cosPre("pe", "ce", "pn", "cn"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("centroid_id"))
+    val cand = probeBuckets
+      .join(assignments.select(col("vec_id"), col("centroid_id")),
+        Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    val dt = adcTables(codebooks,
+      p.select(col("vec_id"), col("e")), m)
+    val scored = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(dt), Seq("probe_id", "j", "code_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("d2e")).as("adc"))
+    if (rerank <= 0) adcTopK(scored, k)
+    else {
+      // re-rank against the STORE's vectors and norms; probe vectors join
+      // back from the prepared probe frame (probes need not be corpus rows)
+      val wAdc = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc").asc, col("vec_id").asc)
+      val shortlist = scored.withColumn("crank", row_number().over(wAdc))
+        .filter(col("crank") <= rerank)
+        .select(col("probe_id"), col("vec_id"))
+      val wCos = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      shortlist
+        .join(vecs.select(col("vec_id"), col("e"), col("n")), Seq("vec_id"))
+        .join(p.select(col("vec_id").as("probe_id"),
+          col("e").as("pe"), col("n").as("pn")), Seq("probe_id"))
+        .withColumn("cos", cosPre("e", "pe", "n", "pn"))
+        .withColumn("rank", row_number().over(wCos))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
+    }
+  }
+
   /**
    * IVF-PQ top-k — the production composition of the two index stages, and
    * what a real 100 TB vector index runs: IVF decides WHICH vectors each

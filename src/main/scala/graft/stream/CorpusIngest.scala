@@ -389,6 +389,54 @@ object CorpusIngest {
   }
 
   /**
+   * Vocabulary drift report from the persisted per-batch MG summaries —
+   * the text twin of [[EmbeddingIngest.driftReport]]: how far the RECENT
+   * batches' word distribution has moved from the corpus history. A
+   * domain shift in the ingest feed (spam bursts, a new source's jargon,
+   * a language flip) shows up here as words whose recent share dwarfs
+   * their historical share — before it degrades downstream quality gates
+   * trained on the old distribution.
+   *
+   * Split: batches with `ingest_batch >= sinceBatch` are "recent", the
+   * rest — including the compacted `-1` partition — are history (so the
+   * report stays well-defined after [[compact]]: compacted rows ARE
+   * history). Shares are MG lower bounds (cnt ∈ [f − n/(mgK+1), f]; an
+   * absent word's true share is ≤ 1/(mgK+1)) — exact enough for a drift
+   * gauge whose job is flagging order-of-magnitude moves. Output per word
+   * clearing `minShare` on either side: (word, recent_share, hist_share,
+   * shift = recent − hist), all single IEEE divisions over exact integer
+   * sums.
+   *
+   * Scale: reads summary rows and the 1-row docstats sums only — the
+   * corpus itself is never touched. Read-only and lock-free.
+   */
+  def vocabDriftReport(spark: SparkSession, cfg: IngestConfig,
+      sinceBatch: Long, minShare: Double = 0.001): DataFrame = {
+    val mg = readOrEmptyRO(spark, mgPath(cfg),
+      "word STRING, cnt BIGINT, ingest_batch BIGINT")
+    val st = readOrEmptyRO(spark, docstatsPath(cfg),
+      "n_docs BIGINT, dl_sum BIGINT, ingest_batch BIGINT")
+    def words(side: DataFrame => DataFrame, cntName: String) =
+      side(mg).groupBy(col("word")).agg(sum(col("cnt")).as(cntName))
+    def total(side: DataFrame => DataFrame, nName: String) =
+      side(st).agg(coalesce(sum(col("dl_sum")), lit(0L)).as(nName))
+    val recent = words(_.filter(col("ingest_batch") >= sinceBatch), "rcnt")
+    val hist = words(_.filter(col("ingest_batch") < sinceBatch), "hcnt")
+    def share(cnt: String, n: String) =
+      when(col(n) > 0L,
+        coalesce(col(cnt), lit(0L)).cast("double") / col(n).cast("double"))
+        .otherwise(lit(0.0))
+    recent.join(hist, Seq("word"), "full_outer")
+      .crossJoin(broadcast(total(_.filter(col("ingest_batch") >= sinceBatch), "rn")))
+      .crossJoin(broadcast(total(_.filter(col("ingest_batch") < sinceBatch), "hn")))
+      .withColumn("recent_share", share("rcnt", "rn"))
+      .withColumn("hist_share", share("hcnt", "hn"))
+      .filter(greatest(col("recent_share"), col("hist_share")) >= minShare)
+      .select(col("word"), col("recent_share"), col("hist_share"),
+        (col("recent_share") - col("hist_share")).as("shift"))
+  }
+
+  /**
    * Fold the accumulated per-batch partitions of every corpus table into a
    * single `ingest_batch = -1` partition — the maintenance job that keeps
    * the append-only design viable long-term (thousands of tiny partitions

@@ -53,7 +53,11 @@ object EmbeddingIngest {
       /** IVF codebook pick (vec_id % centroidMod == 0 at freeze time). */
       centroidMod: Int = 25,
       /** Buckets searched per probe by [[search]]. */
-      nprobe: Int = 2)
+      nprobe: Int = 2,
+      /** PQ subspaces (frozen per-subspace codebooks; [[searchPq]]). */
+      pqM: Int = 4,
+      /** PQ codeword pick (vec_id % pqCodebookMod == 0 at freeze time). */
+      pqCodebookMod: Int = 25)
 
   def vecsPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/vecs"
   private def bandsPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/bands"
@@ -62,10 +66,17 @@ object EmbeddingIngest {
   def ivfPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/ivf"
   /** The frozen IVF codebook (centroid_id, ce, cn, frozen_batch). */
   def centroidsPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/centroids"
+  /** Append-only PQ code rows (vec_id, j, code_id, ingest_batch). */
+  def pqPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/pq"
+  /** The frozen per-subspace PQ codebooks (j, code_id, ce, frozen_batch). */
+  def pqCodebooksPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/pqcb"
 
   private val centDdl =
     "centroid_id BIGINT, ce ARRAY<DOUBLE>, cn DOUBLE, frozen_batch BIGINT"
   private val ivfDdl = "vec_id BIGINT, centroid_id BIGINT, ingest_batch BIGINT"
+  private val pqcbDdl =
+    "j INT, code_id BIGINT, ce ARRAY<DOUBLE>, frozen_batch BIGINT"
+  private val pqDdl = "vec_id BIGINT, j INT, code_id BIGINT, ingest_batch BIGINT"
 
   /** Stable lock identity — see [[CorpusIngest.batchLockOwner]]. */
   def batchLockOwner(cfg: IngestConfig, batchId: Long): String =
@@ -79,7 +90,7 @@ object EmbeddingIngest {
     val rootFs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(vecsPath(cfg), bandsPath(cfg), ledgerPath(cfg), ivfPath(cfg),
-        centroidsPath(cfg))
+        centroidsPath(cfg), pqPath(cfg), pqCodebooksPath(cfg))
       .foreach(CorpusIngest.rollbackIfStranded(rootFs, _))
     // dynamic partition overwrite on every session whose conf a write may
     // consult (the batch frame may belong to foreachBatch's cloned session)
@@ -182,6 +193,34 @@ object EmbeddingIngest {
         .select(col("vec_id"), col("centroid_id"), stamp)
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(ivfPath(cfg))
 
+      // ---- PQ code layer: frozen per-subspace codebooks, append-only
+      // codes — the same freeze/backfill/append discipline as the IVF
+      // layer above (frozen at the first batch with an eligible vector,
+      // that batch backfills codes for every earlier vector, later
+      // batches append only their own m-ints-per-vector rows). The codes
+      // are what [[searchPq]] scans instead of float vectors.
+      val priorPqCb = CorpusIngest.readOrEmpty(spark, pqCodebooksPath(cfg), pqcbDdl)
+        .filter(col("frozen_batch") =!= batchId)
+      val pqFreezing = priorPqCb.isEmpty
+      val (pqCb, pqTargets) =
+        if (pqFreezing) {
+          val allVecs = indexVecs.unionByName(acceptedVecs)
+          (VectorOps.pqCodebooks(
+            allVecs.select(col("vec_id"), col("e").as("embedding")),
+            m = cfg.pqM, codebookMod = cfg.pqCodebookMod), allVecs)
+        } else
+          (priorPqCb.select(col("j"), col("code_id"), col("ce")), acceptedVecs)
+      if (pqFreezing && !pqCb.isEmpty) {
+        IngestLock.heartbeat(spark, lock)
+        CorpusIngest.swapWrite(rootFs, pqCodebooksPath(cfg),
+          pqCb.withColumn("frozen_batch", lit(batchId)))
+      }
+      IngestLock.heartbeat(spark, lock)
+      VectorOps.pqEncodeWith(pqCb,
+          pqTargets.select(col("vec_id"), col("e")), cfg.pqM)
+        .select(col("vec_id"), col("j"), col("code_id"), stamp)
+        .write.mode("overwrite").partitionBy("ingest_batch").parquet(pqPath(cfg))
+
       val nIn = batchVecs.count()
       val nAccepted = accepted.count()
       spark.createDataFrame(Seq((batchId, nIn, nAccepted)))
@@ -230,6 +269,33 @@ object EmbeddingIngest {
         col("n"))
     VectorOps.ivfSearchAssignments(cents, assigns, vecs, probes,
       nprobe = cfg.nprobe, k = k)
+  }
+
+  /** Read-only IVF-PQ top-k served ENTIRELY from the persisted tables —
+    * what a disk-resident production index runs: coarse centroids pick the
+    * probes' buckets, the assignment table prunes to candidates, the PQ
+    * code table (m ints per vector — the only corpus-sized scan) scores
+    * them by integer ADC against the probes' broadcast distance tables,
+    * and the shortlist re-ranks by exact cosine from the vector store.
+    * [[search]] is the IVF-flat twin (exact cosine over bucket
+    * candidates — full vectors move for every candidate); this trades
+    * that movement for code scans + a `rerank`-bounded float fetch. Takes
+    * no lock, writes nothing, reads through stranded compactions. */
+  def searchPq(spark: SparkSession, cfg: IngestConfig, probes: DataFrame,
+      k: Int = 10, rerank: Int = 150): DataFrame = {
+    val cents = CorpusIngest.readOrEmptyRO(spark, centroidsPath(cfg), centDdl)
+      .select(col("centroid_id"), col("ce"), col("cn"))
+    val assigns = CorpusIngest.readOrEmptyRO(spark, ivfPath(cfg), ivfDdl)
+    val codes = CorpusIngest.readOrEmptyRO(spark, pqPath(cfg), pqDdl)
+      .select(col("vec_id"), col("j"), col("code_id"))
+    val cbs = CorpusIngest.readOrEmptyRO(spark, pqCodebooksPath(cfg), pqcbDdl)
+      .select(col("j"), col("code_id"), col("ce"))
+    val vecs = CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg),
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+        col("n"))
+    VectorOps.ivfPqSearchIndexed(cents, assigns, codes, cbs, vecs, probes,
+      nprobe = cfg.nprobe, m = cfg.pqM, k = k, rerank = rerank)
   }
 
   /** The `frozen_batch` stamp of a reclustered codebook. Negative so it can
@@ -316,7 +382,7 @@ object EmbeddingIngest {
         s"compact-${java.util.UUID.randomUUID()}", cfg.lockStaleMs) { lock =>
       val fs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq(vecsPath(cfg), bandsPath(cfg), ivfPath(cfg)).foreach { dir =>
+      Seq(vecsPath(cfg), bandsPath(cfg), ivfPath(cfg), pqPath(cfg)).foreach { dir =>
         IngestLock.heartbeat(spark, lock)
         CorpusIngest.foldBatchPartitions(spark, fs, dir)
       }

@@ -434,4 +434,40 @@ class CorpusIngestSpec extends SparkSpec {
     assert(served() == first)
     graft.Caching.releaseAll()
   }
+
+  test("vocabDriftReport flags a domain-shifted batch against corpus history") {
+    val root = tmpDir()
+    val cfg = CorpusIngest.IngestConfig("unused", root, "unused", mgK = 16)
+    // history: two batches of a stable vocabulary; then a shifted batch
+    // whose docs are dominated by a word the history never saw
+    val hist0 = Seq(
+      1L -> Seq.fill(10)("stable").mkString(" "),
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+      .toDF("doc_id", "text")
+    val hist1 = Seq(
+      3L -> (Seq.fill(8)("stable") ++ Seq("lambda", "mu")).mkString(" "))
+      .toDF("doc_id", "text")
+    val shifted = Seq(
+      4L -> (Seq.fill(9)("blockchain") ++ Seq("stable")).mkString(" "))
+      .toDF("doc_id", "text")
+    assert(CorpusIngest.ingestBatch(spark, cfg, hist0, 0L) == 2L)
+    assert(CorpusIngest.ingestBatch(spark, cfg, hist1, 1L) == 1L)
+    assert(CorpusIngest.ingestBatch(spark, cfg, shifted, 2L) == 1L)
+
+    val report = CorpusIngest.vocabDriftReport(spark, cfg, sinceBatch = 2L,
+        minShare = 0.05)
+      .select("word", "recent_share", "hist_share", "shift")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // the planted newcomer: 9/10 of the recent batch, absent from history
+    val (bRecent, bHist, bShift) = report("blockchain")
+    assert(bRecent == 0.9 && bHist == 0.0 && bShift == 0.9, report.toString)
+    // the historically dominant word collapsed in the recent batch
+    val (sRecent, sHist, sShift) = report("stable")
+    assert(sRecent == 0.1, report.toString)
+    assert(sHist == 18.0 / 30.0 && sShift < -0.4, report.toString)
+    // read-only: the report took no lock and wrote nothing new
+    assert(new java.io.File(s"$root/mg").exists())
+    graft.Caching.releaseAll()
+  }
 }
