@@ -120,11 +120,17 @@ object LlmWorkload {
     TextOps.jaccardNearDups(Tables(spark, dir, "documents"), "doc_id", "text")
 
   /** Incremental dedup: even doc_ids stand in for the already-ingested
-    * corpus (its signature index), odd ids are the arriving batch. */
+    * corpus (its signature index — session-persisted via [[SharedIndexes]],
+    * exactly the on-disk index a production probe reads), odd ids are the
+    * arriving batch. The probe's cost follows the BATCH; the corpus index
+    * builds once per session. */
   def dedupIncrementalProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    TextOps.minhashProbe(
-      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+    val (corpusBands, corpusSets) = SharedIndexes.pair(s"minhash-even:$dir") {
+      TextOps.minhashIndex(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+    }
+    TextOps.minhashProbeIndexed(corpusBands, corpusSets,
       docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text")
   }
 

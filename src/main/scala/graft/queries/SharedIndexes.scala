@@ -47,9 +47,29 @@ object SharedIndexes {
     })
   }
 
+  private val framePairs = mutable.Map.empty[String, (DataFrame, DataFrame)]
+
+  /** Two-frame variant of [[frame]] for indexes whose build shares one
+    * scan across both outputs (the MinHash index's banded signatures +
+    * shingle sets come from ONE cached shingle pass — building them as
+    * two independent `frame` entries would pay that pass twice). */
+  def pair(key: String)(build: => (DataFrame, DataFrame)): (DataFrame, DataFrame) =
+    synchronized {
+      framePairs.getOrElseUpdate(key, {
+        val (a, b) = build
+        val pa = a.persist(StorageLevel.MEMORY_AND_DISK)
+        val pb = b.persist(StorageLevel.MEMORY_AND_DISK)
+        pa.count(); pb.count()
+        (pa, pb)
+      })
+    }
+
   /** Drop every shared frame (session teardown / test isolation). */
   def clear(): Unit = synchronized {
     frames.values.foreach(_.unpersist(blocking = false))
     frames.clear()
+    framePairs.values.foreach { case (a, b) =>
+      a.unpersist(blocking = false); b.unpersist(blocking = false) }
+    framePairs.clear()
   }
 }

@@ -259,10 +259,19 @@ object EmbeddingIngest {
     * probes' nprobe buckets, never a corpus scan. Probes arrive raw
     * (vec_id, embedding). */
   def search(spark: SparkSession, cfg: IngestConfig, probes: DataFrame,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, allowed: Option[DataFrame] = None): DataFrame = {
     val cents = CorpusIngest.readOrEmptyRO(spark, centroidsPath(cfg), centDdl)
       .select(col("centroid_id"), col("ce"), col("cn"))
-    val assigns = CorpusIngest.readOrEmptyRO(spark, ivfPath(cfg), ivfDdl)
+    // metadata-FILTERED serving: the allowed-id set semi-joins the
+    // ASSIGNMENT rows, so a selective predicate prunes the candidate set
+    // before any vector fetch or distance arithmetic (the serving twin of
+    // VectorOps.annFiltered) — and top-k refills from the allowed corpus
+    // instead of under-filling a post-filtered unrestricted top-k
+    val assigns = allowed.foldLeft(
+      CorpusIngest.readOrEmptyRO(spark, ivfPath(cfg), ivfDdl)) { (a, ids) =>
+      a.join(ids.select(col(ids.columns.head).as("vec_id")),
+        Seq("vec_id"), "left_semi")
+    }
     val vecs = CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg),
       "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),

@@ -138,6 +138,30 @@ class EmbeddingIngestSpec extends SparkSpec {
     assert(before._1 == Seq((5L, 0L)) && before._2 == Seq((5L, 5L), (7L, 5L)))
   }
 
+  test("filtered search: the allowed-id set prunes candidates and top-k refills from it") {
+    val root = tmpDir()
+    // threshold > 1: these fixture vectors cluster, so disable dedup
+    val cfg = EmbeddingIngest.IngestConfig("unused", root, "ckpt-F",
+      centroidMod = 5, threshold = 2.0)
+    // one bucket (centroid 5); vectors 1, 2, 5 near base, 3 orthogonal
+    val near2 = Seq(1f, 0.02f, 0f, 0f, 0f, 0f, 0f, 0f)
+    EmbeddingIngest.ingestBatch(spark, cfg,
+      vecs(1L -> base, 2L -> near2, 3L -> orth, 5L -> nearBase), 0L)
+    val probes = vecs(100L -> base)
+    val unrestricted = EmbeddingIngest.search(spark, cfg, probes, k = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(unrestricted == Set(1L, 5L), s"got $unrestricted")
+    // restrict to {2, 3}: the former top hits are pruned BEFORE scoring and
+    // k refills from the allowed set — a post-filter of `unrestricted`
+    // would return nothing allowed at all
+    val allowed = Seq(2L, 3L).toDF("vec_id")
+    val filtered = EmbeddingIngest.search(spark, cfg, probes, k = 2,
+        allowed = Some(allowed))
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(filtered == Map(2L -> 1, 3L -> 2), s"got $filtered")
+    graft.Caching.releaseAll()
+  }
+
   test("probe reports near-dups read-only: no state change, no lock") {
     val root = tmpDir()
     val cfg = EmbeddingIngest.IngestConfig("unused", root, "ckpt-P")
