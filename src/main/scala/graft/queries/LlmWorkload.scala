@@ -140,6 +140,52 @@ object LlmWorkload {
   def textStats(spark: SparkSession, dir: String): DataFrame =
     TextOps.textStats(Tables(spark, dir, "documents"), "doc_id", "text")
 
+  /** Batch vocabulary-shift report — the oracle-pinned twin of
+    * [[graft.stream.CorpusIngest.vocabDriftReport]] with exact counts:
+    * even doc_ids stand in for corpus history, odd ids for the recent
+    * feed; every word holding ≥ 1% of either half reports its per-half
+    * share and the shift. Two exact integer aggregations (word counts,
+    * 1-row per-half totals) + single IEEE divisions — engine-portable. */
+  def textVocabShift(spark: SparkSession, dir: String): DataFrame = {
+    val words = graft.Spread.byKey(Tables(spark, dir, "documents"), col("doc_id"))
+      .select(pmod(col("doc_id"), lit(2)).as("half"),
+        explode(TextOps.wordsOf(col("text"))).as("word"))
+    val counts = words.groupBy(col("word"))
+      .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("rcnt"),
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("hcnt"))
+    val totals = words.agg(
+      sum(when(col("half") === 1, 1L).otherwise(0L)).as("rn"),
+      sum(when(col("half") === 0, 1L).otherwise(0L)).as("hn"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("recent_share",
+        col("rcnt").cast("double") / col("rn").cast("double"))
+      .withColumn("hist_share",
+        col("hcnt").cast("double") / col("hn").cast("double"))
+      .filter(greatest(col("recent_share"), col("hist_share")) >= 0.01)
+      .select(col("word"), col("rcnt"), col("hcnt"),
+        col("recent_share"), col("hist_share"),
+        (col("recent_share") - col("hist_share")).as("shift"))
+  }
+
+  /** Per-source near-dup contamination report over the session's persisted
+    * pair graph ([[sharedMinhashPairs]]): how many verified near-dup pairs
+    * land within vs across each source pair — the provenance view that
+    * tells a corpus owner WHICH feeds duplicate each other. Sources are
+    * ordered lexicographically per pair so the grouping is symmetric;
+    * aggregates are count + min/max jaccard (order-independent — no float
+    * sums cross the engine boundary). */
+  def dedupSourceReport(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    sharedMinhashPairs(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("min_j"), max(col("jaccard")).as("max_j"))
+  }
+
   def textTokenCounts(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenCounts(Tables(spark, dir, "documents"), "doc_id", "text")
 
@@ -704,6 +750,8 @@ object LlmWorkload {
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
     "dedup_incremental_probe" -> dedupIncrementalProbe,
     "dedup_containment" -> dedupContainment,
+    "dedup_source_report" -> dedupSourceReport,
+    "text_vocab_shift" -> textVocabShift,
     "text_stats" -> textStats,
     "text_token_counts" -> textTokenCounts,
     "text_lang_id" -> textLangId,
@@ -1332,6 +1380,38 @@ object LlmWorkload {
     "dedup_jaccard_pairs" -> jaccardOracle,
     "dedup_incremental_probe" -> incrementalProbeOracle,
     "dedup_containment" -> containmentOracle,
+    // source-report replay: the minhash pair graph joined to provenance,
+    // symmetric lexicographic source grouping, order-independent aggregates
+    "dedup_source_report" ->
+      s"""WITH mp AS (SELECT doc_a, doc_b, jaccard FROM ($minhashOracle)),
+         |s AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS src_lo,
+         |  greatest(sa.source, sb.source) AS src_hi,
+         |  count(*) AS n_pairs, min(jaccard) AS min_j, max(jaccard) AS max_j
+         |FROM mp
+         |JOIN s sa ON sa.doc_id = mp.doc_a
+         |JOIN s sb ON sb.doc_id = mp.doc_b
+         |GROUP BY 1, 2""".stripMargin,
+    // vocab-shift replay: same per-half exact counts, same single divisions
+    "text_vocab_shift" ->
+      s"""WITH w AS (SELECT doc_id % 2 AS half,
+         |    unnest(string_split($normSql, ' ')) AS word
+         |  FROM documents),
+         |c AS (SELECT word,
+         |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rcnt,
+         |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hcnt
+         |  FROM w GROUP BY 1),
+         |t AS (SELECT
+         |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rn,
+         |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hn
+         |  FROM w),
+         |m AS (SELECT word, rcnt, hcnt,
+         |    CAST(rcnt AS DOUBLE) / CAST(rn AS DOUBLE) AS recent_share,
+         |    CAST(hcnt AS DOUBLE) / CAST(hn AS DOUBLE) AS hist_share
+         |  FROM c, t)
+         |SELECT word, rcnt, hcnt, recent_share, hist_share,
+         |  recent_share - hist_share AS shift
+         |FROM m WHERE greatest(recent_share, hist_share) >= 0.01""".stripMargin,
     "text_stats" ->
       s"""WITH s AS (
          |  SELECT doc_id, text, $normSql AS norm, string_split($normSql, ' ') AS w

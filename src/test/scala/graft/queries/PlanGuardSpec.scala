@@ -56,7 +56,8 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "retrieval_hybrid_rrf",   // probe-set + bounded (k=20) lexical-list broadcasts
     "retrieval_mrr",          // same retrieval broadcasts, truth-joined
     "text_pmi_bigrams",       // 1-row corpus-totals (n_uni, n_bi) anchor
-    "ann_ivf_drift")          // centroid broadcast + 1-row (total, k) anchor
+    "ann_ivf_drift",          // centroid broadcast + 1-row (total, k) anchor
+    "text_vocab_shift")       // 1-row per-half totals anchor
 
   test("no registered query plans a cartesian, unjustified nested-loop join, " +
       "or partition-less window") {
