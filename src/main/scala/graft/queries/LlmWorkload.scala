@@ -198,6 +198,34 @@ object LlmWorkload {
   def annTopkBruteforce(spark: SparkSession, dir: String): DataFrame =
     VectorOps.annBruteForce(Tables(spark, dir, "embeddings"))
 
+  /** kNN label-agreement probe — the standard embedding-quality gauge of a
+    * training pipeline: each probe's label predicted by majority vote over
+    * its exact top-10 cosine neighbors (ties: votes desc, label asc) and
+    * compared to its own label. Low agreement means the embedding space
+    * does not separate the label structure — the signal that gates
+    * embedding-model upgrades before they pollute semantic dedup. Exact
+    * integer votes + deterministic tiebreaks: fully oracle-replayable. */
+  def annKnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val labels = emb.select(col("vec_id"), col("label"))
+    val votes = VectorOps.annBruteForce(emb)
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label")),
+        "neighbor_id")
+      .groupBy(col("probe_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("n_votes").desc, col("label").asc)
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("probe_id"), col("label").as("pred_label"), col("n_votes"))
+      .join(labels.select(col("vec_id").as("probe_id"),
+        col("label").as("true_label")), "probe_id")
+      .select(col("probe_id"),
+        col("true_label").cast("long").as("true_label"),
+        col("pred_label").cast("long").as("pred_label"),
+        col("n_votes"),
+        (col("pred_label") === col("true_label")).as("correct"))
+  }
+
   def annTopkIvf(spark: SparkSession, dir: String): DataFrame =
     VectorOps.annIvf(Tables(spark, dir, "embeddings"))
 
@@ -757,6 +785,7 @@ object LlmWorkload {
     "text_lang_id" -> textLangId,
     "text_fingerprints" -> textFingerprints,
     "ann_topk_bruteforce" -> annTopkBruteforce,
+    "ann_knn_classify" -> annKnnClassify,
     "ann_topk_ivf" -> annTopkIvf,
     "ann_topk_ivf_indexed" -> annTopkIvfIndexed,
     "ann_ivf_drift" -> annIvfDrift,
@@ -1455,6 +1484,22 @@ object LlmWorkload {
          |SELECT d.doc_id, ${h64(normSql)} AS content_hash, mn.min_shingle_hash
          |FROM documents d LEFT JOIN mn ON mn.doc_id = d.doc_id""".stripMargin,
     "ann_topk_bruteforce" -> bruteforceOracle,
+    // kNN-classify replay: the brute-force neighbor sets, integer votes,
+    // (votes desc, label asc) argmax, self-label join
+    "ann_knn_classify" ->
+      s"""WITH bf AS (SELECT probe_id, neighbor_id FROM ($bruteforceOracle)),
+         |l AS (SELECT vec_id, label FROM embeddings),
+         |v AS (SELECT bf.probe_id, l.label, count(*) AS n_votes
+         |      FROM bf JOIN l ON l.vec_id = bf.neighbor_id GROUP BY 1, 2),
+         |p AS (SELECT probe_id, label AS pred_label, n_votes FROM (
+         |  SELECT probe_id, label, n_votes,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY n_votes DESC, label ASC) AS rn
+         |  FROM v) WHERE rn = 1)
+         |SELECT p.probe_id, CAST(t.label AS BIGINT) AS true_label,
+         |  CAST(p.pred_label AS BIGINT) AS pred_label, p.n_votes,
+         |  p.pred_label = t.label AS correct
+         |FROM p JOIN l t ON t.vec_id = p.probe_id""".stripMargin,
     "ann_topk_ivf" -> ivfOracle,
     // frozen-codebook replay: centroids from the even (seed) half only;
     // every vector — seed or appended — assigns to that frozen set

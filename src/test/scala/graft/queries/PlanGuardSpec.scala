@@ -30,6 +30,7 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   private val bnljAllowed = Set(
     "ann_topk_bruteforce",    // probe set broadcast against the corpus
+    "ann_knn_classify",       // same brute-force probe broadcast, label-voted
     "ann_topk_filtered",      // probe set broadcast against the FILTERED corpus
     "ann_topk_ivf",           // centroid set broadcast (bucketing)
     "ann_topk_ivf_indexed",   // frozen centroid set broadcast (seed-trained)
