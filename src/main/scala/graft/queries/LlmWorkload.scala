@@ -481,6 +481,31 @@ object LlmWorkload {
       .agg(count(lit(1)).as("n_members"),
         min(col("vec_id")).as("min_member"), max(col("vec_id")).as("max_member"))
 
+  /** Per-cluster label purity — the clustering-quality gauge over the
+    * k-means assignment: each cluster's majority label share (ties: count
+    * desc, label asc). Low purity means the embedding clusters cut across
+    * the label structure — the companion signal to [[annKnnClassify]] for
+    * judging whether SemDeDup's cluster-bounded dedup can be trusted.
+    * Exact integer votes, one final IEEE division per cluster. */
+  def kmeansLabelPurity(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val votes = VectorOps.kmeansAssign(emb)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("cluster_id"), col("label"))
+      .agg(count(lit(1)).as("n_label"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_label").desc, col("label").asc)
+    val totals = votes.groupBy(col("cluster_id"))
+      .agg(sum(col("n_label")).as("n_members"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(totals, "cluster_id")
+      .select(col("cluster_id"), col("n_members"),
+        col("label").cast("long").as("majority_label"),
+        col("n_label").as("n_majority"),
+        (col("n_label").cast("double") / col("n_members").cast("double"))
+          .as("purity"))
+  }
+
   /** The multimodal featurize path end-to-end through the typed Dataset +
     * `mapPartitions` batch shape ([[Multimodal.extractFeatures]] — where a
     * real codec would run): payload → per-partition stub decode → fixed-
@@ -761,6 +786,7 @@ object LlmWorkload {
     "retrieval_mrr" -> retrievalMrr,
     "text_scrub_pii" -> textScrubPii,
     "kmeans_clusters" -> kmeansClusters,
+    "kmeans_label_purity" -> kmeansLabelPurity,
     "embedding_quantize" -> embeddingQuantize,
     "ann_topk_pq" -> annTopkPq,
     "text_tfidf_top" -> textTfidfTop,
@@ -1792,6 +1818,25 @@ object LlmWorkload {
          |SELECT centroid_id AS cluster_id, count(*) AS n_members,
          |  min(vec_id) AS min_member, max(vec_id) AS max_member
          |FROM a2 GROUP BY 1""".stripMargin,
+    // purity replay: the same two-iteration assignment, integer label
+    // votes, (count desc, label asc) argmax, one final division
+    "kmeans_label_purity" ->
+      s"""WITH $kmeansCte,
+         |lv AS (SELECT a2.centroid_id AS cluster_id, e.label,
+         |         count(*) AS n_label
+         |       FROM a2 JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+         |tot AS (SELECT cluster_id, CAST(sum(n_label) AS BIGINT) AS n_members
+         |        FROM lv GROUP BY 1),
+         |mj AS (SELECT cluster_id, label, n_label FROM (
+         |  SELECT cluster_id, label, n_label,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_label DESC, label ASC) AS rn
+         |  FROM lv) WHERE rn = 1)
+         |SELECT mj.cluster_id, tot.n_members,
+         |  CAST(mj.label AS BIGINT) AS majority_label,
+         |  CAST(mj.n_label AS BIGINT) AS n_majority,
+         |  CAST(mj.n_label AS DOUBLE) / CAST(tot.n_members AS DOUBLE) AS purity
+         |FROM mj JOIN tot USING (cluster_id)""".stripMargin,
     // SemDeDup replay: same two-iteration assignment, within-cluster pairs,
     // keep-lowest-id verdict (cosines are identical strict folds, so the
     // >= threshold cut is bit-portable)

@@ -49,6 +49,7 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "ann_recall",             // probe-set broadcasts + 1-row total anchor
     "text_tfidf_top",         // 1-row corpus-count anchor
     "kmeans_clusters",        // k-row centroid set broadcast (argmax assign)
+    "kmeans_label_purity",    // same k-means centroid broadcasts, label-voted
     "agg_kmv_sketch",         // 1-row direct × 1-row merged sketch summary
     "prep_mixture_sample",    // 1-row mixture-scale (K) anchor
     "agg_sketches",           // 1-row approx × exact-twin summaries crossJoined
