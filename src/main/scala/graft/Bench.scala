@@ -115,14 +115,33 @@ object Bench {
       catch { case _: Throwable => () }
       finally Caching.releaseAll()
     }
+    // the warm-up built SharedIndexes frames keyed to warmupDir (useless to
+    // the timed run) — dropping them now keeps their MEMORY_AND_DISK blocks
+    // from squatting on block-manager memory under all ~120 timed queries
+    // (ADVICE r8); the timed loop rebuilds the sfDir frames on first use,
+    // that build cost lands in run 1, min-of-2 drops it, and the per-key
+    // build seconds are re-recorded and emitted below
+    graft.queries.SharedIndexes.clear()
+
+    // JVM-wide GC time: the per-query delta separates "the plan costs this"
+    // from "the suite's accumulated heap pressure costs this" — the r8
+    // recorded-vs-isolated gap diagnostic (VERDICT r8 item 1)
+    import scala.jdk.CollectionConverters._
+    def gcSec(): Double = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum / 1e3
+    def storageBytes(): Long =
+      spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
 
     var errors = Map.empty[String, String]
+    var gcByQuery = Map.empty[String, Double]
+    var storageByQuery = Map.empty[String, Long]
     val queryResults = ordered.map { case (name, fn) =>
       // min of two timed runs: single-run numbers at this scale are dominated
       // by GC pauses and JIT recompilation spikes (a past round chased a 4.5x
       // phantom regression that a re-run dissolved); the minimum is the
       // reproducible cost of the plan
       val dts = (1 to 2).map { _ =>
+        val gc0 = gcSec()
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column;
         // count() would let Catalyst prune the projections being measured
@@ -135,12 +154,18 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // cache release is cleanup between queries, not part of the query cost
         Caching.releaseAll()
-        (dt, ok)
+        (dt, ok, gcSec() - gc0)
       }
       // a failed run aborts early — its near-zero elapsed must not win the
       // min over a successful run's true cost
       val good = dts.filter(_._2)
-      name -> (if (good.nonEmpty) good.map(_._1).min else dts.map(_._1).min)
+      val winner = (if (good.nonEmpty) good else dts).minBy(_._1)
+      gcByQuery += name -> winner._3
+      // persistent residue AFTER this query's release: growth across the
+      // suite fingerprints which query pinned what (SharedIndexes frames,
+      // localCheckpoints) for the whole remaining run
+      storageByQuery += name -> storageBytes()
+      name -> winner._1
     }
 
     // the JDBC sink path, timed like every query (min of two runs, each
@@ -187,6 +212,18 @@ object Bench {
       .mkString(""","anchors":{""", ",", "}")
     val ioJson =
       s""","io_probe":{"pre_mbps":${fmt(ioPre, 1)},"post_mbps":${fmt(ioPost, 1)}}"""
+    // suite-interaction instruments (VERDICT r8 item 1): total GC seconds
+    // across the winning runs, peak persistent storage residency, and the
+    // SharedIndexes build cost the min-of-2 serve numbers exclude (ADVICE
+    // r8) — the stdout line carries the aggregates, BENCH_DETAIL the
+    // per-query / per-key breakdowns
+    val sharedBuild = graft.queries.SharedIndexes.buildSeconds
+    val sharedBytes = graft.queries.SharedIndexes.persistedBytes(spark)
+    val gcTotal = gcByQuery.values.sum
+    val storagePeakMb = (storageByQuery.values ++ Seq(0L)).max / (1 << 20)
+    val instrJson =
+      s""","gc_total_sec":${fmt(gcTotal, 1)},"storage_peak_mb":$storagePeakMb""" +
+        s""","shared_index_build_sec":${fmt(sharedBuild.values.sum, 2)}"""
     def line(dec: Int, keep: Int): String = {
       val bySlowest = results.sortBy(-_._2)
       val kept = bySlowest.take(keep).sortBy(_._1)
@@ -196,7 +233,7 @@ object Bench {
       val omitted =
         if (dropped.isEmpty) ""
         else s""","omitted":${dropped.size},"omitted_sec":${fmt(dropped.map(_._2).sum, 1)}"""
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$omitted$anchorsJson$ioJson$errs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$omitted$anchorsJson$ioJson$instrJson$errs,"sf":"$sfName"}"""
     }
     val n = results.size
     val candidates =
@@ -205,8 +242,20 @@ object Bench {
     val metricLine = candidates.find(_.length <= 1800).getOrElse(line(1, 1))
     val detail = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
+    def numMap[N](m: Map[String, N]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + esc(k) + "\":" + v }
+        .mkString("{", ",", "}")
+    val instrDetail =
+      s""","gc_sec":${numMap(gcByQuery.map { case (k, v) =>
+        k -> BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) })}""" +
+        s""","storage_mb":${numMap(storageByQuery.map { case (k, v) =>
+          k -> v / (1 << 20) })}""" +
+        s""","shared_index":{"build_sec":${numMap(sharedBuild.map { case (k, v) =>
+          k -> BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) })}""" +
+        s""","resident_mb":${numMap(sharedBytes.map { case (k, v) =>
+          k -> v / (1 << 20) })}}"""
     val detailJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail$anchorsJson$ioJson$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail$anchorsJson$ioJson$instrJson$instrDetail$errs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detailJson.getBytes("UTF-8"))
     catch { case _: Throwable => () } // the sidecar must never fail the bench

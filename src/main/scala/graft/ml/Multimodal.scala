@@ -91,15 +91,19 @@ object Multimodal {
    * 48 bits from 49 samples keeps the signature in a positive BIGINT
    * (bit 47 < sign bit — the same budget as text SimHash) and splits
    * evenly into 4 LSH bands of 12 bits. Byte values decode from the hex
-   * payload (CAST(conv(hex,16,10)) — engine-portable unsigned bytes);
-   * empty payloads produce no signature row. Pure column expressions: the
+   * payload (CAST(conv(hex,16,10)) — engine-portable unsigned bytes).
+   * Payloads SHORTER than `samples` bytes produce no signature row: the
+   * NN-resample would revisit the same bytes (a length-1 payload always
+   * hashes to 0), so unrelated tiny payloads would verify as hamming-0
+   * "near-dups" and pile into one LSH bucket — a quadratic candidate join
+   * on short-doc-heavy corpora (ADVICE r8). Pure column expressions: the
    * per-row lambda touches `samples` cells, not payload-length.
    */
   def phash(media: DataFrame, idCol: String = "doc_id",
       payloadCol: String = "payload", samples: Int = 49): DataFrame = {
     require(samples >= 2 && samples <= 64, s"samples must be in [2, 64]: $samples")
     media
-      .filter(length(col(payloadCol)) >= 1)
+      .filter(length(col(payloadCol)) >= samples)
       .select(col(idCol).as("doc_id"), hex(col(payloadCol)).as("__hx"),
         length(col(payloadCol)).cast("long").as("__n"))
       .select(col("doc_id"), expr(

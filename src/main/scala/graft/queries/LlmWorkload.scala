@@ -286,9 +286,15 @@ object LlmWorkload {
     * planting precedent) every 20th long-enough doc contributes a
     * one-byte-flipped variant at doc_id + 10'000'000 — a deterministic
     * near-identical payload the oracle replays; the pair detector must
-    * surface exactly those plants plus any true byte-stream near-dups. */
+    * surface exactly those plants plus any true byte-stream near-dups.
+    * Docs are restricted to ASCII-clean text so the DuckDB replay's
+    * codepoint arithmetic (`ord(substr(...))`) equals the engine's UTF-8
+    * byte arithmetic STRUCTURALLY, not by fixture luck (ADVICE r8): a
+    * future non-ASCII doc drops out of both sides instead of silently
+    * diverging the gate. */
   def dedupPhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
     val planted = docs
       .filter(pmod(col("doc_id"), lit(20)) === 0 && length(col("text")) >= 200)
       .select((col("doc_id") + lit(10000000L)).as("doc_id"),
@@ -1405,19 +1411,23 @@ object LlmWorkload {
          |FROM documents""".stripMargin,
     "dedup_minhash_pairs" -> minhashOracle,
     "dedup_simhash_pairs" -> simhashOracle,
-    // perceptual-hash replay: ASCII text makes ord(char) == payload byte
-    // (the multimodal_features precedent), same planted one-byte-flip
-    // variants, same NN-resize sample positions, same 48 greater-than
-    // bits, same 12-bit banding + hamming verify
+    // perceptual-hash replay: the ASCII-clean restriction (mirrored in the
+    // Spark query) makes ord(char) == payload byte STRUCTURALLY, not by
+    // fixture luck; same planted one-byte-flip variants, same min-length
+    // guard (49 bytes == 49 chars under ASCII), same NN-resize sample
+    // positions, same 48 greater-than bits, same 12-bit banding + hamming
     "dedup_phash_pairs" ->
-      s"""WITH src AS (
+      s"""WITH ascii_docs AS (
          |  SELECT doc_id, text FROM documents
+         |  WHERE regexp_full_match(text, '[\\x00-\\x7f]*')),
+         |src AS (
+         |  SELECT doc_id, text FROM ascii_docs
          |  UNION ALL
          |  SELECT doc_id + 10000000,
          |    substr(text, 1, 150) || '#' || substr(text, 152)
-         |  FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 200),
+         |  FROM ascii_docs WHERE doc_id % 20 = 0 AND length(text) >= 200),
          |e AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
-         |           FROM src WHERE length(text) >= 1),
+         |           FROM src WHERE length(text) >= 49),
          |ph AS (SELECT doc_id,
          |  CAST(list_sum(list_transform(range(0, 48), j ->
          |    CASE WHEN ord(substr(text, CAST((CAST(j + 1 AS BIGINT) * n) // 49 + 1 AS INT), 1)) >

@@ -26,6 +26,11 @@ import org.apache.spark.storage.StorageLevel
  * Deliberately NOT drained by [[graft.Caching.releaseAll]]'s per-query
  * release: these frames are the session's index state, not one query's
  * intermediates. `clear()` is the session-end (or test-isolation) hook.
+ * The registry is bounded by construction, not by eviction: keys are
+ * (index-family × source-dir), a handful per bench/session dataset — the
+ * eviction story is "session-lifetime by design", and [[buildSeconds]] /
+ * [[persistedBytes]] expose per-key cost + residency so the bench artifact
+ * self-documents what the registry holds (VERDICT r8 item 6).
  *
  * At 100 TB the same shape is the index tables living as parquet
  * (signatures, verified pairs, component labels) refreshed by the ingest
@@ -35,19 +40,38 @@ import org.apache.spark.storage.StorageLevel
 object SharedIndexes {
 
   private val frames = mutable.Map.empty[String, DataFrame]
+  private val framePairs = mutable.Map.empty[String, (DataFrame, DataFrame)]
+  /** Wall-clock seconds each key's first-use build+materialize cost. */
+  private val buildSecs = mutable.Map.empty[String, Double]
+  /** RDD ids persisted by each key's build (the frame's own cached blocks
+    * plus any upstream scoped caches alive at build time; the latter are
+    * released per-query, so intersecting with the LIVE storage list at
+    * report time attributes only what actually stays resident). */
+  private val rddIds = mutable.Map.empty[String, Set[Int]]
+
+  private def tracked[A](key: String, anyDf: => DataFrame)(build: => A): A = {
+    val sc = anyDf.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val t0 = System.nanoTime()
+    val out = build
+    buildSecs(key) = (System.nanoTime() - t0) / 1e9
+    rddIds(key) = (sc.getPersistentRDDs.keySet -- before).toSet
+    out
+  }
 
   /** The frame registered under `key`, building + persisting + eagerly
     * materializing it on first use. Keys must identify the source data AND
     * the index parameters (`minhash-pairs:/root/testdata/sf0.01`). */
   def frame(key: String)(build: => DataFrame): DataFrame = synchronized {
     frames.getOrElseUpdate(key, {
-      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-      df.count() // materialize now: upstream per-query caches still exist
-      df
+      val df = build
+      tracked(key, df) {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count() // materialize now: upstream per-query caches still exist
+        p
+      }
     })
   }
-
-  private val framePairs = mutable.Map.empty[String, (DataFrame, DataFrame)]
 
   /** Two-frame variant of [[frame]] for indexes whose build shares one
     * scan across both outputs (the MinHash index's banded signatures +
@@ -57,11 +81,32 @@ object SharedIndexes {
     synchronized {
       framePairs.getOrElseUpdate(key, {
         val (a, b) = build
-        val pa = a.persist(StorageLevel.MEMORY_AND_DISK)
-        val pb = b.persist(StorageLevel.MEMORY_AND_DISK)
-        pa.count(); pb.count()
-        (pa, pb)
+        tracked(key, a) {
+          val pa = a.persist(StorageLevel.MEMORY_AND_DISK)
+          val pb = b.persist(StorageLevel.MEMORY_AND_DISK)
+          pa.count(); pb.count()
+          (pa, pb)
+        }
       })
+    }
+
+  /** Per-key build cost (seconds) of every frame built this session — what
+    * the bench's min-of-2 serve numbers systematically exclude (the build
+    * lands only in run 1 of the first caller); emitting it makes the
+    * artifact self-documenting (ADVICE r8). */
+  def buildSeconds: Map[String, Double] = synchronized { buildSecs.toMap }
+
+  /** Per-key persisted bytes (mem + disk) still RESIDENT in the block
+    * manager — the registry's live footprint, attributed by the RDD ids
+    * each build persisted. Upstream scoped caches released since build
+    * drop out automatically (they no longer appear in the storage list). */
+  def persistedBytes(spark: org.apache.spark.sql.SparkSession): Map[String, Long] =
+    synchronized {
+      val live = spark.sparkContext.getRDDStorageInfo
+        .map(i => i.id -> (i.memSize + i.diskSize)).toMap
+      rddIds.map { case (k, ids) =>
+        k -> ids.toSeq.flatMap(live.get).sum
+      }.toMap
     }
 
   /** Drop every shared frame (session teardown / test isolation). */
@@ -71,5 +116,7 @@ object SharedIndexes {
     framePairs.values.foreach { case (a, b) =>
       a.unpersist(blocking = false); b.unpersist(blocking = false) }
     framePairs.clear()
+    buildSecs.clear()
+    rddIds.clear()
   }
 }

@@ -73,7 +73,8 @@ object EmbeddingIngest {
 
   private val centDdl =
     "centroid_id BIGINT, ce ARRAY<DOUBLE>, cn DOUBLE, frozen_batch BIGINT"
-  private val ivfDdl = "vec_id BIGINT, centroid_id BIGINT, ingest_batch BIGINT"
+  private val ivfDdl =
+    "vec_id BIGINT, centroid_id BIGINT, epoch BIGINT, ingest_batch BIGINT"
   private val pqcbDdl =
     "j INT, code_id BIGINT, ce ARRAY<DOUBLE>, frozen_batch BIGINT"
   private val pqDdl = "vec_id BIGINT, j INT, code_id BIGINT, ingest_batch BIGINT"
@@ -81,6 +82,40 @@ object EmbeddingIngest {
   /** Stable lock identity — see [[CorpusIngest.batchLockOwner]]. */
   def batchLockOwner(cfg: IngestConfig, batchId: Long): String =
     s"embed-batch-$batchId@${cfg.checkpointDir}"
+
+  /** Fail loudly unless every assignment row's `epoch` equals the
+    * codebook's `frozen_batch` — the coherence gate between [[recluster]]'s
+    * two atomic swaps. Centroids and assignments are published as two
+    * tables; a lock-free reader (or a post-crash ingest) that sees a new
+    * codebook with old assignments would silently lose candidates (the old
+    * rows reference centroid_ids that mostly no longer exist), so mismatch
+    * throws instead. Cost: a scan of the `epoch` column only — parquet
+    * row-group min/max stats prune a healthy table to footer reads. */
+  private def requireEpochCoherent(cbEpoch: Long, assignEpochs: DataFrame,
+      who: String): Unit = {
+    if (!assignEpochs.filter(col("epoch") =!= cbEpoch).isEmpty)
+      throw new IllegalStateException(
+        s"IVF index torn ($who): codebook epoch $cbEpoch but stale-epoch " +
+          "assignment rows exist — a recluster is in flight or died between " +
+          "its two swaps; retry after it completes (or re-run recluster)")
+  }
+
+  /** Centroids + epoch-checked assignments for the read faces ([[search]],
+    * [[searchPq]], [[driftReport]]): lock-free, reads through stranded
+    * compactions, fails loudly on an epoch tear instead of returning
+    * silently-empty candidates. */
+  private def loadCoherentIvf(spark: SparkSession,
+      cfg: IngestConfig): (DataFrame, DataFrame) = {
+    val cents = CorpusIngest.readOrEmptyRO(spark, centroidsPath(cfg), centDdl)
+    val assigns = CorpusIngest.readOrEmptyRO(spark, ivfPath(cfg), ivfDdl)
+    // the codebook is swapped whole with one lit stamp — ≤1 distinct epoch
+    val epochs = cents.select(col("frozen_batch")).distinct()
+      .collect().map(_.getLong(0))
+    require(epochs.length <= 1,
+      s"corrupt IVF codebook: multiple frozen_batch stamps ${epochs.toSeq}")
+    epochs.foreach(requireEpochCoherent(_, assigns.select(col("epoch")), "read"))
+    (cents.select(col("centroid_id"), col("ce"), col("cn")), assigns)
+  }
 
   /** Ingest one batch; returns the accepted-vector count. Public so batch
     * callers (backfills, tests) can drive it without a streaming query. */
@@ -188,9 +223,24 @@ object EmbeddingIngest {
         CorpusIngest.swapWrite(rootFs, centroidsPath(cfg),
           codebook.withColumn("frozen_batch", lit(batchId)))
       }
+      // the shared recluster EPOCH: every assignment row carries the
+      // frozen_batch of the codebook it was computed against, and the read
+      // faces require all-stamps-match (see [[requireEpochCoherent]]) — a
+      // reader racing (or following a crash between) [[recluster]]'s two
+      // swaps fails loudly instead of silently joining a new codebook
+      // against assignments whose centroid_ids no longer exist
+      val cbEpoch =
+        if (freezing) batchId
+        else priorCents.agg(max(col("frozen_batch"))).first.getLong(0)
+      // an append against a TORN index (centroids swapped, assignments not —
+      // a recluster died mid-swap and its lock went stale) must refuse, not
+      // compound the tear: re-running recluster is the repair
+      requireEpochCoherent(cbEpoch,
+        idx(ivfPath(cfg), ivfDdl).select(col("epoch")), "ingest")
       IngestLock.heartbeat(spark, lock)
       VectorOps.ivfAssign(codebook, targets)
-        .select(col("vec_id"), col("centroid_id"), stamp)
+        .select(col("vec_id"), col("centroid_id"),
+          lit(cbEpoch).as("epoch"), stamp)
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(ivfPath(cfg))
 
       // ---- PQ code layer: frozen per-subspace codebooks, append-only
@@ -260,15 +310,13 @@ object EmbeddingIngest {
     * (vec_id, embedding). */
   def search(spark: SparkSession, cfg: IngestConfig, probes: DataFrame,
       k: Int = 10, allowed: Option[DataFrame] = None): DataFrame = {
-    val cents = CorpusIngest.readOrEmptyRO(spark, centroidsPath(cfg), centDdl)
-      .select(col("centroid_id"), col("ce"), col("cn"))
+    val (cents, rawAssigns) = loadCoherentIvf(spark, cfg)
     // metadata-FILTERED serving: the allowed-id set semi-joins the
     // ASSIGNMENT rows, so a selective predicate prunes the candidate set
     // before any vector fetch or distance arithmetic (the serving twin of
     // VectorOps.annFiltered) — and top-k refills from the allowed corpus
     // instead of under-filling a post-filtered unrestricted top-k
-    val assigns = allowed.foldLeft(
-      CorpusIngest.readOrEmptyRO(spark, ivfPath(cfg), ivfDdl)) { (a, ids) =>
+    val assigns = allowed.foldLeft(rawAssigns) { (a, ids) =>
       a.join(ids.select(col(ids.columns.head).as("vec_id")),
         Seq("vec_id"), "left_semi")
     }
@@ -292,9 +340,7 @@ object EmbeddingIngest {
     * no lock, writes nothing, reads through stranded compactions. */
   def searchPq(spark: SparkSession, cfg: IngestConfig, probes: DataFrame,
       k: Int = 10, rerank: Int = 150): DataFrame = {
-    val cents = CorpusIngest.readOrEmptyRO(spark, centroidsPath(cfg), centDdl)
-      .select(col("centroid_id"), col("ce"), col("cn"))
-    val assigns = CorpusIngest.readOrEmptyRO(spark, ivfPath(cfg), ivfDdl)
+    val (cents, assigns) = loadCoherentIvf(spark, cfg)
     val codes = CorpusIngest.readOrEmptyRO(spark, pqPath(cfg), pqDdl)
       .select(col("vec_id"), col("j"), col("code_id"))
     val cbs = CorpusIngest.readOrEmptyRO(spark, pqCodebooksPath(cfg), pqcbDdl)
@@ -307,9 +353,12 @@ object EmbeddingIngest {
       nprobe = cfg.nprobe, m = cfg.pqM, k = k, rerank = rerank)
   }
 
-  /** The `frozen_batch` stamp of a reclustered codebook. Negative so it can
-    * never equal a streaming batch id — a replayed freeze batch's
-    * `frozen_batch =!= batchId` exclusion must not discard it. */
+  /** The `frozen_batch` stamp of the FIRST reclustered codebook. Negative so
+    * it can never equal a streaming batch id — a replayed freeze batch's
+    * `frozen_batch =!= batchId` exclusion must not discard it. Each further
+    * recluster decrements (−2, −3, …) so every codebook generation has a
+    * DISTINCT epoch: a reader racing the second recluster's swap window must
+    * not see old assignments whose stamp happens to match the new codebook. */
   val ReclusterStamp: Long = -2L
 
   /** Read-only IVF bucket-health report over the persisted index
@@ -320,10 +369,8 @@ object EmbeddingIngest {
     * seed centroid; either says [[recluster]] is due. Takes no lock, writes
     * nothing (reads through a stranded `.__old` like [[probe]]). */
   def driftReport(spark: SparkSession, cfg: IngestConfig): DataFrame = {
-    val cents = CorpusIngest.readOrEmptyRO(spark, centroidsPath(cfg), centDdl)
-      .select(col("centroid_id"), col("ce"), col("cn"))
-    val assigns = CorpusIngest.readOrEmptyRO(spark, ivfPath(cfg), ivfDdl)
-      .select(col("vec_id"), col("centroid_id"))
+    val (cents, rawAssigns) = loadCoherentIvf(spark, cfg)
+    val assigns = rawAssigns.select(col("vec_id"), col("centroid_id"))
     val vecs = CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg),
       "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
@@ -345,11 +392,13 @@ object EmbeddingIngest {
    * [[CorpusIngest.rollbackIfStranded]] recovery; inputs are
    * `localCheckpoint`ed before the swap deletes what the plans read. A
    * crash between the two swaps leaves new centroids with old assignments —
-   * re-running recluster (the caller's replay contract, as with any died
-   * maintenance pass) rewrites both deterministically. Assignments land as
-   * one `ingest_batch = -1` partition (compacted form); like [[compact]],
-   * run this at post-batch maintenance points, not between a batch's
-   * replays.
+   * an EPOCH TEAR that every read face and ingest append now detects and
+   * refuses loudly ([[requireEpochCoherent]]: centroids and assignments
+   * carry a shared per-generation epoch stamp); re-running recluster (the
+   * caller's replay contract, as with any died maintenance pass) rewrites
+   * both deterministically and restores coherence. Assignments land as one
+   * `ingest_batch = -1` partition (compacted form); like [[compact]], run
+   * this at post-batch maintenance points, not between a batch's replays.
    */
   def recluster(spark: SparkSession, cfg: IngestConfig): Unit =
     IngestLock.withLock(spark, cfg.corpusRoot,
@@ -364,6 +413,13 @@ object EmbeddingIngest {
           col("n"))
         .localCheckpoint()
       if (!vecs.isEmpty) {
+        // a fresh epoch per codebook generation, strictly below every prior
+        // stamp (first recluster = ReclusterStamp, then −3, −4, …)
+        val priorEpoch = CorpusIngest.readOrEmpty(spark, centroidsPath(cfg),
+            centDdl).agg(min(col("frozen_batch"))).first
+        val epoch =
+          if (priorEpoch.isNullAt(0)) ReclusterStamp
+          else math.min(ReclusterStamp, priorEpoch.getLong(0) - 1)
         val codebook = vecs
           .filter(pmod(col("vec_id"), lit(cfg.centroidMod)) === 0)
           .select(col("vec_id").as("centroid_id"),
@@ -371,9 +427,10 @@ object EmbeddingIngest {
           .localCheckpoint()
         IngestLock.heartbeat(spark, lock)
         CorpusIngest.swapWrite(fs, centroidsPath(cfg),
-          codebook.withColumn("frozen_batch", lit(ReclusterStamp)))
+          codebook.withColumn("frozen_batch", lit(epoch)))
         val assigns = VectorOps.ivfAssign(codebook, vecs)
           .select(col("vec_id"), col("centroid_id"))
+          .withColumn("epoch", lit(epoch))
           .withColumn("ingest_batch", lit(-1L))
           .localCheckpoint()
         IngestLock.heartbeat(spark, lock)

@@ -135,6 +135,42 @@ class IvfReclusterSpec extends SparkSpec {
       == Set(-1L, 2L))
   }
 
+  test("an epoch tear (codebook swapped, assignments not) fails every face loudly; recluster repairs") {
+    val root = tmpDir()
+    val cfg = EmbeddingIngest.IngestConfig("unused", root, "ckpt-R3",
+      threshold = 2.0)
+    assert(EmbeddingIngest.ingestBatch(spark, cfg, df(seedRows), 0L) == 120L)
+    EmbeddingIngest.recluster(spark, cfg) // coherent generation at −2
+    // simulate a SECOND recluster dying between its two swaps: the next
+    // generation's codebook (epoch −3) is published, assignments still
+    // carry −2 — the live-reader window ADVICE r8 flagged: without the
+    // epoch gate, search joins new centroids against assignments whose
+    // centroid_ids mostly no longer exist and recall collapses silently
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = spark.read.parquet(EmbeddingIngest.centroidsPath(cfg))
+      .withColumn("frozen_batch", org.apache.spark.sql.functions.lit(-3L))
+      .localCheckpoint()
+    CorpusIngest.swapWrite(fs, EmbeddingIngest.centroidsPath(cfg), torn)
+    val probes = df(seedRows.take(3))
+    val e1 = intercept[IllegalStateException] {
+      EmbeddingIngest.search(spark, cfg, probes) }
+    assert(e1.getMessage.contains("torn"), e1.getMessage)
+    intercept[IllegalStateException] { EmbeddingIngest.searchPq(spark, cfg, probes) }
+    intercept[IllegalStateException] { EmbeddingIngest.driftReport(spark, cfg) }
+    // an ingest append against the torn index must refuse, not compound it
+    intercept[IllegalStateException] {
+      EmbeddingIngest.ingestBatch(spark, cfg,
+        df(Seq(300L -> vec(7 -> 10.0))), 2L) }
+    // the repair contract: one recluster rewrites BOTH tables coherently
+    EmbeddingIngest.recluster(spark, cfg)
+    assert(EmbeddingIngest.search(spark, cfg, probes).count() > 0)
+    assert(EmbeddingIngest.ingestBatch(spark, cfg,
+      df(Seq(300L -> vec(7 -> 10.0))), 2L) == 1L)
+    assert(EmbeddingIngest.search(spark, cfg,
+      df(Seq(301L -> vec(7 -> 9.0)))).count() > 0)
+  }
+
   test("a crash between the two recluster swaps replays clean") {
     val root = tmpDir()
     val cfg = EmbeddingIngest.IngestConfig("unused", root, "ckpt-R2",
