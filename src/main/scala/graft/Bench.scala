@@ -86,6 +86,131 @@ object Bench {
     dt
   }
 
+  // ---------------------------------------------------------------- ingest
+
+  private def rmrf(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  /** Deterministic synthetic docs: `words` words per doc drawn from a
+    * `vocab`-word vocabulary under `prefix` by hashing the doc's seed —
+    * distinct seeds give near-orthogonal word sets (no accidental
+    * near-dups), shared prefixes give a shared vocabulary. */
+  private def syntheticDocs(spark: SparkSession, from: Long, n: Long,
+      prefix: String, words: Int = 40, vocab: Int = 5000,
+      dupEvery: Int = 0): DataFrame = {
+    val seeded = spark.range(from, from + n).select(col("id").as("doc_id"),
+      (if (dupEvery > 0)
+        when(pmod(col("id"), lit(dupEvery)) === 0, col("id") - n)
+          .otherwise(col("id"))
+      else col("id")).as("seed"))
+    seeded.select(col("doc_id"), concat(
+      expr(s"""array_join(transform(sequence(0, ${words - 1}),
+              |  i -> concat('$prefix', pmod(hash(seed * $words + i), $vocab))),
+              |  ' ')""".stripMargin),
+      // a seed-repeating doc gains one extra word: J = words/(words+1) ≈
+      // 0.97, squarely a near-dup of its original — the rejection path a
+      // steady-state ingest batch actually pays for
+      if (dupEvery > 0)
+        when(pmod(col("doc_id"), lit(dupEvery)) === 0, lit(" extrachg"))
+          .otherwise(lit(""))
+      else lit("")).as("text"))
+  }
+
+  /** Deterministic synthetic embeddings: dim-64 components uniform in
+    * [−1, 1] from the id hash — pairwise cosine concentrates near 0, so the
+    * SRP dedup stage accepts nearly all of them (the steady-state case). */
+  private def syntheticVecs(spark: SparkSession, from: Long, n: Long): DataFrame =
+    spark.range(from, from + n).select(col("id").as("vec_id"))
+      .withColumn("embedding", expr(
+        """transform(sequence(0, 63),
+          |  j -> cast((pmod(hash(vec_id * 64 + j), 2001) - 1000) / 1000.0
+          |            as float))""".stripMargin))
+
+  /** One timed steady-state corpus-ingest batch: an untimed seed batch
+    * builds the persisted index, then the timed batch pays the full ingest
+    * path — quality gate, signature build, persisted-index probe,
+    * within-batch components, and all seven index appends — against a
+    * NON-empty corpus, with 10 % of its docs near-duplicating accepted
+    * content. Fresh root per run so min-of-2 binds identical work.
+    * docs/sec = 2000 / seconds. */
+  private def benchCorpusIngest(spark: SparkSession, run: Int): Double = {
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-cingest").toString
+    try {
+      val cfg = graft.stream.CorpusIngest.IngestConfig(
+        "unused", root, s"bench-ck-$run")
+      graft.stream.CorpusIngest.ingestBatch(spark, cfg,
+        syntheticDocs(spark, 0L, 2000L, "w"), 0L)
+      val b1 = syntheticDocs(spark, 2000L, 2000L, "w", dupEvery = 10)
+      val t0 = System.nanoTime()
+      graft.stream.CorpusIngest.ingestBatch(spark, cfg, b1, 1L)
+      (System.nanoTime() - t0) / 1e9
+    } finally { rmrf(root); Caching.releaseAll() }
+  }
+
+  /** The embedding twin: untimed seed batch freezes the IVF + PQ codebooks
+    * and seeds the SRP index; the timed batch pays probe + components +
+    * vecs/bands/ivf/pq appends. vecs/sec = 2000 / seconds. */
+  private def benchEmbeddingIngest(spark: SparkSession, run: Int): Double = {
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-eingest").toString
+    try {
+      val cfg = graft.stream.EmbeddingIngest.IngestConfig(
+        "unused", root, s"bench-ek-$run")
+      graft.stream.EmbeddingIngest.ingestBatch(spark, cfg,
+        syntheticVecs(spark, 0L, 2000L), 0L)
+      val b1 = syntheticVecs(spark, 2000L, 2000L)
+      val t0 = System.nanoTime()
+      graft.stream.EmbeddingIngest.ingestBatch(spark, cfg, b1, 1L)
+      (System.nanoTime() - t0) / 1e9
+    } finally { rmrf(root); Caching.releaseAll() }
+  }
+
+  // ---------------------------------------------------- serve-cost flatness
+
+  /** Build a persisted BM25 index (postings + docstats, the
+    * [[graft.stream.CorpusIngest.search]] layout) of `nReal` scored docs
+    * plus `nFiller` docs whose vocabulary is DISJOINT from the query terms.
+    * Growing the corpus by filler grows the index 10× while df(query terms)
+    * stays constant — exactly the claim under test: serve cost follows
+    * df(terms), because the postings scan prunes to the terms at parquet. */
+  private def buildBm25Index(spark: SparkSession, root: String, nReal: Long,
+      nFiller: Long): Unit = {
+    val docs = syntheticDocs(spark, 0L, nReal, "w").unionByName(
+      syntheticDocs(spark, nReal, nFiller, "f", vocab = 50000))
+    graft.text.TextOps.invertedIndex(docs, "doc_id", "text")
+      .withColumn("ingest_batch", lit(0L))
+      .write.partitionBy("ingest_batch").parquet(s"$root/postings")
+    graft.text.TextOps.corpusStats(docs, "doc_id", "text")
+      .withColumn("ingest_batch", lit(0L))
+      .write.partitionBy("ingest_batch").parquet(s"$root/docstats")
+  }
+
+  /** Build a persisted IVF index (vecs + centroids + assignments, the
+    * [[graft.stream.EmbeddingIngest.search]] layout) of `n` vectors with a
+    * FIXED centroidMod — nlist grows with the corpus (the 100 TB scaling
+    * rule), so bucket size and the per-probe candidate count stay constant
+    * as the corpus grows 10×. */
+  private def buildIvfIndex(spark: SparkSession, root: String, n: Long,
+      centroidMod: Int): Unit = {
+    val v = syntheticVecs(spark, 0L, n)
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .withColumn("n", expr("sqrt(aggregate(e, 0D, (a, x) -> a + x * x))"))
+    v.select(col("vec_id"), col("embedding"), col("n"), lit(0L).as("ingest_batch"))
+      .write.partitionBy("ingest_batch").parquet(s"$root/vecs")
+    val cb = v.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
+    cb.withColumn("frozen_batch", lit(0L)).write.parquet(s"$root/centroids")
+    graft.ml.VectorOps.ivfAssign(cb, v.select(col("vec_id"), col("e"), col("n")))
+      .select(col("vec_id"), col("centroid_id"), lit(0L).as("epoch"),
+        lit(0L).as("ingest_batch"))
+      .write.partitionBy("ingest_batch").parquet(s"$root/ivf")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
@@ -178,7 +303,65 @@ object Bench {
         errors += sinkName -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         Seq(sinkName -> 0.0)
       }
-    val results = queryResults ++ sinkResults
+    // streaming ingest throughput (VERDICT r8 item 4): the two ingest paths
+    // — min-of-2 like every entry, each run against a FRESH corpus root so
+    // both runs bind identical work (the Derby-sink protocol)
+    def specialEntry(name: String)(f: Int => Double): Seq[(String, Double)] =
+      if (!only.forall(_.contains(name))) Seq.empty
+      else try Seq(name -> (1 to 2).map(f).min)
+      catch { case e: Throwable =>
+        errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        Seq(name -> 0.0)
+      }
+    val ingestResults =
+      specialEntry("ingest_corpus_batch")(benchCorpusIngest(spark, _)) ++
+        specialEntry("ingest_embedding_batch")(benchEmbeddingIngest(spark, _))
+
+    // serve-cost flatness at 10× corpus (VERDICT r8 item 2): identical
+    // probes against a 1× and a 10× persisted index — built once, untimed
+    // (index BUILD cost has its own entries above); the timed entries are
+    // pure serve cost, and the ratio lands in the artifact next to them
+    val serveNames = Seq("serve_bm25_1x", "serve_bm25_10x",
+      "serve_ivf_1x", "serve_ivf_10x")
+    var serveResults = Seq.empty[(String, Double)]
+    if (serveNames.exists(n => only.forall(_.contains(n)))) {
+      val sroot = java.nio.file.Files.createTempDirectory("graft-bench-serve").toString
+      try {
+        buildBm25Index(spark, s"$sroot/bm1", 5000L, 0L)
+        buildBm25Index(spark, s"$sroot/bm10", 5000L, 45000L)
+        buildIvfIndex(spark, s"$sroot/iv1", 2000L, 50)
+        buildIvfIndex(spark, s"$sroot/iv10", 20000L, 50)
+        val terms = Seq("w1", "w7", "w42")
+        val probes = syntheticVecs(spark, 900000L, 16L)
+        def bmCfg(r: String) =
+          graft.stream.CorpusIngest.IngestConfig("unused", r, "unused")
+        def ivCfg(r: String) = graft.stream.EmbeddingIngest.IngestConfig(
+          "unused", r, "unused", centroidMod = 50)
+        def timeServe(name: String)(fn: () => DataFrame): Seq[(String, Double)] =
+          specialEntry(name) { _ =>
+            val t0 = System.nanoTime()
+            fn().write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
+            Caching.releaseAll()
+            dt
+          }
+        serveResults =
+          timeServe("serve_bm25_1x") { () =>
+            graft.stream.CorpusIngest.search(spark, bmCfg(s"$sroot/bm1"), terms) } ++
+          timeServe("serve_bm25_10x") { () =>
+            graft.stream.CorpusIngest.search(spark, bmCfg(s"$sroot/bm10"), terms) } ++
+          timeServe("serve_ivf_1x") { () =>
+            graft.stream.EmbeddingIngest.search(spark, ivCfg(s"$sroot/iv1"), probes) } ++
+          timeServe("serve_ivf_10x") { () =>
+            graft.stream.EmbeddingIngest.search(spark, ivCfg(s"$sroot/iv10"), probes) }
+      } finally rmrf(sroot)
+    }
+    val serveMap = serveResults.toMap
+    def serveRatio(one: String, ten: String): Option[Double] =
+      for (a <- serveMap.get(one); b <- serveMap.get(ten))
+        yield b / math.max(a, 1e-3)
+
+    val results = queryResults ++ sinkResults ++ ingestResults ++ serveResults
 
     val ioPost = ioProbeMbps()
     // control anchors (VERDICT r7): two stable queries whose drift flags an
@@ -221,9 +404,22 @@ object Bench {
     val sharedBytes = graft.queries.SharedIndexes.persistedBytes(spark)
     val gcTotal = gcByQuery.values.sum
     val storagePeakMb = (storageByQuery.values ++ Seq(0L)).max / (1 << 20)
+    // serve-time growth when the corpus grows 10×: the flatness contract is
+    // ratio ≪ corpus_ratio — BM25 because the postings scan prunes to the
+    // query terms, IVF because nlist scales with the corpus so the
+    // candidate set per probe is constant
+    val flatJson =
+      (serveRatio("serve_bm25_1x", "serve_bm25_10x"),
+        serveRatio("serve_ivf_1x", "serve_ivf_10x")) match {
+        case (Some(bm), Some(iv)) =>
+          s""","serve_flatness":{"bm25_ratio":${fmt(bm, 2)}""" +
+            s""","ivf_ratio":${fmt(iv, 2)},"corpus_ratio":10}"""
+        case _ => ""
+      }
     val instrJson =
       s""","gc_total_sec":${fmt(gcTotal, 1)},"storage_peak_mb":$storagePeakMb""" +
-        s""","shared_index_build_sec":${fmt(sharedBuild.values.sum, 2)}"""
+        s""","shared_index_build_sec":${fmt(sharedBuild.values.sum, 2)}""" +
+        flatJson
     def line(dec: Int, keep: Int): String = {
       val bySlowest = results.sortBy(-_._2)
       val kept = bySlowest.take(keep).sortBy(_._1)

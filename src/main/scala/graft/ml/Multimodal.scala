@@ -132,6 +132,40 @@ object Multimodal {
       phash(media, idCol, payloadCol).select(col("doc_id"), col("phash").as("simhash")),
       bits = 48, bandBits = 12, maxDist = maxDist)
 
+  /** Banded phash signatures — the PERSISTABLE form of the signature
+    * ([[phashPairs]]'s banding, exposed as rows): one row per (doc, band)
+    * carrying the full signature for the hamming verify. This is what
+    * [[graft.stream.CorpusIngest]] appends per accepted batch, the
+    * multimodal twin of its MinHash `bands` table. Output:
+    * (doc_id, phash, band, v). */
+  def phashBands(media: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload", samples: Int = 49,
+      bits: Int = 48, bandBits: Int = 12): DataFrame = {
+    require(bits % bandBits == 0, s"bits=$bits not divisible by bandBits=$bandBits")
+    val bands = (0 until bits / bandBits).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("phash"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("v"))
+    }
+    phash(media, idCol, payloadCol, samples)
+      .select(col("doc_id"), col("phash"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("phash"), col("bs.band").as("band"),
+        col("bs.v").as("v"))
+  }
+
+  /** Probe banded phash signatures against a persisted band index: equi-join
+    * on (band, v) — cost follows the PROBE batch's bucket fanout, never the
+    * corpus — then exact-hamming verify on the carried signatures. Output:
+    * (batch_id, corpus_id, hamming), distinct pairs within `maxDist`. */
+  def phashProbeIndexed(indexBands: DataFrame, probeBands: DataFrame,
+      maxDist: Int = 3): DataFrame =
+    indexBands.alias("x").join(probeBands.alias("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v"))
+      .select(col("y.doc_id").as("batch_id"), col("x.doc_id").as("corpus_id"),
+        expr("bit_count(x.phash ^ y.phash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+
   /** STUB decode + featurize: fold the payload bytes into a `dim`-bucket
     * histogram normalized by length. Deterministic, so tests can pin it; a
     * real decoder would replace only the body of the per-row lambda. */

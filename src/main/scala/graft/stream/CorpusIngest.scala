@@ -64,7 +64,11 @@ object CorpusIngest {
   private def postingsPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/postings"
   private def docstatsPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/docstats"
   private def mgPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/mg"
+  private def phashPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/phash"
   def ledgerPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/ledger"
+
+  private val phashDdl =
+    "doc_id BIGINT, phash BIGINT, band INT, v BIGINT, ingest_batch BIGINT"
 
   private[stream] def readOrEmpty(spark: SparkSession, path: String,
       ddl: String): DataFrame = {
@@ -148,7 +152,8 @@ object CorpusIngest {
     val rootFs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(docsPath(cfg), hashesPath(cfg), bandsPath(cfg), setsPath(cfg),
-      postingsPath(cfg), docstatsPath(cfg), mgPath(cfg), ledgerPath(cfg))
+      postingsPath(cfg), docstatsPath(cfg), mgPath(cfg), phashPath(cfg),
+      ledgerPath(cfg))
       .foreach(rollbackIfStranded(rootFs, _))
     // the batch frame may belong to the stream's CLONED session (foreachBatch)
     // — the overwrite mode must be dynamic on the session whose conf the
@@ -260,6 +265,17 @@ object CorpusIngest {
         "word", cfg.mgK)
         .select(col("token").as("word"), col("cnt"), stamp)
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(mgPath(cfg))
+      // the multimodal near-dup layer: banded perceptual-hash signatures of
+      // the accepted payloads (here the docs' UTF-8 bytes — real media rows
+      // would land their binary column in the same table), append-only like
+      // every other signature index; [[probePhash]] serves it. Derived from
+      // `accepted` alone (no probe feeds the decision), so a replayed batch
+      // rewrites identical rows. Sub-`samples` payloads produce no row by
+      // [[graft.ml.Multimodal.phash]]'s length guard.
+      graft.ml.Multimodal.phashBands(
+        graft.ml.Multimodal.withPayload(accepted, "doc_id", "text"))
+        .select(col("doc_id"), col("phash"), col("band"), col("v"), stamp)
+        .write.mode("overwrite").partitionBy("ingest_batch").parquet(phashPath(cfg))
 
       // norm is a pure select over the batch (same cardinality) and already
       // cached by the dedup pipeline — counting it avoids rescanning source
@@ -325,6 +341,27 @@ object CorpusIngest {
         lit(null).cast("bigint").as("corpus_id"),
         lit(null).cast("double").as("jaccard"))
       .unionByName(exact).unionByName(near)
+  }
+
+  /**
+   * Probe a batch of payloads against the PERSISTED perceptual-hash index —
+   * the multimodal face of [[probe]] ("does this payload near-duplicate an
+   * accepted one?"): band the batch's phash signatures, equi-join the index
+   * bands on (band, v), verify by exact hamming. Read-only and lock-free
+   * like every serving face (reads through stranded compactions); cost
+   * follows the batch's bucket fanout, the corpus is never rescanned. The
+   * batch arrives as (doc_id, text) — its payload is the UTF-8 bytes, the
+   * same stand-in [[ingestBatch]] indexes; a real media pipeline would feed
+   * its binary column through the identical banding. Output:
+   * (doc_id, corpus_id, hamming) within `maxDist`.
+   */
+  def probePhash(spark: SparkSession, cfg: IngestConfig, batch: DataFrame,
+      maxDist: Int = 3): DataFrame = {
+    val idx = readOrEmptyRO(spark, phashPath(cfg), phashDdl)
+    val probeBands = graft.ml.Multimodal.phashBands(
+      graft.ml.Multimodal.withPayload(batch, "doc_id", "text"))
+    graft.ml.Multimodal.phashProbeIndexed(idx, probeBands, maxDist)
+      .select(col("batch_id").as("doc_id"), col("corpus_id"), col("hamming"))
   }
 
   /**
@@ -466,7 +503,7 @@ object CorpusIngest {
     // the ledger stays per-batch: its ingest_batch is the AUDIT key, not
     // provenance, and one row per batch never needs compaction
     Seq(docsPath(cfg), hashesPath(cfg), bandsPath(cfg), setsPath(cfg),
-      postingsPath(cfg))
+      postingsPath(cfg), phashPath(cfg))
       .foreach { dir =>
       // each table fold is a full rewrite; keep the heartbeat fresher than
       // the staleness window across them

@@ -601,7 +601,18 @@ object TextOps {
    * executor loss); the convergence contract is unchanged.
    */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIters: Int = 50): DataFrame = {
+      bCol: String = "doc_b", maxIters: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIters)._1
+
+  /** [[connectedComponents]] plus the number of propagate+jump rounds it ran
+    * (excluding the folded-in seed propagation) — the observability hook for
+    * the scale contract: path-halving must converge in O(log diameter)
+    * rounds, and `CcScaleSpec` pins exactly that on a chain-graph fixture so
+    * a fixpoint regression to O(diameter) ripple (quadratic total shuffle)
+    * fails a spec instead of surfacing as a silent cluster-scale stall. */
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIters: Int = 50): (DataFrame, Int) = {
     // symmetrize with a single scan: a union of two selects would evaluate
     // the (typically expensive, un-cached) upstream pair plan once per side
     val edges = Caching.scoped(
@@ -642,7 +653,7 @@ object TextOps {
       labels = next
       it += 1
     }
-    labels.select(col("id"), col("component"))
+    (labels.select(col("id"), col("component")), it)
   }
 
   // ------------------------------------------------------------- exact dedup
