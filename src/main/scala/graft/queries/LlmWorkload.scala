@@ -305,6 +305,34 @@ object LlmWorkload {
         .select(col("doc_id"), col("payload")))
   }
 
+  /** Incremental multimodal dedup — the phash face of
+    * [[dedupIncrementalProbe]]: even doc_ids stand in for the ingested
+    * corpus (its banded perceptual-hash signature index, session-persisted
+    * via [[SharedIndexes]] — the in-session face of
+    * [[graft.stream.CorpusIngest.probePhash]]'s on-disk table), the
+    * arriving batch is the odd ids plus the planted one-byte-flip variants
+    * of corpus docs ([[dedupPhashPairs]]'s plants — exactly the
+    * near-identical re-upload a probe must catch). Candidates come from
+    * the batch-bands ⋈ corpus-bands equi-join, so cost follows the BATCH;
+    * the corpus index builds once per session. Same ASCII restriction as
+    * the pair query, for the same structural-oracle reason. */
+  def dedupPhashProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+    val corpusBands = SharedIndexes.frame(s"phash-even:$dir") {
+      Multimodal.phashBands(Multimodal.withPayload(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text"))
+    }
+    val planted = docs
+      .filter(pmod(col("doc_id"), lit(20)) === 0 && length(col("text")) >= 200)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(substring(col("text"), 1, 150), lit("#"),
+          expr("substring(text, 152)")).as("text"))
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1).unionByName(planted)
+    Multimodal.phashProbeIndexed(corpusBands,
+      Multimodal.phashBands(Multimodal.withPayload(batch, "doc_id", "text")))
+  }
+
   def dedupEmbeddingSrpPairs(spark: SparkSession, dir: String): DataFrame =
     sharedSrpPairs(spark, dir)
 
@@ -807,6 +835,7 @@ object LlmWorkload {
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_phash_pairs" -> dedupPhashPairs,
+    "dedup_phash_probe" -> dedupPhashProbe,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
     "dedup_incremental_probe" -> dedupIncrementalProbe,
     "dedup_containment" -> dedupContainment,
@@ -913,6 +942,47 @@ object LlmWorkload {
        |JOIN cntc cb ON cb.doc_id = t.corpus_id
        |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8""".stripMargin
   }
+
+  /** The perceptual-hash signature + banding CTEs over a (doc_id, text)
+    * relation `src`, names prefixed with `p` — shared by the pair and probe
+    * replays so both sides pin the SAME arithmetic: ASCII ord == payload
+    * byte, 49-byte minimum, NN-resize sample positions, 48 greater-than
+    * bits, 12-bit banding. Emits `<p>banded (doc_id, phash, band, v)`. */
+  private def phashCteSql(src: String, p: String): String =
+    s"""${p}e AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+       |           FROM $src WHERE length(text) >= 49),
+       |${p}ph AS (SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(0, 48), j ->
+       |    CASE WHEN ord(substr(text, CAST((CAST(j + 1 AS BIGINT) * n) // 49 + 1 AS INT), 1)) >
+       |              ord(substr(text, CAST((CAST(j AS BIGINT) * n) // 49 + 1 AS INT), 1))
+       |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+       |  FROM ${p}e),
+       |${p}banded AS (SELECT doc_id, phash, u.b AS band,
+       |             (phash >> (12 * u.b)) & 4095 AS v
+       |           FROM ${p}ph, UNNEST([0, 1, 2, 3]) AS u(b))""".stripMargin
+
+  /** Batch-vs-corpus phash probe replay: [[phashCteSql]] signatures on both
+    * parity-split sides, candidate join batch bands × corpus bands, exact
+    * hamming verify — no `doc_id <` (the sides are disjoint by parity and
+    * the planted-id offset). */
+  private val phashProbeOracle: String =
+    s"""WITH ascii_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE regexp_full_match(text, '[\\x00-\\x7f]*')),
+       |corpus AS (SELECT doc_id, text FROM ascii_docs WHERE doc_id % 2 = 0),
+       |batch AS (
+       |  SELECT doc_id, text FROM ascii_docs WHERE doc_id % 2 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 10000000,
+       |    substr(text, 1, 150) || '#' || substr(text, 152)
+       |  FROM ascii_docs WHERE doc_id % 20 = 0 AND length(text) >= 200),
+       |${phashCteSql("corpus", "c")},
+       |${phashCteSql("batch", "b")}
+       |SELECT DISTINCT y.doc_id AS batch_id, x.doc_id AS corpus_id,
+       |  bit_count(xor(x.phash, y.phash)) AS hamming
+       |FROM cbanded x JOIN bbanded y
+       |  ON x.band = y.band AND x.v = y.v
+       |WHERE bit_count(xor(x.phash, y.phash)) <= 3""".stripMargin
 
   /** Containment replay: hashed shingles, df-capped candidate join,
     * exact-set verify, i/|A|. */
@@ -1426,22 +1496,13 @@ object LlmWorkload {
          |  SELECT doc_id + 10000000,
          |    substr(text, 1, 150) || '#' || substr(text, 152)
          |  FROM ascii_docs WHERE doc_id % 20 = 0 AND length(text) >= 200),
-         |e AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
-         |           FROM src WHERE length(text) >= 49),
-         |ph AS (SELECT doc_id,
-         |  CAST(list_sum(list_transform(range(0, 48), j ->
-         |    CASE WHEN ord(substr(text, CAST((CAST(j + 1 AS BIGINT) * n) // 49 + 1 AS INT), 1)) >
-         |              ord(substr(text, CAST((CAST(j AS BIGINT) * n) // 49 + 1 AS INT), 1))
-         |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
-         |  FROM e),
-         |banded AS (SELECT doc_id, phash, u.b AS band,
-         |             (phash >> (12 * u.b)) & 4095 AS v
-         |           FROM ph, UNNEST([0, 1, 2, 3]) AS u(b))
+         |${phashCteSql("src", "")}
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |  bit_count(xor(x.phash, y.phash)) AS hamming
          |FROM banded x JOIN banded y
          |  ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.phash, y.phash)) <= 3""".stripMargin,
+    "dedup_phash_probe" -> phashProbeOracle,
     "dedup_jaccard_pairs" -> jaccardOracle,
     "dedup_incremental_probe" -> incrementalProbeOracle,
     "dedup_containment" -> containmentOracle,
