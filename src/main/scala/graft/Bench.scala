@@ -170,6 +170,26 @@ object Bench {
     } finally { rmrf(root); Caching.releaseAll() }
   }
 
+  /** The cluster-labeling twin ([[graft.stream.ClusterRegistry]]): untimed
+    * seed batch, then a timed batch — 10 % of whose docs near-duplicate
+    * seeded content — pays signature build, index probe, within-batch
+    * pairs, the union-find increment, and the four table appends. Nothing
+    * is rejected here; the near-dups land as cross-batch cluster labels.
+    * docs/sec = 2000 / seconds. */
+  private def benchClusterIngest(spark: SparkSession, run: Int): Double = {
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-clingest").toString
+    try {
+      val cfg = graft.stream.ClusterRegistry.RegistryConfig(
+        "unused", root, s"bench-cl-$run")
+      graft.stream.ClusterRegistry.ingestBatch(spark, cfg,
+        syntheticDocs(spark, 0L, 2000L, "w"), 0L)
+      val b1 = syntheticDocs(spark, 2000L, 2000L, "w", dupEvery = 10)
+      val t0 = System.nanoTime()
+      graft.stream.ClusterRegistry.ingestBatch(spark, cfg, b1, 1L)
+      (System.nanoTime() - t0) / 1e9
+    } finally { rmrf(root); Caching.releaseAll() }
+  }
+
   // ---------------------------------------------------- serve-cost flatness
 
   /** Build a persisted BM25 index (postings + docstats, the
@@ -315,7 +335,8 @@ object Bench {
       }
     val ingestResults =
       specialEntry("ingest_corpus_batch")(benchCorpusIngest(spark, _)) ++
-        specialEntry("ingest_embedding_batch")(benchEmbeddingIngest(spark, _))
+        specialEntry("ingest_embedding_batch")(benchEmbeddingIngest(spark, _)) ++
+        specialEntry("ingest_cluster_batch")(benchClusterIngest(spark, _))
 
     // serve-cost flatness at 10× corpus (VERDICT r8 item 2): identical
     // probes against a 1× and a 10× persisted index — built once, untimed

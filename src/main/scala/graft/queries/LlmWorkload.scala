@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ml.{Multimodal, Retrieval, VectorOps}
-import graft.text.{HeavyHitters, Prep, TextOps}
+import graft.text.{HeavyHitters, Prep, TextOps, UnionFind}
 
 /**
  * The LLM-training-data-pipeline workload over the `documents` and
@@ -613,6 +613,117 @@ object LlmWorkload {
     sharedMinhashComponents(spark, dir)
       .select(col("id").as("doc_id"), col("component"))
 
+  /** Cluster labels maintained INCREMENTALLY: the corpus replayed as three
+    * arrival batches (doc_id mod 3) through [[UnionFind.increment]] — the
+    * batch-query face of [[graft.stream.ClusterRegistry]]'s persisted
+    * union-find tables. Each fold step builds signatures for ITS batch
+    * only, probes the accumulated signature index (cost follows the
+    * batch), self-joins within the batch, and appends label + merge-log
+    * rows; a late batch that bridges two earlier clusters appends a merge
+    * edge instead of rewriting labels. The resolved labels must equal the
+    * full-graph [[TextOps.connectedComponents]] bit-for-bit — the oracle
+    * is literally the dedup_clusters replay. */
+  def dedupIncrementalClusters(spark: SparkSession, dir: String): DataFrame =
+    SharedIndexes.frame(s"minhash-inc-cc:$dir") {
+      val docs = Tables(spark, dir, "documents")
+      def empty(ddl: String) = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      var labels = empty("doc_id BIGINT, label BIGINT")
+      var merges = empty("child BIGINT, parent BIGINT")
+      var accBands = Option.empty[DataFrame]
+      var accSets = Option.empty[DataFrame]
+      (0 until 3).foreach { b =>
+        val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+        val (bb, bs) = TextOps.minhashIndex(batch, "doc_id", "text")
+        val batchBands = graft.Caching.scoped(bb)
+        val batchSets = graft.Caching.scoped(bs)
+        val crossPairs = (accBands, accSets) match {
+          case (Some(ib), Some(is)) =>
+            TextOps.minhashProbeIndexed(ib, is, batchBands, batchSets, 0.8)
+          case _ => empty("batch_id BIGINT, corpus_id BIGINT, jaccard DOUBLE")
+        }
+        val batchPairs = TextOps.minhashNearDupsIndexed(batchBands, batchSets)
+        val (nl, nm) = UnionFind.increment(labels, merges,
+          batch.select(col("doc_id")), batchPairs, crossPairs)
+        labels = labels.unionByName(nl)
+        merges = merges.unionByName(nm)
+        accBands = Some(accBands.fold(batchBands: DataFrame)(_.unionByName(batchBands)))
+        accSets = Some(accSets.fold(batchSets: DataFrame)(_.unionByName(batchSets)))
+      }
+      // restrict to PAIRED docs — exactly connectedComponents' node set:
+      // a non-singleton either labels elsewhere or is a cluster's root
+      val resolvedAll = graft.Caching.scoped(
+        UnionFind.resolveLabels(labels, merges))
+      val heads = resolvedAll.filter(col("doc_id") =!= col("label"))
+        .select(col("label")).distinct()
+      resolvedAll.filter(col("doc_id") =!= col("label"))
+        .unionByName(heads.select(col("label").as("doc_id"), col("label")))
+        .select(col("doc_id"), col("label").as("component"))
+    }
+
+  /** The embedding-side twin of [[dedupIncrementalClusters]]: SRP cluster
+    * labels maintained incrementally over three arrival batches (vec_id
+    * mod 3) through the same [[UnionFind]] log — per-batch signature
+    * build, accumulated-index probe, within-batch pairs, merge edges for
+    * cross-batch bridges. Resolved labels must equal the full-graph SRP
+    * components bit-for-bit (the dedup_embedding_clusters oracle). */
+  def dedupEmbeddingIncrementalClusters(spark: SparkSession, dir: String): DataFrame =
+    SharedIndexes.frame(s"srp-inc-cc:$dir") {
+      val emb = Tables(spark, dir, "embeddings")
+      def empty(ddl: String) = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      var labels = empty("doc_id BIGINT, label BIGINT")
+      var merges = empty("child BIGINT, parent BIGINT")
+      var accBands = Option.empty[DataFrame]
+      var accVecs = Option.empty[DataFrame]
+      (0 until 3).foreach { b =>
+        val batch = emb.filter(pmod(col("vec_id"), lit(3)) === b)
+        val (bb, bv) = VectorOps.srpIndex(batch)
+        val batchBands = graft.Caching.scoped(bb)
+        val batchVecs = graft.Caching.scoped(bv)
+        val crossPairs = (accBands, accVecs) match {
+          case (Some(ib), Some(iv)) =>
+            VectorOps.srpProbeIndexed(ib, iv, batchBands, batchVecs)
+          case _ => empty("batch_id BIGINT, corpus_id BIGINT, cos DOUBLE")
+        }
+        val batchPairs = VectorOps.srpNearDupsIndexed(batchBands, batchVecs)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        val (nl, nm) = UnionFind.increment(labels, merges,
+          batch.select(col("vec_id").as("doc_id")), batchPairs, crossPairs)
+        labels = labels.unionByName(nl)
+        merges = merges.unionByName(nm)
+        accBands = Some(accBands.fold(batchBands: DataFrame)(_.unionByName(batchBands)))
+        accVecs = Some(accVecs.fold(batchVecs: DataFrame)(_.unionByName(batchVecs)))
+      }
+      val resolvedAll = graft.Caching.scoped(
+        UnionFind.resolveLabels(labels, merges))
+      val heads = resolvedAll.filter(col("doc_id") =!= col("label"))
+        .select(col("label")).distinct()
+      resolvedAll.filter(col("doc_id") =!= col("label"))
+        .unionByName(heads.select(col("label").as("doc_id"), col("label")))
+        .select(col("doc_id").as("vec_id"), col("label").as("component"))
+    }
+
+  /** Dedup-AWARE SAMPLING weights — the downstream consumer the
+    * keep-everything labeling ([[dedupIncrementalClusters]],
+    * [[graft.stream.ClusterRegistry]]) exists to serve: instead of
+    * dropping near-duplicates, every doc is weighted 1/|cluster| so each
+    * content cluster contributes exactly one doc-equivalent to the
+    * training mixture (unclustered docs weigh 1.0). One window over the
+    * cluster labels; the pair graph itself is the session-shared frame. */
+  def dedupSamplingWeights(spark: SparkSession, dir: String): DataFrame = {
+    val comp = sharedMinhashComponents(spark, dir)
+      .select(col("id").as("doc_id"), col("component"))
+    val lab = Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    val w = Window.partitionBy(col("component"))
+    lab.withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("weight", lit(1.0) / col("cluster_size").cast("double"))
+  }
+
   /** Embedding near-dup clusters — the embedding-side twin of
     * [[dedupClusters]]: connected components over the SRP-LSH verified pair
     * graph, every clustered vector labeled with its component's min id
@@ -829,6 +940,8 @@ object LlmWorkload {
     "prep_stratified_sample" -> prepStratifiedSample,
     "prep_epoch_mix" -> prepEpochMix,
     "dedup_clusters" -> dedupClusters,
+    "dedup_incremental_clusters" -> dedupIncrementalClusters,
+    "dedup_sampling_weights" -> dedupSamplingWeights,
     "quality_deciles" -> qualityDeciles,
     "prep_zorder" -> prepZorder,
     "dedup_exact" -> dedupExact,
@@ -857,6 +970,7 @@ object LlmWorkload {
     "dedup_embedding_srp_pairs" -> dedupEmbeddingSrpPairs,
     "dedup_embedding_incremental" -> dedupEmbeddingIncremental,
     "dedup_embedding_clusters" -> dedupEmbeddingClusters,
+    "dedup_embedding_incremental_clusters" -> dedupEmbeddingIncrementalClusters,
     "text_repetition" -> textRepetition,
     "text_winnowing" -> textWinnowing,
     "prep_hash_split" -> prepHashSplit,
@@ -899,6 +1013,23 @@ object LlmWorkload {
        |JOIN cnt cb ON cb.doc_id = t.doc_b
        |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8""".stripMargin
   }
+
+  /** Connected components over the MinHash pair graph, closed transitively
+    * with a recursive CTE — the unique min-label fixpoint both engines
+    * converge to. Shared by `dedup_clusters` (batch CC) and
+    * `dedup_incremental_clusters` (union-find log replay): the two
+    * computations must agree bit-for-bit, so they pin against ONE SQL. */
+  private lazy val clustersOracleSql: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM ($minhashOracle)),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+       |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1""".stripMargin
 
   /** Batch-vs-corpus MinHash probe replay: identical signatures/banding to
     * `minhashOracle`, but the candidate join is batch bands × corpus bands
@@ -1205,6 +1336,21 @@ object LlmWorkload {
        |  JOIN v va ON va.vec_id = c.vec_a
        |  JOIN v vb ON vb.vec_id = c.vec_b)
        |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.4""".stripMargin
+
+  /** SRP connected components — the embedding twin of [[clustersOracleSql]],
+    * shared by `dedup_embedding_clusters` (batch CC) and
+    * `dedup_embedding_incremental_clusters` (union-find log replay). */
+  private lazy val embClustersOracleSql: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT vec_a, vec_b FROM ($srpOracle)),
+       |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+       |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+       |SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY 1""".stripMargin
 
   /** IVF-PQ replay: the ivfOracle's bucket pruning (assign rn = 1, probe
     * buckets rn <= 2) feeding the pqOracle's encode + integer ADC — composed
@@ -1798,17 +1944,10 @@ object LlmWorkload {
          |SELECT batch_id, corpus_id, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
     // embedding-cluster replay: recursive-CTE components over the SRP pair
     // graph — the embedding-side twin of dedup_clusters
-    "dedup_embedding_clusters" ->
-      s"""WITH RECURSIVE
-         |pairs AS (SELECT vec_a, vec_b FROM ($srpOracle)),
-         |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
-         |          UNION ALL SELECT vec_b, vec_a FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS id FROM edges),
-         |reach AS (
-         |  SELECT id, id AS r FROM nodes
-         |  UNION
-         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b)
-         |SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY 1""".stripMargin,
+    "dedup_embedding_clusters" -> embClustersOracleSql,
+    // the incremental SRP union-find labels must equal the batch CC
+    // exactly — SAME oracle (the text twin's discipline)
+    "dedup_embedding_incremental_clusters" -> embClustersOracleSql,
     // decontamination replay: same hash split, same distinct 3-gram shingles,
     // same semi-join overlap counts
     // chunking replay: same normalization, same ceil((len-32)/24)+1 window
@@ -1958,7 +2097,14 @@ object LlmWorkload {
          |FROM d GROUP BY 1""".stripMargin,
     // cluster replay: the same MinHash pair graph, closed transitively with
     // a recursive CTE — both engines converge to the unique min-label fixpoint
-    "dedup_clusters" ->
+    "dedup_clusters" -> clustersOracleSql,
+    // the incremental union-find labels must equal the batch CC exactly —
+    // SAME oracle: the batch split is an implementation detail the resolved
+    // labels may not leak
+    "dedup_incremental_clusters" -> clustersOracleSql,
+    // sampling-weight replay: the same recursive-CTE components, every doc
+    // labeled (singletons to themselves), 1/|cluster| by one window
+    "dedup_sampling_weights" ->
       s"""WITH RECURSIVE
          |pairs AS (SELECT doc_a, doc_b FROM ($minhashOracle)),
          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -1967,8 +2113,15 @@ object LlmWorkload {
          |reach AS (
          |  SELECT id, id AS r FROM nodes
          |  UNION
-         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b)
-         |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1""".stripMargin,
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1),
+         |lab AS (SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS component
+         |        FROM documents d LEFT JOIN comp USING (doc_id))
+         |SELECT doc_id, component,
+         |  count(*) OVER (PARTITION BY component) AS cluster_size,
+         |  CAST(1 AS DOUBLE)
+         |    / CAST(count(*) OVER (PARTITION BY component) AS DOUBLE) AS weight
+         |FROM lab""".stripMargin,
     // keep-best replay: recursive-CTE components over the minhash pairs,
     // the pinned quality formula, one window per component
     "dedup_keep_best" ->

@@ -1,0 +1,151 @@
+package graft.stream
+
+import graft.SparkSpec
+import graft.text.{TextOps, UnionFind}
+import org.apache.spark.sql.functions._
+
+/** [[ClusterRegistry]] — incremental near-dup cluster labels as
+  * append-only union-find tables. Pins the load-bearing contract: the
+  * incrementally-maintained labels equal what the batch
+  * [[TextOps.connectedComponents]] over the FULL pair graph computes, for
+  * any batch split, including the hard case where a late arrival BRIDGES
+  * two previously-separate clusters (the case a naive "inherit the first
+  * match's label" incremental scheme gets wrong). */
+class ClusterRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-clusters").toString
+
+  // --- fixture: three clusters + two singletons across three batches ----
+  // X-family: one word of twenty changed per variant (shingle Jaccard
+  // ≈ 19/21 each) — docs 1, 5, 9.  Y-family: docs 2, 6.  Bridge family:
+  // 100-token docs where A (doc 4) and B (doc 8) differ in 16 leading
+  // tokens (J ≈ 0.72 < 0.8 — NOT a pair) while C (doc 10) sits between
+  // them (J ≈ 0.85 / 0.82 — pairs with both): C's arrival must MERGE the
+  // clusters rooted at 4 and 8.
+  private def xDoc(change: Int): String =
+    (1 to 20).map(i => if (i == change) s"chg$change" else s"xtok$i").mkString(" ")
+  private def yDoc(change: Int): String =
+    (1 to 20).map(i => if (i == change) s"chg$change" else s"ytok$i").mkString(" ")
+  private val unrelated1 = (1 to 20).map(i => s"lonely$i").mkString(" ")
+  private val unrelated2 = (1 to 20).map(i => s"solo$i").mkString(" ")
+  private def bridgeDoc(changed: Int): String =
+    (1 to 100).map(i => if (i <= changed) s"u$i" else s"bt$i").mkString(" ")
+
+  private val batch0 = Seq(1L -> xDoc(0), 2L -> yDoc(0), 3L -> unrelated1,
+    4L -> bridgeDoc(0))
+  private val batch1 = Seq(5L -> xDoc(1), 6L -> yDoc(1), 7L -> unrelated2,
+    8L -> bridgeDoc(16))
+  private val batch2 = Seq(9L -> xDoc(2), 10L -> bridgeDoc(8))
+  private val allDocs = batch0 ++ batch1 ++ batch2
+
+  private def ingestAll(cfg: ClusterRegistry.RegistryConfig): Unit = {
+    assert(ClusterRegistry.ingestBatch(spark, cfg,
+      batch0.toDF("doc_id", "text"), 0L) == 4L)
+    assert(ClusterRegistry.ingestBatch(spark, cfg,
+      batch1.toDF("doc_id", "text"), 1L) == 4L)
+    assert(ClusterRegistry.ingestBatch(spark, cfg,
+      batch2.toDF("doc_id", "text"), 2L) == 2L)
+  }
+
+  /** The ground truth the registry must reproduce: batch CC over the full
+    * corpus pair graph, singletons labeling themselves. */
+  private def batchTruth(): Map[Long, Long] = {
+    val docs = allDocs.toDF("doc_id", "text")
+    val cc = TextOps.connectedComponents(
+      TextOps.minhashNearDups(docs, "doc_id", "text"))
+      .as[(Long, Long)].collect().toMap
+    graft.Caching.releaseAll()
+    allDocs.map { case (id, _) => id -> cc.getOrElse(id, id) }.toMap
+  }
+
+  private def resolved(cfg: ClusterRegistry.RegistryConfig): Map[Long, Long] = {
+    val got = ClusterRegistry.resolvedLabels(spark, cfg)
+      .as[(Long, Long)].collect().toMap
+    graft.Caching.releaseAll()
+    got
+  }
+
+  test("fixture: the bridge doc pairs with both sides, the sides not with each other") {
+    val pairs = TextOps.minhashNearDups(
+      Seq(4L -> bridgeDoc(0), 8L -> bridgeDoc(16), 10L -> bridgeDoc(8))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    graft.Caching.releaseAll()
+    assert(pairs == Set((4L, 10L), (8L, 10L)), pairs.toString)
+  }
+
+  test("incremental labels equal batch CC, including the cross-batch bridge merge") {
+    val cfg = ClusterRegistry.RegistryConfig("unused", tmpDir(), "unused")
+    ingestAll(cfg)
+    val truth = batchTruth()
+    assert(resolved(cfg) == truth, s"truth=$truth")
+    // the bridge recorded a union edge: root 8 folded into root 4, and
+    // every merge row points strictly downward (parent < child)
+    val merges = spark.read.parquet(s"${cfg.root}/merges")
+      .select("child", "parent").as[(Long, Long)].collect().toSet
+    assert(merges == Set((8L, 4L)), merges.toString)
+    // doc 8's STORED label row is untouched history (it labeled itself on
+    // arrival); only resolution through the merge log reroutes it
+    val stored = spark.read.parquet(s"${cfg.root}/labels")
+      .filter(col("doc_id") === 8L).select("label").as[Long].collect().toSeq
+    assert(stored == Seq(8L))
+  }
+
+  test("replay of a committed batch rewrites identical state") {
+    val cfg = ClusterRegistry.RegistryConfig("unused", tmpDir(), "unused")
+    ingestAll(cfg)
+    val before = resolved(cfg)
+    val mergeRows = spark.read.parquet(s"${cfg.root}/merges").count()
+    // at-least-once: the bridge batch replays (same batchId) — its reads
+    // exclude its own partitions, so it recomputes and overwrites the
+    // identical rows instead of doubling them
+    assert(ClusterRegistry.ingestBatch(spark, cfg,
+      batch2.toDF("doc_id", "text"), 2L) == 2L)
+    assert(resolved(cfg) == before)
+    assert(spark.read.parquet(s"${cfg.root}/merges").count() == mergeRows)
+    assert(spark.read.parquet(s"${cfg.root}/labels").count() == allDocs.size.toLong)
+  }
+
+  test("compact resolves labels, empties the merge log, and keeps serving + ingest working") {
+    val cfg = ClusterRegistry.RegistryConfig("unused", tmpDir(), "unused")
+    ingestAll(cfg)
+    val before = resolved(cfg)
+    ClusterRegistry.compact(spark, cfg)
+    // path compression: stored labels are now roots, the log is empty —
+    // resolution chain depth is zero until the next bridge
+    assert(resolved(cfg) == before)
+    val storedAfter = spark.read.parquet(s"${cfg.root}/labels")
+      .select("doc_id", "label").as[(Long, Long)].collect().toMap
+    assert(storedAfter == before)
+    assert(CorpusIngest.readOrEmptyRO(spark, s"${cfg.root}/merges",
+      "child BIGINT, parent BIGINT, ingest_batch BIGINT").count() == 0L)
+    // the folded signature index still serves later batches: a re-arrival
+    // of the X base text lands in cluster 1 (xDoc(3) would NOT — two
+    // changed words put it at J ≈ 0.71, below threshold)
+    assert(ClusterRegistry.ingestBatch(spark, cfg,
+      Seq(11L -> xDoc(0)).toDF("doc_id", "text"), 3L) == 1L)
+    assert(resolved(cfg)(11L) == before(1L))
+  }
+
+  test("sameCluster answers pair probes from the resolved labels") {
+    val cfg = ClusterRegistry.RegistryConfig("unused", tmpDir(), "unused")
+    ingestAll(cfg)
+    val got = ClusterRegistry.sameCluster(spark, cfg,
+      Seq((4L, 8L), (1L, 9L), (1L, 2L), (3L, 3L), (99L, 1L)).toDF("a", "b"))
+      .as[(Long, Long, Boolean)].collect().map(t => ((t._1, t._2), t._3)).toMap
+    graft.Caching.releaseAll()
+    // 4 and 8 were bridged by 10; 1 and 9 share the X cluster; 1 vs 2 are
+    // different clusters; 3 is a (self-same) singleton; 99 is unregistered
+    assert(got == Map((4L, 8L) -> true, (1L, 9L) -> true, (1L, 2L) -> false,
+      (3L, 3L) -> true, (99L, 1L) -> false), got.toString)
+  }
+
+  test("resolveMerges compresses multi-hop chains by pointer doubling") {
+    val merges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (9L, 8L)).toDF("child", "parent")
+    val got = UnionFind.resolveMerges(merges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 8L), got.toString)
+  }
+}
