@@ -724,6 +724,42 @@ object LlmWorkload {
       .withColumn("weight", lit(1.0) / col("cluster_size").cast("double"))
   }
 
+  /** End-to-end TRAIN-READY mix report — the full pre-training data
+    * pipeline composed into one declarative plan: exact-dedup to canonical
+    * copies, quality-gate at 0.5, language-ID, near-dup cluster labels
+    * (the session-shared pair graph), whitespace token counts, and the
+    * 80/10/10 hash split, reduced to one row per (split, language):
+    * surviving docs, DISTINCT content clusters (the diversity number a
+    * mixture designer actually budgets by), token sum, quality range.
+    * Every stage is an already-pinned operator; this entry pins their
+    * COMPOSITION — joins stay doc_id-keyed (co-partitioned after one
+    * shuffle), aggregates are integer or order-independent, nothing
+    * materializes between stages. */
+  def pipelineTrainReady(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val canonical = TextOps.exactDedup(docs, "doc_id", "text")
+      .filter(!col("is_dup")).select(col("doc_id"))
+    val comp = sharedMinhashComponents(spark, dir)
+      .select(col("id").as("doc_id"), col("component"))
+    val quality = TextOps.textStats(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+    val lang = TextOps.langId(docs, "doc_id", "text")
+      .select(col("doc_id"), col("lang_pred"))
+    val toks = TextOps.tokenCounts(docs, "doc_id", "text")
+      .select(col("doc_id"), col("ws_tokens"))
+    Prep.hashSplit(canonical, "doc_id")
+      .join(quality, "doc_id").join(lang, "doc_id").join(toks, "doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .filter(col("quality_score") >= 0.5)
+      .groupBy(col("split"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_clusters"),
+        sum(col("ws_tokens")).as("tok_sum"),
+        min(col("quality_score")).as("min_q"),
+        max(col("quality_score")).as("max_q"))
+  }
+
   /** Embedding near-dup clusters — the embedding-side twin of
     * [[dedupClusters]]: connected components over the SRP-LSH verified pair
     * graph, every clustered vector labeled with its component's min id
@@ -942,6 +978,7 @@ object LlmWorkload {
     "dedup_clusters" -> dedupClusters,
     "dedup_incremental_clusters" -> dedupIncrementalClusters,
     "dedup_sampling_weights" -> dedupSamplingWeights,
+    "pipeline_train_ready" -> pipelineTrainReady,
     "quality_deciles" -> qualityDeciles,
     "prep_zorder" -> prepZorder,
     "dedup_exact" -> dedupExact,
@@ -2122,6 +2159,56 @@ object LlmWorkload {
          |  CAST(1 AS DOUBLE)
          |    / CAST(count(*) OVER (PARTITION BY component) AS DOUBLE) AS weight
          |FROM lab""".stripMargin,
+    // train-ready replay: every stage's already-pinned fragment composed —
+    // exact-dedup canonicals, the quality formula, lang CASE, recursive-CTE
+    // components, token counts, hash split; integer / order-independent
+    // aggregates only
+    "pipeline_train_ready" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT doc_a, doc_b FROM ($minhashOracle)),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1),
+         |base AS (SELECT doc_id, text, $normSql AS norm FROM documents),
+         |canon AS (SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      doc_id <> min(doc_id) OVER (PARTITION BY md5(norm)) AS is_dup
+         |    FROM base) WHERE NOT is_dup),
+         |m AS (SELECT doc_id, text, string_split(norm, ' ') AS w FROM base),
+         |f AS (SELECT doc_id,
+         |    CAST(0.4 AS DOUBLE) * (CAST(len(list_filter(w, x -> x IN ('the','and','of','to','in','a'))) AS DOUBLE)
+         |      / CAST(len(w) AS DOUBLE))
+         |    + CAST(0.3 AS DOUBLE) * least(CAST(len(w) AS DOUBLE) / CAST(50 AS DOUBLE), CAST(1 AS DOUBLE))
+         |    + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE)
+         |      - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE)) AS quality_score,
+         |    CAST(len(w) AS BIGINT) AS ws_tokens,
+         |    CAST(len(list_filter(w, x -> x IN ('the','and','of','to','in','a'))) AS BIGINT) AS en_hits,
+         |    CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS de_hits,
+         |    CAST(len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS fr_hits
+         |  FROM m),
+         |j AS (SELECT
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         |    CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+         |         WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS lang_pred,
+         |    quality_score, ws_tokens,
+         |    COALESCE(comp.component, c.doc_id) AS component
+         |  FROM canon c
+         |  JOIN f USING (doc_id)
+         |  LEFT JOIN comp USING (doc_id)
+         |  JOIN (SELECT doc_id, ${h64("CAST(doc_id AS VARCHAR)")} % 100 AS b
+         |        FROM base) s USING (doc_id)
+         |  WHERE quality_score >= 0.5)
+         |SELECT split, lang_pred, count(*) AS n_docs,
+         |  count(DISTINCT component) AS n_clusters,
+         |  CAST(sum(ws_tokens) AS BIGINT) AS tok_sum,
+         |  min(quality_score) AS min_q, max(quality_score) AS max_q
+         |FROM j GROUP BY 1, 2""".stripMargin,
     // keep-best replay: recursive-CTE components over the minhash pairs,
     // the pinned quality formula, one window per component
     "dedup_keep_best" ->
