@@ -190,6 +190,24 @@ object Bench {
     } finally { rmrf(root); Caching.releaseAll() }
   }
 
+  /** The embedding-labeling twin ([[graft.stream.EmbeddingClusterRegistry]]):
+    * untimed seed batch, then a timed batch pays SRP signature build,
+    * index probe, within-batch pairs, the union-find increment, and the
+    * four table appends. vecs/sec = 2000 / seconds. */
+  private def benchEmbClusterIngest(spark: SparkSession, run: Int): Double = {
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-eclingest").toString
+    try {
+      val cfg = graft.stream.EmbeddingClusterRegistry.RegistryConfig(
+        "unused", root, s"bench-ecl-$run")
+      graft.stream.EmbeddingClusterRegistry.ingestBatch(spark, cfg,
+        syntheticVecs(spark, 0L, 2000L), 0L)
+      val b1 = syntheticVecs(spark, 2000L, 2000L)
+      val t0 = System.nanoTime()
+      graft.stream.EmbeddingClusterRegistry.ingestBatch(spark, cfg, b1, 1L)
+      (System.nanoTime() - t0) / 1e9
+    } finally { rmrf(root); Caching.releaseAll() }
+  }
+
   // ---------------------------------------------------- serve-cost flatness
 
   /** Build a persisted BM25 index (postings + docstats, the
@@ -336,7 +354,8 @@ object Bench {
     val ingestResults =
       specialEntry("ingest_corpus_batch")(benchCorpusIngest(spark, _)) ++
         specialEntry("ingest_embedding_batch")(benchEmbeddingIngest(spark, _)) ++
-        specialEntry("ingest_cluster_batch")(benchClusterIngest(spark, _))
+        specialEntry("ingest_cluster_batch")(benchClusterIngest(spark, _)) ++
+        specialEntry("ingest_embedding_cluster_batch")(benchEmbClusterIngest(spark, _))
 
     // serve-cost flatness at 10× corpus (VERDICT r8 item 2): identical
     // probes against a 1× and a 10× persisted index — built once, untimed

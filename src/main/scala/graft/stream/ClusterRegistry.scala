@@ -5,10 +5,110 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.Caching
+import graft.ml.VectorOps
 import graft.text.{TextOps, UnionFind}
 
 /**
- * Streaming near-dup CLUSTER LABELING — the keep-everything sibling of
+ * The signature-agnostic half of an incremental cluster registry: the
+ * `labels` + `merges` union-find tables ([[UnionFind]]) every labeling
+ * face ([[ClusterRegistry]] over MinHash text signatures,
+ * [[EmbeddingClusterRegistry]] over SRP embedding signatures) maintains
+ * identically — per-batch append of label rows and merge-log rows,
+ * root-resolved serving, and the label-resolve + log-truncate compaction
+ * (union-find path compression as a maintenance job).
+ */
+private[stream] object UnionFindTables {
+
+  val labelsDdl = "doc_id BIGINT, label BIGINT, ingest_batch BIGINT"
+  val mergesDdl = "child BIGINT, parent BIGINT, ingest_batch BIGINT"
+
+  def labelsPath(root: String): String = s"$root/labels"
+  def mergesPath(root: String): String = s"$root/merges"
+
+  /** Run the union-find increment for one batch against the pre-batch
+    * state (reads exclude the batch's own partitions — at-least-once
+    * replay recomputes identical rows) and append the resulting label +
+    * merge rows. Returns the appended merge-row count for the ledger. */
+  def incrementAndAppend(spark: SparkSession, root: String, batchId: Long,
+      batchIds: DataFrame, batchPairs: DataFrame,
+      crossPairs: DataFrame): Long = {
+    def idx(path: String, ddl: String) =
+      CorpusIngest.readOrEmpty(spark, path, ddl)
+        .filter(col("ingest_batch") =!= batchId)
+    val (newLabels, newMerges) = UnionFind.increment(
+      idx(labelsPath(root), labelsDdl), idx(mergesPath(root), mergesDdl),
+      batchIds, batchPairs, crossPairs)
+    val stamp = lit(batchId).as("ingest_batch")
+    newLabels.select(col("doc_id"), col("label"), stamp)
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(labelsPath(root))
+    val mergesOut = Caching.scoped(newMerges)
+    mergesOut.select(col("child"), col("parent"), stamp)
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(mergesPath(root))
+    mergesOut.count()
+  }
+
+  /** Current resolved label of every registered id — lock-free, reads
+    * through stranded compactions. */
+  def resolvedLabels(spark: SparkSession, root: String): DataFrame =
+    UnionFind.resolveLabels(
+      CorpusIngest.readOrEmptyRO(spark, labelsPath(root), labelsDdl),
+      CorpusIngest.readOrEmptyRO(spark, mergesPath(root), mergesDdl))
+
+  /** Pairwise same-cluster probes (a, b) against the resolved labels. */
+  def sameCluster(spark: SparkSession, root: String,
+      probes: DataFrame): DataFrame = {
+    val lab = Caching.scoped(resolvedLabels(spark, root))
+    probes.select(col("a"), col("b"))
+      .join(lab.select(col("doc_id").as("a"), col("label").as("la")), Seq("a"), "left")
+      .join(lab.select(col("doc_id").as("b"), col("label").as("lb")), Seq("b"), "left")
+      .select(col("a"), col("b"),
+        (col("la").isNotNull && col("la") === col("lb")).as("same_cluster"))
+  }
+
+  /** Path compression: fold `labels` to its RESOLVED form, then truncate
+    * `merges` — resolution chain depth drops to zero. Ordering is
+    * crash-safe: resolved labels + a stale merge log still resolve
+    * correctly (a resolved label is a root, and a root never appears as a
+    * merge child — re-applying the log is a no-op), so a crash between
+    * the two swaps loses nothing and a re-run completes the truncation. */
+  def compactLabels(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: String): Unit = {
+    CorpusIngest.rollbackIfStranded(fs, labelsPath(root))
+    CorpusIngest.rollbackIfStranded(fs, mergesPath(root))
+    // range-sorted by doc_id: per-batch appends carry batch-local id
+    // ranges anyway, but the FOLDED table is where point lookups (the
+    // increment's matched-corpus label fetch, sameCluster probes) spend
+    // their scan — sorting gives parquet row-group min/max skipping for
+    // any reader that pushes an id predicate
+    val resolved = resolvedLabels(spark, root)
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("ingest_batch", lit(-1L))
+      .localCheckpoint() // sever lineage: the swap deletes what it reads
+    CorpusIngest.swapWrite(fs, labelsPath(root), resolved, Seq("ingest_batch"))
+    val emptyMerges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(mergesDdl))
+    CorpusIngest.swapWrite(fs, mergesPath(root), emptyMerges, Seq("ingest_batch"))
+  }
+
+  /** Set dynamic partition-overwrite on every session whose conf the
+    * writes may consult (foreachBatch hands a CLONED session); returns
+    * the restore map. */
+  def dynamicOverwrite(spark: SparkSession,
+      batch: DataFrame): Map[SparkSession, String] = {
+    val sessions = Set(spark, batch.sparkSession)
+    val prev = sessions.map(s =>
+      s -> s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")).toMap
+    sessions.foreach(_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic"))
+    prev
+  }
+}
+
+/**
+ * Streaming near-dup cluster LABELING — the keep-everything sibling of
  * [[CorpusIngest]]: where the ingest pipeline REJECTS near-duplicates,
  * this registry admits every document and maintains its cluster label
  * incrementally, so downstream consumers can make their own per-cluster
@@ -53,14 +153,10 @@ object ClusterRegistry {
 
   private def bandsPath(cfg: RegistryConfig) = s"${cfg.root}/bands"
   private def setsPath(cfg: RegistryConfig) = s"${cfg.root}/sets"
-  private def labelsPath(cfg: RegistryConfig) = s"${cfg.root}/labels"
-  private def mergesPath(cfg: RegistryConfig) = s"${cfg.root}/merges"
   def ledgerPath(cfg: RegistryConfig): String = s"${cfg.root}/ledger"
 
   private val bandsDdl = "doc_id BIGINT, band INT, sig STRING, ingest_batch BIGINT"
   private val setsDdl = "doc_id BIGINT, s ARRAY<BIGINT>, n BIGINT, ingest_batch BIGINT"
-  private val labelsDdl = "doc_id BIGINT, label BIGINT, ingest_batch BIGINT"
-  private val mergesDdl = "child BIGINT, parent BIGINT, ingest_batch BIGINT"
 
   /** Stable lock owner per batch — replay-stable like
     * [[CorpusIngest.batchLockOwner]]. */
@@ -81,14 +177,10 @@ object ClusterRegistry {
       batchLockOwner(cfg, batchId), cfg.lockStaleMs) { lock =>
     val fs = new org.apache.hadoop.fs.Path(cfg.root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(bandsPath(cfg), setsPath(cfg), labelsPath(cfg), mergesPath(cfg),
-      ledgerPath(cfg)).foreach(CorpusIngest.rollbackIfStranded(fs, _))
-    // dynamic overwrite on every session whose conf the writes may consult
-    // (the batch frame may belong to foreachBatch's cloned session)
-    val sessions = Set(spark, batch.sparkSession)
-    val prevConf = sessions.map(s =>
-      s -> s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")).toMap
-    sessions.foreach(_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic"))
+    Seq(bandsPath(cfg), setsPath(cfg), UnionFindTables.labelsPath(cfg.root),
+      UnionFindTables.mergesPath(cfg.root), ledgerPath(cfg))
+      .foreach(CorpusIngest.rollbackIfStranded(fs, _))
+    val prevConf = UnionFindTables.dynamicOverwrite(spark, batch)
     try Caching.scope {
       def idx(path: String, ddl: String) =
         CorpusIngest.readOrEmpty(spark, path, ddl)
@@ -100,14 +192,14 @@ object ClusterRegistry {
       val (bb, bs) = TextOps.minhashIndex(docs, "doc_id", "text")
       val batchBands = Caching.scoped(bb)
       val batchSets = Caching.scoped(bs)
-      val crossPairs = TextOps.minhashProbeIndexed(
+      // cached: each pair frame is read twice (the union-find increment
+      // and the ledger count) — without the cache the candidate join and
+      // Jaccard verify would run twice
+      val crossPairs = Caching.scoped(TextOps.minhashProbeIndexed(
         idx(bandsPath(cfg), bandsDdl), idx(setsPath(cfg), setsDdl),
-        batchBands, batchSets, cfg.threshold)
-      val batchPairs = TextOps.minhashNearDupsIndexed(batchBands, batchSets,
-        cfg.threshold)
-      val (newLabels, newMerges) = UnionFind.increment(
-        idx(labelsPath(cfg), labelsDdl), idx(mergesPath(cfg), mergesDdl),
-        docs.select(col("doc_id")), batchPairs, crossPairs)
+        batchBands, batchSets, cfg.threshold))
+      val batchPairs = Caching.scoped(TextOps.minhashNearDupsIndexed(
+        batchBands, batchSets, cfg.threshold))
       // the pair computation may outlive the staleness window on a huge
       // batch; refresh BEFORE the first state write
       IngestLock.heartbeat(spark, lock)
@@ -116,14 +208,10 @@ object ClusterRegistry {
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(bandsPath(cfg))
       batchSets.select(col("doc_id"), col("s"), col("n"), stamp)
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(setsPath(cfg))
-      newLabels.select(col("doc_id"), col("label"), stamp)
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(labelsPath(cfg))
-      val mergesOut = Caching.scoped(newMerges)
-      mergesOut.select(col("child"), col("parent"), stamp)
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(mergesPath(cfg))
+      val nMerges = UnionFindTables.incrementAndAppend(spark, cfg.root,
+        batchId, docs.select(col("doc_id")), batchPairs, crossPairs)
       val nIn = docs.count()
       val nPairs = crossPairs.count() + batchPairs.count()
-      val nMerges = mergesOut.count()
       spark.createDataFrame(Seq((batchId, nIn, nPairs, nMerges)))
         .toDF("ingest_batch", "n_in", "n_pairs", "n_merges")
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(ledgerPath(cfg))
@@ -139,34 +227,23 @@ object ClusterRegistry {
     * ([[UnionFind.resolveLabels]]). Lock-free; reads through stranded
     * compactions via [[CorpusIngest.readOrEmptyRO]]. */
   def resolvedLabels(spark: SparkSession, cfg: RegistryConfig): DataFrame =
-    UnionFind.resolveLabels(
-      CorpusIngest.readOrEmptyRO(spark, labelsPath(cfg), labelsDdl),
-      CorpusIngest.readOrEmptyRO(spark, mergesPath(cfg), mergesDdl))
+    UnionFindTables.resolvedLabels(spark, cfg.root)
 
   /** Pairwise same-cluster check for a list of (a, b) doc-id probes — the
     * lookup face a sampling or eval pipeline asks per pair. Two joins of
     * the (small) probe frame against the resolved labels. */
   def sameCluster(spark: SparkSession, cfg: RegistryConfig,
-      probes: DataFrame): DataFrame = {
-    val lab = Caching.scoped(resolvedLabels(spark, cfg))
-    probes.select(col("a"), col("b"))
-      .join(lab.select(col("doc_id").as("a"), col("label").as("la")), Seq("a"), "left")
-      .join(lab.select(col("doc_id").as("b"), col("label").as("lb")), Seq("b"), "left")
-      .select(col("a"), col("b"),
-        (col("la").isNotNull && col("la") === col("lb")).as("same_cluster"))
-  }
+      probes: DataFrame): DataFrame =
+    UnionFindTables.sameCluster(spark, cfg.root, probes)
 
   /**
    * Fold the registry: signature tables concatenate into the `-1`
    * partition ([[CorpusIngest.foldBatchPartitions]]); `labels` folds to
-   * its RESOLVED form and `merges` then truncates to empty — union-find
-   * path compression as a maintenance job, resetting the resolution chain
-   * depth to zero. Ordering is crash-safe: resolved labels + a stale
-   * merge log still resolve correctly (a resolved label is a root, and a
-   * root never appears as a merge child — re-applying the log is a
-   * no-op), so a crash between the two swaps loses nothing and re-running
-   * [[compact]] completes the truncation. Same quiesced-maintenance
-   * contract as [[CorpusIngest.compact]], enforced by the same lock.
+   * its RESOLVED form and `merges` then truncates to empty
+   * ([[UnionFindTables.compactLabels]] — union-find path compression as a
+   * maintenance job, resetting the resolution chain depth to zero). Same
+   * quiesced-maintenance contract as [[CorpusIngest.compact]], enforced
+   * by the same lock.
    */
   def compact(spark: SparkSession, cfg: RegistryConfig): Unit =
     IngestLock.withLock(spark, cfg.root,
@@ -178,17 +255,7 @@ object ClusterRegistry {
         CorpusIngest.foldBatchPartitions(spark, fs, dir)
       }
       IngestLock.heartbeat(spark, lock)
-      CorpusIngest.rollbackIfStranded(fs, labelsPath(cfg))
-      CorpusIngest.rollbackIfStranded(fs, mergesPath(cfg))
-      val resolved = resolvedLabels(spark, cfg)
-        .withColumn("ingest_batch", lit(-1L))
-        .localCheckpoint() // sever lineage: the swap deletes what it reads
-      CorpusIngest.swapWrite(fs, labelsPath(cfg), resolved, Seq("ingest_batch"))
-      IngestLock.heartbeat(spark, lock)
-      val emptyMerges = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(mergesDdl))
-      CorpusIngest.swapWrite(fs, mergesPath(cfg), emptyMerges, Seq("ingest_batch"))
+      UnionFindTables.compactLabels(spark, fs, cfg.root)
     }
 
   /** Start the continuous labeling stream (AvailableNow — the reference's
@@ -198,6 +265,136 @@ object ClusterRegistry {
       .schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(cfg.docsDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, cfg, batch, batchId): Unit
+      }
+      .start()
+}
+
+/**
+ * The embedding twin of [[ClusterRegistry]]: semantic near-dup cluster
+ * labels over vectors, maintained incrementally per arriving batch — SRP
+ * band codes for the candidate equi-join (the [[EmbeddingIngest]] index
+ * schema), exact-cosine verify, and the same [[UnionFindTables]] state.
+ * Where [[EmbeddingIngest]] REJECTS near-duplicate vectors at the gate,
+ * this registry admits all of them and labels their clusters — the state
+ * a semantic-dedup sampler (SemDeDup-style 1/|cluster| down-weighting)
+ * reads instead of re-running the pair self-join per refresh.
+ *
+ * Tables under `root`: `bands/` (vec_id, band, bv), `vecs/` (vec_id, e,
+ * n — the double-cast vectors the cosine verify reads), `labels/`,
+ * `merges/`, `ledger/`. Same lock, replay, and compaction contracts as
+ * the text face.
+ */
+object EmbeddingClusterRegistry {
+
+  final case class RegistryConfig(
+      /** Streaming source dir (parquet: vec_id, embedding ARRAY<FLOAT>). */
+      vecsDir: String,
+      /** Root of the registry: bands/, vecs/, labels/, merges/, ledger/. */
+      root: String,
+      checkpointDir: String,
+      /** Cosine threshold of the near-dup verify ([[VectorOps.srpNearDupPairs]]). */
+      threshold: Double = 0.4,
+      maxFilesPerTrigger: Int = 20,
+      lockStaleMs: Long = 30 * 60 * 1000L)
+
+  private def bandsPath(cfg: RegistryConfig) = s"${cfg.root}/bands"
+  private def vecsPath(cfg: RegistryConfig) = s"${cfg.root}/vecs"
+  def ledgerPath(cfg: RegistryConfig): String = s"${cfg.root}/ledger"
+
+  private val bandsDdl = "vec_id BIGINT, band INT, bv BIGINT, ingest_batch BIGINT"
+  private val vecsDdl =
+    "vec_id BIGINT, e ARRAY<DOUBLE>, n DOUBLE, ingest_batch BIGINT"
+
+  def batchLockOwner(cfg: RegistryConfig, batchId: Long): String =
+    s"emb-cluster-batch-$batchId@${cfg.checkpointDir}"
+
+  /** Label one batch of vectors; returns the number labeled. Same
+    * increment shape as [[ClusterRegistry.ingestBatch]], with the SRP
+    * probe/pair faces supplying the pair evidence. */
+  def ingestBatch(spark: SparkSession, cfg: RegistryConfig, batch: DataFrame,
+      batchId: Long): Long = IngestLock.withLock(spark, cfg.root,
+      batchLockOwner(cfg, batchId), cfg.lockStaleMs) { lock =>
+    val fs = new org.apache.hadoop.fs.Path(cfg.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(bandsPath(cfg), vecsPath(cfg), UnionFindTables.labelsPath(cfg.root),
+      UnionFindTables.mergesPath(cfg.root), ledgerPath(cfg))
+      .foreach(CorpusIngest.rollbackIfStranded(fs, _))
+    val prevConf = UnionFindTables.dynamicOverwrite(spark, batch)
+    try Caching.scope {
+      def idx(path: String, ddl: String) =
+        CorpusIngest.readOrEmpty(spark, path, ddl)
+          .filter(col("ingest_batch") =!= batchId)
+
+      // ONE signature build feeds probe, self-pairs, and both appends
+      val (bb, bv) = VectorOps.srpIndex(batch)
+      val batchBands = Caching.scoped(bb)
+      val batchVecs = Caching.scoped(bv)
+      // cached: read by both the increment and the ledger count
+      val crossPairs = Caching.scoped(VectorOps.srpProbeIndexed(
+        idx(bandsPath(cfg), bandsDdl), idx(vecsPath(cfg), vecsDdl),
+        batchBands, batchVecs, cfg.threshold))
+      val batchPairs = Caching.scoped(VectorOps.srpNearDupsIndexed(
+        batchBands, batchVecs, cfg.threshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      IngestLock.heartbeat(spark, lock)
+      val stamp = lit(batchId).as("ingest_batch")
+      batchBands.select(col("vec_id"), col("band"), col("bv"), stamp)
+        .write.mode("overwrite").partitionBy("ingest_batch").parquet(bandsPath(cfg))
+      batchVecs.select(col("vec_id"), col("e"), col("n"), stamp)
+        .write.mode("overwrite").partitionBy("ingest_batch").parquet(vecsPath(cfg))
+      val nMerges = UnionFindTables.incrementAndAppend(spark, cfg.root,
+        batchId, batchVecs.select(col("vec_id").as("doc_id")),
+        batchPairs, crossPairs)
+      val nIn = batchVecs.count()
+      val nPairs = crossPairs.count() + batchPairs.count()
+      spark.createDataFrame(Seq((batchId, nIn, nPairs, nMerges)))
+        .toDF("ingest_batch", "n_in", "n_pairs", "n_merges")
+        .write.mode("overwrite").partitionBy("ingest_batch").parquet(ledgerPath(cfg))
+      nIn
+    } finally {
+      prevConf.foreach { case (s, v) =>
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", v) }
+    }
+  }
+
+  /** Current cluster label of every registered vector (vec_id, label) —
+    * read-only, lock-free. */
+  def resolvedLabels(spark: SparkSession, cfg: RegistryConfig): DataFrame =
+    UnionFindTables.resolvedLabels(spark, cfg.root)
+      .select(col("doc_id").as("vec_id"), col("label"))
+
+  /** Pairwise same-cluster probes (a, b) over vec ids. */
+  def sameCluster(spark: SparkSession, cfg: RegistryConfig,
+      probes: DataFrame): DataFrame =
+    UnionFindTables.sameCluster(spark, cfg.root, probes)
+
+  /** Fold signature tables, path-compress labels, truncate the merge log —
+    * see [[ClusterRegistry.compact]]. */
+  def compact(spark: SparkSession, cfg: RegistryConfig): Unit =
+    IngestLock.withLock(spark, cfg.root,
+        s"emb-cluster-compact-${java.util.UUID.randomUUID()}",
+        cfg.lockStaleMs) { lock =>
+      val fs = new org.apache.hadoop.fs.Path(cfg.root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(bandsPath(cfg), vecsPath(cfg)).foreach { dir =>
+        IngestLock.heartbeat(spark, lock)
+        CorpusIngest.foldBatchPartitions(spark, fs, dir)
+      }
+      IngestLock.heartbeat(spark, lock)
+      UnionFindTables.compactLabels(spark, fs, cfg.root)
+    }
+
+  /** Start the continuous labeling stream (AvailableNow). */
+  def start(spark: SparkSession, cfg: RegistryConfig): StreamingQuery =
+    spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .parquet(cfg.vecsDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", cfg.checkpointDir)

@@ -53,7 +53,17 @@ object UnionFind {
     * Scale: the merge log holds one row per CLUSTER-MERGE EVENT — bounded
     * by the number of clusters ever bridged, not by docs — and each round
     * is a self-equi-join of that small table. */
-  def resolveMerges(merges: DataFrame, maxIters: Int = 50): DataFrame = {
+  def resolveMerges(merges: DataFrame, maxIters: Int = 50): DataFrame =
+    resolveMergesWithRounds(merges, maxIters)._1
+
+  /** [[resolveMerges]] plus the pointer-doubling round count — the
+    * observability hook for the scale contract (the
+    * [[TextOps.connectedComponentsWithRounds]] discipline): a chain of
+    * depth D must resolve in ≤ ⌈log₂ D⌉ + 1 rounds (the +1 is the
+    * no-change convergence check), and a spec pins it so a regression to
+    * one-hop-per-round ripple fails a unit test. */
+  private[graft] def resolveMergesWithRounds(merges: DataFrame,
+      maxIters: Int = 50): (DataFrame, Int) = {
     var m = merges.select(col("child"), col("parent")).localCheckpoint()
     var converged = false
     var it = 0
@@ -72,7 +82,7 @@ object UnionFind {
     require(converged,
       s"merge log failed to resolve in $maxIters pointer-doubling rounds — " +
         "a cycle would mean a merge row violated parent < child")
-    m.select(col("child"), col("parent").as("root"))
+    (m.select(col("child"), col("parent").as("root")), it)
   }
 
   /** Current cluster labels: every stored label followed through the
@@ -99,10 +109,15 @@ object UnionFind {
    *
    * Returns the rows to APPEND: labels for every batch doc (singletons
    * label themselves) and the merge rows for every existing root bridged
-   * into a new cluster. Cost: the label lookup touches only the matched
-   * corpus docs (a join keyed by the crossPairs' distinct corpus ids);
-   * the CC runs on the MINI graph of batch ids + matched roots — the
-   * corpus-sized tables are never re-shuffled.
+   * into a new cluster. Cost: the CC runs on the MINI graph of batch ids
+   * + matched roots, and the merge log is small — neither corpus-sized
+   * table is ever re-shuffled or rewritten. The one corpus-sized touch is
+   * the label fetch for matched docs: an equi-join whose BUILD side is
+   * the small distinct-corpus-id set, so it shuffles nothing but scans
+   * the labels table's files; [[graft.stream.ClusterRegistry]]'s
+   * compaction range-sorts labels by doc_id exactly so that scan can
+   * skip row groups (and a deployment with harsher point-lookup SLAs
+   * would bucket the table by doc_id).
    */
   def increment(labels: DataFrame, merges: DataFrame, batchIds: DataFrame,
       batchPairs: DataFrame, crossPairs: DataFrame): (DataFrame, DataFrame) = {

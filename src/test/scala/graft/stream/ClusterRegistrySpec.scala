@@ -148,4 +148,17 @@ class ClusterRegistrySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 8L), got.toString)
   }
+
+  test("a 512-deep merge chain resolves in <= ceil(log2(depth)) + 1 rounds") {
+    // worst case between compactions: every batch bridged the same cluster
+    // chain one deeper. Pointer doubling must resolve it log-round, not
+    // one-hop-per-round (512 rounds would also trip maxIters = 50).
+    val depth = 512
+    val chain = spark.range(1, depth + 1)
+      .select(col("id").as("child"), (col("id") - 1).as("parent"))
+    val (resolved, rounds) = UnionFind.resolveMergesWithRounds(chain)
+    assert(rounds <= 10 + 1, s"$rounds pointer-doubling rounds for depth $depth")
+    val roots = resolved.select("root").distinct().as[Long].collect().toSeq
+    assert(roots == Seq(0L), roots.toString)
+  }
 }
