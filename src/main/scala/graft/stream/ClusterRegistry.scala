@@ -67,6 +67,22 @@ private[stream] object UnionFindTables {
         (col("la").isNotNull && col("la") === col("lb")).as("same_cluster"))
   }
 
+  /** The would-label report behind the read-only probe faces: run the
+    * union-find increment WITHOUT writing and return, per batch id, the
+    * cluster it would land in plus how many EXISTING clusters its
+    * component would bridge together (n_merged = merge rows whose new
+    * root is this doc's label; 0 for docs that join at most one). */
+  def probeReport(labels: DataFrame, merges: DataFrame, batchIds: DataFrame,
+      batchPairs: DataFrame, crossPairs: DataFrame): DataFrame = {
+    val (newLabels, newMerges) = UnionFind.increment(
+      labels, merges, batchIds, batchPairs, crossPairs)
+    val mergeCounts = newMerges.groupBy(col("parent"))
+      .agg(count(lit(1)).as("n_merged"))
+    newLabels.join(mergeCounts, col("label") === col("parent"), "left")
+      .select(col("doc_id"), col("label"),
+        coalesce(col("n_merged"), lit(0L)).as("n_merged"))
+  }
+
   /** Path compression: fold `labels` to its RESOLVED form, then truncate
     * `merges` — resolution chain depth drops to zero. Ordering is
     * crash-safe: resolved labels + a stale merge log still resolve
@@ -222,6 +238,33 @@ object ClusterRegistry {
     }
   }
 
+  /** Probe a batch WITHOUT labeling it — the read-only what-if face
+    * ([[CorpusIngest.probe]]'s labeling twin): per batch doc, the cluster
+    * it WOULD land in and how many existing clusters its arrival would
+    * bridge (`n_merged`). Takes no lock, writes nothing; same signature
+    * build + index probe cost as [[ingestBatch]] minus the appends.
+    * Scoped intermediates follow the query-function contract (caller
+    * releases via [[graft.Caching.releaseAll]] or an enclosing scope). */
+  def probe(spark: SparkSession, cfg: RegistryConfig,
+      batch: DataFrame): DataFrame = {
+    val docs = Caching.scoped(batch.select(col("doc_id"), col("text")))
+    val (bb, bs) = TextOps.minhashIndex(docs, "doc_id", "text")
+    val batchBands = Caching.scoped(bb)
+    val batchSets = Caching.scoped(bs)
+    val crossPairs = TextOps.minhashProbeIndexed(
+      CorpusIngest.readOrEmptyRO(spark, bandsPath(cfg), bandsDdl),
+      CorpusIngest.readOrEmptyRO(spark, setsPath(cfg), setsDdl),
+      batchBands, batchSets, cfg.threshold)
+    val batchPairs = TextOps.minhashNearDupsIndexed(batchBands, batchSets,
+      cfg.threshold)
+    UnionFindTables.probeReport(
+      CorpusIngest.readOrEmptyRO(spark, UnionFindTables.labelsPath(cfg.root),
+        UnionFindTables.labelsDdl),
+      CorpusIngest.readOrEmptyRO(spark, UnionFindTables.mergesPath(cfg.root),
+        UnionFindTables.mergesDdl),
+      docs.select(col("doc_id")), batchPairs, crossPairs)
+  }
+
   /** Current cluster label of every registered doc — the read-only serving
     * face: `labels` joined once against the root-resolved merge log
     * ([[UnionFind.resolveLabels]]). Lock-free; reads through stranded
@@ -360,6 +403,30 @@ object EmbeddingClusterRegistry {
       prevConf.foreach { case (s, v) =>
         s.conf.set("spark.sql.sources.partitionOverwriteMode", v) }
     }
+  }
+
+  /** Probe a batch of vectors WITHOUT labeling — the read-only what-if
+    * face, see [[ClusterRegistry.probe]]. Output: (vec_id, label,
+    * n_merged). */
+  def probe(spark: SparkSession, cfg: RegistryConfig,
+      batch: DataFrame): DataFrame = {
+    val (bb, bv) = VectorOps.srpIndex(batch)
+    val batchBands = Caching.scoped(bb)
+    val batchVecs = Caching.scoped(bv)
+    val crossPairs = VectorOps.srpProbeIndexed(
+      CorpusIngest.readOrEmptyRO(spark, bandsPath(cfg), bandsDdl),
+      CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg), vecsDdl),
+      batchBands, batchVecs, cfg.threshold)
+    val batchPairs = VectorOps.srpNearDupsIndexed(batchBands, batchVecs,
+      cfg.threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    UnionFindTables.probeReport(
+      CorpusIngest.readOrEmptyRO(spark, UnionFindTables.labelsPath(cfg.root),
+        UnionFindTables.labelsDdl),
+      CorpusIngest.readOrEmptyRO(spark, UnionFindTables.mergesPath(cfg.root),
+        UnionFindTables.mergesDdl),
+      batchVecs.select(col("vec_id").as("doc_id")), batchPairs, crossPairs)
+      .select(col("doc_id").as("vec_id"), col("label"), col("n_merged"))
   }
 
   /** Current cluster label of every registered vector (vec_id, label) —

@@ -142,6 +142,28 @@ class ClusterRegistrySpec extends SparkSpec {
       (3L, 3L) -> true, (99L, 1L) -> false), got.toString)
   }
 
+  test("probe reports would-be labels and bridges read-only") {
+    val cfg = ClusterRegistry.RegistryConfig("unused", tmpDir(), "unused")
+    assert(ClusterRegistry.ingestBatch(spark, cfg,
+      batch0.toDF("doc_id", "text"), 0L) == 4L)
+    assert(ClusterRegistry.ingestBatch(spark, cfg,
+      batch1.toDF("doc_id", "text"), 1L) == 4L)
+    // what-if for batch2 plus a fresh doc: the x-variant joins cluster 1
+    // (no bridge), the bridge doc would land in cluster 4 having united
+    // TWO existing clusters (4 and 8), the fresh doc labels itself
+    val got = ClusterRegistry.probe(spark, cfg,
+      (batch2 :+ (42L -> (1 to 20).map(i => s"fresh$i").mkString(" ")))
+        .toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    graft.Caching.releaseAll()
+    assert(got == Map(9L -> ((1L, 0L)), 10L -> ((4L, 1L)), 42L -> ((42L, 0L))),
+      got.toString)
+    // read-only: no lock debris, no state change
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cfg.root, "__ingest.lock")))
+    assert(spark.read.parquet(s"${cfg.root}/labels").count() == 8L)
+  }
+
   test("resolveMerges compresses multi-hop chains by pointer doubling") {
     val merges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (9L, 8L)).toDF("child", "parent")
     val got = UnionFind.resolveMerges(merges)

@@ -77,6 +77,20 @@ class EmbeddingClusterRegistrySpec extends SparkSpec {
     assert(merges == Set((2L, 1L)), merges.toString)
   }
 
+  test("probe reports the would-be bridge read-only") {
+    val cfg = EmbeddingClusterRegistry.RegistryConfig("unused", tmpDir(), "unused")
+    assert(EmbeddingClusterRegistry.ingestBatch(spark, cfg, df(batch0), 0L) == 3L)
+    assert(EmbeddingClusterRegistry.ingestBatch(spark, cfg, df(batch1), 1L) == 3L)
+    val got = EmbeddingClusterRegistry.probe(spark, cfg, df(batch2))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    graft.Caching.releaseAll()
+    // vec 9 would land in cluster 1, bridging clusters 1 and 2
+    assert(got == Map(9L -> ((1L, 1L))), got.toString)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cfg.root, "__ingest.lock")))
+    assert(spark.read.parquet(s"${cfg.root}/labels").count() == 6L)
+  }
+
   test("replay rewrites identical state; compact keeps labels and admits later batches") {
     val cfg = EmbeddingClusterRegistry.RegistryConfig("unused", tmpDir(), "unused")
     ingestAll(cfg)
