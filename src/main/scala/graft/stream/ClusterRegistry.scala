@@ -67,6 +67,51 @@ private[stream] object UnionFindTables {
         (col("la").isNotNull && col("la") === col("lb")).as("same_cluster"))
   }
 
+  /** Registry-state health report off the resolved labels alone: cluster
+    * count, doc count, duplicate fraction (docs beyond one per cluster),
+    * and the largest-cluster size — the gauge that catches a dedup-health
+    * drift (e.g. a feed suddenly spraying near-identical docs shows up as
+    * max_cluster exploding long before storage does). One groupBy over
+    * the labels, one 1-row aggregate. */
+  def clusterStats(spark: SparkSession, root: String): DataFrame = {
+    val sizes = resolvedLabels(spark, root)
+      .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+    sizes.agg(count(lit(1)).as("n_clusters"),
+      coalesce(sum(col("sz")), lit(0L)).as("n_docs"),
+      coalesce(max(col("sz")), lit(0L)).as("max_cluster"),
+      coalesce(sum(col("sz") - 1L), lit(0L)).as("n_dups"))
+  }
+
+  /** Dedup-aware sampling weights off the registry state: every id
+    * weighted 1/|cluster| so each content cluster contributes one
+    * doc-equivalent — the persisted-state twin of the
+    * `dedup_sampling_weights` batch query. One window over the resolved
+    * labels. */
+  def samplingWeights(spark: SparkSession, root: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+    resolvedLabels(spark, root)
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("weight", lit(1.0) / col("cluster_size").cast("double"))
+  }
+
+  /** Keep-best canonical pick per cluster: the caller supplies a
+    * (doc_id, score) frame (quality scores, recency, anything totally
+    * ordered with the doc_id tiebreak) and gets one winning doc per
+    * cluster — the registry DRIVING the dedup decision instead of a batch
+    * recompute. Ids without a score row are skipped (they cannot win);
+    * ids without a label row keep their own id as a singleton cluster. */
+  def keepBest(spark: SparkSession, root: String, scores: DataFrame): DataFrame = {
+    val lab = resolvedLabels(spark, root)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scores.select(col("doc_id"), col("score"))
+      .join(lab, Seq("doc_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("doc_id")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("doc_id").as("kept_doc"), col("score"))
+  }
+
   /** The would-label report behind the read-only probe faces: run the
     * union-find increment WITHOUT writing and return, per batch id, the
     * cluster it would land in plus how many EXISTING clusters its
@@ -279,6 +324,22 @@ object ClusterRegistry {
       probes: DataFrame): DataFrame =
     UnionFindTables.sameCluster(spark, cfg.root, probes)
 
+  /** Registry health: (n_clusters, n_docs, max_cluster, n_dups) — see
+    * [[UnionFindTables.clusterStats]]. */
+  def clusterStats(spark: SparkSession, cfg: RegistryConfig): DataFrame =
+    UnionFindTables.clusterStats(spark, cfg.root)
+
+  /** 1/|cluster| doc-equivalent weights off the registry state — see
+    * [[UnionFindTables.samplingWeights]]. */
+  def samplingWeights(spark: SparkSession, cfg: RegistryConfig): DataFrame =
+    UnionFindTables.samplingWeights(spark, cfg.root)
+
+  /** One winning doc per cluster given caller-supplied (doc_id, score) —
+    * see [[UnionFindTables.keepBest]]. */
+  def keepBest(spark: SparkSession, cfg: RegistryConfig,
+      scores: DataFrame): DataFrame =
+    UnionFindTables.keepBest(spark, cfg.root, scores)
+
   /**
    * Fold the registry: signature tables concatenate into the `-1`
    * partition ([[CorpusIngest.foldBatchPartitions]]); `labels` folds to
@@ -439,6 +500,23 @@ object EmbeddingClusterRegistry {
   def sameCluster(spark: SparkSession, cfg: RegistryConfig,
       probes: DataFrame): DataFrame =
     UnionFindTables.sameCluster(spark, cfg.root, probes)
+
+  /** Registry health gauge — see [[UnionFindTables.clusterStats]]. */
+  def clusterStats(spark: SparkSession, cfg: RegistryConfig): DataFrame =
+    UnionFindTables.clusterStats(spark, cfg.root)
+
+  /** 1/|cluster| vec-equivalent weights (SemDeDup-style down-weighting)
+    * off the registry state — see [[UnionFindTables.samplingWeights]]. */
+  def samplingWeights(spark: SparkSession, cfg: RegistryConfig): DataFrame =
+    UnionFindTables.samplingWeights(spark, cfg.root)
+      .select(col("doc_id").as("vec_id"), col("label"),
+        col("cluster_size"), col("weight"))
+
+  /** One winning vector per semantic cluster given (doc_id, score) rows —
+    * see [[UnionFindTables.keepBest]]. */
+  def keepBest(spark: SparkSession, cfg: RegistryConfig,
+      scores: DataFrame): DataFrame =
+    UnionFindTables.keepBest(spark, cfg.root, scores)
 
   /** Fold signature tables, path-compress labels, truncate the merge log —
     * see [[ClusterRegistry.compact]]. */

@@ -164,6 +164,67 @@ class ClusterRegistrySpec extends SparkSpec {
     assert(spark.read.parquet(s"${cfg.root}/labels").count() == 8L)
   }
 
+  test("clusterStats, samplingWeights and keepBest serve off the resolved labels") {
+    val cfg = ClusterRegistry.RegistryConfig("unused", tmpDir(), "unused")
+    ingestAll(cfg)
+    // clusters: {1,5,9}, {2,6}, {4,8,10}, singletons {3}, {7}
+    val stats = ClusterRegistry.clusterStats(spark, cfg)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(stats == Seq((5L, 10L, 3L, 5L)), stats.toString)
+    val weights = ClusterRegistry.samplingWeights(spark, cfg)
+      .select("doc_id", "weight").as[(Long, Double)].collect().toMap
+    assert(weights(9L) == 1.0 / 3 && weights(6L) == 0.5 && weights(3L) == 1.0,
+      weights.toString)
+    // keep-best with score = doc_id: newest doc wins each cluster; an
+    // unscored doc (7) cannot win, an unlabeled scored doc (99) is its
+    // own singleton
+    val scored = Seq(1L, 2L, 3L, 4L, 5L, 6L, 8L, 9L, 10L, 99L)
+      .map(i => i -> i.toDouble).toDF("doc_id", "score")
+    val kept = ClusterRegistry.keepBest(spark, cfg, scored)
+      .select("label", "kept_doc").as[(Long, Long)].collect().toMap
+    graft.Caching.releaseAll()
+    assert(kept == Map(1L -> 9L, 2L -> 6L, 4L -> 10L, 3L -> 3L, 99L -> 99L),
+      kept.toString)
+  }
+
+  test("soak: 12 batches of mixed arrivals still equal the batch CC") {
+    // deterministic mix: each batch carries fresh docs, near-dups of
+    // earlier docs (cross-batch pairs), and occasional bridge docs —
+    // the incremental labels must track the batch recompute through ALL
+    // of it, not just the 3-batch fixture
+    val nBatches = 12
+    val perBatch = 6
+    def doc(id: Long): String = {
+      val fam = (id % 4).toInt // 4 interleaved families
+      val variant = (id / 8) % 3 // rotate one changed word per family
+      (1 to 20).map(i =>
+        if (i == 1 + variant) s"v$variant" else s"fam${fam}tok$i").mkString(" ")
+    }
+    val all = (0L until (nBatches * perBatch).toLong).map(i => i -> doc(i))
+    val cfg = ClusterRegistry.RegistryConfig("unused", tmpDir(), "unused")
+    all.grouped(perBatch).zipWithIndex.foreach { case (rows, b) =>
+      assert(ClusterRegistry.ingestBatch(spark, cfg,
+        rows.toDF("doc_id", "text"), b.toLong) == rows.size.toLong)
+      graft.Caching.releaseAll()
+    }
+    val truth = {
+      val cc = graft.text.TextOps.connectedComponents(
+        graft.text.TextOps.minhashNearDups(all.toDF("doc_id", "text"),
+          "doc_id", "text"))
+        .as[(Long, Long)].collect().toMap
+      graft.Caching.releaseAll()
+      all.map { case (id, _) => id -> cc.getOrElse(id, id) }.toMap
+    }
+    assert(resolved(cfg) == truth)
+    // merge-log stays bounded by cluster-merge events, not by docs (this
+    // mix grows clusters incrementally — arrivals link straight to the
+    // existing root, so the log can legitimately be EMPTY; bridges are
+    // pinned by the 3-batch fixture above)
+    val nMerges = CorpusIngest.readOrEmptyRO(spark, s"${cfg.root}/merges",
+      "child BIGINT, parent BIGINT, ingest_batch BIGINT").count()
+    assert(nMerges < all.size.toLong, s"merge log $nMerges rows")
+  }
+
   test("resolveMerges compresses multi-hop chains by pointer doubling") {
     val merges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (9L, 8L)).toDF("child", "parent")
     val got = UnionFind.resolveMerges(merges)
