@@ -198,6 +198,13 @@ private[stream] object UnionFindTables {
  * alternative ([[TextOps.connectedComponents]] over all pairs) re-runs a
  * multi-round all-corpus shuffle per refresh. Serving
  * ([[resolvedLabels]], [[sameCluster]]) is read-only and lock-free.
+ *
+ * Contract: doc_ids are unique across the corpus lifetime (the
+ * [[CorpusIngest]] rule) — a re-arrival of an id would append a second
+ * label row for it. A torn state (index rows whose labels row is missing
+ * — only reachable by NOT replaying a crashed batch, e.g. a manual
+ * backfill under a fresh batch id) fails the next increment loudly
+ * instead of silently dropping pair evidence ([[UnionFind.increment]]).
  */
 object ClusterRegistry {
 

@@ -123,10 +123,23 @@ object UnionFind {
       batchPairs: DataFrame, crossPairs: DataFrame): (DataFrame, DataFrame) = {
     val rootOf = resolveMerges(merges)
     // resolved root of each DISTINCT matched corpus doc — the only label
-    // rows the increment reads
-    val corpusRoots = crossPairs.select(col("corpus_id")).distinct()
+    // rows the increment reads. LEFT join + loud tear check: the caller's
+    // signature index and labels table are written non-atomically, so a
+    // crash torn between the two writes that is then NEVER replayed (a
+    // manual backfill under a different batch id) could leave index rows
+    // with no label row — silently dropping that pair evidence here would
+    // mis-label forever, so refuse instead (the recluster epoch-stamp
+    // discipline: a torn state must fail the read, not degrade it).
+    val matched = crossPairs.select(col("corpus_id")).distinct()
       .join(labels.select(col("doc_id").as("corpus_id"), col("label")),
-        Seq("corpus_id"))
+        Seq("corpus_id"), "left")
+    val torn = matched.filter(col("label").isNull)
+      .select(col("corpus_id")).limit(1).collect()
+    require(torn.isEmpty,
+      s"corpus doc ${torn.headOption.map(_.getLong(0))} is indexed but has " +
+        "no label row — torn registry state; replay the writing batch " +
+        "before labeling against this corpus")
+    val corpusRoots = matched
       .join(rootOf, col("label") === col("child"), "left")
       .select(col("corpus_id"), coalesce(col("root"), col("label")).as("root"))
     // mini graph: within-batch edges + (batch doc → matched cluster ROOT).

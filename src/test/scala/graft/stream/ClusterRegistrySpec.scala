@@ -225,6 +225,25 @@ class ClusterRegistrySpec extends SparkSpec {
     assert(nMerges < all.size.toLong, s"merge log $nMerges rows")
   }
 
+  test("a torn registry (index without labels) refuses the next increment loudly") {
+    val cfg = ClusterRegistry.RegistryConfig("unused", tmpDir(), "unused")
+    assert(ClusterRegistry.ingestBatch(spark, cfg,
+      batch0.toDF("doc_id", "text"), 0L) == 4L)
+    // simulate the never-replayed torn write: the signature index rows
+    // exist but the labels table is gone
+    def rmrf(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmrf(_))
+      java.nio.file.Files.deleteIfExists(p): Unit
+    }
+    rmrf(java.nio.file.Paths.get(cfg.root, "labels"))
+    val e = intercept[IllegalArgumentException] {
+      ClusterRegistry.ingestBatch(spark, cfg,
+        batch1.toDF("doc_id", "text"), 1L)
+    }
+    assert(e.getMessage.contains("torn registry state"), e.getMessage)
+  }
+
   test("resolveMerges compresses multi-hop chains by pointer doubling") {
     val merges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (9L, 8L)).toDF("child", "parent")
     val got = UnionFind.resolveMerges(merges)
