@@ -625,42 +625,55 @@ object LlmWorkload {
     * is literally the dedup_clusters replay. */
   def dedupIncrementalClusters(spark: SparkSession, dir: String): DataFrame =
     SharedIndexes.frame(s"minhash-inc-cc:$dir") {
-      val docs = Tables(spark, dir, "documents")
-      def empty(ddl: String) = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(ddl))
-      var labels = empty("doc_id BIGINT, label BIGINT")
-      var merges = empty("child BIGINT, parent BIGINT")
-      var accBands = Option.empty[DataFrame]
-      var accSets = Option.empty[DataFrame]
-      (0 until 3).foreach { b =>
-        val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
-        val (bb, bs) = TextOps.minhashIndex(batch, "doc_id", "text")
-        val batchBands = graft.Caching.scoped(bb)
-        val batchSets = graft.Caching.scoped(bs)
-        val crossPairs = (accBands, accSets) match {
-          case (Some(ib), Some(is)) =>
-            TextOps.minhashProbeIndexed(ib, is, batchBands, batchSets, 0.8)
-          case _ => empty("batch_id BIGINT, corpus_id BIGINT, jaccard DOUBLE")
-        }
-        val batchPairs = TextOps.minhashNearDupsIndexed(batchBands, batchSets)
-        val (nl, nm) = UnionFind.increment(labels, merges,
-          batch.select(col("doc_id")), batchPairs, crossPairs)
-        labels = labels.unionByName(nl)
-        merges = merges.unionByName(nm)
-        accBands = Some(accBands.fold(batchBands: DataFrame)(_.unionByName(batchBands)))
-        accSets = Some(accSets.fold(batchSets: DataFrame)(_.unionByName(batchSets)))
-      }
-      // restrict to PAIRED docs — exactly connectedComponents' node set:
-      // a non-singleton either labels elsewhere or is a cluster's root
-      val resolvedAll = graft.Caching.scoped(
-        UnionFind.resolveLabels(labels, merges))
-      val heads = resolvedAll.filter(col("doc_id") =!= col("label"))
-        .select(col("label")).distinct()
-      resolvedAll.filter(col("doc_id") =!= col("label"))
-        .unionByName(heads.select(col("label").as("doc_id"), col("label")))
-        .select(col("doc_id"), col("label").as("component"))
+      incrementalClustersFold(spark,
+        Tables(spark, dir, "documents"), "doc_id",
+        index = batch => TextOps.minhashIndex(batch, "doc_id", "text"),
+        probe = (ib, is, bb, bs) =>
+          TextOps.minhashProbeIndexed(ib, is, bb, bs, 0.8),
+        selfPairs = (bb, bs) => TextOps.minhashNearDupsIndexed(bb, bs))
     }
+
+  /** The mod-3 arrival-batch fold shared by [[dedupIncrementalClusters]]
+    * and [[dedupEmbeddingIncrementalClusters]]: per batch, build the
+    * batch's signature frames, probe the ACCUMULATED index, self-join the
+    * batch, run [[UnionFind.increment]], and append label/merge rows;
+    * finally resolve through the merge log and restrict to the PAIRED
+    * docs — exactly `connectedComponents`' node set (a non-singleton
+    * either labels elsewhere or is a cluster's root), so the output
+    * hash-matches the batch-CC oracle. Output: (<idCol>, component). */
+  private def incrementalClustersFold(spark: SparkSession, table: DataFrame,
+      idCol: String, index: DataFrame => (DataFrame, DataFrame),
+      probe: (DataFrame, DataFrame, DataFrame, DataFrame) => DataFrame,
+      selfPairs: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    var labels = graft.Frames.empty(spark, "doc_id BIGINT, label BIGINT")
+    var merges = graft.Frames.empty(spark, "child BIGINT, parent BIGINT")
+    var acc = Option.empty[(DataFrame, DataFrame)]
+    (0 until 3).foreach { b =>
+      val batch = table.filter(pmod(col(idCol), lit(3)) === b)
+      val (bi, bv) = index(batch)
+      val batchIdx = (graft.Caching.scoped(bi), graft.Caching.scoped(bv))
+      val crossPairs = acc match {
+        case Some((ib, iv)) => probe(ib, iv, batchIdx._1, batchIdx._2)
+        case None => graft.Frames.empty(spark,
+          "batch_id BIGINT, corpus_id BIGINT")
+      }
+      val batchPairs = selfPairs(batchIdx._1, batchIdx._2)
+        .toDF("doc_a", "doc_b", "score").select(col("doc_a"), col("doc_b"))
+      val (nl, nm) = UnionFind.increment(labels, merges,
+        batch.select(col(idCol).as("doc_id")), batchPairs, crossPairs)
+      labels = labels.unionByName(nl)
+      merges = merges.unionByName(nm)
+      acc = Some(acc.fold(batchIdx) { case (pi, pv) =>
+        (pi.unionByName(batchIdx._1), pv.unionByName(batchIdx._2)) })
+    }
+    val resolvedAll = graft.Caching.scoped(
+      UnionFind.resolveLabels(labels, merges))
+    val heads = resolvedAll.filter(col("doc_id") =!= col("label"))
+      .select(col("label")).distinct()
+    resolvedAll.filter(col("doc_id") =!= col("label"))
+      .unionByName(heads.select(col("label").as("doc_id"), col("label")))
+      .select(col("doc_id").as(idCol), col("label").as("component"))
+  }
 
   /** The embedding-side twin of [[dedupIncrementalClusters]]: SRP cluster
     * labels maintained incrementally over three arrival batches (vec_id
@@ -670,40 +683,11 @@ object LlmWorkload {
     * components bit-for-bit (the dedup_embedding_clusters oracle). */
   def dedupEmbeddingIncrementalClusters(spark: SparkSession, dir: String): DataFrame =
     SharedIndexes.frame(s"srp-inc-cc:$dir") {
-      val emb = Tables(spark, dir, "embeddings")
-      def empty(ddl: String) = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(ddl))
-      var labels = empty("doc_id BIGINT, label BIGINT")
-      var merges = empty("child BIGINT, parent BIGINT")
-      var accBands = Option.empty[DataFrame]
-      var accVecs = Option.empty[DataFrame]
-      (0 until 3).foreach { b =>
-        val batch = emb.filter(pmod(col("vec_id"), lit(3)) === b)
-        val (bb, bv) = VectorOps.srpIndex(batch)
-        val batchBands = graft.Caching.scoped(bb)
-        val batchVecs = graft.Caching.scoped(bv)
-        val crossPairs = (accBands, accVecs) match {
-          case (Some(ib), Some(iv)) =>
-            VectorOps.srpProbeIndexed(ib, iv, batchBands, batchVecs)
-          case _ => empty("batch_id BIGINT, corpus_id BIGINT, cos DOUBLE")
-        }
-        val batchPairs = VectorOps.srpNearDupsIndexed(batchBands, batchVecs)
-          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-        val (nl, nm) = UnionFind.increment(labels, merges,
-          batch.select(col("vec_id").as("doc_id")), batchPairs, crossPairs)
-        labels = labels.unionByName(nl)
-        merges = merges.unionByName(nm)
-        accBands = Some(accBands.fold(batchBands: DataFrame)(_.unionByName(batchBands)))
-        accVecs = Some(accVecs.fold(batchVecs: DataFrame)(_.unionByName(batchVecs)))
-      }
-      val resolvedAll = graft.Caching.scoped(
-        UnionFind.resolveLabels(labels, merges))
-      val heads = resolvedAll.filter(col("doc_id") =!= col("label"))
-        .select(col("label")).distinct()
-      resolvedAll.filter(col("doc_id") =!= col("label"))
-        .unionByName(heads.select(col("label").as("doc_id"), col("label")))
-        .select(col("doc_id").as("vec_id"), col("label").as("component"))
+      incrementalClustersFold(spark,
+        Tables(spark, dir, "embeddings"), "vec_id",
+        index = batch => VectorOps.srpIndex(batch),
+        probe = (ib, iv, bb, bv) => VectorOps.srpProbeIndexed(ib, iv, bb, bv),
+        selfPairs = (bb, bv) => VectorOps.srpNearDupsIndexed(bb, bv))
     }
 
   /** Dedup-AWARE SAMPLING weights — the downstream consumer the

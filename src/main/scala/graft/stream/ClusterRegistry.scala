@@ -114,18 +114,27 @@ private[stream] object UnionFindTables {
 
   /** The would-label report behind the read-only probe faces: run the
     * union-find increment WITHOUT writing and return, per batch id, the
-    * cluster it would land in plus how many EXISTING clusters its
-    * component would bridge together (n_merged = merge rows whose new
-    * root is this doc's label; 0 for docs that join at most one). */
+    * cluster it would land in plus `n_existing` — how many EXISTING
+    * clusters its would-be component contains (0 = an entirely new
+    * cluster, 1 = joins one, ≥ 2 = its arrival would BRIDGE that many).
+    * Counted from the matched roots directly, NOT from merge rows — a
+    * merge row also appears when a small-id arrival re-roots a single
+    * cluster, which is not a bridge. */
   def probeReport(labels: DataFrame, merges: DataFrame, batchIds: DataFrame,
       batchPairs: DataFrame, crossPairs: DataFrame): DataFrame = {
-    val (newLabels, newMerges) = UnionFind.increment(
+    val inc = UnionFind.incrementFull(
       labels, merges, batchIds, batchPairs, crossPairs)
-    val mergeCounts = newMerges.groupBy(col("parent"))
-      .agg(count(lit(1)).as("n_merged"))
-    newLabels.join(mergeCounts, col("label") === col("parent"), "left")
+    // each existing root's FINAL component: rerouted by a merge row where
+    // one exists, itself otherwise
+    val rootComp = inc.corpusRoots.select(col("root")).distinct()
+      .join(inc.newMerges.select(col("child").as("root"), col("parent")),
+        Seq("root"), "left")
+      .select(col("root"), coalesce(col("parent"), col("root")).as("label"))
+    val nExisting = rootComp.groupBy(col("label"))
+      .agg(countDistinct(col("root")).as("n_existing"))
+    inc.newLabels.join(nExisting, Seq("label"), "left")
       .select(col("doc_id"), col("label"),
-        coalesce(col("n_merged"), lit(0L)).as("n_merged"))
+        coalesce(col("n_existing"), lit(0L)).as("n_existing"))
   }
 
   /** Path compression: fold `labels` to its RESOLVED form, then truncate
@@ -149,22 +158,8 @@ private[stream] object UnionFindTables {
       .withColumn("ingest_batch", lit(-1L))
       .localCheckpoint() // sever lineage: the swap deletes what it reads
     CorpusIngest.swapWrite(fs, labelsPath(root), resolved, Seq("ingest_batch"))
-    val emptyMerges = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(mergesDdl))
-    CorpusIngest.swapWrite(fs, mergesPath(root), emptyMerges, Seq("ingest_batch"))
-  }
-
-  /** Set dynamic partition-overwrite on every session whose conf the
-    * writes may consult (foreachBatch hands a CLONED session); returns
-    * the restore map. */
-  def dynamicOverwrite(spark: SparkSession,
-      batch: DataFrame): Map[SparkSession, String] = {
-    val sessions = Set(spark, batch.sparkSession)
-    val prev = sessions.map(s =>
-      s -> s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")).toMap
-    sessions.foreach(_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic"))
-    prev
+    CorpusIngest.swapWrite(fs, mergesPath(root),
+      graft.Frames.empty(spark, mergesDdl), Seq("ingest_batch"))
   }
 }
 
@@ -248,8 +243,7 @@ object ClusterRegistry {
     Seq(bandsPath(cfg), setsPath(cfg), UnionFindTables.labelsPath(cfg.root),
       UnionFindTables.mergesPath(cfg.root), ledgerPath(cfg))
       .foreach(CorpusIngest.rollbackIfStranded(fs, _))
-    val prevConf = UnionFindTables.dynamicOverwrite(spark, batch)
-    try Caching.scope {
+    CorpusIngest.withDynamicOverwrite(spark, batch) { Caching.scope {
       def idx(path: String, ddl: String) =
         CorpusIngest.readOrEmpty(spark, path, ddl)
           .filter(col("ingest_batch") =!= batchId)
@@ -284,31 +278,31 @@ object ClusterRegistry {
         .toDF("ingest_batch", "n_in", "n_pairs", "n_merges")
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(ledgerPath(cfg))
       nIn
-    } finally {
-      prevConf.foreach { case (s, v) =>
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", v) }
-    }
+    } }
   }
 
   /** Probe a batch WITHOUT labeling it — the read-only what-if face
     * ([[CorpusIngest.probe]]'s labeling twin): per batch doc, the cluster
-    * it WOULD land in and how many existing clusters its arrival would
-    * bridge (`n_merged`). Takes no lock, writes nothing; same signature
-    * build + index probe cost as [[ingestBatch]] minus the appends.
-    * Scoped intermediates follow the query-function contract (caller
-    * releases via [[graft.Caching.releaseAll]] or an enclosing scope). */
+    * it WOULD land in and how many existing clusters its would-be
+    * component touches (`n_existing`; ≥ 2 = a bridge). Takes no lock,
+    * writes nothing; same signature build + index probe cost as
+    * [[ingestBatch]] minus the appends. Scoped intermediates follow the
+    * query-function contract (caller releases via
+    * [[graft.Caching.releaseAll]] or an enclosing scope). */
   def probe(spark: SparkSession, cfg: RegistryConfig,
       batch: DataFrame): DataFrame = {
     val docs = Caching.scoped(batch.select(col("doc_id"), col("text")))
     val (bb, bs) = TextOps.minhashIndex(docs, "doc_id", "text")
     val batchBands = Caching.scoped(bb)
     val batchSets = Caching.scoped(bs)
-    val crossPairs = TextOps.minhashProbeIndexed(
+    // cached like ingestBatch's: the increment reads the pair frames more
+    // than once — uncached, the candidate join + verify would re-run
+    val crossPairs = Caching.scoped(TextOps.minhashProbeIndexed(
       CorpusIngest.readOrEmptyRO(spark, bandsPath(cfg), bandsDdl),
       CorpusIngest.readOrEmptyRO(spark, setsPath(cfg), setsDdl),
-      batchBands, batchSets, cfg.threshold)
-    val batchPairs = TextOps.minhashNearDupsIndexed(batchBands, batchSets,
-      cfg.threshold)
+      batchBands, batchSets, cfg.threshold))
+    val batchPairs = Caching.scoped(TextOps.minhashNearDupsIndexed(
+      batchBands, batchSets, cfg.threshold))
     UnionFindTables.probeReport(
       CorpusIngest.readOrEmptyRO(spark, UnionFindTables.labelsPath(cfg.root),
         UnionFindTables.labelsDdl),
@@ -435,8 +429,7 @@ object EmbeddingClusterRegistry {
     Seq(bandsPath(cfg), vecsPath(cfg), UnionFindTables.labelsPath(cfg.root),
       UnionFindTables.mergesPath(cfg.root), ledgerPath(cfg))
       .foreach(CorpusIngest.rollbackIfStranded(fs, _))
-    val prevConf = UnionFindTables.dynamicOverwrite(spark, batch)
-    try Caching.scope {
+    CorpusIngest.withDynamicOverwrite(spark, batch) { Caching.scope {
       def idx(path: String, ddl: String) =
         CorpusIngest.readOrEmpty(spark, path, ddl)
           .filter(col("ingest_batch") =!= batchId)
@@ -467,34 +460,32 @@ object EmbeddingClusterRegistry {
         .toDF("ingest_batch", "n_in", "n_pairs", "n_merges")
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(ledgerPath(cfg))
       nIn
-    } finally {
-      prevConf.foreach { case (s, v) =>
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", v) }
-    }
+    } }
   }
 
   /** Probe a batch of vectors WITHOUT labeling — the read-only what-if
     * face, see [[ClusterRegistry.probe]]. Output: (vec_id, label,
-    * n_merged). */
+    * n_existing). */
   def probe(spark: SparkSession, cfg: RegistryConfig,
       batch: DataFrame): DataFrame = {
     val (bb, bv) = VectorOps.srpIndex(batch)
     val batchBands = Caching.scoped(bb)
     val batchVecs = Caching.scoped(bv)
-    val crossPairs = VectorOps.srpProbeIndexed(
+    // cached like ingestBatch's pair frames (see ClusterRegistry.probe)
+    val crossPairs = Caching.scoped(VectorOps.srpProbeIndexed(
       CorpusIngest.readOrEmptyRO(spark, bandsPath(cfg), bandsDdl),
       CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg), vecsDdl),
+      batchBands, batchVecs, cfg.threshold))
+    val batchPairs = Caching.scoped(VectorOps.srpNearDupsIndexed(
       batchBands, batchVecs, cfg.threshold)
-    val batchPairs = VectorOps.srpNearDupsIndexed(batchBands, batchVecs,
-      cfg.threshold)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
     UnionFindTables.probeReport(
       CorpusIngest.readOrEmptyRO(spark, UnionFindTables.labelsPath(cfg.root),
         UnionFindTables.labelsDdl),
       CorpusIngest.readOrEmptyRO(spark, UnionFindTables.mergesPath(cfg.root),
         UnionFindTables.mergesDdl),
       batchVecs.select(col("vec_id").as("doc_id")), batchPairs, crossPairs)
-      .select(col("doc_id").as("vec_id"), col("label"), col("n_merged"))
+      .select(col("doc_id").as("vec_id"), col("label"), col("n_existing"))
   }
 
   /** Current cluster label of every registered vector (vec_id, label) —

@@ -72,9 +72,7 @@ object CorpusIngest {
 
   private[stream] def readOrEmpty(spark: SparkSession, path: String,
       ddl: String): DataFrame = {
-    def empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    def empty = graft.Frames.empty(spark, ddl)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     rollbackIfStranded(fs, path)
@@ -98,9 +96,7 @@ object CorpusIngest {
     * (the rollback would make the compact's swap-in fail). */
   private[stream] def readOrEmptyRO(spark: SparkSession, path: String,
       ddl: String): DataFrame = {
-    def empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    def empty = graft.Frames.empty(spark, ddl)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(path, path + ".__old")
@@ -113,6 +109,24 @@ object CorpusIngest {
               if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => empty
         }
     }
+  }
+
+  /** Run `body` with dynamic partition-overwrite set on every session
+    * whose conf the writes may consult (foreachBatch hands a CLONED
+    * session; a static mode would silently turn the per-partition
+    * overwrite into a whole-table overwrite and erase previously accepted
+    * batches), restoring the prior values after. Shared by every ingest
+    * path ([[ingestBatch]], [[EmbeddingIngest.ingestBatch]], the cluster
+    * registries). */
+  private[stream] def withDynamicOverwrite[A](spark: SparkSession,
+      batch: DataFrame)(body: => A): A = {
+    val sessions = Set(spark, batch.sparkSession)
+    val prev = sessions.map(s =>
+      s -> s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")).toMap
+    sessions.foreach(_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic"))
+    try body
+    finally prev.foreach { case (s, v) =>
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", v) }
   }
 
   /** A compact() that died between its two renames leaves a table
@@ -155,19 +169,11 @@ object CorpusIngest {
       postingsPath(cfg), docstatsPath(cfg), mgPath(cfg), phashPath(cfg),
       ledgerPath(cfg))
       .foreach(rollbackIfStranded(rootFs, _))
-    // the batch frame may belong to the stream's CLONED session (foreachBatch)
-    // — the overwrite mode must be dynamic on the session whose conf the
-    // WRITES consult, or the per-partition overwrite silently becomes a
-    // whole-table overwrite and erases every previously accepted batch
-    val sessions = Set(spark, batch.sparkSession)
-    val prevConf = sessions.map(s =>
-      s -> s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")).toMap
-    sessions.foreach(_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic"))
     // Caching.scope: the batch's cached intermediates are released when the
     // batch ends — and ONLY them, never a concurrent pipeline's caches (a
     // blanket releaseAll here would silently uncache an enclosing job's
     // scoped frames mid-flight)
-    try Caching.scope {
+    withDynamicOverwrite(spark, batch) { Caching.scope {
       // a replayed batch must not probe the rows IT wrote before crashing —
       // its decisions would then flip from accept to reject
       def idx(path: String, ddl: String) =
@@ -285,10 +291,7 @@ object CorpusIngest {
         .toDF("ingest_batch", "n_in", "n_accepted")
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(ledgerPath(cfg))
       nAccepted
-    } finally {
-      prevConf.foreach { case (s, v) =>
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", v) }
-    }
+    } }
   }
 
   /**

@@ -127,13 +127,7 @@ object EmbeddingIngest {
     Seq(vecsPath(cfg), bandsPath(cfg), ledgerPath(cfg), ivfPath(cfg),
         centroidsPath(cfg), pqPath(cfg), pqCodebooksPath(cfg))
       .foreach(CorpusIngest.rollbackIfStranded(rootFs, _))
-    // dynamic partition overwrite on every session whose conf a write may
-    // consult (the batch frame may belong to foreachBatch's cloned session)
-    val sessions = Set(spark, batch.sparkSession)
-    val prevConf = sessions.map(s =>
-      s -> s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")).toMap
-    sessions.foreach(_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic"))
-    try Caching.scope {
+    CorpusIngest.withDynamicOverwrite(spark, batch) { Caching.scope {
       // a replayed batch must not probe the rows IT wrote before crashing
       def idx(path: String, ddl: String) =
         CorpusIngest.readOrEmpty(spark, path, ddl)
@@ -277,10 +271,7 @@ object EmbeddingIngest {
         .toDF("ingest_batch", "n_in", "n_accepted")
         .write.mode("overwrite").partitionBy("ingest_batch").parquet(ledgerPath(cfg))
       nAccepted
-    } finally {
-      prevConf.foreach { case (s, v) =>
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", v) }
-    }
+    } }
   }
 
   /** Probe a batch against the ingested corpus WITHOUT ingesting — the

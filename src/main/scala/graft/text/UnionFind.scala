@@ -121,6 +121,19 @@ object UnionFind {
    */
   def increment(labels: DataFrame, merges: DataFrame, batchIds: DataFrame,
       batchPairs: DataFrame, crossPairs: DataFrame): (DataFrame, DataFrame) = {
+    val r = incrementFull(labels, merges, batchIds, batchPairs, crossPairs)
+    (r.newLabels, r.newMerges)
+  }
+
+  /** [[increment]]'s outputs plus the resolved root of every matched
+    * corpus doc — the extra frame the read-only probe report needs to
+    * count how many EXISTING clusters each would-be component touches. */
+  final case class Increment(newLabels: DataFrame, newMerges: DataFrame,
+      corpusRoots: DataFrame)
+
+  /** See [[increment]]; returns the full [[Increment]]. */
+  def incrementFull(labels: DataFrame, merges: DataFrame, batchIds: DataFrame,
+      batchPairs: DataFrame, crossPairs: DataFrame): Increment = {
     val rootOf = resolveMerges(merges)
     // resolved root of each DISTINCT matched corpus doc — the only label
     // rows the increment reads. LEFT join + loud tear check: the caller's
@@ -130,15 +143,19 @@ object UnionFind {
     // with no label row — silently dropping that pair evidence here would
     // mis-label forever, so refuse instead (the recluster epoch-stamp
     // discipline: a torn state must fail the read, not degrade it).
-    val matched = crossPairs.select(col("corpus_id")).distinct()
-      .join(labels.select(col("doc_id").as("corpus_id"), col("label")),
-        Seq("corpus_id"), "left")
+    // Cached: the tear check, the edge build, and every evaluation of the
+    // outputs read this frame — uncached it would re-scan the
+    // corpus-sized labels table once per consumer.
+    val matched = graft.Caching.scoped(
+      crossPairs.select(col("corpus_id")).distinct()
+        .join(labels.select(col("doc_id").as("corpus_id"), col("label")),
+          Seq("corpus_id"), "left"))
     val torn = matched.filter(col("label").isNull)
       .select(col("corpus_id")).limit(1).collect()
     require(torn.isEmpty,
-      s"corpus doc ${torn.headOption.map(_.getLong(0))} is indexed but has " +
-        "no label row — torn registry state; replay the writing batch " +
-        "before labeling against this corpus")
+      s"corpus doc ${torn.headOption.map(_.getLong(0)).getOrElse(-1L)} is " +
+        "indexed but has no label row — torn registry state; replay the " +
+        "writing batch before labeling against this corpus")
     val corpusRoots = matched
       .join(rootOf, col("label") === col("child"), "left")
       .select(col("corpus_id"), coalesce(col("root"), col("label")).as("root"))
@@ -161,6 +178,6 @@ object UnionFind {
       .join(cc, col("root") === col("id"))
       .filter(col("component") =!= col("root"))
       .select(col("root").as("child"), col("component").as("parent"))
-    (newLabels, newMerges)
+    Increment(newLabels, newMerges, corpusRoots)
   }
 }

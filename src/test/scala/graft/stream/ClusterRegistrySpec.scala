@@ -148,16 +148,26 @@ class ClusterRegistrySpec extends SparkSpec {
       batch0.toDF("doc_id", "text"), 0L) == 4L)
     assert(ClusterRegistry.ingestBatch(spark, cfg,
       batch1.toDF("doc_id", "text"), 1L) == 4L)
-    // what-if for batch2 plus a fresh doc: the x-variant joins cluster 1
-    // (no bridge), the bridge doc would land in cluster 4 having united
-    // TWO existing clusters (4 and 8), the fresh doc labels itself
+    // what-if for batch2 plus a fresh doc: the x-variant JOINS cluster 1
+    // (n_existing 1), the bridge doc would land in cluster 4 having
+    // united TWO existing clusters (4 and 8), the fresh doc is its own
+    // new cluster (0)
     val got = ClusterRegistry.probe(spark, cfg,
       (batch2 :+ (42L -> (1 to 20).map(i => s"fresh$i").mkString(" ")))
         .toDF("doc_id", "text"))
       .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
     graft.Caching.releaseAll()
-    assert(got == Map(9L -> ((1L, 0L)), 10L -> ((4L, 1L)), 42L -> ((42L, 0L))),
+    assert(got == Map(9L -> ((1L, 1L)), 10L -> ((4L, 2L)), 42L -> ((42L, 0L))),
       got.toString)
+    // a SMALLER-id arrival that joins one existing cluster: it would
+    // re-root the cluster to itself (label 0), but n_existing must still
+    // read 1 — one touched cluster is a join, not a bridge (counting
+    // merge ROWS would have mis-reported this as 1 bridge)
+    val got2 = ClusterRegistry.probe(spark, cfg,
+      Seq(0L -> xDoc(0)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    graft.Caching.releaseAll()
+    assert(got2 == Map(0L -> ((0L, 1L))), got2.toString)
     // read-only: no lock debris, no state change
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(cfg.root, "__ingest.lock")))

@@ -84,8 +84,9 @@ class EmbeddingClusterRegistrySpec extends SparkSpec {
     val got = EmbeddingClusterRegistry.probe(spark, cfg, df(batch2))
       .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
     graft.Caching.releaseAll()
-    // vec 9 would land in cluster 1, bridging clusters 1 and 2
-    assert(got == Map(9L -> ((1L, 1L))), got.toString)
+    // vec 9 would land in cluster 1, its component touching TWO existing
+    // clusters (1 and 2) — a bridge
+    assert(got == Map(9L -> ((1L, 2L))), got.toString)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(cfg.root, "__ingest.lock")))
     assert(spark.read.parquet(s"${cfg.root}/labels").count() == 6L)
