@@ -39,12 +39,18 @@ private[stream] object UnionFindTables {
       idx(labelsPath(root), labelsDdl), idx(mergesPath(root), mergesDdl),
       batchIds, batchPairs, crossPairs)
     val stamp = lit(batchId).as("ingest_batch")
+    // sorted by doc_id WITHIN the batch partition: the increment's pruned
+    // label fetch (UnionFind.MaxLabelFetchIds) skips row groups by min/max
+    // stats, so even not-yet-compacted appends carry useful stats
     newLabels.select(col("doc_id"), col("label"), stamp)
-      .write.mode("overwrite").partitionBy("ingest_batch")
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
       .parquet(labelsPath(root))
     val mergesOut = Caching.scoped(newMerges)
     mergesOut.select(col("child"), col("parent"), stamp)
-      .write.mode("overwrite").partitionBy("ingest_batch")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
       .parquet(mergesPath(root))
     mergesOut.count()
   }
@@ -135,6 +141,28 @@ private[stream] object UnionFindTables {
     inc.newLabels.join(nExisting, Seq("label"), "left")
       .select(col("doc_id"), col("label"),
         coalesce(col("n_existing"), lit(0L)).as("n_existing"))
+  }
+
+  /** Maintenance-time invariant audit (ADVICE round 9): every doc the
+    * signature index knows must hold a label row. The per-increment tear
+    * check ([[UnionFind.incrementFull]]) only fires when a torn doc later
+    * MATCHES new pair evidence — a torn doc that never matches again would
+    * otherwise stay probe-able in the index yet permanently absent from
+    * resolvedLabels / clusterStats / samplingWeights, with no diagnostic.
+    * compact() quiesces the registry, the one moment the full cross-table
+    * anti-join is cheap and race-free; failing here surfaces the orphan at
+    * maintenance time instead of never. One anti-join, first-orphan fetch. */
+  def auditNoOrphans(spark: SparkSession, root: String, indexIds: DataFrame,
+      what: String): Unit = {
+    val orphan = indexIds.select(col("doc_id")).distinct()
+      .join(CorpusIngest.readOrEmpty(spark, labelsPath(root), labelsDdl)
+        .select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .limit(1).collect()
+    require(orphan.isEmpty,
+      s"torn registry state in $what: doc ${orphan.head.getLong(0)} is " +
+        "indexed but has no label row — a batch's index write survived a " +
+        "crash its labels write did not, and the batch was never replayed; " +
+        "replay it (or remove the orphaned index rows) before compacting")
   }
 
   /** Path compression: fold `labels` to its RESOLVED form, then truncate
@@ -243,7 +271,8 @@ object ClusterRegistry {
     Seq(bandsPath(cfg), setsPath(cfg), UnionFindTables.labelsPath(cfg.root),
       UnionFindTables.mergesPath(cfg.root), ledgerPath(cfg))
       .foreach(CorpusIngest.rollbackIfStranded(fs, _))
-    CorpusIngest.withDynamicOverwrite(spark, batch) { Caching.scope {
+    CorpusIngest.requireAboveCompactionHwm(fs, cfg.root, batchId)
+    Caching.scope {
       def idx(path: String, ddl: String) =
         CorpusIngest.readOrEmpty(spark, path, ddl)
           .filter(col("ingest_batch") =!= batchId)
@@ -267,18 +296,21 @@ object ClusterRegistry {
       IngestLock.heartbeat(spark, lock)
       val stamp = lit(batchId).as("ingest_batch")
       batchBands.select(col("doc_id"), col("band"), col("sig"), stamp)
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(bandsPath(cfg))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(bandsPath(cfg))
       batchSets.select(col("doc_id"), col("s"), col("n"), stamp)
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(setsPath(cfg))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(setsPath(cfg))
       val nMerges = UnionFindTables.incrementAndAppend(spark, cfg.root,
         batchId, docs.select(col("doc_id")), batchPairs, crossPairs)
       val nIn = docs.count()
       val nPairs = crossPairs.count() + batchPairs.count()
       spark.createDataFrame(Seq((batchId, nIn, nPairs, nMerges)))
         .toDF("ingest_batch", "n_in", "n_pairs", "n_merges")
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(ledgerPath(cfg))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(ledgerPath(cfg))
       nIn
-    } }
+    }
   }
 
   /** Probe a batch WITHOUT labeling it — the read-only what-if face
@@ -355,6 +387,12 @@ object ClusterRegistry {
         s"cluster-compact-${java.util.UUID.randomUUID()}", cfg.lockStaleMs) { lock =>
       val fs = new org.apache.hadoop.fs.Path(cfg.root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // audit BEFORE any fold: a failure must leave the state untouched
+      UnionFindTables.auditNoOrphans(spark, cfg.root,
+        CorpusIngest.readOrEmpty(spark, setsPath(cfg), setsDdl)
+          .select(col("doc_id")), cfg.root)
+      CorpusIngest.markCompactionHwm(fs, cfg.root,
+        CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
       Seq(bandsPath(cfg), setsPath(cfg)).foreach { dir =>
         IngestLock.heartbeat(spark, lock)
         CorpusIngest.foldBatchPartitions(spark, fs, dir)
@@ -429,7 +467,8 @@ object EmbeddingClusterRegistry {
     Seq(bandsPath(cfg), vecsPath(cfg), UnionFindTables.labelsPath(cfg.root),
       UnionFindTables.mergesPath(cfg.root), ledgerPath(cfg))
       .foreach(CorpusIngest.rollbackIfStranded(fs, _))
-    CorpusIngest.withDynamicOverwrite(spark, batch) { Caching.scope {
+    CorpusIngest.requireAboveCompactionHwm(fs, cfg.root, batchId)
+    Caching.scope {
       def idx(path: String, ddl: String) =
         CorpusIngest.readOrEmpty(spark, path, ddl)
           .filter(col("ingest_batch") =!= batchId)
@@ -448,9 +487,11 @@ object EmbeddingClusterRegistry {
       IngestLock.heartbeat(spark, lock)
       val stamp = lit(batchId).as("ingest_batch")
       batchBands.select(col("vec_id"), col("band"), col("bv"), stamp)
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(bandsPath(cfg))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(bandsPath(cfg))
       batchVecs.select(col("vec_id"), col("e"), col("n"), stamp)
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(vecsPath(cfg))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(vecsPath(cfg))
       val nMerges = UnionFindTables.incrementAndAppend(spark, cfg.root,
         batchId, batchVecs.select(col("vec_id").as("doc_id")),
         batchPairs, crossPairs)
@@ -458,9 +499,10 @@ object EmbeddingClusterRegistry {
       val nPairs = crossPairs.count() + batchPairs.count()
       spark.createDataFrame(Seq((batchId, nIn, nPairs, nMerges)))
         .toDF("ingest_batch", "n_in", "n_pairs", "n_merges")
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(ledgerPath(cfg))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(ledgerPath(cfg))
       nIn
-    } }
+    }
   }
 
   /** Probe a batch of vectors WITHOUT labeling — the read-only what-if
@@ -524,6 +566,12 @@ object EmbeddingClusterRegistry {
         cfg.lockStaleMs) { lock =>
       val fs = new org.apache.hadoop.fs.Path(cfg.root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // audit BEFORE any fold: a failure must leave the state untouched
+      UnionFindTables.auditNoOrphans(spark, cfg.root,
+        CorpusIngest.readOrEmpty(spark, vecsPath(cfg), vecsDdl)
+          .select(col("vec_id").as("doc_id")), cfg.root)
+      CorpusIngest.markCompactionHwm(fs, cfg.root,
+        CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
       Seq(bandsPath(cfg), vecsPath(cfg)).foreach { dir =>
         IngestLock.heartbeat(spark, lock)
         CorpusIngest.foldBatchPartitions(spark, fs, dir)

@@ -111,23 +111,13 @@ object CorpusIngest {
     }
   }
 
-  /** Run `body` with dynamic partition-overwrite set on every session
-    * whose conf the writes may consult (foreachBatch hands a CLONED
-    * session; a static mode would silently turn the per-partition
-    * overwrite into a whole-table overwrite and erase previously accepted
-    * batches), restoring the prior values after. Shared by every ingest
-    * path ([[ingestBatch]], [[EmbeddingIngest.ingestBatch]], the cluster
-    * registries). */
-  private[stream] def withDynamicOverwrite[A](spark: SparkSession,
-      batch: DataFrame)(body: => A): A = {
-    val sessions = Set(spark, batch.sparkSession)
-    val prev = sessions.map(s =>
-      s -> s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")).toMap
-    sessions.foreach(_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic"))
-    try body
-    finally prev.foreach { case (s, v) =>
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", v) }
-  }
+  // Every partitioned state overwrite sets partitionOverwriteMode=dynamic
+  // PER WRITE via DataFrameWriter.option (which takes precedence over the
+  // session conf, SPARK-20236). The prior session-conf toggle was not
+  // reentrant: with four ingest paths sharing one SparkSession, one path's
+  // finally-restore could flip the mode back to `static` while another
+  // path's partitioned overwrite was being planned — silently truncating
+  // the whole table instead of its own partition (ADVICE round 9).
 
   /** A compact() that died between its two renames leaves a table
     * stranded at `<dir>.__old` — roll it back (the StateStore.read
@@ -139,6 +129,67 @@ object CorpusIngest {
     val old = new org.apache.hadoop.fs.Path(dir + ".__old")
     if (!fs.exists(p) && fs.exists(old))
       require(fs.rename(old, p), s"state rollback failed: $old -> $p")
+  }
+
+  // ---- compaction high-water mark (ADVICE round 9) --------------------
+  // After a compaction folds per-batch partitions into `-1`, an
+  // at-least-once replay of a PRE-compaction batch id (a stream restarted
+  // from an older checkpoint) would re-append rows that already live in
+  // the folded partition — silent duplication that double-counts every
+  // downstream aggregate. The fold records the highest batch id it
+  // subsumes as an empty marker file `_compact_hwm/<id>` (create-only and
+  // monotone: no rename/delete window can lose the mark), and every
+  // ingest refuses batch ids at or below it.
+
+  private def hwmDir(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/_compact_hwm")
+
+  /** Highest batch id any compaction of `root` has folded;
+    * Long.MinValue when none ran. */
+  private[stream] def compactionHwm(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Long = {
+    val d = hwmDir(root)
+    if (!fs.exists(d)) Long.MinValue
+    else fs.listStatus(d).map(_.getPath.getName)
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+      .foldLeft(Long.MinValue)(math.max)
+  }
+
+  /** Record the mark BEFORE folding (callers pass the ledger's max batch
+    * id): a crash between marker and fold merely refuses replays of
+    * batches whose partitions are still intact — safe, their rows are
+    * present either way. The reverse order would leave a fold-then-crash
+    * window where the silent re-append is back. */
+  private[stream] def markCompactionHwm(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, hwm: Long): Unit =
+    if (hwm > compactionHwm(fs, root)) {
+      val d = hwmDir(root)
+      if (!fs.exists(d)) fs.mkdirs(d)
+      fs.create(new org.apache.hadoop.fs.Path(d, hwm.toString), true).close()
+    }
+
+  /** Max batch id the ledger has recorded — what a compaction is about to
+    * subsume. The ledgers stay per-batch through every fold, so this is
+    * the root's full ingest history. */
+  private[stream] def ledgerMaxBatch(spark: SparkSession,
+      ledgerPath: String): Long = {
+    // cast: partition-column type inference reads small batch ids as INT
+    val r = readOrEmpty(spark, ledgerPath, "ingest_batch BIGINT")
+      .agg(max(col("ingest_batch").cast("long"))).first
+    if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+  }
+
+  /** The loud refusal: a batch at or below the high-water mark must not
+    * re-ingest (its own partition was deleted by the fold; a dynamic
+    * overwrite would duplicate its rows next to the compacted copy).
+    * The repair is advancing the stream checkpoint past the mark. */
+  private[stream] def requireAboveCompactionHwm(
+      fs: org.apache.hadoop.fs.FileSystem, root: String, batchId: Long): Unit = {
+    val hwm = compactionHwm(fs, root)
+    require(batchId > hwm,
+      s"batch $batchId is at or below the compaction high-water mark $hwm " +
+        "— its rows were folded into the compacted state and a replay " +
+        "would duplicate them; advance the stream checkpoint past the mark")
   }
 
   /** The lock owner of a batch is its STABLE identity — checkpoint dir +
@@ -169,11 +220,12 @@ object CorpusIngest {
       postingsPath(cfg), docstatsPath(cfg), mgPath(cfg), phashPath(cfg),
       ledgerPath(cfg))
       .foreach(rollbackIfStranded(rootFs, _))
+    requireAboveCompactionHwm(rootFs, cfg.corpusRoot, batchId)
     // Caching.scope: the batch's cached intermediates are released when the
     // batch ends — and ONLY them, never a concurrent pipeline's caches (a
     // blanket releaseAll here would silently uncache an enclosing job's
     // scoped frames mid-flight)
-    withDynamicOverwrite(spark, batch) { Caching.scope {
+    Caching.scope {
       // a replayed batch must not probe the rows IT wrote before crashing —
       // its decisions would then flip from accept to reject
       def idx(path: String, ddl: String) =
@@ -242,15 +294,19 @@ object CorpusIngest {
       IngestLock.heartbeat(spark, lock)
       val stamp = lit(batchId).as("ingest_batch")
       accepted.select(col("doc_id"), col("text"), stamp)
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(docsPath(cfg))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(docsPath(cfg))
       accepted.select(col("text_hash"), stamp)
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(hashesPath(cfg))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(hashesPath(cfg))
       def ofAccepted(f: DataFrame) =
         f.join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi")
       ofAccepted(freshBands).select(col("doc_id"), col("band"), col("sig"), stamp)
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(bandsPath(cfg))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(bandsPath(cfg))
       ofAccepted(freshSets).select(col("doc_id"), col("s"), col("n"), stamp)
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(setsPath(cfg))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(setsPath(cfg))
       // the lexical index layer: postings of the accepted docs plus the
       // batch's 1-row additive corpus statistics — together exactly what
       // [[search]] needs, and additive across batches (postings of disjoint
@@ -258,10 +314,12 @@ object CorpusIngest {
       // monolithic N/Σdl), so the incremental build IS the full rebuild
       TextOps.invertedIndex(accepted, "doc_id", "text")
         .select(col("word"), col("doc_id"), col("tf"), col("dl"), stamp)
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(postingsPath(cfg))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(postingsPath(cfg))
       TextOps.corpusStats(accepted, "doc_id", "text")
         .select(col("n_docs"), col("dl_sum"), stamp)
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(docstatsPath(cfg))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(docstatsPath(cfg))
       // the vocabulary-frequency layer: one mergeable Misra–Gries summary
       // of the batch's accepted words — summaries of disjoint batches sum
       // to a whole-corpus summary with the same n/(k+1) bound, so
@@ -270,7 +328,8 @@ object CorpusIngest {
         accepted.select(explode(TextOps.wordsOf(col("text"))).as("word")),
         "word", cfg.mgK)
         .select(col("token").as("word"), col("cnt"), stamp)
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(mgPath(cfg))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(mgPath(cfg))
       // the multimodal near-dup layer: banded perceptual-hash signatures of
       // the accepted payloads (here the docs' UTF-8 bytes — real media rows
       // would land their binary column in the same table), append-only like
@@ -281,7 +340,8 @@ object CorpusIngest {
       graft.ml.Multimodal.phashBands(
         graft.ml.Multimodal.withPayload(accepted, "doc_id", "text"))
         .select(col("doc_id"), col("phash"), col("band"), col("v"), stamp)
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(phashPath(cfg))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(phashPath(cfg))
 
       // norm is a pure select over the batch (same cardinality) and already
       // cached by the dedup pipeline — counting it avoids rescanning source
@@ -289,9 +349,10 @@ object CorpusIngest {
       val nAccepted = accepted.count()
       spark.createDataFrame(Seq((batchId, nIn, nAccepted)))
         .toDF("ingest_batch", "n_in", "n_accepted")
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(ledgerPath(cfg))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(ledgerPath(cfg))
       nAccepted
-    } }
+    }
   }
 
   /**
@@ -503,6 +564,10 @@ object CorpusIngest {
         s"compact-${java.util.UUID.randomUUID()}", cfg.lockStaleMs) { lock =>
     val fs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // mark the high-water batch id FIRST (see [[markCompactionHwm]]) so a
+    // pre-compaction replay can never silently duplicate folded rows
+    markCompactionHwm(fs, cfg.corpusRoot,
+      ledgerMaxBatch(spark, ledgerPath(cfg)))
     // the ledger stays per-batch: its ingest_batch is the AUDIT key, not
     // provenance, and one row per batch never needs compaction
     Seq(docsPath(cfg), hashesPath(cfg), bandsPath(cfg), setsPath(cfg),

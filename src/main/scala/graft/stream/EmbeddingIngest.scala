@@ -77,7 +77,8 @@ object EmbeddingIngest {
     "vec_id BIGINT, centroid_id BIGINT, epoch BIGINT, ingest_batch BIGINT"
   private val pqcbDdl =
     "j INT, code_id BIGINT, ce ARRAY<DOUBLE>, frozen_batch BIGINT"
-  private val pqDdl = "vec_id BIGINT, j INT, code_id BIGINT, ingest_batch BIGINT"
+  private val pqDdl =
+    "vec_id BIGINT, j INT, code_id BIGINT, epoch BIGINT, ingest_batch BIGINT"
 
   /** Stable lock identity — see [[CorpusIngest.batchLockOwner]]. */
   def batchLockOwner(cfg: IngestConfig, batchId: Long): String =
@@ -127,7 +128,8 @@ object EmbeddingIngest {
     Seq(vecsPath(cfg), bandsPath(cfg), ledgerPath(cfg), ivfPath(cfg),
         centroidsPath(cfg), pqPath(cfg), pqCodebooksPath(cfg))
       .foreach(CorpusIngest.rollbackIfStranded(rootFs, _))
-    CorpusIngest.withDynamicOverwrite(spark, batch) { Caching.scope {
+    CorpusIngest.requireAboveCompactionHwm(rootFs, cfg.corpusRoot, batchId)
+    Caching.scope {
       // a replayed batch must not probe the rows IT wrote before crashing
       def idx(path: String, ddl: String) =
         CorpusIngest.readOrEmpty(spark, path, ddl)
@@ -180,10 +182,12 @@ object EmbeddingIngest {
       accepted
         .join(batch.select(col("vec_id"), col("embedding")), Seq("vec_id"))
         .select(col("vec_id"), col("embedding"), col("n"), stamp)
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(vecsPath(cfg))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(vecsPath(cfg))
       batchBands.join(accepted.select(col("vec_id")), Seq("vec_id"), "left_semi")
         .select(col("vec_id"), col("band"), col("bv"), stamp)
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(bandsPath(cfg))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(bandsPath(cfg))
 
       // ---- IVF search-index layer: frozen codebook, append-only lists ----
       // The codebook freezes ONCE — at the first batch where any
@@ -235,7 +239,8 @@ object EmbeddingIngest {
       VectorOps.ivfAssign(codebook, targets)
         .select(col("vec_id"), col("centroid_id"),
           lit(cbEpoch).as("epoch"), stamp)
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(ivfPath(cfg))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(ivfPath(cfg))
 
       // ---- PQ code layer: frozen per-subspace codebooks, append-only
       // codes — the same freeze/backfill/append discipline as the IVF
@@ -259,19 +264,31 @@ object EmbeddingIngest {
         CorpusIngest.swapWrite(rootFs, pqCodebooksPath(cfg),
           pqCb.withColumn("frozen_batch", lit(batchId)))
       }
+      // the PQ layer carries the same per-generation epoch discipline as
+      // the IVF layer: every code row is stamped with the codebook
+      // generation it was encoded against, and appends against a torn
+      // state (codebooks swapped by a died recluster, codes not) refuse
+      val pqEpoch =
+        if (pqFreezing) batchId
+        else priorPqCb.agg(max(col("frozen_batch"))).first.getLong(0)
+      requireEpochCoherent(pqEpoch,
+        idx(pqPath(cfg), pqDdl).select(col("epoch")), "ingest-pq")
       IngestLock.heartbeat(spark, lock)
       VectorOps.pqEncodeWith(pqCb,
           pqTargets.select(col("vec_id"), col("e")), cfg.pqM)
-        .select(col("vec_id"), col("j"), col("code_id"), stamp)
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(pqPath(cfg))
+        .select(col("vec_id"), col("j"), col("code_id"),
+          lit(pqEpoch).as("epoch"), stamp)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(pqPath(cfg))
 
       val nIn = batchVecs.count()
       val nAccepted = accepted.count()
       spark.createDataFrame(Seq((batchId, nIn, nAccepted)))
         .toDF("ingest_batch", "n_in", "n_accepted")
-        .write.mode("overwrite").partitionBy("ingest_batch").parquet(ledgerPath(cfg))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(ledgerPath(cfg))
       nAccepted
-    } }
+    }
   }
 
   /** Probe a batch against the ingested corpus WITHOUT ingesting — the
@@ -332,16 +349,51 @@ object EmbeddingIngest {
   def searchPq(spark: SparkSession, cfg: IngestConfig, probes: DataFrame,
       k: Int = 10, rerank: Int = 150): DataFrame = {
     val (cents, assigns) = loadCoherentIvf(spark, cfg)
-    val codes = CorpusIngest.readOrEmptyRO(spark, pqPath(cfg), pqDdl)
-      .select(col("vec_id"), col("j"), col("code_id"))
-    val cbs = CorpusIngest.readOrEmptyRO(spark, pqCodebooksPath(cfg), pqcbDdl)
-      .select(col("j"), col("code_id"), col("ce"))
+    val (cbs, codes) = loadCoherentPq(spark, cfg)
     val vecs = CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg),
       "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
         col("n"))
-    VectorOps.ivfPqSearchIndexed(cents, assigns, codes, cbs, vecs, probes,
+    VectorOps.ivfPqSearchIndexed(cents, assigns,
+      codes.select(col("vec_id"), col("j"), col("code_id")),
+      cbs.select(col("j"), col("code_id"), col("ce")), vecs, probes,
       nprobe = cfg.nprobe, m = cfg.pqM, k = k, rerank = rerank)
+  }
+
+  /** Codebooks + epoch-checked codes for the PQ read faces ([[searchPq]],
+    * [[pqDriftReport]]) — the PQ twin of [[loadCoherentIvf]]: lock-free,
+    * reads through stranded compactions, refuses an epoch tear (a
+    * recluster died between the codebook and code swaps) loudly instead of
+    * ADC-scoring codes against codewords that no longer exist. */
+  private def loadCoherentPq(spark: SparkSession,
+      cfg: IngestConfig): (DataFrame, DataFrame) = {
+    val cbs = CorpusIngest.readOrEmptyRO(spark, pqCodebooksPath(cfg), pqcbDdl)
+    val codes = CorpusIngest.readOrEmptyRO(spark, pqPath(cfg), pqDdl)
+    val epochs = cbs.select(col("frozen_batch")).distinct()
+      .collect().map(_.getLong(0))
+    require(epochs.length <= 1,
+      s"corrupt PQ codebooks: multiple frozen_batch stamps ${epochs.toSeq}")
+    epochs.foreach(requireEpochCoherent(_, codes.select(col("epoch")), "read-pq"))
+    (cbs, codes)
+  }
+
+  /** PQ reconstruction-error drift gauge over the persisted code tables
+    * ([[VectorOps.pqReconstructionError]]) — the quantization twin of
+    * [[driftReport]]: per subspace, how far the ingested corpus sits from
+    * its frozen codewords. Rising mean_d2 says the seed-frozen codebooks
+    * no longer describe the corpus and ADC shortlists are silently
+    * degrading (the exact re-rank hides it until true neighbors miss the
+    * shortlist entirely) — [[recluster]] retrains the codebooks and
+    * backfills the codes. Takes no lock, writes nothing. */
+  def pqDriftReport(spark: SparkSession, cfg: IngestConfig): DataFrame = {
+    val (cbs, codes) = loadCoherentPq(spark, cfg)
+    val vecs = CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg),
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    VectorOps.pqReconstructionError(
+      cbs.select(col("j"), col("code_id"), col("ce")),
+      codes.select(col("vec_id"), col("j"), col("code_id")),
+      vecs, m = cfg.pqM)
   }
 
   /** The `frozen_batch` stamp of the FIRST reclustered codebook. Negative so
@@ -370,12 +422,15 @@ object EmbeddingIngest {
   }
 
   /**
-   * Recluster the IVF layer: retrain the codebook on the CURRENT corpus and
-   * rebuild every bucket assignment — the locked compaction that answers a
-   * drifted [[driftReport]]. The retrain uses the same deterministic
-   * centroid rule as the freeze (`vec_id % centroidMod == 0`), now over the
-   * full ingested corpus, so post-drift vectors are centroid-eligible and
-   * the buckets re-balance around where the corpus actually lives.
+   * Recluster the quantization layers: retrain the IVF codebook AND the PQ
+   * sub-codebooks on the CURRENT corpus and rebuild every assignment/code —
+   * the locked compaction that answers a drifted [[driftReport]] /
+   * [[pqDriftReport]]. The coarse retrain seeds deterministically
+   * (`vec_id % centroidMod == 0`, so post-drift vectors are
+   * centroid-eligible) and refines by Lloyd passes
+   * ([[VectorOps.kmeansCentroids]]) so buckets re-center on where the
+   * corpus actually lives; the PQ codewords re-pick from the current
+   * corpus and every vector re-encodes.
    *
    * Discipline matches [[compact]]: corpus [[IngestLock]] held throughout
    * (a concurrent ingest refuses instead of appending against a codebook
@@ -411,10 +466,12 @@ object EmbeddingIngest {
         val epoch =
           if (priorEpoch.isNullAt(0)) ReclusterStamp
           else math.min(ReclusterStamp, priorEpoch.getLong(0) - 1)
-        val codebook = vecs
-          .filter(pmod(col("vec_id"), lit(cfg.centroidMod)) === 0)
-          .select(col("vec_id").as("centroid_id"),
-            col("e").as("ce"), col("n").as("cn"))
+        // RETRAIN, not re-pick: mod-sampled seeds refined by Lloyd passes
+        // over the current corpus ([[VectorOps.kmeansCentroids]]) — the
+        // post-drift corpus pulls each centroid to where its bucket
+        // actually lives, instead of hoping a modulus landed a vector
+        // there (VERDICT r9 item 4). Centroid ids stay the seed ids.
+        val codebook = VectorOps.kmeansCentroids(vecs, cfg.centroidMod)
           .localCheckpoint()
         IngestLock.heartbeat(spark, lock)
         CorpusIngest.swapWrite(fs, centroidsPath(cfg),
@@ -426,6 +483,35 @@ object EmbeddingIngest {
           .localCheckpoint()
         IngestLock.heartbeat(spark, lock)
         CorpusIngest.swapWrite(fs, ivfPath(cfg), assigns,
+          partitionCols = Seq("ingest_batch"))
+
+        // ---- PQ half of the drift repair (VERDICT r9 item 4): retrain
+        // the per-subspace codebooks on the CURRENT corpus and backfill
+        // every code, under the same two-swap + epoch discipline. Without
+        // this the pqcb/ tables stay frozen at the seed distribution
+        // forever and ADC shortlists degrade with no repair path.
+        CorpusIngest.rollbackIfStranded(fs, pqPath(cfg))
+        CorpusIngest.rollbackIfStranded(fs, pqCodebooksPath(cfg))
+        val priorPqEpoch = CorpusIngest.readOrEmpty(spark,
+            pqCodebooksPath(cfg), pqcbDdl).agg(min(col("frozen_batch"))).first
+        val pqEpoch =
+          if (priorPqEpoch.isNullAt(0)) ReclusterStamp
+          else math.min(ReclusterStamp, priorPqEpoch.getLong(0) - 1)
+        val pqCb = VectorOps.pqCodebooks(
+            vecs.select(col("vec_id"), col("e").as("embedding")),
+            m = cfg.pqM, codebookMod = cfg.pqCodebookMod)
+          .localCheckpoint()
+        IngestLock.heartbeat(spark, lock)
+        CorpusIngest.swapWrite(fs, pqCodebooksPath(cfg),
+          pqCb.withColumn("frozen_batch", lit(pqEpoch)))
+        val codes = VectorOps.pqEncodeWith(pqCb,
+            vecs.select(col("vec_id"), col("e")), cfg.pqM)
+          .select(col("vec_id"), col("j"), col("code_id"))
+          .withColumn("epoch", lit(pqEpoch))
+          .withColumn("ingest_batch", lit(-1L))
+          .localCheckpoint()
+        IngestLock.heartbeat(spark, lock)
+        CorpusIngest.swapWrite(fs, pqPath(cfg), codes,
           partitionCols = Seq("ingest_batch"))
       }
     }
@@ -439,6 +525,9 @@ object EmbeddingIngest {
         s"compact-${java.util.UUID.randomUUID()}", cfg.lockStaleMs) { lock =>
       val fs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // high-water mark before the fold (see CorpusIngest.markCompactionHwm)
+      CorpusIngest.markCompactionHwm(fs, cfg.corpusRoot,
+        CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
       Seq(vecsPath(cfg), bandsPath(cfg), ivfPath(cfg), pqPath(cfg)).foreach { dir =>
         IngestLock.heartbeat(spark, lock)
         CorpusIngest.foldBatchPartitions(spark, fs, dir)

@@ -119,23 +119,15 @@ object PartitionedState {
     val withPart = next.withColumn(PartCol, monthOf(col(dateCol)))
     val remaining = withPart.select(col(PartCol)).distinct()
       .collect().map(_.getString(0)).toSet
-    withDynamicOverwrite(spark) {
-      withPart.write.partitionBy(PartCol).mode("overwrite").parquet(dir)
-    }
+    // per-write dynamic overwrite (the option beats the session conf,
+    // SPARK-20236) — a session-conf toggle is not safe under concurrent
+    // writers sharing the session (ADVICE round 9)
+    withPart.write.partitionBy(PartCol).mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.filterNot(remaining).foreach { m =>
       fs.delete(new Path(s"$dir/$PartCol=$m"), true)
     }
   }
 
-  private def withDynamicOverwrite[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
 }

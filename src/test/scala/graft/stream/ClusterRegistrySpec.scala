@@ -129,6 +129,61 @@ class ClusterRegistrySpec extends SparkSpec {
     assert(resolved(cfg)(11L) == before(1L))
   }
 
+  test("partitioned appends ignore the session overwrite mode (per-write option)") {
+    // ADVICE r9: the overwrite mode is set per write, so another pipeline
+    // flipping the SESSION conf back to `static` mid-run (the old
+    // withDynamicOverwrite restore race) can no longer turn a batch's
+    // own-partition overwrite into a whole-table truncation
+    val cfg = ClusterRegistry.RegistryConfig("unused", tmpDir(), "unused")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "static")
+      assert(ClusterRegistry.ingestBatch(spark, cfg,
+        batch0.toDF("doc_id", "text"), 0L) == 4L)
+      assert(ClusterRegistry.ingestBatch(spark, cfg,
+        batch1.toDF("doc_id", "text"), 1L) == 4L)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // batch 0's labels survived batch 1's overwrite-mode write
+    assert(spark.read.parquet(s"${cfg.root}/labels").count() == 8L)
+  }
+
+  test("a pre-compaction batch id refuses to replay against the folded registry") {
+    val cfg = ClusterRegistry.RegistryConfig("unused", tmpDir(), "unused")
+    ingestAll(cfg)
+    ClusterRegistry.compact(spark, cfg)
+    val e = intercept[IllegalArgumentException] {
+      ClusterRegistry.ingestBatch(spark, cfg,
+        batch2.toDF("doc_id", "text"), 2L)
+    }
+    assert(e.getMessage.contains("high-water mark"), e.getMessage)
+    // no duplicate label rows appeared, and fresh ids above the mark work
+    assert(spark.read.parquet(s"${cfg.root}/labels").count() == allDocs.size.toLong)
+    assert(ClusterRegistry.ingestBatch(spark, cfg,
+      Seq(12L -> xDoc(0)).toDF("doc_id", "text"), 3L) == 1L)
+  }
+
+  test("compact audits the index/labels invariant and refuses on orphans") {
+    val cfg = ClusterRegistry.RegistryConfig("unused", tmpDir(), "unused")
+    ingestAll(cfg)
+    // simulate a torn batch that was never replayed: index rows survive,
+    // the labels table is gone — the doc would otherwise stay probe-able
+    // yet permanently invisible to resolvedLabels/clusterStats
+    def rmrf(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmrf(_))
+      java.nio.file.Files.deleteIfExists(p): Unit
+    }
+    rmrf(java.nio.file.Paths.get(cfg.root, "labels"))
+    val e = intercept[IllegalArgumentException] {
+      ClusterRegistry.compact(spark, cfg)
+    }
+    assert(e.getMessage.contains("no label row"), e.getMessage)
+  }
+
   test("sameCluster answers pair probes from the resolved labels") {
     val cfg = ClusterRegistry.RegistryConfig("unused", tmpDir(), "unused")
     ingestAll(cfg)

@@ -73,6 +73,27 @@ class CorpusIngestSpec extends SparkSpec {
     assert(acceptedIds(cfg) == Set(1L, 2L, 12L))
   }
 
+  test("a pre-compaction batch id refuses to replay (high-water mark); fresh ids proceed") {
+    val root = tmpDir()
+    val cfg = CorpusIngest.IngestConfig("unused", root, "unused")
+    CorpusIngest.ingestBatch(spark, cfg, Seq(1L -> base).toDF("doc_id", "text"), 0L)
+    CorpusIngest.ingestBatch(spark, cfg, Seq(2L -> unrelated).toDF("doc_id", "text"), 1L)
+    CorpusIngest.compact(spark, cfg)
+    // the fold deleted batch 0's own partition; a replay (stream restarted
+    // from an older checkpoint) would re-append rows next to the compacted
+    // copy — refuse loudly instead of silently duplicating
+    val e = intercept[IllegalArgumentException] {
+      CorpusIngest.ingestBatch(spark, cfg,
+        Seq(1L -> base).toDF("doc_id", "text"), 0L)
+    }
+    assert(e.getMessage.contains("high-water mark"), e.getMessage)
+    // rows unchanged by the refused replay; ids above the mark still ingest
+    assert(acceptedIds(cfg) == Set(1L, 2L))
+    assert(CorpusIngest.ingestBatch(spark, cfg,
+      Seq(3L -> (1 to 20).map(i => s"fresh$i").mkString(" "))
+        .toDF("doc_id", "text"), 2L) == 1L)
+  }
+
   test("a doc rejected by the corpus cannot drag its batch near-dups down with it") {
     // Z accepted; next batch holds Y (near-dup of Z) and X (near-dup of Y
     // but NOT of Z). Y must be rejected by the index probe BEFORE the
