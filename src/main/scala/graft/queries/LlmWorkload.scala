@@ -259,6 +259,21 @@ object LlmWorkload {
     VectorOps.ivfBucketHealth(cents, VectorOps.ivfBuckets(cents, emb))
   }
 
+  /** PQ reconstruction-error drift gauge ([[VectorOps.pqReconstructionError]],
+    * the quantization twin of [[annIvfDrift]]): codebooks frozen on the
+    * even-id SEED half, every vector encoded and scored against its
+    * codeword — per subspace, the mean/max squared reconstruction error a
+    * drifted corpus inflates. The batch-query face of
+    * [[graft.stream.EmbeddingIngest.pqDriftReport]]. */
+  def annPqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val v = graft.Caching.scoped(emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e")))
+    val cbs = graft.Caching.scoped(VectorOps.pqCodebooks(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0)))
+    VectorOps.pqReconstructionError(cbs, VectorOps.pqEncodeWith(cbs, v), v)
+  }
+
   /** Filtered vector search: top-k neighbors among ENGLISH documents only
     * (the embedding ids are the doc ids); the predicate prunes the corpus
     * before any distance arithmetic. */
@@ -719,12 +734,22 @@ object LlmWorkload {
     * COMPOSITION — joins stay doc_id-keyed (co-partitioned after one
     * shuffle), aggregates are integer or order-independent, nothing
     * materializes between stages. */
-  def pipelineTrainReady(spark: SparkSession, dir: String): DataFrame = {
+  def pipelineTrainReady(spark: SparkSession, dir: String): DataFrame =
+    trainReadyReport(spark, dir, sharedMinhashComponents(spark, dir)
+      .select(col("id").as("doc_id"), col("component")))
+
+  /** The train-ready report body shared by [[pipelineTrainReady]] (labels
+    * recomputed from the batch pair graph) and
+    * [[pipelineTrainReadyRegistry]] (labels read from the persisted
+    * union-find registry): `comp` is (doc_id, component); docs without a
+    * row label themselves — so a label source covering every doc
+    * (registry) and one covering only paired docs (batch CC) produce
+    * identical reports. */
+  private def trainReadyReport(spark: SparkSession, dir: String,
+      comp: DataFrame): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val canonical = TextOps.exactDedup(docs, "doc_id", "text")
       .filter(!col("is_dup")).select(col("doc_id"))
-    val comp = sharedMinhashComponents(spark, dir)
-      .select(col("id").as("doc_id"), col("component"))
     val quality = TextOps.textStats(docs, "doc_id", "text")
       .select(col("doc_id"), col("quality_score"))
     val lang = TextOps.langId(docs, "doc_id", "text")
@@ -742,6 +767,74 @@ object LlmWorkload {
         sum(col("ws_tokens")).as("tok_sum"),
         min(col("quality_score")).as("min_q"),
         max(col("quality_score")).as("max_q"))
+  }
+
+  // --- registry-served entries: the PERSISTED union-find registry -------
+
+  /** The documents corpus ingested ONCE per (session × dir) through the
+    * streaming [[graft.stream.ClusterRegistry]] — three mod-3 arrival
+    * batches appended to an on-disk union-find registry root
+    * ([[SharedIndexes.dir]]), exactly the state a production deployment
+    * holds in storage. The registry_* gate entries below serve DECISIONS
+    * (health stats, sampling weights, keep-best) off this persisted state
+    * and hash-match the same DuckDB replays as their batch twins — so the
+    * full streaming path (signature index, probe, increment, append,
+    * resolve) is pinned end-to-end by the oracle gate, not only by specs.
+    * Same MinHash parameters and 0.8 threshold as [[sharedMinhashPairs]]. */
+  private def sharedClusterRegistry(spark: SparkSession,
+      dir: String): graft.stream.ClusterRegistry.RegistryConfig = {
+    val root = SharedIndexes.dir(s"cluster-registry:$dir") { d =>
+      val cfg = graft.stream.ClusterRegistry.RegistryConfig("unused", d, "unused")
+      val docs = Tables(spark, dir, "documents")
+      (0 until 3).foreach { b =>
+        graft.stream.ClusterRegistry.ingestBatch(spark, cfg,
+          docs.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong): Unit
+      }
+    }
+    graft.stream.ClusterRegistry.RegistryConfig("unused", root, "unused")
+  }
+
+  /** Registry health report served from the persisted union-find state
+    * ([[graft.stream.ClusterRegistry.clusterStats]]): cluster count, doc
+    * count, largest cluster, duplicate surplus — one groupBy + one 1-row
+    * aggregate over the resolved labels, no signature or pair recompute. */
+  def registryClusterStats(spark: SparkSession, dir: String): DataFrame =
+    graft.stream.ClusterRegistry.clusterStats(spark,
+      sharedClusterRegistry(spark, dir))
+
+  /** 1/|cluster| sampling weights served from the persisted registry —
+    * the state-reading twin of [[dedupSamplingWeights]] (which recomputes
+    * the pair graph): must produce the identical rows. */
+  def registrySamplingWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.stream.ClusterRegistry.samplingWeights(spark,
+      sharedClusterRegistry(spark, dir))
+
+  /** Keep-best canonical picks served from the persisted registry with
+    * quality scores as the ranking — the state-reading twin of
+    * [[dedupKeepBest]]: one window over (scores ⋈ resolved labels). */
+  def registryKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val scores = TextOps.textStats(Tables(spark, dir, "documents"),
+      "doc_id", "text")
+      .select(col("doc_id"), col("quality_score").as("score"))
+    graft.stream.ClusterRegistry.keepBest(spark,
+      sharedClusterRegistry(spark, dir), scores)
+      .select(col("label").as("component"), col("kept_doc"),
+        col("score").as("quality_score"))
+  }
+
+  /** [[pipelineTrainReady]] served from REGISTRY state: the same
+    * train-ready mix report, but cluster labels read from the persisted
+    * union-find tables instead of recomputing components from the batch
+    * pair graph — at 100 TB this is the report's real shape (the registry
+    * exists precisely so the nightly mix report never re-shuffles the
+    * corpus pair graph). Hash-matches the SAME oracle as the batch entry:
+    * where the labels come from is an implementation detail the report
+    * may not leak. */
+  def pipelineTrainReadyRegistry(spark: SparkSession, dir: String): DataFrame = {
+    val comp = graft.stream.ClusterRegistry.resolvedLabels(spark,
+        sharedClusterRegistry(spark, dir))
+      .select(col("doc_id"), col("label").as("component"))
+    trainReadyReport(spark, dir, comp)
   }
 
   /** Embedding near-dup clusters — the embedding-side twin of
@@ -963,6 +1056,10 @@ object LlmWorkload {
     "dedup_incremental_clusters" -> dedupIncrementalClusters,
     "dedup_sampling_weights" -> dedupSamplingWeights,
     "pipeline_train_ready" -> pipelineTrainReady,
+    "pipeline_train_ready_registry" -> pipelineTrainReadyRegistry,
+    "registry_cluster_stats" -> registryClusterStats,
+    "registry_sampling_weights" -> registrySamplingWeights,
+    "registry_keep_best" -> registryKeepBest,
     "quality_deciles" -> qualityDeciles,
     "prep_zorder" -> prepZorder,
     "dedup_exact" -> dedupExact,
@@ -984,6 +1081,7 @@ object LlmWorkload {
     "ann_topk_ivf" -> annTopkIvf,
     "ann_topk_ivf_indexed" -> annTopkIvfIndexed,
     "ann_ivf_drift" -> annIvfDrift,
+    "ann_pq_drift" -> annPqDrift,
     "ann_topk_ivfpq" -> annTopkIvfPq,
     "ann_topk_filtered" -> annTopkFiltered,
     "multimodal_meta" -> multimodalMeta,
@@ -1484,7 +1582,56 @@ object LlmWorkload {
        |        ORDER BY rrf DESC, doc_id ASC) AS rnk
        |    FROM scored) WHERE rnk <= 10)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    // registry-served twins: a query that reads PERSISTED union-find state
+    // must produce bit-identical answers to its batch-recompute twin — the
+    // state layout is an implementation detail the result may not leak, so
+    // the twins share ONE oracle (the dedup_incremental_clusters rule)
+    "pipeline_train_ready_registry" -> baseOracles("pipeline_train_ready"),
+    "registry_keep_best" -> baseOracles("dedup_keep_best"),
+    // registry health: same recursive-CTE components, every doc labeled
+    // (singletons to themselves), sizes reduced to one health row
+    "registry_cluster_stats" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT doc_a, doc_b FROM ($minhashOracle)),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1),
+         |lab AS (SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS label
+         |        FROM documents d LEFT JOIN comp USING (doc_id)),
+         |sizes AS (SELECT label, count(*) AS sz FROM lab GROUP BY 1)
+         |SELECT count(*) AS n_clusters,
+         |  CAST(COALESCE(sum(sz), 0) AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(max(sz), 0) AS BIGINT) AS max_cluster,
+         |  CAST(COALESCE(sum(sz - 1), 0) AS BIGINT) AS n_dups
+         |FROM sizes""".stripMargin,
+    // the sampling-weight replay with the registry's column names
+    "registry_sampling_weights" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT doc_a, doc_b FROM ($minhashOracle)),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1),
+         |lab AS (SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS label
+         |        FROM documents d LEFT JOIN comp USING (doc_id))
+         |SELECT doc_id, label,
+         |  count(*) OVER (PARTITION BY label) AS cluster_size,
+         |  CAST(1 AS DOUBLE)
+         |    / CAST(count(*) OVER (PARTITION BY label) AS DOUBLE) AS weight
+         |FROM lab""".stripMargin
+  )
+
+  private lazy val baseOracles: Map[String, String] = Map(
     // featurize replay: the byte histogram as pure integer counts — ASCII
     // text makes ord(char) == byte; bucket = (byte*8)//256, same arithmetic
     "multimodal_features" -> {
@@ -1818,6 +1965,32 @@ object LlmWorkload {
          |  CAST(cs AS DOUBLE) / CAST(n_vecs AS DOUBLE)
          |    / CAST(1000000000000 AS DOUBLE) AS mean_cos
          |FROM per, tot""".stripMargin,
+    // PQ drift replay: seed-half codebooks (even ids, mod-25 pick), the
+    // same d2-expansion argmin encode as ann_topk_pq, errors floored to
+    // exact 1e-12 integer units before the order-independent sum
+    "ann_pq_drift" -> {
+      def d2(a: String, b: String) =
+        s"(${dotSql(a, a)} - CAST(2 AS DOUBLE) * ${dotSql(a, b)} + ${dotSql(b, b)})"
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |sub AS (SELECT vec_id, j,
+         |  list_slice(e, j * (len(e) // 4) + 1, (j + 1) * (len(e) // 4)) AS se
+         |  FROM v, (SELECT unnest(range(0, 4)) AS j)),
+         |cb AS (SELECT j, vec_id AS code_id, se AS ce FROM sub
+         |       WHERE vec_id % 2 = 0 AND vec_id % 25 = 0),
+         |enc AS (SELECT vec_id, j, ce FROM (
+         |  SELECT s.vec_id, s.j, cb.ce,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.j
+         |      ORDER BY ${d2("s.se", "cb.ce")} ASC, cb.code_id ASC) AS rn
+         |  FROM sub s JOIN cb ON cb.j = s.j) WHERE rn = 1),
+         |err AS (SELECT s.j,
+         |    CAST(floor(${d2("s.se", "e.ce")} * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS d2e
+         |  FROM enc e JOIN sub s ON s.vec_id = e.vec_id AND s.j = e.j)
+         |SELECT j, count(*) AS n_codes,
+         |  CAST(sum(d2e) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    / CAST(1000000000000 AS DOUBLE) AS mean_d2,
+         |  CAST(max(d2e) AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS max_d2
+         |FROM err GROUP BY 1""".stripMargin
+    },
     // filtered search replay: the semi-join restricts CANDIDATES before the
     // distance math; probes stay unrestricted
     "ann_topk_filtered" ->

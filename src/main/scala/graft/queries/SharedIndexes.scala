@@ -41,6 +41,8 @@ object SharedIndexes {
 
   private val frames = mutable.Map.empty[String, DataFrame]
   private val framePairs = mutable.Map.empty[String, (DataFrame, DataFrame)]
+  /** On-disk session resources ([[dir]]): key → temp directory. */
+  private val dirs = mutable.Map.empty[String, String]
   /** Wall-clock seconds each key's first-use build+materialize cost. */
   private val buildSecs = mutable.Map.empty[String, Double]
   /** RDD ids persisted by each key's build (the frame's own cached blocks
@@ -90,6 +92,25 @@ object SharedIndexes {
       })
     }
 
+  /** The ON-DISK sibling of [[frame]]: a session-lifetime directory
+    * resource — a streaming-registry root, a persisted index layout —
+    * built once by the first caller and served read-only to every later
+    * query. This is what lets gate entries exercise the PERSISTED serving
+    * faces ([[graft.stream.ClusterRegistry.clusterStats]] etc.) against
+    * the same state a production deployment would read from storage,
+    * instead of recomputing registry state per entry. Build cost lands in
+    * [[buildSeconds]] like a frame build; [[clear]] deletes the
+    * directories. */
+  def dir(key: String)(build: String => Unit): String = synchronized {
+    dirs.getOrElseUpdate(key, {
+      val d = java.nio.file.Files.createTempDirectory("graft-shared-dir").toString
+      val t0 = System.nanoTime()
+      build(d)
+      buildSecs(key) = (System.nanoTime() - t0) / 1e9
+      d
+    })
+  }
+
   /** Per-key build cost (seconds) of every frame built this session — what
     * the bench's min-of-2 serve numbers systematically exclude (the build
     * lands only in run 1 of the first caller); emitting it makes the
@@ -116,6 +137,16 @@ object SharedIndexes {
     framePairs.values.foreach { case (a, b) =>
       a.unpersist(blocking = false); b.unpersist(blocking = false) }
     framePairs.clear()
+    dirs.values.foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+    }
+    dirs.clear()
     buildSecs.clear()
     rddIds.clear()
   }
