@@ -131,10 +131,38 @@ object UnionFind {
   final case class Increment(newLabels: DataFrame, newMerges: DataFrame,
       corpusRoots: DataFrame)
 
+  /** Cap on the matched-corpus-id list pushed into the labels scan as an
+    * IN predicate. The list is bounded by the batch's pair evidence —
+    * O(batch), driver-safe metadata like a checkpoint head — and pushing
+    * it to parquet lets row-group min/max stats skip everything outside
+    * the matched ids (the compaction range-sorts labels by doc_id, and
+    * per-batch appends sort within partitions, exactly so those stats
+    * bite). Above the cap the increment falls back to the join-only scan
+    * rather than ship an unbounded literal list through the plan. 1000 =
+    * the session's parquet or-of-eq push limit ([[graft.Sessions]]):
+    * beyond it Spark degrades the push to a min/max range (useless for
+    * scattered ids), and parquet's recursive or-chain evaluation
+    * overflows the stack in the several-thousands. */
+  private[graft] val MaxLabelFetchIds = 1000
+
   /** See [[increment]]; returns the full [[Increment]]. */
   def incrementFull(labels: DataFrame, merges: DataFrame, batchIds: DataFrame,
       batchPairs: DataFrame, crossPairs: DataFrame): Increment = {
     val rootOf = resolveMerges(merges)
+    val matchedIds = graft.Caching.scoped(
+      crossPairs.select(col("corpus_id")).distinct())
+    // the ONE corpus-sized touch of the increment: fetching the matched
+    // docs' label rows. The matched-id set is batch-bounded — collect it
+    // and push an IN predicate into the labels scan so parquet row-group
+    // stats (sorted layout) prune the fetch to the touched row groups
+    // instead of scanning the corpus-sized table per batch (VERDICT r9
+    // item 3); LabelFetchPruneSpec pins input-rows ≪ table-rows.
+    val idList = matchedIds.limit(MaxLabelFetchIds + 1)
+      .collect().map(_.getLong(0)).toSeq
+    val labelSrc =
+      if (idList.length <= MaxLabelFetchIds)
+        labels.filter(col("doc_id").isInCollection(idList))
+      else labels
     // resolved root of each DISTINCT matched corpus doc — the only label
     // rows the increment reads. LEFT join + loud tear check: the caller's
     // signature index and labels table are written non-atomically, so a
@@ -145,10 +173,10 @@ object UnionFind {
     // discipline: a torn state must fail the read, not degrade it).
     // Cached: the tear check, the edge build, and every evaluation of the
     // outputs read this frame — uncached it would re-scan the
-    // corpus-sized labels table once per consumer.
+    // labels fetch once per consumer.
     val matched = graft.Caching.scoped(
-      crossPairs.select(col("corpus_id")).distinct()
-        .join(labels.select(col("doc_id").as("corpus_id"), col("label")),
+      matchedIds
+        .join(labelSrc.select(col("doc_id").as("corpus_id"), col("label")),
           Seq("corpus_id"), "left"))
     val torn = matched.filter(col("label").isNull)
       .select(col("corpus_id")).limit(1).collect()
