@@ -727,17 +727,71 @@ object VectorOps {
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       assigned = assignToCentroids(v, centroids)
-      centroids = v.join(assigned, Seq("vec_id"))
-        .select(col("centroid_id"), posexplode(col("e")).as(Seq("pos", "x")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
-          count(lit(1)).cast("double")).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("ce"))
-        .withColumn("cn", sqrt(dot("ce", "ce")))
+      centroids = lloydRefine(v, assigned)
     }
     assigned.select(col("vec_id"), col("centroid_id").as("cluster_id"))
   }
+
+  /** One Lloyd centroid update: per-cluster per-dimension means of the
+    * assigned vectors (exact DECIMAL sums — order-independent — one double
+    * division), returned in codebook shape (centroid_id, ce, cn). Empty
+    * clusters drop out. Shared by [[kmeansAssign]] and
+    * [[kmeansCentroids]]. */
+  private def lloydRefine(v: DataFrame, assigned: DataFrame): DataFrame =
+    v.join(assigned.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .select(col("centroid_id"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+      .groupBy(col("centroid_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("ce"))
+      .withColumn("cn", sqrt(dot("ce", "ce")))
+
+  /** Lloyd-refined CODEBOOK over PREPARED vectors (vec_id, e, n) — what a
+    * recluster retrains its coarse centroids with instead of re-picking by
+    * modulus ([[graft.stream.EmbeddingIngest.recluster]]): mod-sampled
+    * seeds (deterministic), `iters` assign+refine passes, centroid ids
+    * stay the seed ids so epoch-stamped assignment rows remain joinable.
+    * Returns (centroid_id, ce, cn). */
+  def kmeansCentroids(v: DataFrame, centroidMod: Int = 25,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    var centroids = v.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
+    for (_ <- 1 to iters)
+      centroids = lloydRefine(v, assignToCentroids(v, centroids))
+    centroids
+  }
+
+  /** PQ reconstruction-error drift report — the quantization twin of
+    * [[ivfBucketHealth]] (VERDICT r9 item 4): per subspace, how far the
+    * corpus sits from its assigned codewords. A codebook frozen on a seed
+    * distribution degrades silently as the corpus drifts — ADC shortlists
+    * keep returning, they just stop containing the true neighbors, and
+    * the exact re-rank stage HIDES the decay until the shortlist misses
+    * entirely — so the gauge watches the reconstruction error the ADC
+    * arithmetic is actually built on. Inputs are the persisted shapes:
+    * codebooks (j, code_id, ce), codes (vec_id, j, code_id), prepared
+    * vectors (vec_id, e). Output per subspace: (j, n_codes, mean_d2,
+    * max_d2) — engine-portable via exact 1e-12 integer error units.
+    * Scale: one broadcast of the codebooks, one (vec_id, j) equi-join of
+    * codes against the sliced vectors, one m-row aggregate — no
+    * corpus-sized shuffle. */
+  def pqReconstructionError(codebooks: DataFrame, codes: DataFrame,
+      v: DataFrame, m: Int = 4): DataFrame =
+    subVectors(v.select(col("vec_id"), col("e")), m)
+      .join(codes.select(col("vec_id"), col("j"), col("code_id")),
+        Seq("vec_id", "j"))
+      .join(broadcast(codebooks.select(col("j"), col("code_id"), col("ce"))),
+        Seq("j", "code_id"))
+      .withColumn("__d2e", floor(sqDist("se", "ce") * lit(1e12)).cast("long"))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).as("n_codes"),
+        (sum(col("__d2e")).cast("double") / count(lit(1)).cast("double") /
+          lit(1e12)).as("mean_d2"),
+        (max(col("__d2e")).cast("double") / lit(1e12)).as("max_d2"))
+      .select(col("j").cast("long").as("j"), col("n_codes"),
+        col("mean_d2"), col("max_d2"))
 
   /**
    * Scalar int8 quantization of the embedding corpus — the compression stage

@@ -108,6 +108,16 @@ class IvfReclusterSpec extends SparkSpec {
     assert(preRecall < 0.8,
       s"drifted codebook should sit below the 0.80 floor, got $preRecall")
 
+    // the PQ gauge must trip too: seed-frozen codewords have ~zero energy
+    // on the drift axes, so the drifted vectors' reconstruction error in
+    // the affected subspaces is ~|10-component|² = 100 — far above the
+    // seed corpus's error
+    val prePq = EmbeddingIngest.pqDriftReport(spark, cfg)
+      .select($"j", $"mean_d2").as[(Long, Double)].collect()
+    info(s"pre-recluster pq error: ${prePq.sortBy(_._1).mkString(", ")}")
+    assert(prePq.map(_._2).max > 10.0,
+      s"drifted corpus must trip the PQ reconstruction gauge: ${prePq.toSeq}")
+
     EmbeddingIngest.recluster(spark, cfg)
 
     val post = EmbeddingIngest.driftReport(spark, cfg)
@@ -125,6 +135,21 @@ class IvfReclusterSpec extends SparkSpec {
     assert(postRecall >= 0.8,
       s"recluster must restore the 0.80 recall floor, got $postRecall")
 
+    // the PQ repair: retrained codewords + backfilled codes describe the
+    // drifted corpus again — reconstruction error collapses, and the
+    // IVF-PQ serving path meets the same 0.80 floor the batch family pins
+    val postPq = EmbeddingIngest.pqDriftReport(spark, cfg)
+      .select($"j", $"mean_d2").as[(Long, Double)].collect()
+    info(s"post-recluster pq error: ${postPq.sortBy(_._1).mkString(", ")}")
+    assert(postPq.map(_._2).max < prePq.map(_._2).max / 2,
+      s"recluster must repair the PQ reconstruction error: pre ${prePq.toSeq} " +
+        s"post ${postPq.toSeq}")
+    val postPqRecall = recallOf(
+      EmbeddingIngest.searchPq(spark, cfg, probes), truth)
+    info(s"post-recluster pq recall: $postPqRecall")
+    assert(postPqRecall >= 0.8,
+      s"recluster must restore the PQ-path 0.80 recall floor, got $postPqRecall")
+
     // the reclustered layout stays ingest-compatible: a later batch appends
     // its own partition and is immediately searchable
     assert(EmbeddingIngest.ingestBatch(spark, cfg,
@@ -133,6 +158,41 @@ class IvfReclusterSpec extends SparkSpec {
     assert(ivf.filter($"vec_id" === 300L).count() == 1L)
     assert(ivf.select($"ingest_batch").distinct().as[Long].collect().toSet
       == Set(-1L, 2L))
+    // the PQ code table followed the same recluster + append lifecycle
+    val pq = spark.read.parquet(EmbeddingIngest.pqPath(cfg))
+    assert(pq.filter($"vec_id" === 300L).count() == cfg.pqM.toLong)
+    assert(pq.select($"epoch").distinct().as[Long].collect().toSet
+      == Set(EmbeddingIngest.ReclusterStamp))
+  }
+
+  test("a PQ epoch tear (codebooks swapped, codes not) refuses loudly; recluster repairs") {
+    val root = tmpDir()
+    val cfg = EmbeddingIngest.IngestConfig("unused", root, "ckpt-R4",
+      threshold = 2.0)
+    assert(EmbeddingIngest.ingestBatch(spark, cfg, df(seedRows), 0L) == 120L)
+    EmbeddingIngest.recluster(spark, cfg) // coherent PQ generation at −2
+    // simulate a second recluster dying between the pqcb and pq swaps
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = spark.read.parquet(EmbeddingIngest.pqCodebooksPath(cfg))
+      .withColumn("frozen_batch", org.apache.spark.sql.functions.lit(-3L))
+      .localCheckpoint()
+    CorpusIngest.swapWrite(fs, EmbeddingIngest.pqCodebooksPath(cfg), torn)
+    val probes = df(seedRows.take(3))
+    val e1 = intercept[IllegalStateException] {
+      EmbeddingIngest.searchPq(spark, cfg, probes) }
+    assert(e1.getMessage.contains("torn"), e1.getMessage)
+    intercept[IllegalStateException] { EmbeddingIngest.pqDriftReport(spark, cfg) }
+    intercept[IllegalStateException] {
+      EmbeddingIngest.ingestBatch(spark, cfg,
+        df(Seq(300L -> vec(7 -> 10.0))), 2L) }
+    // the flat-IVF faces read no PQ table and stay serviceable
+    assert(EmbeddingIngest.search(spark, cfg, probes).count() > 0)
+    // repair: one recluster rewrites both PQ tables coherently
+    EmbeddingIngest.recluster(spark, cfg)
+    assert(EmbeddingIngest.searchPq(spark, cfg, probes).count() > 0)
+    assert(EmbeddingIngest.ingestBatch(spark, cfg,
+      df(Seq(300L -> vec(7 -> 10.0))), 2L) == 1L)
   }
 
   test("an epoch tear (codebook swapped, assignments not) fails every face loudly; recluster repairs") {
