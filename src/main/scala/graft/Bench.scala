@@ -208,6 +208,62 @@ object Bench {
     } finally { rmrf(root); Caching.releaseAll() }
   }
 
+  /** Timed compaction of a corpus-ingest root holding `batches` accumulated
+    * batch partitions — the maintenance job the append-only design defers
+    * (VERDICT r9 item 5): folds 6 index layers, re-aggregates the additive
+    * stat tables, writes the high-water mark. Fresh root per run so
+    * min-of-2 binds identical work. */
+  private def benchCorpusCompact(spark: SparkSession, run: Int): Double = {
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-ccomp").toString
+    try {
+      val cfg = graft.stream.CorpusIngest.IngestConfig(
+        "unused", root, s"bench-cc-$run")
+      (0 until 4).foreach { b =>
+        graft.stream.CorpusIngest.ingestBatch(spark, cfg,
+          syntheticDocs(spark, b * 500L, 500L, "w",
+            dupEvery = if (b == 0) 0 else 10), b.toLong): Unit
+      }
+      val t0 = System.nanoTime()
+      graft.stream.CorpusIngest.compact(spark, cfg)
+      (System.nanoTime() - t0) / 1e9
+    } finally { rmrf(root); Caching.releaseAll() }
+  }
+
+  /** Timed compaction of a cluster-registry root: signature folds plus the
+    * union-find path compression (labels fold to resolved form, range-sorted
+    * by doc_id; merge log truncates) and the index/labels orphan audit. */
+  private def benchRegistryCompact(spark: SparkSession, run: Int): Double = {
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-rcomp").toString
+    try {
+      val cfg = graft.stream.ClusterRegistry.RegistryConfig(
+        "unused", root, s"bench-rc-$run")
+      (0 until 4).foreach { b =>
+        graft.stream.ClusterRegistry.ingestBatch(spark, cfg,
+          syntheticDocs(spark, b * 500L, 500L, "w",
+            dupEvery = if (b == 0) 0 else 10), b.toLong): Unit
+      }
+      val t0 = System.nanoTime()
+      graft.stream.ClusterRegistry.compact(spark, cfg)
+      (System.nanoTime() - t0) / 1e9
+    } finally { rmrf(root); Caching.releaseAll() }
+  }
+
+  /** Timed compaction of an embedding-ingest root (vecs/bands/ivf/pq fold). */
+  private def benchEmbeddingCompact(spark: SparkSession, run: Int): Double = {
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-ecomp").toString
+    try {
+      val cfg = graft.stream.EmbeddingIngest.IngestConfig(
+        "unused", root, s"bench-ec-$run")
+      (0 until 2).foreach { b =>
+        graft.stream.EmbeddingIngest.ingestBatch(spark, cfg,
+          syntheticVecs(spark, b * 1000L, 1000L), b.toLong): Unit
+      }
+      val t0 = System.nanoTime()
+      graft.stream.EmbeddingIngest.compact(spark, cfg)
+      (System.nanoTime() - t0) / 1e9
+    } finally { rmrf(root); Caching.releaseAll() }
+  }
+
   // ---------------------------------------------------- serve-cost flatness
 
   /** Build a persisted BM25 index (postings + docstats, the
@@ -298,7 +354,12 @@ object Bench {
     var errors = Map.empty[String, String]
     var gcByQuery = Map.empty[String, Double]
     var storageByQuery = Map.empty[String, Long]
-    val queryResults = ordered.map { case (name, fn) =>
+    // mid-run IO probes every ~30 queries: a disk-throughput decay is
+    // LOCALIZED to the stretch where it began, not just bracketed by the
+    // pre/post probes (VERDICT r9 item 1)
+    val ioMid = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val queryResults = ordered.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi > 0 && qi % 30 == 0) ioMid += (name -> ioProbeMbps())
       // min of two timed runs: single-run numbers at this scale are dominated
       // by GC pauses and JIT recompilation spikes (a past round chased a 4.5x
       // phantom regression that a re-run dissolved); the minimum is the
@@ -355,13 +416,18 @@ object Bench {
       specialEntry("ingest_corpus_batch")(benchCorpusIngest(spark, _)) ++
         specialEntry("ingest_embedding_batch")(benchEmbeddingIngest(spark, _)) ++
         specialEntry("ingest_cluster_batch")(benchClusterIngest(spark, _)) ++
-        specialEntry("ingest_embedding_cluster_batch")(benchEmbClusterIngest(spark, _))
+        specialEntry("ingest_embedding_cluster_batch")(benchEmbClusterIngest(spark, _)) ++
+        // the maintenance jobs the append-only design defers — at 100 TB
+        // the compaction cadence IS the cost story (VERDICT r9 item 5)
+        specialEntry("compact_corpus")(benchCorpusCompact(spark, _)) ++
+        specialEntry("compact_registry")(benchRegistryCompact(spark, _)) ++
+        specialEntry("compact_embedding")(benchEmbeddingCompact(spark, _))
 
     // serve-cost flatness at 10× corpus (VERDICT r8 item 2): identical
     // probes against a 1× and a 10× persisted index — built once, untimed
     // (index BUILD cost has its own entries above); the timed entries are
     // pure serve cost, and the ratio lands in the artifact next to them
-    val serveNames = Seq("serve_bm25_1x", "serve_bm25_10x",
+    val serveNames = Seq("serve_bm25_1x", "serve_bm25_10x", "serve_bm25_100x",
       "serve_ivf_1x", "serve_ivf_10x")
     var serveResults = Seq.empty[(String, Double)]
     if (serveNames.exists(n => only.forall(_.contains(n)))) {
@@ -369,6 +435,10 @@ object Bench {
       try {
         buildBm25Index(spark, s"$sroot/bm1", 5000L, 0L)
         buildBm25Index(spark, s"$sroot/bm10", 5000L, 45000L)
+        // the 100× corpus (VERDICT r9 item 6): disjoint-vocabulary filler
+        // keeps df(query terms) constant while the postings table grows
+        // 100× — the flatness claim at the exponent a 100 TB story needs
+        buildBm25Index(spark, s"$sroot/bm100", 5000L, 495000L)
         buildIvfIndex(spark, s"$sroot/iv1", 2000L, 50)
         buildIvfIndex(spark, s"$sroot/iv10", 20000L, 50)
         val terms = Seq("w1", "w7", "w42")
@@ -390,6 +460,8 @@ object Bench {
             graft.stream.CorpusIngest.search(spark, bmCfg(s"$sroot/bm1"), terms) } ++
           timeServe("serve_bm25_10x") { () =>
             graft.stream.CorpusIngest.search(spark, bmCfg(s"$sroot/bm10"), terms) } ++
+          timeServe("serve_bm25_100x") { () =>
+            graft.stream.CorpusIngest.search(spark, bmCfg(s"$sroot/bm100"), terms) } ++
           timeServe("serve_ivf_1x") { () =>
             graft.stream.EmbeddingIngest.search(spark, ivCfg(s"$sroot/iv1"), probes) } ++
           timeServe("serve_ivf_10x") { () =>
@@ -404,6 +476,41 @@ object Bench {
     val results = queryResults ++ sinkResults ++ ingestResults ++ serveResults
 
     val ioPost = ioProbeMbps()
+
+    // ---- outlier self-adjudication against the committed band (VERDICT
+    // r9 item 1). BENCH_BANDS.json (repo root, regenerated from a clean
+    // run's BENCH_DETAIL.json by tools/update_bands.py) holds per-query
+    // reference seconds. Every recorded time >= 1.5x its band with >= 0.3 s
+    // absolute excess re-runs at the END of the suite under the same
+    // min-of-2 protocol, and BOTH numbers land in the artifact — a run
+    // that hit a degraded-IO window carries its own adjudication instead
+    // of needing ledger forensics. Only registered queries re-run (the
+    // special ingest/serve fixtures are torn down by now).
+    val bandRe = """"([^"]+)"\s*:\s*([0-9.eE+\-]+)""".r
+    val bands: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_BANDS.json")), "UTF-8")
+        bandRe.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val queryFns = ordered.toMap
+    val adjudicated = queryResults
+      .filter { case (n, v) => queryFns.contains(n) &&
+        bands.get(n).exists(b => v > b * 1.5 && v - b > 0.3) }
+      .sortBy { case (n, v) => -(v / bands(n)) }
+      .take(8)
+      .map { case (name, recorded) =>
+        val rerun = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try queryFns(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          finally Caching.releaseAll()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        (name, recorded, rerun, bands(name))
+      }
+
     // control anchors (VERDICT r7): two stable queries whose drift flags an
     // unhealthy environment window rather than a plan change
     val anchors = Seq("cdc_apply_mutable", "agg_kmv_sketch")
@@ -433,8 +540,18 @@ object Bench {
     val anchorsJson = anchors
       .map { case (k, v) => "\"" + esc(k) + "\":" + fmt(v, 3) }
       .mkString(""","anchors":{""", ",", "}")
+    val ioMidJson =
+      if (ioMid.isEmpty) ""
+      else ioMid.map { case (n, v) => s"""["${esc(n)}",${fmt(v, 1)}]""" }
+        .mkString(""","mid":[""", ",", "]")
     val ioJson =
-      s""","io_probe":{"pre_mbps":${fmt(ioPre, 1)},"post_mbps":${fmt(ioPost, 1)}}"""
+      s""","io_probe":{"pre_mbps":${fmt(ioPre, 1)},"post_mbps":${fmt(ioPost, 1)}$ioMidJson}"""
+    val suspectsJson =
+      if (adjudicated.isEmpty) ""
+      else adjudicated.map { case (n, rec, rr, b) =>
+        "\"" + esc(n) + "\":{\"recorded\":" + fmt(rec, 2) +
+          ",\"rerun\":" + fmt(rr, 2) + ",\"band\":" + fmt(b, 2) + "}"
+      }.mkString(""","suspects":{""", ",", "}")
     // suite-interaction instruments (VERDICT r8 item 1): total GC seconds
     // across the winning runs, peak persistent storage residency, and the
     // SharedIndexes build cost the min-of-2 serve numbers exclude (ADVICE
@@ -452,14 +569,16 @@ object Bench {
       (serveRatio("serve_bm25_1x", "serve_bm25_10x"),
         serveRatio("serve_ivf_1x", "serve_ivf_10x")) match {
         case (Some(bm), Some(iv)) =>
-          s""","serve_flatness":{"bm25_ratio":${fmt(bm, 2)}""" +
-            s""","ivf_ratio":${fmt(iv, 2)},"corpus_ratio":10}"""
+          val bm100 = serveRatio("serve_bm25_1x", "serve_bm25_100x")
+            .map(r => s""","bm25_100x_ratio":${fmt(r, 2)}""").getOrElse("")
+          s""","serve_flatness":{"bm25_ratio":${fmt(bm, 2)}$bm100""" +
+            s""","ivf_ratio":${fmt(iv, 2)},"corpus_ratio":10,"bm25_100x_corpus_ratio":100}"""
         case _ => ""
       }
     val instrJson =
       s""","gc_total_sec":${fmt(gcTotal, 1)},"storage_peak_mb":$storagePeakMb""" +
         s""","shared_index_build_sec":${fmt(sharedBuild.values.sum, 2)}""" +
-        flatJson
+        flatJson + suspectsJson
     def line(dec: Int, keep: Int): String = {
       val bySlowest = results.sortBy(-_._2)
       val kept = bySlowest.take(keep).sortBy(_._1)
