@@ -428,7 +428,7 @@ object Bench {
     // (index BUILD cost has its own entries above); the timed entries are
     // pure serve cost, and the ratio lands in the artifact next to them
     val serveNames = Seq("serve_bm25_1x", "serve_bm25_10x", "serve_bm25_100x",
-      "serve_ivf_1x", "serve_ivf_10x")
+      "serve_ivf_1x", "serve_ivf_10x", "serve_ivf_100x")
     var serveResults = Seq.empty[(String, Double)]
     if (serveNames.exists(n => only.forall(_.contains(n)))) {
       val sroot = java.nio.file.Files.createTempDirectory("graft-bench-serve").toString
@@ -441,6 +441,11 @@ object Bench {
         buildBm25Index(spark, s"$sroot/bm100", 5000L, 495000L)
         buildIvfIndex(spark, s"$sroot/iv1", 2000L, 50)
         buildIvfIndex(spark, s"$sroot/iv10", 20000L, 50)
+        // 100x: 200k vectors, nlist = 4000 under the fixed centroidMod —
+        // bucket size (and the per-probe candidate set) stays constant;
+        // the n x nlist assignment is build-side only and map-combines
+        // (the argmax-aggregate ivfAssign), so the untimed build scales
+        buildIvfIndex(spark, s"$sroot/iv100", 200000L, 50)
         val terms = Seq("w1", "w7", "w42")
         val probes = syntheticVecs(spark, 900000L, 16L)
         def bmCfg(r: String) =
@@ -465,7 +470,9 @@ object Bench {
           timeServe("serve_ivf_1x") { () =>
             graft.stream.EmbeddingIngest.search(spark, ivCfg(s"$sroot/iv1"), probes) } ++
           timeServe("serve_ivf_10x") { () =>
-            graft.stream.EmbeddingIngest.search(spark, ivCfg(s"$sroot/iv10"), probes) }
+            graft.stream.EmbeddingIngest.search(spark, ivCfg(s"$sroot/iv10"), probes) } ++
+          timeServe("serve_ivf_100x") { () =>
+            graft.stream.EmbeddingIngest.search(spark, ivCfg(s"$sroot/iv100"), probes) }
       } finally rmrf(sroot)
     }
     val serveMap = serveResults.toMap
@@ -571,8 +578,11 @@ object Bench {
         case (Some(bm), Some(iv)) =>
           val bm100 = serveRatio("serve_bm25_1x", "serve_bm25_100x")
             .map(r => s""","bm25_100x_ratio":${fmt(r, 2)}""").getOrElse("")
+          val iv100 = serveRatio("serve_ivf_1x", "serve_ivf_100x")
+            .map(r => s""","ivf_100x_ratio":${fmt(r, 2)}""").getOrElse("")
           s""","serve_flatness":{"bm25_ratio":${fmt(bm, 2)}$bm100""" +
-            s""","ivf_ratio":${fmt(iv, 2)},"corpus_ratio":10,"bm25_100x_corpus_ratio":100}"""
+            s""","ivf_ratio":${fmt(iv, 2)}$iv100""" +
+            s""","corpus_ratio":10,"corpus_ratio_100x":100}"""
         case _ => ""
       }
     val instrJson =

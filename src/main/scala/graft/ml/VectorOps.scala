@@ -150,17 +150,26 @@ object VectorOps {
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
 
   /** Assign PREPARED vectors (vec_id, e, n) to a frozen codebook — one
-    * broadcast of the codebook, one per-vector argmax window. Exposed on
-    * prepared frames so the streaming ingest (whose batch is already in
+    * broadcast of the codebook, one per-vector ARGMAX AGGREGATE. Exposed
+    * on prepared frames so the streaming ingest (whose batch is already in
     * (e, n) form) shares the exact assignment arithmetic with the batch
-    * builders. Returns (vec_id, centroid_id, e, n). */
+    * builders. Returns (vec_id, centroid_id, e, n).
+    *
+    * Deliberately an aggregate, not a window: max(struct(cos, −id)) is
+    * identical to the rank-1 window row (argmax cosine, ties to the
+    * lowest centroid id — the oracle-pinned rule) but combines MAP-SIDE,
+    * so only ~|corpus| collapsed rows shuffle. The window form sorts the
+    * full |corpus| × nlist joined stream — carrying the embedding arrays
+    * — through one exchange, which at 100 TB × thousands of centroids is
+    * the build-side scan this index exists to avoid. */
   def ivfAssign(centroids: DataFrame, v: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("centroid_id").asc)
-    v.join(broadcast(centroids))
+    val best = v.select(col("vec_id"), col("e"), col("n"))
+      .join(broadcast(centroids))
       .withColumn("cos", cosPre("e", "ce", "n", "cn"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("centroid_id")).as("nid"))).as("mx"))
+      .select(col("vec_id"), (-col("mx.nid")).as("centroid_id"))
+    v.join(best, Seq("vec_id"))
       .select(col("vec_id"), col("centroid_id"), col("e"), col("n"))
   }
 
