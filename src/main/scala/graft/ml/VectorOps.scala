@@ -114,13 +114,27 @@ object VectorOps {
     * straddle the boundary are not lost. */
   def assignToCentroids(v: DataFrame, centroids: DataFrame,
       nprobe: Int = 1): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("centroid_id").asc)
-    v.join(broadcast(centroids))
+    val scored = v.join(broadcast(centroids))
       .withColumn("cos", cosPre("e", "ce", "n", "cn"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id"), col("centroid_id"))
+    if (nprobe == 1)
+      // the common argmax case combines MAP-SIDE (identical to the rank-1
+      // window row: max cosine, ties to the lowest centroid id) — only
+      // ~|corpus| collapsed rows shuffle, and the embedding arrays never
+      // move through an exchange. See [[ivfAssign]] for the full argument.
+      scored.groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("centroid_id")).as("nid"))).as("mx"))
+        .select(col("vec_id"), (-col("mx.nid")).as("centroid_id"))
+    else {
+      // multi-probe needs the top-n, which has no map-combining aggregate
+      // shape — but the window only ever carries (vec_id, centroid_id,
+      // cos): project the vectors away BEFORE the exchange
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("centroid_id").asc)
+      scored.select(col("vec_id"), col("centroid_id"), col("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= nprobe)
+        .select(col("vec_id"), col("centroid_id"))
+    }
   }
 
   /**
