@@ -837,6 +837,40 @@ object LlmWorkload {
     trainReadyReport(spark, dir, comp)
   }
 
+  /** The embedding twin of [[sharedClusterRegistry]]: the embeddings
+    * corpus ingested once per (session × dir) through
+    * [[graft.stream.EmbeddingClusterRegistry]] as three mod-3 arrival
+    * batches — SRP signatures at the same 0.4 cosine threshold as
+    * [[sharedSrpPairs]], so the persisted labels must equal the batch SRP
+    * components. */
+  private def sharedEmbClusterRegistry(spark: SparkSession,
+      dir: String): graft.stream.EmbeddingClusterRegistry.RegistryConfig = {
+    val root = SharedIndexes.dir(s"emb-cluster-registry:$dir") { d =>
+      val cfg = graft.stream.EmbeddingClusterRegistry
+        .RegistryConfig("unused", d, "unused")
+      val vecs = Tables(spark, dir, "embeddings")
+      (0 until 3).foreach { b =>
+        graft.stream.EmbeddingClusterRegistry.ingestBatch(spark, cfg,
+          vecs.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong): Unit
+      }
+    }
+    graft.stream.EmbeddingClusterRegistry.RegistryConfig("unused", root, "unused")
+  }
+
+  /** Semantic-cluster health served from the persisted embedding registry
+    * ([[graft.stream.EmbeddingClusterRegistry.clusterStats]]) — the
+    * embedding twin of [[registryClusterStats]]. */
+  def registryEmbeddingClusterStats(spark: SparkSession, dir: String): DataFrame =
+    graft.stream.EmbeddingClusterRegistry.clusterStats(spark,
+      sharedEmbClusterRegistry(spark, dir))
+
+  /** SemDeDup-style 1/|cluster| down-weighting served from the persisted
+    * embedding registry — the state-reading twin of the batch SRP
+    * components + window. */
+  def registryEmbeddingSamplingWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.stream.EmbeddingClusterRegistry.samplingWeights(spark,
+      sharedEmbClusterRegistry(spark, dir))
+
   /** Embedding near-dup clusters — the embedding-side twin of
     * [[dedupClusters]]: connected components over the SRP-LSH verified pair
     * graph, every clustered vector labeled with its component's min id
@@ -1060,6 +1094,8 @@ object LlmWorkload {
     "registry_cluster_stats" -> registryClusterStats,
     "registry_sampling_weights" -> registrySamplingWeights,
     "registry_keep_best" -> registryKeepBest,
+    "registry_embedding_cluster_stats" -> registryEmbeddingClusterStats,
+    "registry_embedding_sampling_weights" -> registryEmbeddingSamplingWeights,
     "quality_deciles" -> qualityDeciles,
     "prep_zorder" -> prepZorder,
     "dedup_exact" -> dedupExact,
@@ -1610,6 +1646,45 @@ object LlmWorkload {
          |  CAST(COALESCE(max(sz), 0) AS BIGINT) AS max_cluster,
          |  CAST(COALESCE(sum(sz - 1), 0) AS BIGINT) AS n_dups
          |FROM sizes""".stripMargin,
+    // embedding-registry health: SRP recursive-CTE components, every
+    // vector labeled (singletons to themselves), one health row
+    "registry_embedding_cluster_stats" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT vec_a, vec_b FROM ($srpOracle)),
+         |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+         |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY 1),
+         |lab AS (SELECT v.vec_id, COALESCE(comp.component, v.vec_id) AS label
+         |        FROM embeddings v LEFT JOIN comp USING (vec_id)),
+         |sizes AS (SELECT label, count(*) AS sz FROM lab GROUP BY 1)
+         |SELECT count(*) AS n_clusters,
+         |  CAST(COALESCE(sum(sz), 0) AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(max(sz), 0) AS BIGINT) AS max_cluster,
+         |  CAST(COALESCE(sum(sz - 1), 0) AS BIGINT) AS n_dups
+         |FROM sizes""".stripMargin,
+    "registry_embedding_sampling_weights" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT vec_a, vec_b FROM ($srpOracle)),
+         |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+         |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY 1),
+         |lab AS (SELECT v.vec_id, COALESCE(comp.component, v.vec_id) AS label
+         |        FROM embeddings v LEFT JOIN comp USING (vec_id))
+         |SELECT vec_id, label,
+         |  count(*) OVER (PARTITION BY label) AS cluster_size,
+         |  CAST(1 AS DOUBLE)
+         |    / CAST(count(*) OVER (PARTITION BY label) AS DOUBLE) AS weight
+         |FROM lab""".stripMargin,
     // the sampling-weight replay with the registry's column names
     "registry_sampling_weights" ->
       s"""WITH RECURSIVE
