@@ -715,12 +715,18 @@ object LlmWorkload {
   def dedupSamplingWeights(spark: SparkSession, dir: String): DataFrame = {
     val comp = sharedMinhashComponents(spark, dir)
       .select(col("id").as("doc_id"), col("component"))
-    val lab = Tables(spark, dir, "documents").select(col("doc_id"))
-      .join(comp, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
-    val w = Window.partitionBy(col("component"))
-    lab.withColumn("cluster_size", count(lit(1)).over(w))
-      .withColumn("weight", lit(1.0) / col("cluster_size").cast("double"))
+    val lab = graft.Caching.scoped(
+      Tables(spark, dir, "documents").select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component")))
+    // sizes by map-combining groupBy + join, not count-over-window: a
+    // window partitioned by component buffers each cluster in one task,
+    // and the mega-cluster is the expected worst case of a dedup corpus
+    val sizes = lab.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
   }
 
   /** End-to-end TRAIN-READY mix report — the full pre-training data
@@ -1037,12 +1043,15 @@ object LlmWorkload {
       .select(col("doc_id"), col("quality_score"))
     val comp = sharedMinhashComponents(spark, dir)
       .select(col("id").as("doc_id"), col("component"))
-    val labeled = q.join(comp, Seq("doc_id"), "left")
+    // rank-1 per cluster as a map-combining max(struct(score, −id))
+    // aggregate (= the window's score desc, doc_id asc) — the mega-cluster
+    // collapses partition-locally instead of buffering in one window task
+    q.join(comp, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
-    val w = Window.partitionBy(col("component"))
-      .orderBy(col("quality_score").desc, col("doc_id").asc)
-    labeled.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col("component"), col("doc_id").as("kept_doc"), col("quality_score"))
+      .groupBy(col("component"))
+      .agg(max(struct(col("quality_score"), (-col("doc_id")).as("nid"))).as("mx"))
+      .select(col("component"), (-col("mx.nid")).as("kept_doc"),
+        col("mx.quality_score").as("quality_score"))
   }
 
   /** Corpus token heavy hitters ([[HeavyHitters.heavyHitters]]): every token

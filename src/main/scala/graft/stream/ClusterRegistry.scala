@@ -91,13 +91,17 @@ private[stream] object UnionFindTables {
   /** Dedup-aware sampling weights off the registry state: every id
     * weighted 1/|cluster| so each content cluster contributes one
     * doc-equivalent — the persisted-state twin of the
-    * `dedup_sampling_weights` batch query. One window over the resolved
-    * labels. */
+    * `dedup_sampling_weights` batch query. Sizes come from a map-combining
+    * groupBy joined back, NOT a count-over-window: a window partitioned by
+    * label must buffer each cluster in one task, and the pathological
+    * mega-cluster (boilerplate duplicated across 10⁸ docs) is exactly the
+    * input a dedup registry exists to hold. */
   def samplingWeights(spark: SparkSession, root: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
-    resolvedLabels(spark, root)
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .withColumn("weight", lit(1.0) / col("cluster_size").cast("double"))
+    val lab = Caching.scoped(resolvedLabels(spark, root))
+    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
   }
 
   /** Keep-best canonical pick per cluster: the caller supplies a
@@ -106,17 +110,18 @@ private[stream] object UnionFindTables {
     * cluster — the registry DRIVING the dedup decision instead of a batch
     * recompute. Ids without a score row are skipped (they cannot win);
     * ids without a label row keep their own id as a singleton cluster. */
-  def keepBest(spark: SparkSession, root: String, scores: DataFrame): DataFrame = {
-    val lab = resolvedLabels(spark, root)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
-      .orderBy(col("score").desc, col("doc_id").asc)
+  def keepBest(spark: SparkSession, root: String, scores: DataFrame): DataFrame =
+    // max(struct(score, −doc_id)) is the rank-1 window row (score desc,
+    // doc_id asc) as a MAP-COMBINING aggregate — each partition collapses
+    // a cluster's candidates to one row before the shuffle, so the
+    // mega-cluster never lands in a single window buffer
     scores.select(col("doc_id"), col("score"))
-      .join(lab, Seq("doc_id"), "left")
+      .join(resolvedLabels(spark, root), Seq("doc_id"), "left")
       .withColumn("label", coalesce(col("label"), col("doc_id")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("label"), col("doc_id").as("kept_doc"), col("score"))
-  }
+      .groupBy(col("label"))
+      .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("mx"))
+      .select(col("label"), (-col("mx.nid")).as("kept_doc"),
+        col("mx.score").as("score"))
 
   /** The would-label report behind the read-only probe faces: run the
     * union-find increment WITHOUT writing and return, per batch id, the
