@@ -843,6 +843,27 @@ object LlmWorkload {
     trainReadyReport(spark, dir, comp)
   }
 
+  /** The registry probe's would-label report as a gate entry: corpus = a
+    * registry root holding the EVEN ids (their resolved labels = the even
+    * MinHash components), batch = the odd ids, served READ-ONLY by
+    * [[graft.stream.ClusterRegistry.probe]] — per batch doc, the cluster
+    * it WOULD land in plus `n_existing`, how many existing clusters its
+    * would-be component touches (≥ 2 = its arrival would bridge them).
+    * No lock, no writes; the what-if face a feed owner runs before
+    * committing a source. */
+  def registryProbe(spark: SparkSession, dir: String): DataFrame = {
+    val root = SharedIndexes.dir(s"cluster-registry-even:$dir") { d =>
+      val cfg = graft.stream.ClusterRegistry.RegistryConfig("unused", d, "unused")
+      graft.stream.ClusterRegistry.ingestBatch(spark, cfg,
+        Tables(spark, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(2)) === 0), 0L): Unit
+    }
+    graft.stream.ClusterRegistry.probe(spark,
+      graft.stream.ClusterRegistry.RegistryConfig("unused", root, "unused"),
+      Tables(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === 1))
+  }
+
   /** The embedding twin of [[sharedClusterRegistry]]: the embeddings
     * corpus ingested once per (session × dir) through
     * [[graft.stream.EmbeddingClusterRegistry]] as three mod-3 arrival
@@ -1105,6 +1126,7 @@ object LlmWorkload {
     "registry_keep_best" -> registryKeepBest,
     "registry_embedding_cluster_stats" -> registryEmbeddingClusterStats,
     "registry_embedding_sampling_weights" -> registryEmbeddingSamplingWeights,
+    "registry_probe" -> registryProbe,
     "quality_deciles" -> qualityDeciles,
     "prep_zorder" -> prepZorder,
     "dedup_exact" -> dedupExact,
@@ -1501,6 +1523,112 @@ object LlmWorkload {
        |  JOIN v vb ON vb.vec_id = c.vec_b)
        |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.4""".stripMargin
 
+  /** Full replay of the registry probe's would-label report: corpus =
+    * even ids (their MinHash components = the registry's resolved labels),
+    * batch = odd ids; the mini graph of within-batch pairs plus
+    * (batch doc → matched corpus ROOT) edges closes transitively, each
+    * batch doc labels with its mini-component min, and `n_existing`
+    * counts the DISTINCT existing roots its would-be component touches
+    * (0 = new cluster, 1 = joins one, ≥ 2 = bridges). Two recursive CTEs:
+    * the corpus components and the mini-graph closure. */
+  private val registryProbeOracle: String = {
+    val k = 12; val r = 3
+    val h2mod = graft.text.TextOps.MinhashH2Mod
+    val hCols = (0 until k).map(j => s"min(h1 + $j * h2) AS h$j").mkString(",\n  ")
+    def bandSelects(sig: String) = (0 until k / r).map { b =>
+      val cols = (0 until r).map(i => s"h${b * r + i}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS sig FROM $sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $shingleCte,
+       |shc AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+       |shb AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+       |hc AS (SELECT doc_id, ${h64("shingle")} AS h1,
+       |  (${h64("shingle || '#'")}) % $h2mod AS h2 FROM shc),
+       |hb AS (SELECT doc_id, ${h64("shingle")} AS h1,
+       |  (${h64("shingle || '#'")}) % $h2mod AS h2 FROM shb),
+       |sigc AS (SELECT doc_id, $hCols FROM hc GROUP BY doc_id),
+       |sigb AS (SELECT doc_id, $hCols FROM hb GROUP BY doc_id),
+       |hsc AS (SELECT DISTINCT doc_id, h1 AS h FROM hc),
+       |hsb AS (SELECT DISTINCT doc_id, h1 AS h FROM hb),
+       |bandsc AS (${bandSelects("sigc")}),
+       |bandsb AS (${bandSelects("sigb")}),
+       |cntc AS (SELECT doc_id, count(*) AS n FROM hsc GROUP BY doc_id),
+       |cntb AS (SELECT doc_id, count(*) AS n FROM hsb GROUP BY doc_id),
+       |-- even/even pairs: the corpus pair graph the registry labels hold
+       |cande AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM bandsc x JOIN bandsc y
+       |            ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |intere AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+       |           FROM cande c
+       |           JOIN hsc sa ON sa.doc_id = c.doc_a
+       |           JOIN hsc sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+       |           GROUP BY 1, 2),
+       |pairse AS (SELECT t.doc_a, t.doc_b FROM intere t
+       |           JOIN cntc ca ON ca.doc_id = t.doc_a
+       |           JOIN cntc cb ON cb.doc_id = t.doc_b
+       |           WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8),
+       |edgese AS (SELECT doc_a AS a, doc_b AS b FROM pairse
+       |           UNION ALL SELECT doc_b, doc_a FROM pairse),
+       |nodese AS (SELECT DISTINCT a AS id FROM edgese),
+       |reache AS (
+       |  SELECT id, id AS rr FROM nodese
+       |  UNION
+       |  SELECT e.a AS id, reache.rr FROM edgese e JOIN reache ON reache.id = e.b),
+       |compe AS (SELECT id AS doc_id, min(rr) AS root FROM reache GROUP BY 1),
+       |-- odd/odd pairs: the arriving batch's internal pair evidence
+       |candb AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM bandsb x JOIN bandsb y
+       |            ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |interb AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+       |           FROM candb c
+       |           JOIN hsb sa ON sa.doc_id = c.doc_a
+       |           JOIN hsb sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+       |           GROUP BY 1, 2),
+       |pairsb AS (SELECT t.doc_a, t.doc_b FROM interb t
+       |           JOIN cntb ca ON ca.doc_id = t.doc_a
+       |           JOIN cntb cb ON cb.doc_id = t.doc_b
+       |           WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8),
+       |-- odd/even pairs: the persisted-index probe hits
+       |candx AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+       |          FROM bandsb b JOIN bandsc c
+       |            ON b.band = c.band AND b.sig = c.sig),
+       |interx AS (SELECT c.batch_id, c.corpus_id, count(*) AS i
+       |           FROM candx c
+       |           JOIN hsb sa ON sa.doc_id = c.batch_id
+       |           JOIN hsc sb ON sb.doc_id = c.corpus_id AND sb.h = sa.h
+       |           GROUP BY 1, 2),
+       |pairsx AS (SELECT t.batch_id, t.corpus_id FROM interx t
+       |           JOIN cntb ca ON ca.doc_id = t.batch_id
+       |           JOIN cntc cb ON cb.doc_id = t.corpus_id
+       |           WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8),
+       |-- each matched corpus doc resolves to its existing cluster ROOT
+       |rootof AS (SELECT cp.corpus_id, COALESCE(compe.root, cp.corpus_id) AS root
+       |           FROM (SELECT DISTINCT corpus_id FROM pairsx) cp
+       |           LEFT JOIN compe ON compe.doc_id = cp.corpus_id),
+       |-- the mini graph: batch pairs plus (batch doc, matched root) edges
+       |minie0 AS (SELECT doc_a AS a, doc_b AS b FROM pairsb
+       |           UNION
+       |           SELECT p.batch_id AS a, r.root AS b
+       |           FROM pairsx p JOIN rootof r USING (corpus_id)),
+       |minie AS (SELECT a, b FROM minie0 UNION SELECT b, a FROM minie0),
+       |minin AS (SELECT DISTINCT a AS id FROM minie),
+       |reachm AS (
+       |  SELECT id, id AS rr FROM minin
+       |  UNION
+       |  SELECT e.a AS id, reachm.rr FROM minie e JOIN reachm ON reachm.id = e.b),
+       |compm AS (SELECT id, min(rr) AS m FROM reachm GROUP BY 1),
+       |lab AS (SELECT d.doc_id, COALESCE(compm.m, d.doc_id) AS label
+       |        FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+       |        LEFT JOIN compm ON compm.id = d.doc_id),
+       |nex AS (SELECT compm.m AS label, count(DISTINCT r.root) AS n_existing
+       |        FROM (SELECT DISTINCT root FROM rootof) r
+       |        JOIN compm ON compm.id = r.root
+       |        GROUP BY 1)
+       |SELECT l.doc_id, l.label,
+       |  CAST(COALESCE(n.n_existing, 0) AS BIGINT) AS n_existing
+       |FROM lab l LEFT JOIN nex n USING (label)""".stripMargin
+  }
+
   /** SRP connected components — the embedding twin of [[clustersOracleSql]],
     * shared by `dedup_embedding_clusters` (batch CC) and
     * `dedup_embedding_incremental_clusters` (union-find log replay). */
@@ -1655,6 +1783,9 @@ object LlmWorkload {
          |  CAST(COALESCE(max(sz), 0) AS BIGINT) AS max_cluster,
          |  CAST(COALESCE(sum(sz - 1), 0) AS BIGINT) AS n_dups
          |FROM sizes""".stripMargin,
+    // the probe's would-label + bridge-gauge replay (two recursive CTEs:
+    // corpus components, then the mini-graph closure)
+    "registry_probe" -> registryProbeOracle,
     // embedding-registry health: SRP recursive-CTE components, every
     // vector labeled (singletons to themselves), one health row
     "registry_embedding_cluster_stats" ->
