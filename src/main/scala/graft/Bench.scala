@@ -299,10 +299,23 @@ object Bench {
     val cb = v.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
     cb.withColumn("frozen_batch", lit(0L)).write.parquet(s"$root/centroids")
-    graft.ml.VectorOps.ivfAssign(cb, v.select(col("vec_id"), col("e"), col("n")))
-      .select(col("vec_id"), col("centroid_id"), lit(0L).as("epoch"),
+    val assigns = graft.ml.VectorOps
+      .ivfAssign(cb, v.select(col("vec_id"), col("e"), col("n")))
+      .select(col("vec_id"), col("centroid_id"))
+      .localCheckpoint()
+    assigns.select(col("vec_id"), col("centroid_id"), lit(0L).as("epoch"),
         lit(0L).as("ingest_batch"))
+      .sortWithinPartitions(col("centroid_id"))
       .write.partitionBy("ingest_batch").parquet(s"$root/ivf")
+    // the serving inverted lists a compacted root carries — what the
+    // serve-flatness entries are MEANT to measure at 100 TB: the probed
+    // buckets' directories/row groups, not a corpus-sized vec-store scan
+    val cfg = graft.stream.EmbeddingIngest.IngestConfig(
+      "unused", root, "unused", centroidMod = centroidMod)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.stream.EmbeddingIngest.writeIvfLists(spark, fs, cfg,
+      spark.read.parquet(s"$root/vecs"), assigns, epoch = 0L, upto = 0L)
   }
 
   def main(args: Array[String]): Unit = {

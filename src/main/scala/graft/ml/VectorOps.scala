@@ -193,6 +193,45 @@ object VectorOps {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ivfAssign(centroids, asDouble(vecs, idCol, vecCol))
 
+  /** Raw probes prepared for the IVF serve faces: (probe_id, pe, pn) with
+    * the same double cast + precomputed self-norm as the corpus side
+    * ([[asDouble]]), so cross cosines bind identical IEEE arithmetic. */
+  private[graft] def prepareProbes(probes: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    asDouble(probes, idCol, vecCol)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("n").as("pn"))
+
+  /** Each prepared probe's `nprobe` nearest centroids: (probe_id, pe, pn,
+    * centroid_id) — one broadcast of the codebook, a probe-count-sized
+    * window. The bucket-selection stage every IVF serve path shares; its
+    * output is DETERMINISTIC (ties on centroid_id asc), which is what lets
+    * a caller collect the bucket ids and push them into the candidate scan
+    * as an IN predicate without changing the candidate set. */
+  private[graft] def probeBuckets(centroids: DataFrame, p: DataFrame,
+      nprobe: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    p.join(broadcast(centroids))
+      .withColumn("cos", cosPre("pe", "ce", "pn", "cn"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("pe"), col("pn"), col("centroid_id"))
+  }
+
+  /** Final stage of an IVF serve: self-exclusion, exact cosine, per-probe
+    * top-k over assembled candidate rows (probe_id, pe, pn, vec_id, e, n).
+    * Shared so the split-layout and inverted-lists serve paths rank
+    * candidates with bit-identical arithmetic and tie-breaks. */
+  private[graft] def topKByCos(rows: DataFrame, k: Int): DataFrame = {
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    rows.filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", cosPre("e", "pe", "n", "pn"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
   /** Top-k cosine search over the SPLIT persisted layout — assignment rows
     * (vec_id, centroid_id) separate from the vector store (vec_id, e, n),
     * the layout a streaming ingest maintains (assignments are tiny
@@ -205,26 +244,11 @@ object VectorOps {
   def ivfSearchAssignments(centroids: DataFrame, assignments: DataFrame,
       vecs: DataFrame, probes: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", nprobe: Int = 2, k: Int = 10): DataFrame = {
-    val p = asDouble(probes, idCol, vecCol)
-      .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("n").as("pn"))
-    val wProbe = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("centroid_id").asc)
-    val probeBuckets = p.join(broadcast(centroids))
-      .withColumn("cos", cosPre("pe", "ce", "pn", "cn"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("probe_id"), col("pe"), col("pn"), col("centroid_id"))
-    val wTop = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    probeBuckets
+    val pb = probeBuckets(centroids, prepareProbes(probes, idCol, vecCol), nprobe)
+    topKByCos(pb
       .join(assignments.select(col("vec_id"), col("centroid_id")),
         Seq("centroid_id"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .join(vecs.select(col("vec_id"), col("e"), col("n")), Seq("vec_id"))
-      .withColumn("cos", cosPre("e", "pe", "n", "pn"))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .join(vecs.select(col("vec_id"), col("e"), col("n")), Seq("vec_id")), k)
   }
 
   /**

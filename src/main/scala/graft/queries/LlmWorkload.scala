@@ -246,6 +246,39 @@ object LlmWorkload {
     VectorOps.ivfSearchIndexed(cents, buckets, probes)
   }
 
+  /** [[annTopkIvfIndexed]] served from a PERSISTED, COMPACTED streaming
+    * index root — the production serving shape at 100 TB. The embeddings
+    * ingest once per (session × dir) through
+    * [[graft.stream.EmbeddingIngest]] as two arrival batches (even ids
+    * seed and freeze the codebook — reproducing the even-seed oracle —
+    * then the odd ids append; threshold 1.01 admits everything, making the
+    * ingest pure index maintenance), then `compact` folds the partitions
+    * and builds the centroid-clustered inverted lists. `search` then
+    * serves top-k by joining the probes' buckets against the PRUNED lists
+    * (pushed centroid IN predicate → partition-dir + row-group skipping)
+    * instead of scanning the corpus-sized vec store — and must hash-match
+    * the SAME oracle as the in-session build: the root's layout is an
+    * implementation detail the results may not leak. */
+  def annTopkIvfServed(spark: SparkSession, dir: String): DataFrame = {
+    val root = SharedIndexes.dir(s"embedding-ingest:$dir") { d =>
+      val cfg = graft.stream.EmbeddingIngest.IngestConfig(
+        "unused", s"$d/corpus", "unused", threshold = 1.01)
+      val emb = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      graft.stream.EmbeddingIngest.ingestBatch(spark, cfg,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0), 0L): Unit
+      graft.stream.EmbeddingIngest.ingestBatch(spark, cfg,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), 1L): Unit
+      graft.stream.EmbeddingIngest.compact(spark, cfg)
+    }
+    graft.stream.EmbeddingIngest.search(spark,
+      graft.stream.EmbeddingIngest.IngestConfig(
+        "unused", s"$root/corpus", "unused"),
+      Tables(spark, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id"), col("embedding")))
+  }
+
   /** IVF bucket-health report over the frozen seed codebook
     * ([[VectorOps.ivfBucketHealth]]): the even half freezes the centroids
     * (as [[annTopkIvfIndexed]]), the whole corpus buckets against them, and
@@ -1147,6 +1180,7 @@ object LlmWorkload {
     "ann_knn_classify" -> annKnnClassify,
     "ann_topk_ivf" -> annTopkIvf,
     "ann_topk_ivf_indexed" -> annTopkIvfIndexed,
+    "ann_topk_ivf_served" -> annTopkIvfServed,
     "ann_ivf_drift" -> annIvfDrift,
     "ann_pq_drift" -> annPqDrift,
     "ann_topk_ivfpq" -> annTopkIvfPq,
@@ -1448,6 +1482,41 @@ object LlmWorkload {
        |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC) AS rnk
        |      FROM cand)
        |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin
+
+  /** Frozen-codebook replay shared by `ann_topk_ivf_indexed` and its
+    * persisted-root twin `ann_topk_ivf_served`: centroids from the even
+    * (seed) half only; every vector — seed or appended — assigns to that
+    * frozen set. The served entry hash-matching the SAME SQL pins that the
+    * streaming root (ingest → compact → inverted-lists serve) is an
+    * implementation detail the results may not leak. */
+  private val ivfIndexedOracle: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+       |      WHERE vec_id % 2 = 0 AND vec_id % 25 = 0),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT v.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.centroid_id ASC) AS rn
+       |    FROM v, c) WHERE rn = 1),
+       |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+       |pb AS (
+       |  SELECT probe_id, pe, centroid_id FROM (
+       |    SELECT p.probe_id, p.pe, c.centroid_id,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${cosSql("p.pe", "c.ce")} DESC, c.centroid_id ASC) AS rn
+       |    FROM p, c) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT pb.probe_id, v.vec_id, ${cosSql("v.e", "pb.pe")} AS cos
+       |  FROM pb JOIN assign a ON a.centroid_id = pb.centroid_id
+       |  JOIN v ON v.vec_id = a.vec_id
+       |  WHERE v.vec_id <> pb.probe_id),
+       |r AS (SELECT probe_id, vec_id,
+       |        row_number() OVER (PARTITION BY probe_id
+       |          ORDER BY cos DESC, vec_id ASC) AS rnk
+       |      FROM cand)
+       |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank"
+       |FROM r WHERE rnk <= 10""".stripMargin
 
   /** The exact-re-rank tail shared by the PQ and IVF-PQ replays: ADC's
     * integer scores pick the top-150 shortlist per probe (the
@@ -2127,36 +2196,10 @@ object LlmWorkload {
          |  p.pred_label = t.label AS correct
          |FROM p JOIN l t ON t.vec_id = p.probe_id""".stripMargin,
     "ann_topk_ivf" -> ivfOracle,
-    // frozen-codebook replay: centroids from the even (seed) half only;
-    // every vector — seed or appended — assigns to that frozen set
-    "ann_topk_ivf_indexed" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v
-         |      WHERE vec_id % 2 = 0 AND vec_id % 25 = 0),
-         |assign AS (
-         |  SELECT vec_id, centroid_id FROM (
-         |    SELECT v.vec_id, c.centroid_id,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.centroid_id ASC) AS rn
-         |    FROM v, c) WHERE rn = 1),
-         |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
-         |pb AS (
-         |  SELECT probe_id, pe, centroid_id FROM (
-         |    SELECT p.probe_id, p.pe, c.centroid_id,
-         |      row_number() OVER (PARTITION BY p.probe_id
-         |        ORDER BY ${cosSql("p.pe", "c.ce")} DESC, c.centroid_id ASC) AS rn
-         |    FROM p, c) WHERE rn <= 2),
-         |cand AS (
-         |  SELECT pb.probe_id, v.vec_id, ${cosSql("v.e", "pb.pe")} AS cos
-         |  FROM pb JOIN assign a ON a.centroid_id = pb.centroid_id
-         |  JOIN v ON v.vec_id = a.vec_id
-         |  WHERE v.vec_id <> pb.probe_id),
-         |r AS (SELECT probe_id, vec_id,
-         |        row_number() OVER (PARTITION BY probe_id
-         |          ORDER BY cos DESC, vec_id ASC) AS rnk
-         |      FROM cand)
-         |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank"
-         |FROM r WHERE rnk <= 10""".stripMargin,
+    // frozen-codebook replay (even-seed centroids): shared verbatim by the
+    // in-session build and the persisted-root serve — see ivfIndexedOracle
+    "ann_topk_ivf_indexed" -> ivfIndexedOracle,
+    "ann_topk_ivf_served" -> ivfIndexedOracle,
     "ann_topk_ivfpq" -> ivfpqOracle,
     // drift replay: frozen even-half codebook, rn=1 assignment, per-bucket
     // integer-floored cosine sums, identical division order for the ratios

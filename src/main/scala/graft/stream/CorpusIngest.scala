@@ -654,7 +654,8 @@ object CorpusIngest {
   }
 
   private[stream] def foldBatchPartitions(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      layout: DataFrame => DataFrame = identity): Unit = {
     rollbackIfStranded(fs, dir) // a prior compaction may have died mid-swap
     val path = new org.apache.hadoop.fs.Path(dir)
     // a table that never wrote (a root created before its layer existed)
@@ -673,7 +674,10 @@ object CorpusIngest {
             if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => false
       }
     if (fs.exists(path) && readable) {
-      val compacted = spark.read.parquet(dir)
+      // `layout` lets a caller impose a physical order on the folded rows
+      // (e.g. range-sort assignment tables by centroid_id so the serve
+      // faces' pushed IN predicates skip row groups)
+      val compacted = layout(spark.read.parquet(dir))
         .withColumn("ingest_batch", lit(-1L))
         .localCheckpoint() // sever lineage: the swap deletes what it reads
       val tmp = new org.apache.hadoop.fs.Path(dir + ".__next")

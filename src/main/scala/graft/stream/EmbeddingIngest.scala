@@ -70,6 +70,13 @@ object EmbeddingIngest {
   def pqPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/pq"
   /** The frozen per-subspace PQ codebooks (j, code_id, ce, frozen_batch). */
   def pqCodebooksPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/pqcb"
+  /** The SERVING inverted lists ([[compact]]/[[recluster]]-built): vector +
+    * norm stored NEXT TO the bucket id, hash-partitioned on
+    * `bucket_p = centroid_id % [[ListsBuckets]]` and range-sorted by
+    * centroid_id within each partition — the layout [[search]]'s pushed
+    * centroid IN predicate prunes to directories + row groups instead of
+    * scanning the corpus-sized vec store per query. */
+  def ivfListsPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/ivflists"
 
   private val centDdl =
     "centroid_id BIGINT, ce ARRAY<DOUBLE>, cn DOUBLE, frozen_batch BIGINT"
@@ -79,6 +86,29 @@ object EmbeddingIngest {
     "j INT, code_id BIGINT, ce ARRAY<DOUBLE>, frozen_batch BIGINT"
   private val pqDdl =
     "vec_id BIGINT, j INT, code_id BIGINT, epoch BIGINT, ingest_batch BIGINT"
+  private val vecsDdl =
+    "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT"
+  private val listsDdl =
+    "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, centroid_id BIGINT, " +
+      "epoch BIGINT, upto_batch BIGINT, bucket_p INT"
+
+  /** Hash-partition fan of the inverted-lists layout: `bucket_p =
+    * centroid_id % ListsBuckets` is the PARTITION DIRECTORY key, so a
+    * pushed `bucket_p IN (...)` prunes whole directories before any footer
+    * is read; the range sort on centroid_id within each directory then
+    * prunes row groups by min/max stats. At 100 TB raise this with nlist
+    * (it bounds directory count, not correctness). */
+  private[graft] val ListsBuckets = 32
+
+  /** Cap on the probe-centroid-id list pushed into the assignment and
+    * inverted-lists scans as an IN predicate — the
+    * [[graft.text.UnionFind.MaxLabelFetchIds]] discipline at the serve
+    * face. The list is |probes| × nprobe distinct ids (driver-safe,
+    * query-bounded metadata); above the cap the serve falls back to the
+    * join-only scan rather than ship an unbounded literal list (and past
+    * the session's parquet push threshold the IN degrades to a min/max
+    * range anyway — useless for scattered centroid ids). */
+  private[graft] val MaxCentroidPushIds = 1000
 
   /** Stable lock identity — see [[CorpusIngest.batchLockOwner]]. */
   def batchLockOwner(cfg: IngestConfig, batchId: Long): String =
@@ -106,7 +136,7 @@ object EmbeddingIngest {
     * compactions, fails loudly on an epoch tear instead of returning
     * silently-empty candidates. */
   private def loadCoherentIvf(spark: SparkSession,
-      cfg: IngestConfig): (DataFrame, DataFrame) = {
+      cfg: IngestConfig): (DataFrame, DataFrame, Option[Long]) = {
     val cents = CorpusIngest.readOrEmptyRO(spark, centroidsPath(cfg), centDdl)
     val assigns = CorpusIngest.readOrEmptyRO(spark, ivfPath(cfg), ivfDdl)
     // the codebook is swapped whole with one lit stamp — ≤1 distinct epoch
@@ -115,7 +145,8 @@ object EmbeddingIngest {
     require(epochs.length <= 1,
       s"corrupt IVF codebook: multiple frozen_batch stamps ${epochs.toSeq}")
     epochs.foreach(requireEpochCoherent(_, assigns.select(col("epoch")), "read"))
-    (cents.select(col("centroid_id"), col("ce"), col("cn")), assigns)
+    (cents.select(col("centroid_id"), col("ce"), col("cn")), assigns,
+      epochs.headOption)
   }
 
   /** Ingest one batch; returns the accepted-vector count. Public so batch
@@ -236,9 +267,14 @@ object EmbeddingIngest {
       requireEpochCoherent(cbEpoch,
         idx(ivfPath(cfg), ivfDdl).select(col("epoch")), "ingest")
       IngestLock.heartbeat(spark, lock)
+      // sorted by centroid_id WITHIN the batch partition: the serve faces
+      // push the probes' bucket ids as an IN predicate, and the sort makes
+      // parquet row-group min/max stats prune even not-yet-compacted
+      // appends (the ClusterRegistry label-append discipline)
       VectorOps.ivfAssign(codebook, targets)
         .select(col("vec_id"), col("centroid_id"),
           lit(cbEpoch).as("epoch"), stamp)
+        .sortWithinPartitions(col("centroid_id"))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_batch").parquet(ivfPath(cfg))
 
@@ -318,22 +354,81 @@ object EmbeddingIngest {
     * (vec_id, embedding). */
   def search(spark: SparkSession, cfg: IngestConfig, probes: DataFrame,
       k: Int = 10, allowed: Option[DataFrame] = None): DataFrame = {
-    val (cents, rawAssigns) = loadCoherentIvf(spark, cfg)
+    val (cents, rawAssigns, cbEpoch) = loadCoherentIvf(spark, cfg)
     // metadata-FILTERED serving: the allowed-id set semi-joins the
-    // ASSIGNMENT rows, so a selective predicate prunes the candidate set
-    // before any vector fetch or distance arithmetic (the serving twin of
-    // VectorOps.annFiltered) — and top-k refills from the allowed corpus
-    // instead of under-filling a post-filtered unrestricted top-k
-    val assigns = allowed.foldLeft(rawAssigns) { (a, ids) =>
+    // CANDIDATE rows (assignments / lists), so a selective predicate prunes
+    // the candidate set before any vector fetch or distance arithmetic (the
+    // serving twin of VectorOps.annFiltered) — and top-k refills from the
+    // allowed corpus instead of under-filling a post-filtered top-k
+    def allowedOnly(df: DataFrame) = allowed.foldLeft(df) { (a, ids) =>
       a.join(ids.select(col(ids.columns.head).as("vec_id")),
         Seq("vec_id"), "left_semi")
     }
-    val vecs = CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg),
-      "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT")
+    // bucket selection is probe-sized and DETERMINISTIC, so the chosen
+    // centroid ids are driver-safe metadata: collect them once
+    // (localCheckpoint: the tiny frame is read by the collect and both
+    // candidate joins) and push them as an IN predicate — partition dirs
+    // (lists' bucket_p) and row-group min/max stats (centroid-sorted
+    // appends + lists) then prune the scans to the probed buckets instead
+    // of reading the corpus per query
+    val pb = VectorOps.probeBuckets(cents,
+      VectorOps.prepareProbes(probes), cfg.nprobe).localCheckpoint()
+    val pushIds = pb.select(col("centroid_id")).distinct()
+      .limit(MaxCentroidPushIds + 1).collect().map(_.getLong(0)).toSeq
+    val canPush = pushIds.length <= MaxCentroidPushIds
+    def pushed(df: DataFrame) =
+      if (canPush) df.filter(col("centroid_id").isInCollection(pushIds)) else df
+
+    // the serving lists are usable iff built against THIS codebook
+    // generation — a recluster that died after swapping the codebook
+    // leaves stale-epoch lists, which must be IGNORED (fall back to the
+    // coherent split layout), never silently served. One row IS the whole
+    // table's stamp: the lists are swap-written whole with one lit
+    // (epoch, upto_batch) pair and published by atomic rename, so a
+    // mixed-stamp table cannot be exposed — and a limit(1) keeps the
+    // check O(1), not an O(corpus) stamp scan per query
+    val lists = CorpusIngest.readOrEmptyRO(spark, ivfListsPath(cfg), listsDdl)
+    val stampRow = lists.select(col("epoch"), col("upto_batch"))
+      .limit(1).collect()
+    val listsUsable = stampRow.nonEmpty &&
+      cbEpoch.contains(stampRow.head.getLong(0))
+    val upto = if (listsUsable) stampRow.head.getLong(1) else Long.MinValue
+
+    // BASE: one equi-join of the probe buckets against the pruned lists —
+    // vector and norm arrive WITH the candidate row, no second fetch join
+    val baseRows =
+      if (!listsUsable) None
+      else {
+        val pruned =
+          if (canPush)
+            lists.filter(col("bucket_p").isInCollection(
+                pushIds.map(i => (i % ListsBuckets).toInt)) &&
+              col("centroid_id").isInCollection(pushIds))
+          else lists
+        Some(pb.join(allowedOnly(pruned).select(col("vec_id"),
+            col("embedding").cast("array<double>").as("e"), col("n"),
+            col("centroid_id")), Seq("centroid_id"))
+          .select(col("probe_id"), col("pe"), col("pn"),
+            col("vec_id"), col("e"), col("n")))
+      }
+    // DELTA: batches appended after the lists were built — partition-pruned
+    // by `ingest_batch > upto_batch` on BOTH tables (post-compaction batch
+    // ids are strictly above the hwm the lists record, and the folded
+    // partition is -1), served through the split layout
+    val deltaAssigns = allowedOnly(pushed(
+      rawAssigns.filter(col("ingest_batch").cast("long") > lit(upto))))
+    val deltaVecs = CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg), vecsDdl)
+      .filter(col("ingest_batch").cast("long") > lit(upto))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
         col("n"))
-    VectorOps.ivfSearchAssignments(cents, assigns, vecs, probes,
-      nprobe = cfg.nprobe, k = k)
+    val deltaRows = pb
+      .join(deltaAssigns.select(col("vec_id"), col("centroid_id")),
+        Seq("centroid_id"))
+      .join(deltaVecs, Seq("vec_id"))
+      .select(col("probe_id"), col("pe"), col("pn"),
+        col("vec_id"), col("e"), col("n"))
+    VectorOps.topKByCos(
+      baseRows.fold(deltaRows)(_.unionByName(deltaRows)), k)
   }
 
   /** Read-only IVF-PQ top-k served ENTIRELY from the persisted tables —
@@ -348,10 +443,21 @@ object EmbeddingIngest {
     * no lock, writes nothing, reads through stranded compactions. */
   def searchPq(spark: SparkSession, cfg: IngestConfig, probes: DataFrame,
       k: Int = 10, rerank: Int = 150): DataFrame = {
-    val (cents, assigns) = loadCoherentIvf(spark, cfg)
+    val (cents, rawAssigns, _) = loadCoherentIvf(spark, cfg)
     val (cbs, codes) = loadCoherentPq(spark, cfg)
-    val vecs = CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg),
-      "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT")
+    // the same bounded centroid IN push as [[search]]: bucket selection is
+    // deterministic, so pre-filtering the assignment scan to the probes'
+    // buckets preserves the candidate set exactly while centroid-sorted
+    // appends/folds prune to the touched row groups
+    val pushIds = VectorOps.probeBuckets(cents,
+        VectorOps.prepareProbes(probes), cfg.nprobe)
+      .select(col("centroid_id")).distinct()
+      .limit(MaxCentroidPushIds + 1).collect().map(_.getLong(0)).toSeq
+    val assigns =
+      if (pushIds.length <= MaxCentroidPushIds)
+        rawAssigns.filter(col("centroid_id").isInCollection(pushIds))
+      else rawAssigns
+    val vecs = CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg), vecsDdl)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
         col("n"))
     VectorOps.ivfPqSearchIndexed(cents, assigns,
@@ -412,7 +518,7 @@ object EmbeddingIngest {
     * seed centroid; either says [[recluster]] is due. Takes no lock, writes
     * nothing (reads through a stranded `.__old` like [[probe]]). */
   def driftReport(spark: SparkSession, cfg: IngestConfig): DataFrame = {
-    val (cents, rawAssigns) = loadCoherentIvf(spark, cfg)
+    val (cents, rawAssigns, _) = loadCoherentIvf(spark, cfg)
     val assigns = rawAssigns.select(col("vec_id"), col("centroid_id"))
     val vecs = CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg),
       "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT")
@@ -484,6 +590,15 @@ object EmbeddingIngest {
         IngestLock.heartbeat(spark, lock)
         CorpusIngest.swapWrite(fs, ivfPath(cfg), assigns,
           partitionCols = Seq("ingest_batch"))
+        // rebuild the serving lists against the NEW codebook generation —
+        // until this write lands, readers see stale-epoch lists and fall
+        // back to the (coherent) split layout; a crash here leaves exactly
+        // that state, and re-running recluster is the repair
+        IngestLock.heartbeat(spark, lock)
+        writeIvfLists(spark, fs, cfg,
+          CorpusIngest.readOrEmpty(spark, vecsPath(cfg), vecsDdl),
+          assigns, epoch,
+          CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
 
         // ---- PQ half of the drift repair (VERDICT r9 item 4): retrain
         // the per-subspace codebooks on the CURRENT corpus and backfill
@@ -516,21 +631,73 @@ object EmbeddingIngest {
       }
     }
 
+  /** Build (or rebuild) the serving inverted lists from the CURRENT
+    * vecs + assignment tables: vector and norm stored next to the bucket
+    * id, hash-partitioned on `bucket_p` and range-sorted by centroid_id —
+    * what [[search]]'s pushed IN predicate prunes. `epoch` stamps the
+    * codebook generation the lists serve (a mismatch at read time means a
+    * recluster superseded them — ignored, split-layout fallback);
+    * `upto` is the highest ingest batch the lists subsume (later appends
+    * are served as the partition-pruned delta). Atomic-swap write; the
+    * input frames must not read the lists dir. */
+  private[graft] def writeIvfLists(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, cfg: IngestConfig,
+      vecs: DataFrame, assigns: DataFrame, epoch: Long, upto: Long): Unit = {
+    CorpusIngest.rollbackIfStranded(fs, ivfListsPath(cfg))
+    val rows = vecs.select(col("vec_id"), col("embedding"), col("n"))
+      .join(assigns.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("n"), col("centroid_id"),
+        lit(epoch).as("epoch"), lit(upto).as("upto_batch"),
+        pmod(col("centroid_id"), lit(ListsBuckets.toLong)).cast("int")
+          .as("bucket_p"))
+      .repartition(col("bucket_p"))
+      .sortWithinPartitions(col("bucket_p"), col("centroid_id"))
+    CorpusIngest.swapWrite(fs, ivfListsPath(cfg), rows,
+      partitionCols = Seq("bucket_p"))
+  }
+
   /** Fold the accumulated per-batch partitions into a single
     * `ingest_batch = -1` partition — same contract, locking, and
     * atomic-swap discipline as [[CorpusIngest.compact]] (the ledger keeps
-    * its per-batch audit rows). */
+    * its per-batch audit rows) — then rebuild the serving inverted lists
+    * over the folded state ([[writeIvfLists]]): compaction is exactly the
+    * maintenance point where the O(corpus) re-layout is paid, so the serve
+    * path's pruned base covers everything up to the fold's high-water
+    * mark and the per-query delta stays one compaction cadence deep. */
   def compact(spark: SparkSession, cfg: IngestConfig): Unit =
     IngestLock.withLock(spark, cfg.corpusRoot,
         s"compact-${java.util.UUID.randomUUID()}", cfg.lockStaleMs) { lock =>
       val fs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       // high-water mark before the fold (see CorpusIngest.markCompactionHwm)
-      CorpusIngest.markCompactionHwm(fs, cfg.corpusRoot,
-        CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
-      Seq(vecsPath(cfg), bandsPath(cfg), ivfPath(cfg), pqPath(cfg)).foreach { dir =>
+      val hwm = CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg))
+      CorpusIngest.markCompactionHwm(fs, cfg.corpusRoot, hwm)
+      // invalidate the serving lists BEFORE the folds: once a batch's
+      // partition folds into -1 the old lists' `upto_batch` delta predicate
+      // can no longer see it, so a crash between fold and rebuild would
+      // leave lists that silently under-serve — absent lists merely fall
+      // back to the (coherent) split layout, and re-running compact is the
+      // repair, the standing contract of every died maintenance pass
+      CorpusIngest.rollbackIfStranded(fs, ivfListsPath(cfg))
+      fs.delete(new org.apache.hadoop.fs.Path(ivfListsPath(cfg)), true)
+      Seq(vecsPath(cfg), bandsPath(cfg), pqPath(cfg)).foreach { dir =>
         IngestLock.heartbeat(spark, lock)
         CorpusIngest.foldBatchPartitions(spark, fs, dir)
+      }
+      IngestLock.heartbeat(spark, lock)
+      CorpusIngest.foldBatchPartitions(spark, fs, ivfPath(cfg),
+        _.repartitionByRange(col("centroid_id"))
+          .sortWithinPartitions(col("centroid_id")))
+      val cents = CorpusIngest.readOrEmpty(spark, centroidsPath(cfg), centDdl)
+      val cbEpoch = cents.agg(max(col("frozen_batch"))).first
+      if (!cbEpoch.isNullAt(0)) {
+        val assigns = CorpusIngest.readOrEmpty(spark, ivfPath(cfg), ivfDdl)
+        requireEpochCoherent(cbEpoch.getLong(0),
+          assigns.select(col("epoch")), "compact-lists")
+        IngestLock.heartbeat(spark, lock)
+        writeIvfLists(spark, fs, cfg,
+          CorpusIngest.readOrEmpty(spark, vecsPath(cfg), vecsDdl),
+          assigns, cbEpoch.getLong(0), hwm)
       }
     }
 

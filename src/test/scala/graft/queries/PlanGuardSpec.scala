@@ -34,6 +34,7 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "ann_topk_filtered",      // probe set broadcast against the FILTERED corpus
     "ann_topk_ivf",           // centroid set broadcast (bucketing)
     "ann_topk_ivf_indexed",   // frozen centroid set broadcast (seed-trained)
+    "ann_topk_ivf_served",    // same frozen centroid broadcast, persisted root
     "ann_topk_ivfpq",         // centroid set broadcast (bucketing) + code tables
     "dedup_embedding_pairs",  // centroid set broadcast (bucketing)
     "dedup_embedding_srp_pairs", // hyperplane set + 1-row dim anchor broadcast
