@@ -279,6 +279,33 @@ object LlmWorkload {
         .select(col("vec_id"), col("embedding")))
   }
 
+  /** [[annTopkIvfPq]] served from a persisted, compacted streaming root —
+    * the IVF-PQ twin of [[annTopkIvfServed]]. ONE arrival batch holds the
+    * whole corpus, so the frozen coarse + PQ codebooks equal the
+    * full-corpus `vec_id % 25` picks of the in-session build and the
+    * served results must hash-match the SAME `ann_topk_ivfpq` oracle.
+    * What this pins at the gate: the bucket-annotated code table
+    * (compaction re-clusters codes by centroid) serving ADC shortlists
+    * through [[graft.stream.EmbeddingIngest.searchPq]]'s PRUNED code scan
+    * — the pushed centroid IN list must select exactly the candidate
+    * buckets' code rows, or ranks shift and the hash breaks. */
+  def annTopkIvfPqServed(spark: SparkSession, dir: String): DataFrame = {
+    val root = SharedIndexes.dir(s"embedding-ingest-full:$dir") { d =>
+      val cfg = graft.stream.EmbeddingIngest.IngestConfig(
+        "unused", s"$d/corpus", "unused", threshold = 1.01)
+      graft.stream.EmbeddingIngest.ingestBatch(spark, cfg,
+        Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding")), 0L): Unit
+      graft.stream.EmbeddingIngest.compact(spark, cfg)
+    }
+    graft.stream.EmbeddingIngest.searchPq(spark,
+      graft.stream.EmbeddingIngest.IngestConfig(
+        "unused", s"$root/corpus", "unused"),
+      Tables(spark, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id"), col("embedding")))
+  }
+
   /** IVF bucket-health report over the frozen seed codebook
     * ([[VectorOps.ivfBucketHealth]]): the even half freezes the centroids
     * (as [[annTopkIvfIndexed]]), the whole corpus buckets against them, and
@@ -1181,6 +1208,7 @@ object LlmWorkload {
     "ann_topk_ivf" -> annTopkIvf,
     "ann_topk_ivf_indexed" -> annTopkIvfIndexed,
     "ann_topk_ivf_served" -> annTopkIvfServed,
+    "ann_topk_ivfpq_served" -> annTopkIvfPqServed,
     "ann_ivf_drift" -> annIvfDrift,
     "ann_pq_drift" -> annPqDrift,
     "ann_topk_ivfpq" -> annTopkIvfPq,
@@ -2201,6 +2229,7 @@ object LlmWorkload {
     "ann_topk_ivf_indexed" -> ivfIndexedOracle,
     "ann_topk_ivf_served" -> ivfIndexedOracle,
     "ann_topk_ivfpq" -> ivfpqOracle,
+    "ann_topk_ivfpq_served" -> ivfpqOracle,
     // drift replay: frozen even-half codebook, rn=1 assignment, per-bucket
     // integer-floored cosine sums, identical division order for the ratios
     "ann_ivf_drift" ->

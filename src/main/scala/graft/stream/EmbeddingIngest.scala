@@ -84,8 +84,17 @@ object EmbeddingIngest {
     "vec_id BIGINT, centroid_id BIGINT, epoch BIGINT, ingest_batch BIGINT"
   private val pqcbDdl =
     "j INT, code_id BIGINT, ce ARRAY<DOUBLE>, frozen_batch BIGINT"
+  /** PQ code rows carry their coarse BUCKET too (`centroid_id` + the
+    * `ivf_epoch` it was computed against): [[searchPq]] pre-filters the
+    * code scan with the probes' pushed centroid IN list — the code table
+    * is the one corpus-sized scan of the PQ serve, and bucket-clustered
+    * codes prune it to the probed buckets. A stale annotation (the IVF
+    * codebook reclustered but these rows' bucket column predates it) is
+    * detected by the epoch stamp and merely disables the pruning — the
+    * (vec_id, j, code_id) payload stays valid against the PQ codebooks. */
   private val pqDdl =
-    "vec_id BIGINT, j INT, code_id BIGINT, epoch BIGINT, ingest_batch BIGINT"
+    "vec_id BIGINT, j INT, code_id BIGINT, epoch BIGINT, " +
+      "centroid_id BIGINT, ivf_epoch BIGINT, ingest_batch BIGINT"
   private val vecsDdl =
     "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT"
   private val listsDdl =
@@ -270,8 +279,13 @@ object EmbeddingIngest {
       // sorted by centroid_id WITHIN the batch partition: the serve faces
       // push the probes' bucket ids as an IN predicate, and the sort makes
       // parquet row-group min/max stats prune even not-yet-compacted
-      // appends (the ClusterRegistry label-append discipline)
-      VectorOps.ivfAssign(codebook, targets)
+      // appends (the ClusterRegistry label-append discipline). Scoped
+      // cache: the PQ write below re-derives the same assignment for its
+      // own targets, and in the common same-freeze case the plans are
+      // equal so one materialization serves both.
+      val assignedIvf = Caching.scoped(VectorOps.ivfAssign(codebook, targets)
+        .select(col("vec_id"), col("centroid_id")))
+      assignedIvf
         .select(col("vec_id"), col("centroid_id"),
           lit(cbEpoch).as("epoch"), stamp)
         .sortWithinPartitions(col("centroid_id"))
@@ -310,10 +324,22 @@ object EmbeddingIngest {
       requireEpochCoherent(pqEpoch,
         idx(pqPath(cfg), pqDdl).select(col("epoch")), "ingest-pq")
       IngestLock.heartbeat(spark, lock)
+      // bucket annotation for the searchPq code-scan pruning: assignment
+      // against the same frozen codebook (a pure function, so the column
+      // agrees with the ivf table rows whatever batch wrote them); the
+      // common case re-reads assignedIvf's cache. Pre-IVF-freeze batches
+      // annotate null under a then-meaningless ivf_epoch — searchPq's
+      // coherence check sees the mismatch after the freeze and falls back
+      // to the unpruned scan until compact() re-annotates.
+      val pqAssigns = VectorOps.ivfAssign(codebook, pqTargets)
+        .select(col("vec_id"), col("centroid_id"))
       VectorOps.pqEncodeWith(pqCb,
           pqTargets.select(col("vec_id"), col("e")), cfg.pqM)
+        .join(pqAssigns, Seq("vec_id"), "left")
         .select(col("vec_id"), col("j"), col("code_id"),
-          lit(pqEpoch).as("epoch"), stamp)
+          lit(pqEpoch).as("epoch"), col("centroid_id"),
+          lit(cbEpoch).as("ivf_epoch"), stamp)
+        .sortWithinPartitions(col("centroid_id"))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_batch").parquet(pqPath(cfg))
 
@@ -443,7 +469,7 @@ object EmbeddingIngest {
     * no lock, writes nothing, reads through stranded compactions. */
   def searchPq(spark: SparkSession, cfg: IngestConfig, probes: DataFrame,
       k: Int = 10, rerank: Int = 150): DataFrame = {
-    val (cents, rawAssigns, _) = loadCoherentIvf(spark, cfg)
+    val (cents, rawAssigns, cbEpoch) = loadCoherentIvf(spark, cfg)
     val (cbs, codes) = loadCoherentPq(spark, cfg)
     // the same bounded centroid IN push as [[search]]: bucket selection is
     // deterministic, so pre-filtering the assignment scan to the probes'
@@ -453,15 +479,30 @@ object EmbeddingIngest {
         VectorOps.prepareProbes(probes), cfg.nprobe)
       .select(col("centroid_id")).distinct()
       .limit(MaxCentroidPushIds + 1).collect().map(_.getLong(0)).toSeq
+    val canPush = pushIds.length <= MaxCentroidPushIds
     val assigns =
-      if (pushIds.length <= MaxCentroidPushIds)
-        rawAssigns.filter(col("centroid_id").isInCollection(pushIds))
+      if (canPush) rawAssigns.filter(col("centroid_id").isInCollection(pushIds))
       else rawAssigns
+    // the code table is the PQ serve's one corpus-sized scan: when every
+    // row's bucket annotation was computed against THIS coarse codebook
+    // generation, the same pushed IN list prunes it to the probed buckets
+    // (bucket-clustered layout → row-group skipping). A stale annotation
+    // (codebook reclustered since; pre-freeze null rows) merely disables
+    // the pruning — the (vec_id, j, code_id) payload stays valid, so the
+    // fallback is the unpruned join, never a refusal. Healthy tables
+    // answer the check from footer stats alone.
+    val bucketsCoherent = cbEpoch.exists { e =>
+      codes.filter(col("ivf_epoch").isNull || col("ivf_epoch") =!= e).isEmpty
+    }
+    val candCodes =
+      if (bucketsCoherent && canPush)
+        codes.filter(col("centroid_id").isInCollection(pushIds))
+      else codes
     val vecs = CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg), vecsDdl)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
         col("n"))
     VectorOps.ivfPqSearchIndexed(cents, assigns,
-      codes.select(col("vec_id"), col("j"), col("code_id")),
+      candCodes.select(col("vec_id"), col("j"), col("code_id")),
       cbs.select(col("j"), col("code_id"), col("ce")), vecs, probes,
       nprobe = cfg.nprobe, m = cfg.pqM, k = k, rerank = rerank)
   }
@@ -623,7 +664,15 @@ object EmbeddingIngest {
             vecs.select(col("vec_id"), col("e")), cfg.pqM)
           .select(col("vec_id"), col("j"), col("code_id"))
           .withColumn("epoch", lit(pqEpoch))
+          // bucket annotation against the RECLUSTERED coarse codebook (the
+          // assigns frame swapped in above), clustered so the searchPq
+          // pruned scan skips to the probed buckets
+          .join(assigns.select(col("vec_id"), col("centroid_id")),
+            Seq("vec_id"), "left")
+          .withColumn("ivf_epoch", lit(epoch))
           .withColumn("ingest_batch", lit(-1L))
+          .repartitionByRange(col("centroid_id"))
+          .sortWithinPartitions(col("centroid_id"))
           .localCheckpoint()
         IngestLock.heartbeat(spark, lock)
         CorpusIngest.swapWrite(fs, pqPath(cfg), codes,
@@ -680,7 +729,7 @@ object EmbeddingIngest {
       // repair, the standing contract of every died maintenance pass
       CorpusIngest.rollbackIfStranded(fs, ivfListsPath(cfg))
       fs.delete(new org.apache.hadoop.fs.Path(ivfListsPath(cfg)), true)
-      Seq(vecsPath(cfg), bandsPath(cfg), pqPath(cfg)).foreach { dir =>
+      Seq(vecsPath(cfg), bandsPath(cfg)).foreach { dir =>
         IngestLock.heartbeat(spark, lock)
         CorpusIngest.foldBatchPartitions(spark, fs, dir)
       }
@@ -690,6 +739,20 @@ object EmbeddingIngest {
           .sortWithinPartitions(col("centroid_id")))
       val cents = CorpusIngest.readOrEmpty(spark, centroidsPath(cfg), centDdl)
       val cbEpoch = cents.agg(max(col("frozen_batch"))).first
+      // fold the PQ codes RE-ANNOTATED against the post-fold assignments
+      // and bucket-clustered — the maintenance point that repairs any
+      // stale/null bucket columns (pre-freeze appends) so searchPq's
+      // pruned scan is coherent again
+      IngestLock.heartbeat(spark, lock)
+      CorpusIngest.foldBatchPartitions(spark, fs, pqPath(cfg), { df =>
+        if (cbEpoch.isNullAt(0)) df
+        else df.drop("centroid_id", "ivf_epoch")
+          .join(CorpusIngest.readOrEmpty(spark, ivfPath(cfg), ivfDdl)
+            .select(col("vec_id"), col("centroid_id")), Seq("vec_id"), "left")
+          .withColumn("ivf_epoch", lit(cbEpoch.getLong(0)))
+          .repartitionByRange(col("centroid_id"))
+          .sortWithinPartitions(col("centroid_id"))
+      })
       if (!cbEpoch.isNullAt(0)) {
         val assigns = CorpusIngest.readOrEmpty(spark, ivfPath(cfg), ivfDdl)
         requireEpochCoherent(cbEpoch.getLong(0),

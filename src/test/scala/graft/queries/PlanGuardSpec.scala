@@ -36,6 +36,7 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "ann_topk_ivf_indexed",   // frozen centroid set broadcast (seed-trained)
     "ann_topk_ivf_served",    // same frozen centroid broadcast, persisted root
     "ann_topk_ivfpq",         // centroid set broadcast (bucketing) + code tables
+    "ann_topk_ivfpq_served",  // same broadcasts, persisted bucket-clustered codes
     "dedup_embedding_pairs",  // centroid set broadcast (bucketing)
     "dedup_embedding_srp_pairs", // hyperplane set + 1-row dim anchor broadcast
     "dedup_embedding_incremental", // same SRP hyperplane/dim broadcasts, both halves

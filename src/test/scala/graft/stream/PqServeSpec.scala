@@ -133,5 +133,24 @@ class PqServeSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(after == before, "compaction must not change served results")
     graft.Caching.releaseAll()
+
+    // a STALE bucket annotation (the coarse codebook superseded since
+    // these code rows were written) disables the pruned code scan but must
+    // not change results — the (vec_id, j, code_id) payload is still valid
+    // against the PQ codebooks, so the fallback is the unpruned join
+    val pqDir = EmbeddingIngest.pqPath(cfg)
+    val mangled = spark.read.parquet(pqDir)
+      .withColumn("ivf_epoch", lit(999L))
+      .localCheckpoint()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(pqDir), true)
+    mangled.write.partitionBy("ingest_batch").parquet(pqDir)
+    val stale = EmbeddingIngest.searchPq(spark, cfg, probes)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(stale == before,
+      "a stale bucket annotation changed searchPq results instead of " +
+        "falling back to the unpruned code scan")
+    graft.Caching.releaseAll()
   }
 }
