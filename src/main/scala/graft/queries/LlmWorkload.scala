@@ -261,8 +261,13 @@ object LlmWorkload {
     * implementation detail the results may not leak. */
   def annTopkIvfServed(spark: SparkSession, dir: String): DataFrame = {
     val root = SharedIndexes.dir(s"embedding-ingest:$dir") { d =>
+      // threshold 1.01 admits everything, so the SRP dedup stage is dead
+      // weight here — 64/16 banding (65 536 buckets per band) collapses
+      // its candidate verify cost without touching the IVF/PQ layers the
+      // entry serves (band parameters are dedup-side only)
       val cfg = graft.stream.EmbeddingIngest.IngestConfig(
-        "unused", s"$d/corpus", "unused", threshold = 1.01)
+        "unused", s"$d/corpus", "unused", threshold = 1.01,
+        bits = 64, bandBits = 16)
       val emb = Tables(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       graft.stream.EmbeddingIngest.ingestBatch(spark, cfg,
@@ -291,8 +296,12 @@ object LlmWorkload {
     * buckets' code rows, or ranks shift and the hash breaks. */
   def annTopkIvfPqServed(spark: SparkSession, dir: String): DataFrame = {
     val root = SharedIndexes.dir(s"embedding-ingest-full:$dir") { d =>
+      // 64/16 banding for the same reason as the even-seed root above:
+      // nothing is rejected at threshold 1.01, so keep the dead dedup
+      // stage's candidate volume near zero
       val cfg = graft.stream.EmbeddingIngest.IngestConfig(
-        "unused", s"$d/corpus", "unused", threshold = 1.01)
+        "unused", s"$d/corpus", "unused", threshold = 1.01,
+        bits = 64, bandBits = 16)
       graft.stream.EmbeddingIngest.ingestBatch(spark, cfg,
         Tables(spark, dir, "embeddings")
           .select(col("vec_id"), col("embedding")), 0L): Unit
