@@ -300,12 +300,13 @@ object ClusterRegistry {
       // batch; refresh BEFORE the first state write
       IngestLock.heartbeat(spark, lock)
       val stamp = lit(batchId).as("ingest_batch")
-      batchBands.select(col("doc_id"), col("band"), col("sig"), stamp)
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch").parquet(bandsPath(cfg))
-      batchSets.select(col("doc_id"), col("s"), col("n"), stamp)
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch").parquet(setsPath(cfg))
+      // the two signature appends are independent directories over warm
+      // cached frames — overlap their commit latency
+      CorpusIngest.parallelAppends(Seq(
+        bandsPath(cfg) -> batchBands
+          .select(col("doc_id"), col("band"), col("sig"), stamp),
+        setsPath(cfg) -> batchSets
+          .select(col("doc_id"), col("s"), col("n"), stamp)))
       val nMerges = UnionFindTables.incrementAndAppend(spark, cfg.root,
         batchId, docs.select(col("doc_id")), batchPairs, crossPairs)
       val nIn = docs.count()
@@ -491,12 +492,12 @@ object EmbeddingClusterRegistry {
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       IngestLock.heartbeat(spark, lock)
       val stamp = lit(batchId).as("ingest_batch")
-      batchBands.select(col("vec_id"), col("band"), col("bv"), stamp)
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch").parquet(bandsPath(cfg))
-      batchVecs.select(col("vec_id"), col("e"), col("n"), stamp)
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch").parquet(vecsPath(cfg))
+      // independent directories over warm cached frames — overlap commits
+      CorpusIngest.parallelAppends(Seq(
+        bandsPath(cfg) -> batchBands
+          .select(col("vec_id"), col("band"), col("bv"), stamp),
+        vecsPath(cfg) -> batchVecs
+          .select(col("vec_id"), col("e"), col("n"), stamp)))
       val nMerges = UnionFindTables.incrementAndAppend(spark, cfg.root,
         batchId, batchVecs.select(col("vec_id").as("doc_id")),
         batchPairs, crossPairs)

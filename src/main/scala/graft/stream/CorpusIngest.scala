@@ -70,6 +70,37 @@ object CorpusIngest {
   private val phashDdl =
     "doc_id BIGINT, phash BIGINT, band INT, v BIGINT, ingest_batch BIGINT"
 
+  /** Append independent per-layer partitions CONCURRENTLY (bounded pool):
+    * each job writes a DIFFERENT directory and reads only frames the
+    * caller has already materialized, so the fixed per-commit latency
+    * (task scheduling, footer writes, directory renames) overlaps instead
+    * of serializing — on an 8-layer ingest batch the commits are the
+    * dominant wall-clock. `invokeAll` BLOCKS until every write settles
+    * (success or failure) before rethrowing the first failure: a straggler
+    * writer must never outlive the batch's ingest lock, and a failed batch
+    * replays with every layer rewritten idempotently (per-partition
+    * dynamic overwrite), so partial completion in any order is safe. */
+  private[stream] def parallelAppends(jobs: Seq[(String, DataFrame)]): Unit = {
+    def append(path: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(path)
+    if (jobs.sizeIs <= 1) jobs.foreach { case (p, df) => append(p, df) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(jobs.size, 8))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[Option[Throwable]]] =
+          jobs.map { case (path, df) =>
+            () => try { append(path, df); None }
+                  catch { case e: Throwable => Some(e) }
+          }
+        pool.invokeAll(tasks.asJava).asScala
+          .flatMap(_.get()).headOption.foreach(e => throw e)
+      } finally pool.shutdown()
+    }
+  }
+
   private[stream] def readOrEmpty(spark: SparkSession, path: String,
       ddl: String): DataFrame = {
     def empty = graft.Frames.empty(spark, ddl)
@@ -293,60 +324,52 @@ object CorpusIngest {
       // lock) BEFORE the first state write, not after
       IngestLock.heartbeat(spark, lock)
       val stamp = lit(batchId).as("ingest_batch")
-      accepted.select(col("doc_id"), col("text"), stamp)
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch").parquet(docsPath(cfg))
-      accepted.select(col("text_hash"), stamp)
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch").parquet(hashesPath(cfg))
-      def ofAccepted(f: DataFrame) =
-        f.join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      ofAccepted(freshBands).select(col("doc_id"), col("band"), col("sig"), stamp)
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch").parquet(bandsPath(cfg))
-      ofAccepted(freshSets).select(col("doc_id"), col("s"), col("n"), stamp)
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch").parquet(setsPath(cfg))
-      // the lexical index layer: postings of the accepted docs plus the
-      // batch's 1-row additive corpus statistics — together exactly what
-      // [[search]] needs, and additive across batches (postings of disjoint
-      // batches union to the monolithic index; stat rows sum to the
-      // monolithic N/Σdl), so the incremental build IS the full rebuild
-      TextOps.invertedIndex(accepted, "doc_id", "text")
-        .select(col("word"), col("doc_id"), col("tf"), col("dl"), stamp)
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch").parquet(postingsPath(cfg))
-      TextOps.corpusStats(accepted, "doc_id", "text")
-        .select(col("n_docs"), col("dl_sum"), stamp)
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch").parquet(docstatsPath(cfg))
-      // the vocabulary-frequency layer: one mergeable Misra–Gries summary
-      // of the batch's accepted words — summaries of disjoint batches sum
-      // to a whole-corpus summary with the same n/(k+1) bound, so
-      // [[frequentTerms]] serves by plain integer addition
-      graft.text.HeavyHitters.mgSummary(
-        accepted.select(explode(TextOps.wordsOf(col("text"))).as("word")),
-        "word", cfg.mgK)
-        .select(col("token").as("word"), col("cnt"), stamp)
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch").parquet(mgPath(cfg))
-      // the multimodal near-dup layer: banded perceptual-hash signatures of
-      // the accepted payloads (here the docs' UTF-8 bytes — real media rows
-      // would land their binary column in the same table), append-only like
-      // every other signature index; [[probePhash]] serves it. Derived from
-      // `accepted` alone (no probe feeds the decision), so a replayed batch
-      // rewrites identical rows. Sub-`samples` payloads produce no row by
-      // [[graft.ml.Multimodal.phash]]'s length guard.
-      graft.ml.Multimodal.phashBands(
-        graft.ml.Multimodal.withPayload(accepted, "doc_id", "text"))
-        .select(col("doc_id"), col("phash"), col("band"), col("v"), stamp)
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch").parquet(phashPath(cfg))
-
-      // norm is a pure select over the batch (same cardinality) and already
-      // cached by the dedup pipeline — counting it avoids rescanning source
+      // materialize the cached inputs (and the ledger counts) BEFORE the
+      // write group: every layer below reads these warm blocks, so the
+      // concurrent writers don't race to compute the same partitions
+      // (norm is a pure select over the batch — same cardinality)
       val nIn = norm.count()
       val nAccepted = accepted.count()
+      def ofAccepted(f: DataFrame) =
+        f.join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      parallelAppends(Seq(
+        docsPath(cfg) -> accepted.select(col("doc_id"), col("text"), stamp),
+        hashesPath(cfg) -> accepted.select(col("text_hash"), stamp),
+        bandsPath(cfg) -> ofAccepted(freshBands)
+          .select(col("doc_id"), col("band"), col("sig"), stamp),
+        setsPath(cfg) -> ofAccepted(freshSets)
+          .select(col("doc_id"), col("s"), col("n"), stamp),
+        // the lexical index layer: postings of the accepted docs plus the
+        // batch's 1-row additive corpus statistics — together exactly what
+        // [[search]] needs, and additive across batches (postings of
+        // disjoint batches union to the monolithic index; stat rows sum to
+        // the monolithic N/Σdl), so the incremental build IS the rebuild
+        postingsPath(cfg) -> TextOps.invertedIndex(accepted, "doc_id", "text")
+          .select(col("word"), col("doc_id"), col("tf"), col("dl"), stamp),
+        docstatsPath(cfg) -> TextOps.corpusStats(accepted, "doc_id", "text")
+          .select(col("n_docs"), col("dl_sum"), stamp),
+        // the vocabulary-frequency layer: one mergeable Misra–Gries summary
+        // of the batch's accepted words — summaries of disjoint batches sum
+        // to a whole-corpus summary with the same n/(k+1) bound, so
+        // [[frequentTerms]] serves by plain integer addition
+        mgPath(cfg) -> graft.text.HeavyHitters.mgSummary(
+            accepted.select(explode(TextOps.wordsOf(col("text"))).as("word")),
+            "word", cfg.mgK)
+          .select(col("token").as("word"), col("cnt"), stamp),
+        // the multimodal near-dup layer: banded perceptual-hash signatures
+        // of the accepted payloads (here the docs' UTF-8 bytes — real media
+        // rows would land their binary column in the same table),
+        // append-only like every other signature index; [[probePhash]]
+        // serves it. Derived from `accepted` alone (no probe feeds the
+        // decision), so a replayed batch rewrites identical rows.
+        // Sub-`samples` payloads produce no row by
+        // [[graft.ml.Multimodal.phash]]'s length guard.
+        phashPath(cfg) -> graft.ml.Multimodal.phashBands(
+            graft.ml.Multimodal.withPayload(accepted, "doc_id", "text"))
+          .select(col("doc_id"), col("phash"), col("band"), col("v"), stamp)))
+      // the ledger row stays LAST and sequential: compaction takes the
+      // ledger max as the high-water mark it fences replays with, so the
+      // row must never land before every data layer it vouches for
       spark.createDataFrame(Seq((batchId, nIn, nAccepted)))
         .toDF("ingest_batch", "n_in", "n_accepted")
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")

@@ -217,17 +217,21 @@ object EmbeddingIngest {
       // first state write — the dedup above may outlive the stale window
       IngestLock.heartbeat(spark, lock)
       val stamp = lit(batchId).as("ingest_batch")
+      // materialize the cached inputs (and the ledger counts) before the
+      // concurrent appends, so the writers read warm blocks instead of
+      // racing to compute the same partitions
+      val nIn = batchVecs.count()
+      val nAccepted = accepted.count()
       // persist the ORIGINAL float embedding (storage stays float-sized)
-      // plus the double-fold norm used by every later verify
-      accepted
-        .join(batch.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-        .select(col("vec_id"), col("embedding"), col("n"), stamp)
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch").parquet(vecsPath(cfg))
-      batchBands.join(accepted.select(col("vec_id")), Seq("vec_id"), "left_semi")
-        .select(col("vec_id"), col("band"), col("bv"), stamp)
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch").parquet(bandsPath(cfg))
+      // plus the double-fold norm used by every later verify; the two
+      // appends are independent directories — overlap their commits
+      CorpusIngest.parallelAppends(Seq(
+        vecsPath(cfg) -> accepted
+          .join(batch.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+          .select(col("vec_id"), col("embedding"), col("n"), stamp),
+        bandsPath(cfg) -> batchBands
+          .join(accepted.select(col("vec_id")), Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("band"), col("bv"), stamp)))
 
       // ---- IVF search-index layer: frozen codebook, append-only lists ----
       // The codebook freezes ONCE — at the first batch where any
@@ -343,8 +347,6 @@ object EmbeddingIngest {
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_batch").parquet(pqPath(cfg))
 
-      val nIn = batchVecs.count()
-      val nAccepted = accepted.count()
       spark.createDataFrame(Seq((batchId, nIn, nAccepted)))
         .toDF("ingest_batch", "n_in", "n_accepted")
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
