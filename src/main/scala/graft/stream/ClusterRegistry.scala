@@ -399,12 +399,13 @@ object ClusterRegistry {
           .select(col("doc_id")), cfg.root)
       CorpusIngest.markCompactionHwm(fs, cfg.root,
         CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
-      Seq(bandsPath(cfg), setsPath(cfg)).foreach { dir =>
-        IngestLock.heartbeat(spark, lock)
-        CorpusIngest.foldBatchPartitions(spark, fs, dir)
-      }
       IngestLock.heartbeat(spark, lock)
-      UnionFindTables.compactLabels(spark, fs, cfg.root)
+      // the signature folds and the label path-compression rewrite
+      // disjoint directories — overlap them on the bounded pool
+      CorpusIngest.parallelUnits(
+        Seq(bandsPath(cfg), setsPath(cfg))
+          .map(dir => () => CorpusIngest.foldBatchPartitions(spark, fs, dir))
+          :+ (() => UnionFindTables.compactLabels(spark, fs, cfg.root)))
     }
 
   /** Start the continuous labeling stream (AvailableNow — the reference's
@@ -578,12 +579,13 @@ object EmbeddingClusterRegistry {
           .select(col("vec_id").as("doc_id")), cfg.root)
       CorpusIngest.markCompactionHwm(fs, cfg.root,
         CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
-      Seq(bandsPath(cfg), vecsPath(cfg)).foreach { dir =>
-        IngestLock.heartbeat(spark, lock)
-        CorpusIngest.foldBatchPartitions(spark, fs, dir)
-      }
       IngestLock.heartbeat(spark, lock)
-      UnionFindTables.compactLabels(spark, fs, cfg.root)
+      // disjoint directories — overlap on the bounded pool (see
+      // [[ClusterRegistry.compact]])
+      CorpusIngest.parallelUnits(
+        Seq(bandsPath(cfg), vecsPath(cfg))
+          .map(dir => () => CorpusIngest.foldBatchPartitions(spark, fs, dir))
+          :+ (() => UnionFindTables.compactLabels(spark, fs, cfg.root)))
     }
 
   /** Start the continuous labeling stream (AvailableNow). */

@@ -80,19 +80,27 @@ object CorpusIngest {
     * writer must never outlive the batch's ingest lock, and a failed batch
     * replays with every layer rewritten idempotently (per-partition
     * dynamic overwrite), so partial completion in any order is safe. */
-  private[stream] def parallelAppends(jobs: Seq[(String, DataFrame)]): Unit = {
-    def append(path: String, df: DataFrame): Unit =
-      df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+  private[stream] def parallelAppends(jobs: Seq[(String, DataFrame)]): Unit =
+    parallelUnits(jobs.map { case (path, df) =>
+      () => df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_batch").parquet(path)
-    if (jobs.sizeIs <= 1) jobs.foreach { case (p, df) => append(p, df) }
+    })
+
+  /** The bounded-pool runner behind [[parallelAppends]] (and the
+    * compaction folds): every unit must touch a DIFFERENT directory.
+    * `invokeAll` blocks until every unit settles before the first failure
+    * rethrows — no straggler outlives the caller's lock. */
+  private[stream] def parallelUnits(jobs: Seq[() => Unit]): Unit = {
+    if (jobs.sizeIs <= 1) jobs.foreach(_())
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(jobs.size, 8))
       try {
         import scala.jdk.CollectionConverters._
         val tasks: Seq[java.util.concurrent.Callable[Option[Throwable]]] =
-          jobs.map { case (path, df) =>
-            () => try { append(path, df); None }
+          jobs.map { job =>
+            () => try { job(); None }
                   catch { case e: Throwable => Some(e) }
           }
         pool.invokeAll(tasks.asJava).asScala
@@ -592,31 +600,29 @@ object CorpusIngest {
     markCompactionHwm(fs, cfg.corpusRoot,
       ledgerMaxBatch(spark, ledgerPath(cfg)))
     // the ledger stays per-batch: its ingest_batch is the AUDIT key, not
-    // provenance, and one row per batch never needs compaction
-    Seq(docsPath(cfg), hashesPath(cfg), bandsPath(cfg), setsPath(cfg),
-      postingsPath(cfg), phashPath(cfg))
-      .foreach { dir =>
-      // each table fold is a full rewrite; keep the heartbeat fresher than
-      // the staleness window across them
-      IngestLock.heartbeat(spark, lock)
-      foldBatchPartitions(spark, fs, dir)
-    }
-    // the additive stat tables fold FURTHER than a partition concat: their
-    // rows are provenance-free and only ever SUMMED by the read faces, so
-    // the compacted form is the aggregate itself — docstats to its one
-    // summed row, the MG vocabulary summaries to one summed counter per
-    // word (sound: the n/(k+1) bound is additive, see
-    // [[graft.text.HeavyHitters.mgSummary]]) — state stays O(1) / O(vocab)
+    // provenance, and one row per batch never needs compaction. Every
+    // fold rewrites a DIFFERENT table, so they run on the bounded pool —
+    // one heartbeat fronts the group (the folds now finish well inside
+    // the staleness window precisely because they overlap). The additive
+    // stat tables fold FURTHER than a partition concat: their rows are
+    // provenance-free and only ever SUMMED by the read faces, so the
+    // compacted form is the aggregate itself — docstats to its one summed
+    // row, the MG vocabulary summaries to one summed counter per word
+    // (sound: the n/(k+1) bound is additive, see
+    // [[graft.text.HeavyHitters.mgSummary]]) — state stays O(1)/O(vocab)
     // forever instead of growing a row set per historical batch
     IngestLock.heartbeat(spark, lock)
-    foldAggregated(spark, fs, docstatsPath(cfg)) { df =>
-      df.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
-        coalesce(sum(col("dl_sum")), lit(0L)).as("dl_sum"))
-    }
-    IngestLock.heartbeat(spark, lock)
-    foldAggregated(spark, fs, mgPath(cfg)) { df =>
-      df.groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
-    }
+    parallelUnits(
+      Seq(docsPath(cfg), hashesPath(cfg), bandsPath(cfg), setsPath(cfg),
+        postingsPath(cfg), phashPath(cfg))
+        .map(dir => () => foldBatchPartitions(spark, fs, dir)) ++ Seq(
+        () => foldAggregated(spark, fs, docstatsPath(cfg)) { df =>
+          df.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+            coalesce(sum(col("dl_sum")), lit(0L)).as("dl_sum"))
+        },
+        () => foldAggregated(spark, fs, mgPath(cfg)) { df =>
+          df.groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+        }))
   }
 
   /** Fold a per-batch ADDITIVE table into its aggregate under

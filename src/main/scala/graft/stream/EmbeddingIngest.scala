@@ -731,14 +731,16 @@ object EmbeddingIngest {
       // repair, the standing contract of every died maintenance pass
       CorpusIngest.rollbackIfStranded(fs, ivfListsPath(cfg))
       fs.delete(new org.apache.hadoop.fs.Path(ivfListsPath(cfg)), true)
-      Seq(vecsPath(cfg), bandsPath(cfg)).foreach { dir =>
-        IngestLock.heartbeat(spark, lock)
-        CorpusIngest.foldBatchPartitions(spark, fs, dir)
-      }
       IngestLock.heartbeat(spark, lock)
-      CorpusIngest.foldBatchPartitions(spark, fs, ivfPath(cfg),
-        _.repartitionByRange(col("centroid_id"))
-          .sortWithinPartitions(col("centroid_id")))
+      // vecs, bands, and the centroid-sorted ivf fold rewrite disjoint
+      // directories — overlap them; the pq re-annotation below reads the
+      // FOLDED ivf table, so it stays sequential after the group
+      CorpusIngest.parallelUnits(Seq(
+        () => CorpusIngest.foldBatchPartitions(spark, fs, vecsPath(cfg)),
+        () => CorpusIngest.foldBatchPartitions(spark, fs, bandsPath(cfg)),
+        () => CorpusIngest.foldBatchPartitions(spark, fs, ivfPath(cfg),
+          _.repartitionByRange(col("centroid_id"))
+            .sortWithinPartitions(col("centroid_id")))))
       val cents = CorpusIngest.readOrEmpty(spark, centroidsPath(cfg), centDdl)
       val cbEpoch = cents.agg(max(col("frozen_batch"))).first
       // fold the PQ codes RE-ANNOTATED against the post-fold assignments
