@@ -251,6 +251,104 @@ object VectorOps {
       .join(vecs.select(col("vec_id"), col("e"), col("n")), Seq("vec_id")), k)
   }
 
+  // ------------------------------------------------ two-level (hierarchical)
+  // IVF — the nlist-beyond-broadcast scale path. The flat index broadcasts
+  // the whole codebook and scores corpus × nlist cosines at assignment
+  // time; with nlist growing alongside the corpus (the bucket-size-constant
+  // rule) that product is the build-side scan a 100 TB index cannot pay,
+  // and the codebook itself eventually outgrows a broadcast. The standard
+  // fix (IMI / coarse-over-coarse): a √nlist-sized META codebook routes
+  // every decision first — vectors assign to their nearest meta (corpus ×
+  // √nlist broadcast argmax), then to the nearest child WITHIN that meta's
+  // children (an EQUI-join on meta_id, ~√nlist candidates each), so
+  // assignment costs corpus × O(√nlist) and nothing larger than √nlist +
+  // per-meta child groups is ever broadcast. Deterministic ties (lowest id)
+  // at both levels keep the whole construction oracle-replayable.
+
+  /** The meta codebook and the child→meta routing table, derived
+    * deterministically from the flat codebook: metas are the centroids with
+    * `centroid_id % metaMod == 0`, every centroid routes to its nearest
+    * meta (cosine argmax, ties to the lowest meta id). Returns
+    * (metas (meta_id, me, mn), children (centroid_id, ce, cn, meta_id)). */
+  private def ivfHierRouting(centroids: DataFrame,
+      metaMod: Int): (DataFrame, DataFrame) = {
+    val metas = centroids.filter(pmod(col("centroid_id"), lit(metaMod)) === 0)
+      .select(col("centroid_id").as("meta_id"),
+        col("ce").as("me"), col("cn").as("mn"))
+    val routed = centroids.join(broadcast(metas))
+      .withColumn("cos", cosPre("ce", "me", "cn", "mn"))
+      .groupBy(col("centroid_id"))
+      .agg(max(struct(col("cos"), (-col("meta_id")).as("nid"))).as("mx"))
+      .select(col("centroid_id"), (-col("mx.nid")).as("meta_id"))
+    (metas, centroids.join(routed, Seq("centroid_id")))
+  }
+
+  /** Hierarchical assignment: each vector to its nearest meta, then to the
+    * nearest child centroid within that meta — (vec_id, centroid_id).
+    * Results differ from the flat [[ivfAssign]] only for vectors whose true
+    * nearest centroid lives under a different meta than their own (the
+    * recall trade every two-level quantizer makes; `metaProbe` on the
+    * SEARCH side is the standard compensation). */
+  def ivfAssignHier(centroids: DataFrame, v: DataFrame,
+      metaMod: Int): DataFrame = {
+    val (metas, children) = ivfHierRouting(centroids, metaMod)
+    val vMeta = v.select(col("vec_id"), col("e"), col("n"))
+      .join(broadcast(metas))
+      .withColumn("cos", cosPre("e", "me", "n", "mn"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("meta_id")).as("nid"))).as("mx"))
+      .select(col("vec_id"), (-col("mx.nid")).as("meta_id"))
+    v.select(col("vec_id"), col("e"), col("n"))
+      .join(vMeta, Seq("vec_id"))
+      .join(children.select(col("meta_id"), col("centroid_id"),
+        col("ce"), col("cn")), Seq("meta_id"))
+      .withColumn("cos", cosPre("e", "ce", "n", "cn"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("centroid_id")).as("nid"))).as("mx"))
+      .select(col("vec_id"), (-col("mx.nid")).as("centroid_id"))
+  }
+
+  /** Two-level bucket selection for a probe set: top `metaProbe` metas by
+    * cosine, then the top `nprobe` children among THOSE metas' children —
+    * (probe_id, pe, pn, centroid_id), the [[probeBuckets]] shape, so the
+    * candidate fetch and top-k tail are shared with the flat paths. */
+  private[graft] def probeBucketsHier(centroids: DataFrame, p: DataFrame,
+      metaMod: Int, metaProbe: Int, nprobe: Int): DataFrame = {
+    val (metas, children) = ivfHierRouting(centroids, metaMod)
+    val wMeta = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("meta_id").asc)
+    val pMetas = p.join(broadcast(metas))
+      .withColumn("cos", cosPre("pe", "me", "pn", "mn"))
+      .withColumn("rn", row_number().over(wMeta))
+      .filter(col("rn") <= metaProbe)
+      .select(col("probe_id"), col("pe"), col("pn"), col("meta_id"))
+    val wChild = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    pMetas
+      .join(children.select(col("meta_id"), col("centroid_id"),
+        col("ce"), col("cn")), Seq("meta_id"))
+      .withColumn("cos", cosPre("pe", "ce", "pn", "cn"))
+      .withColumn("rn", row_number().over(wChild))
+      .filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("pe"), col("pn"), col("centroid_id"))
+  }
+
+  /** Top-k search over hierarchically assigned buckets — the two-level
+    * twin of [[ivfSearchAssignments]]: assignments come from
+    * [[ivfAssignHier]], probes route meta-first, the candidate fetch and
+    * exact top-k tail are byte-identical to the flat path. */
+  def ivfSearchHier(centroids: DataFrame, assignments: DataFrame,
+      vecs: DataFrame, probes: DataFrame, metaMod: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      metaProbe: Int = 2, nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val pb = probeBucketsHier(centroids,
+      prepareProbes(probes, idCol, vecCol), metaMod, metaProbe, nprobe)
+    topKByCos(pb
+      .join(assignments.select(col("vec_id"), col("centroid_id")),
+        Seq("centroid_id"))
+      .join(vecs.select(col("vec_id"), col("e"), col("n")), Seq("vec_id")), k)
+  }
+
   /**
    * IVF bucket-health / drift report over a frozen codebook — the
    * maintenance gauge of the persisted index family. A codebook frozen on

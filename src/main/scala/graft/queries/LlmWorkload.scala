@@ -284,6 +284,27 @@ object LlmWorkload {
         .select(col("vec_id"), col("embedding")))
   }
 
+  /** Two-level (hierarchical) IVF — the nlist-beyond-broadcast scale path
+    * ([[VectorOps.ivfAssignHier]]/[[VectorOps.ivfSearchHier]]): a
+    * √nlist-sized META codebook routes every decision first, so assignment
+    * costs corpus × O(√nlist) instead of corpus × nlist and nothing larger
+    * than the meta set + per-meta child groups is ever broadcast — what a
+    * 100 TB corpus (where nlist itself scales with the corpus) actually
+    * runs. Fixture: centroids = `vec_id % 25`, metas = the `% 100` subset,
+    * probes route through their 2 nearest metas. Fully oracle-replayed:
+    * both argmax levels, the child routing, and the probe fan-out are
+    * deterministic (ties to the lowest id). */
+  def annTopkIvfHier(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val v = graft.Caching.scoped(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("n", sqrt(VectorOps.dot("e", "e"))))
+    val cents = graft.Caching.scoped(VectorOps.ivfCentroids(emb))
+    val assigns = VectorOps.ivfAssignHier(cents, v, metaMod = 100)
+    VectorOps.ivfSearchHier(cents, assigns, v,
+      emb.filter(pmod(col("vec_id"), lit(100)) === 0), metaMod = 100)
+  }
+
   /** [[annTopkIvfPq]] served from a persisted, compacted streaming root —
     * the IVF-PQ twin of [[annTopkIvfServed]]. ONE arrival batch holds the
     * whole corpus, so the frozen coarse + PQ codebooks equal the
@@ -1218,6 +1239,7 @@ object LlmWorkload {
     "ann_topk_ivf_indexed" -> annTopkIvfIndexed,
     "ann_topk_ivf_served" -> annTopkIvfServed,
     "ann_topk_ivfpq_served" -> annTopkIvfPqServed,
+    "ann_topk_ivf_hier" -> annTopkIvfHier,
     "ann_ivf_drift" -> annIvfDrift,
     "ann_pq_drift" -> annPqDrift,
     "ann_topk_ivfpq" -> annTopkIvfPq,
@@ -2237,6 +2259,53 @@ object LlmWorkload {
     // in-session build and the persisted-root serve — see ivfIndexedOracle
     "ann_topk_ivf_indexed" -> ivfIndexedOracle,
     "ann_topk_ivf_served" -> ivfIndexedOracle,
+    // two-level replay: meta codebook (% 100 of the % 25 centroids), child
+    // routing + vector assignment as nested rn=1 argmaxes, probes fanning
+    // through their 2 nearest metas then 2 nearest children — every level
+    // tie-broken on the lowest id, exactly the Spark aggregates
+    "ann_topk_ivf_hier" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % 25 = 0),
+         |m AS (SELECT centroid_id AS meta_id, ce AS me FROM c
+         |      WHERE centroid_id % 100 = 0),
+         |ch AS (SELECT centroid_id, ce, meta_id FROM (
+         |  SELECT c.centroid_id, c.ce, m.meta_id,
+         |    row_number() OVER (PARTITION BY c.centroid_id
+         |      ORDER BY ${cosSql("c.ce", "m.me")} DESC, m.meta_id ASC) AS rn
+         |  FROM c, m) WHERE rn = 1),
+         |vm AS (SELECT vec_id, meta_id FROM (
+         |  SELECT v.vec_id, m.meta_id,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${cosSql("v.e", "m.me")} DESC, m.meta_id ASC) AS rn
+         |  FROM v, m) WHERE rn = 1),
+         |assign AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT v.vec_id, ch.centroid_id,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${cosSql("v.e", "ch.ce")} DESC, ch.centroid_id ASC) AS rn
+         |  FROM v JOIN vm ON vm.vec_id = v.vec_id
+         |         JOIN ch ON ch.meta_id = vm.meta_id) WHERE rn = 1),
+         |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+         |pm AS (SELECT probe_id, pe, meta_id FROM (
+         |  SELECT p.probe_id, p.pe, m.meta_id,
+         |    row_number() OVER (PARTITION BY p.probe_id
+         |      ORDER BY ${cosSql("p.pe", "m.me")} DESC, m.meta_id ASC) AS rn
+         |  FROM p, m) WHERE rn <= 2),
+         |pb AS (SELECT probe_id, pe, centroid_id FROM (
+         |  SELECT pm.probe_id, pm.pe, ch.centroid_id,
+         |    row_number() OVER (PARTITION BY pm.probe_id
+         |      ORDER BY ${cosSql("pm.pe", "ch.ce")} DESC, ch.centroid_id ASC) AS rn
+         |  FROM pm JOIN ch ON ch.meta_id = pm.meta_id) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT pb.probe_id, v.vec_id, ${cosSql("v.e", "pb.pe")} AS cos
+         |  FROM pb JOIN assign a ON a.centroid_id = pb.centroid_id
+         |  JOIN v ON v.vec_id = a.vec_id
+         |  WHERE v.vec_id <> pb.probe_id),
+         |r AS (SELECT probe_id, vec_id,
+         |        row_number() OVER (PARTITION BY probe_id
+         |          ORDER BY cos DESC, vec_id ASC) AS rnk
+         |      FROM cand)
+         |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank"
+         |FROM r WHERE rnk <= 10""".stripMargin,
     "ann_topk_ivfpq" -> ivfpqOracle,
     "ann_topk_ivfpq_served" -> ivfpqOracle,
     // drift replay: frozen even-half codebook, rn=1 assignment, per-bucket

@@ -35,6 +35,7 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "ann_topk_ivf",           // centroid set broadcast (bucketing)
     "ann_topk_ivf_indexed",   // frozen centroid set broadcast (seed-trained)
     "ann_topk_ivf_served",    // same frozen centroid broadcast, persisted root
+    "ann_topk_ivf_hier",      // meta + per-meta child codebook broadcasts
     "ann_topk_ivfpq",         // centroid set broadcast (bucketing) + code tables
     "ann_topk_ivfpq_served",  // same broadcasts, persisted bucket-clustered codes
     "dedup_embedding_pairs",  // centroid set broadcast (bucketing)
