@@ -231,6 +231,68 @@ class VectorOpsSpec extends SparkSpec {
     assert(out == Set((0L, 2L, 1), (0L, 3L, 2)))
   }
 
+  private def prepared(rows: (Long, Seq[Double])*) =
+    emb(rows: _*).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("n", sqrt(VectorOps.dot("e", "e")))
+
+  test("hierarchical assignment degenerates to the flat argmax when every " +
+      "centroid is a meta") {
+    val v = prepared(
+      1L -> Seq(1.0, 0.1, 0.0, 0.0),
+      2L -> Seq(0.1, 1.0, 0.0, 0.0),
+      3L -> Seq(0.0, 0.1, 1.0, 0.0),
+      4L -> Seq(0.5, 0.5, 0.1, 0.0))
+    val cents = VectorOps.ivfCentroids(emb(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      25L -> Seq(0.0, 1.0, 0.0, 0.0),
+      50L -> Seq(0.0, 0.0, 1.0, 0.0)), centroidMod = 25)
+    val flat = VectorOps.ivfAssign(cents, v)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toSet
+    // metaMod = 1: metas == centroids, each routes to itself (cos 1 with
+    // itself beats every distinct direction), so the two-level argmax must
+    // reproduce the flat assignment exactly
+    val hier = VectorOps.ivfAssignHier(cents, v, metaMod = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(hier == flat, s"hier $hier vs flat $flat")
+  }
+
+  test("hierarchical search routes through the probe's nearest metas only") {
+    // metas: ids 0 (x-axis) and 100 (z-axis); children 25 / 125 route to
+    // their nearest meta; vectors 1 and 2 land under different metas
+    val cents = emb(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      25L -> Seq(0.9, 0.1, 0.0, 0.0),
+      100L -> Seq(0.0, 0.0, 1.0, 0.0),
+      125L -> Seq(0.0, 0.0, 0.9, 0.1))
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").cast("array<double>").as("ce"))
+      .withColumn("cn", sqrt(VectorOps.dot("ce", "ce")))
+    val v = prepared(
+      1L -> Seq(1.0, 0.05, 0.0, 0.0),   // under meta 0's subtree
+      2L -> Seq(0.0, 0.0, 1.0, 0.05))   // under meta 100's subtree
+    val assigns = VectorOps.ivfAssignHier(cents, v, metaMod = 100)
+    val probes = emb(900L -> Seq(0.8, 0.0, 0.6, 0.0))
+    // metaProbe = 1: the probe's single nearest meta is the x-axis, so the
+    // z-subtree vector is never a candidate despite its 0.6 cosine
+    val narrow = VectorOps.ivfSearchHier(cents, assigns, v, probes,
+        metaMod = 100, metaProbe = 1, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(narrow == Set((900L, 1L, 1)), s"got $narrow")
+    // metaProbe = 2, nprobe = 2 STILL excludes the z-subtree: nprobe picks
+    // the globally closest children (canonical IVF — probe the nprobe
+    // nearest inverted lists), and both x-children outrank every z-child
+    val stillNarrow = VectorOps.ivfSearchHier(cents, assigns, v, probes,
+        metaMod = 100, metaProbe = 2, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(stillNarrow == Set((900L, 1L, 1)), s"got $stillNarrow")
+    // widening nprobe past the x-children reaches the z-subtree's bucket
+    val wide = VectorOps.ivfSearchHier(cents, assigns, v, probes,
+        metaMod = 100, metaProbe = 2, nprobe = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(wide == Set((900L, 1L, 1), (900L, 2L, 2)), s"got $wide")
+  }
+
   test("semanticDedup drops higher-id near-copies, keeps dissimilar vectors") {
     // one centroid (id 0 % 25 == 0) → one cluster; 1 and 2 are near-copies
     // of 0 (dropped: 0 is the lowest id of the similar group); 3 is
