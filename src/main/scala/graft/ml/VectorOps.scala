@@ -349,6 +349,25 @@ object VectorOps {
       .join(vecs.select(col("vec_id"), col("e"), col("n")), Seq("vec_id")), k)
   }
 
+  /** Self-contained two-level IVF top-k over one embedding frame — the
+    * hierarchical sibling of [[annIvf]] (same deterministic codebook pick,
+    * probes = `vec_id % probeMod == 0`), for the recall audit and the
+    * gate entry. */
+  def annIvfHier(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", centroidMod: Int = 25, metaMod: Int = 100,
+      probeMod: Int = 100, metaProbe: Int = 2, nprobe: Int = 2,
+      k: Int = 10): DataFrame = {
+    val v = Caching.scoped(asDouble(emb, idCol, vecCol))
+    val cents = Caching.scoped(
+      v.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("e").as("ce"), col("n").as("cn")))
+    val assigns = ivfAssignHier(cents, v, metaMod)
+    ivfSearchHier(cents, assigns, v,
+      emb.filter(pmod(col(idCol), lit(probeMod)) === 0), metaMod,
+      idCol, vecCol, metaProbe, nprobe, k)
+  }
+
   /**
    * IVF bucket-health / drift report over a frozen codebook — the
    * maintenance gauge of the persisted index family. A codebook frozen on

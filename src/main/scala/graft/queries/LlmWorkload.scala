@@ -294,16 +294,8 @@ object LlmWorkload {
     * probes route through their 2 nearest metas. Fully oracle-replayed:
     * both argmax levels, the child routing, and the probe fan-out are
     * deterministic (ties to the lowest id). */
-  def annTopkIvfHier(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(spark, dir, "embeddings")
-    val v = graft.Caching.scoped(
-      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-        .withColumn("n", sqrt(VectorOps.dot("e", "e"))))
-    val cents = graft.Caching.scoped(VectorOps.ivfCentroids(emb))
-    val assigns = VectorOps.ivfAssignHier(cents, v, metaMod = 100)
-    VectorOps.ivfSearchHier(cents, assigns, v,
-      emb.filter(pmod(col("vec_id"), lit(100)) === 0), metaMod = 100)
-  }
+  def annTopkIvfHier(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.annIvfHier(Tables(spark, dir, "embeddings"))
 
   /** [[annTopkIvfPq]] served from a persisted, compacted streaming root —
     * the IVF-PQ twin of [[annTopkIvfServed]]. ONE arrival batch holds the
@@ -1027,6 +1019,10 @@ object LlmWorkload {
     row(VectorOps.annIvf(emb), "ivf")
       .unionByName(row(VectorOps.annPq(emb), "pq"))
       .unionByName(row(VectorOps.annIvfPq(emb), "ivfpq"))
+      // the two-level quantizer's recall trade, GAUGED against the same
+      // truth — the metaProbe fan-out is the standard compensation for
+      // cross-meta neighbors, and this row is what watches it
+      .unionByName(row(VectorOps.annIvfHier(emb), "hier"))
   }
 
   /** Feature-hashed text vectors (dim 16), flattened to scalar columns for
@@ -1565,6 +1561,56 @@ object LlmWorkload {
        |      row_number() OVER (PARTITION BY p.probe_id
        |        ORDER BY ${cosSql("p.pe", "c.ce")} DESC, c.centroid_id ASC) AS rn
        |    FROM p, c) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT pb.probe_id, v.vec_id, ${cosSql("v.e", "pb.pe")} AS cos
+       |  FROM pb JOIN assign a ON a.centroid_id = pb.centroid_id
+       |  JOIN v ON v.vec_id = a.vec_id
+       |  WHERE v.vec_id <> pb.probe_id),
+       |r AS (SELECT probe_id, vec_id,
+       |        row_number() OVER (PARTITION BY probe_id
+       |          ORDER BY cos DESC, vec_id ASC) AS rnk
+       |      FROM cand)
+       |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank"
+       |FROM r WHERE rnk <= 10""".stripMargin
+
+  /** Two-level (hierarchical) IVF replay, shared by `ann_topk_ivf_hier`
+    * and `ann_recall`'s `hier` row: meta codebook (% 100 of the % 25
+    * centroids), child routing + vector assignment as nested rn=1
+    * argmaxes, probes fanning through their 2 nearest metas then the 2
+    * globally nearest children — every level tie-broken on the lowest id,
+    * exactly the Spark aggregates. */
+  private val ivfHierOracle: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % 25 = 0),
+       |m AS (SELECT centroid_id AS meta_id, ce AS me FROM c
+       |      WHERE centroid_id % 100 = 0),
+       |ch AS (SELECT centroid_id, ce, meta_id FROM (
+       |  SELECT c.centroid_id, c.ce, m.meta_id,
+       |    row_number() OVER (PARTITION BY c.centroid_id
+       |      ORDER BY ${cosSql("c.ce", "m.me")} DESC, m.meta_id ASC) AS rn
+       |  FROM c, m) WHERE rn = 1),
+       |vm AS (SELECT vec_id, meta_id FROM (
+       |  SELECT v.vec_id, m.meta_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${cosSql("v.e", "m.me")} DESC, m.meta_id ASC) AS rn
+       |  FROM v, m) WHERE rn = 1),
+       |assign AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT v.vec_id, ch.centroid_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${cosSql("v.e", "ch.ce")} DESC, ch.centroid_id ASC) AS rn
+       |  FROM v JOIN vm ON vm.vec_id = v.vec_id
+       |         JOIN ch ON ch.meta_id = vm.meta_id) WHERE rn = 1),
+       |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+       |pm AS (SELECT probe_id, pe, meta_id FROM (
+       |  SELECT p.probe_id, p.pe, m.meta_id,
+       |    row_number() OVER (PARTITION BY p.probe_id
+       |      ORDER BY ${cosSql("p.pe", "m.me")} DESC, m.meta_id ASC) AS rn
+       |  FROM p, m) WHERE rn <= 2),
+       |pb AS (SELECT probe_id, pe, centroid_id FROM (
+       |  SELECT pm.probe_id, pm.pe, ch.centroid_id,
+       |    row_number() OVER (PARTITION BY pm.probe_id
+       |      ORDER BY ${cosSql("pm.pe", "ch.ce")} DESC, ch.centroid_id ASC) AS rn
+       |  FROM pm JOIN ch ON ch.meta_id = pm.meta_id) WHERE rn <= 2),
        |cand AS (
        |  SELECT pb.probe_id, v.vec_id, ${cosSql("v.e", "pb.pe")} AS cos
        |  FROM pb JOIN assign a ON a.centroid_id = pb.centroid_id
@@ -2259,53 +2305,9 @@ object LlmWorkload {
     // in-session build and the persisted-root serve — see ivfIndexedOracle
     "ann_topk_ivf_indexed" -> ivfIndexedOracle,
     "ann_topk_ivf_served" -> ivfIndexedOracle,
-    // two-level replay: meta codebook (% 100 of the % 25 centroids), child
-    // routing + vector assignment as nested rn=1 argmaxes, probes fanning
-    // through their 2 nearest metas then 2 nearest children — every level
-    // tie-broken on the lowest id, exactly the Spark aggregates
-    "ann_topk_ivf_hier" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % 25 = 0),
-         |m AS (SELECT centroid_id AS meta_id, ce AS me FROM c
-         |      WHERE centroid_id % 100 = 0),
-         |ch AS (SELECT centroid_id, ce, meta_id FROM (
-         |  SELECT c.centroid_id, c.ce, m.meta_id,
-         |    row_number() OVER (PARTITION BY c.centroid_id
-         |      ORDER BY ${cosSql("c.ce", "m.me")} DESC, m.meta_id ASC) AS rn
-         |  FROM c, m) WHERE rn = 1),
-         |vm AS (SELECT vec_id, meta_id FROM (
-         |  SELECT v.vec_id, m.meta_id,
-         |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${cosSql("v.e", "m.me")} DESC, m.meta_id ASC) AS rn
-         |  FROM v, m) WHERE rn = 1),
-         |assign AS (SELECT vec_id, centroid_id FROM (
-         |  SELECT v.vec_id, ch.centroid_id,
-         |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${cosSql("v.e", "ch.ce")} DESC, ch.centroid_id ASC) AS rn
-         |  FROM v JOIN vm ON vm.vec_id = v.vec_id
-         |         JOIN ch ON ch.meta_id = vm.meta_id) WHERE rn = 1),
-         |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
-         |pm AS (SELECT probe_id, pe, meta_id FROM (
-         |  SELECT p.probe_id, p.pe, m.meta_id,
-         |    row_number() OVER (PARTITION BY p.probe_id
-         |      ORDER BY ${cosSql("p.pe", "m.me")} DESC, m.meta_id ASC) AS rn
-         |  FROM p, m) WHERE rn <= 2),
-         |pb AS (SELECT probe_id, pe, centroid_id FROM (
-         |  SELECT pm.probe_id, pm.pe, ch.centroid_id,
-         |    row_number() OVER (PARTITION BY pm.probe_id
-         |      ORDER BY ${cosSql("pm.pe", "ch.ce")} DESC, ch.centroid_id ASC) AS rn
-         |  FROM pm JOIN ch ON ch.meta_id = pm.meta_id) WHERE rn <= 2),
-         |cand AS (
-         |  SELECT pb.probe_id, v.vec_id, ${cosSql("v.e", "pb.pe")} AS cos
-         |  FROM pb JOIN assign a ON a.centroid_id = pb.centroid_id
-         |  JOIN v ON v.vec_id = a.vec_id
-         |  WHERE v.vec_id <> pb.probe_id),
-         |r AS (SELECT probe_id, vec_id,
-         |        row_number() OVER (PARTITION BY probe_id
-         |          ORDER BY cos DESC, vec_id ASC) AS rnk
-         |      FROM cand)
-         |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank"
-         |FROM r WHERE rnk <= 10""".stripMargin,
+    // two-level replay — see ivfHierOracle (shared with ann_recall's
+    // `hier` row)
+    "ann_topk_ivf_hier" -> ivfHierOracle,
     "ann_topk_ivfpq" -> ivfpqOracle,
     "ann_topk_ivfpq_served" -> ivfpqOracle,
     // drift replay: frozen even-half codebook, rn=1 assignment, per-bucket
@@ -2782,10 +2784,12 @@ object LlmWorkload {
          |ivf AS (SELECT probe_id, neighbor_id FROM ($ivfOracle)),
          |pq AS (SELECT probe_id, neighbor_id FROM ($pqOracle)),
          |ivfpq AS (SELECT probe_id, neighbor_id FROM ($ivfpqOracle)),
+         |hier AS (SELECT probe_id, neighbor_id FROM ($ivfHierOracle)),
          |t AS (SELECT count(*) AS total FROM bf),
          |mi AS (SELECT count(*) AS matched FROM ivf JOIN bf USING (probe_id, neighbor_id)),
          |mp AS (SELECT count(*) AS matched FROM pq JOIN bf USING (probe_id, neighbor_id)),
-         |mc AS (SELECT count(*) AS matched FROM ivfpq JOIN bf USING (probe_id, neighbor_id))
+         |mc AS (SELECT count(*) AS matched FROM ivfpq JOIN bf USING (probe_id, neighbor_id)),
+         |mh AS (SELECT count(*) AS matched FROM hier JOIN bf USING (probe_id, neighbor_id))
          |SELECT 'ivf' AS method, CAST(matched AS BIGINT) AS matched,
          |  CAST(total AS BIGINT) AS total,
          |  CAST(matched AS DOUBLE) / CAST(total AS DOUBLE) AS recall FROM mi, t
@@ -2794,7 +2798,10 @@ object LlmWorkload {
          |  CAST(matched AS DOUBLE) / CAST(total AS DOUBLE) FROM mp, t
          |UNION ALL
          |SELECT 'ivfpq', CAST(matched AS BIGINT), CAST(total AS BIGINT),
-         |  CAST(matched AS DOUBLE) / CAST(total AS DOUBLE) FROM mc, t""".stripMargin,
+         |  CAST(matched AS DOUBLE) / CAST(total AS DOUBLE) FROM mc, t
+         |UNION ALL
+         |SELECT 'hier', CAST(matched AS BIGINT), CAST(total AS BIGINT),
+         |  CAST(matched AS DOUBLE) / CAST(total AS DOUBLE) FROM mh, t""".stripMargin,
     // feature-hashing replay: same bucket mod, same sign bit, exact counts
     "text_hashed_features" -> {
       val fCols = (0 until 16).map(b =>

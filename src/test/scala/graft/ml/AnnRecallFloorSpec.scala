@@ -44,6 +44,25 @@ class AnnRecallFloorSpec extends SparkSpec {
     assert(r("ivf") >= 0.80, s"ivf recall ${r("ivf")} fell below floor 0.80")
     assert(r("pq") >= 0.80, s"pq recall ${r("pq")} fell below floor 0.80")
     assert(r("ivfpq") >= 0.80, s"ivfpq recall ${r("ivfpq")} fell below floor 0.80")
+    // hier's floor sits higher: the two-level router at defaults measures
+    // 0.94 on this fixture while the degraded metaProbe=1/nprobe=1 point
+    // measures 0.86 — 0.80 would not separate them (deterministic fixture,
+    // 0.04 margin each side)
+    assert(r("hier") >= 0.90, s"hier recall ${r("hier")} fell below floor 0.90")
+    graft.Caching.releaseAll()
+  }
+
+  test("the hier floor is sensitive: metaProbe = 1 falls below it") {
+    // the two-level quantizer's recall risk is the META routing level:
+    // a probe whose true neighbors live under a different meta never sees
+    // their buckets. metaProbe = 2 is the standard compensation; this case
+    // pins that the floor actually guards it
+    val emb = Tables(spark, dir, "embeddings")
+    val degraded = recallOf(VectorOps.annIvfHier(emb, metaProbe = 1, nprobe = 1))
+    info(s"metaProbe=1/nprobe=1 hier recall: $degraded")
+    assert(degraded < 0.90,
+      s"metaProbe=1 recall $degraded did not fall below the 0.90 hier floor — " +
+        "the floor no longer guards the meta fan-out")
     graft.Caching.releaseAll()
   }
 
