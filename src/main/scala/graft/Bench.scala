@@ -512,7 +512,13 @@ object Bench {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_BANDS.json")), "UTF-8")
         bandRe.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+      } catch { case e: Throwable =>
+        // a missing/corrupt bands file silently disabling the adjudication
+        // would make a degraded run look adjudication-clean — say so
+        System.err.println(s"[bench] BENCH_BANDS.json unreadable, outlier " +
+          s"adjudication disabled: ${e.getMessage}")
+        Map.empty
+      }
     val queryFns = ordered.toMap
     val adjudicated = queryResults
       .filter { case (n, v) => queryFns.contains(n) &&
@@ -520,15 +526,21 @@ object Bench {
       .sortBy { case (n, v) => -(v / bands(n)) }
       .take(8)
       .map { case (name, recorded) =>
-        val rerun = (1 to 2).map { _ =>
+        // a rerun attempt that THROWS must not record its short failure
+        // latency as the authoritative rerun time (that would adjudicate a
+        // real regression as "environmental noise"); rerun = -1 in the
+        // artifact means every attempt failed — loud, not misleading
+        val attempts = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          try queryFns(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
-          finally Caching.releaseAll()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        (name, recorded, rerun, bands(name))
+          val ok =
+            try { queryFns(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save(); true }
+            catch { case _: Throwable => false }
+            finally Caching.releaseAll()
+          ((System.nanoTime() - t0) / 1e9, ok)
+        }
+        val good = attempts.collect { case (t, true) => t }
+        (name, recorded, if (good.nonEmpty) good.min else -1.0, bands(name))
       }
 
     // control anchors (VERDICT r7): two stable queries whose drift flags an

@@ -292,6 +292,11 @@ object VectorOps {
   def ivfAssignHier(centroids: DataFrame, v: DataFrame,
       metaMod: Int): DataFrame = {
     val (metas, children) = ivfHierRouting(centroids, metaMod)
+    ivfAssignHierRouted(metas, children, v)
+  }
+
+  private def ivfAssignHierRouted(metas: DataFrame, children: DataFrame,
+      v: DataFrame): DataFrame = {
     val vMeta = v.select(col("vec_id"), col("e"), col("n"))
       .join(broadcast(metas))
       .withColumn("cos", cosPre("e", "me", "n", "mn"))
@@ -315,6 +320,11 @@ object VectorOps {
   private[graft] def probeBucketsHier(centroids: DataFrame, p: DataFrame,
       metaMod: Int, metaProbe: Int, nprobe: Int): DataFrame = {
     val (metas, children) = ivfHierRouting(centroids, metaMod)
+    probeBucketsHierRouted(metas, children, p, metaProbe, nprobe)
+  }
+
+  private def probeBucketsHierRouted(metas: DataFrame, children: DataFrame,
+      p: DataFrame, metaProbe: Int, nprobe: Int): DataFrame = {
     val wMeta = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("meta_id").asc)
     val pMetas = p.join(broadcast(metas))
@@ -362,10 +372,20 @@ object VectorOps {
       v.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
         .select(col("vec_id").as("centroid_id"),
           col("e").as("ce"), col("n").as("cn")))
-    val assigns = ivfAssignHier(cents, v, metaMod)
-    ivfSearchHier(cents, assigns, v,
-      emb.filter(pmod(col(idCol), lit(probeMod)) === 0), metaMod,
-      idCol, vecCol, metaProbe, nprobe, k)
+    // the meta routing table is codebook-quadratic to derive (centroids ×
+    // metas cosines): build it ONCE and share it between the assignment
+    // and probe-routing stages instead of paying it per stage
+    val (metas, children) = ivfHierRouting(cents, metaMod)
+    val m = Caching.scoped(metas)
+    val ch = Caching.scoped(children)
+    val assigns = ivfAssignHierRouted(m, ch, v)
+    val pb = probeBucketsHierRouted(m, ch,
+      prepareProbes(emb.filter(pmod(col(idCol), lit(probeMod)) === 0),
+        idCol, vecCol), metaProbe, nprobe)
+    topKByCos(pb
+      .join(assigns.select(col("vec_id"), col("centroid_id")),
+        Seq("centroid_id"))
+      .join(v.select(col("vec_id"), col("e"), col("n")), Seq("vec_id")), k)
   }
 
   /**
@@ -764,18 +784,25 @@ object VectorOps {
       codes: DataFrame, codebooks: DataFrame, vecs: DataFrame,
       probes: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", nprobe: Int = 2, m: Int = 4,
-      k: Int = 10, rerank: Int = 150): DataFrame = {
+      k: Int = 10, rerank: Int = 150,
+      preBuckets: Option[DataFrame] = None): DataFrame = {
     val p = Caching.scoped(asDouble(probes, idCol, vecCol))
-    val wProbe = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("centroid_id").asc)
-    val probeBuckets = p
-      .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("n").as("pn"))
-      .join(broadcast(centroids))
-      .withColumn("cos", cosPre("pe", "ce", "pn", "cn"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("probe_id"), col("centroid_id"))
-    val cand = probeBuckets
+    // a serving caller that already ran bucket selection (to collect the
+    // pushed IN list) passes it in — same (probe_id, centroid_id) pairs by
+    // the determinism contract, and the probe × nlist window runs once per
+    // query instead of twice
+    val pb = preBuckets.getOrElse {
+      val wProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("centroid_id").asc)
+      p.select(col("vec_id").as("probe_id"),
+          col("e").as("pe"), col("n").as("pn"))
+        .join(broadcast(centroids))
+        .withColumn("cos", cosPre("pe", "ce", "pn", "cn"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= nprobe)
+        .select(col("probe_id"), col("centroid_id"))
+    }
+    val cand = pb.select(col("probe_id"), col("centroid_id"))
       .join(assignments.select(col("vec_id"), col("centroid_id")),
         Seq("centroid_id"))
       .filter(col("vec_id") =!= col("probe_id"))

@@ -105,11 +105,24 @@ object SharedIndexes {
     dirs.getOrElseUpdate(key, {
       val d = java.nio.file.Files.createTempDirectory("graft-shared-dir").toString
       val t0 = System.nanoTime()
-      build(d)
+      // a build crash must not strand the half-built root on disk:
+      // getOrElseUpdate records nothing on throw, so clear() would never
+      // see it and repeated flaky builds would accumulate dead temp roots
+      try build(d)
+      catch { case e: Throwable => deleteTree(java.nio.file.Paths.get(d)); throw e }
       buildSecs(key) = (System.nanoTime() - t0) / 1e9
       d
     })
   }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
 
   /** Per-key build cost (seconds) of every frame built this session — what
     * the bench's min-of-2 serve numbers systematically exclude (the build
@@ -137,15 +150,7 @@ object SharedIndexes {
     framePairs.values.foreach { case (a, b) =>
       a.unpersist(blocking = false); b.unpersist(blocking = false) }
     framePairs.clear()
-    dirs.values.foreach { d =>
-      val p = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p)
-          .sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
-      }
-    }
+    dirs.values.foreach(d => deleteTree(java.nio.file.Paths.get(d)))
     dirs.clear()
     buildSecs.clear()
     rddIds.clear()

@@ -103,10 +103,32 @@ object CorpusIngest {
             () => try { job(); None }
                   catch { case e: Throwable => Some(e) }
           }
-        pool.invokeAll(tasks.asJava).asScala
-          .flatMap(_.get()).headOption.foreach(e => throw e)
+        val failures = pool.invokeAll(tasks.asJava).asScala.flatMap(_.get())
+        failures.headOption.foreach { e =>
+          // keep the co-failures: three writers dying of three causes must
+          // not collapse to one arbitrary stack trace
+          failures.drop(1).foreach(e.addSuppressed)
+          throw e
+        }
       } finally pool.shutdown()
     }
+  }
+
+  /** Forward-compat shim for table layouts that GAIN columns across
+    * versions (e.g. the PQ code table's epoch/bucket annotations): a root
+    * persisted before the column existed reads back with the new columns
+    * as typed NULLs instead of crashing every downstream select with an
+    * AnalysisException the operator can't act on. Null semantics are the
+    * per-column contract (stale annotation → pruning disabled; missing
+    * epoch stamp → coherence gate refuses with the repair named). Only
+    * ADDS columns — extra on-disk columns and type conflicts still
+    * surface. */
+  private def conformToDdl(df: DataFrame, ddl: String): DataFrame = {
+    val have = df.columns.toSet
+    val missing = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      .fields.filter(f => !have.contains(f.name))
+    missing.foldLeft(df)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
   }
 
   private[stream] def readOrEmpty(spark: SparkSession, path: String,
@@ -120,7 +142,7 @@ object CorpusIngest {
     // (_SUCCESS only); ONLY that schema-inference failure means empty — any
     // other analysis error (corrupt footer, conflicting schema) must
     // surface, not silently disable deduplication
-    else try spark.read.parquet(path)
+    else try conformToDdl(spark.read.parquet(path), ddl)
     catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => empty
@@ -142,7 +164,7 @@ object CorpusIngest {
       .find(d => fs.exists(new org.apache.hadoop.fs.Path(d))) match {
       case None => empty
       case Some(dir) =>
-        try spark.read.parquet(dir)
+        try conformToDdl(spark.read.parquet(dir), ddl)
         catch {
           case e: org.apache.spark.sql.AnalysisException
               if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => empty

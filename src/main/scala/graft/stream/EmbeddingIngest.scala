@@ -133,11 +133,16 @@ object EmbeddingIngest {
     * row-group min/max stats prune a healthy table to footer reads. */
   private def requireEpochCoherent(cbEpoch: Long, assignEpochs: DataFrame,
       who: String): Unit = {
-    if (!assignEpochs.filter(col("epoch") =!= cbEpoch).isEmpty)
+    // NULL epochs count as stale: rows persisted by a pre-epoch version of
+    // this code (read back as typed nulls via the readOrEmpty schema shim)
+    // must not silently score against a codebook they may not match
+    if (!assignEpochs.filter(col("epoch").isNull || col("epoch") =!= cbEpoch)
+        .isEmpty)
       throw new IllegalStateException(
-        s"IVF index torn ($who): codebook epoch $cbEpoch but stale-epoch " +
-          "assignment rows exist — a recluster is in flight or died between " +
-          "its two swaps; retry after it completes (or re-run recluster)")
+        s"IVF index torn ($who): codebook epoch $cbEpoch but stale- or " +
+          "missing-epoch rows exist — a recluster is in flight, died " +
+          "between its two swaps, or the rows predate epoch stamping; " +
+          "retry after it completes (or run recluster() to rebuild)")
   }
 
   /** Centroids + epoch-checked assignments for the read faces ([[search]],
@@ -476,9 +481,12 @@ object EmbeddingIngest {
     // the same bounded centroid IN push as [[search]]: bucket selection is
     // deterministic, so pre-filtering the assignment scan to the probes'
     // buckets preserves the candidate set exactly while centroid-sorted
-    // appends/folds prune to the touched row groups
-    val pushIds = VectorOps.probeBuckets(cents,
-        VectorOps.prepareProbes(probes), cfg.nprobe)
+    // appends/folds prune to the touched row groups. ONE bucket-selection
+    // pass serves both the pushed-id collect and the candidate join
+    // (localCheckpoint; threaded into ivfPqSearchIndexed as preBuckets)
+    val pb = VectorOps.probeBuckets(cents,
+      VectorOps.prepareProbes(probes), cfg.nprobe).localCheckpoint()
+    val pushIds = pb
       .select(col("centroid_id")).distinct()
       .limit(MaxCentroidPushIds + 1).collect().map(_.getLong(0)).toSeq
     val canPush = pushIds.length <= MaxCentroidPushIds
@@ -506,7 +514,8 @@ object EmbeddingIngest {
     VectorOps.ivfPqSearchIndexed(cents, assigns,
       candCodes.select(col("vec_id"), col("j"), col("code_id")),
       cbs.select(col("j"), col("code_id"), col("ce")), vecs, probes,
-      nprobe = cfg.nprobe, m = cfg.pqM, k = k, rerank = rerank)
+      nprobe = cfg.nprobe, m = cfg.pqM, k = k, rerank = rerank,
+      preBuckets = Some(pb.select(col("probe_id"), col("centroid_id"))))
   }
 
   /** Codebooks + epoch-checked codes for the PQ read faces ([[searchPq]],

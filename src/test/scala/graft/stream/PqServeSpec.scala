@@ -153,4 +153,62 @@ class PqServeSpec extends SparkSpec {
         "falling back to the unpruned code scan")
     graft.Caching.releaseAll()
   }
+
+  test("a legacy pq table (pre-epoch schema) reads as typed nulls, refuses " +
+      "to serve with the repair named, and recluster() repairs it") {
+    val root = tmpDir()
+    val cfg = EmbeddingIngest.IngestConfig("unused", root, "ckpt-PQ-legacy",
+      threshold = 2.0)
+    assert(EmbeddingIngest.ingestBatch(spark, cfg, df(seedRows), 0L) == 60L)
+    val probeIds = seedRows.map(_._1).filter(_ % 20 == 3)
+    val probes = df(seedRows.filter(r => probeIds.contains(r._1)))
+
+    // strip the epoch/bucket annotations — the exact layout a pre-epoch
+    // version of this code persisted. The schema shim must read it back
+    // with the new columns as typed nulls (NOT crash with an
+    // AnalysisException about a missing `epoch` column), and the
+    // coherence gate must then refuse to ADC-score those codes against a
+    // stamped codebook, naming recluster() as the repair
+    val pqDir = EmbeddingIngest.pqPath(cfg)
+    val legacy = spark.read.parquet(pqDir)
+      .select($"vec_id", $"j", $"code_id", $"ingest_batch")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(pqDir), true)
+    legacy.toDF("vec_id", "j", "code_id", "ingest_batch")
+      .write.partitionBy("ingest_batch").parquet(pqDir)
+
+    val serveErr = intercept[IllegalStateException] {
+      EmbeddingIngest.searchPq(spark, cfg, probes).collect()
+    }
+    assert(serveErr.getMessage.contains("recluster"),
+      s"legacy-root refusal does not name the repair: ${serveErr.getMessage}")
+    val ingestErr = intercept[IllegalStateException] {
+      EmbeddingIngest.ingestBatch(spark, cfg, df(lateRows), 1L)
+    }
+    assert(ingestErr.getMessage.contains("recluster"),
+      s"legacy-root ingest refusal does not name the repair: " +
+        ingestErr.getMessage)
+    graft.Caching.releaseAll()
+
+    // the named repair works unconditionally: recluster retrains both
+    // codebook levels from the vec store and rewrites every code under
+    // fresh epoch stamps — then the refused batch REPLAYS cleanly (its
+    // partial pre-refusal appends are the at-least-once model's normal
+    // state; replay overwrites them idempotently) and the root serves at
+    // full quality over the whole corpus
+    EmbeddingIngest.recluster(spark, cfg)
+    assert(EmbeddingIngest.ingestBatch(spark, cfg, df(lateRows), 1L) == 60L)
+    val truth = truthTop10(seedRows ++ lateRows, probeIds)
+    val got = EmbeddingIngest.searchPq(spark, cfg, probes)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    val r = truth.map { case (p, t) =>
+      (t intersect got.getOrElse(p, Set.empty)).size }
+      .sum.toDouble / truth.values.map(_.size).sum
+    info(s"post-recluster legacy-root recall: $r")
+    assert(r >= 0.8, s"repaired legacy root fell below the 0.80 floor: $r")
+    graft.Caching.releaseAll()
+  }
 }

@@ -7,29 +7,52 @@ band captured in a degraded window would mark healthy runs as suspects).
 --merge keeps the committed band where it is LOWER than the new run's
 number (min-merge): the committed band stays a clean-window reference even
 when the refreshing run hit a degraded window, while entries new to the
-suite still get seeded from the only data that exists for them.
+suite still get seeded from the only data that exists for them. Keys are
+UNIONED: a partial run (SPARK_GRAFT_ONLY=...) must not delete the bands
+for every query absent from it.
 
-Usage: update_bands.py [--merge] [BENCH_DETAIL.json]"""
+--raise k1,k2 takes the NEW run's number for the named keys even when the
+committed band is lower — the explicit acknowledgement that an entry
+deliberately got heavier (it gained coverage), without which min-merge
+would flag it as a suspect on every future run forever.
+
+Usage: update_bands.py [--merge] [--raise k1,k2] [BENCH_DETAIL.json]"""
 import json
 import os
 import sys
 
 
-def main(src, merge):
+def main(src, merge, raised):
     d = json.load(open(src))
     io = d.get("io_probe", {})
-    bands = {k: round(v, 3) for k, v in d["queries"].items()}
+    new = {k: round(v, 3) for k, v in d["queries"].items()}
+    bands = dict(new)
     if merge and os.path.exists("BENCH_BANDS.json"):
         old = json.load(open("BENCH_BANDS.json"))
-        bands = {k: min(old.get(k, float("inf")), v) for k, v in bands.items()}
+        bands = {k: min(old.get(k, float("inf")), new.get(k, float("inf")))
+                 for k in set(old) | set(new)}
+        for k in raised:
+            if k in new:
+                bands[k] = new[k]
+            else:
+                print(f"warn: --raise {k} not in {src}, band left as-is")
     with open("BENCH_BANDS.json", "w") as f:
         json.dump(bands, f, indent=1, sort_keys=True)
         f.write("\n")
     print(f"wrote BENCH_BANDS.json: {len(bands)} entries from {src} "
           f"({'min-merged with committed bands' if merge else 'replaced'}; "
+          f"raised {sorted(raised) if raised else 'none'}; "
           f"io_probe was {io})")
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--merge"]
-    main(args[0] if args else "BENCH_DETAIL.json", "--merge" in sys.argv)
+    raised = set()
+    args = []
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a == "--raise":
+            raised |= set(next(it).split(","))
+        elif a != "--merge":
+            args.append(a)
+    main(args[0] if args else "BENCH_DETAIL.json", "--merge" in sys.argv,
+         raised)
