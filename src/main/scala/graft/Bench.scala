@@ -511,6 +511,12 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_BANDS.json")), "UTF-8")
+        // the regex-not-a-parser shortcut is only sound while the file is a
+        // FLAT name→number map (the update_bands.py contract); a nested
+        // object or metadata field would be silently absorbed as bands, so
+        // refuse any structure beyond the single top-level brace (ADVICE r10)
+        require(txt.count(_ == '{') == 1 && txt.count(_ == '}') == 1,
+          "BENCH_BANDS.json is not a flat name-to-number map")
         bandRe.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case e: Throwable =>
         // a missing/corrupt bands file silently disabling the adjudication

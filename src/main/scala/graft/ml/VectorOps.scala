@@ -275,6 +275,16 @@ object VectorOps {
     val metas = centroids.filter(pmod(col("centroid_id"), lit(metaMod)) === 0)
       .select(col("centroid_id").as("meta_id"),
         col("ce").as("me"), col("cn").as("mn"))
+    // loud, not silently empty (ADVICE r10): arbitrary codebooks (Lloyd-
+    // retrained ids, ids not aligned to metaMod) may satisfy the modulus
+    // nowhere, and an empty meta set would make every downstream
+    // assignment/search frame empty — a zero-result index with no error.
+    // The check is a broadcast-sized scan, paid once per routing build.
+    require(centroids.isEmpty || !metas.isEmpty,
+      s"hierarchical IVF routing: no centroid has centroid_id % $metaMod " +
+        "== 0 — the meta codebook would be empty and every assignment " +
+        "silently dropped; pick a metaMod that divides some centroid ids " +
+        "(or use the flat ivfAssign)")
     val routed = centroids.join(broadcast(metas))
       .withColumn("cos", cosPre("ce", "me", "cn", "mn"))
       .groupBy(col("centroid_id"))

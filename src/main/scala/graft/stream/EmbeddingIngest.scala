@@ -434,8 +434,14 @@ object EmbeddingIngest {
       else {
         val pruned =
           if (canPush)
+            // floorMod, not Scala's signed % (ADVICE r10): writeIvfLists
+            // partitions with Spark pmod, which is non-negative; for a
+            // negative centroid_id (vec_id is an unconstrained BIGINT) the
+            // signed remainder picks a bucket_p that doesn't exist and the
+            // prune silently drops the rows that are actually there
             lists.filter(col("bucket_p").isInCollection(
-                pushIds.map(i => (i % ListsBuckets).toInt)) &&
+                pushIds.map(i => java.lang.Math.floorMod(i,
+                  ListsBuckets.toLong).toInt)) &&
               col("centroid_id").isInCollection(pushIds))
           else lists
         Some(pb.join(allowedOnly(pruned).select(col("vec_id"),
@@ -617,6 +623,18 @@ object EmbeddingIngest {
           col("n"))
         .localCheckpoint()
       if (!vecs.isEmpty) {
+        // recluster SUBSUMES every ledger batch into the -1 assignment/code
+        // partitions exactly like a fold, so it must raise the compaction
+        // high-water mark too (ADVICE r10): without the fence an
+        // at-least-once replay of a pre-recluster batch id appends fresh
+        // ivf/pq partitions duplicating the -1 copies — topKByCos then
+        // serves the same neighbor at two ranks, and searchPq's duplicated
+        // code rows inflate that candidate's summed ADC distance, pushing
+        // true neighbors out of the rerank shortlist. Marked BEFORE the
+        // swaps (the markCompactionHwm contract): a crash in between merely
+        // refuses replays whose per-batch partitions are still intact.
+        CorpusIngest.markCompactionHwm(fs, cfg.corpusRoot,
+          CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
         // a fresh epoch per codebook generation, strictly below every prior
         // stamp (first recluster = ReclusterStamp, then −3, −4, …)
         val priorEpoch = CorpusIngest.readOrEmpty(spark, centroidsPath(cfg),
@@ -691,6 +709,24 @@ object EmbeddingIngest {
       }
     }
 
+  /** Remove the serving lists without exposing a partial table to the
+    * lock-free [[search]]: one atomic rename to a `.__gone` tombstone
+    * (readers from then on see an absent dir → coherent split-layout
+    * fallback), then delete the tombstone at leisure. A tombstone left by
+    * a prior crash is cleared first — its contents were already
+    * logically deleted. */
+  private def deleteListsAtomic(fs: org.apache.hadoop.fs.FileSystem,
+      cfg: IngestConfig): Unit = {
+    val lists = new org.apache.hadoop.fs.Path(ivfListsPath(cfg))
+    val gone = new org.apache.hadoop.fs.Path(ivfListsPath(cfg) + ".__gone")
+    fs.delete(gone, true)
+    if (fs.exists(lists)) {
+      require(fs.rename(lists, gone),
+        s"serving-lists tombstone rename failed: $lists -> $gone")
+      fs.delete(gone, true): Unit
+    }
+  }
+
   /** Build (or rebuild) the serving inverted lists from the CURRENT
     * vecs + assignment tables: vector and norm stored next to the bucket
     * id, hash-partitioned on `bucket_p` and range-sorted by centroid_id —
@@ -739,7 +775,15 @@ object EmbeddingIngest {
       // back to the (coherent) split layout, and re-running compact is the
       // repair, the standing contract of every died maintenance pass
       CorpusIngest.rollbackIfStranded(fs, ivfListsPath(cfg))
-      fs.delete(new org.apache.hadoop.fs.Path(ivfListsPath(cfg)), true)
+      // ATOMIC removal (ADVICE r10): rename the lists dir to a tombstone in
+      // one fs.rename, then delete the tombstone. search() is lock-free —
+      // a plain recursive delete has a window where a concurrent reader
+      // lists the directory mid-delete and sees a SURVIVING SUBSET of the
+      // lists whose rows still carry a valid (epoch, upto_batch) stamp, so
+      // listsUsable passes and the base candidate set is silently
+      // incomplete. After the rename, readers see either the complete old
+      // table or an absent dir (split-layout fallback), never a partial one.
+      deleteListsAtomic(fs, cfg)
       IngestLock.heartbeat(spark, lock)
       // vecs, bands, and the centroid-sorted ivf fold rewrite disjoint
       // directories — overlap them; the pq re-annotation below reads the

@@ -16,6 +16,11 @@ committed band is lower — the explicit acknowledgement that an entry
 deliberately got heavier (it gained coverage), without which min-merge
 would flag it as a suspect on every future run forever.
 
+CONTRACT: BENCH_BANDS.json must stay a FLAT name->number map — graft.Bench
+parses it with a "key": number regex (not a JSON parser) and now refuses a
+file with any nested structure; adding metadata fields here would disable
+the adjudication loudly at the next bench run.
+
 Usage: update_bands.py [--merge] [--raise k1,k2] [BENCH_DETAIL.json]"""
 import json
 import os
