@@ -270,7 +270,7 @@ object VectorOps {
     * `centroid_id % metaMod == 0`, every centroid routes to its nearest
     * meta (cosine argmax, ties to the lowest meta id). Returns
     * (metas (meta_id, me, mn), children (centroid_id, ce, cn, meta_id)). */
-  private def ivfHierRouting(centroids: DataFrame,
+  private[graft] def ivfHierRouting(centroids: DataFrame,
       metaMod: Int): (DataFrame, DataFrame) = {
     val metas = centroids.filter(pmod(col("centroid_id"), lit(metaMod)) === 0)
       .select(col("centroid_id").as("meta_id"),
@@ -293,6 +293,27 @@ object VectorOps {
     (metas, centroids.join(routed, Seq("centroid_id")))
   }
 
+  /** Rebuild the ([[ivfHierRouting]]-shaped) meta/children frames from a
+    * PERSISTED routing table (centroid_id, meta_id) plus the codebook it
+    * was derived from — what the streaming index serves from: the
+    * codebook-quadratic routing derivation is paid once at freeze /
+    * recluster time and stored, and every query-time read is two
+    * broadcast-sized joins against the codebook. The routing table must
+    * have been derived from THIS codebook generation (the caller checks
+    * the epoch stamp); meta vectors are looked up by meta_id ∈ centroids,
+    * so the table stays a 2-int-per-centroid sliver however wide the
+    * embeddings are. */
+  private[graft] def hierFromRoute(centroids: DataFrame,
+      route: DataFrame): (DataFrame, DataFrame) = {
+    val metas = centroids.join(
+        route.select(col("meta_id").as("centroid_id")).distinct(),
+        Seq("centroid_id"), "left_semi")
+      .select(col("centroid_id").as("meta_id"),
+        col("ce").as("me"), col("cn").as("mn"))
+    (metas, centroids.join(route.select(col("centroid_id"), col("meta_id")),
+      Seq("centroid_id")))
+  }
+
   /** Hierarchical assignment: each vector to its nearest meta, then to the
     * nearest child centroid within that meta — (vec_id, centroid_id).
     * Results differ from the flat [[ivfAssign]] only for vectors whose true
@@ -305,7 +326,7 @@ object VectorOps {
     ivfAssignHierRouted(metas, children, v)
   }
 
-  private def ivfAssignHierRouted(metas: DataFrame, children: DataFrame,
+  private[graft] def ivfAssignHierRouted(metas: DataFrame, children: DataFrame,
       v: DataFrame): DataFrame = {
     val vMeta = v.select(col("vec_id"), col("e"), col("n"))
       .join(broadcast(metas))
@@ -333,7 +354,7 @@ object VectorOps {
     probeBucketsHierRouted(metas, children, p, metaProbe, nprobe)
   }
 
-  private def probeBucketsHierRouted(metas: DataFrame, children: DataFrame,
+  private[graft] def probeBucketsHierRouted(metas: DataFrame, children: DataFrame,
       p: DataFrame, metaProbe: Int, nprobe: Int): DataFrame = {
     val wMeta = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("meta_id").asc)

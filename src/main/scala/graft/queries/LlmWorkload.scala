@@ -328,6 +328,36 @@ object LlmWorkload {
         .select(col("vec_id"), col("embedding")))
   }
 
+  /** [[annTopkIvfHier]] served from a persisted streaming root whose
+    * TWO-LEVEL ROUTER is active end-to-end (VERDICT r10 item 1):
+    * `hierNlist = 0` makes the freeze batch persist the epoch-stamped
+    * child→meta routing table, assignment route meta-first
+    * ([[VectorOps.ivfAssignHier]] — corpus × O(√nlist), nothing
+    * codebook-sized broadcast), and `search` select buckets through
+    * [[VectorOps.probeBucketsHierRouted]]. ONE arrival batch holds the
+    * whole corpus, so the frozen codebook equals the in-session
+    * full-corpus `% 25` pick and the served results must hash-match the
+    * SAME two-level oracle as `ann_topk_ivf_hier` — the persisted root,
+    * the routing table, and the pruned-lists layout are implementation
+    * details the results may not leak. */
+  def annTopkIvfHierServed(spark: SparkSession, dir: String): DataFrame = {
+    val hierCfg = graft.stream.EmbeddingIngest.IngestConfig(
+      "unused", "unused", "unused", threshold = 1.01,
+      bits = 64, bandBits = 16, hierNlist = 0L)
+    val root = SharedIndexes.dir(s"embedding-ingest-hier:$dir") { d =>
+      val cfg = hierCfg.copy(corpusRoot = s"$d/corpus")
+      graft.stream.EmbeddingIngest.ingestBatch(spark, cfg,
+        Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding")), 0L): Unit
+      graft.stream.EmbeddingIngest.compact(spark, cfg)
+    }
+    graft.stream.EmbeddingIngest.search(spark,
+      hierCfg.copy(corpusRoot = s"$root/corpus"),
+      Tables(spark, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id"), col("embedding")))
+  }
+
   /** IVF bucket-health report over the frozen seed codebook
     * ([[VectorOps.ivfBucketHealth]]): the even half freezes the centroids
     * (as [[annTopkIvfIndexed]]), the whole corpus buckets against them, and
@@ -1236,6 +1266,7 @@ object LlmWorkload {
     "ann_topk_ivf_served" -> annTopkIvfServed,
     "ann_topk_ivfpq_served" -> annTopkIvfPqServed,
     "ann_topk_ivf_hier" -> annTopkIvfHier,
+    "ann_topk_ivf_hier_served" -> annTopkIvfHierServed,
     "ann_ivf_drift" -> annIvfDrift,
     "ann_pq_drift" -> annPqDrift,
     "ann_topk_ivfpq" -> annTopkIvfPq,
@@ -2308,6 +2339,9 @@ object LlmWorkload {
     // two-level replay — see ivfHierOracle (shared with ann_recall's
     // `hier` row)
     "ann_topk_ivf_hier" -> ivfHierOracle,
+    // the SAME two-level replay: the persisted hier-routed root may not
+    // leak its layout into the results
+    "ann_topk_ivf_hier_served" -> ivfHierOracle,
     "ann_topk_ivfpq" -> ivfpqOracle,
     "ann_topk_ivfpq_served" -> ivfpqOracle,
     // drift replay: frozen even-half codebook, rn=1 assignment, per-bucket

@@ -57,7 +57,25 @@ object EmbeddingIngest {
       /** PQ subspaces (frozen per-subspace codebooks; [[searchPq]]). */
       pqM: Int = 4,
       /** PQ codeword pick (vec_id % pqCodebookMod == 0 at freeze time). */
-      pqCodebookMod: Int = 25)
+      pqCodebookMod: Int = 25,
+      /** Meta-codebook pick for the two-level (hierarchical) router:
+        * metas are the centroids with `centroid_id % metaMod == 0`
+        * ([[VectorOps.ivfAssignHier]]). Only consulted when the router is
+        * active (see [[hierNlist]]). */
+      metaMod: Int = 100,
+      /** Activate the persisted two-level router when the frozen codebook
+        * holds MORE than this many centroids: assignment routes meta-first
+        * (corpus × O(√nlist) instead of corpus × nlist), bucket selection
+        * probes [[metaProbe]] metas then nprobe children, and nothing
+        * larger than the meta set is broadcast — the nlist-beyond-broadcast
+        * scale path. Default MaxValue = always flat. Activity is a pure
+        * function of (this threshold, the frozen codebook), so it can only
+        * flip at freeze/recluster time, never between appends; serve and
+        * ingest must share the cfg, like every other field here. */
+      hierNlist: Long = Long.MaxValue,
+      /** Metas probed per query when the hierarchical router is active
+        * (the recall compensation for cross-meta neighbors). */
+      metaProbe: Int = 2)
 
   def vecsPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/vecs"
   private def bandsPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/bands"
@@ -77,6 +95,12 @@ object EmbeddingIngest {
     * centroid IN predicate prunes to directories + row groups instead of
     * scanning the corpus-sized vec store per query. */
   def ivfListsPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/ivflists"
+  /** The PERSISTED child→meta routing table of the two-level router
+    * (centroid_id, meta_id, frozen_batch): derived once per codebook
+    * generation (the codebook-quadratic step), epoch-stamped like the
+    * codebook, swap-written whole. Two ints per centroid — a sliver even
+    * at nlist millions. */
+  def metaRoutePath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/metaroute"
 
   private val centDdl =
     "centroid_id BIGINT, ce ARRAY<DOUBLE>, cn DOUBLE, frozen_batch BIGINT"
@@ -163,6 +187,46 @@ object EmbeddingIngest {
       epochs.headOption)
   }
 
+  private val routeDdl = "centroid_id BIGINT, meta_id BIGINT, frozen_batch BIGINT"
+
+  /** Is the two-level router active for this codebook generation? A pure
+    * function of (cfg.hierNlist, the frozen codebook): nlist only changes
+    * at freeze/recluster, so appends and serves agree on the mode for as
+    * long as the generation lives. Short-circuits without a count in the
+    * default (always-flat) configuration. */
+  private def hierActive(cfg: IngestConfig, cents: DataFrame): Boolean =
+    cfg.hierNlist != Long.MaxValue && cents.count() > cfg.hierNlist
+
+  /** The (metas, children) routing frames for an ACTIVE two-level router:
+    * served from the persisted epoch-stamped routing table when it matches
+    * this codebook generation (two broadcast-sized joins), re-derived from
+    * the codebook otherwise (a root written before the routing existed, or
+    * a crash between the codebook and routing swaps — the derivation is a
+    * pure function of (codebook, metaMod), so the fallback is
+    * bit-identical, just codebook-quadratic; [[compact]] re-persists it). */
+  private def hierRouting(spark: SparkSession, cfg: IngestConfig,
+      cents: DataFrame, cbEpoch: Option[Long]): (DataFrame, DataFrame) = {
+    val route = CorpusIngest.readOrEmptyRO(spark, metaRoutePath(cfg), routeDdl)
+    val stamp = route.select(col("frozen_batch")).limit(1).collect()
+    // swap-written whole with one lit stamp — one row IS the table's epoch
+    if (stamp.nonEmpty && cbEpoch.contains(stamp.head.getLong(0)))
+      VectorOps.hierFromRoute(cents, route)
+    else VectorOps.ivfHierRouting(cents, cfg.metaMod)
+  }
+
+  /** Persist the routing table for one codebook generation — called wherever
+    * the codebook itself is (re)written (ingest freeze, [[recluster]]) and
+    * by [[compact]] as the healing point for stale/absent tables. */
+  private def writeMetaRoute(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, cfg: IngestConfig,
+      codebook: DataFrame, epoch: Long): Unit = {
+    CorpusIngest.rollbackIfStranded(fs, metaRoutePath(cfg))
+    val (_, children) = VectorOps.ivfHierRouting(codebook, cfg.metaMod)
+    CorpusIngest.swapWrite(fs, metaRoutePath(cfg),
+      children.select(col("centroid_id"), col("meta_id"),
+        lit(epoch).as("frozen_batch")))
+  }
+
   /** Ingest one batch; returns the accepted-vector count. Public so batch
     * callers (backfills, tests) can drive it without a streaming query. */
   def ingestBatch(spark: SparkSession, cfg: IngestConfig, batch: DataFrame,
@@ -171,7 +235,8 @@ object EmbeddingIngest {
     val rootFs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(vecsPath(cfg), bandsPath(cfg), ledgerPath(cfg), ivfPath(cfg),
-        centroidsPath(cfg), pqPath(cfg), pqCodebooksPath(cfg))
+        centroidsPath(cfg), pqPath(cfg), pqCodebooksPath(cfg),
+        metaRoutePath(cfg))
       .foreach(CorpusIngest.rollbackIfStranded(rootFs, _))
     CorpusIngest.requireAboveCompactionHwm(rootFs, cfg.corpusRoot, batchId)
     Caching.scope {
@@ -284,6 +349,28 @@ object EmbeddingIngest {
       // compound the tear: re-running recluster is the repair
       requireEpochCoherent(cbEpoch,
         idx(ivfPath(cfg), ivfDdl).select(col("epoch")), "ingest")
+      // two-level router, decided ONCE per codebook generation (hierActive
+      // is a pure function of the frozen codebook, so appends and serves
+      // agree): the freeze batch persists the routing table next to the
+      // codebook; append batches read it back (or re-derive, bit-identical)
+      val hierFrames =
+        if (!hierActive(cfg, codebook)) None
+        else {
+          if (freezing) {
+            IngestLock.heartbeat(spark, lock)
+            writeMetaRoute(spark, rootFs, cfg, codebook, batchId)
+          }
+          val (m, ch) = hierRouting(spark, cfg, codebook, Some(cbEpoch))
+          Some((Caching.scoped(m), Caching.scoped(ch)))
+        }
+      // assignment mode shared by the IVF rows and the PQ bucket
+      // annotation below — they MUST agree or searchPq's pruned code scan
+      // diverges from the assignment table
+      def assignTo(t: DataFrame) = hierFrames match {
+        case Some((m, ch)) => VectorOps.ivfAssignHierRouted(m, ch, t)
+        case None => VectorOps.ivfAssign(codebook, t)
+          .select(col("vec_id"), col("centroid_id"))
+      }
       IngestLock.heartbeat(spark, lock)
       // sorted by centroid_id WITHIN the batch partition: the serve faces
       // push the probes' bucket ids as an IN predicate, and the sort makes
@@ -292,8 +379,7 @@ object EmbeddingIngest {
       // cache: the PQ write below re-derives the same assignment for its
       // own targets, and in the common same-freeze case the plans are
       // equal so one materialization serves both.
-      val assignedIvf = Caching.scoped(VectorOps.ivfAssign(codebook, targets)
-        .select(col("vec_id"), col("centroid_id")))
+      val assignedIvf = Caching.scoped(assignTo(targets))
       assignedIvf
         .select(col("vec_id"), col("centroid_id"),
           lit(cbEpoch).as("epoch"), stamp)
@@ -340,8 +426,7 @@ object EmbeddingIngest {
       // annotate null under a then-meaningless ivf_epoch — searchPq's
       // coherence check sees the mismatch after the freeze and falls back
       // to the unpruned scan until compact() re-annotates.
-      val pqAssigns = VectorOps.ivfAssign(codebook, pqTargets)
-        .select(col("vec_id"), col("centroid_id"))
+      val pqAssigns = assignTo(pqTargets)
       VectorOps.pqEncodeWith(pqCb,
           pqTargets.select(col("vec_id"), col("e")), cfg.pqM)
         .join(pqAssigns, Seq("vec_id"), "left")
@@ -378,6 +463,23 @@ object EmbeddingIngest {
       .select(col("batch_id").as("vec_id"), col("corpus_id"), col("cos"))
   }
 
+  /** Query-time bucket selection in the generation's routing mode — the
+    * stage [[search]] and [[searchPq]] share: flat (one codebook broadcast,
+    * probe-count window) below the [[IngestConfig.hierNlist]] threshold,
+    * meta-first above it (√nlist-sized meta broadcast, then an equi-join on
+    * meta_id — nothing codebook-sized ever broadcasts). Output shape is
+    * identical either way: (probe_id, pe, pn, centroid_id), deterministic,
+    * so the pushed-IN prune and the candidate joins downstream are
+    * mode-blind. */
+  private def serveBuckets(spark: SparkSession, cfg: IngestConfig,
+      cents: DataFrame, cbEpoch: Option[Long], probes: DataFrame): DataFrame =
+    if (hierActive(cfg, cents)) {
+      val (m, ch) = hierRouting(spark, cfg, cents, cbEpoch)
+      VectorOps.probeBucketsHierRouted(m, ch,
+        VectorOps.prepareProbes(probes), cfg.metaProbe, cfg.nprobe)
+    } else
+      VectorOps.probeBuckets(cents, VectorOps.prepareProbes(probes), cfg.nprobe)
+
   /** Read-only ANN top-k served from the persisted IVF layer — the search
     * face of the streaming index (the SRP layer answers "is this a
     * near-dup?", this answers "what are the k nearest?"). Takes no lock and
@@ -397,15 +499,14 @@ object EmbeddingIngest {
       a.join(ids.select(col(ids.columns.head).as("vec_id")),
         Seq("vec_id"), "left_semi")
     }
-    // bucket selection is probe-sized and DETERMINISTIC, so the chosen
-    // centroid ids are driver-safe metadata: collect them once
-    // (localCheckpoint: the tiny frame is read by the collect and both
-    // candidate joins) and push them as an IN predicate — partition dirs
-    // (lists' bucket_p) and row-group min/max stats (centroid-sorted
+    // bucket selection is probe-sized and DETERMINISTIC (in either routing
+    // mode), so the chosen centroid ids are driver-safe metadata: collect
+    // them once (localCheckpoint: the tiny frame is read by the collect and
+    // both candidate joins) and push them as an IN predicate — partition
+    // dirs (lists' bucket_p) and row-group min/max stats (centroid-sorted
     // appends + lists) then prune the scans to the probed buckets instead
     // of reading the corpus per query
-    val pb = VectorOps.probeBuckets(cents,
-      VectorOps.prepareProbes(probes), cfg.nprobe).localCheckpoint()
+    val pb = serveBuckets(spark, cfg, cents, cbEpoch, probes).localCheckpoint()
     val pushIds = pb.select(col("centroid_id")).distinct()
       .limit(MaxCentroidPushIds + 1).collect().map(_.getLong(0)).toSeq
     val canPush = pushIds.length <= MaxCentroidPushIds
@@ -485,13 +586,13 @@ object EmbeddingIngest {
     val (cents, rawAssigns, cbEpoch) = loadCoherentIvf(spark, cfg)
     val (cbs, codes) = loadCoherentPq(spark, cfg)
     // the same bounded centroid IN push as [[search]]: bucket selection is
-    // deterministic, so pre-filtering the assignment scan to the probes'
-    // buckets preserves the candidate set exactly while centroid-sorted
-    // appends/folds prune to the touched row groups. ONE bucket-selection
-    // pass serves both the pushed-id collect and the candidate join
-    // (localCheckpoint; threaded into ivfPqSearchIndexed as preBuckets)
-    val pb = VectorOps.probeBuckets(cents,
-      VectorOps.prepareProbes(probes), cfg.nprobe).localCheckpoint()
+    // deterministic (in either routing mode), so pre-filtering the
+    // assignment scan to the probes' buckets preserves the candidate set
+    // exactly while centroid-sorted appends/folds prune to the touched row
+    // groups. ONE bucket-selection pass serves both the pushed-id collect
+    // and the candidate join (localCheckpoint; threaded into
+    // ivfPqSearchIndexed as preBuckets)
+    val pb = serveBuckets(spark, cfg, cents, cbEpoch, probes).localCheckpoint()
     val pushIds = pb
       .select(col("centroid_id")).distinct()
       .limit(MaxCentroidPushIds + 1).collect().map(_.getLong(0)).toSeq
@@ -652,8 +753,24 @@ object EmbeddingIngest {
         IngestLock.heartbeat(spark, lock)
         CorpusIngest.swapWrite(fs, centroidsPath(cfg),
           codebook.withColumn("frozen_batch", lit(epoch)))
-        val assigns = VectorOps.ivfAssign(codebook, vecs)
-          .select(col("vec_id"), col("centroid_id"))
+        // retrained-generation routing, persisted right after the codebook
+        // it routes (same epoch stamp); assignment then runs in the
+        // generation's mode — meta-first above the threshold, flat below.
+        // A crash between the codebook swap and this write leaves a
+        // stale-stamped routing table, which hierRouting detects and
+        // re-derives bit-identically; re-running recluster re-persists it.
+        val hierFrames =
+          if (!hierActive(cfg, codebook)) None
+          else {
+            IngestLock.heartbeat(spark, lock)
+            writeMetaRoute(spark, fs, cfg, codebook, epoch)
+            Some(VectorOps.ivfHierRouting(codebook, cfg.metaMod))
+          }
+        val assigns = (hierFrames match {
+            case Some((m, ch)) => VectorOps.ivfAssignHierRouted(m, ch, vecs)
+            case None => VectorOps.ivfAssign(codebook, vecs)
+              .select(col("vec_id"), col("centroid_id"))
+          })
           .withColumn("epoch", lit(epoch))
           .withColumn("ingest_batch", lit(-1L))
           .localCheckpoint()
@@ -814,6 +931,21 @@ object EmbeddingIngest {
         val assigns = CorpusIngest.readOrEmpty(spark, ivfPath(cfg), ivfDdl)
         requireEpochCoherent(cbEpoch.getLong(0),
           assigns.select(col("epoch")), "compact-lists")
+        // heal the two-level routing table at the maintenance point (a
+        // root written before the router existed, or a crash that left a
+        // stale stamp after a codebook swap): re-derive + swap only when
+        // it is absent/stale for this generation — the derivation is a
+        // pure function of (codebook, metaMod), so healing never changes
+        // what hierRouting's fallback was already serving
+        val centsOnly = cents.select(col("centroid_id"), col("ce"), col("cn"))
+        if (hierActive(cfg, centsOnly)) {
+          val stamp = CorpusIngest.readOrEmpty(spark, metaRoutePath(cfg),
+            routeDdl).select(col("frozen_batch")).limit(1).collect()
+          if (!(stamp.nonEmpty && stamp.head.getLong(0) == cbEpoch.getLong(0))) {
+            IngestLock.heartbeat(spark, lock)
+            writeMetaRoute(spark, fs, cfg, centsOnly, cbEpoch.getLong(0))
+          }
+        }
         IngestLock.heartbeat(spark, lock)
         writeIvfLists(spark, fs, cfg,
           CorpusIngest.readOrEmpty(spark, vecsPath(cfg), vecsDdl),
