@@ -125,12 +125,13 @@ object Bench {
   /** Deterministic synthetic embeddings: dim-64 components uniform in
     * [−1, 1] from the id hash — pairwise cosine concentrates near 0, so the
     * SRP dedup stage accepts nearly all of them (the steady-state case). */
-  private def syntheticVecs(spark: SparkSession, from: Long, n: Long): DataFrame =
+  private def syntheticVecs(spark: SparkSession, from: Long, n: Long,
+      shift: Double = 0.0): DataFrame =
     spark.range(from, from + n).select(col("id").as("vec_id"))
       .withColumn("embedding", expr(
-        """transform(sequence(0, 63),
-          |  j -> cast((pmod(hash(vec_id * 64 + j), 2001) - 1000) / 1000.0
-          |            as float))""".stripMargin))
+        s"""transform(sequence(0, 63),
+           |  j -> cast((pmod(hash(vec_id * 64 + j), 2001) - 1000) / 1000.0
+           |            + $shift as float))""".stripMargin))
 
   /** One timed steady-state corpus-ingest batch: an untimed seed batch
     * builds the persisted index, then the timed batch pays the full ingest
@@ -260,6 +261,31 @@ object Bench {
       }
       val t0 = System.nanoTime()
       graft.stream.EmbeddingIngest.compact(spark, cfg)
+      (System.nanoTime() - t0) / 1e9
+    } finally { rmrf(root); Caching.releaseAll() }
+  }
+
+  /** Timed RECLUSTER of an embedding-ingest root (VERDICT r10 item 3) —
+    * the drift repair and the heaviest maintenance op: Lloyd-refined
+    * coarse retrain, PQ codeword retrain, and full backfill of
+    * assignments, codes, AND the serving inverted lists under epoch
+    * discipline. The second half of the corpus is DRIFTED (+0.8 on every
+    * component) so the retrain does real work — the seed-frozen codebook
+    * no longer describes the corpus, exactly the state the drift gauges
+    * flag before an operator runs this. Fresh root per run; min-of-2
+    * binds identical work. */
+  private def benchEmbeddingRecluster(spark: SparkSession, run: Int): Double = {
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-erecl").toString
+    try {
+      val cfg = graft.stream.EmbeddingIngest.IngestConfig(
+        "unused", root, s"bench-er-$run")
+      (0 until 2).foreach { b =>
+        graft.stream.EmbeddingIngest.ingestBatch(spark, cfg,
+          syntheticVecs(spark, b * 1000L, 1000L,
+            shift = if (b == 0) 0.0 else 0.8), b.toLong): Unit
+      }
+      val t0 = System.nanoTime()
+      graft.stream.EmbeddingIngest.recluster(spark, cfg)
       (System.nanoTime() - t0) / 1e9
     } finally { rmrf(root); Caching.releaseAll() }
   }
@@ -434,14 +460,16 @@ object Bench {
         // the compaction cadence IS the cost story (VERDICT r9 item 5)
         specialEntry("compact_corpus")(benchCorpusCompact(spark, _)) ++
         specialEntry("compact_registry")(benchRegistryCompact(spark, _)) ++
-        specialEntry("compact_embedding")(benchEmbeddingCompact(spark, _))
+        specialEntry("compact_embedding")(benchEmbeddingCompact(spark, _)) ++
+        specialEntry("recluster_embedding")(benchEmbeddingRecluster(spark, _))
 
     // serve-cost flatness at 10× corpus (VERDICT r8 item 2): identical
     // probes against a 1× and a 10× persisted index — built once, untimed
     // (index BUILD cost has its own entries above); the timed entries are
     // pure serve cost, and the ratio lands in the artifact next to them
     val serveNames = Seq("serve_bm25_1x", "serve_bm25_10x", "serve_bm25_100x",
-      "serve_ivf_1x", "serve_ivf_10x", "serve_ivf_100x")
+      "serve_ivf_1x", "serve_ivf_10x", "serve_ivf_100x",
+      "serve_hybrid_1x", "serve_hybrid_10x", "serve_hybrid_100x")
     var serveResults = Seq.empty[(String, Double)]
     if (serveNames.exists(n => only.forall(_.contains(n)))) {
       val sroot = java.nio.file.Files.createTempDirectory("graft-bench-serve").toString
@@ -485,7 +513,19 @@ object Bench {
           timeServe("serve_ivf_10x") { () =>
             graft.stream.EmbeddingIngest.search(spark, ivCfg(s"$sroot/iv10"), probes) } ++
           timeServe("serve_ivf_100x") { () =>
-            graft.stream.EmbeddingIngest.search(spark, ivCfg(s"$sroot/iv100"), probes) }
+            graft.stream.EmbeddingIngest.search(spark, ivCfg(s"$sroot/iv100"), probes) } ++
+          // the RRF fusion over BOTH persisted legs (VERDICT r10 item 2):
+          // the ingredient faces are flat above — this pins that the
+          // fusion stage adds only k-bounded work on top of them
+          timeServe("serve_hybrid_1x") { () =>
+            graft.stream.HybridServe.search(spark, bmCfg(s"$sroot/bm1"),
+              ivCfg(s"$sroot/iv1"), terms, probes) } ++
+          timeServe("serve_hybrid_10x") { () =>
+            graft.stream.HybridServe.search(spark, bmCfg(s"$sroot/bm10"),
+              ivCfg(s"$sroot/iv10"), terms, probes) } ++
+          timeServe("serve_hybrid_100x") { () =>
+            graft.stream.HybridServe.search(spark, bmCfg(s"$sroot/bm100"),
+              ivCfg(s"$sroot/iv100"), terms, probes) }
       } finally rmrf(sroot)
     }
     val serveMap = serveResults.toMap
@@ -611,8 +651,12 @@ object Bench {
             .map(r => s""","bm25_100x_ratio":${fmt(r, 2)}""").getOrElse("")
           val iv100 = serveRatio("serve_ivf_1x", "serve_ivf_100x")
             .map(r => s""","ivf_100x_ratio":${fmt(r, 2)}""").getOrElse("")
+          val hy = serveRatio("serve_hybrid_1x", "serve_hybrid_10x")
+            .map(r => s""","hybrid_ratio":${fmt(r, 2)}""").getOrElse("")
+          val hy100 = serveRatio("serve_hybrid_1x", "serve_hybrid_100x")
+            .map(r => s""","hybrid_100x_ratio":${fmt(r, 2)}""").getOrElse("")
           s""","serve_flatness":{"bm25_ratio":${fmt(bm, 2)}$bm100""" +
-            s""","ivf_ratio":${fmt(iv, 2)}$iv100""" +
+            s""","ivf_ratio":${fmt(iv, 2)}$iv100$hy$hy100""" +
             s""","corpus_ratio":10,"corpus_ratio_100x":100}"""
         case _ => ""
       }

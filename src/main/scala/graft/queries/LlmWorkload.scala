@@ -258,9 +258,10 @@ object LlmWorkload {
     * (pushed centroid IN predicate → partition-dir + row-group skipping)
     * instead of scanning the corpus-sized vec store — and must hash-match
     * the SAME oracle as the in-session build: the root's layout is an
-    * implementation detail the results may not leak. */
-  def annTopkIvfServed(spark: SparkSession, dir: String): DataFrame = {
-    val root = SharedIndexes.dir(s"embedding-ingest:$dir") { d =>
+    * implementation detail the results may not leak. The root is shared
+    * with [[retrievalHybridServed]] (the hybrid's semantic leg). */
+  private def embeddingIngestRoot(spark: SparkSession, dir: String): String =
+    SharedIndexes.dir(s"embedding-ingest:$dir") { d =>
       // threshold 1.01 admits everything, so the SRP dedup stage is dead
       // weight here — 64/16 banding (65 536 buckets per band) collapses
       // its candidate verify cost without touching the IVF/PQ layers the
@@ -276,6 +277,9 @@ object LlmWorkload {
         emb.filter(pmod(col("vec_id"), lit(2)) === 1), 1L): Unit
       graft.stream.EmbeddingIngest.compact(spark, cfg)
     }
+
+  def annTopkIvfServed(spark: SparkSession, dir: String): DataFrame = {
+    val root = embeddingIngestRoot(spark, dir)
     graft.stream.EmbeddingIngest.search(spark,
       graft.stream.EmbeddingIngest.IngestConfig(
         "unused", s"$root/corpus", "unused"),
@@ -620,6 +624,47 @@ object LlmWorkload {
       .select(col("probe_id"), col("truth_doc"),
         coalesce(col("rank").cast("long"), lit(0L)).as("found_rank"),
         coalesce(lit(1.0) / col("rank"), lit(0.0)).as("rr"))
+  }
+
+  /** The shared full-corpus persisted LEXICAL root: every document ingested
+    * in one batch through [[graft.stream.CorpusIngest]] (threshold 1.01 —
+    * nothing rejected, the ingest is pure index maintenance), then
+    * compacted. What [[retrievalHybridServed]] serves BM25 from. */
+  private def corpusIngestRoot(spark: SparkSession, dir: String): String =
+    SharedIndexes.dir(s"corpus-ingest-full:$dir") { d =>
+      val cfg = graft.stream.CorpusIngest.IngestConfig(
+        "unused", s"$d/corpus", "unused", threshold = 1.01)
+      graft.stream.CorpusIngest.ingestBatch(spark, cfg,
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("text")), 0L): Unit
+      graft.stream.CorpusIngest.compact(spark, cfg)
+    }
+
+  /** The full RAG serving path on PERSISTED state (VERDICT r10 item 2):
+    * [[graft.stream.HybridServe.search]] fuses the compacted lexical
+    * root's BM25 top-20 ([[graft.stream.CorpusIngest.search]] — postings
+    * pruned to the query terms, stats one broadcast row) with the
+    * compacted embedding root's IVF top-10
+    * ([[graft.stream.EmbeddingIngest.search]] — pushed-IN pruned inverted
+    * lists) by reciprocal-rank fusion. Both roots are the SAME shared
+    * fixtures the per-leg served entries gate, and the oracle replays the
+    * lexical CTEs of `retrieval_hybrid_rrf` + the even-seed IVF candidate
+    * CTEs of `ann_topk_ivf_served` + the identical RRF tail — the serve
+    * layouts of both legs and of the fusion are implementation details the
+    * results may not leak. Corpus size appears in no query-time stage:
+    * df(terms) + nprobe buckets + the two bounded k's. */
+  def retrievalHybridServed(spark: SparkSession, dir: String): DataFrame = {
+    val lexRoot = corpusIngestRoot(spark, dir)
+    val vecRoot = embeddingIngestRoot(spark, dir)
+    graft.stream.HybridServe.search(spark,
+      graft.stream.CorpusIngest.IngestConfig(
+        "unused", s"$lexRoot/corpus", "unused"),
+      graft.stream.EmbeddingIngest.IngestConfig(
+        "unused", s"$vecRoot/corpus", "unused"),
+      Seq("the", "of", "and"),
+      Tables(spark, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id"), col("embedding")))
   }
 
   /** PII scrub over deterministically enriched text (the corpus itself is
@@ -1221,6 +1266,7 @@ object LlmWorkload {
     "text_bm25" -> textBm25,
     "text_bm25_indexed" -> textBm25Indexed,
     "retrieval_hybrid_rrf" -> retrievalHybridRrf,
+    "retrieval_hybrid_served" -> retrievalHybridServed,
     "retrieval_mrr" -> retrievalMrr,
     "text_scrub_pii" -> textScrubPii,
     "kmeans_clusters" -> kmeansClusters,
@@ -1921,26 +1967,18 @@ object LlmWorkload {
        |      ROWS UNBOUNDED PRECEDING) AS sid
        |  FROM isl)""".stripMargin
 
-  /** Shared CTE chain for the retrieval family: BM25 global top-20 (`lex`),
-    * brute-force cosine top-10 per probe (`sem`), RRF fusion, and the
-    * per-probe fused ranking (`ranked`, rnk <= 10). */
-  private val hybridRrfCtes: String =
-    s"""WITH $bm25OracleCtes,
-       |lexscore AS (SELECT doc_id, $bm25OracleScore AS bm25 FROM base, st),
+  /** The lexical leg shared by every hybrid replay: BM25 global top-20. */
+  private val lexTopCtes: String =
+    s"""lexscore AS (SELECT doc_id, $bm25OracleScore AS bm25 FROM base, st),
        |lex AS (SELECT doc_id, CAST(rnk AS INTEGER) AS lrank FROM (
        |    SELECT doc_id,
        |      row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
-       |    FROM lexscore) WHERE rnk <= 20),
-       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
-       |d AS (SELECT p.probe_id, v.vec_id, ${cosSql("v.e", "p.pe")} AS cos
-       |      FROM v, p WHERE v.vec_id <> p.probe_id),
-       |sem AS (SELECT probe_id, vec_id AS doc_id, CAST(rnk AS INTEGER) AS srank
-       |        FROM (SELECT probe_id, vec_id,
-       |                row_number() OVER (PARTITION BY probe_id
-       |                  ORDER BY cos DESC, vec_id ASC) AS rnk
-       |              FROM d) WHERE rnk <= 10),
-       |probes AS (SELECT DISTINCT probe_id FROM sem),
+       |    FROM lexscore) WHERE rnk <= 20)""".stripMargin
+
+  /** The RRF tail shared by every hybrid replay (expects `lex` and `sem`):
+    * fusion as two IEEE divisions in fixed order, per-probe ranking. */
+  private val rrfTailCtes: String =
+    s"""probes AS (SELECT DISTINCT probe_id FROM sem),
        |lexper AS (SELECT pr.probe_id, l.doc_id, l.lrank FROM probes pr, lex l),
        |fused AS (
        |  SELECT COALESCE(s.probe_id, lp.probe_id) AS probe_id,
@@ -1959,6 +1997,59 @@ object LlmWorkload {
        |      row_number() OVER (PARTITION BY probe_id
        |        ORDER BY rrf DESC, doc_id ASC) AS rnk
        |    FROM scored) WHERE rnk <= 10)""".stripMargin
+
+  /** Shared CTE chain for the retrieval family: BM25 global top-20 (`lex`),
+    * brute-force cosine top-10 per probe (`sem`), RRF fusion, and the
+    * per-probe fused ranking (`ranked`, rnk <= 10). */
+  private val hybridRrfCtes: String =
+    s"""WITH $bm25OracleCtes,
+       |$lexTopCtes,
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+       |d AS (SELECT p.probe_id, v.vec_id, ${cosSql("v.e", "p.pe")} AS cos
+       |      FROM v, p WHERE v.vec_id <> p.probe_id),
+       |sem AS (SELECT probe_id, vec_id AS doc_id, CAST(rnk AS INTEGER) AS srank
+       |        FROM (SELECT probe_id, vec_id,
+       |                row_number() OVER (PARTITION BY probe_id
+       |                  ORDER BY cos DESC, vec_id ASC) AS rnk
+       |              FROM d) WHERE rnk <= 10),
+       |$rrfTailCtes""".stripMargin
+
+  /** Served-hybrid replay (`retrieval_hybrid_served`): the SAME lexical
+    * CTEs, the semantic leg replaced by the even-seed IVF candidate replay
+    * of `ann_topk_ivf_served` (the persisted index the serve reads), the
+    * identical RRF tail — the persisted roots, pruned-lists layout, and
+    * fusion path may not leak into the results. */
+  private val hybridServedCtes: String =
+    s"""WITH $bm25OracleCtes,
+       |$lexTopCtes,
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+       |      WHERE vec_id % 2 = 0 AND vec_id % 25 = 0),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT v.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.centroid_id ASC) AS rn
+       |    FROM v, c) WHERE rn = 1),
+       |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+       |pb AS (
+       |  SELECT probe_id, pe, centroid_id FROM (
+       |    SELECT p.probe_id, p.pe, c.centroid_id,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${cosSql("p.pe", "c.ce")} DESC, c.centroid_id ASC) AS rn
+       |    FROM p, c) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT pb.probe_id, v.vec_id, ${cosSql("v.e", "pb.pe")} AS cos
+       |  FROM pb JOIN assign a ON a.centroid_id = pb.centroid_id
+       |  JOIN v ON v.vec_id = a.vec_id
+       |  WHERE v.vec_id <> pb.probe_id),
+       |sem AS (SELECT probe_id, vec_id AS doc_id, CAST(rnk AS INTEGER) AS srank
+       |        FROM (SELECT probe_id, vec_id,
+       |                row_number() OVER (PARTITION BY probe_id
+       |                  ORDER BY cos DESC, vec_id ASC) AS rnk
+       |              FROM cand) WHERE rnk <= 10),
+       |$rrfTailCtes""".stripMargin
 
   val oracles: Map[String, String] = baseOracles ++ Map(
     // registry-served twins: a query that reads PERSISTED union-find state
@@ -2584,6 +2675,12 @@ object LlmWorkload {
     // two IEEE divisions in fixed order — bit-identical fusion scores
     "retrieval_hybrid_rrf" ->
       s"""$hybridRrfCtes
+         |SELECT probe_id, doc_id, rrf, CAST(rnk AS INTEGER) AS "rank"
+         |FROM ranked""".stripMargin,
+    // served-hybrid replay: persisted BM25 leg + persisted IVF leg + RRF —
+    // same lex CTEs, the ann_topk_ivf_served candidate replay as sem
+    "retrieval_hybrid_served" ->
+      s"""$hybridServedCtes
          |SELECT probe_id, doc_id, rrf, CAST(rnk AS INTEGER) AS "rank"
          |FROM ranked""".stripMargin,
     // MRR replay: truth = semantic rank 1 per probe; the reciprocal rank is
