@@ -1021,6 +1021,25 @@ object LlmWorkload {
         .filter(pmod(col("doc_id"), lit(2)) === 1))
   }
 
+  /** [[registryProbe]]'s pair-evidence stage ALONE (signature build, index
+    * probe, within-batch pairs — no union-find would-label tail), on the
+    * SAME even-root/odd-batch fixture: the cost decomposition VERDICT r10
+    * item 4 asked for. `registry_probe` ≈ this + the labeling tail in the
+    * bench artifact, so a tail regression is attributable instead of
+    * hiding inside one opaque 2-3 s number. */
+  def registryProbePairs(spark: SparkSession, dir: String): DataFrame = {
+    val root = SharedIndexes.dir(s"cluster-registry-even:$dir") { d =>
+      val cfg = graft.stream.ClusterRegistry.RegistryConfig("unused", d, "unused")
+      graft.stream.ClusterRegistry.ingestBatch(spark, cfg,
+        Tables(spark, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(2)) === 0), 0L): Unit
+    }
+    graft.stream.ClusterRegistry.probePairs(spark,
+      graft.stream.ClusterRegistry.RegistryConfig("unused", root, "unused"),
+      Tables(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === 1))
+  }
+
   /** The embedding twin of [[sharedClusterRegistry]]: the embeddings
     * corpus ingested once per (session × dir) through
     * [[graft.stream.EmbeddingClusterRegistry]] as three mod-3 arrival
@@ -1289,6 +1308,7 @@ object LlmWorkload {
     "registry_embedding_cluster_stats" -> registryEmbeddingClusterStats,
     "registry_embedding_sampling_weights" -> registryEmbeddingSamplingWeights,
     "registry_probe" -> registryProbe,
+    "registry_probe_pairs" -> registryProbePairs,
     "quality_deciles" -> qualityDeciles,
     "prep_zorder" -> prepZorder,
     "dedup_exact" -> dedupExact,
@@ -2082,6 +2102,18 @@ object LlmWorkload {
     // the probe's would-label + bridge-gauge replay (two recursive CTEs:
     // corpus components, then the mini-graph closure)
     "registry_probe" -> registryProbeOracle,
+    // the probe's pair-evidence stage: the cross-probe replay UNION the
+    // within-odd-batch pairs (banding candidacy is per-doc, so the global
+    // pair replay restricted to both-odd endpoints is exactly the
+    // batch-internal LSH join), canonicalized doc_a < doc_b
+    "registry_probe_pairs" ->
+      s"""WITH cr AS (SELECT * FROM ($incrementalProbeOracle)),
+         |bp AS (SELECT doc_a, doc_b, jaccard FROM ($minhashOracle)
+         |       WHERE doc_a % 2 = 1 AND doc_b % 2 = 1)
+         |SELECT least(batch_id, corpus_id) AS doc_a,
+         |  greatest(batch_id, corpus_id) AS doc_b, jaccard FROM cr
+         |UNION ALL
+         |SELECT doc_a, doc_b, jaccard FROM bp""".stripMargin,
     // embedding-registry health: SRP recursive-CTE components, every
     // vector labeled (singletons to themselves), one health row
     "registry_embedding_cluster_stats" ->

@@ -349,6 +349,30 @@ object ClusterRegistry {
       docs.select(col("doc_id")), batchPairs, crossPairs)
   }
 
+  /** The pair-evidence stage of [[probe]] ALONE — signature build, index
+    * probe, within-batch pairs — without the would-label union-find tail:
+    * [[probe]]'s cost decomposes as this + the labeling tail, and the
+    * bench records both so a tail regression is attributable (VERDICT r10
+    * item 4). Output canonicalized to (doc_a < doc_b, jaccard). */
+  def probePairs(spark: SparkSession, cfg: RegistryConfig,
+      batch: DataFrame): DataFrame = {
+    val docs = Caching.scoped(batch.select(col("doc_id"), col("text")))
+    val (bb, bs) = TextOps.minhashIndex(docs, "doc_id", "text")
+    val batchBands = Caching.scoped(bb)
+    val batchSets = Caching.scoped(bs)
+    val crossPairs = TextOps.minhashProbeIndexed(
+      CorpusIngest.readOrEmptyRO(spark, bandsPath(cfg), bandsDdl),
+      CorpusIngest.readOrEmptyRO(spark, setsPath(cfg), setsDdl),
+      batchBands, batchSets, cfg.threshold)
+    val batchPairs = TextOps.minhashNearDupsIndexed(
+      batchBands, batchSets, cfg.threshold)
+    crossPairs.select(
+        least(col("batch_id"), col("corpus_id")).as("doc_a"),
+        greatest(col("batch_id"), col("corpus_id")).as("doc_b"),
+        col("jaccard"))
+      .unionByName(batchPairs.select(col("doc_a"), col("doc_b"), col("jaccard")))
+  }
+
   /** Current cluster label of every registered doc — the read-only serving
     * face: `labels` joined once against the root-resolved merge log
     * ([[UnionFind.resolveLabels]]). Lock-free; reads through stranded

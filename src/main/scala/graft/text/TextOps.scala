@@ -604,6 +604,14 @@ object TextOps {
       bCol: String = "doc_b", maxIters: Int = 50): DataFrame =
     connectedComponentsWithRounds(pairs, aCol, bCol, maxIters)._1
 
+  /** Symmetrized-edge-row ceiling under which [[connectedComponents]]
+    * collapses the graph driver-side instead of running distributed
+    * propagate/jump rounds (≈ cap/2 undirected edges — the batch-bounded
+    * mini graphs of the union-find increment and the probe faces). Sized
+    * like [[UnionFind.MaxLabelFetchIds]]: small enough to stay driver-safe
+    * metadata, large enough to cover any realistic per-batch pair graph. */
+  private[graft] val SmallGraphCap = 2000
+
   /** [[connectedComponents]] plus the number of propagate+jump rounds it ran
     * (excluding the folded-in seed propagation) — the observability hook for
     * the scale contract: path-halving must converge in O(log diameter)
@@ -621,6 +629,37 @@ object TextOps {
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct())
+    // batch-bounded mini graphs (the union-find increment's, a probe's)
+    // collapse on the driver: collect up to the cap, run path-compressed
+    // union-find in memory, emit the same (id, min-component) rows the
+    // distributed fixpoint converges to — zero propagate/jump rounds, no
+    // per-round localCheckpoint jobs. The cap keeps the collect driver-safe
+    // metadata (the MaxLabelFetchIds discipline); one row above it falls
+    // through to the distributed path, so corpus-sized graphs never
+    // collect. Bit-identical by construction: both paths compute the
+    // unique min-label fixpoint over the same edge set.
+    val capped = edges.limit(SmallGraphCap + 1).collect()
+    if (capped.length <= SmallGraphCap) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      capped.foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) { val (lo, hi) = (math.min(a, b), math.max(a, b))
+          parent(hi) = lo; parent.getOrElseUpdate(lo, lo) }
+        else parent.getOrElseUpdate(a, a)
+      }
+      val nodes = capped.iterator.map(_.getLong(0)).toSeq.distinct
+      val out = nodes.map(id => (id, find(id)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return (out.toDF("id", "component"), 0)
+    }
     // seed = one propagation for free: component = min(id, min neighbor).
     // Every node appears as src (edges are symmetrized), so this covers all.
     var labels = edges.groupBy(col("src"))

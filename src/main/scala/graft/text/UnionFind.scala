@@ -64,6 +64,14 @@ object UnionFind {
     * one-hop-per-round ripple fails a unit test. */
   private[graft] def resolveMergesWithRounds(merges: DataFrame,
       maxIters: Int = 50): (DataFrame, Int) = {
+    // a compacted registry's merge log is EMPTY (compactLabels truncates
+    // it), and a single-batch registry never wrote one — the common serve
+    // state. Short-circuit before the first localCheckpoint: every
+    // resolvedLabels/clusterStats/keepBest/probe call otherwise pays an
+    // eager materialization plus a join-and-count round against a frame
+    // known to hold nothing.
+    if (merges.isEmpty)
+      return (merges.select(col("child"), col("parent").as("root")), 0)
     var m = merges.select(col("child"), col("parent")).localCheckpoint()
     var converged = false
     var it = 0
