@@ -407,6 +407,23 @@ object LlmWorkload {
       .select(col("doc_id"), hex(col("payload")).as("payload_hex"),
         col("n_bytes"), col("payload_md5"), col("header_hex"))
 
+  /** The REAL image-decode path at the gate (VERDICT r10 item 5): per doc,
+    * a deterministic 15×17 24-bit BMP is generated from its id
+    * ([[Multimodal.synthBmp]] — small-prime affine channels, row padding
+    * exercised), ENCODED to real on-disk BMP bytes, DECODED back by
+    * [[Multimodal.decodeBmp]], and reduced to exact integer pixel
+    * aggregates plus the pixel-domain dHash ([[Multimodal.decodeReport]]).
+    * The oracle replays generate → aggregate directly — decode correctness
+    * is precisely the difference, so a header-offset, padding, bottom-up,
+    * or channel-order bug breaks `pos_checksum`/`phash` loudly. */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    Multimodal.decodeReport(
+      Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id, Multimodal.synthBmp(id)))).toDF()
+  }
+
   def dedupEmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
     VectorOps.embeddingNearDupPairs(Tables(spark, dir, "embeddings"))
 
@@ -1338,6 +1355,7 @@ object LlmWorkload {
     "ann_topk_ivfpq" -> annTopkIvfPq,
     "ann_topk_filtered" -> annTopkFiltered,
     "multimodal_meta" -> multimodalMeta,
+    "multimodal_decode" -> multimodalDecode,
     "dedup_embedding_pairs" -> dedupEmbeddingPairs,
     "dedup_embedding_srp_pairs" -> dedupEmbeddingSrpPairs,
     "dedup_embedding_incremental" -> dedupEmbeddingIncremental,
@@ -3022,6 +3040,34 @@ object LlmWorkload {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS payload_md5,
         |  substr(hex(encode(text)), 1, 8) AS header_hex
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // BMP-decode replay: the oracle computes generate -> aggregate
+    // arithmetically (integer BT.601 luma of the small-prime channel maps,
+    // p = top-down row-major index); the Spark side ran generate ->
+    // ENCODE -> DECODE -> aggregate through real BMP bytes, so decode
+    // correctness is exactly the difference being hashed
+    "multimodal_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, (y.y * 15 + x.x) AS p,
+        |    ((299 * ((d.doc_id * 7 + x.x * 3 + y.y * 5) % 256)
+        |    + 587 * ((d.doc_id * 11 + x.x * 13 + y.y * 17) % 256)
+        |    + 114 * ((d.doc_id * 19 + x.x * 23 + y.y * 29) % 256)) // 1000) AS luma
+        |  FROM documents d,
+        |    (SELECT unnest(range(0, 15)) AS x) x,
+        |    (SELECT unnest(range(0, 17)) AS y) y),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pixels,
+        |    CAST(sum(luma) AS BIGINT) AS sum_luma,
+        |    CAST(sum((p + 1) * luma) AS BIGINT) AS pos_checksum
+        |  FROM px GROUP BY 1),
+        |lum AS (SELECT doc_id, list(luma ORDER BY p) AS ls FROM px GROUP BY 1),
+        |ph AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 48), j ->
+        |    CASE WHEN ls[CAST((CAST(j + 1 AS BIGINT) * 255) // 49 AS INT) + 1] >
+        |              ls[CAST((CAST(j AS BIGINT) * 255) // 49 AS INT) + 1]
+        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END))
+        |    AS BIGINT) AS phash
+        |  FROM lum)
+        |SELECT a.doc_id, CAST(15 AS BIGINT) AS width, CAST(17 AS BIGINT) AS height,
+        |  a.n_pixels, a.sum_luma, a.pos_checksum, p.phash
+        |FROM agg a JOIN ph p USING (doc_id)""".stripMargin
   )
 }

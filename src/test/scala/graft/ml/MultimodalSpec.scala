@@ -40,6 +40,78 @@ class MultimodalSpec extends SparkSpec {
     assert(again(1L) == out(1L).feature.toSeq)
   }
 
+  test("BMP codec: encode -> decode round-trips luma exactly, including " +
+      "row padding and the bottom-up flip") {
+    val rnd = new scala.util.Random(11)
+    // widths chosen so row padding is 1, 2, 3, and 0 bytes
+    for (w <- Seq(5, 6, 7, 8); h <- Seq(1, 3)) {
+      val grid = Array.fill(h, w)(
+        (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      val bytes = encodeBmp24(w, h, (x, y) => grid(y)(x))
+      val img = decodeBmp(bytes).getOrElse(fail(s"decode failed for $w x $h"))
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = grid(y)(x)
+        assert(img.luma(y * w + x) == (299 * r + 587 * g + 114 * b) / 1000,
+          s"luma mismatch at ($x, $y) in $w x $h")
+      }
+    }
+  }
+
+  test("BMP codec: a top-down (negative height) payload decodes to the " +
+      "same top-down luma as its bottom-up twin") {
+    val w = 5; val h = 3
+    val grid = Array.tabulate(h, w)((y, x) => (y * 50 + x, x * 30, 255 - y * 40))
+    val up = encodeBmp24(w, h, (x, y) => grid(y)(x))
+    // craft the top-down form: negate the height field and reverse the
+    // row blocks (top-down stores row 0 first)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val down = up.clone()
+    val negH = -h
+    down(22) = (negH & 0xff).toByte; down(23) = ((negH >> 8) & 0xff).toByte
+    down(24) = ((negH >> 16) & 0xff).toByte; down(25) = ((negH >> 24) & 0xff).toByte
+    for (y <- 0 until h)
+      System.arraycopy(up, 54 + (h - 1 - y) * rowSize, down, 54 + y * rowSize, rowSize)
+    val a = decodeBmp(up).get
+    val b = decodeBmp(down).get
+    assert(a.luma.toSeq == b.luma.toSeq,
+      "top-down and bottom-up forms of the same image must decode identically")
+  }
+
+  test("BMP codec: non-BMP, truncated, and unsupported payloads decode to None") {
+    assert(decodeBmp(Array.emptyByteArray).isEmpty)
+    assert(decodeBmp("not a bitmap at all, just text padding padding".getBytes).isEmpty)
+    val ok = encodeBmp24(4, 2, (_, _) => (1, 2, 3))
+    assert(decodeBmp(ok).nonEmpty)
+    assert(decodeBmp(ok.take(ok.length - 1)).isEmpty, "truncated pixel array")
+    val wrongBpp = ok.clone(); wrongBpp(28) = 32.toByte
+    assert(decodeBmp(wrongBpp).isEmpty, "32-bpp must be refused, not misread")
+    val compressed = ok.clone(); compressed(30) = 1.toByte
+    assert(decodeBmp(compressed).isEmpty, "RLE compression must be refused")
+  }
+
+  test("decodeReport aggregates decoded pixels exactly and skips " +
+      "undecodable payloads") {
+    implicit val s = spark
+    val w = 15; val h = 17
+    val media = Seq(
+      MediaRow(1L, synthBmp(1L)),
+      MediaRow(2L, "garbage garbage garbage garbage garbage garbage".getBytes))
+      .toDS()
+    val out = decodeReport(media).collect()
+    assert(out.map(_.doc_id).toSeq == Seq(1L), "undecodable payload must be skipped")
+    val r = out.head
+    // replay the generator arithmetic directly (the oracle's computation)
+    val luma = for (y <- 0 until h; x <- 0 until w) yield
+      (299 * ((1L * 7 + x * 3 + y * 5) % 256).toInt +
+        587 * ((1L * 11 + x * 13 + y * 17) % 256).toInt +
+        114 * ((1L * 19 + x * 23 + y * 29) % 256).toInt) / 1000
+    assert(r.width == w && r.height == h && r.n_pixels == w * h)
+    assert(r.sum_luma == luma.map(_.toLong).sum)
+    assert(r.pos_checksum == luma.zipWithIndex.map { case (l, p) => (p + 1).toLong * l }.sum)
+    assert(r.phash == Multimodal.lumaPhash(luma.toArray, 49))
+  }
+
   test("resizeBytes emits exactly targetLen bytes via nearest-neighbor sampling") {
     import spark.implicits._
     val df = Seq((1L, "abcdefgh"), (2L, "xy"), (3L, ""))

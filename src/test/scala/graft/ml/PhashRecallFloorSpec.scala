@@ -84,6 +84,52 @@ class PhashRecallFloorSpec extends SparkSpec {
       s"2x24 banding guarantees only hamming <= 1 — the cross-band variant must be missed: $coarse")
   }
 
+  test("pixel-domain phash (decoded BMP): planted pixel-edit + horizontal " +
+      "2x-upscale variants pair at >= 0.80 recall; unrelated images never pair") {
+    implicit val s = spark
+    val rnd = new scala.util.Random(7)
+    def grid(w: Int, h: Int): Array[Array[(Int, Int, Int)]] =
+      Array.fill(h, w)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    val dims = (0 until 40).map(i => (10 + i % 6, 12 + i % 5))
+    val bases = dims.zipWithIndex.map { case ((w, h), i) =>
+      (i.toLong, w, h, grid(w, h))
+    }
+    val rows = bases.flatMap { case (id, w, h, g) =>
+      val base = Multimodal.MediaRow(id, Multimodal.encodeBmp24(w, h, (x, y) => g(y)(x)))
+      val variant =
+        if (id % 2 == 0) {
+          // three spread pixel edits (may or may not land on sampled
+          // cells — both outcomes are in-family for a hamming-3 budget)
+          val g2 = g.map(_.clone())
+          Seq((0, 0), (w / 2, h / 2), (w - 1, h - 1)).foreach { case (x, y) =>
+            val (r, gg, b) = g2(y)(x); g2(y)(x) = (r ^ 0x5f, gg, b)
+          }
+          Multimodal.MediaRow(id + 100000L,
+            Multimodal.encodeBmp24(w, h, (x, y) => g2(y)(x)))
+        } else
+          // 2x HORIZONTAL NN upscale: in the flattened row-major stream
+          // this is exactly the 1D each-sample-doubled rescale the dHash's
+          // NN-resample positions are invariant to (the byte-domain claim,
+          // pixel edition). A full 2D upscale interleaves rows and is NOT
+          // an invariance of the flattened 49-sample form — that would
+          // need 2D grid sampling, the trade this operating point makes.
+          Multimodal.MediaRow(id + 100000L,
+            Multimodal.encodeBmp24(w * 2, h, (x, y) => g(y)(x / 2)))
+      Seq(base, variant)
+    }
+    val pairs = Multimodal.phashDecodedPairs(spark.createDataset(rows))
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    graft.Caching.releaseAll()
+    val found = bases.count { case (id, _, _, _) => pairs.contains((id, id + 100000L)) }
+    val recall = found.toDouble / bases.size
+    info(s"pixel-domain planted-variant recall: $recall ($found/${bases.size})")
+    assert(recall >= 0.80,
+      s"pixel-phash recall $recall fell below the 0.80 floor")
+    val baseIds = bases.map(_._1).toSet
+    assert(!pairs.exists(p => baseIds(p._1) && baseIds(p._2)),
+      s"unrelated random images must never pair: ${pairs.filter(p => baseIds(p._1) && baseIds(p._2))}")
+  }
+
   test("payloads shorter than the sample count produce no signature and cannot flood a bucket") {
     // without the >= samples guard a length-1 payload hashes to 0, so every
     // tiny payload verifies as a hamming-0 "near-dup" of every other — the
