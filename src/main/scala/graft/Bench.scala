@@ -344,6 +344,28 @@ object Bench {
       spark.read.parquet(s"$root/vecs"), assigns, epoch = 0L, upto = 0L)
   }
 
+  /** Build a COMPACTED registry label state: `nReal` docs in 5-doc
+    * clusters plus `nFiller` singletons — the [[graft.stream.ClusterRegistry]]
+    * serve layout (labels folded to ingest_batch = -1, range-sorted by
+    * doc_id, merge log truncated). Growing the corpus by filler grows the
+    * labels table while the probed pairs stay fixed — the claim under test
+    * (VERDICT r10 item 6): the point-lookup serve follows the PROBE SET
+    * (pushed-IN row-group pruning over the sorted layout), while the
+    * corpus-wide health report honestly tracks the corpus. */
+  private def buildRegistryState(spark: SparkSession, root: String,
+      nReal: Long, nFiller: Long): Unit = {
+    val real = spark.range(0L, nReal).select(col("id").as("doc_id"),
+      (col("id") - pmod(col("id"), lit(5L))).as("label"))
+    val filler = spark.range(1000000L, 1000000L + nFiller)
+      .select(col("id").as("doc_id"), col("id").as("label"))
+    real.unionByName(filler)
+      .withColumn("ingest_batch", lit(-1L))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.partitionBy("ingest_batch")
+      .parquet(s"$root/labels")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
@@ -469,7 +491,10 @@ object Bench {
     // pure serve cost, and the ratio lands in the artifact next to them
     val serveNames = Seq("serve_bm25_1x", "serve_bm25_10x", "serve_bm25_100x",
       "serve_ivf_1x", "serve_ivf_10x", "serve_ivf_100x",
-      "serve_hybrid_1x", "serve_hybrid_10x", "serve_hybrid_100x")
+      "serve_hybrid_1x", "serve_hybrid_10x", "serve_hybrid_100x",
+      "serve_registry_lookup_1x", "serve_registry_lookup_10x",
+      "serve_registry_lookup_100x", "serve_registry_stats_1x",
+      "serve_registry_stats_10x", "serve_registry_stats_100x")
     var serveResults = Seq.empty[(String, Double)]
     if (serveNames.exists(n => only.forall(_.contains(n)))) {
       val sroot = java.nio.file.Files.createTempDirectory("graft-bench-serve").toString
@@ -525,7 +550,29 @@ object Bench {
               ivCfg(s"$sroot/iv10"), terms, probes) } ++
           timeServe("serve_hybrid_100x") { () =>
             graft.stream.HybridServe.search(spark, bmCfg(s"$sroot/bm100"),
-              ivCfg(s"$sroot/iv100"), terms, probes) }
+              ivCfg(s"$sroot/iv100"), terms, probes) } ++ {
+            // registry serve flatness (VERDICT r10 item 6): fixed 16-pair
+            // lookups against 1x/10x/100x label states answer whether
+            // serve cost tracks the probes or the corpus; the corpus-wide
+            // stats report is timed next to them as the honest contrast
+            buildRegistryState(spark, s"$sroot/rg1", 5000L, 0L)
+            buildRegistryState(spark, s"$sroot/rg10", 5000L, 45000L)
+            buildRegistryState(spark, s"$sroot/rg100", 5000L, 495000L)
+            val regProbes = spark.range(0L, 16L)
+              .select((col("id") * 7).as("a"), (col("id") * 7 + 1).as("b"))
+              .localCheckpoint()
+            def rgCfg(r: String) =
+              graft.stream.ClusterRegistry.RegistryConfig("unused", r, "unused")
+            Seq("1x" -> "rg1", "10x" -> "rg10", "100x" -> "rg100").flatMap {
+              case (tag, d) =>
+                timeServe(s"serve_registry_lookup_$tag") { () =>
+                  graft.stream.ClusterRegistry.sameCluster(spark,
+                    rgCfg(s"$sroot/$d"), regProbes) } ++
+                timeServe(s"serve_registry_stats_$tag") { () =>
+                  graft.stream.ClusterRegistry.clusterStats(spark,
+                    rgCfg(s"$sroot/$d")) }
+            }
+          }
       } finally rmrf(sroot)
     }
     val serveMap = serveResults.toMap
@@ -655,8 +702,14 @@ object Bench {
             .map(r => s""","hybrid_ratio":${fmt(r, 2)}""").getOrElse("")
           val hy100 = serveRatio("serve_hybrid_1x", "serve_hybrid_100x")
             .map(r => s""","hybrid_100x_ratio":${fmt(r, 2)}""").getOrElse("")
+          val rg = serveRatio("serve_registry_lookup_1x", "serve_registry_lookup_10x")
+            .map(r => s""","registry_lookup_ratio":${fmt(r, 2)}""").getOrElse("")
+          val rg100 = serveRatio("serve_registry_lookup_1x", "serve_registry_lookup_100x")
+            .map(r => s""","registry_lookup_100x_ratio":${fmt(r, 2)}""").getOrElse("")
+          val rs100 = serveRatio("serve_registry_stats_1x", "serve_registry_stats_100x")
+            .map(r => s""","registry_stats_100x_ratio":${fmt(r, 2)}""").getOrElse("")
           s""","serve_flatness":{"bm25_ratio":${fmt(bm, 2)}$bm100""" +
-            s""","ivf_ratio":${fmt(iv, 2)}$iv100$hy$hy100""" +
+            s""","ivf_ratio":${fmt(iv, 2)}$iv100$hy$hy100$rg$rg100$rs100""" +
             s""","corpus_ratio":10,"corpus_ratio_100x":100}"""
         case _ => ""
       }

@@ -62,12 +62,28 @@ private[stream] object UnionFindTables {
       CorpusIngest.readOrEmptyRO(spark, labelsPath(root), labelsDdl),
       CorpusIngest.readOrEmptyRO(spark, mergesPath(root), mergesDdl))
 
-  /** Pairwise same-cluster probes (a, b) against the resolved labels. */
+  /** Pairwise same-cluster probes (a, b) against the resolved labels.
+    * POINT-LOOKUP pruned (the [[UnionFind.MaxLabelFetchIds]] discipline at
+    * the serve face): the probes' ids — bounded, driver-safe metadata —
+    * push into the labels scan as an IN predicate, so the doc_id
+    * range-sorted compacted layout prunes to the touched row groups
+    * instead of scanning the corpus-sized table twice per lookup; above
+    * the cap the serve falls back to the full join. Filtering BEFORE the
+    * merge-log resolution is exact: resolution is per-row. */
   def sameCluster(spark: SparkSession, root: String,
       probes: DataFrame): DataFrame = {
-    val lab = Caching.scoped(resolvedLabels(spark, root))
-    probes.select(col("a"), col("b"))
-      .join(lab.select(col("doc_id").as("a"), col("label").as("la")), Seq("a"), "left")
+    val p = probes.select(col("a"), col("b"))
+    val ids = p.select(explode(array(col("a"), col("b"))).as("doc_id"))
+      .distinct().limit(UnionFind.MaxLabelFetchIds + 1)
+      .collect().map(_.getLong(0)).toSeq
+    val labels = CorpusIngest.readOrEmptyRO(spark, labelsPath(root), labelsDdl)
+    val src =
+      if (ids.length <= UnionFind.MaxLabelFetchIds)
+        labels.filter(col("doc_id").isInCollection(ids))
+      else labels
+    val lab = Caching.scoped(UnionFind.resolveLabels(src,
+      CorpusIngest.readOrEmptyRO(spark, mergesPath(root), mergesDdl)))
+    p.join(lab.select(col("doc_id").as("a"), col("label").as("la")), Seq("a"), "left")
       .join(lab.select(col("doc_id").as("b"), col("label").as("lb")), Seq("b"), "left")
       .select(col("a"), col("b"),
         (col("la").isNotNull && col("la") === col("lb")).as("same_cluster"))
