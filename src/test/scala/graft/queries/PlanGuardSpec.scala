@@ -36,6 +36,7 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "ann_topk_ivf_indexed",   // frozen centroid set broadcast (seed-trained)
     "ann_topk_ivf_served",    // same frozen centroid broadcast, persisted root
     "ann_topk_ivf_hier",      // meta + per-meta child codebook broadcasts
+    "ann_topk_ivf_hier_served", // same meta-set broadcast, persisted routing table
     "ann_topk_ivfpq",         // centroid set broadcast (bucketing) + code tables
     "ann_topk_ivfpq_served",  // same broadcasts, persisted bucket-clustered codes
     "dedup_embedding_pairs",  // centroid set broadcast (bucketing)
@@ -59,6 +60,7 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "dedup_semantic",         // k-row centroid set broadcast (argmax assign)
     "text_heavy_hitters",     // 1-row total-count anchor
     "retrieval_hybrid_rrf",   // probe-set + bounded (k=20) lexical-list broadcasts
+    "retrieval_hybrid_served", // same bounded lexical-list broadcast, persisted legs
     "retrieval_mrr",          // same retrieval broadcasts, truth-joined
     "text_pmi_bigrams",       // 1-row corpus-totals (n_uni, n_bi) anchor
     "ann_ivf_drift",          // centroid broadcast + 1-row (total, k) anchor
