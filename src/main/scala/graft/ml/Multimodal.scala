@@ -244,9 +244,15 @@ object Multimodal {
     if (le32(payload, 14) < 40 || width <= 0 || height == 0 ||
         le16(payload, 28) != 24 || le32(payload, 30) != 0)
       return None
-    val rowSize = ((width * 3 + 3) / 4) * 4
-    if (off < 54 || off.toLong + rowSize.toLong * height > payload.length)
+    // size arithmetic in LONG: a hostile header (width near 2^31) would
+    // overflow the Int rowSize/pixel-count products into negatives and
+    // crash the batch (NegativeArraySizeException) instead of skipping —
+    // the one thing a corrupt payload must never do. Once the bound check
+    // passes, every product is <= payload.length and fits an Int.
+    val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
+    if (off < 54 || off.toLong + rowSizeL * height > payload.length)
       return None
+    val rowSize = rowSizeL.toInt
     val luma = new Array[Int](width * height)
     var y = 0
     while (y < height) {

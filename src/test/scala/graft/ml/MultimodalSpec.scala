@@ -88,6 +88,12 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeBmp(wrongBpp).isEmpty, "32-bpp must be refused, not misread")
     val compressed = ok.clone(); compressed(30) = 1.toByte
     assert(decodeBmp(compressed).isEmpty, "RLE compression must be refused")
+    // hostile header: width near 2^31 must SKIP, not overflow the Int
+    // size products into a NegativeArraySizeException that kills the batch
+    val hostile = ok.clone()
+    hostile(18) = 0xff.toByte; hostile(19) = 0xff.toByte
+    hostile(20) = 0xff.toByte; hostile(21) = 0x7f.toByte
+    assert(decodeBmp(hostile).isEmpty, "overflowing width must be refused")
   }
 
   test("decodeReport aggregates decoded pixels exactly and skips " +
