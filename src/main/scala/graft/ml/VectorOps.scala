@@ -985,6 +985,29 @@ object VectorOps {
     centroids
   }
 
+  /** [[kmeansCentroids]] with HIER-ROUTED Lloyd assignment — the retrain
+    * for codebooks past the broadcast ceiling (the last flat corpus ×
+    * nlist pass of the persisted-index family): each assign pass derives
+    * the meta routing from ITS OWN iteration's codebook (centroid vectors
+    * move every pass) and routes vectors meta-first, so an iteration
+    * costs corpus × O(√nlist) and broadcasts nothing larger than the meta
+    * set. The trade is the standard two-level one — a vector whose true
+    * nearest centroid lives under another meta refines a second-best
+    * bucket's mean instead — gauged by the post-recluster recall floor;
+    * `metaMod = 1` (every centroid its own meta) degenerates to the flat
+    * [[kmeansCentroids]] bit-exactly. Centroid ids stay the seed ids. */
+  def kmeansCentroidsHier(v: DataFrame, centroidMod: Int = 25,
+      metaMod: Int = 100, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    var centroids = v.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
+    for (_ <- 1 to iters) {
+      val (m, ch) = ivfHierRouting(centroids, metaMod)
+      centroids = lloydRefine(v, ivfAssignHierRouted(m, ch, v))
+    }
+    centroids
+  }
+
   /** PQ reconstruction-error drift report — the quantization twin of
     * [[ivfBucketHealth]] (VERDICT r9 item 4): per subspace, how far the
     * corpus sits from its assigned codewords. A codebook frozen on a seed

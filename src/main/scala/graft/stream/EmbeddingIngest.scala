@@ -744,11 +744,21 @@ object EmbeddingIngest {
           if (priorEpoch.isNullAt(0)) ReclusterStamp
           else math.min(ReclusterStamp, priorEpoch.getLong(0) - 1)
         // RETRAIN, not re-pick: mod-sampled seeds refined by Lloyd passes
-        // over the current corpus ([[VectorOps.kmeansCentroids]]) — the
-        // post-drift corpus pulls each centroid to where its bucket
-        // actually lives, instead of hoping a modulus landed a vector
-        // there (VERDICT r9 item 4). Centroid ids stay the seed ids.
-        val codebook = VectorOps.kmeansCentroids(vecs, cfg.centroidMod)
+        // over the current corpus — the post-drift corpus pulls each
+        // centroid to where its bucket actually lives, instead of hoping
+        // a modulus landed a vector there (VERDICT r9 item 4). Centroid
+        // ids stay the seed ids. Past the hierNlist threshold the Lloyd
+        // assign passes route meta-first too (kmeansCentroidsHier —
+        // corpus × O(√nlist) per iteration, nothing codebook-sized
+        // broadcast): the retrain mode needs no coherence with the serve
+        // mode — it shapes the codebook VALUES, the serve routes whatever
+        // codebook exists — so deciding on the deterministic seed count
+        // is safe even when emptied buckets shrink the result below the
+        // threshold.
+        val seeds = vecs.filter(pmod(col("vec_id"), lit(cfg.centroidMod)) === 0)
+        val codebook = (if (hierActive(cfg, seeds))
+            VectorOps.kmeansCentroidsHier(vecs, cfg.centroidMod, cfg.metaMod)
+          else VectorOps.kmeansCentroids(vecs, cfg.centroidMod))
           .localCheckpoint()
         IngestLock.heartbeat(spark, lock)
         CorpusIngest.swapWrite(fs, centroidsPath(cfg),

@@ -293,6 +293,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(wide == Set((900L, 1L, 1), (900L, 2L, 2)), s"got $wide")
   }
 
+  test("hier-routed Lloyd retrain degenerates to the flat retrain at " +
+      "metaMod 1 and still separates obvious clusters") {
+    // two tight clusters around the x and y axes; seeds (ids 0, 25) start
+    // slightly off-center — the refined means must move toward their
+    // cluster's true mean in both routing modes, and metaMod = 1 (every
+    // centroid its own meta) must reproduce the flat retrain bit-exactly
+    val v = prepared((0L until 40L).map { i =>
+      if (i % 2 == 0) i -> Seq(1.0, 0.02 * (i % 5), 0.0, 0.0)
+      else i -> Seq(0.02 * (i % 5), 1.0, 0.0, 0.0)
+    }: _*)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("centroid_id"), col("ce")).as[(Long, Seq[Double])]
+        .collect().toMap
+    val flat = rows(VectorOps.kmeansCentroids(v, centroidMod = 25))
+    val degenerate = rows(VectorOps.kmeansCentroidsHier(v, centroidMod = 25,
+      metaMod = 1))
+    assert(degenerate == flat,
+      s"metaMod=1 hier retrain diverged from the flat retrain")
+    // centroid 0 (even seeds -> x cluster) must refine toward x dominance
+    val c0 = flat(0L)
+    assert(c0.head > 0.9 && c0(1) < 0.2, s"x centroid did not converge: $c0")
+  }
+
   test("semanticDedup drops higher-id near-copies, keeps dissimilar vectors") {
     // one centroid (id 0 % 25 == 0) → one cluster; 1 and 2 are near-copies
     // of 0 (dropped: 0 is the lowest id of the similar group); 3 is
