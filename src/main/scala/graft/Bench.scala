@@ -359,11 +359,19 @@ object Bench {
     val filler = spark.range(1000000L, 1000000L + nFiller)
       .select(col("id").as("doc_id"), col("id").as("label"))
     real.unionByName(filler)
-      .withColumn("ingest_batch", lit(-1L))
+      .withColumn("ingest_batch", lit(0L))
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .write.partitionBy("ingest_batch")
       .parquet(s"$root/labels")
+    spark.createDataFrame(Seq((0L, nReal + nFiller, 0L, 0L)))
+      .toDF("ingest_batch", "n_in", "n_pairs", "n_merges")
+      .write.partitionBy("ingest_batch").parquet(s"$root/ledger")
+    // the REAL maintenance pass folds the labels and materializes the
+    // sizes/stats summaries — so serve_registry_stats measures the
+    // delta-tracking summary serve, not a corpus recompute
+    graft.stream.ClusterRegistry.compact(spark,
+      graft.stream.ClusterRegistry.RegistryConfig("unused", root, "unused"))
   }
 
   def main(args: Array[String]): Unit = {

@@ -969,6 +969,12 @@ object LlmWorkload {
       (0 until 3).foreach { b =>
         graft.stream.ClusterRegistry.ingestBatch(spark, cfg,
           docs.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong): Unit
+        // compact mid-stream (after batch 1): the registry_* gate entries
+        // then serve through the MATERIALIZED summaries + the batch-2
+        // delta (with whatever joins/bridges the corpus produces) against
+        // the unchanged oracles — pinning the delta-tracking stats path
+        // at the gate, not only in specs
+        if (b == 1) graft.stream.ClusterRegistry.compact(spark, cfg)
       }
     }
     graft.stream.ClusterRegistry.RegistryConfig("unused", root, "unused")
@@ -1072,6 +1078,9 @@ object LlmWorkload {
       (0 until 3).foreach { b =>
         graft.stream.EmbeddingClusterRegistry.ingestBatch(spark, cfg,
           vecs.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong): Unit
+        // mid-stream compact: the embedding registry_* entries serve
+        // summary + delta too (see sharedClusterRegistry)
+        if (b == 1) graft.stream.EmbeddingClusterRegistry.compact(spark, cfg)
       }
     }
     graft.stream.EmbeddingClusterRegistry.RegistryConfig("unused", root, "unused")

@@ -21,9 +21,18 @@ private[stream] object UnionFindTables {
 
   val labelsDdl = "doc_id BIGINT, label BIGINT, ingest_batch BIGINT"
   val mergesDdl = "child BIGINT, parent BIGINT, ingest_batch BIGINT"
+  /** Materialized per-cluster sizes as of the fold stamped `upto_batch`
+    * ([[compactLabels]]) — label-sorted so the delta serve's touched-label
+    * IN push prunes to row groups. */
+  val sizesDdl = "label BIGINT, sz BIGINT, upto_batch BIGINT"
+  /** Materialized 1-row health stats as of the same fold. */
+  val statsDdl =
+    "n_clusters BIGINT, n_docs BIGINT, max_cluster BIGINT, upto_batch BIGINT"
 
   def labelsPath(root: String): String = s"$root/labels"
   def mergesPath(root: String): String = s"$root/merges"
+  def sizesPath(root: String): String = s"$root/sizes"
+  def statsPath(root: String): String = s"$root/stats"
 
   /** Run the union-find increment for one batch against the pre-batch
     * state (reads exclude the batch's own partitions — at-least-once
@@ -89,19 +98,139 @@ private[stream] object UnionFindTables {
         (col("la").isNotNull && col("la") === col("lb")).as("same_cluster"))
   }
 
-  /** Registry-state health report off the resolved labels alone: cluster
-    * count, doc count, duplicate fraction (docs beyond one per cluster),
-    * and the largest-cluster size — the gauge that catches a dedup-health
-    * drift (e.g. a feed suddenly spraying near-identical docs shows up as
-    * max_cluster exploding long before storage does). One groupBy over
-    * the labels, one 1-row aggregate. */
+  /** The coherent materialized-summary stamp, when one exists: the
+    * persisted `upto_batch` iff it matches the root's compaction
+    * high-water mark. A mismatch (compactLabels crashed before the
+    * summary swaps, or a later compact died after marking) or an absent
+    * table returns None — callers fall back to the full recompute, so a
+    * stale summary is never served. */
+  private def summaryStamp(spark: SparkSession, root: String,
+      path: String, ddl: String): Option[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // swap-written whole with one lit stamp — one row IS the table's stamp
+    val row = CorpusIngest.readOrEmptyRO(spark, path, ddl)
+      .select(col("upto_batch")).limit(1).collect()
+    row.map(_.getLong(0)).headOption
+      .filter(u => u != Long.MinValue && u == CorpusIngest.compactionHwm(fs, root))
+  }
+
+  /** Post-fold DELTA labels (resolved): the label rows of batches above
+    * the summary stamp — partition-pruned, delta-bounded. The `-1` fold
+    * partition is excluded explicitly as well as by the comparison. */
+  private def deltaLabels(spark: SparkSession, root: String,
+      upto: Long): DataFrame =
+    UnionFind.resolveLabels(
+      CorpusIngest.readOrEmptyRO(spark, labelsPath(root), labelsDdl)
+        .filter(col("ingest_batch").cast("long") > upto &&
+          col("ingest_batch").cast("long") =!= -1L),
+      CorpusIngest.readOrEmptyRO(spark, mergesPath(root), mergesDdl))
+
+  /** CURRENT per-cluster sizes from the materialized summary + the
+    * post-fold delta: persisted roots remap through the (small) resolved
+    * merge log, delta docs contribute their resolved labels, the union
+    * sums — O(clusters + delta), no corpus-sized labels shuffle. None
+    * when no coherent summary exists (caller recomputes). */
+  private def currentSizes(spark: SparkSession, root: String): Option[DataFrame] =
+    summaryStamp(spark, root, sizesPath(root), sizesDdl).map { upto =>
+      val persisted = CorpusIngest.readOrEmptyRO(spark, sizesPath(root), sizesDdl)
+      val rootOf = UnionFind.resolveMerges(
+        CorpusIngest.readOrEmptyRO(spark, mergesPath(root), mergesDdl))
+      persisted
+        .join(rootOf, col("label") === col("child"), "left")
+        .select(coalesce(col("root"), col("label")).as("label"), col("sz"))
+        .unionByName(deltaLabels(spark, root, upto)
+          .select(col("label"), lit(1L).as("sz")))
+        .groupBy(col("label"))
+        .agg(sum(col("sz")).as("sz"))
+    }
+
+  /** Registry-state health report: cluster count, doc count, duplicate
+    * count (docs beyond one per cluster), and the largest-cluster size —
+    * the gauge that catches a dedup-health drift (e.g. a feed suddenly
+    * spraying near-identical docs shows up as max_cluster exploding long
+    * before storage does).
+    *
+    * Served DELTA-TRACKING when the materialized summary is coherent:
+    * the persisted 1-row stats adjust by the post-fold delta alone —
+    * delta docs add to n_docs; each merge-log child consumes one
+    * persisted cluster; each touched current root that was NOT itself a
+    * persisted root is a new cluster; max_cluster = max(persisted max,
+    * touched roots' recombined sizes, fetched from the label-sorted
+    * sizes table via a bounded IN push). Cost is O(delta + merge log +
+    * touched-cluster lookups) — the serve tracks the OUTPUT, not the
+    * corpus. Falls back to the full labels recompute when no coherent
+    * summary exists; both paths produce identical integers (the oracle
+    * pins them). */
   def clusterStats(spark: SparkSession, root: String): DataFrame = {
-    val sizes = resolvedLabels(spark, root)
-      .groupBy(col("label")).agg(count(lit(1)).as("sz"))
-    sizes.agg(count(lit(1)).as("n_clusters"),
-      coalesce(sum(col("sz")), lit(0L)).as("n_docs"),
-      coalesce(max(col("sz")), lit(0L)).as("max_cluster"),
-      coalesce(sum(col("sz") - 1L), lit(0L)).as("n_dups"))
+    val served = summaryStamp(spark, root, statsPath(root), statsDdl).map { upto =>
+      val persisted = CorpusIngest.readOrEmptyRO(spark, statsPath(root), statsDdl)
+      val rootOf = Caching.scoped(UnionFind.resolveMerges(
+        CorpusIngest.readOrEmptyRO(spark, mergesPath(root), mergesDdl)))
+      val delta = Caching.scoped(deltaLabels(spark, root, upto))
+      // touched current roots: every delta doc's label plus every merge
+      // target — the only clusters whose size can differ from the fold
+      val touched = Caching.scoped(delta.select(col("label"))
+        .unionByName(rootOf.select(col("root").as("label")))
+        .distinct())
+      // persisted sizes of the touched clusters' CONTRIBUTORS — the old
+      // roots remapping into them, themselves included. The rows live in
+      // the label-sorted sizes table under STORED labels ∈ touched ∪
+      // merge children (children remap into touched roots), so that is
+      // the set pushed as the row-group-pruning IN predicate; the exact
+      // membership on the REMAPPED label is a semi-join against the
+      // small touched frame either way. Above the cap: unpruned scan,
+      // same rows.
+      val sizesTbl = CorpusIngest.readOrEmptyRO(spark, sizesPath(root), sizesDdl)
+      val touchedIds = touched.limit(UnionFind.MaxLabelFetchIds + 1)
+        .collect().map(_.getLong(0)).toSeq
+      val childIds = rootOf.select(col("child")).distinct()
+        .limit(UnionFind.MaxLabelFetchIds + 1).collect().map(_.getLong(0)).toSeq
+      val prunedSizes =
+        if (touchedIds.length <= UnionFind.MaxLabelFetchIds &&
+            childIds.length <= UnionFind.MaxLabelFetchIds)
+          sizesTbl.filter(col("label").isInCollection(
+            (touchedIds ++ childIds).distinct))
+        else sizesTbl
+      val touchedContrib = Caching.scoped(prunedSizes
+        .join(rootOf, col("label") === col("child"), "left")
+        .select(col("label").as("old_root"),
+          coalesce(col("root"), col("label")).as("label"), col("sz"))
+        .join(touched, Seq("label"), "left_semi"))
+      // recombined current size of each touched root
+      val touchedSizes = Caching.scoped(touchedContrib
+        .select(col("label"), col("sz"))
+        .unionByName(delta.select(col("label"), lit(1L).as("sz")))
+        .groupBy(col("label")).agg(sum(col("sz")).as("sz")))
+      // a touched root that was not itself a persisted root is NEW; a
+      // PERSISTED root remapped into another cluster is CONSUMED (a merge
+      // child that was only ever a delta-born cluster was never in the
+      // persisted count, so it must not decrement it — old_root tells
+      // the two apart)
+      val newClusters = touchedSizes
+        .join(touchedContrib.filter(col("old_root") === col("label"))
+          .select(col("label")), Seq("label"), "left_anti")
+        .count()
+      val consumed = touchedContrib.filter(col("old_root") =!= col("label"))
+        .select(col("old_root")).distinct().count()
+      val deltaDocs = delta.count()
+      val maxTouched = touchedSizes.agg(coalesce(max(col("sz")), lit(0L)))
+        .first.getLong(0)
+      persisted.select(
+        (col("n_clusters") - lit(consumed) + lit(newClusters)).as("n_clusters"),
+        (col("n_docs") + lit(deltaDocs)).as("n_docs"),
+        greatest(col("max_cluster"), lit(maxTouched)).as("max_cluster"))
+        .select(col("n_clusters"), col("n_docs"), col("max_cluster"),
+          (col("n_docs") - col("n_clusters")).as("n_dups"))
+    }
+    served.getOrElse {
+      val sizes = resolvedLabels(spark, root)
+        .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      sizes.agg(count(lit(1)).as("n_clusters"),
+        coalesce(sum(col("sz")), lit(0L)).as("n_docs"),
+        coalesce(max(col("sz")), lit(0L)).as("max_cluster"),
+        coalesce(sum(col("sz") - 1L), lit(0L)).as("n_dups"))
+    }
   }
 
   /** Dedup-aware sampling weights off the registry state: every id
@@ -114,7 +243,13 @@ private[stream] object UnionFindTables {
     * input a dedup registry exists to hold. */
   def samplingWeights(spark: SparkSession, root: String): DataFrame = {
     val lab = Caching.scoped(resolvedLabels(spark, root))
-    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    // sizes come from the materialized summary + delta when coherent
+    // (O(clusters + delta), no corpus-wide labels shuffle); the full
+    // groupBy over the resolved labels is the fallback — identical
+    // integers either way (the oracle pins them)
+    val sizes = currentSizes(spark, root)
+      .getOrElse(lab.groupBy(col("label")).agg(count(lit(1)).as("sz")))
+      .select(col("label"), col("sz").as("cluster_size"))
     lab.join(sizes, Seq("label"))
       .select(col("doc_id"), col("label"), col("cluster_size"),
         (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
@@ -196,6 +331,8 @@ private[stream] object UnionFindTables {
       fs: org.apache.hadoop.fs.FileSystem, root: String): Unit = {
     CorpusIngest.rollbackIfStranded(fs, labelsPath(root))
     CorpusIngest.rollbackIfStranded(fs, mergesPath(root))
+    CorpusIngest.rollbackIfStranded(fs, sizesPath(root))
+    CorpusIngest.rollbackIfStranded(fs, statsPath(root))
     // range-sorted by doc_id: per-batch appends carry batch-local id
     // ranges anyway, but the FOLDED table is where point lookups (the
     // increment's matched-corpus label fetch, sameCluster probes) spend
@@ -209,6 +346,30 @@ private[stream] object UnionFindTables {
     CorpusIngest.swapWrite(fs, labelsPath(root), resolved, Seq("ingest_batch"))
     CorpusIngest.swapWrite(fs, mergesPath(root),
       graft.Frames.empty(spark, mergesDdl), Seq("ingest_batch"))
+    // materialized serve summaries: the fold is the one moment the
+    // corpus-wide size aggregate is being paid anyway — persist the
+    // per-cluster sizes (label-sorted for the delta serve's touched-label
+    // IN push) and the 1-row health stats, both stamped with the fold's
+    // high-water mark (the caller marked it before calling here). The
+    // read faces serve summary + post-fold delta instead of re-shuffling
+    // the corpus-sized labels per query, and DETECT a stale stamp (a
+    // crash in this window, or batches folded by a died later compact)
+    // by comparing against the hwm marker — falling back to the full
+    // recompute, never serving stale numbers.
+    val hwm = CorpusIngest.compactionHwm(fs, root)
+    val sizes = resolved.groupBy(col("label"))
+      .agg(count(lit(1)).as("sz"))
+      .withColumn("upto_batch", lit(hwm))
+      .repartitionByRange(col("label"))
+      .sortWithinPartitions(col("label"))
+      .localCheckpoint()
+    CorpusIngest.swapWrite(fs, sizesPath(root), sizes)
+    CorpusIngest.swapWrite(fs, statsPath(root),
+      sizes.agg(count(lit(1)).as("n_clusters"),
+          coalesce(sum(col("sz")), lit(0L)).as("n_docs"),
+          coalesce(max(col("sz")), lit(0L)).as("max_cluster"))
+        .withColumn("upto_batch", lit(hwm))
+        .localCheckpoint())
   }
 }
 

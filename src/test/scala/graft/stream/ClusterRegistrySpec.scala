@@ -309,6 +309,126 @@ class ClusterRegistrySpec extends SparkSpec {
     assert(e.getMessage.contains("torn registry state"), e.getMessage)
   }
 
+  // ---- shared helpers for the materialized-summary pins ---------------
+  private def summaryStats(cfg: ClusterRegistry.RegistryConfig): Seq[Long] = {
+    val r = ClusterRegistry.clusterStats(spark, cfg).collect().head
+    graft.Caching.releaseAll()
+    (0 until 4).map(r.getLong)
+  }
+  private def summaryWeights(
+      cfg: ClusterRegistry.RegistryConfig): Map[Long, (Long, Long)] = {
+    val r = ClusterRegistry.samplingWeights(spark, cfg)
+      .select(col("doc_id"), col("label"), col("cluster_size"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, l, s) => d -> (l, s) }.toMap
+    graft.Caching.releaseAll()
+    r
+  }
+  private def fullFromLabels(cfg: ClusterRegistry.RegistryConfig)
+      : (Seq[Long], Map[Long, (Long, Long)]) = {
+    val lab = ClusterRegistry.resolvedLabels(spark, cfg)
+      .as[(Long, Long)].collect()
+    graft.Caching.releaseAll()
+    val sz = lab.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val s = Seq(sz.size.toLong, sz.values.sum, sz.values.max,
+      sz.values.sum - sz.size)
+    (s, lab.map { case (d, l) => d -> (l, sz(l)) }.toMap)
+  }
+
+  test("materialized summaries: the compacted fixture serves stats and " +
+      "weights from summary+delta, bit-equal to the full recompute " +
+      "through the cross-compaction bridge merge") {
+    val cfg = ClusterRegistry.RegistryConfig("unused", tmpDir(), "unused")
+    // batches 0-1 fold with summaries; batch 2 is the DELTA: doc 9 joins
+    // the X cluster, doc 10 bridges persisted clusters 4 and 8 (the
+    // proven trio — root stays 4, child 8 is a consumed persisted root)
+    assert(ClusterRegistry.ingestBatch(spark, cfg,
+      batch0.toDF("doc_id", "text"), 0L) == 4L)
+    assert(ClusterRegistry.ingestBatch(spark, cfg,
+      batch1.toDF("doc_id", "text"), 1L) == 4L)
+    ClusterRegistry.compact(spark, cfg)
+    assert(new java.io.File(cfg.root, "sizes").exists() &&
+      new java.io.File(cfg.root, "stats").exists(),
+      "compact must persist the serve summaries")
+    val (s0, w0) = fullFromLabels(cfg)
+    assert(summaryStats(cfg) == s0, "summary path with zero delta diverged")
+    assert(summaryWeights(cfg) == w0)
+    assert(ClusterRegistry.ingestBatch(spark, cfg,
+      batch2.toDF("doc_id", "text"), 2L) == 2L)
+    assert(spark.read.parquet(s"${cfg.root}/merges").count() >= 1L,
+      "the delta bridge must have logged a merge")
+    val (s1, w1) = fullFromLabels(cfg)
+    // sanity against the batch ground truth: same clusters either way
+    val truthSizes = batchTruth().groupBy(_._2).view.mapValues(_.size.toLong)
+    assert(s1 == Seq(truthSizes.size.toLong, truthSizes.values.sum,
+      truthSizes.values.max, truthSizes.values.sum - truthSizes.size),
+      s"resolved labels diverged from batch CC: $s1")
+    assert(summaryStats(cfg) == s1,
+      "summary+delta stats diverged from the recompute")
+    assert(summaryWeights(cfg) == w1, "summary+delta weights diverged")
+  }
+
+  test("materialized summaries: delta-born clusters, new roots below " +
+      "every persisted id, and stale stamps all serve exactly (fabricated " +
+      "tables)") {
+    val cfg = ClusterRegistry.RegistryConfig("unused", tmpDir(), "unused")
+    val fs = new org.apache.hadoop.fs.Path(cfg.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeLabels(batch: Long, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("doc_id", "label").withColumn("ingest_batch", lit(batch))
+        .coalesce(1).write.mode("append").partitionBy("ingest_batch")
+        .parquet(s"${cfg.root}/labels")
+    def writeMerges(batch: Long, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("child", "parent").withColumn("ingest_batch", lit(batch))
+        .coalesce(1).write.mode("append").partitionBy("ingest_batch")
+        .parquet(s"${cfg.root}/merges")
+    def writeLedger(batch: Long): Unit =
+      Seq((batch, 0L, 0L, 0L)).toDF("ingest_batch", "n_in", "n_pairs", "n_merges")
+        .coalesce(1).write.mode("append").partitionBy("ingest_batch")
+        .parquet(s"${cfg.root}/ledger")
+
+    // persisted half: {10,12}, singletons 20, 21, 40, 41, 50, 51, 70 —
+    // folded with summaries (nc=8, nd=9, mx=2)
+    writeLabels(0L, Seq(10L -> 10L, 12L -> 10L, 20L -> 20L, 40L -> 40L,
+      50L -> 50L, 70L -> 70L))
+    writeLabels(1L, Seq(21L -> 21L, 41L -> 41L, 51L -> 51L))
+    writeLedger(0L); writeLedger(1L)
+    CorpusIngest.markCompactionHwm(fs, cfg.root, 1L)
+    UnionFindTables.compactLabels(spark, fs, cfg.root)
+    assert(summaryStats(cfg) == Seq(8L, 9L, 2L, 1L))
+
+    // delta half — exactly the rows the increment would write:
+    //  b2: 22 bridges persisted 20/21 (consumed child 21, max grows to 3);
+    //      13 joins {10,12}; 60 is a brand-new singleton
+    //  b3: 1 opens a DELTA-BORN singleton cluster
+    //  b4: 0 bridges that delta cluster with persisted 70 under the new
+    //      root 0 (below every persisted id) — consumed must count 70,
+    //      NOT 1; 3 bridges persisted 40/41 under new root 3
+    writeLabels(2L, Seq(22L -> 20L, 13L -> 10L, 60L -> 60L))
+    writeMerges(2L, Seq(21L -> 20L))
+    writeLabels(3L, Seq(1L -> 1L))
+    writeLabels(4L, Seq(0L -> 0L, 3L -> 3L))
+    writeMerges(4L, Seq(70L -> 0L, 1L -> 0L, 40L -> 3L, 41L -> 3L))
+    writeLedger(2L); writeLedger(3L); writeLedger(4L)
+
+    val (s1, w1) = fullFromLabels(cfg)
+    assert(s1 == Seq(7L, 15L, 3L, 8L), s"designed truth drifted: $s1")
+    assert(summaryStats(cfg) == s1,
+      "summary+delta stats diverged from the recompute")
+    assert(summaryWeights(cfg) == w1, "summary+delta weights diverged")
+
+    // a later compact that died right after marking the hwm: the summary
+    // stamp no longer matches — the serve must FALL BACK, not go stale
+    CorpusIngest.markCompactionHwm(fs, cfg.root, 4L)
+    assert(summaryStats(cfg) == s1, "stale-stamp fallback diverged")
+    assert(summaryWeights(cfg) == w1)
+
+    // the repair (re-run the fold) refreshes the summaries; answers hold
+    UnionFindTables.compactLabels(spark, fs, cfg.root)
+    assert(summaryStats(cfg) == s1)
+    assert(summaryWeights(cfg) == w1)
+  }
+
   test("resolveMerges compresses multi-hop chains by pointer doubling") {
     val merges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (9L, 8L)).toDF("child", "parent")
     val got = UnionFind.resolveMerges(merges)
