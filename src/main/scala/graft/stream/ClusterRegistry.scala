@@ -115,16 +115,19 @@ private[stream] object UnionFindTables {
       .filter(u => u != Long.MinValue && u == CorpusIngest.compactionHwm(fs, root))
   }
 
-  /** Post-fold DELTA labels (resolved): the label rows of batches above
-    * the summary stamp — partition-pruned, delta-bounded. The `-1` fold
-    * partition is excluded explicitly as well as by the comparison. */
+  /** Post-fold DELTA labels resolved through the CALLER's root-resolved
+    * merge log (resolveMerges runs once per serve, not once per frame):
+    * the label rows of batches above the summary stamp — partition-
+    * pruned, delta-bounded. The `-1` fold partition is excluded
+    * explicitly as well as by the comparison. */
   private def deltaLabels(spark: SparkSession, root: String,
-      upto: Long): DataFrame =
-    UnionFind.resolveLabels(
-      CorpusIngest.readOrEmptyRO(spark, labelsPath(root), labelsDdl)
-        .filter(col("ingest_batch").cast("long") > upto &&
-          col("ingest_batch").cast("long") =!= -1L),
-      CorpusIngest.readOrEmptyRO(spark, mergesPath(root), mergesDdl))
+      upto: Long, rootOf: DataFrame): DataFrame =
+    CorpusIngest.readOrEmptyRO(spark, labelsPath(root), labelsDdl)
+      .filter(col("ingest_batch").cast("long") > upto &&
+        col("ingest_batch").cast("long") =!= -1L)
+      .select(col("doc_id"), col("label"))
+      .join(rootOf, col("label") === col("child"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("label")).as("label"))
 
   /** CURRENT per-cluster sizes from the materialized summary + the
     * post-fold delta: persisted roots remap through the (small) resolved
@@ -139,7 +142,7 @@ private[stream] object UnionFindTables {
       persisted
         .join(rootOf, col("label") === col("child"), "left")
         .select(coalesce(col("root"), col("label")).as("label"), col("sz"))
-        .unionByName(deltaLabels(spark, root, upto)
+        .unionByName(deltaLabels(spark, root, upto, rootOf)
           .select(col("label"), lit(1L).as("sz")))
         .groupBy(col("label"))
         .agg(sum(col("sz")).as("sz"))
@@ -167,7 +170,7 @@ private[stream] object UnionFindTables {
       val persisted = CorpusIngest.readOrEmptyRO(spark, statsPath(root), statsDdl)
       val rootOf = Caching.scoped(UnionFind.resolveMerges(
         CorpusIngest.readOrEmptyRO(spark, mergesPath(root), mergesDdl)))
-      val delta = Caching.scoped(deltaLabels(spark, root, upto))
+      val delta = Caching.scoped(deltaLabels(spark, root, upto, rootOf))
       // touched current roots: every delta doc's label plus every merge
       // target — the only clusters whose size can differ from the fold
       val touched = Caching.scoped(delta.select(col("label"))
@@ -206,20 +209,23 @@ private[stream] object UnionFindTables {
       // PERSISTED root remapped into another cluster is CONSUMED (a merge
       // child that was only ever a delta-born cluster was never in the
       // persisted count, so it must not decrement it — old_root tells
-      // the two apart)
-      val newClusters = touchedSizes
+      // the two apart). Each adjustment reduces to a 1-row aggregate and
+      // the four anchors crossJoin into ONE lazy plan — a single action
+      // serves the report (the 1-row-anchor pattern of the window probes).
+      val newF = touchedSizes
         .join(touchedContrib.filter(col("old_root") === col("label"))
           .select(col("label")), Seq("label"), "left_anti")
-        .count()
-      val consumed = touchedContrib.filter(col("old_root") =!= col("label"))
-        .select(col("old_root")).distinct().count()
-      val deltaDocs = delta.count()
-      val maxTouched = touchedSizes.agg(coalesce(max(col("sz")), lit(0L)))
-        .first.getLong(0)
-      persisted.select(
-        (col("n_clusters") - lit(consumed) + lit(newClusters)).as("n_clusters"),
-        (col("n_docs") + lit(deltaDocs)).as("n_docs"),
-        greatest(col("max_cluster"), lit(maxTouched)).as("max_cluster"))
+        .agg(count(lit(1)).as("new_c"))
+      val consumedF = touchedContrib.filter(col("old_root") =!= col("label"))
+        .agg(countDistinct(col("old_root")).as("consumed"))
+      val deltaF = delta.agg(count(lit(1)).as("delta_docs"))
+      val maxF = touchedSizes.agg(coalesce(max(col("sz")), lit(0L)).as("max_t"))
+      persisted
+        .crossJoin(newF).crossJoin(consumedF).crossJoin(deltaF).crossJoin(maxF)
+        .select(
+          (col("n_clusters") - col("consumed") + col("new_c")).as("n_clusters"),
+          (col("n_docs") + col("delta_docs")).as("n_docs"),
+          greatest(col("max_cluster"), col("max_t")).as("max_cluster"))
         .select(col("n_clusters"), col("n_docs"), col("max_cluster"),
           (col("n_docs") - col("n_clusters")).as("n_dups"))
     }

@@ -62,16 +62,36 @@ object UnionFind {
     * depth D must resolve in ≤ ⌈log₂ D⌉ + 1 rounds (the +1 is the
     * no-change convergence check), and a spec pins it so a regression to
     * one-hop-per-round ripple fails a unit test. */
+  /** Merge-log row ceiling under which [[resolveMerges]] resolves on the
+    * DRIVER (memoized path compression, zero pointer-doubling rounds, no
+    * per-round localCheckpoint jobs). The log holds one row per
+    * cluster-merge EVENT since the last compaction — bounded by bridged
+    * clusters, not docs — so every realistic registry sits far under the
+    * cap; one row above it falls through to the distributed fixpoint. */
+  private[graft] val SmallLogCap = 2000
+
   private[graft] def resolveMergesWithRounds(merges: DataFrame,
       maxIters: Int = 50): (DataFrame, Int) = {
-    // a compacted registry's merge log is EMPTY (compactLabels truncates
-    // it), and a single-batch registry never wrote one — the common serve
-    // state. Short-circuit before the first localCheckpoint: every
-    // resolvedLabels/clusterStats/keepBest/probe call otherwise pays an
-    // eager materialization plus a join-and-count round against a frame
-    // known to hold nothing.
-    if (merges.isEmpty)
-      return (merges.select(col("child"), col("parent").as("root")), 0)
+    // cap-bounded logs (the common serve state: empty after a compaction,
+    // a handful of rows between them) collapse on the driver — strictly
+    // decreasing parents guarantee termination, and the memoized walk is
+    // the same root-of fixpoint the distributed rounds converge to
+    val capped = merges.select(col("child"), col("parent"))
+      .limit(SmallLogCap + 1).collect()
+    if (capped.length <= SmallLogCap) {
+      val parentOf = capped.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val memo = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = memo.get(x) match {
+        case Some(r) => r
+        case None =>
+          val r = parentOf.get(x).map(find).getOrElse(x)
+          memo.update(x, r); r
+      }
+      val spark = merges.sparkSession
+      import spark.implicits._
+      return (parentOf.keysIterator.map(c => (c, find(c))).toSeq
+        .toDF("child", "root"), 0)
+    }
     var m = merges.select(col("child"), col("parent")).localCheckpoint()
     var converged = false
     var it = 0

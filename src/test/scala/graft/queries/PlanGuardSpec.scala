@@ -59,6 +59,8 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "agg_sketches",           // 1-row approx × exact-twin summaries crossJoined
     "dedup_semantic",         // k-row centroid set broadcast (argmax assign)
     "text_heavy_hitters",     // 1-row total-count anchor
+    "registry_cluster_stats", // four 1-row delta-adjustment anchors
+    "registry_embedding_cluster_stats", // same summary+delta anchors
     "retrieval_hybrid_rrf",   // probe-set + bounded (k=20) lexical-list broadcasts
     "retrieval_hybrid_served", // same bounded lexical-list broadcast, persisted legs
     "retrieval_mrr",          // same retrieval broadcasts, truth-joined

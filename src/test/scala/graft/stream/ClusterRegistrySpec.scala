@@ -436,16 +436,26 @@ class ClusterRegistrySpec extends SparkSpec {
     assert(got == Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 8L), got.toString)
   }
 
-  test("a 512-deep merge chain resolves in <= ceil(log2(depth)) + 1 rounds") {
+  test("a cap-exceeding 2500-deep merge chain resolves distributed in " +
+      "<= ceil(log2(depth)) + 1 rounds; a small log resolves driver-side") {
     // worst case between compactions: every batch bridged the same cluster
-    // chain one deeper. Pointer doubling must resolve it log-round, not
-    // one-hop-per-round (512 rounds would also trip maxIters = 50).
-    val depth = 512
+    // chain one deeper. Above SmallLogCap the distributed pointer doubling
+    // must resolve log-round, not one-hop-per-round (2500 rounds would
+    // also trip maxIters = 50).
+    val depth = 2500
+    assert(depth > UnionFind.SmallLogCap)
     val chain = spark.range(1, depth + 1)
       .select(col("id").as("child"), (col("id") - 1).as("parent"))
     val (resolved, rounds) = UnionFind.resolveMergesWithRounds(chain)
-    assert(rounds <= 10 + 1, s"$rounds pointer-doubling rounds for depth $depth")
+    assert(rounds <= 12 + 1, s"$rounds pointer-doubling rounds for depth $depth")
     val roots = resolved.select("root").distinct().as[Long].collect().toSeq
     assert(roots == Seq(0L), roots.toString)
+    // under the cap: the driver path resolves the same fixpoint in zero
+    // distributed rounds
+    val small = spark.range(1, 513)
+      .select(col("id").as("child"), (col("id") - 1).as("parent"))
+    val (r2, rounds2) = UnionFind.resolveMergesWithRounds(small)
+    assert(rounds2 == 0, s"small log took $rounds2 distributed rounds")
+    assert(r2.select("root").distinct().as[Long].collect().toSeq == Seq(0L))
   }
 }
