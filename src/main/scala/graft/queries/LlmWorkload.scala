@@ -684,6 +684,28 @@ object LlmWorkload {
         .select(col("vec_id"), col("embedding")))
   }
 
+  /** [[retrievalHybridServed]] under an ACL: the allowed-id set (doc_id %
+    * 3 ≠ 0 — a deterministic stand-in for a permission table) filters
+    * BOTH persisted legs before their top-k's, so each list refills from
+    * the allowed corpus and a disallowed doc can never surface through
+    * either modality. The filtered-RAG production shape; same roots, same
+    * replay with the predicate injected before each leg's ranking. */
+  def retrievalHybridFilteredServed(spark: SparkSession, dir: String): DataFrame = {
+    val lexRoot = corpusIngestRoot(spark, dir)
+    val vecRoot = embeddingIngestRoot(spark, dir)
+    graft.stream.HybridServe.search(spark,
+      graft.stream.CorpusIngest.IngestConfig(
+        "unused", s"$lexRoot/corpus", "unused"),
+      graft.stream.EmbeddingIngest.IngestConfig(
+        "unused", s"$vecRoot/corpus", "unused"),
+      Seq("the", "of", "and"),
+      Tables(spark, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id"), col("embedding")),
+      allowed = Some(Tables(spark, dir, "documents").select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(3)) =!= 0)))
+  }
+
   /** PII scrub over deterministically enriched text (the corpus itself is
     * synthetic and PII-free, so the query plants one email/IP/card per doc —
     * derived from doc_id, replayed identically by the oracle). */
@@ -1312,6 +1334,7 @@ object LlmWorkload {
     "text_bm25_indexed" -> textBm25Indexed,
     "retrieval_hybrid_rrf" -> retrievalHybridRrf,
     "retrieval_hybrid_served" -> retrievalHybridServed,
+    "retrieval_hybrid_filtered_served" -> retrievalHybridFilteredServed,
     "retrieval_mrr" -> retrievalMrr,
     "text_scrub_pii" -> textScrubPii,
     "kmeans_clusters" -> kmeansClusters,
@@ -2062,14 +2085,22 @@ object LlmWorkload {
        |              FROM d) WHERE rnk <= 10),
        |$rrfTailCtes""".stripMargin
 
-  /** Served-hybrid replay (`retrieval_hybrid_served`): the SAME lexical
-    * CTEs, the semantic leg replaced by the even-seed IVF candidate replay
-    * of `ann_topk_ivf_served` (the persisted index the serve reads), the
-    * identical RRF tail — the persisted roots, pruned-lists layout, and
-    * fusion path may not leak into the results. */
-  private val hybridServedCtes: String =
+  /** Served-hybrid replay (`retrieval_hybrid_served` and its
+    * ACL-filtered twin): the SAME lexical CTEs, the semantic leg replaced
+    * by the even-seed IVF candidate replay of `ann_topk_ivf_served` (the
+    * persisted index the serve reads), the identical RRF tail — the
+    * persisted roots, pruned-lists layout, and fusion path may not leak
+    * into the results. `lexFilter`/`semFilter` inject the allowed-id
+    * predicate BEFORE each leg's top-k (the refill-from-allowed
+    * semantics); BM25 statistics stay corpus-wide by design. */
+  private def hybridServedCtes(lexFilter: String = "1 = 1",
+      semFilter: String = "1 = 1"): String =
     s"""WITH $bm25OracleCtes,
-       |$lexTopCtes,
+       |lexscore AS (SELECT doc_id, $bm25OracleScore AS bm25 FROM base, st),
+       |lex AS (SELECT doc_id, CAST(rnk AS INTEGER) AS lrank FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+       |    FROM lexscore WHERE $lexFilter) WHERE rnk <= 20),
        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v
        |      WHERE vec_id % 2 = 0 AND vec_id % 25 = 0),
@@ -2090,7 +2121,7 @@ object LlmWorkload {
        |  SELECT pb.probe_id, v.vec_id, ${cosSql("v.e", "pb.pe")} AS cos
        |  FROM pb JOIN assign a ON a.centroid_id = pb.centroid_id
        |  JOIN v ON v.vec_id = a.vec_id
-       |  WHERE v.vec_id <> pb.probe_id),
+       |  WHERE v.vec_id <> pb.probe_id AND ($semFilter)),
        |sem AS (SELECT probe_id, vec_id AS doc_id, CAST(rnk AS INTEGER) AS srank
        |        FROM (SELECT probe_id, vec_id,
        |                row_number() OVER (PARTITION BY probe_id
@@ -2739,7 +2770,14 @@ object LlmWorkload {
     // served-hybrid replay: persisted BM25 leg + persisted IVF leg + RRF —
     // same lex CTEs, the ann_topk_ivf_served candidate replay as sem
     "retrieval_hybrid_served" ->
-      s"""$hybridServedCtes
+      s"""${hybridServedCtes()}
+         |SELECT probe_id, doc_id, rrf, CAST(rnk AS INTEGER) AS "rank"
+         |FROM ranked""".stripMargin,
+    // ACL-filtered hybrid: the allowed predicate lands BEFORE each leg's
+    // top-k (refill-from-allowed), BM25 stats stay corpus-wide
+    "retrieval_hybrid_filtered_served" ->
+      s"""${hybridServedCtes(lexFilter = "doc_id % 3 <> 0",
+             semFilter = "v.vec_id % 3 <> 0")}
          |SELECT probe_id, doc_id, rrf, CAST(rnk AS INTEGER) AS "rank"
          |FROM ranked""".stripMargin,
     // MRR replay: truth = semantic rank 1 per probe; the reciprocal rank is

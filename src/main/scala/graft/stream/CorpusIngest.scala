@@ -492,12 +492,24 @@ object CorpusIngest {
    * Output: (doc_id, dl, bm25, rank), rank 1-based by (bm25 desc, doc_id).
    */
   def search(spark: SparkSession, cfg: IngestConfig, terms: Seq[String],
-      topK: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      topK: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val postings = readOrEmptyRO(spark, postingsPath(cfg),
       "word STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, ingest_batch BIGINT")
     val stats = readOrEmptyRO(spark, docstatsPath(cfg),
       "n_docs BIGINT, dl_sum BIGINT, ingest_batch BIGINT")
-    val scored = TextOps.bm25Indexed(postings, stats, terms, k1, b)
+    // metadata-FILTERED serving (the EmbeddingIngest.search `allowed`
+    // twin): the allowed-id set semi-joins the scored docs BEFORE the
+    // top-k, so the ranking refills from the allowed corpus instead of
+    // under-filling a post-filtered list. Deliberately applied to the
+    // RESULT list only — the BM25 statistics (N, Σdl, df) stay
+    // corpus-wide, because an access filter must not change what the
+    // corpus statistically IS, only who sees which documents.
+    val scored = allowed.foldLeft(
+        TextOps.bm25Indexed(postings, stats, terms, k1, b)) { (s, ids) =>
+      s.join(ids.select(col(ids.columns.head).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+    }
     // rank WITHOUT a partition-less window (the Retrieval.topKRanks shape):
     // sort+limit plans as TakeOrdered, the ≤ topK survivors collapse to one
     // sorted array row (order pinned by the unique (−score, id) struct

@@ -23,14 +23,20 @@ object HybridServe {
 
   /** Fused top-k per probe: (probe_id, doc_id, rrf, rank). `probes` is
     * (vec_id, embedding) exactly as [[EmbeddingIngest.search]] takes it;
-    * embedding ids are the doc ids (the corpus convention). */
+    * embedding ids are the doc ids (the corpus convention). `allowed`
+    * (one id column) filters BOTH legs before their top-k's — the
+    * ACL-filtered RAG serve: each list refills from the allowed corpus,
+    * and a disallowed doc can never surface through either modality. */
   def search(spark: SparkSession, lexCfg: CorpusIngest.IngestConfig,
       vecCfg: EmbeddingIngest.IngestConfig, terms: Seq[String],
       probes: DataFrame, kLex: Int = 20, kSem: Int = 10,
-      kRrf: Int = 60, topK: Int = 10): DataFrame = {
-    val lex = CorpusIngest.search(spark, lexCfg, terms, topK = kLex)
+      kRrf: Int = 60, topK: Int = 10,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    val lex = CorpusIngest.search(spark, lexCfg, terms, topK = kLex,
+        allowed = allowed)
       .select(col("doc_id"), col("rank").as("lrank"))
-    val sem = EmbeddingIngest.search(spark, vecCfg, probes, k = kSem)
+    val sem = EmbeddingIngest.search(spark, vecCfg, probes, k = kSem,
+        allowed = allowed)
       .select(col("probe_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("srank"))
     Retrieval.rrfFuse(sem, lex, kRrf, topK)

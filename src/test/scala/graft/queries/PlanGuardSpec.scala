@@ -63,6 +63,7 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "registry_embedding_cluster_stats", // same summary+delta anchors
     "retrieval_hybrid_rrf",   // probe-set + bounded (k=20) lexical-list broadcasts
     "retrieval_hybrid_served", // same bounded lexical-list broadcast, persisted legs
+    "retrieval_hybrid_filtered_served", // same broadcasts, ACL-filtered legs
     "retrieval_mrr",          // same retrieval broadcasts, truth-joined
     "text_pmi_bigrams",       // 1-row corpus-totals (n_uni, n_bi) anchor
     "ann_ivf_drift",          // centroid broadcast + 1-row (total, k) anchor

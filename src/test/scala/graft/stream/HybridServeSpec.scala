@@ -82,6 +82,22 @@ class HybridServeSpec extends SparkSpec {
       .zipWithIndex.map { case ((d, s), i) => (100L, d, s, i + 1) }
     assert(fused == expected)
 
+    // --- the ACL-filtered serve: disallow docs 1 and 4 — neither may
+    // surface through EITHER modality, and both lists REFILL from the
+    // allowed corpus (doc 5 enters the semantic top-4 in 4's place;
+    // the lexical list re-ranks over {2, 5})
+    val allowed = Seq(2L, 3L, 5L, 6L).toDF("doc_id")
+    val filtered = HybridServe.search(spark, lexCfg, vecCfg, terms, probe,
+        kLex = 20, kSem = 4, allowed = Some(allowed))
+      .select("doc_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(!filtered.map(_._1).exists(Set(1L, 4L)),
+      s"a disallowed doc surfaced through the filtered hybrid: $filtered")
+    val semF = EmbeddingIngest.search(spark, vecCfg, probe, k = 4,
+        allowed = Some(allowed))
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(semF == Seq(2L, 3L, 5L, 6L),
+      s"the semantic list must refill from the allowed corpus: $semF")
+
     // serving took no lock and mutated nothing: both roots are immediately
     // writable and the ledgers are untouched
     assert(CorpusIngest.ingestBatch(spark, lexCfg,
