@@ -1085,6 +1085,26 @@ object LlmWorkload {
         .filter(pmod(col("doc_id"), lit(2)) === 1))
   }
 
+  /** The embedding registry probe's would-label report as a gate entry —
+    * the SRP twin of [[registryProbe]]: corpus = a registry root holding
+    * the EVEN vec ids, batch = the odd ids, served READ-ONLY by
+    * [[graft.stream.EmbeddingClusterRegistry.probe]] — per batch vector,
+    * the semantic cluster it WOULD land in plus how many existing
+    * clusters its arrival would bridge. */
+  def registryEmbeddingProbe(spark: SparkSession, dir: String): DataFrame = {
+    val root = SharedIndexes.dir(s"emb-cluster-registry-even:$dir") { d =>
+      val cfg = graft.stream.EmbeddingClusterRegistry
+        .RegistryConfig("unused", d, "unused")
+      graft.stream.EmbeddingClusterRegistry.ingestBatch(spark, cfg,
+        Tables(spark, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(2)) === 0), 0L): Unit
+    }
+    graft.stream.EmbeddingClusterRegistry.probe(spark,
+      graft.stream.EmbeddingClusterRegistry.RegistryConfig("unused", root, "unused"),
+      Tables(spark, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(2)) === 1))
+  }
+
   /** The embedding twin of [[sharedClusterRegistry]]: the embeddings
     * corpus ingested once per (session × dir) through
     * [[graft.stream.EmbeddingClusterRegistry]] as three mod-3 arrival
@@ -1355,6 +1375,7 @@ object LlmWorkload {
     "registry_sampling_weights" -> registrySamplingWeights,
     "registry_keep_best" -> registryKeepBest,
     "registry_embedding_cluster_stats" -> registryEmbeddingClusterStats,
+    "registry_embedding_probe" -> registryEmbeddingProbe,
     "registry_embedding_sampling_weights" -> registryEmbeddingSamplingWeights,
     "registry_probe" -> registryProbe,
     "registry_probe_pairs" -> registryProbePairs,
@@ -1950,6 +1971,82 @@ object LlmWorkload {
        |FROM lab l LEFT JOIN nex n USING (label)""".stripMargin
   }
 
+  /** The embedding twin of [[registryProbeOracle]]: SRP signatures split
+    * by vec_id parity — even components = the registry's resolved state,
+    * odd = the arriving batch — then the same mini-graph closure and
+    * bridge gauge (two recursive CTEs). Signature/banding arithmetic is
+    * [[srpOracle]]'s verbatim (16 md5-derived hyperplanes, 4 bands of 4
+    * bits, exact-cosine verify at 0.4). */
+  private val registryEmbeddingProbeOracle: String =
+    s"""WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |dims AS (SELECT len(e) AS dim FROM v LIMIT 1),
+       |hp AS (
+       |  SELECT j, list_transform(range(0, (SELECT dim FROM dims)), d ->
+       |    CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(j AS VARCHAR) || ':' ||
+       |      CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+       |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS harr
+       |  FROM (SELECT unnest(range(0, 16)) AS j)),
+       |codes AS (
+       |  SELECT vec_id,
+       |    sum(CASE WHEN ${dotSql("e", "harr")} >= 0
+       |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS code
+       |  FROM v, hp GROUP BY vec_id),
+       |bands AS (
+       |  SELECT vec_id, b AS band, (code >> (b * 4)) & 15 AS bv
+       |  FROM codes, (SELECT unnest(range(0, 4)) AS b)),
+       |bandse AS (SELECT * FROM bands WHERE vec_id % 2 = 0),
+       |bandsb AS (SELECT * FROM bands WHERE vec_id % 2 = 1),
+       |cande AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b2
+       |          FROM bandse x JOIN bandse y
+       |            ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
+       |pairse AS (SELECT c.a, c.b2 FROM cande c
+       |           JOIN v va ON va.vec_id = c.a JOIN v vb ON vb.vec_id = c.b2
+       |           WHERE ${cosSql("va.e", "vb.e")} >= 0.4),
+       |edgese AS (SELECT a, b2 AS b FROM pairse UNION ALL SELECT b2, a FROM pairse),
+       |nodese AS (SELECT DISTINCT a AS id FROM edgese),
+       |reache AS (
+       |  SELECT id, id AS rr FROM nodese
+       |  UNION
+       |  SELECT e.a AS id, reache.rr FROM edgese e JOIN reache ON reache.id = e.b),
+       |compe AS (SELECT id AS vec_id, min(rr) AS root FROM reache GROUP BY 1),
+       |candb AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b2
+       |          FROM bandsb x JOIN bandsb y
+       |            ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
+       |pairsb AS (SELECT c.a, c.b2 FROM candb c
+       |           JOIN v va ON va.vec_id = c.a JOIN v vb ON vb.vec_id = c.b2
+       |           WHERE ${cosSql("va.e", "vb.e")} >= 0.4),
+       |candx AS (SELECT DISTINCT b.vec_id AS batch_id, c.vec_id AS corpus_id
+       |          FROM bandsb b JOIN bandse c
+       |            ON b.band = c.band AND b.bv = c.bv),
+       |pairsx AS (SELECT c.batch_id, c.corpus_id FROM candx c
+       |           JOIN v va ON va.vec_id = c.batch_id
+       |           JOIN v vb ON vb.vec_id = c.corpus_id
+       |           WHERE ${cosSql("va.e", "vb.e")} >= 0.4),
+       |rootof AS (SELECT cp.corpus_id, COALESCE(compe.root, cp.corpus_id) AS root
+       |           FROM (SELECT DISTINCT corpus_id FROM pairsx) cp
+       |           LEFT JOIN compe ON compe.vec_id = cp.corpus_id),
+       |minie0 AS (SELECT a, b2 AS b FROM pairsb
+       |           UNION
+       |           SELECT p.batch_id AS a, r.root AS b
+       |           FROM pairsx p JOIN rootof r USING (corpus_id)),
+       |minie AS (SELECT a, b FROM minie0 UNION SELECT b, a FROM minie0),
+       |minin AS (SELECT DISTINCT a AS id FROM minie),
+       |reachm AS (
+       |  SELECT id, id AS rr FROM minin
+       |  UNION
+       |  SELECT e.a AS id, reachm.rr FROM minie e JOIN reachm ON reachm.id = e.b),
+       |compm AS (SELECT id, min(rr) AS m FROM reachm GROUP BY 1),
+       |lab AS (SELECT d.vec_id, COALESCE(compm.m, d.vec_id) AS label
+       |        FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1) d
+       |        LEFT JOIN compm ON compm.id = d.vec_id),
+       |nex AS (SELECT compm.m AS label, count(DISTINCT r.root) AS n_existing
+       |        FROM (SELECT DISTINCT root FROM rootof) r
+       |        JOIN compm ON compm.id = r.root
+       |        GROUP BY 1)
+       |SELECT l.vec_id, l.label,
+       |  CAST(COALESCE(n.n_existing, 0) AS BIGINT) AS n_existing
+       |FROM lab l LEFT JOIN nex n USING (label)""".stripMargin
+
   /** SRP connected components — the embedding twin of [[clustersOracleSql]],
     * shared by `dedup_embedding_clusters` (batch CC) and
     * `dedup_embedding_incremental_clusters` (union-find log replay). */
@@ -2160,6 +2257,7 @@ object LlmWorkload {
     // the probe's would-label + bridge-gauge replay (two recursive CTEs:
     // corpus components, then the mini-graph closure)
     "registry_probe" -> registryProbeOracle,
+    "registry_embedding_probe" -> registryEmbeddingProbeOracle,
     // the probe's pair-evidence stage: the cross-probe replay UNION the
     // within-odd-batch pairs (banding candidacy is per-doc, so the global
     // pair replay restricted to both-odd endpoints is exactly the
