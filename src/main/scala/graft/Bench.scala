@@ -290,6 +290,32 @@ object Bench {
     } finally { rmrf(root); Caching.releaseAll() }
   }
 
+  /** Coarse-assignment cost at growing nlist — the two-level router's
+    * reason to exist, measured head-to-head: the same 20k-vector corpus
+    * assigns against nlist 80 (the small-nlist anchor) and nlist 800,
+    * flat argmax vs meta-first routing (25 metas ≈ √800). Under the
+    * bucket-size-constant rule nlist grows WITH the corpus, so the flat
+    * curve (corpus × nlist cosines + a full-codebook broadcast) grows
+    * with it while the hier curve follows corpus × (√nlist + per-meta
+    * children). Inputs are localCheckpointed untimed; the timed body is
+    * the assignment alone. */
+  private def benchAssign(spark: SparkSession, centroidMod: Int,
+      metaMod: Int, run: Int): Double = {
+    val vecs = syntheticVecs(spark, 0L, 50000L).localCheckpoint()
+    val cents = graft.ml.VectorOps.ivfCentroids(vecs,
+      centroidMod = centroidMod).localCheckpoint()
+    val t0 = System.nanoTime()
+    val assigned =
+      if (metaMod > 0)
+        graft.ml.VectorOps.ivfBucketsHier(cents, vecs, metaMod = metaMod)
+      else graft.ml.VectorOps.ivfBuckets(cents, vecs)
+        .select(col("vec_id"), col("centroid_id"))
+    assigned.write.format("noop").mode("overwrite").save()
+    val dt = (System.nanoTime() - t0) / 1e9
+    Caching.releaseAll()
+    dt
+  }
+
   // ---------------------------------------------------- serve-cost flatness
 
   /** Build a persisted BM25 index (postings + docstats, the
@@ -491,7 +517,14 @@ object Bench {
         specialEntry("compact_corpus")(benchCorpusCompact(spark, _)) ++
         specialEntry("compact_registry")(benchRegistryCompact(spark, _)) ++
         specialEntry("compact_embedding")(benchEmbeddingCompact(spark, _)) ++
-        specialEntry("recluster_embedding")(benchEmbeddingRecluster(spark, _))
+        specialEntry("recluster_embedding")(benchEmbeddingRecluster(spark, _)) ++
+        // nlist-growth head-to-head: flat assignment cost scales with
+        // nlist, hier with √nlist (centroid ids are multiples of
+        // centroidMod, so metaMod must be a multiple of it: 700 → 71
+        // metas over the 5000-centroid codebook)
+        specialEntry("assign_flat_nlist200")(benchAssign(spark, 250, 0, _)) ++
+        specialEntry("assign_flat_nlist5000")(benchAssign(spark, 10, 0, _)) ++
+        specialEntry("assign_hier_nlist5000")(benchAssign(spark, 10, 700, _))
 
     // serve-cost flatness at 10× corpus (VERDICT r8 item 2): identical
     // probes against a 1× and a 10× persisted index — built once, untimed

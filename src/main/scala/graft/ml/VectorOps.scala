@@ -344,6 +344,13 @@ object VectorOps {
       .select(col("vec_id"), (-col("mx.nid")).as("centroid_id"))
   }
 
+  /** Bucket `vecs` (raw embeddings) hierarchically against a frozen
+    * centroid set — the two-level twin of [[ivfBuckets]]. */
+  def ivfBucketsHier(centroids: DataFrame, vecs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      metaMod: Int = 100): DataFrame =
+    ivfAssignHier(centroids, asDouble(vecs, idCol, vecCol), metaMod)
+
   /** Two-level bucket selection for a probe set: top `metaProbe` metas by
     * cosine, then the top `nprobe` children among THOSE metas' children —
     * (probe_id, pe, pn, centroid_id), the [[probeBuckets]] shape, so the
