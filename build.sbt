@@ -44,6 +44,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
 )
+// Stale JUnit XML from deleted suites inflates report counts (a removed
+// scratch suite kept counting for two rounds) — wipe the reports dir
+// before each test run so target/test-reports is exactly this run.
+Test / testOptions += Tests.Setup(() => IO.delete(file("target/test-reports")))
 // The sf0.001 test suites don't need the bench-host heap above, and a
 // 24g -Xmx can get a memory-limited dev/CI cgroup OOM-killed — tests
 // fork with a conservative default instead (override: SPARK_TEST_MEM).

@@ -291,9 +291,10 @@ object Bench {
   }
 
   /** Coarse-assignment cost at growing nlist — the two-level router's
-    * reason to exist, measured head-to-head: the same 20k-vector corpus
-    * assigns against nlist 80 (the small-nlist anchor) and nlist 800,
-    * flat argmax vs meta-first routing (25 metas ≈ √800). Under the
+    * reason to exist, measured head-to-head: the same 50k-vector corpus
+    * assigns against nlist ≈200 (centroidMod 250, the small-nlist anchor)
+    * and nlist ≈5000 (centroidMod 10), flat argmax vs meta-first routing
+    * (metaMod 700 ⇒ ~72 metas ≈ √5000). Under the
     * bucket-size-constant rule nlist grows WITH the corpus, so the flat
     * curve (corpus × nlist cosines + a full-codebook broadcast) grows
     * with it while the hier curve follows corpus × (√nlist + per-meta

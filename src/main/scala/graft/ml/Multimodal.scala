@@ -239,9 +239,12 @@ object Multimodal {
     val off = le32(payload, 10)
     val width = le32(payload, 18)
     val rawH = le32(payload, 22)
+    // abs(Int.MinValue) is still negative — a hostile 0x80000000 height
+    // would slip the == 0 guard and poison the size arithmetic below, so
+    // require strictly positive (mirrors the hostile-width handling)
     val height = math.abs(rawH)
     val bottomUp = rawH > 0
-    if (le32(payload, 14) < 40 || width <= 0 || height == 0 ||
+    if (le32(payload, 14) < 40 || width <= 0 || height <= 0 ||
         le16(payload, 28) != 24 || le32(payload, 30) != 0)
       return None
     // size arithmetic in LONG: a hostile header (width near 2^31) would

@@ -623,10 +623,12 @@ object TextOps {
       maxIters: Int = 50): (DataFrame, Int) = {
     // symmetrize with a single scan: a union of two selects would evaluate
     // the (typically expensive, un-cached) upstream pair plan once per side
+    // ids cast to long up front so the driver-side path below (getLong)
+    // accepts the same input types the distributed path does (int doc ids)
     val edges = Caching.scoped(
       pairs.select(explode(array(
-        struct(col(aCol).as("src"), col(bCol).as("dst")),
-        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+        struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct())
     // batch-bounded mini graphs (the union-find increment's, a probe's)

@@ -94,6 +94,16 @@ class MultimodalSpec extends SparkSpec {
     hostile(18) = 0xff.toByte; hostile(19) = 0xff.toByte
     hostile(20) = 0xff.toByte; hostile(21) = 0x7f.toByte
     assert(decodeBmp(hostile).isEmpty, "overflowing width must be refused")
+    // hostile height 0x80000000: abs(Int.MinValue) stays negative, so it
+    // slipped the old == 0 guard — must be refused, never crash the batch
+    val hostileH = ok.clone()
+    hostileH(22) = 0; hostileH(23) = 0; hostileH(24) = 0
+    hostileH(25) = 0x80.toByte
+    assert(decodeBmp(hostileH).isEmpty, "Int.MinValue height must be refused")
+    val negBigH = ok.clone()
+    negBigH(22) = 0xff.toByte; negBigH(23) = 0xff.toByte
+    negBigH(24) = 0xff.toByte; negBigH(25) = 0x7f.toByte
+    assert(decodeBmp(negBigH).isEmpty, "overflowing height must be refused")
   }
 
   test("decodeReport aggregates decoded pixels exactly and skips " +

@@ -301,6 +301,15 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Map(3L -> 3L, 5L -> 3L, 8L -> 3L, 9L -> 9L, 10L -> 9L))
   }
 
+  test("connectedComponents accepts integer ids on the small-graph path") {
+    // the driver-side union-find reads getLong; integer doc ids (fine on
+    // the distributed path) must not ClassCastException under the cap
+    val pairs = Seq((5, 3), (3, 8), (10, 9)).toDF("doc_a", "doc_b")
+    val out = TextOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(3L -> 3L, 5L -> 3L, 8L -> 3L, 9L -> 9L, 10L -> 9L))
+  }
+
   test("connectedComponents reaches the fixpoint on a long chain") {
     // a path graph 0-1-2-...-9: min label must ripple the full diameter
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
