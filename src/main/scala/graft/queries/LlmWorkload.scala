@@ -1105,6 +1105,26 @@ object LlmWorkload {
         .filter(pmod(col("vec_id"), lit(2)) === 1))
   }
 
+  /** [[registryEmbeddingProbe]]'s pair-evidence stage ALONE (SRP
+    * signature build, index probe, within-batch pairs — no would-label
+    * union-find tail), on the SAME even-root/odd-batch fixture: the cost
+    * decomposition `registry_probe` already has, owed to its embedding
+    * twin (VERDICT r11 item 2). `registry_embedding_probe` ≈ this + the
+    * labeling tail in the bench artifact. */
+  def registryEmbeddingProbePairs(spark: SparkSession, dir: String): DataFrame = {
+    val root = SharedIndexes.dir(s"emb-cluster-registry-even:$dir") { d =>
+      val cfg = graft.stream.EmbeddingClusterRegistry
+        .RegistryConfig("unused", d, "unused")
+      graft.stream.EmbeddingClusterRegistry.ingestBatch(spark, cfg,
+        Tables(spark, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(2)) === 0), 0L): Unit
+    }
+    graft.stream.EmbeddingClusterRegistry.probePairs(spark,
+      graft.stream.EmbeddingClusterRegistry.RegistryConfig("unused", root, "unused"),
+      Tables(spark, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(2)) === 1))
+  }
+
   /** The embedding twin of [[sharedClusterRegistry]]: the embeddings
     * corpus ingested once per (session × dir) through
     * [[graft.stream.EmbeddingClusterRegistry]] as three mod-3 arrival
@@ -1376,6 +1396,7 @@ object LlmWorkload {
     "registry_keep_best" -> registryKeepBest,
     "registry_embedding_cluster_stats" -> registryEmbeddingClusterStats,
     "registry_embedding_probe" -> registryEmbeddingProbe,
+    "registry_embedding_probe_pairs" -> registryEmbeddingProbePairs,
     "registry_embedding_sampling_weights" -> registryEmbeddingSamplingWeights,
     "registry_probe" -> registryProbe,
     "registry_probe_pairs" -> registryProbePairs,
@@ -2258,6 +2279,19 @@ object LlmWorkload {
     // corpus components, then the mini-graph closure)
     "registry_probe" -> registryProbeOracle,
     "registry_embedding_probe" -> registryEmbeddingProbeOracle,
+    // the embedding probe's pair-evidence stage: SRP signatures are
+    // per-vector deterministic and cosine is symmetric/exact, so the
+    // even-index × odd-batch cross probe is exactly the mixed-parity
+    // restriction of the global SRP pair replay, and the within-batch
+    // LSH join is its both-odd restriction (already canonical vec_a <
+    // vec_b); UNION ALL of the two splits = the decomposed stage
+    "registry_embedding_probe_pairs" ->
+      s"""WITH sp AS (SELECT vec_a, vec_b, cos FROM ($srpOracle))
+         |SELECT vec_a, vec_b, cos FROM sp
+         |WHERE (vec_a % 2) <> (vec_b % 2)
+         |UNION ALL
+         |SELECT vec_a, vec_b, cos FROM sp
+         |WHERE vec_a % 2 = 1 AND vec_b % 2 = 1""".stripMargin,
     // the probe's pair-evidence stage: the cross-probe replay UNION the
     // within-odd-batch pairs (banding candidacy is per-doc, so the global
     // pair replay restricted to both-odd endpoints is exactly the

@@ -744,6 +744,29 @@ object EmbeddingClusterRegistry {
       .select(col("doc_id").as("vec_id"), col("label"), col("n_existing"))
   }
 
+  /** The pair-evidence stage of [[probe]] ALONE — SRP signature build,
+    * index probe, within-batch pairs — without the would-label union-find
+    * tail: the embedding twin of [[ClusterRegistry.probePairs]], so the
+    * probe's bench cost decomposes into attributable halves here too
+    * (VERDICT r11 item 2). Output canonicalized to (vec_a < vec_b, cos). */
+  def probePairs(spark: SparkSession, cfg: RegistryConfig,
+      batch: DataFrame): DataFrame = {
+    val (bb, bv) = VectorOps.srpIndex(batch)
+    val batchBands = Caching.scoped(bb)
+    val batchVecs = Caching.scoped(bv)
+    val crossPairs = VectorOps.srpProbeIndexed(
+      CorpusIngest.readOrEmptyRO(spark, bandsPath(cfg), bandsDdl),
+      CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg), vecsDdl),
+      batchBands, batchVecs, cfg.threshold)
+    val batchPairs = VectorOps.srpNearDupsIndexed(
+      batchBands, batchVecs, cfg.threshold)
+    crossPairs.select(
+        least(col("batch_id"), col("corpus_id")).as("vec_a"),
+        greatest(col("batch_id"), col("corpus_id")).as("vec_b"),
+        col("cos"))
+      .unionByName(batchPairs.select(col("vec_a"), col("vec_b"), col("cos")))
+  }
+
   /** Current cluster label of every registered vector (vec_id, label) —
     * read-only, lock-free. */
   def resolvedLabels(spark: SparkSession, cfg: RegistryConfig): DataFrame =
