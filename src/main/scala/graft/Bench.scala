@@ -416,6 +416,38 @@ object Bench {
 
     val ioPre = ioProbeMbps()
 
+    // cold-volume warm-up (VERDICT r11 item 3): the committed artifact ran
+    // 10-25% above the session's clean window for three rounds, and r11's
+    // probes localize the cause — pre_mbps ~164 vs post ~506, the volume's
+    // first writes land on a cold ramp (lazy allocation / burst-credit
+    // spin-up) the early timed entries absorb. Re-probe until two
+    // consecutive probes agree within 20% (cap 5 extra ≈ ≤3 s), so the
+    // timed loop starts at the volume's steady-state write throughput; the
+    // full sequence lands in io_probe.prime_mbps for audit. Then touch
+    // every byte of the timed dataset once so no timed entry pays a
+    // first-read page-cache miss either.
+    val ioPrime = scala.collection.mutable.ArrayBuffer.empty[Double]
+    locally {
+      var prev = ioPre
+      var stable = false
+      while (!stable && ioPrime.length < 5) {
+        val m = ioProbeMbps()
+        ioPrime += m
+        stable = m >= prev * 0.8 && m <= prev * 1.2
+        prev = m
+      }
+    }
+    locally {
+      val buf = new Array[Byte](1 << 20)
+      def touch(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(touch)
+        else if (f.isFile) {
+          val in = new java.io.FileInputStream(f)
+          try { while (in.read(buf) >= 0) () } finally in.close()
+        }
+      touch(new java.io.File(sfDir))
+    }
+
     // warm-up: full pass at the small sf (codegen, JIT) — untimed. Listings
     // and footers are NOT shared between file indexes, so the only way to
     // fully de-skew the first timed query is an untimed run of that same
@@ -711,8 +743,11 @@ object Bench {
       if (ioMid.isEmpty) ""
       else ioMid.map { case (n, v) => s"""["${esc(n)}",${fmt(v, 1)}]""" }
         .mkString(""","mid":[""", ",", "]")
+    val primeJson =
+      if (ioPrime.isEmpty) ""
+      else s""","prime_mbps":[${ioPrime.map(fmt(_, 1)).mkString(",")}]"""
     val ioJson =
-      s""","io_probe":{"pre_mbps":${fmt(ioPre, 1)},"post_mbps":${fmt(ioPost, 1)}$ioMidJson}"""
+      s""","io_probe":{"pre_mbps":${fmt(ioPre, 1)},"post_mbps":${fmt(ioPost, 1)}$primeJson$ioMidJson}"""
     val suspectsJson =
       if (adjudicated.isEmpty) ""
       else adjudicated.map { case (n, rec, rr, b) =>

