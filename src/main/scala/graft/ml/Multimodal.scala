@@ -273,6 +273,149 @@ object Multimodal {
     Some(DecodedImage(width, height, luma))
   }
 
+  /** Scan `n` whitespace-separated decimal tokens from `b` starting at
+    * `start`, honoring `#`-to-EOL comments (the netpbm header grammar).
+    * Returns (tokens, position after the last digit); None on anything
+    * malformed — a non-digit token, EOF mid-header, or a value that
+    * overflows Int. */
+  private def pnmTokens(b: Array[Byte], start: Int,
+      n: Int): Option[(Array[Int], Int)] = {
+    val out = new Array[Int](n)
+    var pos = start
+    var got = 0
+    while (got < n) {
+      var skipping = true
+      while (skipping) {
+        if (pos >= b.length) return None
+        val c = b(pos)
+        if (c == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') pos += 1
+        else skipping = false
+      }
+      var v = 0L
+      var any = false
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0')
+        if (v > Int.MaxValue) return None
+        pos += 1
+        any = true
+      }
+      if (!any) return None
+      out(got) = v.toInt
+      got += 1
+    }
+    Some((out, pos))
+  }
+
+  /** Decode a netpbm PGM/PPM payload (P2/P3 ASCII, P5/P6 raw; maxval must
+    * be 255 — 16-bit netpbm is refused, never misread) to top-down
+    * row-major luminance: gray directly for PGM, integer BT.601
+    * ([[decodeBmp]]'s exact arithmetic) for PPM. `None` for P1/P4 bitmaps,
+    * P7 PAM, truncated sample data, samples above maxval, or hostile
+    * header dimensions — the same never-crash-the-batch contract as
+    * [[decodeBmp]], size arithmetic in Long throughout. */
+  def decodePnm(payload: Array[Byte]): Option[DecodedImage] = {
+    if (payload.length < 2 || payload(0) != 'P') return None
+    val kind = payload(1).toChar
+    if (kind != '2' && kind != '3' && kind != '5' && kind != '6') return None
+    val raw = kind == '5' || kind == '6'
+    val channels = if (kind == '3' || kind == '6') 3 else 1
+    val hdr = pnmTokens(payload, 2, 3) match {
+      case Some(h) => h
+      case None => return None
+    }
+    val (width, height, maxval) = (hdr._1(0), hdr._1(1), hdr._1(2))
+    if (width <= 0 || height <= 0 || maxval != 255) return None
+    val nPxL = width.toLong * height
+    val nSamplesL = nPxL * channels
+    if (raw) {
+      // exactly ONE whitespace byte separates maxval from the sample
+      // bytes (the netpbm raw-format rule)
+      val dataStart = hdr._2 + 1
+      if (hdr._2 >= payload.length || !isPnmSpace(payload(hdr._2)) ||
+          dataStart.toLong + nSamplesL > payload.length)
+        return None
+      val luma = new Array[Int](nPxL.toInt)
+      var p = 0
+      while (p < luma.length) {
+        val s = dataStart + p * channels
+        luma(p) =
+          if (channels == 1) payload(s) & 0xff
+          else (299 * (payload(s) & 0xff) + 587 * (payload(s + 1) & 0xff) +
+            114 * (payload(s + 2) & 0xff)) / 1000
+        p += 1
+      }
+      Some(DecodedImage(width, height, luma))
+    } else {
+      // ASCII samples: each needs >= 2 payload bytes (digit + separator),
+      // so this bound rejects hostile dimensions BEFORE the allocation
+      if (nSamplesL * 2 > payload.length.toLong - hdr._2) return None
+      val samples = pnmTokens(payload, hdr._2, nSamplesL.toInt) match {
+        case Some((s, _)) => s
+        case None => return None
+      }
+      var i = 0
+      while (i < samples.length) {
+        if (samples(i) > maxval) return None
+        i += 1
+      }
+      val luma = new Array[Int](nPxL.toInt)
+      var p = 0
+      while (p < luma.length) {
+        luma(p) =
+          if (channels == 1) samples(p)
+          else (299 * samples(p * 3) + 587 * samples(p * 3 + 1) +
+            114 * samples(p * 3 + 2)) / 1000
+        p += 1
+      }
+      Some(DecodedImage(width, height, luma))
+    }
+  }
+
+  private def isPnmSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\r' || b == '\n'
+
+  /** Route a media payload to its codec by sniffed magic bytes — 'BM' →
+    * [[decodeBmp]], 'P2|P3|P5|P6' → [[decodePnm]], anything else `None`:
+    * a mixed-format media column decodes per-row with no format column
+    * required. The single entry point [[decodeReport]]/[[phashDecoded]]
+    * read. */
+  def decodeImage(payload: Array[Byte]): Option[DecodedImage] =
+    if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
+      decodeBmp(payload)
+    else decodePnm(payload)
+
+  /** Encode top-down row-major RGB as raw (P6) PPM bytes. */
+  def encodePpm(width: Int, height: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + width * height * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var p = 0
+    while (p < width * height) {
+      val (r, g, b) = rgb(p % width, p / width)
+      out(header.length + p * 3) = r.toByte
+      out(header.length + p * 3 + 1) = g.toByte
+      out(header.length + p * 3 + 2) = b.toByte
+      p += 1
+    }
+    out
+  }
+
+  /** Encode top-down row-major grayscale as raw (P5) PGM bytes. */
+  def encodePgm(width: Int, height: Int,
+      gray: (Int, Int) => Int): Array[Byte] = {
+    val header = s"P5\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + width * height)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var p = 0
+    while (p < width * height) {
+      out(header.length + p) = gray(p % width, p / width).toByte
+      p += 1
+    }
+    out
+  }
+
   /** The dHash signature over a DECODED luminance stream — [[phash]]'s
     * exact arithmetic (NN-resample positions, bit j iff sample j+1 >
     * sample j) with pixels instead of raw payload bytes: the production
@@ -307,7 +450,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        decodeBmp(r.payload).map { img =>
+        decodeImage(r.payload).map { img =>
           val n = img.luma.length
           var sum = 0L; var pos = 0L; var p = 0
           while (p < n) {
@@ -347,10 +490,27 @@ object Multimodal {
     * difference). Width 15 forces 3 bytes of row padding (45 % 4 != 0) so
     * the padding arithmetic is exercised, not dodged. */
   def synthBmp(id: Long, width: Int = 15, height: Int = 17): Array[Byte] =
-    encodeBmp24(width, height, (x, y) => (
-      ((id * 7 + x * 3 + y * 5) % 256).toInt,
-      ((id * 11 + x * 13 + y * 17) % 256).toInt,
-      ((id * 19 + x * 23 + y * 29) % 256).toInt))
+    encodeBmp24(width, height, synthChannels(id))
+
+  /** [[synthBmp]]'s channel maps, shared by every synthetic-format twin so
+    * mixed-format fixtures aggregate to the SAME oracle replay. */
+  private def synthChannels(id: Long)(x: Int, y: Int): (Int, Int, Int) = (
+    ((id * 7 + x * 3 + y * 5) % 256).toInt,
+    ((id * 11 + x * 13 + y * 17) % 256).toInt,
+    ((id * 19 + x * 23 + y * 29) % 256).toInt)
+
+  /** [[synthBmp]]'s raw-PPM twin: identical channels, so its decoded luma
+    * equals the BMP's and one oracle replay covers both formats. */
+  def synthPpm(id: Long, width: Int = 15, height: Int = 17): Array[Byte] =
+    encodePpm(width, height, synthChannels(id))
+
+  /** [[synthBmp]]'s raw-PGM twin: gray = the integer BT.601 luma of the
+    * same channels, so the decoded luma again equals the BMP's. */
+  def synthPgm(id: Long, width: Int = 15, height: Int = 17): Array[Byte] =
+    encodePgm(width, height, (x, y) => {
+      val (r, g, b) = synthChannels(id)(x, y)
+      (299 * r + 587 * g + 114 * b) / 1000
+    })
 
   /** STUB decode + featurize for formats whose codecs are NOT in this
     * container: fold the payload bytes into a `dim`-bucket histogram

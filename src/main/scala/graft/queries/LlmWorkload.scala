@@ -407,21 +407,29 @@ object LlmWorkload {
       .select(col("doc_id"), hex(col("payload")).as("payload_hex"),
         col("n_bytes"), col("payload_md5"), col("header_hex"))
 
-  /** The REAL image-decode path at the gate (VERDICT r10 item 5): per doc,
-    * a deterministic 15×17 24-bit BMP is generated from its id
-    * ([[Multimodal.synthBmp]] — small-prime affine channels, row padding
-    * exercised), ENCODED to real on-disk BMP bytes, DECODED back by
-    * [[Multimodal.decodeBmp]], and reduced to exact integer pixel
+  /** The REAL image-decode path at the gate (VERDICT r10 item 5, r11
+    * item 5): per doc, a deterministic 15×17 image is generated from its
+    * id with the shared small-prime channel maps and encoded to real
+    * on-disk bytes in a doc_id-routed FORMAT — 24-bit BMP (row padding
+    * exercised), raw P6 PPM, or raw P5 PGM (gray = the same BT.601
+    * luma) — then DECODED back through the magic-byte router
+    * ([[Multimodal.decodeImage]]) and reduced to exact integer pixel
     * aggregates plus the pixel-domain dHash ([[Multimodal.decodeReport]]).
-    * The oracle replays generate → aggregate directly — decode correctness
-    * is precisely the difference, so a header-offset, padding, bottom-up,
-    * or channel-order bug breaks `pos_checksum`/`phash` loudly. */
+    * All three formats encode the SAME luminance, so one oracle replay
+    * (generate → aggregate) covers the mix — decode + routing correctness
+    * is precisely the difference: a header-offset, padding, bottom-up,
+    * channel-order, or misrouting bug breaks `pos_checksum`/`phash`
+    * loudly, and a format whose decode regresses to None drops rows. */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     Multimodal.decodeReport(
       Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
-        .map(id => Multimodal.MediaRow(id, Multimodal.synthBmp(id)))).toDF()
+        .map(id => Multimodal.MediaRow(id, (id % 3) match {
+          case 0 => Multimodal.synthBmp(id)
+          case 1 => Multimodal.synthPpm(id)
+          case _ => Multimodal.synthPgm(id)
+        }))).toDF()
   }
 
   def dedupEmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
@@ -3220,11 +3228,13 @@ object LlmWorkload {
         |  md5(text) AS payload_md5,
         |  substr(hex(encode(text)), 1, 8) AS header_hex
         |FROM documents""".stripMargin,
-    // BMP-decode replay: the oracle computes generate -> aggregate
+    // image-decode replay: the oracle computes generate -> aggregate
     // arithmetically (integer BT.601 luma of the small-prime channel maps,
     // p = top-down row-major index); the Spark side ran generate ->
-    // ENCODE -> DECODE -> aggregate through real BMP bytes, so decode
-    // correctness is exactly the difference being hashed
+    // ENCODE -> route-by-magic -> DECODE -> aggregate through real bytes
+    // in a doc_id-routed format mix (BMP / raw PPM / raw PGM, all
+    // encoding the same luminance), so decode + routing correctness is
+    // exactly the difference being hashed
     "multimodal_decode" ->
       """WITH px AS (
         |  SELECT d.doc_id, (y.y * 15 + x.x) AS p,

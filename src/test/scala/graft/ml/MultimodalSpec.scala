@@ -106,6 +106,75 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeBmp(negBigH).isEmpty, "overflowing height must be refused")
   }
 
+  test("PNM codec: raw PPM/PGM round-trip to the same luma as the BMP " +
+      "twin of the same channels") {
+    val w = 5; val h = 3
+    def ch(x: Int, y: Int) = (x * 40 + y, 255 - y * 50, x * 17 + y * 9)
+    val viaBmp = decodeBmp(encodeBmp24(w, h, ch)).get
+    val viaPpm = decodePnm(encodePpm(w, h, ch)).get
+    assert((viaPpm.width, viaPpm.height) == (w, h))
+    assert(viaPpm.luma.toSeq == viaBmp.luma.toSeq,
+      "P6 luma must equal the BMP twin's (same BT.601 arithmetic)")
+    val viaPgm = decodePnm(encodePgm(w, h, (x, y) => {
+      val (r, g, b) = ch(x, y); (299 * r + 587 * g + 114 * b) / 1000
+    })).get
+    assert(viaPgm.luma.toSeq == viaBmp.luma.toSeq,
+      "P5 gray must pass through as luma unchanged")
+  }
+
+  test("PNM codec: ASCII P2/P3 with comments and ragged whitespace decode " +
+      "equal to their raw twins") {
+    val w = 3; val h = 2
+    def ch(x: Int, y: Int) = (x * 50 + y * 7, y * 90 + 3, 255 - x * 60)
+    val raw = decodePnm(encodePpm(w, h, ch)).get
+    val asciiP3 = new StringBuilder("P3 # a comment\n # another\n")
+    asciiP3.append(s" $w\t$h\n255\n")
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = ch(x, y); asciiP3.append(s"$r\n $g\t$b  ")
+    }
+    val gotP3 = decodePnm(asciiP3.toString.getBytes("US-ASCII")).get
+    assert(gotP3.luma.toSeq == raw.luma.toSeq, "P3 must equal its P6 twin")
+    val grays = for (y <- 0 until h; x <- 0 until w) yield {
+      val (r, g, b) = ch(x, y); (299 * r + 587 * g + 114 * b) / 1000
+    }
+    val asciiP2 = s"P2\n$w $h\n255\n${grays.mkString(" ")}\n"
+    val gotP2 = decodePnm(asciiP2.getBytes("US-ASCII")).get
+    assert(gotP2.luma.toSeq == raw.luma.toSeq, "P2 must equal its P5 twin")
+  }
+
+  test("PNM codec: bitmap kinds, 16-bit maxval, truncation, over-maxval " +
+      "samples, and hostile dimensions decode to None") {
+    val ok = encodePpm(4, 2, (_, _) => (1, 2, 3))
+    assert(decodePnm(ok).nonEmpty)
+    assert(decodePnm("P4\n4 2\n".getBytes).isEmpty, "P4 bitmap unsupported")
+    assert(decodePnm("P7\nWIDTH 4\n".getBytes).isEmpty, "P7 PAM unsupported")
+    assert(decodePnm("P5\n4 2\n65535\n".getBytes ++ new Array[Byte](16)).isEmpty,
+      "16-bit maxval must be refused, not misread as bytes")
+    assert(decodePnm(ok.take(ok.length - 1)).isEmpty, "truncated raw samples")
+    assert(decodePnm("P2\n2 1\n255\n12 999\n".getBytes).isEmpty,
+      "ASCII sample above maxval must be refused")
+    assert(decodePnm("P2\n2 1\n255\n12 xy\n".getBytes).isEmpty,
+      "non-numeric ASCII sample must be refused")
+    // hostile dimensions: the Long product must refuse before allocating
+    assert(decodePnm("P5\n2000000000 2000000000\n255\n  ".getBytes).isEmpty)
+    assert(decodePnm("P2\n2000000000 2000000000\n255\n 1".getBytes).isEmpty)
+    assert(decodePnm("P6\n999999999999999999999 2\n255\n".getBytes).isEmpty,
+      "header token overflowing Int must be refused")
+  }
+
+  test("decodeImage routes by sniffed magic bytes") {
+    val w = 4; val h = 2
+    def ch(x: Int, y: Int) = (x * 30, y * 80 + 5, 200 - x * 20)
+    val bmp = encodeBmp24(w, h, ch)
+    val ppm = encodePpm(w, h, ch)
+    assert(decodeImage(bmp).get.luma.toSeq == decodeBmp(bmp).get.luma.toSeq)
+    assert(decodeImage(ppm).get.luma.toSeq == decodePnm(ppm).get.luma.toSeq)
+    assert(decodeImage(bmp).get.luma.toSeq == decodeImage(ppm).get.luma.toSeq,
+      "the two routed formats of one image must agree")
+    assert(decodeImage("neither a bitmap nor a pixmap".getBytes).isEmpty)
+    assert(decodeImage(Array.emptyByteArray).isEmpty)
+  }
+
   test("decodeReport aggregates decoded pixels exactly and skips " +
       "undecodable payloads") {
     implicit val s = spark
