@@ -112,7 +112,26 @@ class CrashReplaySoakSpec extends SparkSpec {
     got
   }
 
-  for (seed <- Seq(11, 42))
+  /** (n_clusters, n_docs, max_cluster, n_dups) from a label map — the
+    * independent truth the stats-delta serve must match at every step. */
+  private def statsOf(m: Map[Long, Long]): Seq[Long] = {
+    val sz = m.groupBy(_._2).map(_._2.size.toLong).toSeq
+    Seq(sz.size.toLong, sz.sum, sz.max, sz.map(_ - 1L).sum)
+  }
+
+  private def statsT(cfg: ClusterRegistry.RegistryConfig): Seq[Long] = {
+    val r = ClusterRegistry.clusterStats(spark, cfg).collect().head
+    graft.Caching.releaseAll()
+    (0 until 4).map(r.getLong)
+  }
+
+  private def statsE(cfg: EmbeddingClusterRegistry.RegistryConfig): Seq[Long] = {
+    val r = EmbeddingClusterRegistry.clusterStats(spark, cfg).collect().head
+    graft.Caching.releaseAll()
+    (0 until 4).map(r.getLong)
+  }
+
+  for (seed <- Seq(11, 42, 77))
     test("interleaved crashes, replays, and repairs keep every face " +
         s"oracle-true or loudly refusing (seed $seed)") {
       val rnd = new scala.util.Random(seed)
@@ -120,6 +139,9 @@ class CrashReplaySoakSpec extends SparkSpec {
       val cfgE = EmbeddingClusterRegistry.RegistryConfig("unused", tmpDir(), "unused")
       val cfgV = EmbeddingIngest.IngestConfig("unused", tmpDir(),
         s"soak-$seed", centroidMod = 5)
+      // the lexical root of the ACL-filtered hybrid face (r11 item 7):
+      // perturbed alongside the other three, served at every step
+      val cfgB = CorpusIngest.IngestConfig("unused", tmpDir(), s"soakb-$seed")
       val probes = vecs(0L, 180L, 0, 0L)
         .filter(pmod(col("vec_id"), lit(45)) === 0)
       def search(): Seq[(Long, Long, Int)] = {
@@ -128,37 +150,78 @@ class CrashReplaySoakSpec extends SparkSpec {
         graft.Caching.releaseAll()
         got
       }
+      // ACL-filtered hybrid over BOTH persisted roots: ids ≡ 0 (mod 3)
+      // allowed; the invariant asserted on every serve — a disallowed doc
+      // never surfaces through either leg, whatever the crash state
+      val allowed = spark.range(0L, 2000L)
+        .filter(pmod(col("id"), lit(3)) === 0).select(col("id").as("doc_id"))
+        .localCheckpoint()
+      def hybrid(): Seq[(Long, Long)] = {
+        val got = HybridServe.search(spark, cfgB, cfgV,
+            Seq("w1", "w7", "w42"), probes, allowed = Some(allowed))
+          .select(col("probe_id"), col("doc_id"))
+          .as[(Long, Long)].collect().toSeq.sorted
+        graft.Caching.releaseAll()
+        assert(got.forall(_._2 % 3 == 0),
+          "a disallowed doc surfaced through the filtered hybrid serve")
+        got
+      }
 
-      // --- 3 interleaved batches into the three roots, order shuffled ---
+      // --- 3 interleaved batches into the four roots, order shuffled ---
       (0 until 3).foreach { b =>
         rnd.shuffle(Seq[() => Unit](
           () => { ClusterRegistry.ingestBatch(spark, cfgT, textBatch(b), b.toLong): Unit },
           () => { EmbeddingClusterRegistry.ingestBatch(spark, cfgE, vecBatch(b), b.toLong): Unit },
-          () => { EmbeddingIngest.ingestBatch(spark, cfgV, vecBatch(b), b.toLong): Unit }
+          () => { EmbeddingIngest.ingestBatch(spark, cfgV, vecBatch(b), b.toLong): Unit },
+          () => { CorpusIngest.ingestBatch(spark, cfgB, textBatch(b), b.toLong): Unit }
         )).foreach(_())
       }
       val truth3 = textTruth(3)
       assert(resolvedT(cfgT) == truth3, "text labels diverged from batch CC")
       // the bridge family must have produced a real merge row
       assert(spark.read.parquet(s"${cfgT.root}/merges").count() >= 1L)
+      // stats-delta face, pre-compact (no summary yet: full-recompute
+      // path) — must equal the independent truth
+      assert(statsT(cfgT) == statsOf(truth3),
+        "pre-compact text cluster stats diverged from the batch truth")
       val labE0 = resolvedE(cfgE)
+      assert(statsE(cfgE) == statsOf(labE0),
+        "pre-compact embedding cluster stats diverged from the labels")
       val s0 = search()
       assert(s0.nonEmpty)
+      val h0 = hybrid()
+      assert(h0.nonEmpty, "the filtered hybrid serve returned nothing")
 
       // --- stranded swaps (a compact died between its renames): faces ---
       // read THROUGH the tombstone, the next maintenance pass rolls back
       val strandable = rnd.shuffle(Seq(
         cfgT.root -> UnionFindTables.labelsPath(cfgT.root),
         cfgT.root -> UnionFindTables.mergesPath(cfgT.root),
-        cfgE.root -> UnionFindTables.labelsPath(cfgE.root)))
+        cfgE.root -> UnionFindTables.labelsPath(cfgE.root),
+        cfgB.corpusRoot -> s"${cfgB.corpusRoot}/postings"))
       strandable.take(1 + rnd.nextInt(strandable.size))
         .foreach { case (r, d) => strand(r, d) }
       assert(resolvedT(cfgT) == truth3, "stranded swap broke the text serve")
       assert(resolvedE(cfgE) == labE0, "stranded swap broke the embedding-registry serve")
+      assert(statsT(cfgT) == statsOf(truth3),
+        "stranded swap broke the text stats serve")
+      assert(statsE(cfgE) == statsOf(labE0),
+        "stranded swap broke the embedding stats serve")
+      assert(hybrid() == h0, "stranded swap changed the filtered hybrid serve")
+      // cfgB's stranded postings stay stranded here on purpose: the
+      // hybrid must serve THROUGH the tombstone until the later
+      // killed-compact step repairs the root
       ClusterRegistry.compact(spark, cfgT)
       EmbeddingClusterRegistry.compact(spark, cfgE)
       assert(resolvedT(cfgT) == truth3, "compact-after-strand changed the labels")
       assert(resolvedE(cfgE) == labE0)
+      // post-compact: the stats face now serves the materialized summary
+      // (empty delta) — same numbers, different plan
+      assert(statsT(cfgT) == statsOf(truth3),
+        "the post-compact summary stats diverged from the batch truth")
+      assert(statsE(cfgE) == statsOf(labE0),
+        "the post-compact embedding summary stats diverged")
+      assert(hybrid() == h0, "compact changed the filtered hybrid serve")
 
       // --- killed compact on the embedding ingest root: the hwm marker ---
       // landed, the fold did not. Pre-hwm replays refuse loudly; the rows
@@ -169,8 +232,18 @@ class CrashReplaySoakSpec extends SparkSpec {
         EmbeddingIngest.ingestBatch(spark, cfgV, vecBatch(staleId.toInt), staleId)
       }
       assert(search() == s0, "killed compact changed the serve answer")
+      assert(hybrid() == h0, "killed compact changed the filtered hybrid")
       EmbeddingIngest.compact(spark, cfgV)
       assert(search() == s0, "compact repair changed the serve answer")
+      // killed compact on the LEXICAL root: hwm landed, fold did not —
+      // pre-hwm replays refuse, the filtered hybrid keeps serving truth
+      CorpusIngest.markCompactionHwm(fsOf(cfgB.corpusRoot), cfgB.corpusRoot, 2L)
+      intercept[IllegalArgumentException] {
+        CorpusIngest.ingestBatch(spark, cfgB, textBatch(staleId.toInt), staleId)
+      }
+      assert(hybrid() == h0, "a killed lexical compact changed the hybrid")
+      CorpusIngest.compact(spark, cfgB)
+      assert(hybrid() == h0, "the lexical compact repair changed the hybrid")
 
       // --- stream restart from an older checkpoint: a pre-hwm text batch
       // refuses; an above-hwm batch replays byte-identically
@@ -182,10 +255,33 @@ class CrashReplaySoakSpec extends SparkSpec {
       val truth4 = textTruth(4)
       assert(resolvedT(cfgT) == truth4,
         "an at-least-once text replay diverged from the batch CC")
+      // THE delta case (r11 item 7): summary persisted at the compact,
+      // batch 3 (and its replay) is post-fold delta — the stats serve
+      // adjusts the materialized row and must land on the batch truth
+      assert(statsT(cfgT) == statsOf(truth4),
+        "the summary+delta stats serve diverged from the batch truth")
+      EmbeddingClusterRegistry.ingestBatch(spark, cfgE, vecBatch(3), 3L)
+      EmbeddingClusterRegistry.ingestBatch(spark, cfgE, vecBatch(3), 3L) // replay
+      val labE1 = resolvedE(cfgE)
+      assert(statsE(cfgE) == statsOf(labE1),
+        "the embedding summary+delta stats serve diverged")
+      // stranded summary swap (a compact died mid-rename of sizes/stats):
+      // the stats face reads through the tombstone, never stale numbers
+      strand(cfgT.root, s"${cfgT.root}/sizes")
+      strand(cfgT.root, s"${cfgT.root}/stats")
+      assert(statsT(cfgT) == statsOf(truth4),
+        "a stranded summary swap broke the stats serve")
+      ClusterRegistry.compact(spark, cfgT)
+      assert(statsT(cfgT) == statsOf(truth4),
+        "the summary-swap repair changed the stats")
       EmbeddingIngest.ingestBatch(spark, cfgV, vecBatch(3), 3L)
+      CorpusIngest.ingestBatch(spark, cfgB, textBatch(3), 3L)
       val s1 = search()
+      val h1 = hybrid()
       EmbeddingIngest.ingestBatch(spark, cfgV, vecBatch(3), 3L) // replay
+      CorpusIngest.ingestBatch(spark, cfgB, textBatch(3), 3L) // replay
       assert(search() == s1, "an at-least-once embedding replay changed the serve")
+      assert(hybrid() == h1, "an at-least-once replay changed the hybrid serve")
 
       // --- killed recluster: codebook swapped under a new epoch, the ---
       // assignments not — every face must refuse (never serve silently-
@@ -197,19 +293,26 @@ class CrashReplaySoakSpec extends SparkSpec {
         .localCheckpoint()
       CorpusIngest.swapWrite(fsV, EmbeddingIngest.centroidsPath(cfgV), torn)
       intercept[IllegalStateException] { search() }
+      // the filtered hybrid rides the torn semantic leg: it must REFUSE,
+      // never silently serve lexical-only results as if they were fused
+      intercept[IllegalStateException] { hybrid() }
       intercept[IllegalStateException] {
         EmbeddingIngest.ingestBatch(spark, cfgV, vecBatch(4), 4L)
       }
       EmbeddingIngest.recluster(spark, cfgV)
       val s2 = search()
       assert(s2.nonEmpty, "post-recluster serve returned nothing")
+      val h2 = hybrid()
+      assert(h2.nonEmpty, "post-recluster hybrid returned nothing")
       // the rebuilt lists must agree with the split layout on the same state
       fsV.delete(new org.apache.hadoop.fs.Path(
         EmbeddingIngest.ivfListsPath(cfgV)), true)
       assert(search() == s2, "post-repair lists diverged from the split layout")
+      assert(hybrid() == h2, "post-repair hybrid diverged from the split layout")
       // and the pipeline continues past the repair
       EmbeddingIngest.ingestBatch(spark, cfgV, vecBatch(4), 4L)
       assert(search().nonEmpty)
+      assert(hybrid().nonEmpty)
       graft.Caching.releaseAll()
     }
 }
