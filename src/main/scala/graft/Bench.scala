@@ -656,12 +656,16 @@ object Bench {
     // half of the 100 TB steady state — the increment must track the
     // BATCH (flat across root scales) and the folds must track the ROOT
     // (linear, healthy constants; sublinear at the small end where fixed
-    // overheads dominate). Protocol: SINGLE-RUN entries — a curve point
-    // is read against its decade siblings in the same session (the
-    // maint_flatness ratios), not against its own band, so run noise
-    // lands on numerator and denominator alike, and min-of-2 would buy
-    // no signal for ~40 s of suite time (recluster at the 100k-vector
-    // point is deliberately the expensive fixture). dim 16 vectors: the
+    // overheads dominate). Protocol: min-of-2 WITHOUT rebuilding the
+    // roots — ingest run 2 replays the same batch id (at-least-once
+    // semantics recompute and dynamically overwrite identical rows),
+    // compact run 2 re-folds the folded root (foldBatchPartitions always
+    // rewrites, so bytes bind ≈ identically), recluster run 2 re-retrains
+    // at a decremented epoch (same Lloyd + backfill work). A single-run
+    // variant was tried first and read 3-5× high on the 100× points in a
+    // writeback-debt window the io probes barely registered — curve
+    // points are too few to absorb window weather without the min.
+    // dim 16 vectors: the
     // exponent under test is corpus-size scaling at fixed dim — the
     // smaller arrays only shrink the constant every point shares.
     // hierNlist = HierAuto throughout: 1×/10× resolve flat,
@@ -671,13 +675,6 @@ object Bench {
     val maintNames = Seq("1x", "10x", "100x").flatMap(t => Seq(
       s"maint_ingest_embedding_$t", s"maint_compact_embedding_$t",
       s"maint_recluster_embedding_$t"))
-    def singleEntry(name: String)(f: => Double): Seq[(String, Double)] =
-      if (!only.forall(_.contains(name))) Seq.empty
-      else try Seq(name -> f)
-      catch { case e: Throwable =>
-        errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        Seq(name -> 0.0)
-      }
     var maintResults = Seq.empty[(String, Double)]
     if (maintNames.exists(n => only.forall(_.contains(n)))) {
       val mroot = java.nio.file.Files.createTempDirectory("graft-bench-maint").toString
@@ -708,20 +705,20 @@ object Bench {
             buildAccumEmbRoot(spark, s"$mroot/$d", n, batches = 4,
               centroidMod = 50, pqCbMod = pqm, bits = bits, bandBits = bb)
             val cfg = cfgOf(d, pqm, bits, bb)
-            singleEntry(s"maint_ingest_embedding_$tag") {
+            specialEntry(s"maint_ingest_embedding_$tag") { _ =>
               val batch = syntheticVecs(spark, 700000L, 500L, dim = MaintDim)
               val t0 = System.nanoTime()
               graft.stream.EmbeddingIngest.ingestBatch(spark, cfg, batch, 4L): Unit
               val dt = (System.nanoTime() - t0) / 1e9
               Caching.releaseAll(); dt
             } ++
-            singleEntry(s"maint_compact_embedding_$tag") {
+            specialEntry(s"maint_compact_embedding_$tag") { _ =>
               val t0 = System.nanoTime()
               graft.stream.EmbeddingIngest.compact(spark, cfg)
               val dt = (System.nanoTime() - t0) / 1e9
               Caching.releaseAll(); dt
             } ++
-            singleEntry(s"maint_recluster_embedding_$tag") {
+            specialEntry(s"maint_recluster_embedding_$tag") { _ =>
               val t0 = System.nanoTime()
               graft.stream.EmbeddingIngest.recluster(spark, cfg)
               val dt = (System.nanoTime() - t0) / 1e9
