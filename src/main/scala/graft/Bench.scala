@@ -826,12 +826,19 @@ object Bench {
             }
             val rFlat = recallOf(graft.stream.EmbeddingIngest.search(
               spark, ivCfg(s"$sroot/iv100"), recallProbes))
+            def hierCfg(mp: Int) = ivCfg(s"$sroot/iv100").copy(
+              hierNlist = graft.stream.EmbeddingIngest.HierAuto,
+              metaMod = 63, metaProbe = mp)
             val rHier = recallOf(graft.stream.EmbeddingIngest.search(
-              spark, ivCfg(s"$sroot/iv100").copy(
-                hierNlist = graft.stream.EmbeddingIngest.HierAuto,
-                metaMod = 63), recallProbes))
+              spark, hierCfg(2), recallProbes))
+            // the metaProbe recall/cost trade, measured where it bites:
+            // +1 probed meta ≈ +50% candidate buckets for the recall the
+            // default gives up to cross-meta neighbors
+            val rHier3 = recallOf(graft.stream.EmbeddingIngest.search(
+              spark, hierCfg(3), recallProbes))
             recall100Json =
-              f""","ann_recall_100x":{"ivf":$rFlat%.3f,"ivf_hier":$rHier%.3f,"floor":0.8}"""
+              f""","ann_recall_100x":{"ivf":$rFlat%.3f,"ivf_hier":$rHier%.3f""" +
+                f""","ivf_hier_mp3":$rHier3%.3f,"floor":0.8}"""
             Seq.empty[(String, Double)]
           } ++
           // the RRF fusion over BOTH persisted legs (VERDICT r10 item 2):
