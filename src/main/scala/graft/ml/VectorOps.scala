@@ -607,6 +607,31 @@ object VectorOps {
     (banded, v)
   }
 
+  /** Bucket-occupancy health of an SRP band table — the gauge that tells
+    * an operator the signature width no longer fits the corpus (the
+    * banding twin of [[ivfBucketHealth]]): with `bandBits` fixed, every
+    * band has 2^bandBits buckets, so occupancy — and with it the verify
+    * set of EVERY future probe and ingest increment — grows linearly with
+    * the corpus (the r12 maintenance curve measured a 4.3× ingest cost at
+    * 100× corpus under constant 4-bit bands; widening to the occupancy-
+    * constant discipline restored ~1×). One row: `cand_rows_per_vec` =
+    * Σ occ² / n_vecs over all (band, bucket) cells is the expected
+    * candidate rows a corpus-distributed probe vector generates before
+    * the exact-cosine verify — when it drifts far above its
+    * index-creation value, re-band wider. Exact integer tallies, one
+    * final IEEE division. */
+  def srpBandHealth(bands: DataFrame): DataFrame = {
+    val occ = bands.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("occ"))
+    val nv = bands.agg(countDistinct(col("vec_id")).as("n_vecs"))
+    occ.agg(count(lit(1)).as("n_buckets"), max(col("occ")).as("max_bucket"),
+        sum(col("occ") * col("occ")).as("sum_sq"))
+      .crossJoin(broadcast(nv))
+      .select(col("n_vecs"), col("n_buckets"), col("max_bucket"),
+        col("sum_sq"),
+        (col("sum_sq").cast("double") / col("n_vecs").cast("double"))
+          .as("cand_rows_per_vec"))
+  }
+
   /** Probe a batch against a persisted SRP index: candidates from the
     * batch-bands ⋈ index-bands equi-join on (band, band-code), exact-cosine
     * verified against the index's stored vectors — cost proportional to the

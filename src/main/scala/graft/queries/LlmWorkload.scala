@@ -1113,6 +1113,47 @@ object LlmWorkload {
         .filter(pmod(col("vec_id"), lit(2)) === 1))
   }
 
+  /** SRP band-occupancy health over the embeddings corpus — the gauge an
+    * operator reads before [[graft.stream.EmbeddingIngest.reband]]-style
+    * maintenance: expected verify-candidate rows per probe vector
+    * (Σ occ² / n over all band buckets). See
+    * [[VectorOps.srpBandHealth]]. */
+  def srpBandHealth(spark: SparkSession, dir: String): DataFrame = {
+    val (bands, _) = VectorOps.srpIndex(Tables(spark, dir, "embeddings"))
+    VectorOps.srpBandHealth(bands)
+  }
+
+  /** The REBANDED probe face as a gate entry: corpus = the even vec ids
+    * ingested through [[graft.stream.EmbeddingIngest]] (threshold 1.01
+    * admits everything; creation banding 64/16 keeps the build's dead
+    * dedup stage cheap), then [[graft.stream.EmbeddingIngest.reband]]
+    * re-signs the index at 32/8 — the occupancy-constant maintenance op —
+    * and the odd ids probe READ-ONLY. Hash-matches a 32/8 SRP cross
+    * replay: the marker-committed width governs both the index rows and
+    * the batch signatures, or the candidate join produces garbage this
+    * oracle catches. */
+  def rebandProbe(spark: SparkSession, dir: String): DataFrame = {
+    val root = SharedIndexes.dir(s"embedding-ingest-reband:$dir") { d =>
+      val cfg = graft.stream.EmbeddingIngest.IngestConfig(
+        "unused", s"$d/corpus", "unused", threshold = 1.01,
+        bits = 64, bandBits = 16)
+      graft.stream.EmbeddingIngest.ingestBatch(spark, cfg,
+        Tables(spark, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(2)) === 0)
+          .select(col("vec_id"), col("embedding")), 0L): Unit
+      graft.stream.EmbeddingIngest.reband(spark, cfg, bits = 32, bandBits = 8)
+    }
+    // 0.25: at the 32/8 width candidate collisions are sparse enough
+    // that the 0.4 default leaves ~1 surviving pair at the gate scale —
+    // a threshold, not a semantics, choice (the oracle carries the same)
+    graft.stream.EmbeddingIngest.probe(spark,
+      graft.stream.EmbeddingIngest.IngestConfig(
+        "unused", s"$root/corpus", "unused", threshold = 0.25),
+      Tables(spark, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(2)) === 1)
+        .select(col("vec_id"), col("embedding")))
+  }
+
   /** [[registryEmbeddingProbe]]'s pair-evidence stage ALONE (SRP
     * signature build, index probe, within-batch pairs — no would-label
     * union-find tail), on the SAME even-root/odd-batch fixture: the cost
@@ -1405,6 +1446,8 @@ object LlmWorkload {
     "registry_embedding_cluster_stats" -> registryEmbeddingClusterStats,
     "registry_embedding_probe" -> registryEmbeddingProbe,
     "registry_embedding_probe_pairs" -> registryEmbeddingProbePairs,
+    "srp_band_health" -> srpBandHealth,
+    "reband_probe" -> rebandProbe,
     "registry_embedding_sampling_weights" -> registryEmbeddingSamplingWeights,
     "registry_probe" -> registryProbe,
     "registry_probe_pairs" -> registryProbePairs,
@@ -2076,6 +2119,43 @@ object LlmWorkload {
        |  CAST(COALESCE(n.n_existing, 0) AS BIGINT) AS n_existing
        |FROM lab l LEFT JOIN nex n USING (label)""".stripMargin
 
+  /** The even-corpus × odd-batch SRP cross-probe replay at an ARBITRARY
+    * signature width — [[srpOracle]]'s hyperplane/banding arithmetic with
+    * (bits, bandBits) as parameters (hyperplanes generalize by range,
+    * banding by shift/mask). The oracle of the rebanded probe face. */
+  private def srpCrossOracleAt(bits: Int, bandBits: Int,
+      threshold: Double = 0.4): String = {
+    val nBands = bits / bandBits
+    val mask = (1 << bandBits) - 1
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |dims AS (SELECT len(e) AS dim FROM v LIMIT 1),
+       |hp AS (
+       |  SELECT j, list_transform(range(0, (SELECT dim FROM dims)), d ->
+       |    CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(j AS VARCHAR) || ':' ||
+       |      CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+       |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS harr
+       |  FROM (SELECT unnest(range(0, $bits)) AS j)),
+       |codes AS (
+       |  SELECT vec_id,
+       |    sum(CASE WHEN ${dotSql("e", "harr")} >= 0
+       |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS code
+       |  FROM v, hp GROUP BY vec_id),
+       |bands AS (
+       |  SELECT vec_id, b AS band, (code >> (b * $bandBits)) & $mask AS bv
+       |  FROM codes, (SELECT unnest(range(0, $nBands)) AS b)),
+       |bandse AS (SELECT * FROM bands WHERE vec_id % 2 = 0),
+       |bandsb AS (SELECT * FROM bands WHERE vec_id % 2 = 1),
+       |candx AS (SELECT DISTINCT b.vec_id AS batch_id, c.vec_id AS corpus_id
+       |          FROM bandsb b JOIN bandse c
+       |            ON b.band = c.band AND b.bv = c.bv)
+       |SELECT c.batch_id AS vec_id, c.corpus_id,
+       |  ${cosSql("va.e", "vb.e")} AS cos
+       |FROM candx c
+       |JOIN v va ON va.vec_id = c.batch_id
+       |JOIN v vb ON vb.vec_id = c.corpus_id
+       |WHERE ${cosSql("va.e", "vb.e")} >= $threshold""".stripMargin
+  }
+
   /** SRP connected components — the embedding twin of [[clustersOracleSql]],
     * shared by `dedup_embedding_clusters` (batch CC) and
     * `dedup_embedding_incremental_clusters` (union-find log replay). */
@@ -2300,6 +2380,40 @@ object LlmWorkload {
          |UNION ALL
          |SELECT vec_a, vec_b, cos FROM sp
          |WHERE vec_a % 2 = 1 AND vec_b % 2 = 1""".stripMargin,
+    // the rebanded probe: the SRP cross replay at the REBANDED width —
+    // md5 hyperplanes generalize by range (32 planes), banding by shift/
+    // mask (4 bands of 8 bits); even side = the admitted corpus, odd =
+    // the read-only probe batch, exact cosine at 0.4
+    "reband_probe" -> srpCrossOracleAt(32, 8, threshold = 0.25),
+    // band-occupancy health: the srpOracle's signature/banding CTEs
+    // verbatim, reduced to the bucket histogram — integer tallies, one
+    // final IEEE division on both engines
+    "srp_band_health" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |dims AS (SELECT len(e) AS dim FROM v LIMIT 1),
+         |hp AS (
+         |  SELECT j, list_transform(range(0, (SELECT dim FROM dims)), d ->
+         |    CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(j AS VARCHAR) || ':' ||
+         |      CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+         |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS harr
+         |  FROM (SELECT unnest(range(0, 16)) AS j)),
+         |codes AS (
+         |  SELECT vec_id,
+         |    sum(CASE WHEN ${dotSql("e", "harr")} >= 0
+         |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS code
+         |  FROM v, hp GROUP BY vec_id),
+         |bands AS (
+         |  SELECT vec_id, b AS band, (code >> (b * 4)) & 15 AS bv
+         |  FROM codes, (SELECT unnest(range(0, 4)) AS b)),
+         |occ AS (SELECT band, bv, count(*) AS occ FROM bands GROUP BY 1, 2),
+         |nv AS (SELECT count(DISTINCT vec_id) AS n_vecs FROM bands)
+         |SELECT nv.n_vecs,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  max(occ) AS max_bucket,
+         |  CAST(sum(occ * occ) AS BIGINT) AS sum_sq,
+         |  CAST(sum(occ * occ) AS DOUBLE) / CAST(nv.n_vecs AS DOUBLE)
+         |    AS cand_rows_per_vec
+         |FROM occ, nv GROUP BY nv.n_vecs""".stripMargin,
     // the probe's pair-evidence stage: the cross-probe replay UNION the
     // within-odd-batch pairs (banding candidacy is per-doc, so the global
     // pair replay restricted to both-odd endpoints is exactly the

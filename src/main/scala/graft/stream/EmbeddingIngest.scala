@@ -84,6 +84,31 @@ object EmbeddingIngest {
 
   def vecsPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/vecs"
   private def bandsPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/bands"
+  /** The persisted signature-width marker ([[reband]]'s commit point):
+    * 1 row (bits, band_bits), swap-written whole. Present ⇒ the serving
+    * bands live in the width-suffixed directory; absent ⇒ the legacy
+    * `bands/` at the cfg's creation width. */
+  def bandWidthPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/bandwidth"
+  private val widthDdl = "bits INT, band_bits INT"
+
+  /** Resolve (bands directory, bits, bandBits) for every SRP face: the
+    * width is ROOT STATE, not configuration — a batch signed at a width
+    * other than the index's joins garbage (band values live in different
+    * ranges), so ingest appends, probes, and compaction folds all read
+    * the marker first. The suffixed-directory scheme makes the marker
+    * swap the ATOMIC commit: data is tied to its width by the directory
+    * name, so no marker/bands tear can pair new-width signatures with an
+    * old-width index (the recluster epoch problem, solved structurally
+    * instead of with a stamp check). */
+  private[stream] def resolvedBands(spark: SparkSession,
+      cfg: IngestConfig): (String, Int, Int) =
+    CorpusIngest.readOrEmptyRO(spark, bandWidthPath(cfg), widthDdl)
+      .limit(1).collect().headOption match {
+      case Some(r) =>
+        val (b, bb) = (r.getInt(0), r.getInt(1))
+        (s"${cfg.corpusRoot}/bands_w${b}x$bb", b, bb)
+      case None => (bandsPath(cfg), cfg.bits, cfg.bandBits)
+    }
   def ledgerPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/ledger"
   /** Append-only IVF assignment rows (vec_id, centroid_id, ingest_batch). */
   def ivfPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/ivf"
@@ -260,10 +285,12 @@ object EmbeddingIngest {
       batchLockOwner(cfg, batchId), cfg.lockStaleMs) { lock =>
     val rootFs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(vecsPath(cfg), bandsPath(cfg), ledgerPath(cfg), ivfPath(cfg),
+    Seq(vecsPath(cfg), bandWidthPath(cfg), ledgerPath(cfg), ivfPath(cfg),
         centroidsPath(cfg), pqPath(cfg), pqCodebooksPath(cfg),
         metaRoutePath(cfg))
       .foreach(CorpusIngest.rollbackIfStranded(rootFs, _))
+    val (bandsDir, wBits, wBb) = resolvedBands(spark, cfg)
+    CorpusIngest.rollbackIfStranded(rootFs, bandsDir)
     CorpusIngest.requireAboveCompactionHwm(rootFs, cfg.corpusRoot, batchId)
     Caching.scope {
       // a replayed batch must not probe the rows IT wrote before crashing
@@ -273,12 +300,13 @@ object EmbeddingIngest {
 
       // ONE signature build for the whole batch: the index probe, the
       // within-batch dedup, and the accepted-index append all read these
-      // two cached frames
+      // two cached frames. Signed at the ROOT's width (reband marker),
+      // never the cfg's — see resolvedBands.
       val (bb, bv) = VectorOps.srpIndex(batch, "vec_id", "embedding",
-        cfg.bits, cfg.bandBits)
+        wBits, wBb)
       val batchBands = Caching.scoped(bb)
       val batchVecs = Caching.scoped(bv)
-      val indexBands = idx(bandsPath(cfg),
+      val indexBands = idx(bandsDir,
         "vec_id BIGINT, band INT, bv BIGINT, ingest_batch BIGINT")
       // the stored norm keeps the verify to one cross dot per candidate —
       // no corpus-side norm folds at probe time
@@ -325,7 +353,7 @@ object EmbeddingIngest {
         vecsPath(cfg) -> accepted
           .join(batch.select(col("vec_id"), col("embedding")), Seq("vec_id"))
           .select(col("vec_id"), col("embedding"), col("n"), stamp),
-        bandsPath(cfg) -> batchBands
+        bandsDir -> batchBands
           .join(accepted.select(col("vec_id")), Seq("vec_id"), "left_semi")
           .select(col("vec_id"), col("band"), col("bv"), stamp)))
 
@@ -477,9 +505,10 @@ object EmbeddingIngest {
     * vector within `cfg.threshold` of an accepted one. Takes no lock and
     * writes nothing; cost follows the batch. */
   def probe(spark: SparkSession, cfg: IngestConfig, batch: DataFrame): DataFrame = {
+    val (bandsDir, wBits, wBb) = resolvedBands(spark, cfg)
     val (bb, bv) = VectorOps.srpIndex(batch, "vec_id", "embedding",
-      cfg.bits, cfg.bandBits)
-    val indexBands = CorpusIngest.readOrEmptyRO(spark, bandsPath(cfg),
+      wBits, wBb)
+    val indexBands = CorpusIngest.readOrEmptyRO(spark, bandsDir,
       "vec_id BIGINT, band INT, bv BIGINT, ingest_batch BIGINT")
     val indexVecs = CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg),
       "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT")
@@ -862,6 +891,77 @@ object EmbeddingIngest {
       }
     }
 
+  /** Re-sign the SRP near-dup index at a new signature width — the
+    * maintenance op the band-occupancy gauge calls for
+    * ([[VectorOps.srpBandHealth]]): with bandBits fixed every band has
+    * 2^bandBits buckets, so occupancy — and with it the verify set of
+    * every future probe and ingest increment — grows linearly with the
+    * corpus (the r12 maintenance curve measured a 4.3× ingest cost at
+    * 100× corpus under constant 4-bit bands; the occupancy-constant
+    * discipline is to widen bands as the corpus grows). Rebuilds the
+    * bands table from the persisted vectors at (bits, bandBits) into a
+    * width-suffixed directory, then swaps the 1-row width marker — the
+    * atomic commit point: ingest appends, probes, and compaction folds
+    * all resolve both the directory and the batch-signature width
+    * through the marker ([[resolvedBands]]), so a new-width batch always
+    * joins a new-width index.
+    *
+    * Crash contract (the recluster pattern, minus the epoch stamp — the
+    * directory NAME ties rows to their width, so no crash can pair a
+    * batch signed at one width with an index at another):
+    *  - died after the hwm mark: replays at or below the mark refuse
+    *    (the rebanded table subsumes them); re-running reband completes;
+    *  - died after the new-directory swap, before the marker: readers
+    *    still resolve the complete old directory; the stray new dir is
+    *    overwritten by the re-run;
+    *  - died after the marker swap: committed — the superseded directory
+    *    is dead weight until the NEXT reband sweeps it
+    *    ([[sweepSupersededBands]], deferred one maintenance cadence so a
+    *    lock-free reader that resolved the pre-swap marker never loses
+    *    its directory mid-scan: an absent bands dir reads as an EMPTY
+    *    index, the one silently-wrong answer a tombstone cannot excuse
+    *    here).
+    */
+  def reband(spark: SparkSession, cfg: IngestConfig, bits: Int,
+      bandBits: Int): Unit = IngestLock.withLock(spark, cfg.corpusRoot,
+      s"reband-${java.util.UUID.randomUUID()}", cfg.lockStaleMs) { lock =>
+    val fs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(vecsPath(cfg), bandWidthPath(cfg), ledgerPath(cfg))
+      .foreach(CorpusIngest.rollbackIfStranded(fs, _))
+    sweepSupersededBands(spark, fs, cfg)
+    CorpusIngest.markCompactionHwm(fs, cfg.corpusRoot,
+      CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
+    val vecs = CorpusIngest.readOrEmpty(spark, vecsPath(cfg), vecsDdl)
+      .select(col("vec_id"), col("embedding"))
+    val (nb, _) = VectorOps.srpIndex(vecs, bits = bits, bandBits = bandBits)
+    IngestLock.heartbeat(spark, lock)
+    CorpusIngest.swapWrite(fs, s"${cfg.corpusRoot}/bands_w${bits}x$bandBits",
+      nb.select(col("vec_id"), col("band"), col("bv"),
+        lit(-1L).as("ingest_batch")),
+      partitionCols = Seq("ingest_batch"))
+    IngestLock.heartbeat(spark, lock)
+    // the commit point: from here every face signs and reads at the new width
+    CorpusIngest.swapWrite(fs, bandWidthPath(cfg),
+      spark.createDataFrame(Seq((bits, bandBits))).toDF("bits", "band_bits"))
+  }
+
+  /** Delete band directories a prior [[reband]] superseded — called at
+    * the start of the NEXT reband (one maintenance cadence later, see the
+    * crash contract above). Matches exact band-directory names only;
+    * in-flight `.__next`/`.__old` swap siblings are untouched. */
+  private def sweepSupersededBands(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, cfg: IngestConfig): Unit = {
+    val keep = new org.apache.hadoop.fs.Path(resolvedBands(spark, cfg)._1).getName
+    val root = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name != keep && name.matches("bands(_w\\d+x\\d+)?"))
+        fs.delete(st.getPath, true): Unit
+    }
+  }
+
   /** Remove the serving lists without exposing a partial table to the
     * lock-free [[search]]: one atomic rename to a `.__gone` tombstone
     * (readers from then on see an absent dir → coherent split-layout
@@ -943,7 +1043,8 @@ object EmbeddingIngest {
       // FOLDED ivf table, so it stays sequential after the group
       CorpusIngest.parallelUnits(Seq(
         () => CorpusIngest.foldBatchPartitions(spark, fs, vecsPath(cfg)),
-        () => CorpusIngest.foldBatchPartitions(spark, fs, bandsPath(cfg)),
+        () => CorpusIngest.foldBatchPartitions(spark, fs,
+          resolvedBands(spark, cfg)._1),
         () => CorpusIngest.foldBatchPartitions(spark, fs, ivfPath(cfg),
           _.repartitionByRange(col("centroid_id"))
             .sortWithinPartitions(col("centroid_id")))))

@@ -44,6 +44,8 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "dedup_embedding_incremental", // same SRP hyperplane/dim broadcasts, both halves
     "registry_embedding_probe", // same SRP hyperplane/dim broadcasts, probe face
     "registry_embedding_probe_pairs", // same broadcasts, pair-evidence stage alone
+    "srp_band_health",        // same hyperplane/dim broadcasts + 1-row n_vecs anchor
+    "reband_probe",           // same SRP hyperplane/dim broadcasts, rebanded root
     "dedup_embedding_clusters",  // CC over the same SRP pair pipeline
     "f7_delete_suppression",  // 1-row max(ts) "now" anchor
     "j2_dup_count",           // 1-row time-window anchor

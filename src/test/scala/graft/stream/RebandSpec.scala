@@ -1,0 +1,190 @@
+package graft.stream
+
+import graft.SparkSpec
+import graft.ml.VectorOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * [[EmbeddingIngest.reband]] — re-signing the SRP near-dup index at a new
+ * width (the occupancy-constant discipline's maintenance op). The standing
+ * contract under test: the signature width is ROOT STATE carried by the
+ * width marker, so every face — index rows, batch signatures, probes,
+ * compaction folds — agrees on it at all times, across crashes.
+ *
+ * The oracle for every pin: the persisted vectors re-signed IN SESSION at
+ * the expected width ([[VectorOps.srpProbe]]) — a rebanded root must serve
+ * exactly what a direct computation over its accepted vectors serves.
+ */
+class RebandSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-reband").toString
+
+  private def fsOf(root: String) = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Deterministic dim-8 vectors; every `dupEvery`-th id an exact copy of
+    * (id − dupBack) — cos 1.0, a certain near-dup at any width. */
+  private def vecs(from: Long, n: Long, dupEvery: Int = 0,
+      dupBack: Long = 0L): DataFrame =
+    spark.range(from, from + n).select(col("id").as("vec_id"),
+      (if (dupEvery > 0)
+        when(pmod(col("id"), lit(dupEvery)) === 0, col("id") - dupBack)
+          .otherwise(col("id"))
+      else col("id")).as("seed"))
+      .withColumn("embedding", expr(
+        """transform(sequence(0, 7),
+          |  j -> cast((pmod(hash(seed * 8 + j), 2001) - 1000) / 1000.0
+          |            as float))""".stripMargin))
+      .drop("seed")
+
+  private def corpusVecs(cfg: EmbeddingIngest.IngestConfig): DataFrame =
+    spark.read.parquet(EmbeddingIngest.vecsPath(cfg))
+      .select(col("vec_id"), col("embedding"))
+
+  /** In-session truth at a given width: the persisted vectors re-signed
+    * directly, probed by the same batch. */
+  private def twinProbe(cfg: EmbeddingIngest.IngestConfig, batch: DataFrame,
+      bits: Int, bandBits: Int): Seq[(Long, Long)] = {
+    val got = VectorOps.srpProbe(corpusVecs(cfg), batch,
+        bits = bits, bandBits = bandBits, threshold = cfg.threshold)
+      .select(col("batch_id"), col("corpus_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    graft.Caching.releaseAll()
+    got
+  }
+
+  private def servedProbe(cfg: EmbeddingIngest.IngestConfig,
+      batch: DataFrame): Seq[(Long, Long)] = {
+    val got = EmbeddingIngest.probe(spark, cfg, batch)
+      .select(col("vec_id"), col("corpus_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    graft.Caching.releaseAll()
+    got
+  }
+
+  private def bandsDirs(root: String): Seq[String] = {
+    val fs = fsOf(root)
+    fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.matches("bands(_w\\d+x\\d+)?")).toSeq.sorted
+  }
+
+  test("reband re-signs the index; probes, post-reband ingest, replays, " +
+      "compact folds, and the sweep all honor the marker width") {
+    val root = tmpDir()
+    val cfg = EmbeddingIngest.IngestConfig("unused", root, "ck-reband1",
+      centroidMod = 5)
+    EmbeddingIngest.ingestBatch(spark, cfg, vecs(0L, 60L), 0L)
+    EmbeddingIngest.ingestBatch(spark, cfg, vecs(60L, 60L, 10, 60L), 1L)
+    val batch = vecs(200L, 30L, 5, 200L - 7L) // some exact copies of corpus ids
+    assert(servedProbe(cfg, batch) == twinProbe(cfg, batch, 16, 4),
+      "pre-reband probe diverged from the in-session 16/4 twin")
+
+    EmbeddingIngest.reband(spark, cfg, bits = 32, bandBits = 8)
+    val after = servedProbe(cfg, batch)
+    assert(after == twinProbe(cfg, batch, 32, 8),
+      "rebanded probe diverged from the in-session 32/8 twin")
+    assert(after.nonEmpty, "the exact-copy probes must still hit at 32/8")
+
+    // pre-hwm replay refuses: the rebanded table subsumed those batches
+    intercept[IllegalArgumentException] {
+      EmbeddingIngest.ingestBatch(spark, cfg, vecs(0L, 60L), 0L)
+    }
+    // a post-reband batch signs at the MARKER width: its exact copies of
+    // accepted corpus content must be rejected (a width mismatch would
+    // miss every candidate and silently accept them)
+    val before = corpusVecs(cfg).count()
+    val accepted = EmbeddingIngest.ingestBatch(spark, cfg,
+      vecs(300L, 30L, 3, 300L - 13L), 2L)
+    assert(accepted < 30L,
+      "planted exact copies were accepted — the batch was signed at a " +
+        "width other than the index's")
+    assert(corpusVecs(cfg).count() == before + accepted)
+    assert(servedProbe(cfg, batch) == twinProbe(cfg, batch, 32, 8),
+      "post-reband ingest broke the width agreement")
+
+    // compact folds the REBANDED directory and the serve is unchanged
+    EmbeddingIngest.compact(spark, cfg)
+    assert(servedProbe(cfg, batch) == twinProbe(cfg, batch, 32, 8),
+      "compact over a rebanded root changed the probe answer")
+    val folded = spark.read.parquet(s"$root/bands_w32x8")
+      .select(col("ingest_batch")).distinct().as[Long].collect().toSeq
+    assert(folded == Seq(-1L), s"rebanded bands not folded: $folded")
+
+    // sweep is deferred ONE cadence (see the reband crash contract): the
+    // second reband sweeps what the FIRST superseded (the legacy bands/),
+    // while its own predecessor survives until the next pass
+    EmbeddingIngest.reband(spark, cfg, bits = 48, bandBits = 12)
+    assert(bandsDirs(root) == Seq("bands_w32x8", "bands_w48x12"),
+      s"sweep cadence broken: ${bandsDirs(root)}")
+    assert(servedProbe(cfg, batch) == twinProbe(cfg, batch, 48, 12))
+    EmbeddingIngest.reband(spark, cfg, bits = 32, bandBits = 8)
+    assert(bandsDirs(root) == Seq("bands_w32x8", "bands_w48x12"),
+      s"sweep cadence broken after the third pass: ${bandsDirs(root)}")
+    assert(servedProbe(cfg, batch) == twinProbe(cfg, batch, 32, 8))
+    graft.Caching.releaseAll()
+  }
+
+  test("crash states: a stranded marker swap serves through .__old; a " +
+      "die-before-marker run leaves the old width serving; re-running " +
+      "reband is the repair") {
+    val root = tmpDir()
+    val cfg = EmbeddingIngest.IngestConfig("unused", root, "ck-reband2",
+      centroidMod = 5)
+    EmbeddingIngest.ingestBatch(spark, cfg, vecs(0L, 80L), 0L)
+    val batch = vecs(500L, 20L, 4, 500L - 3L)
+    EmbeddingIngest.reband(spark, cfg, bits = 32, bandBits = 8)
+
+    // stranded marker swap (died between the marker's two renames):
+    // readOrEmptyRO reads through .__old — still the committed new width
+    val fs = fsOf(root)
+    val mp = new org.apache.hadoop.fs.Path(EmbeddingIngest.bandWidthPath(cfg))
+    assert(fs.rename(mp, new org.apache.hadoop.fs.Path(mp.toString + ".__old")))
+    assert(servedProbe(cfg, batch) == twinProbe(cfg, batch, 32, 8),
+      "a stranded marker swap broke the probe")
+    // the next ingest rolls the marker back and stays coherent
+    EmbeddingIngest.ingestBatch(spark, cfg, vecs(600L, 20L), 1L)
+    assert(servedProbe(cfg, batch) == twinProbe(cfg, batch, 32, 8))
+
+    // die-before-marker: a new-width directory exists but the marker was
+    // never swapped — faces must keep serving the complete COMMITTED dir
+    val stray = VectorOps.srpIndex(corpusVecs(cfg), bits = 48, bandBits = 12)
+      ._1.select(col("vec_id"), col("band"), col("bv"),
+        lit(-1L).as("ingest_batch"))
+    stray.write.partitionBy("ingest_batch").parquet(s"$root/bands_w48x12")
+    assert(servedProbe(cfg, batch) == twinProbe(cfg, batch, 32, 8),
+      "an uncommitted reband directory leaked into the serve")
+    // re-running reband is the repair: it commits 48/12 (overwriting the
+    // stray uncommitted dir) and sweeps what the FIRST reband superseded
+    EmbeddingIngest.reband(spark, cfg, bits = 48, bandBits = 12)
+    assert(servedProbe(cfg, batch) == twinProbe(cfg, batch, 48, 12))
+    assert(bandsDirs(root) == Seq("bands_w32x8", "bands_w48x12"),
+      s"unexpected band dirs: ${bandsDirs(root)}")
+    graft.Caching.releaseAll()
+  }
+
+  test("widening restores occupancy: the band-health gauge drops " +
+      "cand_rows_per_vec after reband") {
+    val root = tmpDir()
+    // threshold 0.98: dim-8 random cosines clear 0.4 so often that a
+    // 400-vec batch would dedup to a handful of survivors — the health
+    // gauge needs the corpus actually IN the index
+    val cfg = EmbeddingIngest.IngestConfig("unused", root, "ck-reband3",
+      threshold = 0.98, centroidMod = 50)
+    EmbeddingIngest.ingestBatch(spark, cfg, vecs(0L, 400L), 0L)
+    def health(dir: String): (Long, Double) = {
+      val r = VectorOps.srpBandHealth(spark.read.parquet(dir)).collect().head
+      graft.Caching.releaseAll()
+      (r.getAs[Long]("n_buckets"), r.getAs[Double]("cand_rows_per_vec"))
+    }
+    val (b16, c16) = health(s"$root/bands")
+    EmbeddingIngest.reband(spark, cfg, bits = 32, bandBits = 8)
+    val (b32, c32) = health(s"$root/bands_w32x8")
+    assert(b32 > b16, s"wider bands must spread over more buckets: $b16 -> $b32")
+    assert(c32 < c16,
+      s"widening must cut the expected verify set: $c16 -> $c32")
+    graft.Caching.releaseAll()
+  }
+}
