@@ -294,6 +294,25 @@ object Bench {
     } finally { rmrf(root); Caching.releaseAll() }
   }
 
+  /** Timed REBAND of an embedding-ingest root — the occupancy repair
+    * (the SRP twin of [[benchEmbeddingRecluster]]'s drift repair): re-sign
+    * 2k accumulated vectors 16/4 → 32/8, swap the width marker. Fresh
+    * root per run so min-of-2 binds identical work. */
+  private def benchEmbeddingReband(spark: SparkSession, run: Int): Double = {
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-erb").toString
+    try {
+      val cfg = graft.stream.EmbeddingIngest.IngestConfig(
+        "unused", root, s"bench-rb-$run")
+      (0 until 2).foreach { b =>
+        graft.stream.EmbeddingIngest.ingestBatch(spark, cfg,
+          syntheticVecs(spark, b * 1000L, 1000L), b.toLong): Unit
+      }
+      val t0 = System.nanoTime()
+      graft.stream.EmbeddingIngest.reband(spark, cfg, bits = 32, bandBits = 8)
+      (System.nanoTime() - t0) / 1e9
+    } finally { rmrf(root); Caching.releaseAll() }
+  }
+
   /** Coarse-assignment cost at growing nlist — the two-level router's
     * reason to exist, measured head-to-head: the same 50k-vector corpus
     * assigns against nlist ≈200 (centroidMod 250, the small-nlist anchor)
@@ -643,6 +662,7 @@ object Bench {
         specialEntry("compact_registry")(benchRegistryCompact(spark, _)) ++
         specialEntry("compact_embedding")(benchEmbeddingCompact(spark, _)) ++
         specialEntry("recluster_embedding")(benchEmbeddingRecluster(spark, _)) ++
+        specialEntry("reband_embedding")(benchEmbeddingReband(spark, _)) ++
         // nlist-growth head-to-head: flat assignment cost scales with
         // nlist, hier with √nlist (centroid ids are multiples of
         // centroidMod, so metaMod must be a multiple of it: 700 → 71
