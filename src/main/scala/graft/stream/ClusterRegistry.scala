@@ -656,12 +656,26 @@ object EmbeddingClusterRegistry {
       checkpointDir: String,
       /** Cosine threshold of the near-dup verify ([[VectorOps.srpNearDupPairs]]). */
       threshold: Double = 0.4,
+      /** SRP signature width at root CREATION; after a [[reband]] the
+        * persisted width marker governs instead (width is root state). */
+      bits: Int = 16,
+      bandBits: Int = 4,
       maxFilesPerTrigger: Int = 20,
       lockStaleMs: Long = 30 * 60 * 1000L)
 
   private def bandsPath(cfg: RegistryConfig) = s"${cfg.root}/bands"
   private def vecsPath(cfg: RegistryConfig) = s"${cfg.root}/vecs"
   def ledgerPath(cfg: RegistryConfig): String = s"${cfg.root}/ledger"
+  def bandWidthPath(cfg: RegistryConfig): String = s"${cfg.root}/bandwidth"
+
+  /** (bands dir, bits, bandBits) through the width marker — see
+    * [[CorpusIngest.resolvedSrpBands]] and [[EmbeddingIngest.reband]]'s
+    * crash contract (shared structurally: the directory name ties rows to
+    * their width, the marker swap is the atomic commit). */
+  private def resolvedBands(spark: SparkSession,
+      cfg: RegistryConfig): (String, Int, Int) =
+    CorpusIngest.resolvedSrpBands(spark, cfg.root, bandsPath(cfg),
+      cfg.bits, cfg.bandBits)
 
   private val bandsDdl = "vec_id BIGINT, band INT, bv BIGINT, ingest_batch BIGINT"
   private val vecsDdl =
@@ -678,22 +692,25 @@ object EmbeddingClusterRegistry {
       batchLockOwner(cfg, batchId), cfg.lockStaleMs) { lock =>
     val fs = new org.apache.hadoop.fs.Path(cfg.root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(bandsPath(cfg), vecsPath(cfg), UnionFindTables.labelsPath(cfg.root),
+    Seq(vecsPath(cfg), bandWidthPath(cfg), UnionFindTables.labelsPath(cfg.root),
       UnionFindTables.mergesPath(cfg.root), ledgerPath(cfg))
       .foreach(CorpusIngest.rollbackIfStranded(fs, _))
+    val (bandsDir, wBits, wBb) = resolvedBands(spark, cfg)
+    CorpusIngest.rollbackIfStranded(fs, bandsDir)
     CorpusIngest.requireAboveCompactionHwm(fs, cfg.root, batchId)
     Caching.scope {
       def idx(path: String, ddl: String) =
         CorpusIngest.readOrEmpty(spark, path, ddl)
           .filter(col("ingest_batch") =!= batchId)
 
-      // ONE signature build feeds probe, self-pairs, and both appends
-      val (bb, bv) = VectorOps.srpIndex(batch)
+      // ONE signature build feeds probe, self-pairs, and both appends —
+      // signed at the ROOT's width (reband marker), never the cfg's
+      val (bb, bv) = VectorOps.srpIndex(batch, bits = wBits, bandBits = wBb)
       val batchBands = Caching.scoped(bb)
       val batchVecs = Caching.scoped(bv)
       // cached: read by both the increment and the ledger count
       val crossPairs = Caching.scoped(VectorOps.srpProbeIndexed(
-        idx(bandsPath(cfg), bandsDdl), idx(vecsPath(cfg), vecsDdl),
+        idx(bandsDir, bandsDdl), idx(vecsPath(cfg), vecsDdl),
         batchBands, batchVecs, cfg.threshold))
       val batchPairs = Caching.scoped(VectorOps.srpNearDupsIndexed(
         batchBands, batchVecs, cfg.threshold)
@@ -702,7 +719,7 @@ object EmbeddingClusterRegistry {
       val stamp = lit(batchId).as("ingest_batch")
       // independent directories over warm cached frames — overlap commits
       CorpusIngest.parallelAppends(Seq(
-        bandsPath(cfg) -> batchBands
+        bandsDir -> batchBands
           .select(col("vec_id"), col("band"), col("bv"), stamp),
         vecsPath(cfg) -> batchVecs
           .select(col("vec_id"), col("e"), col("n"), stamp)))
@@ -724,12 +741,13 @@ object EmbeddingClusterRegistry {
     * n_existing). */
   def probe(spark: SparkSession, cfg: RegistryConfig,
       batch: DataFrame): DataFrame = {
-    val (bb, bv) = VectorOps.srpIndex(batch)
+    val (bandsDir, wBits, wBb) = resolvedBands(spark, cfg)
+    val (bb, bv) = VectorOps.srpIndex(batch, bits = wBits, bandBits = wBb)
     val batchBands = Caching.scoped(bb)
     val batchVecs = Caching.scoped(bv)
     // cached like ingestBatch's pair frames (see ClusterRegistry.probe)
     val crossPairs = Caching.scoped(VectorOps.srpProbeIndexed(
-      CorpusIngest.readOrEmptyRO(spark, bandsPath(cfg), bandsDdl),
+      CorpusIngest.readOrEmptyRO(spark, bandsDir, bandsDdl),
       CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg), vecsDdl),
       batchBands, batchVecs, cfg.threshold))
     val batchPairs = Caching.scoped(VectorOps.srpNearDupsIndexed(
@@ -751,11 +769,12 @@ object EmbeddingClusterRegistry {
     * (VERDICT r11 item 2). Output canonicalized to (vec_a < vec_b, cos). */
   def probePairs(spark: SparkSession, cfg: RegistryConfig,
       batch: DataFrame): DataFrame = {
-    val (bb, bv) = VectorOps.srpIndex(batch)
+    val (bandsDir, wBits, wBb) = resolvedBands(spark, cfg)
+    val (bb, bv) = VectorOps.srpIndex(batch, bits = wBits, bandBits = wBb)
     val batchBands = Caching.scoped(bb)
     val batchVecs = Caching.scoped(bv)
     val crossPairs = VectorOps.srpProbeIndexed(
-      CorpusIngest.readOrEmptyRO(spark, bandsPath(cfg), bandsDdl),
+      CorpusIngest.readOrEmptyRO(spark, bandsDir, bandsDdl),
       CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg), vecsDdl),
       batchBands, batchVecs, cfg.threshold)
     val batchPairs = VectorOps.srpNearDupsIndexed(
@@ -813,10 +832,44 @@ object EmbeddingClusterRegistry {
       // disjoint directories — overlap on the bounded pool (see
       // [[ClusterRegistry.compact]])
       CorpusIngest.parallelUnits(
-        Seq(bandsPath(cfg), vecsPath(cfg))
+        Seq(resolvedBands(spark, cfg)._1, vecsPath(cfg))
           .map(dir => () => CorpusIngest.foldBatchPartitions(spark, fs, dir))
           :+ (() => UnionFindTables.compactLabels(spark, fs, cfg.root)))
     }
+
+  /** Re-sign the registry's SRP index at a new width — the registry twin
+    * of [[EmbeddingIngest.reband]] (same gauge, same marker commit, same
+    * crash contract; the persisted labels/merges are untouched — reband
+    * changes how FUTURE batches find pair evidence, never what was
+    * already labeled). The vectors are persisted (`vecs/`), so the
+    * re-sign is a pure function of root state. The TEXT registry has no
+    * such op by construction: it persists only the one-hash shingle sets,
+    * not the documents, so a MinHash re-sign needs the upstream corpus. */
+  def reband(spark: SparkSession, cfg: RegistryConfig, bits: Int,
+      bandBits: Int): Unit = IngestLock.withLock(spark, cfg.root,
+      s"emb-cluster-reband-${java.util.UUID.randomUUID()}",
+      cfg.lockStaleMs) { lock =>
+    val fs = new org.apache.hadoop.fs.Path(cfg.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(vecsPath(cfg), bandWidthPath(cfg), ledgerPath(cfg))
+      .foreach(CorpusIngest.rollbackIfStranded(fs, _))
+    CorpusIngest.sweepSupersededSrpBands(spark, fs, cfg.root,
+      resolvedBands(spark, cfg)._1)
+    CorpusIngest.markCompactionHwm(fs, cfg.root,
+      CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
+    val vecs = CorpusIngest.readOrEmpty(spark, vecsPath(cfg), vecsDdl)
+      .select(col("vec_id"), col("e").as("embedding"))
+    val (nb, _) = VectorOps.srpIndex(vecs, bits = bits, bandBits = bandBits)
+    IngestLock.heartbeat(spark, lock)
+    CorpusIngest.swapWrite(fs, s"${cfg.root}/bands_w${bits}x$bandBits",
+      nb.select(col("vec_id"), col("band"), col("bv"),
+        lit(-1L).as("ingest_batch")),
+      partitionCols = Seq("ingest_batch"))
+    IngestLock.heartbeat(spark, lock)
+    // the commit point: from here every face signs and reads at the new width
+    CorpusIngest.swapWrite(fs, bandWidthPath(cfg),
+      spark.createDataFrame(Seq((bits, bandBits))).toDF("bits", "band_bits"))
+  }
 
   /** Start the continuous labeling stream (AvailableNow). */
   def start(spark: SparkSession, cfg: RegistryConfig): StreamingQuery =

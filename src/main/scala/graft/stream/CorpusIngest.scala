@@ -155,6 +155,41 @@ object CorpusIngest {
     * belongs to the locked mutators; a probe racing a live compact's
     * two-rename swap window must not rename directories out from under it
     * (the rollback would make the compact's swap-in fail). */
+  /** Resolve (bands dir, bits, bandBits) from an SRP root's width marker —
+    * shared by the SRP-indexed roots ([[EmbeddingIngest]],
+    * [[EmbeddingClusterRegistry]]): reband re-signs the bands into a
+    * width-suffixed directory and swaps the 1-row marker as the atomic
+    * commit, so the directory NAME ties rows to their width and every
+    * face (appends, probes, folds) agrees on both through this resolver.
+    * See [[EmbeddingIngest.reband]] for the full crash contract. */
+  private[stream] def resolvedSrpBands(spark: SparkSession, root: String,
+      legacyDir: String, defBits: Int, defBandBits: Int): (String, Int, Int) =
+    readOrEmptyRO(spark, s"$root/bandwidth", "bits INT, band_bits INT")
+      .limit(1).collect().headOption match {
+      case Some(r) =>
+        val (b, bb) = (r.getInt(0), r.getInt(1))
+        (s"$root/bands_w${b}x$bb", b, bb)
+      case None => (legacyDir, defBits, defBandBits)
+    }
+
+  /** Delete band directories a prior reband superseded — called at the
+    * start of the NEXT reband, one maintenance cadence later, so a
+    * lock-free reader that resolved the pre-swap marker never loses its
+    * directory mid-scan (an absent bands dir reads as an EMPTY index —
+    * silently wrong). Matches exact band-directory names only. */
+  private[stream] def sweepSupersededSrpBands(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: String,
+      keepDir: String): Unit = {
+    val keep = new org.apache.hadoop.fs.Path(keepDir).getName
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootPath)) return
+    fs.listStatus(rootPath).foreach { st =>
+      val name = st.getPath.getName
+      if (name != keep && name.matches("bands(_w\\d+x\\d+)?"))
+        fs.delete(st.getPath, true): Unit
+    }
+  }
+
   private[stream] def readOrEmptyRO(spark: SparkSession, path: String,
       ddl: String): DataFrame = {
     def empty = graft.Frames.empty(spark, ddl)

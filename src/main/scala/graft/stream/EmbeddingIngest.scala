@@ -89,7 +89,6 @@ object EmbeddingIngest {
     * bands live in the width-suffixed directory; absent ⇒ the legacy
     * `bands/` at the cfg's creation width. */
   def bandWidthPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/bandwidth"
-  private val widthDdl = "bits INT, band_bits INT"
 
   /** Resolve (bands directory, bits, bandBits) for every SRP face: the
     * width is ROOT STATE, not configuration — a batch signed at a width
@@ -102,13 +101,8 @@ object EmbeddingIngest {
     * instead of with a stamp check). */
   private[stream] def resolvedBands(spark: SparkSession,
       cfg: IngestConfig): (String, Int, Int) =
-    CorpusIngest.readOrEmptyRO(spark, bandWidthPath(cfg), widthDdl)
-      .limit(1).collect().headOption match {
-      case Some(r) =>
-        val (b, bb) = (r.getInt(0), r.getInt(1))
-        (s"${cfg.corpusRoot}/bands_w${b}x$bb", b, bb)
-      case None => (bandsPath(cfg), cfg.bits, cfg.bandBits)
-    }
+    CorpusIngest.resolvedSrpBands(spark, cfg.corpusRoot, bandsPath(cfg),
+      cfg.bits, cfg.bandBits)
   def ledgerPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/ledger"
   /** Append-only IVF assignment rows (vec_id, centroid_id, ingest_batch). */
   def ivfPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/ivf"
@@ -929,7 +923,8 @@ object EmbeddingIngest {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(vecsPath(cfg), bandWidthPath(cfg), ledgerPath(cfg))
       .foreach(CorpusIngest.rollbackIfStranded(fs, _))
-    sweepSupersededBands(spark, fs, cfg)
+    CorpusIngest.sweepSupersededSrpBands(spark, fs, cfg.corpusRoot,
+      resolvedBands(spark, cfg)._1)
     CorpusIngest.markCompactionHwm(fs, cfg.corpusRoot,
       CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
     val vecs = CorpusIngest.readOrEmpty(spark, vecsPath(cfg), vecsDdl)
@@ -944,22 +939,6 @@ object EmbeddingIngest {
     // the commit point: from here every face signs and reads at the new width
     CorpusIngest.swapWrite(fs, bandWidthPath(cfg),
       spark.createDataFrame(Seq((bits, bandBits))).toDF("bits", "band_bits"))
-  }
-
-  /** Delete band directories a prior [[reband]] superseded — called at
-    * the start of the NEXT reband (one maintenance cadence later, see the
-    * crash contract above). Matches exact band-directory names only;
-    * in-flight `.__next`/`.__old` swap siblings are untouched. */
-  private def sweepSupersededBands(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, cfg: IngestConfig): Unit = {
-    val keep = new org.apache.hadoop.fs.Path(resolvedBands(spark, cfg)._1).getName
-    val root = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
-    if (!fs.exists(root)) return
-    fs.listStatus(root).foreach { st =>
-      val name = st.getPath.getName
-      if (name != keep && name.matches("bands(_w\\d+x\\d+)?"))
-        fs.delete(st.getPath, true): Unit
-    }
   }
 
   /** Remove the serving lists without exposing a partial table to the

@@ -165,6 +165,58 @@ class RebandSpec extends SparkSpec {
     graft.Caching.releaseAll()
   }
 
+  test("registry reband: labels are untouched, future evidence signs at " +
+      "the marker width, pre-hwm replays refuse") {
+    val root = tmpDir()
+    val cfg = EmbeddingClusterRegistry.RegistryConfig("unused", root,
+      "ck-regreband")
+    EmbeddingClusterRegistry.ingestBatch(spark, cfg, vecs(0L, 60L), 0L)
+    EmbeddingClusterRegistry.ingestBatch(spark, cfg,
+      vecs(60L, 60L, 10, 60L), 1L)
+    def labels(): Map[Long, Long] = {
+      val got = EmbeddingClusterRegistry.resolvedLabels(spark, cfg)
+        .as[(Long, Long)].collect().toMap
+      graft.Caching.releaseAll()
+      got
+    }
+    val lab0 = labels()
+    EmbeddingClusterRegistry.reband(spark, cfg, bits = 32, bandBits = 8)
+    assert(labels() == lab0,
+      "reband changed resolved labels — it must only re-sign the index")
+    // pair-evidence face signs at the marker width: ≡ the persisted
+    // vectors re-signed in session at 32/8, parity-split like the gate
+    val batch = vecs(500L, 30L, 5, 500L - 13L)
+    val served = EmbeddingClusterRegistry.probePairs(spark, cfg, batch)
+      .select(col("vec_a"), col("vec_b")).as[(Long, Long)]
+      .collect().toSeq.sorted
+    val corpus = spark.read.parquet(s"$root/vecs")
+      .select(col("vec_id"), col("e").as("embedding"))
+    val twin = (VectorOps.srpProbe(corpus, batch, bits = 32, bandBits = 8,
+        threshold = cfg.threshold)
+        .select(least(col("batch_id"), col("corpus_id")),
+          greatest(col("batch_id"), col("corpus_id")))
+        .as[(Long, Long)].collect().toSeq ++
+      VectorOps.srpNearDupPairs(batch, bits = 32, bandBits = 8,
+        threshold = cfg.threshold)
+        .select(col("vec_a"), col("vec_b")).as[(Long, Long)]
+        .collect().toSeq).sorted
+    graft.Caching.releaseAll()
+    assert(served == twin,
+      "rebanded registry probePairs diverged from the in-session 32/8 twin")
+    // a post-reband batch labels through new-width evidence: an exact
+    // copy must land in its original's cluster
+    intercept[IllegalArgumentException] {
+      EmbeddingClusterRegistry.ingestBatch(spark, cfg, vecs(0L, 60L), 0L)
+    }
+    EmbeddingClusterRegistry.ingestBatch(spark, cfg,
+      vecs(700L, 10L, 10, 700L - 5L), 2L) // id 700 copies id 5
+    val lab2 = labels()
+    assert(lab2(700L) == lab2(5L),
+      "a post-reband exact copy failed to join its original's cluster — " +
+        "the batch was signed at a width other than the index's")
+    graft.Caching.releaseAll()
+  }
+
   test("widening restores occupancy: the band-health gauge drops " +
       "cand_rows_per_vec after reband") {
     val root = tmpDir()
