@@ -327,6 +327,11 @@ object Multimodal {
     val (width, height, maxval) = (hdr._1(0), hdr._1(1), hdr._1(2))
     if (width <= 0 || height <= 0 || maxval != 255) return None
     val nPxL = width.toLong * height
+    // reject oversized images BEFORE any further size arithmetic: with
+    // nPxL bounded by Int.MaxValue, nSamplesL (×3) and the ASCII ×2
+    // bound below stay far from Long overflow — without this, hostile
+    // dims near 2^31 wrap nSamplesL*2 negative and slip the bounds
+    if (nPxL > Int.MaxValue) return None
     val nSamplesL = nPxL * channels
     if (raw) {
       // exactly ONE whitespace byte separates maxval from the sample

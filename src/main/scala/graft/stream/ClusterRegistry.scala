@@ -822,6 +822,10 @@ object EmbeddingClusterRegistry {
         cfg.lockStaleMs) { lock =>
       val fs = new org.apache.hadoop.fs.Path(cfg.root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // roll back a marker stranded mid-reband BEFORE resolving the bands
+      // dir (ADVICE r12) — see EmbeddingIngest.compact for the hazard
+      CorpusIngest.rollbackIfStranded(fs, bandWidthPath(cfg))
+      CorpusIngest.rollbackIfStranded(fs, resolvedBands(spark, cfg)._1)
       // audit BEFORE any fold: a failure must leave the state untouched
       UnionFindTables.auditNoOrphans(spark, cfg.root,
         CorpusIngest.readOrEmpty(spark, vecsPath(cfg), vecsDdl)
@@ -853,22 +857,28 @@ object EmbeddingClusterRegistry {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(vecsPath(cfg), bandWidthPath(cfg), ledgerPath(cfg))
       .foreach(CorpusIngest.rollbackIfStranded(fs, _))
-    CorpusIngest.sweepSupersededSrpBands(spark, fs, cfg.root,
-      resolvedBands(spark, cfg)._1)
-    CorpusIngest.markCompactionHwm(fs, cfg.root,
-      CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
-    val vecs = CorpusIngest.readOrEmpty(spark, vecsPath(cfg), vecsDdl)
-      .select(col("vec_id"), col("e").as("embedding"))
-    val (nb, _) = VectorOps.srpIndex(vecs, bits = bits, bandBits = bandBits)
-    IngestLock.heartbeat(spark, lock)
-    CorpusIngest.swapWrite(fs, s"${cfg.root}/bands_w${bits}x$bandBits",
-      nb.select(col("vec_id"), col("band"), col("bv"),
-        lit(-1L).as("ingest_batch")),
-      partitionCols = Seq("ingest_batch"))
-    IngestLock.heartbeat(spark, lock)
-    // the commit point: from here every face signs and reads at the new width
-    CorpusIngest.swapWrite(fs, bandWidthPath(cfg),
-      spark.createDataFrame(Seq((bits, bandBits))).toDF("bits", "band_bits"))
+    val (curDir, curBits, curBb) = resolvedBands(spark, cfg)
+    CorpusIngest.sweepSupersededSrpBands(spark, fs, cfg.root, curDir)
+    // no-op at the already-committed width (ADVICE r12) — see
+    // [[EmbeddingIngest.reband]]: re-running at the marker's width must
+    // not swapWrite the LIVE serving directory under lock-free probes
+    if (curBits != bits || curBb != bandBits) {
+      CorpusIngest.markCompactionHwm(fs, cfg.root,
+        CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
+      val vecs = CorpusIngest.readOrEmpty(spark, vecsPath(cfg), vecsDdl)
+        .select(col("vec_id"), col("e").as("embedding"))
+      val (nb, _) = VectorOps.srpIndex(vecs, bits = bits, bandBits = bandBits)
+      IngestLock.heartbeat(spark, lock)
+      CorpusIngest.swapWrite(fs, s"${cfg.root}/bands_w${bits}x$bandBits",
+        nb.select(col("vec_id"), col("band"), col("bv"),
+          lit(-1L).as("ingest_batch")),
+        partitionCols = Seq("ingest_batch"))
+      IngestLock.heartbeat(spark, lock)
+      // the commit point: from here every face signs and reads at the
+      // new width
+      CorpusIngest.swapWrite(fs, bandWidthPath(cfg),
+        spark.createDataFrame(Seq((bits, bandBits))).toDF("bits", "band_bits"))
+    }
   }
 
   /** Start the continuous labeling stream (AvailableNow). */

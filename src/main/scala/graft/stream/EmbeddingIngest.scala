@@ -923,22 +923,31 @@ object EmbeddingIngest {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(vecsPath(cfg), bandWidthPath(cfg), ledgerPath(cfg))
       .foreach(CorpusIngest.rollbackIfStranded(fs, _))
-    CorpusIngest.sweepSupersededSrpBands(spark, fs, cfg.corpusRoot,
-      resolvedBands(spark, cfg)._1)
-    CorpusIngest.markCompactionHwm(fs, cfg.corpusRoot,
-      CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
-    val vecs = CorpusIngest.readOrEmpty(spark, vecsPath(cfg), vecsDdl)
-      .select(col("vec_id"), col("embedding"))
-    val (nb, _) = VectorOps.srpIndex(vecs, bits = bits, bandBits = bandBits)
-    IngestLock.heartbeat(spark, lock)
-    CorpusIngest.swapWrite(fs, s"${cfg.corpusRoot}/bands_w${bits}x$bandBits",
-      nb.select(col("vec_id"), col("band"), col("bv"),
-        lit(-1L).as("ingest_batch")),
-      partitionCols = Seq("ingest_batch"))
-    IngestLock.heartbeat(spark, lock)
-    // the commit point: from here every face signs and reads at the new width
-    CorpusIngest.swapWrite(fs, bandWidthPath(cfg),
-      spark.createDataFrame(Seq((bits, bandBits))).toDF("bits", "band_bits"))
+    val (curDir, curBits, curBb) = resolvedBands(spark, cfg)
+    CorpusIngest.sweepSupersededSrpBands(spark, fs, cfg.corpusRoot, curDir)
+    // no-op at the already-committed width (ADVICE r12): "re-running
+    // reband completes" must NOT swapWrite the LIVE serving directory —
+    // between its swap-out and swap-in renames a lock-free probe that
+    // resolved the marker would read an absent dir as an EMPTY index.
+    // The marker already points at (bits, bandBits); the only remaining
+    // work — sweeping dirs a prior reband superseded — just ran above.
+    if (curBits != bits || curBb != bandBits) {
+      CorpusIngest.markCompactionHwm(fs, cfg.corpusRoot,
+        CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
+      val vecs = CorpusIngest.readOrEmpty(spark, vecsPath(cfg), vecsDdl)
+        .select(col("vec_id"), col("embedding"))
+      val (nb, _) = VectorOps.srpIndex(vecs, bits = bits, bandBits = bandBits)
+      IngestLock.heartbeat(spark, lock)
+      CorpusIngest.swapWrite(fs, s"${cfg.corpusRoot}/bands_w${bits}x$bandBits",
+        nb.select(col("vec_id"), col("band"), col("bv"),
+          lit(-1L).as("ingest_batch")),
+        partitionCols = Seq("ingest_batch"))
+      IngestLock.heartbeat(spark, lock)
+      // the commit point: from here every face signs and reads at the
+      // new width
+      CorpusIngest.swapWrite(fs, bandWidthPath(cfg),
+        spark.createDataFrame(Seq((bits, bandBits))).toDF("bits", "band_bits"))
+    }
   }
 
   /** Remove the serving lists without exposing a partial table to the
@@ -997,6 +1006,13 @@ object EmbeddingIngest {
         s"compact-${java.util.UUID.randomUUID()}", cfg.lockStaleMs) { lock =>
       val fs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a reband that died inside the marker swapWrite window leaves the
+      // width marker stranded at `.__old` — roll it back BEFORE the first
+      // resolvedBands call, or this fold resolves (and folds) the
+      // superseded pre-reband directory while the live rebanded one goes
+      // unfolded (ADVICE r12); same ordering as ingestBatch/reband
+      CorpusIngest.rollbackIfStranded(fs, bandWidthPath(cfg))
+      CorpusIngest.rollbackIfStranded(fs, resolvedBands(spark, cfg)._1)
       // high-water mark before the fold (see CorpusIngest.markCompactionHwm)
       val hwm = CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg))
       CorpusIngest.markCompactionHwm(fs, cfg.corpusRoot, hwm)

@@ -160,6 +160,16 @@ class MultimodalSpec extends SparkSpec {
     assert(decodePnm("P2\n2000000000 2000000000\n255\n 1".getBytes).isEmpty)
     assert(decodePnm("P6\n999999999999999999999 2\n255\n".getBytes).isEmpty,
       "header token overflowing Int must be refused")
+    // ADVICE r12: dims chosen so nSamplesL = 2^63-2 and nSamplesL*2 wraps
+    // to -4, slipping the ASCII ×2 bound into new Array[Int](-2) — the
+    // nPxL > Int.MaxValue guard must refuse before any size arithmetic
+    assert(decodePnm("P3\n2147483647 1431655766\n255\n 1 1 1\n".getBytes)
+      .isEmpty, "Long-wrapping ASCII sample count must be refused")
+    // raw twin: both dims near 2^31 wrap nSamplesL negative, which would
+    // slip the dataStart+nSamplesL truncation check and return a silently
+    // wrong 1-pixel image claiming 2^31-1 × 2^31-1 dimensions
+    assert(decodePnm("P6\n2147483647 2147483647\n255\n AAA".getBytes)
+      .isEmpty, "Long-wrapping raw sample count must be refused")
   }
 
   test("decodeImage routes by sniffed magic bytes") {

@@ -217,6 +217,94 @@ class RebandSpec extends SparkSpec {
     graft.Caching.releaseAll()
   }
 
+  test("re-running reband at the committed width is a no-op on the live " +
+      "directory (ADVICE r12) but still sweeps superseded dirs") {
+    val root = tmpDir()
+    val cfg = EmbeddingIngest.IngestConfig("unused", root, "ck-reband5",
+      centroidMod = 5)
+    EmbeddingIngest.ingestBatch(spark, cfg, vecs(0L, 60L), 0L)
+    val batch = vecs(500L, 20L, 4, 500L - 3L)
+    EmbeddingIngest.reband(spark, cfg, bits = 32, bandBits = 8)
+    // legacy bands/ superseded but not yet swept (one-cadence rule)
+    assert(bandsDirs(root) == Seq("bands", "bands_w32x8"))
+    val fs = fsOf(root)
+    def listing() = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/bands_w32x8/ingest_batch=-1"))
+      .map(st => (st.getPath.toString, st.getModificationTime)).toSeq.sorted
+    val before = listing()
+    // the hazard: a same-width re-run that swapWrites would tear the LIVE
+    // serving directory under lock-free probes — it must not touch it
+    EmbeddingIngest.reband(spark, cfg, bits = 32, bandBits = 8)
+    assert(listing() == before,
+      "same-width reband rewrote the live serving directory")
+    assert(bandsDirs(root) == Seq("bands_w32x8"),
+      "the no-op path must still sweep superseded directories")
+    assert(servedProbe(cfg, batch) == twinProbe(cfg, batch, 32, 8))
+    // registry twin of the same contract
+    val rroot = tmpDir()
+    val rcfg = EmbeddingClusterRegistry.RegistryConfig("unused", rroot,
+      "ck-reband5r")
+    EmbeddingClusterRegistry.ingestBatch(spark, rcfg, vecs(0L, 60L), 0L)
+    EmbeddingClusterRegistry.reband(spark, rcfg, bits = 32, bandBits = 8)
+    val rfs = fsOf(rroot)
+    def rlisting() = rfs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$rroot/bands_w32x8/ingest_batch=-1"))
+      .map(st => (st.getPath.toString, st.getModificationTime)).toSeq.sorted
+    val rbefore = rlisting()
+    EmbeddingClusterRegistry.reband(spark, rcfg, bits = 32, bandBits = 8)
+    assert(rlisting() == rbefore,
+      "same-width registry reband rewrote the live serving directory")
+    assert(bandsDirs(rroot) == Seq("bands_w32x8"))
+    graft.Caching.releaseAll()
+  }
+
+  test("compact under a stranded width marker folds the LIVE rebanded " +
+      "directory, not the superseded one (ADVICE r12)") {
+    val root = tmpDir()
+    val cfg = EmbeddingIngest.IngestConfig("unused", root, "ck-reband6",
+      centroidMod = 5)
+    EmbeddingIngest.ingestBatch(spark, cfg, vecs(0L, 60L), 0L)
+    val batch = vecs(500L, 20L, 4, 500L - 3L)
+    EmbeddingIngest.reband(spark, cfg, bits = 32, bandBits = 8)
+    val fs = fsOf(root)
+    // strand the marker mid-swap: absent dir, .__old present — without
+    // the rollback, compact resolves (and folds) the LEGACY bands/ while
+    // the live rebanded directory goes unfolded
+    val mp = new org.apache.hadoop.fs.Path(EmbeddingIngest.bandWidthPath(cfg))
+    assert(fs.rename(mp, new org.apache.hadoop.fs.Path(mp.toString + ".__old")))
+    EmbeddingIngest.compact(spark, cfg)
+    val folded = spark.read.parquet(s"$root/bands_w32x8")
+      .select(col("ingest_batch")).distinct().as[Long].collect().toSeq
+    assert(folded == Seq(-1L),
+      s"compact folded the wrong bands directory: live dir partitions $folded")
+    assert(servedProbe(cfg, batch) == twinProbe(cfg, batch, 32, 8),
+      "post-compact probe diverged after a stranded-marker compact")
+    // registry twin
+    val rroot = tmpDir()
+    val rcfg = EmbeddingClusterRegistry.RegistryConfig("unused", rroot,
+      "ck-reband6r")
+    EmbeddingClusterRegistry.ingestBatch(spark, rcfg, vecs(0L, 60L), 0L)
+    EmbeddingClusterRegistry.ingestBatch(spark, rcfg,
+      vecs(60L, 60L, 10, 60L), 1L)
+    EmbeddingClusterRegistry.reband(spark, rcfg, bits = 32, bandBits = 8)
+    val lab0 = EmbeddingClusterRegistry.resolvedLabels(spark, rcfg)
+      .as[(Long, Long)].collect().toMap
+    graft.Caching.releaseAll()
+    val rfs = fsOf(rroot)
+    val rmp = new org.apache.hadoop.fs.Path(
+      EmbeddingClusterRegistry.bandWidthPath(rcfg))
+    assert(rfs.rename(rmp,
+      new org.apache.hadoop.fs.Path(rmp.toString + ".__old")))
+    EmbeddingClusterRegistry.compact(spark, rcfg)
+    val rfolded = spark.read.parquet(s"$rroot/bands_w32x8")
+      .select(col("ingest_batch")).distinct().as[Long].collect().toSeq
+    assert(rfolded == Seq(-1L),
+      s"registry compact folded the wrong bands directory: $rfolded")
+    assert(EmbeddingClusterRegistry.resolvedLabels(spark, rcfg)
+      .as[(Long, Long)].collect().toMap == lab0)
+    graft.Caching.releaseAll()
+  }
+
   test("widening restores occupancy: the band-health gauge drops " +
       "cand_rows_per_vec after reband") {
     val root = tmpDir()
