@@ -380,14 +380,240 @@ object Multimodal {
   private def isPnmSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\r' || b == '\n'
 
+  // ---- PNG (ISO/IEC 15948, public spec) --------------------------------
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** Paeth predictor (PNG filter type 4): the neighbor — left, above, or
+    * upper-left — closest to the linear prediction a + b − c. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Decode an 8-bit-depth non-interlaced PNG (color types 0 gray, 2 RGB,
+    * 4 gray+alpha, 6 RGBA; alpha ignored for luminance — BT.601 exactly as
+    * [[decodeBmp]]) to top-down row-major luma via `java.util.zip.Inflater`:
+    * chunk walk with per-chunk CRC32 verification, multi-IDAT
+    * concatenation, and per-row unfiltering (types 0–4). `None` — never a
+    * crash — for anything else: bad signature/CRC, palette (type 3) or
+    * 16-bit images, Adam7 interlace, truncated or over-long IDAT streams,
+    * and hostile dimensions (refused BEFORE any allocation-sized
+    * arithmetic, the [[decodePnm]] discipline). */
+  def decodePng(payload: Array[Byte]): Option[DecodedImage] = {
+    if (payload.length < 8 + 25 + 12) return None
+    var i = 0
+    while (i < 8) { if (payload(i) != PngSig(i)) return None; i += 1 }
+    // IHDR must be the first chunk (length 13)
+    if (be32(payload, 8) != 13 || payload(12) != 'I' || payload(13) != 'H' ||
+        payload(14) != 'D' || payload(15) != 'R') return None
+    val width = be32(payload, 16)
+    val height = be32(payload, 20)
+    val bitDepth = payload(24) & 0xff
+    val colorType = payload(25) & 0xff
+    // compression 0 (deflate), filter method 0, interlace 0 (no Adam7)
+    if (width <= 0 || height <= 0 || bitDepth != 8 ||
+        payload(26) != 0 || payload(27) != 0 || payload(28) != 0) return None
+    val bpp = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => return None // palette (3) and anything exotic
+    }
+    val nPxL = width.toLong * height
+    if (nPxL > Int.MaxValue) return None
+    val rowBytesL = width.toLong * bpp + 1 // +1 filter byte per row
+    val rasterL = rowBytesL * height
+    if (rasterL > Int.MaxValue) return None
+    // chunk walk: 4-byte BE length, 4-byte type, data, 4-byte CRC over
+    // type+data — a mismatch anywhere refuses the whole payload
+    var pos = 8
+    var idatLen = 0L
+    val idatSpans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var sawEnd = false
+    while (!sawEnd) {
+      if (pos + 12 > payload.length) return None
+      val len = be32(payload, pos)
+      if (len < 0 || pos + 12L + len > payload.length) return None
+      val crc = new java.util.zip.CRC32
+      crc.update(payload, pos + 4, len + 4)
+      if (crc.getValue.toInt != be32(payload, pos + 8 + len)) return None
+      val t = new String(payload, pos + 4, 4, "US-ASCII")
+      t match {
+        case "IDAT" => idatSpans += ((pos + 8, len)); idatLen += len
+        case "IEND" => sawEnd = true
+        case "IHDR" if pos != 8 => return None // duplicate header
+        case _ => // ancillary chunks skipped
+      }
+      pos += 12 + len
+    }
+    if (idatLen == 0L || idatLen > payload.length) return None
+    val comp = new Array[Byte](idatLen.toInt)
+    var o = 0
+    idatSpans.foreach { case (off, len) =>
+      System.arraycopy(payload, off, comp, o, len); o += len
+    }
+    val raster = new Array[Byte](rasterL.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(comp)
+      var got = 0
+      var stalled = false
+      while (got < raster.length && !stalled) {
+        val n = inf.inflate(raster, got, raster.length - got)
+        got += n
+        if (n == 0 && (inf.finished() || inf.needsInput() ||
+            inf.needsDictionary())) stalled = true
+      }
+      if (got < raster.length) return None // truncated IDAT
+      // a stream decompressing to MORE than the declared raster is lying
+      // about its dimensions — refuse, don't silently crop
+      if (!inf.finished() && inf.inflate(new Array[Byte](1)) > 0) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    val rowBytes = rowBytesL.toInt - 1
+    val luma = new Array[Int](nPxL.toInt)
+    var cur = new Array[Int](rowBytes)
+    var prev = new Array[Int](rowBytes) // zeros: the spec's virtual row -1
+    var y = 0
+    while (y < height) {
+      val base = y * (rowBytes + 1)
+      val ft = raster(base) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < rowBytes) {
+        val raw = raster(base + 1 + x) & 0xff
+        val a = if (x >= bpp) cur(x - bpp) else 0
+        val b = prev(x)
+        val c = if (x >= bpp) prev(x - bpp) else 0
+        cur(x) = ft match {
+          case 0 => raw
+          case 1 => (raw + a) & 0xff
+          case 2 => (raw + b) & 0xff
+          case 3 => (raw + (a + b) / 2) & 0xff
+          case _ => (raw + paeth(a, b, c)) & 0xff
+        }
+        x += 1
+      }
+      var px = 0
+      while (px < width) {
+        val s = px * bpp
+        luma(y * width + px) =
+          if (bpp <= 2) cur(s) // gray / gray+alpha: sample 0 IS the luma
+          else (299 * cur(s) + 587 * cur(s + 1) + 114 * cur(s + 2)) / 1000
+        px += 1
+      }
+      val t = prev; prev = cur; cur = t
+      y += 1
+    }
+    Some(DecodedImage(width, height, luma))
+  }
+
+  /** Encode an 8-bit non-interlaced PNG at `colorType` (0/2/4/6 — gray
+    * types store the integer BT.601 luma of `rgb`; alpha channels store a
+    * deterministic NON-opaque value so a decode that mistakes alpha for a
+    * color sample breaks loudly). `rowFilter(y)` picks each row's filter
+    * type (0–4), defaulting to a rotation through all five so the
+    * encode → decode round-trip proves the unfilter math, not just
+    * filter-0 parsing; the IDAT stream is always split in two so
+    * multi-chunk concatenation is exercised. The fixture generator for
+    * the decode gate + specs, like [[encodeBmp24]]/[[encodePpm]]. */
+  def encodePng(width: Int, height: Int, rgb: (Int, Int) => (Int, Int, Int),
+      colorType: Int = 2, rowFilter: Int => Int = _ % 5): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions: $width x $height")
+    val bpp = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => throw new IllegalArgumentException(s"colorType $colorType")
+    }
+    val rowBytes = width * bpp
+    val raw = new Array[Byte]((rowBytes + 1) * height)
+    var cur = new Array[Int](rowBytes)
+    var prev = new Array[Int](rowBytes)
+    var y = 0
+    while (y < height) {
+      var px = 0
+      while (px < width) {
+        val (r, g, b) = rgb(px, y)
+        val s = px * bpp
+        if (bpp <= 2) cur(s) = (299 * r + 587 * g + 114 * b) / 1000
+        else { cur(s) = r; cur(s + 1) = g; cur(s + 2) = b }
+        if (colorType == 4 || colorType == 6)
+          cur(s + bpp - 1) = (px * 7 + y * 13) % 256
+        px += 1
+      }
+      val ft = rowFilter(y)
+      require(ft >= 0 && ft <= 4, s"bad filter type $ft")
+      val base = y * (rowBytes + 1)
+      raw(base) = ft.toByte
+      var x = 0
+      while (x < rowBytes) {
+        val a = if (x >= bpp) cur(x - bpp) else 0
+        val b = prev(x)
+        val c = if (x >= bpp) prev(x - bpp) else 0
+        val f = ft match {
+          case 0 => cur(x)
+          case 1 => cur(x) - a
+          case 2 => cur(x) - b
+          case 3 => cur(x) - (a + b) / 2
+          case _ => cur(x) - paeth(a, b, c)
+        }
+        raw(base + 1 + x) = (f & 0xff).toByte
+        x += 1
+      }
+      val t = prev; prev = cur; cur = t
+      y += 1
+    }
+    val cbos = new java.io.ByteArrayOutputStream()
+    val dos = new java.util.zip.DeflaterOutputStream(cbos)
+    dos.write(raw); dos.close()
+    val comp = cbos.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, PngSig.length)
+    def putBe32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      putBe32(data.length)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4); out.write(data, 0, data.length)
+      val c = new java.util.zip.CRC32
+      c.update(tb); c.update(data)
+      putBe32(c.getValue.toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    def ihdrBe32(off: Int, v: Int): Unit = {
+      ihdr(off) = ((v >>> 24) & 0xff).toByte
+      ihdr(off + 1) = ((v >>> 16) & 0xff).toByte
+      ihdr(off + 2) = ((v >>> 8) & 0xff).toByte
+      ihdr(off + 3) = (v & 0xff).toByte
+    }
+    ihdrBe32(0, width); ihdrBe32(4, height)
+    ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8; compr/filter/interlace 0
+    chunk("IHDR", ihdr)
+    val half = math.max(comp.length / 2, 1)
+    chunk("IDAT", comp.take(half))
+    if (comp.length > half) chunk("IDAT", comp.drop(half))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Route a media payload to its codec by sniffed magic bytes — 'BM' →
-    * [[decodeBmp]], 'P2|P3|P5|P6' → [[decodePnm]], anything else `None`:
-    * a mixed-format media column decodes per-row with no format column
-    * required. The single entry point [[decodeReport]]/[[phashDecoded]]
-    * read. */
+    * [[decodeBmp]], the 8-byte PNG signature → [[decodePng]],
+    * 'P2|P3|P5|P6' → [[decodePnm]], anything else `None`: a mixed-format
+    * media column decodes per-row with no format column required. The
+    * single entry point [[decodeReport]]/[[phashDecoded]] read. */
   def decodeImage(payload: Array[Byte]): Option[DecodedImage] =
     if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
       decodeBmp(payload)
+    else if (payload.length >= 4 && (payload(0) & 0xff) == 0x89 &&
+        payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G')
+      decodePng(payload)
     else decodePnm(payload)
 
   /** Encode top-down row-major RGB as raw (P6) PPM bytes. */
@@ -516,6 +742,14 @@ object Multimodal {
       val (r, g, b) = synthChannels(id)(x, y)
       (299 * r + 587 * g + 114 * b) / 1000
     })
+
+  /** [[synthBmp]]'s PNG twin: identical channels through the real
+    * deflate + filter + chunk machinery (colorType rotated by id across
+    * 0/2/4/6 so every supported sample layout reaches the gate), decoded
+    * luma again equal to the BMP's. */
+  def synthPng(id: Long, width: Int = 15, height: Int = 17): Array[Byte] =
+    encodePng(width, height, synthChannels(id),
+      colorType = Seq(0, 2, 4, 6)((id % 4).toInt))
 
   /** STUB decode + featurize for formats whose codecs are NOT in this
     * container: fold the payload bytes into a `dim`-bucket histogram

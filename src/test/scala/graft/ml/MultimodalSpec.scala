@@ -172,15 +172,86 @@ class MultimodalSpec extends SparkSpec {
       .isEmpty, "Long-wrapping raw sample count must be refused")
   }
 
+  test("PNG codec: every color type and every row filter round-trips to " +
+      "the BMP twin's exact luma, through real deflate + chunk CRCs") {
+    val w = 15; val h = 17 // odd width: per-row byte counts not 4-aligned
+    def ch(x: Int, y: Int) =
+      ((x * 31 + y * 7) % 256, (x * 13 + y * 101) % 256, (255 - x * 11 + y) % 256)
+    val want = decodeBmp(encodeBmp24(w, h, ch)).get.luma.toSeq
+    val gray = (for (y <- 0 until h; x <- 0 until w) yield {
+      val (r, g, b) = ch(x, y); (299 * r + 587 * g + 114 * b) / 1000
+    }).toSeq
+    for (ct <- Seq(0, 2, 4, 6)) {
+      val got = decodePng(encodePng(w, h, ch, colorType = ct))
+        .getOrElse(fail(s"colorType $ct failed to decode"))
+      assert(got.width == w && got.height == h)
+      assert(got.luma.toSeq == (if (ct == 0 || ct == 4) gray else want),
+        s"colorType $ct luma mismatch")
+    }
+    // each filter type in isolation (the default rotation could mask a
+    // bug in one filter with a compensating bug in another)
+    for (ft <- 0 to 4) {
+      val got = decodePng(encodePng(w, h, ch, rowFilter = _ => ft))
+        .getOrElse(fail(s"filter $ft failed to decode"))
+      assert(got.luma.toSeq == want, s"filter $ft luma mismatch")
+    }
+  }
+
+  test("PNG codec: bad CRC, truncated IDAT, hostile dims, palette, " +
+      "interlace, 16-bit depth, and a lying raster length decode to None") {
+    val ok = encodePng(6, 5, (x, y) => (x * 20, y * 40, 128))
+    assert(decodePng(ok).nonEmpty)
+    // flip one byte inside the first IDAT's data: the chunk CRC must refuse
+    def chunkOffset(b: Array[Byte], typ: String): Int = {
+      var pos = 8
+      while (!(new String(b, pos + 4, 4, "US-ASCII") == typ)) {
+        pos += 12 + (((b(pos) & 0xff) << 24) | ((b(pos + 1) & 0xff) << 16) |
+          ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff))
+      }
+      pos
+    }
+    val idat = chunkOffset(ok, "IDAT")
+    val flipped = ok.clone(); flipped(idat + 8) = (flipped(idat + 8) ^ 0x41).toByte
+    assert(decodePng(flipped).isEmpty, "a corrupted IDAT byte must fail CRC")
+    // truncation anywhere: header, mid-chunk, before IEND
+    for (keep <- Seq(7, 20, idat + 6, ok.length - 1))
+      assert(decodePng(ok.take(keep)).isEmpty, s"truncated at $keep")
+    // rewrite IHDR fields and re-sign the CRC (a well-formed but hostile
+    // header — the CRC gate must not be the only defense)
+    def withIhdr(mut: Array[Byte] => Unit): Array[Byte] = {
+      val b = ok.clone(); mut(b)
+      val c = new java.util.zip.CRC32; c.update(b, 12, 17)
+      val v = c.getValue.toInt
+      b(29) = ((v >>> 24) & 0xff).toByte; b(30) = ((v >>> 16) & 0xff).toByte
+      b(31) = ((v >>> 8) & 0xff).toByte; b(32) = (v & 0xff).toByte
+      b
+    }
+    assert(decodePng(withIhdr(b => { b(16) = 0x40; b(20) = 0x40 })).isEmpty,
+      "2^30 x 2^30 dims must be refused before allocation")
+    assert(decodePng(withIhdr(_(25) = 3)).isEmpty, "palette refused")
+    assert(decodePng(withIhdr(_(28) = 1)).isEmpty, "Adam7 refused")
+    assert(decodePng(withIhdr(_(24) = 16)).isEmpty, "16-bit depth refused")
+    // declared dims smaller than the compressed raster: the stream
+    // decompresses to MORE than width*height rows — a lying header
+    assert(decodePng(withIhdr(_(23) = 2)).isEmpty,
+      "an over-long IDAT stream must be refused, not silently cropped")
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    assert(decodePng(sig ++ Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("decodeImage routes by sniffed magic bytes") {
     val w = 4; val h = 2
     def ch(x: Int, y: Int) = (x * 30, y * 80 + 5, 200 - x * 20)
     val bmp = encodeBmp24(w, h, ch)
     val ppm = encodePpm(w, h, ch)
+    val png = encodePng(w, h, ch)
     assert(decodeImage(bmp).get.luma.toSeq == decodeBmp(bmp).get.luma.toSeq)
     assert(decodeImage(ppm).get.luma.toSeq == decodePnm(ppm).get.luma.toSeq)
+    assert(decodeImage(png).get.luma.toSeq == decodePng(png).get.luma.toSeq)
     assert(decodeImage(bmp).get.luma.toSeq == decodeImage(ppm).get.luma.toSeq,
-      "the two routed formats of one image must agree")
+      "the routed formats of one image must agree")
+    assert(decodeImage(bmp).get.luma.toSeq == decodeImage(png).get.luma.toSeq,
+      "the PNG twin of one image must agree with its BMP")
     assert(decodeImage("neither a bitmap nor a pixmap".getBytes).isEmpty)
     assert(decodeImage(Array.emptyByteArray).isEmpty)
   }
