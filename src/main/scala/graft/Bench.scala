@@ -590,6 +590,33 @@ object Bench {
     def storageBytes(): Long =
       spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
 
+    // reference bands, loaded BEFORE the timed passes so the special
+    // entries (whose fixtures are torn down at block end) can adjudicate
+    // a breach IN PLACE — see the suspects machinery below (VERDICT r12
+    // item 1). BENCH_BANDS.json (repo root, regenerated from a clean
+    // run's BENCH_DETAIL.json by tools/update_bands.py) holds per-query
+    // reference seconds.
+    val bandRe = """"([^"]+)"\s*:\s*([0-9.eE+\-]+)""".r
+    val bands: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_BANDS.json")), "UTF-8")
+        // the regex-not-a-parser shortcut is only sound while the file is a
+        // FLAT name→number map (the update_bands.py contract); a nested
+        // object or metadata field would be silently absorbed as bands, so
+        // refuse any structure beyond the single top-level brace (ADVICE r10)
+        require(txt.count(_ == '{') == 1 && txt.count(_ == '}') == 1,
+          "BENCH_BANDS.json is not a flat name-to-number map")
+        bandRe.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case e: Throwable =>
+        // a missing/corrupt bands file silently disabling the adjudication
+        // would make a degraded run look adjudication-clean — say so
+        System.err.println(s"[bench] BENCH_BANDS.json unreadable, outlier " +
+          s"adjudication disabled: ${e.getMessage}")
+        Map.empty
+      }
+    def breaches(v: Double, b: Double): Boolean = v > b * 1.5 && v - b > 0.3
+
     var errors = Map.empty[String, String]
     var gcByQuery = Map.empty[String, Double]
     var storageByQuery = Map.empty[String, Long]
@@ -631,26 +658,35 @@ object Bench {
       name -> winner._1
     }
 
-    // the JDBC sink path, timed like every query (min of two runs, each
-    // against a FRESH in-memory Derby so both runs bind identical work)
-    val sinkName = "sink_jdbc_apply_mutable"
-    val sinkResults =
-      if (!only.forall(_.contains(sinkName))) Seq.empty
-      else try Seq(sinkName -> (1 to 2).map(benchJdbcSink(spark, _)).min)
-      catch { case e: Throwable =>
-        errors += sinkName -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        Seq(sinkName -> 0.0)
-      }
-    // streaming ingest throughput (VERDICT r8 item 4): the two ingest paths
-    // — min-of-2 like every entry, each run against a FRESH corpus root so
-    // both runs bind identical work (the Derby-sink protocol)
+    // streaming ingest throughput (VERDICT r8 item 4) and every other
+    // fixture-backed entry — min-of-2 like every query, each run against
+    // a FRESH root (or replaying idempotent work on a shared one, the
+    // maint-curve protocol) so both runs bind identical work.
+    // IN-PLACE adjudication (VERDICT r12 item 1): the end-of-suite rerun
+    // pass can only re-run registered queries — a special's fixture is
+    // torn down by then — so a special whose min-of-2 breaches its band
+    // re-runs HERE, two more attempts while the fixture is alive, and the
+    // recorded/rerun/band triple lands in the suspects block like any
+    // query's. r12's two largest deviations (maint_recluster_embedding_1x
+    // at 11.1× band, assign_flat_nlist5000 at 7.0×) carried no evidence
+    // at all; this closes that hole.
+    val specialAdj =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Double)]
     def specialEntry(name: String)(f: Int => Double): Seq[(String, Double)] =
       if (!only.forall(_.contains(name))) Seq.empty
-      else try Seq(name -> (1 to 2).map(f).min)
-      catch { case e: Throwable =>
+      else try {
+        val v = (1 to 2).map(f).min
+        bands.get(name).filter(breaches(v, _)).foreach { b =>
+          val rr = try (3 to 4).map(f).min catch { case _: Throwable => -1.0 }
+          specialAdj += ((name, v, rr, b))
+        }
+        Seq(name -> v)
+      } catch { case e: Throwable =>
         errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         Seq(name -> 0.0)
       }
+    // the JDBC sink path: a fresh in-memory Derby per run
+    val sinkResults = specialEntry("sink_jdbc_apply_mutable")(benchJdbcSink(spark, _))
     val ingestResults =
       specialEntry("ingest_corpus_batch")(benchCorpusIngest(spark, _)) ++
         specialEntry("ingest_embedding_batch")(benchEmbeddingIngest(spark, _)) ++
@@ -694,7 +730,7 @@ object Bench {
     // what keeps the 100× retrain corpus × O(√nlist).
     val maintNames = Seq("1x", "10x", "100x").flatMap(t => Seq(
       s"maint_ingest_embedding_$t", s"maint_compact_embedding_$t",
-      s"maint_recluster_embedding_$t"))
+      s"maint_recluster_embedding_$t", s"maint_reband_embedding_$t"))
     var maintResults = Seq.empty[(String, Double)]
     if (maintNames.exists(n => only.forall(_.contains(n)))) {
       val mroot = java.nio.file.Files.createTempDirectory("graft-bench-maint").toString
@@ -718,7 +754,7 @@ object Bench {
             ("10x", "m10", 10000L, 160, 32, 8),
             ("100x", "m100", 100000L, 1600, 48, 12))
           .flatMap { case (tag, d, n, pqm, bits, bb) =>
-            val wanted = Seq("ingest", "compact", "recluster")
+            val wanted = Seq("ingest", "compact", "recluster", "reband")
               .map(op => s"maint_${op}_embedding_$tag")
             if (!wanted.exists(w => only.forall(_.contains(w)))) Seq.empty
             else {
@@ -743,6 +779,22 @@ object Bench {
               graft.stream.EmbeddingIngest.recluster(spark, cfg)
               val dt = (System.nanoTime() - t0) / 1e9
               Caching.releaseAll(); dt
+            } ++
+            // the reband curve point (the builder's r12 deferred item):
+            // one linear re-sign pass over the accumulated root at ≈ the
+            // policy's next width. Runs ALTERNATE between bb+3 and bb+2 —
+            // consecutive same-width calls would hit the no-op guard and
+            // time nothing; alternating widths each re-sign the whole
+            // root at a width within 1 band-bit of the other, so min-of-2
+            // still binds ≈ identical work. Timed LAST in the tag group:
+            // the earlier entries must see the fixture's own width.
+            specialEntry(s"maint_reband_embedding_$tag") { i =>
+              val nbb = bb + 2 + (i % 2)
+              val t0 = System.nanoTime()
+              graft.stream.EmbeddingIngest.reband(spark, cfg,
+                bits = 4 * nbb, bandBits = nbb)
+              val dt = (System.nanoTime() - t0) / 1e9
+              Caching.releaseAll(); dt
             }
             }
           }
@@ -756,6 +808,7 @@ object Bench {
     var recall100Json = ""
     val serveNames = Seq("serve_bm25_1x", "serve_bm25_10x", "serve_bm25_100x",
       "serve_ivf_1x", "serve_ivf_10x", "serve_ivf_100x",
+      "serve_ivf_hier_100x_mp2", "serve_ivf_hier_100x_mp3",
       "serve_hybrid_1x", "serve_hybrid_10x", "serve_hybrid_100x",
       "serve_registry_lookup_1x", "serve_registry_lookup_10x",
       "serve_registry_lookup_100x", "serve_registry_stats_1x",
@@ -859,7 +912,15 @@ object Bench {
             recall100Json =
               f""","ann_recall_100x":{"ivf":$rFlat%.3f,"ivf_hier":$rHier%.3f""" +
                 f""","ivf_hier_mp3":$rHier3%.3f,"floor":0.8}"""
-            Seq.empty[(String, Double)]
+            // the metaProbe serve-cost delta, timed beside the recall it
+            // buys (VERDICT r12 item 7): mp3 is now the served default —
+            // these two entries keep the cost of that decision (≈ +50%
+            // candidate buckets on the hier leg, which is itself ~7×
+            // cheaper than flat at this nlist) in the artifact
+            timeServe("serve_ivf_hier_100x_mp2") { () =>
+              graft.stream.EmbeddingIngest.search(spark, hierCfg(2), probes) } ++
+            timeServe("serve_ivf_hier_100x_mp3") { () =>
+              graft.stream.EmbeddingIngest.search(spark, hierCfg(3), probes) }
           } ++
           // the RRF fusion over BOTH persisted legs (VERDICT r10 item 2):
           // the ingredient faces are flat above — this pins that the
@@ -898,9 +959,23 @@ object Bench {
       } finally rmrf(sroot)
     }
     val serveMap = serveResults.toMap
+    // flatness inputs use the best-ADJUDICATED value (VERDICT r12 item 1):
+    // a ratio computed from a band-breaching recorded time is a nonsense
+    // number (r12 published recluster_ratio 0.19 off an 11×-inflated 1×
+    // denominator). After the in-place adjudication above,
+    // min(recorded, rerun) is the best estimate of an entry's true cost
+    // this window; any input STILL breaching its band after that is
+    // flagged by name beside the ratios it feeds.
+    val specialRerun: Map[String, Double] =
+      specialAdj.collect { case (n, _, rr, _) if rr > 0 => n -> rr }.toMap
+    def bestOf(name: String, recorded: Double): Double =
+      math.min(recorded, specialRerun.getOrElse(name, Double.MaxValue))
+    def stillDegraded(m: Map[String, Double], names: Seq[String]): Seq[String] =
+      names.filter(n => m.get(n).exists(v =>
+        bands.get(n).exists(breaches(bestOf(n, v), _))))
     def serveRatio(one: String, ten: String): Option[Double] =
       for (a <- serveMap.get(one); b <- serveMap.get(ten))
-        yield b / math.max(a, 1e-3)
+        yield bestOf(ten, b) / math.max(bestOf(one, a), 1e-3)
 
     val results =
       queryResults ++ sinkResults ++ ingestResults ++ maintResults ++ serveResults
@@ -908,38 +983,21 @@ object Bench {
     val ioPost = ioProbeMbps()
 
     // ---- outlier self-adjudication against the committed band (VERDICT
-    // r9 item 1). BENCH_BANDS.json (repo root, regenerated from a clean
-    // run's BENCH_DETAIL.json by tools/update_bands.py) holds per-query
-    // reference seconds. Every recorded time >= 1.5x its band with >= 0.3 s
-    // absolute excess re-runs at the END of the suite under the same
-    // min-of-2 protocol, and BOTH numbers land in the artifact — a run
-    // that hit a degraded-IO window carries its own adjudication instead
-    // of needing ledger forensics. Only registered queries re-run (the
-    // special ingest/serve fixtures are torn down by now).
-    val bandRe = """"([^"]+)"\s*:\s*([0-9.eE+\-]+)""".r
-    val bands: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_BANDS.json")), "UTF-8")
-        // the regex-not-a-parser shortcut is only sound while the file is a
-        // FLAT name→number map (the update_bands.py contract); a nested
-        // object or metadata field would be silently absorbed as bands, so
-        // refuse any structure beyond the single top-level brace (ADVICE r10)
-        require(txt.count(_ == '{') == 1 && txt.count(_ == '}') == 1,
-          "BENCH_BANDS.json is not a flat name-to-number map")
-        bandRe.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case e: Throwable =>
-        // a missing/corrupt bands file silently disabling the adjudication
-        // would make a degraded run look adjudication-clean — say so
-        System.err.println(s"[bench] BENCH_BANDS.json unreadable, outlier " +
-          s"adjudication disabled: ${e.getMessage}")
-        Map.empty
-      }
+    // r9 item 1; bands loaded above, before the timed passes). Every
+    // recorded time >= 1.5x its band with >= 0.3 s absolute excess re-runs
+    // at the END of the suite under the same min-of-2 protocol, and BOTH
+    // numbers land in the artifact — a run that hit a degraded-IO window
+    // carries its own adjudication instead of needing ledger forensics.
+    // Registered queries re-run here; the specials already adjudicated
+    // in place (specialAdj). Candidates sort by ABSOLUTE excess seconds,
+    // not ratio (VERDICT r12): under the 8-suspect cap, a 1.4-s entry at
+    // 3x band must not crowd out a 20-s entry at 1.6x — the big absolute
+    // offenders are what distort the total being certified.
     val queryFns = ordered.toMap
     val adjudicated = queryResults
       .filter { case (n, v) => queryFns.contains(n) &&
-        bands.get(n).exists(b => v > b * 1.5 && v - b > 0.3) }
-      .sortBy { case (n, v) => -(v / bands(n)) }
+        bands.get(n).exists(breaches(v, _)) }
+      .sortBy { case (n, v) => -(v - bands(n)) }
       .take(8)
       .map { case (name, recorded) =>
         // a rerun attempt that THROWS must not record its short failure
@@ -997,9 +1055,10 @@ object Bench {
       else s""","prime_mbps":[${ioPrime.map(fmt(_, 1)).mkString(",")}]"""
     val ioJson =
       s""","io_probe":{"pre_mbps":${fmt(ioPre, 1)},"post_mbps":${fmt(ioPost, 1)}$primeJson$ioMidJson}"""
+    val allSuspects = adjudicated ++ specialAdj
     val suspectsJson =
-      if (adjudicated.isEmpty) ""
-      else adjudicated.map { case (n, rec, rr, b) =>
+      if (allSuspects.isEmpty) ""
+      else allSuspects.map { case (n, rec, rr, b) =>
         "\"" + esc(n) + "\":{\"recorded\":" + fmt(rec, 2) +
           ",\"rerun\":" + fmt(rr, 2) + ",\"band\":" + fmt(b, 2) + "}"
       }.mkString(""","suspects":{""", ",", "}")
@@ -1034,9 +1093,14 @@ object Bench {
             .map(r => s""","registry_lookup_100x_ratio":${fmt(r, 2)}""").getOrElse("")
           val rs100 = serveRatio("serve_registry_stats_1x", "serve_registry_stats_100x")
             .map(r => s""","registry_stats_100x_ratio":${fmt(r, 2)}""").getOrElse("")
+          val degraded = stillDegraded(serveMap, serveNames)
+          val degJson =
+            if (degraded.isEmpty) ""
+            else degraded.map("\"" + esc(_) + "\"")
+              .mkString(""","degraded_inputs":[""", ",", "]")
           s""","serve_flatness":{"bm25_ratio":${fmt(bm, 2)}$bm100""" +
             s""","ivf_ratio":${fmt(iv, 2)}$iv100$hy$hy100$rg$rg100$rs100""" +
-            s""","corpus_ratio":10,"corpus_ratio_100x":100}"""
+            s""","corpus_ratio":10,"corpus_ratio_100x":100$degJson}"""
         case _ => ""
       }
     // the maintenance cost curves, summarized as ratios next to the raw
@@ -1047,7 +1111,7 @@ object Bench {
     val maintMap = maintResults.toMap
     def maintRatio(a: String, b: String): Option[Double] =
       for (x <- maintMap.get(a); y <- maintMap.get(b))
-        yield y / math.max(x, 1e-3)
+        yield bestOf(b, y) / math.max(bestOf(a, x), 1e-3)
     val maintJson = {
       val parts = Seq(
         "ingest_ratio" -> maintRatio("maint_ingest_embedding_1x", "maint_ingest_embedding_10x"),
@@ -1055,11 +1119,22 @@ object Bench {
         "compact_ratio" -> maintRatio("maint_compact_embedding_1x", "maint_compact_embedding_10x"),
         "compact_100x_ratio" -> maintRatio("maint_compact_embedding_1x", "maint_compact_embedding_100x"),
         "recluster_ratio" -> maintRatio("maint_recluster_embedding_1x", "maint_recluster_embedding_10x"),
-        "recluster_100x_ratio" -> maintRatio("maint_recluster_embedding_1x", "maint_recluster_embedding_100x"))
+        "recluster_100x_ratio" -> maintRatio("maint_recluster_embedding_1x", "maint_recluster_embedding_100x"),
+        // reband is one linear re-sign pass over the root, and under the
+        // occupancy-constant policy the signature also WIDENS with the
+        // corpus — expected ratio ≈ root ratio × width ratio (10× root at
+        // 40/16 bits ⇒ ≈25, 100× at 56/16 ⇒ ≈350 vs naive 100/1000)
+        "reband_ratio" -> maintRatio("maint_reband_embedding_1x", "maint_reband_embedding_10x"),
+        "reband_100x_ratio" -> maintRatio("maint_reband_embedding_1x", "maint_reband_embedding_100x"))
         .collect { case (k, Some(r)) => s""""$k":${fmt(r, 2)}""" }
+      val degraded = stillDegraded(maintMap, maintNames)
+      val degJson =
+        if (degraded.isEmpty) ""
+        else degraded.map("\"" + esc(_) + "\"")
+          .mkString(""","degraded_inputs":[""", ",", "]")
       if (parts.isEmpty) ""
       else s""","maint_flatness":{${parts.mkString(",")}""" +
-        s""","root_ratio":10,"root_ratio_100x":100}"""
+        s""","root_ratio":10,"root_ratio_100x":100$degJson}"""
     }
     val instrJson =
       s""","gc_total_sec":${fmt(gcTotal, 1)},"storage_peak_mb":$storagePeakMb""" +

@@ -632,6 +632,46 @@ object VectorOps {
           .as("cand_rows_per_vec"))
   }
 
+  /** The occupancy constant the reband policy holds: expected candidate
+    * rows PER BAND a corpus-distributed probe generates (the
+    * [[srpBandHealth]] gauge's `cand_rows_per_vec / n_bands`). 64 is the
+    * maintenance fixture's operating point — its 1×/10×/100× discipline
+    * (4-band signatures at 4/8/12 bits) runs at ≈24–62 expected rows per
+    * band, where the r12 cost curves measured ~1× flat ingest; the
+    * measured FAILURE regime (4.3× ingest at 100× under constant 4-bit
+    * bands) sits at ≈6250. */
+  val SrpTargetCandPerBand: Double = 64.0
+
+  /** The reband decision (VERDICT r12 item 4): turn the [[srpBandHealth]]
+    * gauge into the width to re-sign at, or `None` while the index is
+    * healthy. Fires when the measured per-band candidate load exceeds
+    * `fireAt` × `target` — 4× the operating point, well below the
+    * measured 4.3×-cost failure regime but far enough above steady state
+    * that corpus growth, not noise, is the only thing that can trip it.
+    * The plan keeps the band COUNT (`bits / bandBits` — each band is an
+    * independent recall chance, so dropping bands would trade recall for
+    * cost) and widens each band by ceil(log2(load / target)) bits — the
+    * uniform-hash projection that brings the load back to ≤ target —
+    * capped so the signature still fits one Long. Skew-robust because the
+    * input is the MEASURED Σocc²/n, not a uniform n/2^bandBits estimate.
+    * Pass the result straight to `reband` (both SRP roots); re-running at
+    * an already-committed width is a no-op there, so a scheduler may call
+    * gauge → plan → reband unconditionally at every maintenance cadence. */
+  def srpRebandPlan(health: DataFrame, bits: Int, bandBits: Int,
+      target: Double = SrpTargetCandPerBand,
+      fireAt: Double = 4.0): Option[(Int, Int)] = {
+    val r = health.select(col("cand_rows_per_vec")).limit(1).collect()
+    if (r.isEmpty || r.head.isNullAt(0)) return None // empty index: healthy
+    val nBands = math.max(bits / bandBits, 1)
+    val perBand = r.head.getDouble(0) / nBands
+    if (!(perBand > fireAt * target)) return None
+    val widen = math.ceil(math.log(perBand / target) / math.log(2.0)).toInt
+    // one Long holds the signature: nBands * newBandBits <= 63
+    val newBandBits = math.min(bandBits + math.max(widen, 1), 63 / nBands)
+    if (newBandBits <= bandBits) None // already at the Long-width ceiling
+    else Some((nBands * newBandBits, newBandBits))
+  }
+
   /** Probe a batch against a persisted SRP index: candidates from the
     * batch-bands ⋈ index-bands equi-join on (band, band-code), exact-cosine
     * verified against the index's stored vectors — cost proportional to the

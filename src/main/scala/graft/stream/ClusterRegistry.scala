@@ -881,6 +881,25 @@ object EmbeddingClusterRegistry {
     }
   }
 
+  /** The wired reband policy — the registry twin of
+    * [[EmbeddingIngest.rebandIfNeeded]]: gauge → [[VectorOps.srpRebandPlan]]
+    * → [[reband]] when it fires; safe to call unconditionally at every
+    * maintenance cadence. Returns the width rebanded to, None when
+    * healthy. */
+  def rebandIfNeeded(spark: SparkSession,
+      cfg: RegistryConfig): Option[(Int, Int)] = {
+    val fs = new org.apache.hadoop.fs.Path(cfg.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CorpusIngest.rollbackIfStranded(fs, bandWidthPath(cfg))
+    val (dir, bits, bb) = resolvedBands(spark, cfg)
+    CorpusIngest.rollbackIfStranded(fs, dir)
+    val plan = VectorOps.srpRebandPlan(
+      VectorOps.srpBandHealth(CorpusIngest.readOrEmpty(spark, dir, bandsDdl)),
+      bits, bb)
+    plan.foreach { case (nb, nbb) => reband(spark, cfg, nb, nbb) }
+    plan
+  }
+
   /** Start the continuous labeling stream (AvailableNow). */
   def start(spark: SparkSession, cfg: RegistryConfig): StreamingQuery =
     spark.readStream

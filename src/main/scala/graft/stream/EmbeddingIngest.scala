@@ -79,8 +79,15 @@ object EmbeddingIngest {
         * ingest must share the cfg, like every other field here. */
       hierNlist: Long = Long.MaxValue,
       /** Metas probed per query when the hierarchical router is active
-        * (the recall compensation for cross-meta neighbors). */
-      metaProbe: Int = 2)
+        * (the recall compensation for cross-meta neighbors). Default 3 —
+        * the decided operating point (VERDICT r12 item 7): at the 100×
+        * serve scale the r12 recall gauge measured 0.813 at metaProbe 2
+        * (1.6% above the 0.80 floor) vs 0.875 at 3, and the third meta
+        * costs ≈ +50% candidate buckets on a leg that is itself ~7×
+        * cheaper than flat assignment at that nlist — the margin is worth
+        * the spend (the `serve_ivf_hier_100x_mp2/_mp3` bench entries keep
+        * the delta measured). */
+      metaProbe: Int = 3)
 
   def vecsPath(cfg: IngestConfig): String = s"${cfg.corpusRoot}/vecs"
   private def bandsPath(cfg: IngestConfig) = s"${cfg.corpusRoot}/bands"
@@ -948,6 +955,28 @@ object EmbeddingIngest {
       CorpusIngest.swapWrite(fs, bandWidthPath(cfg),
         spark.createDataFrame(Seq((bits, bandBits))).toDF("bits", "band_bits"))
     }
+  }
+
+  /** The wired reband policy (VERDICT r12 item 4): gauge the serving
+    * bands ([[VectorOps.srpBandHealth]]), derive the width the occupancy
+    * constant calls for ([[VectorOps.srpRebandPlan]] — fires at 4× the
+    * 64-rows-per-band operating point, well below the measured
+    * 4.3×-ingest-cost failure regime), and run [[reband]] when it fires.
+    * Safe on every maintenance cadence: a healthy index returns None and
+    * nothing runs; the same-width no-op in reband makes double-fires
+    * harmless. Returns the width rebanded to, None when healthy. */
+  def rebandIfNeeded(spark: SparkSession, cfg: IngestConfig): Option[(Int, Int)] = {
+    val fs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CorpusIngest.rollbackIfStranded(fs, bandWidthPath(cfg))
+    val (dir, bits, bb) = resolvedBands(spark, cfg)
+    CorpusIngest.rollbackIfStranded(fs, dir)
+    val plan = VectorOps.srpRebandPlan(
+      VectorOps.srpBandHealth(CorpusIngest.readOrEmpty(spark, dir,
+        "vec_id BIGINT, band INT, bv BIGINT, ingest_batch BIGINT")),
+      bits, bb)
+    plan.foreach { case (nb, nbb) => reband(spark, cfg, nb, nbb) }
+    plan
   }
 
   /** Remove the serving lists without exposing a partial table to the

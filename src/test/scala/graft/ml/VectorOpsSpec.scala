@@ -316,6 +316,39 @@ class VectorOpsSpec extends SparkSpec {
     assert(c0.head > 0.9 && c0(1) < 0.2, s"x centroid did not converge: $c0")
   }
 
+  test("srpRebandPlan fires at the documented threshold and not below, " +
+      "widens to the occupancy target, and respects the Long-width cap") {
+    // exact-occupancy fixture: nBands bands, bv = vec_id % buckets gives
+    // n/buckets rows per bucket, so cand_rows_per_vec = nBands·n/buckets
+    // and perBand load = n/buckets EXACTLY — no SRP randomness in the pin
+    def bandsOf(n: Long, nBands: Int, buckets: Int) =
+      spark.range(n).select(col("id").as("vec_id"))
+        .crossJoin(spark.range(nBands).select(col("id").cast("int").as("band")))
+        .select(col("vec_id"), col("band"), pmod(col("vec_id"), lit(buckets))
+          .cast("long").as("bv"))
+    def plan(n: Long, buckets: Int, bits: Int = 16, bandBits: Int = 4) =
+      VectorOps.srpRebandPlan(
+        VectorOps.srpBandHealth(bandsOf(n, bits / bandBits, buckets)),
+        bits, bandBits)
+    // fire threshold = 4 × 64 = 256 rows/band, strict: AT the threshold
+    // stays healthy, one bucket-width above fires
+    assert(plan(4096L, 16).isEmpty, "perBand = 256 must NOT fire (strict >)")
+    assert(plan(4160L, 16).contains((28, 7)),
+      "perBand = 260 must widen by ceil(log2(260/64)) = 3 bits per band")
+    // the widened width projects back to <= target: 260 / 2^3 = 32.5
+    // deep overload widens further in one step: perBand = 4096 -> +6 bits
+    assert(plan(65536L, 16).contains((40, 10)))
+    // healthy index, empty index: no plan
+    assert(plan(1024L, 16).isEmpty, "perBand = 64 is the operating point")
+    assert(VectorOps.srpRebandPlan(VectorOps.srpBandHealth(
+      bandsOf(0L, 4, 16)), 16, 4).isEmpty)
+    // Long-width cap: 4 bands at 15 bits is the ceiling (4×16 > 63) —
+    // an overloaded index that cannot widen reports healthy-by-ceiling
+    assert(plan(8192L, 16, bits = 60, bandBits = 15).isEmpty,
+      "at the Long-width ceiling the plan must refuse, not overflow")
+    graft.Caching.releaseAll()
+  }
+
   test("semanticDedup drops higher-id near-copies, keeps dissimilar vectors") {
     // one centroid (id 0 % 25 == 0) → one cluster; 1 and 2 are near-copies
     // of 0 (dropped: 0 is the lowest id of the similar group); 3 is

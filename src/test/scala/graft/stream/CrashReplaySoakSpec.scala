@@ -313,6 +313,97 @@ class CrashReplaySoakSpec extends SparkSpec {
       EmbeddingIngest.ingestBatch(spark, cfgV, vecBatch(4), 4L)
       assert(search().nonEmpty)
       assert(hybrid().nonEmpty)
+
+      // --- reband leg (VERDICT r12 item 3): re-sign both SRP roots ---
+      // wider mid-soak — stray-dir (die-before-marker), stranded marker
+      // swap, compact under the stranded marker, pre-reband replays, the
+      // deferred sweep — with the dedup probe pinned to the in-session
+      // width twin and the serve faces pinned unchanged at every step
+      def corpusV() = spark.read.parquet(EmbeddingIngest.vecsPath(cfgV))
+        .select(col("vec_id"), col("embedding"))
+      val pBatch = vecs(900L, 20L, 4, 900L - 3L)
+      def twinV(bits: Int, bb: Int): Seq[(Long, Long)] = {
+        val got = graft.ml.VectorOps.srpProbe(corpusV(), pBatch,
+            bits = bits, bandBits = bb, threshold = cfgV.threshold)
+          .select(col("batch_id"), col("corpus_id"))
+          .as[(Long, Long)].collect().toSeq.sorted
+        graft.Caching.releaseAll(); got
+      }
+      def probeV(): Seq[(Long, Long)] = {
+        val got = EmbeddingIngest.probe(spark, cfgV, pBatch)
+          .select(col("vec_id"), col("corpus_id"))
+          .as[(Long, Long)].collect().toSeq.sorted
+        graft.Caching.releaseAll(); got
+      }
+      def bandsDirs(root: String): Seq[String] =
+        fsOf(root).listStatus(new org.apache.hadoop.fs.Path(root))
+          .map(_.getPath.getName).filter(_.matches("bands(_w\\d+x\\d+)?"))
+          .toSeq.sorted
+      assert(probeV() == twinV(16, 4), "pre-reband probe diverged from twin")
+      // die-before-marker: a stray new-width dir must not leak anywhere
+      graft.ml.VectorOps.srpIndex(corpusV(), bits = 32, bandBits = 8)._1
+        .select(col("vec_id"), col("band"), col("bv"),
+          lit(-1L).as("ingest_batch"))
+        .write.partitionBy("ingest_batch")
+        .parquet(s"${cfgV.corpusRoot}/bands_w32x8")
+      assert(probeV() == twinV(16, 4), "an uncommitted reband dir leaked")
+      val sPre = search(); val hPre = hybrid()
+      val labPre = resolvedE(cfgE)
+      // the repair doubles as the reband: both roots, shuffled order
+      rnd.shuffle(Seq[() => Unit](
+        () => EmbeddingIngest.reband(spark, cfgV, bits = 32, bandBits = 8),
+        () => EmbeddingClusterRegistry.reband(spark, cfgE, bits = 32,
+          bandBits = 8))).foreach(_())
+      assert(probeV() == twinV(32, 8), "post-reband probe off the marker width")
+      assert(resolvedE(cfgE) == labPre, "reband changed resolved labels")
+      assert(statsE(cfgE) == statsOf(labPre), "reband changed the stats serve")
+      assert(search() == sPre, "reband changed the ANN serve")
+      assert(hybrid() == hPre, "reband changed the filtered hybrid serve")
+      // stranded marker swaps: every face reads through .__old
+      strand(cfgV.corpusRoot, EmbeddingIngest.bandWidthPath(cfgV))
+      strand(cfgE.root, EmbeddingClusterRegistry.bandWidthPath(cfgE))
+      assert(probeV() == twinV(32, 8), "a stranded marker broke the probe")
+      assert(resolvedE(cfgE) == labPre)
+      // compact under the stranded marker must fold the LIVE rebanded
+      // dir, not the superseded legacy one (the ADVICE r12 rollback)
+      EmbeddingIngest.compact(spark, cfgV)
+      EmbeddingClusterRegistry.compact(spark, cfgE)
+      assert(probeV() == twinV(32, 8), "compact-after-strand broke the probe")
+      assert(search() == sPre, "compact after reband changed the ANN serve")
+      assert(statsE(cfgE) == statsOf(labPre))
+      // pre-reband replays refuse: the reband marked the hwm
+      intercept[IllegalArgumentException] {
+        EmbeddingIngest.ingestBatch(spark, cfgV, vecBatch(4), 4L)
+      }
+      intercept[IllegalArgumentException] {
+        EmbeddingClusterRegistry.ingestBatch(spark, cfgE, vecBatch(3), 3L)
+      }
+      // post-reband ingest signs at the marker width: planted exact
+      // copies of corpus content must be rejected (a width mismatch
+      // would miss every candidate and silently accept them)
+      val nBefore = corpusV().count()
+      val acc = EmbeddingIngest.ingestBatch(spark, cfgV,
+        vecs(1200L, 30L, 3, 1200L - 13L), 5L)
+      assert(acc < 30L, "post-reband copies were accepted — width mismatch")
+      assert(corpusV().count() == nBefore + acc)
+      assert(probeV() == twinV(32, 8), "post-reband ingest broke the width")
+      // a post-reband exact copy labels into its original's cluster
+      EmbeddingClusterRegistry.ingestBatch(spark, cfgE,
+        vecs(1500L, 10L, 10, 1500L - 5L), 4L)
+      val labPost = resolvedE(cfgE)
+      assert(labPost(1500L) == labPost(5L),
+        "a post-reband copy missed its original's cluster")
+      // the deferred sweep: the legacy dir survived the first reband (a
+      // lock-free reader may still hold it); the SECOND reband sweeps it
+      // while committing the next width, and serves stay coherent
+      assert(bandsDirs(cfgV.corpusRoot).contains("bands"),
+        "the sweep ran a cadence early — a lock-free reader could lose its dir")
+      EmbeddingIngest.reband(spark, cfgV, bits = 48, bandBits = 12)
+      assert(bandsDirs(cfgV.corpusRoot) == Seq("bands_w32x8", "bands_w48x12"),
+        s"sweep cadence broken: ${bandsDirs(cfgV.corpusRoot)}")
+      assert(probeV() == twinV(48, 12), "the second reband broke the probe")
+      assert(search().nonEmpty)
+      assert(hybrid().nonEmpty)
       graft.Caching.releaseAll()
     }
 }

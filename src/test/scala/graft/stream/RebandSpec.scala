@@ -305,6 +305,38 @@ class RebandSpec extends SparkSpec {
     graft.Caching.releaseAll()
   }
 
+  test("rebandIfNeeded: an overloaded index fires the policy and rebands; " +
+      "the rebanded (and any healthy) index returns None") {
+    val root = tmpDir()
+    // threshold 0.98 so random dim-8 vectors pass the dedup gate; 5000
+    // vecs over 16-bucket 4-bit bands is ≈312 expected rows/band — above
+    // the 4×64 fire line by construction, below it after any widening
+    val cfg = EmbeddingIngest.IngestConfig("unused", root, "ck-reband7",
+      threshold = 0.98, centroidMod = 50)
+    EmbeddingIngest.ingestBatch(spark, cfg, vecs(0L, 5000L), 0L)
+    val fired = EmbeddingIngest.rebandIfNeeded(spark, cfg)
+    assert(fired.nonEmpty, "a 312-rows-per-band index must fire the policy")
+    val (nb, nbb) = fired.get
+    assert(nbb > 4 && nb == (16 / 4) * nbb,
+      s"the plan must widen bands and keep the band count: $fired")
+    // the reband actually committed: marker resolves the new width and
+    // the probe serves the in-session twin at it
+    val batch = vecs(9000L, 20L, 4, 9000L - 3L)
+    assert(servedProbe(cfg, batch) == twinProbe(cfg, batch, nb, nbb),
+      "rebandIfNeeded fired but the served width is not the plan's")
+    assert(EmbeddingIngest.rebandIfNeeded(spark, cfg).isEmpty,
+      "the just-rebanded index must gauge healthy")
+    // registry twin
+    val rroot = tmpDir()
+    val rcfg = EmbeddingClusterRegistry.RegistryConfig("unused", rroot,
+      "ck-reband7r")
+    EmbeddingClusterRegistry.ingestBatch(spark, rcfg, vecs(0L, 5000L), 0L)
+    val rfired = EmbeddingClusterRegistry.rebandIfNeeded(spark, rcfg)
+    assert(rfired.nonEmpty, "the overloaded registry index must fire")
+    assert(EmbeddingClusterRegistry.rebandIfNeeded(spark, rcfg).isEmpty)
+    graft.Caching.releaseAll()
+  }
+
   test("widening restores occupancy: the band-health gauge drops " +
       "cand_rows_per_vec after reband") {
     val root = tmpDir()
