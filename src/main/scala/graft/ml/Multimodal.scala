@@ -751,6 +751,156 @@ object Multimodal {
     encodePng(width, height, synthChannels(id),
       colorType = Seq(0, 2, 4, 6)((id % 4).toInt))
 
+  // ---- RIFF/WAVE PCM (the audio twin of the image codecs) --------------
+
+  /** Decoded audio: rate/channel metadata plus the MONO sample stream —
+    * stereo is downmixed per frame as `(l + r) >> 1` (arithmetic shift =
+    * floor division, the convention an SQL replay reproduces with `//`).
+    * 8-bit samples (unsigned per the format) are centered to `v − 128`. */
+  final case class DecodedAudio(sampleRate: Int, channels: Int,
+      samples: Array[Int])
+
+  /** Decode a RIFF/WAVE payload holding integer PCM (format 1; 16-bit
+    * little-endian signed or 8-bit unsigned; mono or stereo) to the mono
+    * sample stream: RIFF chunk walk (even-padded sizes), `fmt ` before
+    * `data`, size arithmetic in Long, and the same never-crash-the-batch
+    * contract as [[decodeBmp]] — float/compressed formats, other widths,
+    * >2 channels, truncated or hostile chunk sizes all decode to None. */
+  def decodeWav(payload: Array[Byte]): Option[DecodedAudio] = {
+    if (payload.length < 44 || payload(0) != 'R' || payload(1) != 'I' ||
+        payload(2) != 'F' || payload(3) != 'F' || payload(8) != 'W' ||
+        payload(9) != 'A' || payload(10) != 'V' || payload(11) != 'E')
+      return None
+    var pos = 12L
+    var fmt: Option[(Int, Int, Int, Int)] = None // (channels, rate, block, bits)
+    while (pos + 8 <= payload.length) {
+      val p = pos.toInt
+      val id = new String(payload, p, 4, "US-ASCII")
+      val size = le32(payload, p + 4).toLong & 0xffffffffL
+      val body = pos + 8
+      if (body + size > payload.length) return None // lying chunk size
+      if (id == "fmt ") {
+        if (size < 16) return None
+        val b = body.toInt
+        val audioFormat = le16(payload, b)
+        val channels = le16(payload, b + 2)
+        val rate = le32(payload, b + 4)
+        val block = le16(payload, b + 12)
+        val bits = le16(payload, b + 14)
+        if (audioFormat != 1 || channels < 1 || channels > 2 || rate <= 0 ||
+            (bits != 16 && bits != 8) || block != channels * (bits / 8))
+          return None
+        fmt = Some((channels, rate, block, bits))
+      } else if (id == "data") {
+        val (channels, rate, block, bits) = fmt match {
+          case Some(f) => f
+          case None => return None // data before fmt: refuse, don't guess
+        }
+        val nFrames = size / block // payload-bounded, fits an Int
+        val out = new Array[Int](nFrames.toInt)
+        val base = body.toInt
+        def sample(off: Int): Int =
+          if (bits == 16) (payload(off) & 0xff) | (payload(off + 1) << 8)
+          else (payload(off) & 0xff) - 128
+        var i = 0
+        while (i < out.length) {
+          val f = base + i * block
+          out(i) =
+            if (channels == 1) sample(f)
+            else (sample(f) + sample(f + bits / 8)) >> 1
+          i += 1
+        }
+        return Some(DecodedAudio(rate, channels, out))
+      }
+      pos = body + size + (size & 1L) // chunks are even-padded
+    }
+    None // no data chunk reached
+  }
+
+  /** Encode integer PCM as a RIFF/WAVE payload — the fixture generator
+    * for the decode gate + specs ([[encodeBmp24]]'s role for audio).
+    * `frames(i)` supplies the per-channel samples of frame i (16-bit
+    * signed range for bits=16; 0–255 for bits=8). */
+  def encodeWav(sampleRate: Int, channels: Int, nFrames: Int,
+      frames: Int => Seq[Int], bits: Int = 16): Array[Byte] = {
+    require(channels >= 1 && channels <= 2 && (bits == 16 || bits == 8),
+      s"channels=$channels bits=$bits")
+    val block = channels * (bits / 8)
+    val dataSize = nFrames * block
+    val out = new Array[Byte](44 + dataSize)
+    def putLE16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putLE32(off: Int, v: Int): Unit = {
+      putLE16(off, v & 0xffff); putLE16(off + 2, (v >>> 16) & 0xffff)
+    }
+    def putTag(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) => out(off + i) = b }
+    putTag(0, "RIFF"); putLE32(4, 36 + dataSize); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLE32(16, 16); putLE16(20, 1); putLE16(22, channels)
+    putLE32(24, sampleRate); putLE32(28, sampleRate * block)
+    putLE16(32, block); putLE16(34, bits)
+    putTag(36, "data"); putLE32(40, dataSize)
+    var i = 0
+    while (i < nFrames) {
+      val fs = frames(i)
+      var c = 0
+      while (c < channels) {
+        val off = 44 + i * block + c * (bits / 8)
+        if (bits == 16) putLE16(off, fs(c) & 0xffff)
+        else out(off) = (fs(c) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Per-payload audio-decode report — the oracle-gated face of the WAV
+    * path ([[decodeReport]]'s audio twin): exact integer aggregates over
+    * the decoded mono stream. `pos_checksum` = Σ (i+1)·s(i) pins the
+    * POSITIONAL mapping (an interleave, downmix, or endianness bug
+    * shifts it); `zero_crossings` counts sign flips (negative ↔
+    * non-negative between consecutive samples). Undecodable payloads are
+    * skipped, never crash the batch. */
+  final case class AudioDecoded(doc_id: Long, sample_rate: Long,
+      n_samples: Long, sum_abs: Long, pos_checksum: Long, peak: Long,
+      zero_crossings: Long)
+
+  def audioReport(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): Dataset[AudioDecoded] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWav(r.payload).map { a =>
+          var sumAbs = 0L; var pos = 0L; var peak = 0L; var zc = 0L
+          var i = 0
+          while (i < a.samples.length) {
+            val s = a.samples(i)
+            sumAbs += math.abs(s).toLong
+            pos += (i + 1).toLong * s
+            peak = math.max(peak, math.abs(s).toLong)
+            if (i > 0 && (a.samples(i - 1) < 0) != (s < 0)) zc += 1
+            i += 1
+          }
+          AudioDecoded(r.doc_id, a.sampleRate.toLong, a.samples.length.toLong,
+            sumAbs, pos, peak, zc)
+        }
+      }
+    }
+  }
+
+  /** Deterministic WAV fixture: frame i's per-channel samples are
+    * small-prime affine maps of (id, i, channel) over the full signed
+    * 16-bit range — trivially replayable by an SQL oracle ([[synthBmp]]'s
+    * role for audio). doc_id routes mono/stereo so the stereo downmix is
+    * exercised at the gate, not dodged. */
+  def synthWav(id: Long, nFrames: Int = 256): Array[Byte] = {
+    val channels = if (id % 2 == 0) 1 else 2
+    encodeWav(8000, channels, nFrames, i => (0 until channels).map(c =>
+      ((id * 131 + i.toLong * 37 + c * 4099) % 65536L).toInt - 32768))
+  }
+
   /** STUB decode + featurize for formats whose codecs are NOT in this
     * container: fold the payload bytes into a `dim`-bucket histogram
     * normalized by length. Deterministic, so tests can pin it; a real

@@ -435,6 +435,24 @@ object LlmWorkload {
         }))).toDF()
   }
 
+  /** The REAL audio-decode path at the gate — [[multimodalDecode]]'s WAV
+    * twin: per doc a deterministic 256-frame PCM clip is generated from
+    * its id (small-prime affine sample maps over the full signed 16-bit
+    * range, doc_id-routed mono/stereo so the stereo downmix is
+    * exercised), encoded to real RIFF/WAVE bytes, then DECODED back
+    * ([[Multimodal.decodeWav]]) and reduced to exact integer sample
+    * aggregates ([[Multimodal.audioReport]]). The oracle replays
+    * generate → aggregate arithmetically — header walk, interleave,
+    * endianness, and downmix correctness are exactly the difference
+    * being hashed. */
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    Multimodal.audioReport(
+      Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id, Multimodal.synthWav(id)))).toDF()
+  }
+
   def dedupEmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
     VectorOps.embeddingNearDupPairs(Tables(spark, dir, "embeddings"))
 
@@ -1484,6 +1502,7 @@ object LlmWorkload {
     "ann_topk_filtered" -> annTopkFiltered,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_decode" -> multimodalDecode,
+    "multimodal_audio" -> multimodalAudio,
     "dedup_embedding_pairs" -> dedupEmbeddingPairs,
     "dedup_embedding_srp_pairs" -> dedupEmbeddingSrpPairs,
     "dedup_embedding_incremental" -> dedupEmbeddingIncremental,
@@ -3374,6 +3393,36 @@ object LlmWorkload {
         |  FROM lum)
         |SELECT a.doc_id, CAST(15 AS BIGINT) AS width, CAST(17 AS BIGINT) AS height,
         |  a.n_pixels, a.sum_luma, a.pos_checksum, p.phash
-        |FROM agg a JOIN ph p USING (doc_id)""".stripMargin
+        |FROM agg a JOIN ph p USING (doc_id)""".stripMargin,
+    // audio-decode replay (multimodal_decode's WAV twin): the oracle
+    // computes generate -> aggregate arithmetically over the small-prime
+    // PCM sample maps (mono for even doc_ids; stereo downmix =
+    // floor((l + r) / 2), the decoder's arithmetic-shift semantics); the
+    // Spark side ran generate -> ENCODE to RIFF/WAVE bytes -> DECODE ->
+    // aggregate, so header walk, interleave, endianness, and downmix
+    // correctness are exactly the difference being hashed
+    "multimodal_audio" ->
+      """WITH smp AS (
+        |  SELECT d.doc_id, i.i,
+        |    CASE WHEN d.doc_id % 2 = 0
+        |      THEN ((d.doc_id * 131 + i.i * 37) % 65536) - 32768
+        |      ELSE CAST(floor((
+        |        (((d.doc_id * 131 + i.i * 37) % 65536) - 32768) +
+        |        (((d.doc_id * 131 + i.i * 37 + 4099) % 65536) - 32768)) / 2.0)
+        |        AS BIGINT)
+        |    END AS s
+        |  FROM documents d, (SELECT unnest(range(0, 256)) AS i) i),
+        |lagd AS (
+        |  SELECT doc_id, i, s,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM smp)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+        |  CAST(sum((i + 1) * s) AS BIGINT) AS pos_checksum,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) != (s < 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM lagd GROUP BY doc_id""".stripMargin
   )
 }

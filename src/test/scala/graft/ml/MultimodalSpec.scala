@@ -256,6 +256,89 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeImage(Array.emptyByteArray).isEmpty)
   }
 
+  test("WAV codec: mono/stereo 16-bit and 8-bit round-trip exactly, " +
+      "including the floor stereo downmix and chunk padding") {
+    val n = 64
+    def s16(c: Int)(i: Int) = ((i * 997 + c * 211) % 65536) - 32768
+    val mono = decodeWav(encodeWav(8000, 1, n, i => Seq(s16(0)(i)))).get
+    assert(mono.sampleRate == 8000 && mono.channels == 1)
+    assert(mono.samples.toSeq == (0 until n).map(s16(0)),
+      "mono 16-bit samples must round-trip bit-exactly")
+    val st = decodeWav(encodeWav(44100, 2, n,
+      i => Seq(s16(0)(i), s16(1)(i)))).get
+    assert(st.samples.toSeq == (0 until n).map(i =>
+      (s16(0)(i) + s16(1)(i)) >> 1),
+      "stereo downmix must be the floor average")
+    val u8 = decodeWav(encodeWav(8000, 1, n, i => Seq((i * 7) % 256),
+      bits = 8)).get
+    assert(u8.samples.toSeq == (0 until n).map(i => (i * 7) % 256 - 128),
+      "8-bit unsigned samples must center to v - 128")
+    // an odd-size ancillary chunk before data: the walk must honor the
+    // even-padding rule or every later offset shifts by one
+    val base = encodeWav(8000, 1, n, i => Seq(s16(0)(i)))
+    val extra = new Array[Byte](8 + 3 + 1) // "junk" + size 3 + pad
+    "junk".getBytes("US-ASCII").copyToArray(extra, 0)
+    extra(4) = 3 // LE32 size = 3 (odd)
+    val padded = base.take(12) ++ extra ++ base.drop(12)
+    assert(decodeWav(padded).get.samples.toSeq == mono.samples.toSeq,
+      "an odd-size ancillary chunk broke the padded walk")
+  }
+
+  test("WAV codec: bad magic, float/compressed formats, other widths, " +
+      ">2 channels, lying sizes, and data-before-fmt decode to None") {
+    val ok = encodeWav(8000, 1, 16, i => Seq(i * 100))
+    assert(decodeWav(ok).nonEmpty)
+    assert(decodeWav("RIFFxxxxAIFF".getBytes ++ new Array[Byte](40)).isEmpty)
+    assert(decodeWav(ok.take(20)).isEmpty, "truncated header")
+    assert(decodeWav(ok.take(ok.length - 1)).isEmpty,
+      "a data chunk longer than the payload must be refused")
+    def mut(f: Array[Byte] => Unit): Array[Byte] = {
+      val b = ok.clone(); f(b); b
+    }
+    assert(decodeWav(mut(_(20) = 3)).isEmpty, "IEEE-float format refused")
+    assert(decodeWav(mut(_(34) = 24)).isEmpty, "24-bit width refused")
+    assert(decodeWav(mut(_(22) = 3)).isEmpty, "3 channels refused")
+    assert(decodeWav(mut(_(32) = 4)).isEmpty,
+      "a blockAlign inconsistent with channels x width must be refused")
+    // a fmt chunk claiming a hostile size: the Long walk must refuse,
+    // never index past the payload
+    assert(decodeWav(mut { b => b(16) = -1; b(17) = -1; b(18) = -1; b(19) = 0x7f })
+      .isEmpty, "a lying fmt size must be refused")
+    // data before fmt: swap the two chunks — refuse, don't guess a format
+    val dataFirst = ok.take(12) ++ ok.drop(36) ++ ok.slice(12, 36)
+    assert(decodeWav(dataFirst).isEmpty, "data before fmt must be refused")
+    assert(decodeWav(Array.emptyByteArray).isEmpty)
+  }
+
+  test("audioReport aggregates decoded samples exactly and skips " +
+      "undecodable payloads") {
+    implicit val s = spark
+    val media = Seq(
+      MediaRow(2L, synthWav(2L)), // mono
+      MediaRow(3L, synthWav(3L)), // stereo
+      MediaRow(4L, "not audio at all, not even close padding".getBytes))
+      .toDS()
+    val out = audioReport(media).collect().sortBy(_.doc_id)
+    assert(out.map(_.doc_id).toSeq == Seq(2L, 3L), "garbage must be skipped")
+    // replay the generator arithmetic directly (the oracle's computation)
+    def truth(id: Long): (Long, Long, Long, Long) = {
+      val ch = if (id % 2 == 0) 1 else 2
+      def smp(c: Int)(i: Int) = (((id * 131 + i * 37 + c * 4099) % 65536L) - 32768L).toInt
+      val xs = (0 until 256).map(i =>
+        if (ch == 1) smp(0)(i) else (smp(0)(i) + smp(1)(i)) >> 1)
+      (xs.map(x => math.abs(x).toLong).sum,
+        xs.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum,
+        xs.map(x => math.abs(x).toLong).max,
+        xs.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong)
+    }
+    out.foreach { r =>
+      val (sa, pc, pk, zc) = truth(r.doc_id)
+      assert(r.sample_rate == 8000L && r.n_samples == 256L)
+      assert((r.sum_abs, r.pos_checksum, r.peak, r.zero_crossings) ==
+        ((sa, pc, pk, zc)), s"doc ${r.doc_id} aggregates diverged")
+    }
+  }
+
   test("decodeReport aggregates decoded pixels exactly and skips " +
       "undecodable payloads") {
     implicit val s = spark
