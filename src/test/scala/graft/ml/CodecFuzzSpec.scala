@@ -1,0 +1,96 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.ml.Multimodal._
+
+/**
+ * Fuzz soak for every binary codec's never-crash-the-batch contract: a
+ * decode running inside a Spark task over a 100 TB media column WILL meet
+ * arbitrarily corrupt bytes, and the one thing it must never do is throw
+ * (killing the task and, after retries, the batch). The designed hostile
+ * cases in [[MultimodalSpec]] pin the KNOWN traps (overflow dims, lying
+ * sizes, bad CRCs); this spec throws random and adversarially-mutated
+ * bytes at the same entry points — whatever they return must be `None`
+ * or a structurally coherent decode, and an exception anywhere is a
+ * failure by construction.
+ *
+ * Mutation fuzz beats pure-random fuzz here: a random blob dies at the
+ * magic check, but a single byte flipped INSIDE a valid payload reaches
+ * the deep parsing paths (filters, chunk walks, sample loops) with a
+ * header that passed.
+ */
+class CodecFuzzSpec extends SparkSpec {
+
+  private def sane(img: DecodedImage): Unit = {
+    assert(img.width > 0 && img.height > 0)
+    assert(img.luma.length == img.width * img.height)
+    assert(img.luma.forall(l => l >= 0 && l <= 255),
+      "decoded luma left the byte range")
+  }
+
+  private def saneA(a: DecodedAudio): Unit = {
+    assert(a.sampleRate > 0 && a.channels >= 1 && a.channels <= 2)
+    assert(a.samples.forall(s => s >= -32768 && s <= 32767),
+      "decoded sample left the 16-bit range")
+  }
+
+  private def decodeAll(payload: Array[Byte]): Unit = {
+    // every public entry point, not just the router — a format check in
+    // decodeImage must not be the only thing standing between corrupt
+    // bytes and a crash in the per-format codec
+    decodeImage(payload).foreach(sane)
+    decodeBmp(payload).foreach(sane)
+    decodePnm(payload).foreach(sane)
+    decodePng(payload).foreach(sane)
+    decodeWav(payload).foreach(saneA)
+  }
+
+  for (seed <- Seq(5, 23, 91))
+    test(s"random and mutated payloads never throw from any codec (seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      def ch(x: Int, y: Int) =
+        ((x * 31 + y * 7) % 256, (x * 13 + y * 101) % 256, (x + y * 3) % 256)
+      // valid fixtures spanning every format and layout variant
+      val fixtures: Seq[Array[Byte]] = Seq(
+        encodeBmp24(15, 9, ch),
+        encodePpm(7, 5, ch),
+        encodePgm(7, 5, (x, y) => (x * 9 + y) % 256),
+        s"P3\n7 5\n255\n${Seq.tabulate(105)(i => i % 256).mkString(" ")}\n"
+          .getBytes("US-ASCII"),
+        encodePng(9, 7, ch, colorType = 0),
+        encodePng(9, 7, ch, colorType = 2),
+        encodePng(9, 7, ch, colorType = 4),
+        encodePng(9, 7, ch, colorType = 6),
+        encodeWav(8000, 1, 64, i => Seq(((i * 997) % 65536) - 32768)),
+        encodeWav(8000, 2, 64, i => Seq(i * 100 - 3200, 3200 - i * 100)),
+        encodeWav(8000, 1, 64, i => Seq((i * 7) % 256), bits = 8))
+      fixtures.foreach(decodeAll) // the fixtures themselves are clean
+
+      (1 to 400).foreach { _ =>
+        // pure-random blobs, including empty and sub-header lengths
+        decodeAll(Array.fill(rnd.nextInt(600))(rnd.nextInt(256).toByte))
+        // magic-prefixed random tails: pass the router, die deeper
+        val magic = Seq("BM", "P6\n", "P3\n",
+          new String(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+            0x1a, 0x0a).map(_.toChar)), "RIFF")(rnd.nextInt(5))
+        decodeAll(magic.map(_.toByte).toArray ++
+          Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte))
+      }
+      (1 to 1200).foreach { _ =>
+        val base = fixtures(rnd.nextInt(fixtures.size))
+        val m = base.clone()
+        rnd.nextInt(3) match {
+          case 0 => // 1-4 byte flips anywhere, headers included
+            (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+              m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+            }
+            decodeAll(m)
+          case 1 => // truncation at a random point
+            decodeAll(m.take(rnd.nextInt(m.length)))
+          case 2 => // random-garbage extension past a valid payload
+            decodeAll(m ++ Array.fill(1 + rnd.nextInt(64))(
+              rnd.nextInt(256).toByte))
+        }
+      }
+    }
+}
