@@ -360,6 +360,64 @@ object Bench {
       .write.partitionBy("ingest_batch").parquet(s"$root/docstats")
   }
 
+  /** The text twin of [[buildAccumEmbRoot]]: an accumulated
+    * [[graft.stream.CorpusIngest]] root built corpus-at-once in the
+    * persisted layout — real docs, md5 exact-dup hashes, MinHash
+    * bands+sets (the increment's probe joins against them, so they must
+    * be the REAL signatures), BM25 postings + per-batch additive corpus
+    * stats, one real Misra–Gries summary per batch partition, and phash
+    * bands — partitioned by `pmod(doc_id, batches)` like the embedding
+    * root (the folds rewrite by id, never by geometry). */
+  private def buildAccumTextRoot(spark: SparkSession, root: String, n: Long,
+      batches: Int): Unit = {
+    import graft.text.TextOps
+    val docs = syntheticDocs(spark, 0L, n, "w")
+      .withColumn("ingest_batch", pmod(col("doc_id"), lit(batches.toLong)))
+      .localCheckpoint()
+    val stampOf = docs.select(col("doc_id"), col("ingest_batch"))
+    docs.select(col("doc_id"), col("text"), col("ingest_batch"))
+      .write.partitionBy("ingest_batch").parquet(s"$root/docs")
+    docs.select(md5(TextOps.normalizeText(col("text"))).as("text_hash"),
+        col("ingest_batch"))
+      .write.partitionBy("ingest_batch").parquet(s"$root/hashes")
+    val (bands, sets) = TextOps.minhashIndex(docs, "doc_id", "text")
+    bands.join(stampOf, Seq("doc_id"))
+      .select(col("doc_id"), col("band"), col("sig"), col("ingest_batch"))
+      .write.partitionBy("ingest_batch").parquet(s"$root/bands")
+    sets.join(stampOf, Seq("doc_id"))
+      .select(col("doc_id"), col("s"), col("n"), col("ingest_batch"))
+      .write.partitionBy("ingest_batch").parquet(s"$root/sets")
+    TextOps.invertedIndex(docs, "doc_id", "text")
+      .join(stampOf, Seq("doc_id"))
+      .select(col("word"), col("doc_id"), col("tf"), col("dl"),
+        col("ingest_batch"))
+      .write.partitionBy("ingest_batch").parquet(s"$root/postings")
+    docs.groupBy(col("ingest_batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.wordsOf(col("text"))).cast("long")).as("dl_sum"))
+      .select(col("n_docs"), col("dl_sum"), col("ingest_batch"))
+      .write.partitionBy("ingest_batch").parquet(s"$root/docstats")
+    (0 until batches).foreach { b =>
+      graft.text.HeavyHitters.mgSummary(
+          docs.filter(col("ingest_batch") === b)
+            .select(explode(TextOps.wordsOf(col("text"))).as("word")),
+          "word")
+        .select(col("token").as("word"), col("cnt"),
+          lit(b.toLong).as("ingest_batch"))
+        .write.partitionBy("ingest_batch").mode("append").parquet(s"$root/mg")
+    }
+    graft.ml.Multimodal.phashBands(
+        graft.ml.Multimodal.withPayload(docs, "doc_id", "text"))
+      .join(stampOf, Seq("doc_id"))
+      .select(col("doc_id"), col("phash"), col("band"), col("v"),
+        col("ingest_batch"))
+      .write.partitionBy("ingest_batch").parquet(s"$root/phash")
+    spark.range(batches.toLong)
+      .select(col("id").as("ingest_batch"), lit(n / batches).as("n_in"),
+        lit(n / batches).as("n_accepted"))
+      .write.partitionBy("ingest_batch").parquet(s"$root/ledger")
+  }
+
   /** Clustered synthetic embeddings — the geometry a RECALL claim needs:
     * i.i.d.-random vectors have no neighbor structure (a probe's true
     * top-k scatter uniformly over the buckets, so ANY bucketed index
@@ -801,6 +859,51 @@ object Bench {
       } finally rmrf(mroot)
     }
 
+    // the TEXT-root maintenance curves — the CorpusIngest twin of the
+    // embedding curves above (same protocol: accumulated roots built
+    // untimed, min-of-2 without rebuilding, ingest replays its batch id,
+    // compact re-folds): the increment must track the BATCH (flat across
+    // root scales — its probe is a bounded equi-join against the banded
+    // index, never a corpus scan), the fold must track the ROOT. Text has
+    // no recluster (no codebook) and no reband (the one-hash shingle sets
+    // are not re-signable from root state — documented on the op), so the
+    // curve is the ingest/compact pair.
+    val maintTextNames = Seq("1x", "10x", "100x").flatMap(t => Seq(
+      s"maint_ingest_text_$t", s"maint_compact_text_$t"))
+    var maintTextResults = Seq.empty[(String, Double)]
+    if (maintTextNames.exists(n => only.forall(_.contains(n)))) {
+      val troot = java.nio.file.Files.createTempDirectory("graft-bench-maintt").toString
+      try {
+        maintTextResults = Seq(("1x", "t1", 1000L), ("10x", "t10", 10000L),
+            ("100x", "t100", 100000L))
+          .flatMap { case (tag, d, n) =>
+            val wanted = Seq("ingest", "compact")
+              .map(op => s"maint_${op}_text_$tag")
+            if (!wanted.exists(w => only.forall(_.contains(w)))) Seq.empty
+            else {
+            buildAccumTextRoot(spark, s"$troot/$d", n, batches = 4)
+            val cfg = graft.stream.CorpusIngest.IngestConfig("unused",
+              s"$troot/$d", s"maint-$d")
+            specialEntry(s"maint_ingest_text_$tag") { _ =>
+              // seeds of ids [n, n+500) land every 10th on the corpus
+              // tail — the steady-state 10% near-dup rejection path
+              val batch = syntheticDocs(spark, n, 500L, "w", dupEvery = 10)
+              val t0 = System.nanoTime()
+              graft.stream.CorpusIngest.ingestBatch(spark, cfg, batch, 4L): Unit
+              val dt = (System.nanoTime() - t0) / 1e9
+              Caching.releaseAll(); dt
+            } ++
+            specialEntry(s"maint_compact_text_$tag") { _ =>
+              val t0 = System.nanoTime()
+              graft.stream.CorpusIngest.compact(spark, cfg)
+              val dt = (System.nanoTime() - t0) / 1e9
+              Caching.releaseAll(); dt
+            }
+            }
+          }
+      } finally rmrf(troot)
+    }
+
     // serve-cost flatness at 10× corpus (VERDICT r8 item 2): identical
     // probes against a 1× and a 10× persisted index — built once, untimed
     // (index BUILD cost has its own entries above); the timed entries are
@@ -978,7 +1081,8 @@ object Bench {
         yield bestOf(ten, b) / math.max(bestOf(one, a), 1e-3)
 
     val results =
-      queryResults ++ sinkResults ++ ingestResults ++ maintResults ++ serveResults
+      queryResults ++ sinkResults ++ ingestResults ++ maintResults ++
+        maintTextResults ++ serveResults
 
     val ioPost = ioProbeMbps()
 
@@ -1108,12 +1212,16 @@ object Bench {
     // increment O(batch)?" (want ≈ 1), compact/recluster ratios answer
     // "do the folds track the root with healthy constants?" (want ≤ the
     // root ratio; ≪ at the small end where fixed overheads dominate)
-    val maintMap = maintResults.toMap
+    val maintMap = (maintResults ++ maintTextResults).toMap
     def maintRatio(a: String, b: String): Option[Double] =
       for (x <- maintMap.get(a); y <- maintMap.get(b))
         yield bestOf(b, y) / math.max(bestOf(a, x), 1e-3)
     val maintJson = {
       val parts = Seq(
+        "ingest_text_ratio" -> maintRatio("maint_ingest_text_1x", "maint_ingest_text_10x"),
+        "ingest_text_100x_ratio" -> maintRatio("maint_ingest_text_1x", "maint_ingest_text_100x"),
+        "compact_text_ratio" -> maintRatio("maint_compact_text_1x", "maint_compact_text_10x"),
+        "compact_text_100x_ratio" -> maintRatio("maint_compact_text_1x", "maint_compact_text_100x"),
         "ingest_ratio" -> maintRatio("maint_ingest_embedding_1x", "maint_ingest_embedding_10x"),
         "ingest_100x_ratio" -> maintRatio("maint_ingest_embedding_1x", "maint_ingest_embedding_100x"),
         "compact_ratio" -> maintRatio("maint_compact_embedding_1x", "maint_compact_embedding_10x"),
@@ -1129,7 +1237,7 @@ object Bench {
         "reband_ratio" -> maintRatio("maint_reband_embedding_1x", "maint_reband_embedding_10x"),
         "reband_100x_ratio" -> maintRatio("maint_reband_embedding_1x", "maint_reband_embedding_100x"))
         .collect { case (k, Some(r)) => s""""$k":${fmt(r, 2)}""" }
-      val degraded = stillDegraded(maintMap, maintNames)
+      val degraded = stillDegraded(maintMap, maintNames ++ maintTextNames)
       val degJson =
         if (degraded.isEmpty) ""
         else degraded.map("\"" + esc(_) + "\"")
