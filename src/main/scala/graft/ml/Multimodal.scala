@@ -890,6 +890,42 @@ object Multimodal {
     }
   }
 
+  /** Windowed audio energy — the silence-trim primitive an ASR-corpus
+    * pipeline runs before anything else: the decoded mono stream splits
+    * into fixed `win`-sample windows (the last one partial) and each
+    * reduces to exact integer aggregates; a downstream
+    * `filter(sum_abs >= threshold)` IS the trim. Decode happens once per
+    * payload inside the partition; the per-window rows then flow through
+    * ordinary codegen'd aggregation — no driver involvement, no second
+    * decode. Undecodable payloads are skipped. */
+  final case class AudioWindow(doc_id: Long, window_id: Long,
+      n_samples: Long, sum_abs: Long, peak: Long)
+
+  def audioEnergyWindows(media: Dataset[MediaRow], win: Int)(
+      implicit spark: SparkSession): Dataset[AudioWindow] = {
+    require(win > 0, s"window must be positive: $win")
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWav(r.payload).iterator.flatMap { a =>
+          val nWin = (a.samples.length + win - 1) / win
+          (0 until nWin).iterator.map { w =>
+            var sumAbs = 0L; var peak = 0L
+            var i = w * win
+            val end = math.min(i + win, a.samples.length)
+            val n = end - i
+            while (i < end) {
+              val s = math.abs(a.samples(i)).toLong
+              sumAbs += s; peak = math.max(peak, s)
+              i += 1
+            }
+            AudioWindow(r.doc_id, w.toLong, n.toLong, sumAbs, peak)
+          }
+        }
+      }
+    }
+  }
+
   /** Deterministic WAV fixture: frame i's per-channel samples are
     * small-prime affine maps of (id, i, channel) over the full signed
     * 16-bit range — trivially replayable by an SQL oracle ([[synthBmp]]'s

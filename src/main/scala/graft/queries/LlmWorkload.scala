@@ -453,6 +453,21 @@ object LlmWorkload {
         .map(id => Multimodal.MediaRow(id, Multimodal.synthWav(id)))).toDF()
   }
 
+  /** The windowed-energy face of the audio path ([[multimodalAudio]]'s
+    * trim primitive): the same synthetic clips decode once and split into
+    * 60-sample windows (256 samples → 5 windows, the last partial — the
+    * partial-tail arithmetic is in the hash). The oracle replays
+    * generate → window → aggregate; a window-boundary, partial-tail, or
+    * second-decode bug shifts `sum_abs`/`peak` per (doc, window). */
+  def multimodalAudioWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    Multimodal.audioEnergyWindows(
+      Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id, Multimodal.synthWav(id))),
+      win = 60).toDF()
+  }
+
   def dedupEmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
     VectorOps.embeddingNearDupPairs(Tables(spark, dir, "embeddings"))
 
@@ -1503,6 +1518,7 @@ object LlmWorkload {
     "multimodal_meta" -> multimodalMeta,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_audio" -> multimodalAudio,
+    "multimodal_audio_windows" -> multimodalAudioWindows,
     "dedup_embedding_pairs" -> dedupEmbeddingPairs,
     "dedup_embedding_srp_pairs" -> dedupEmbeddingSrpPairs,
     "dedup_embedding_incremental" -> dedupEmbeddingIncremental,
@@ -3423,6 +3439,25 @@ object LlmWorkload {
         |  CAST(max(abs(s)) AS BIGINT) AS peak,
         |  CAST(sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) != (s < 0))
         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
-        |FROM lagd GROUP BY doc_id""".stripMargin
+        |FROM lagd GROUP BY doc_id""".stripMargin,
+    // windowed-energy replay: the same PCM sample maps, split into
+    // 60-sample windows (window_id = i // 60, last window partial) —
+    // the trim primitive's per-window sums/peaks hashed exactly
+    "multimodal_audio_windows" ->
+      """WITH smp AS (
+        |  SELECT d.doc_id, i.i,
+        |    CASE WHEN d.doc_id % 2 = 0
+        |      THEN ((d.doc_id * 131 + i.i * 37) % 65536) - 32768
+        |      ELSE CAST(floor((
+        |        (((d.doc_id * 131 + i.i * 37) % 65536) - 32768) +
+        |        (((d.doc_id * 131 + i.i * 37 + 4099) % 65536) - 32768)) / 2.0)
+        |        AS BIGINT)
+        |    END AS s
+        |  FROM documents d, (SELECT unnest(range(0, 256)) AS i) i)
+        |SELECT doc_id, CAST(i // 60 AS BIGINT) AS window_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak
+        |FROM smp GROUP BY 1, 2""".stripMargin
   )
 }

@@ -339,6 +339,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioEnergyWindows splits at exact window boundaries including " +
+      "the partial tail, and skips undecodable payloads") {
+    implicit val s = spark
+    val n = 70 // win 32 -> windows of 32, 32, 6
+    def smp(i: Int) = ((i * 997) % 65536) - 32768
+    val media = Seq(
+      MediaRow(1L, encodeWav(8000, 1, n, i => Seq(smp(i)))),
+      MediaRow(2L, "definitely not a RIFF payload of any kind".getBytes))
+      .toDS()
+    val out = audioEnergyWindows(media, win = 32).collect()
+      .sortBy(r => (r.doc_id, r.window_id))
+    assert(out.map(_.doc_id).distinct.toSeq == Seq(1L))
+    assert(out.map(r => (r.window_id, r.n_samples)).toSeq ==
+      Seq((0L, 32L), (1L, 32L), (2L, 6L)), "window split diverged")
+    out.foreach { r =>
+      val xs = (r.window_id.toInt * 32 until
+        math.min(r.window_id.toInt * 32 + 32, n)).map(smp)
+      assert(r.sum_abs == xs.map(x => math.abs(x).toLong).sum &&
+        r.peak == xs.map(x => math.abs(x).toLong).max,
+        s"window ${r.window_id} aggregates diverged")
+    }
+  }
+
   test("decodeReport aggregates decoded pixels exactly and skips " +
       "undecodable payloads") {
     implicit val s = spark
