@@ -603,17 +603,276 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ---- GIF (87a/89a, public spec) ---------------------------------------
+
+  /** Read a GIF color table at `off` as integer BT.601 luma per entry. */
+  private def gifPalette(b: Array[Byte], off: Int, count: Int): Array[Int] =
+    Array.tabulate(count) { i =>
+      (299 * (b(off + i * 3) & 0xff) + 587 * (b(off + i * 3 + 1) & 0xff) +
+        114 * (b(off + i * 3 + 2) & 0xff)) / 1000
+    }
+
+  /** Decode a GIF87a/89a's FIRST image to top-down row-major luma
+    * (palette entries reduced by the same integer BT.601 as every codec
+    * here): logical-screen + image-descriptor walk, global/local color
+    * tables, extension-block skipping, sub-block reassembly, a full LZW
+    * decoder (variable code width 3–12 bits LSB-first, clear/EOI codes,
+    * the KwKwK case), and the 4-pass interlace row order (the JDK's own
+    * writer emits interlaced GIFs by default — a web corpus is full of
+    * them). `None` — never a crash — for malformations: codes beyond the
+    * table, palette overruns, output over/underrun vs the declared dims,
+    * truncated streams, hostile dimensions refused before allocation. */
+  def decodeGif(payload: Array[Byte]): Option[DecodedImage] = {
+    if (payload.length < 14) return None
+    val hdr = new String(payload, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    val packed = payload(10) & 0xff
+    var pos = 13
+    var gct: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val count = 1 << ((packed & 7) + 1)
+      if (pos + 3 * count > payload.length) return None
+      gct = gifPalette(payload, pos, count)
+      pos += 3 * count
+    }
+    while (pos < payload.length) {
+      (payload(pos) & 0xff) match {
+        case 0x3b => return None // trailer before any image
+        case 0x21 => // extension: label byte, then sub-blocks to a 0
+          pos += 2
+          var done = false
+          while (!done) {
+            if (pos >= payload.length) return None
+            val n = payload(pos) & 0xff
+            pos += 1 + n
+            if (n == 0) done = true
+          }
+        case 0x2c =>
+          if (pos + 10 > payload.length) return None
+          val w = le16(payload, pos + 5)
+          val h = le16(payload, pos + 7)
+          val ip = payload(pos + 9) & 0xff
+          pos += 10
+          var pal = gct
+          if ((ip & 0x80) != 0) {
+            val count = 1 << ((ip & 7) + 1)
+            if (pos + 3 * count > payload.length) return None
+            pal = gifPalette(payload, pos, count)
+            pos += 3 * count
+          }
+          if (pal == null || w <= 0 || h <= 0) return None
+          if (w.toLong * h > Int.MaxValue) return None
+          if (pos >= payload.length) return None
+          val minCode = payload(pos) & 0xff
+          pos += 1
+          if (minCode < 2 || minCode > 8) return None
+          // reassemble the LZW stream from its length-prefixed sub-blocks
+          val blocks = new java.io.ByteArrayOutputStream()
+          var done = false
+          while (!done) {
+            if (pos >= payload.length) return None
+            val n = payload(pos) & 0xff
+            if (pos + 1 + n > payload.length) return None
+            blocks.write(payload, pos + 1, n)
+            pos += 1 + n
+            if (n == 0) done = true
+          }
+          return gifLzwDecode(blocks.toByteArray, minCode, pal, w, h)
+            .map { img =>
+              if ((ip & 0x40) == 0) img
+              else { // 4-pass interlace: sequential rows land at 0,8,16…
+                val order = (0 until h by 8) ++ (4 until h by 8) ++
+                  (2 until h by 4) ++ (1 until h by 2)
+                val luma = new Array[Int](img.luma.length)
+                order.zipWithIndex.foreach { case (dst, src) =>
+                  System.arraycopy(img.luma, src * w, luma, dst * w, w)
+                }
+                DecodedImage(w, h, luma)
+              }
+            }
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF-flavor LZW over a reassembled code stream: decoded indexes map
+    * through `pal` into luma; any structural lie (code beyond the table,
+    * more or fewer pixels than w×h, palette overrun) returns None. */
+  private def gifLzwDecode(data: Array[Byte], minCode: Int,
+      pal: Array[Int], w: Int, h: Int): Option[DecodedImage] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var next = eoi + 1
+    var width = minCode + 1
+    val nPx = w * h
+    val out = new Array[Int](nPx)
+    var outPos = 0
+    var bitPos = 0L
+    val totalBits = data.length.toLong * 8
+    var prev = -1
+    def read(): Int = {
+      if (bitPos + width > totalBits) return -1
+      var v = 0; var i = 0
+      while (i < width) {
+        val b = bitPos + i
+        if (((data((b >> 3).toInt) >> (b & 7).toInt) & 1) != 0) v |= 1 << i
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    def firstOf(code: Int): Byte = {
+      var c = code
+      while (c > eoi) c = prefix(c)
+      c.toByte
+    }
+    def emit(code: Int): Boolean = {
+      var sp = 0
+      var c = code
+      while (c > eoi) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      if (c >= clear) return false // a chain must root at a literal
+      stack(sp) = c.toByte; sp += 1
+      while (sp > 0) {
+        sp -= 1
+        if (outPos >= nPx) return false // lying dims: too many pixels
+        val idx = stack(sp) & 0xff
+        if (idx >= pal.length) return false
+        out(outPos) = pal(idx); outPos += 1
+      }
+      true
+    }
+    var code = read()
+    while (code != -1) {
+      if (code == clear) {
+        next = eoi + 1; width = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        return if (outPos == nPx) Some(DecodedImage(w, h, out)) else None
+      } else if (prev == -1) {
+        if (code >= clear) return None // the first code must be a literal
+        if (!emit(code)) return None
+        prev = code
+      } else {
+        if (code > next) return None // a code the table cannot hold yet
+        if (code == next) { // KwKwK: the entry being defined right now
+          if (next >= 4096) return None
+          prefix(next) = prev; suffix(next) = firstOf(prev)
+          next += 1
+          if (!emit(code)) return None
+        } else {
+          if (!emit(code)) return None
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = firstOf(code)
+            next += 1
+          }
+        }
+        prev = code
+        if (next == (1 << width) && width < 12) width += 1
+      }
+      code = read()
+    }
+    None // the stream ended without an EOI code
+  }
+
+  /** Encode an image as a non-interlaced GIF89a with a global color
+    * table and REAL LZW compression (dictionary build, width growth,
+    * clear-on-full) — the fixture generator whose round-trip proves the
+    * decoder's dictionary/KwKwK/width arithmetic, not just literal
+    * parsing. The image must use ≤ 256 distinct colors (it is a GIF). */
+  def encodeGif(width: Int, height: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions: $width x $height")
+    val px = Array.tabulate(width * height)(p => rgb(p % width, p / width))
+    val colors = px.distinct
+    require(colors.length <= 256, s"${colors.length} colors exceed a GIF palette")
+    val index = colors.zipWithIndex.toMap
+    // palette count is a power of two >= 4 (minCode >= 2 per the format)
+    var palBits = 2
+    while ((1 << palBits) < colors.length) palBits += 1
+    val palCount = 1 << palBits
+    val minCode = palBits
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16w(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16w(width); le16w(height)
+    out.write(0x80 | 0x70 | (palBits - 1)); out.write(0); out.write(0)
+    colors.padTo(palCount, (0, 0, 0)).foreach { case (r, g, b) =>
+      out.write(r & 0xff); out.write(g & 0xff); out.write(b & 0xff)
+    }
+    out.write(0x2c); le16w(0); le16w(0); le16w(width); le16w(height)
+    out.write(0) // no LCT, not interlaced
+    out.write(minCode)
+    // LZW: dictionary of (prefix code, next byte); width grows in
+    // lockstep with the decoder's table (one entry per emitted code)
+    val lzw = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var codeWidth = minCode + 1
+    def write(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += codeWidth
+      while (bitCnt >= 8) {
+        lzw.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var next = eoi + 1
+    write(clear)
+    var cur = -1
+    px.foreach { c =>
+      val b = index(c)
+      if (cur == -1) cur = b
+      else dict.get((cur, b)) match {
+        case Some(code) => cur = code
+        case None =>
+          write(cur)
+          if (next < 4096) {
+            dict((cur, b)) = next; next += 1
+            // the encoder's table runs ONE entry ahead of the decoder's
+            // at each code position (it adds after writing code m, the
+            // decoder after reading code m+1), so its width bump lags
+            // the decoder's `next == 2^width` rule by one entry
+            if (next == (1 << codeWidth) + 1 && codeWidth < 12) codeWidth += 1
+          } else { // table full: clear and restart the dictionary
+            write(clear)
+            dict.clear(); next = eoi + 1; codeWidth = minCode + 1
+          }
+          cur = b
+      }
+    }
+    if (cur != -1) write(cur)
+    write(eoi)
+    if (bitCnt > 0) lzw.write((bitBuf & 0xff).toInt)
+    // sub-block framing: <=255-byte chunks, 0 terminator
+    val bytes = lzw.toByteArray
+    var off = 0
+    while (off < bytes.length) {
+      val n = math.min(255, bytes.length - off)
+      out.write(n); out.write(bytes, off, n)
+      off += n
+    }
+    out.write(0); out.write(0x3b)
+    out.toByteArray
+  }
+
   /** Route a media payload to its codec by sniffed magic bytes — 'BM' →
-    * [[decodeBmp]], the 8-byte PNG signature → [[decodePng]],
-    * 'P2|P3|P5|P6' → [[decodePnm]], anything else `None`: a mixed-format
-    * media column decodes per-row with no format column required. The
-    * single entry point [[decodeReport]]/[[phashDecoded]] read. */
+    * [[decodeBmp]], the 8-byte PNG signature → [[decodePng]], 'GIF8' →
+    * [[decodeGif]], 'P2|P3|P5|P6' → [[decodePnm]], anything else `None`:
+    * a mixed-format media column decodes per-row with no format column
+    * required. The single entry point [[decodeReport]]/[[phashDecoded]]
+    * read. */
   def decodeImage(payload: Array[Byte]): Option[DecodedImage] =
     if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
       decodeBmp(payload)
     else if (payload.length >= 4 && (payload(0) & 0xff) == 0x89 &&
         payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G')
       decodePng(payload)
+    else if (payload.length >= 4 && payload(0) == 'G' && payload(1) == 'I' &&
+        payload(2) == 'F' && payload(3) == '8')
+      decodeGif(payload)
     else decodePnm(payload)
 
   /** Encode top-down row-major RGB as raw (P6) PPM bytes. */
@@ -750,6 +1009,12 @@ object Multimodal {
   def synthPng(id: Long, width: Int = 15, height: Int = 17): Array[Byte] =
     encodePng(width, height, synthChannels(id),
       colorType = Seq(0, 2, 4, 6)((id % 4).toInt))
+
+  /** [[synthBmp]]'s GIF twin: identical channels (≤ 255 distinct colors
+    * at the default dims — each pixel gets a palette slot) through the
+    * real LZW machinery, decoded luma again equal to the BMP's. */
+  def synthGif(id: Long, width: Int = 15, height: Int = 17): Array[Byte] =
+    encodeGif(width, height, synthChannels(id))
 
   // ---- RIFF/WAVE PCM (the audio twin of the image codecs) --------------
 

@@ -411,27 +411,29 @@ object LlmWorkload {
     * item 5): per doc, a deterministic 15×17 image is generated from its
     * id with the shared small-prime channel maps and encoded to real
     * on-disk bytes in a doc_id-routed FORMAT — 24-bit BMP (row padding
-    * exercised), raw P6 PPM, raw P5 PGM (gray = the same BT.601 luma), or
+    * exercised), raw P6 PPM, raw P5 PGM (gray = the same BT.601 luma),
     * PNG (deflate + per-row filters + chunk CRCs, colorType rotated
-    * across gray/RGB/gray-alpha/RGBA) — then DECODED back through the
-    * magic-byte router ([[Multimodal.decodeImage]]) and reduced to exact
-    * integer pixel aggregates plus the pixel-domain dHash
-    * ([[Multimodal.decodeReport]]). All four formats encode the SAME
-    * luminance, so one oracle replay (generate → aggregate) covers the
-    * mix — decode + routing correctness is precisely the difference: a
-    * header-offset, padding, bottom-up, channel-order, filter, or
-    * misrouting bug breaks `pos_checksum`/`phash` loudly, and a format
-    * whose decode regresses to None drops rows. */
+    * across gray/RGB/gray-alpha/RGBA), or GIF (palette + real LZW) —
+    * then DECODED back through the magic-byte router
+    * ([[Multimodal.decodeImage]]) and reduced to exact integer pixel
+    * aggregates plus the pixel-domain dHash ([[Multimodal.decodeReport]]).
+    * All five formats encode the SAME luminance, so one oracle replay
+    * (generate → aggregate) covers the mix — decode + routing correctness
+    * is precisely the difference: a header-offset, padding, bottom-up,
+    * channel-order, filter, dictionary, or misrouting bug breaks
+    * `pos_checksum`/`phash` loudly, and a format whose decode regresses
+    * to None drops rows. */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     Multimodal.decodeReport(
       Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
-        .map(id => Multimodal.MediaRow(id, (id % 4) match {
+        .map(id => Multimodal.MediaRow(id, (id % 5) match {
           case 0 => Multimodal.synthBmp(id)
           case 1 => Multimodal.synthPpm(id)
           case 2 => Multimodal.synthPgm(id)
-          case _ => Multimodal.synthPng(id)
+          case 3 => Multimodal.synthPng(id)
+          case _ => Multimodal.synthGif(id)
         }))).toDF()
   }
 
@@ -3384,9 +3386,9 @@ object LlmWorkload {
     // arithmetically (integer BT.601 luma of the small-prime channel maps,
     // p = top-down row-major index); the Spark side ran generate ->
     // ENCODE -> route-by-magic -> DECODE -> aggregate through real bytes
-    // in a doc_id-routed format mix (BMP / raw PPM / raw PGM / PNG, all
-    // encoding the same luminance), so decode + routing correctness is
-    // exactly the difference being hashed
+    // in a doc_id-routed format mix (BMP / raw PPM / raw PGM / PNG / GIF,
+    // all encoding the same luminance), so decode + routing correctness
+    // is exactly the difference being hashed
     "multimodal_decode" ->
       """WITH px AS (
         |  SELECT d.doc_id, (y.y * 15 + x.x) AS p,

@@ -42,6 +42,7 @@ class CodecFuzzSpec extends SparkSpec {
     decodeBmp(payload).foreach(sane)
     decodePnm(payload).foreach(sane)
     decodePng(payload).foreach(sane)
+    decodeGif(payload).foreach(sane)
     decodeWav(payload).foreach(saneA)
   }
 
@@ -61,6 +62,8 @@ class CodecFuzzSpec extends SparkSpec {
         encodePng(9, 7, ch, colorType = 2),
         encodePng(9, 7, ch, colorType = 4),
         encodePng(9, 7, ch, colorType = 6),
+        encodeGif(9, 7, ch),
+        encodeGif(12, 8, (x, y) => Seq((0, 0, 0), (255, 255, 255))((x + y) % 2)),
         encodeWav(8000, 1, 64, i => Seq(((i * 997) % 65536) - 32768)),
         encodeWav(8000, 2, 64, i => Seq(i * 100 - 3200, 3200 - i * 100)),
         encodeWav(8000, 1, 64, i => Seq((i * 7) % 256), bits = 8))
@@ -72,7 +75,8 @@ class CodecFuzzSpec extends SparkSpec {
         // magic-prefixed random tails: pass the router, die deeper
         val magic = Seq("BM", "P6\n", "P3\n",
           new String(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
-            0x1a, 0x0a).map(_.toChar)), "RIFF")(rnd.nextInt(5))
+            0x1a, 0x0a).map(_.toChar)), "RIFF", "GIF89a", "GIF87a")(
+          rnd.nextInt(7))
         decodeAll(magic.map(_.toByte).toArray ++
           Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte))
       }

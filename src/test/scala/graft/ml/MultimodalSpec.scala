@@ -239,19 +239,124 @@ class MultimodalSpec extends SparkSpec {
     assert(decodePng(sig ++ Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("GIF codec: real-LZW round-trip equals the BMP twin; a large " +
+      "few-color image pushes the dictionary through every width bump " +
+      "and a table-full clear") {
+    val w = 15; val h = 17
+    def ch(x: Int, y: Int) =
+      ((x * 31 + y * 7) % 256, (x * 13 + y * 101) % 256, (255 - x * 11 + y) % 256)
+    val want = decodeBmp(encodeBmp24(w, h, ch)).get.luma.toSeq
+    val got = decodeGif(encodeGif(w, h, ch)).get
+    assert(got.width == w && got.height == h)
+    assert(got.luma.toSeq == want, "GIF luma diverged from the BMP twin")
+    // 320×200 3-color repetitive pattern: 64k pixels of high-redundancy
+    // content drives the LZW dictionary through width 3→12 and past 4096
+    // entries (the clear-on-full path) — the arithmetic a tiny fixture
+    // never reaches
+    val W = 320; val H = 200
+    def pat(x: Int, y: Int) =
+      if ((x / 3 + y / 5) % 7 == 0) (255, 0, 0)
+      else if (x % 11 == 0) (0, 255, 0) else (0, 0, 255)
+    val dec = decodeGif(encodeGif(W, H, pat)).get
+    val wantPat = for (y <- 0 until H; x <- 0 until W) yield {
+      val (r, g, b) = pat(x, y); (299 * r + 587 * g + 114 * b) / 1000
+    }
+    assert(dec.width == W && dec.height == H)
+    assert(dec.luma.toSeq == wantPat,
+      "deep-dictionary GIF decode diverged from the generator")
+  }
+
+  test("GIF codec agrees with the JDK ImageIO implementation in BOTH " +
+      "directions — our decoder on its bytes, its decoder on ours") {
+    import java.awt.image.BufferedImage
+    val w = 37; val h = 23
+    def rgbOf(x: Int, y: Int) =
+      (((x * 31 + y * 7) % 256) << 16) | (((x * 13 + y * 101) % 256) << 8) |
+        ((x + y * 3) % 256)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbOf(x, y))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", baos),
+      "the JDK has no GIF writer in this container?")
+    val theirs = baos.toByteArray
+    // both decoders read the SAME file (TYPE_BYTE_INDEXED quantizes, so
+    // the reference is ImageIO's own read-back, not the generator)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(theirs))
+    def lumaOf(im: java.awt.image.BufferedImage) =
+      for (y <- 0 until im.getHeight; x <- 0 until im.getWidth) yield {
+        val v = im.getRGB(x, y)
+        (299 * ((v >> 16) & 0xff) + 587 * ((v >> 8) & 0xff) +
+          114 * (v & 0xff)) / 1000
+      }
+    val mine = decodeGif(theirs)
+      .getOrElse(fail("our decoder refused a JDK-written GIF"))
+    assert(mine.luma.toSeq == lumaOf(ref),
+      "our decoder disagreed with the JDK decoder on a JDK-written GIF")
+    // reverse: the JDK decoder reads OUR encoder's LZW output (a
+    // 61-color image — a GIF needs a <=256-color palette)
+    def chp(x: Int, y: Int) = {
+      val k = (x * 7 + y * 13) % 61
+      (k * 4, 255 - k * 2, (k * 3) % 256)
+    }
+    val ours = encodeGif(w, h, chp)
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    assert(jdk != null, "the JDK decoder refused our GIF")
+    assert(lumaOf(jdk) == decodeGif(ours).get.luma.toSeq,
+      "the JDK decoder disagreed with ours on our own GIF")
+  }
+
+  test("GIF codec: truncation, lying dims, and trailer-first decode to " +
+      "None; the interlace flag permutes rows, never crashes") {
+    // 4-color fixture: GCT holds 4 entries (12 bytes), so the image
+    // descriptor starts at byte 25 (header 6 + LSD 7 + GCT 12)
+    def ch4(x: Int, y: Int) =
+      Seq((0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255))((x + y) % 4)
+    val ok = encodeGif(10, 8, ch4)
+    assert(decodeGif(ok).nonEmpty)
+    assert(ok(25) == 0x2c, "fixture layout drifted — adjust the offsets")
+    assert(decodeGif("GIF90a".getBytes ++ ok.drop(6)).isEmpty,
+      "an unknown version magic must be refused")
+    for (keep <- Seq(5, 13, 27, ok.length - 2))
+      assert(decodeGif(ok.take(keep)).isEmpty, s"truncated at $keep")
+    // flipping the interlace flag on sequential data yields a VALID
+    // decode with 4-pass-permuted rows — the flag must be honored (the
+    // true interlaced reference is the JDK cross-test above, whose
+    // writer emits interlaced GIFs by default)
+    val inter = ok.clone(); inter(34) = (inter(34) | 0x40).toByte
+    val ip = decodeGif(inter).get
+    assert(ip.luma.toSeq != decodeGif(ok).get.luma.toSeq,
+      "the interlace flag was ignored")
+    assert(ip.luma.sorted.toSeq == decodeGif(ok).get.luma.sorted.toSeq,
+      "deinterlacing must permute rows, not change pixels")
+    // shrink the declared height: the stream then holds MORE pixels than
+    // w×h — a lying header must refuse, not silently crop
+    val lie = ok.clone(); lie(32) = 4
+    assert(decodeGif(lie).isEmpty, "an over-long pixel stream must refuse")
+    // grow it: EOI arrives before w×h pixels — an underrun, same answer
+    val lie2 = ok.clone(); lie2(32) = 100
+    assert(decodeGif(lie2).isEmpty, "an under-run pixel stream must refuse")
+    assert(decodeGif(ok.take(25) :+ 0x3b.toByte).isEmpty,
+      "a trailer before any image must be refused")
+  }
+
   test("decodeImage routes by sniffed magic bytes") {
     val w = 4; val h = 2
     def ch(x: Int, y: Int) = (x * 30, y * 80 + 5, 200 - x * 20)
     val bmp = encodeBmp24(w, h, ch)
     val ppm = encodePpm(w, h, ch)
     val png = encodePng(w, h, ch)
+    val gif = encodeGif(w, h, ch)
     assert(decodeImage(bmp).get.luma.toSeq == decodeBmp(bmp).get.luma.toSeq)
     assert(decodeImage(ppm).get.luma.toSeq == decodePnm(ppm).get.luma.toSeq)
     assert(decodeImage(png).get.luma.toSeq == decodePng(png).get.luma.toSeq)
+    assert(decodeImage(gif).get.luma.toSeq == decodeGif(gif).get.luma.toSeq)
     assert(decodeImage(bmp).get.luma.toSeq == decodeImage(ppm).get.luma.toSeq,
       "the routed formats of one image must agree")
     assert(decodeImage(bmp).get.luma.toSeq == decodeImage(png).get.luma.toSeq,
       "the PNG twin of one image must agree with its BMP")
+    assert(decodeImage(bmp).get.luma.toSeq == decodeImage(gif).get.luma.toSeq,
+      "the GIF twin of one image must agree with its BMP")
     assert(decodeImage("neither a bitmap nor a pixmap".getBytes).isEmpty)
     assert(decodeImage(Array.emptyByteArray).isEmpty)
   }
