@@ -1202,6 +1202,218 @@ object Multimodal {
       ((id * 131 + i.toLong * 37 + c * 4099) % 65536L).toInt - 32768))
   }
 
+  // ---- AVI (RIFF container, uncompressed DIB frames) --------------------
+
+  /** A decoded AVI's geometry plus the payload offsets of its video
+    * frames — frames decode lazily via [[aviFrameLuma]] so a sampler
+    * never materializes the frames it skips. */
+  final case class DecodedVideo(width: Int, height: Int,
+      frameOffsets: Array[Int])
+
+  /** Parse a RIFF/AVI container holding ONE uncompressed 24-bit DIB
+    * video stream ('00db' frame chunks, the BI_RGB layout [[decodeBmp]]
+    * reads): `hdrl` walk for the main header's dimensions, `strf`
+    * BITMAPINFOHEADER verification (BI_RGB, 24-bit), `movi` walk for the
+    * frame chunk offsets — frames whose chunk is smaller than one
+    * rowSize×height raster are refused, so [[aviFrameLuma]] can read
+    * without further bounds checks. Compressed streams, other bit
+    * depths, hostile dimensions, and truncated/lying chunk sizes decode
+    * to None — the standing codec contract. */
+  def decodeAvi(payload: Array[Byte]): Option[DecodedVideo] = {
+    if (payload.length < 24 || payload(0) != 'R' || payload(1) != 'I' ||
+        payload(2) != 'F' || payload(3) != 'F' || payload(8) != 'A' ||
+        payload(9) != 'V' || payload(10) != 'I' || payload(11) != ' ')
+      return None
+    var width = -1; var height = -1
+    var fmtOk = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // (start, end) spans to walk; LIST bodies push a nested span
+    var spans = List((12L, payload.length.toLong))
+    while (spans.nonEmpty) {
+      var (pos, end) = spans.head
+      spans = spans.tail
+      while (pos + 8 <= end) {
+        val p = pos.toInt
+        val id = new String(payload, p, 4, "US-ASCII")
+        val size = le32(payload, p + 4).toLong & 0xffffffffL
+        val body = pos + 8
+        if (body + size > end) return None // lying chunk size
+        id match {
+          case "LIST" =>
+            if (size < 4) return None
+            val kind = new String(payload, body.toInt, 4, "US-ASCII")
+            // only the lists on the video path are walked; others
+            // (audio strl, odml) are opaque
+            if (kind == "hdrl" || kind == "strl" || kind == "movi")
+              spans = (body + 4, body + size) :: spans
+          case "avih" =>
+            if (size < 40) return None
+            width = le32(payload, body.toInt + 32)
+            height = le32(payload, body.toInt + 36)
+          case "strf" =>
+            // BITMAPINFOHEADER: biCompression @16 (0 = BI_RGB),
+            // biBitCount @14 — a WAVEFORMATEX here is smaller than 40
+            // bytes and simply doesn't set fmtOk
+            if (size >= 40 && le16(payload, body.toInt + 14) == 24 &&
+                le32(payload, body.toInt + 16) == 0)
+              fmtOk = true
+          case _ =>
+            if (id.length == 4 && id.endsWith("db")) frames += body.toInt
+        }
+        pos = body + size + (size & 1L) // RIFF chunks are even-padded
+      }
+    }
+    if (width <= 0 || height <= 0 || !fmtOk || frames.isEmpty) return None
+    if (width.toLong * height > Int.MaxValue) return None
+    val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
+    val raster = rowSizeL * height
+    if (raster > Int.MaxValue) return None
+    // every frame chunk must hold a full raster (verified ONCE here)
+    val ok = frames.forall { off =>
+      val size = le32(payload, off - 4).toLong & 0xffffffffL
+      size >= raster && off + raster <= payload.length
+    }
+    if (!ok) return None
+    Some(DecodedVideo(width, height, frames.toArray))
+  }
+
+  /** Decode ONE frame of a [[decodeAvi]]-verified container to top-down
+    * luma: bottom-up BI_RGB rows with 4-byte padding, [[decodeBmp]]'s
+    * exact arithmetic. Bounds were verified by decodeAvi. */
+  def aviFrameLuma(payload: Array[Byte], off: Int, width: Int,
+      height: Int): Array[Int] = {
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val luma = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val src = off + (height - 1 - y) * rowSize
+      var x = 0
+      while (x < width) {
+        val b = payload(src + x * 3) & 0xff
+        val g = payload(src + x * 3 + 1) & 0xff
+        val r = payload(src + x * 3 + 2) & 0xff
+        luma(y * width + x) = (299 * r + 587 * g + 114 * b) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    luma
+  }
+
+  /** Encode frames as a minimal RIFF/AVI (one 24-bit DIB video stream) —
+    * the fixture generator proving [[decodeAvi]] parses the real nested
+    * layout. `rgb(f)(x, y)` supplies frame f's channels. */
+  def encodeAvi(width: Int, height: Int, nFrames: Int,
+      rgb: Int => (Int, Int) => (Int, Int, Int), fps: Int = 25): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0 && fps > 0)
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val frameBytes = rowSize * height
+    val out = new java.io.ByteArrayOutputStream()
+    def le16w(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32w(v: Int): Unit = { le16w(v & 0xffff); le16w((v >>> 16) & 0xffff) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def chunk(id: String)(body: => Unit): Unit = {
+      tag(id)
+      val sizeAt = out.size(); le32w(0)
+      val start = out.size(); body
+      val size = out.size() - start
+      if (size % 2 != 0) out.write(0) // even padding
+      val b = out.toByteArray
+      b(sizeAt) = (size & 0xff).toByte
+      b(sizeAt + 1) = ((size >> 8) & 0xff).toByte
+      b(sizeAt + 2) = ((size >> 16) & 0xff).toByte
+      b(sizeAt + 3) = ((size >> 24) & 0xff).toByte
+      out.reset(); out.write(b, 0, b.length)
+    }
+    chunk("RIFF") {
+      tag("AVI ")
+      chunk("LIST") {
+        tag("hdrl")
+        chunk("avih") {
+          le32w(1000000 / fps); le32w(frameBytes * fps); le32w(0); le32w(0x10)
+          le32w(nFrames); le32w(0); le32w(1); le32w(frameBytes)
+          le32w(width); le32w(height); (0 until 4).foreach(_ => le32w(0))
+        }
+        chunk("LIST") {
+          tag("strl")
+          chunk("strh") {
+            tag("vids"); tag("DIB ")
+            le32w(0); le16w(0); le16w(0); le32w(0); le32w(0)
+            le32w(1); le32w(fps) // rate/scale
+            le32w(0); le32w(nFrames); le32w(frameBytes); le32w(-1)
+            le32w(0); le16w(0); le16w(0); le16w(0); le16w(0)
+          }
+          chunk("strf") {
+            le32w(40); le32w(width); le32w(height); le16w(1); le16w(24)
+            le32w(0); le32w(frameBytes); le32w(0); le32w(0)
+            le32w(0); le32w(0)
+          }
+        }
+      }
+      chunk("LIST") {
+        tag("movi")
+        (0 until nFrames).foreach { f =>
+          chunk("00db") {
+            val px = rgb(f)
+            var y = 0
+            while (y < height) {
+              var x = 0
+              while (x < width) {
+                val (r, g, b) = px(x, height - 1 - y) // bottom-up rows
+                out.write(b & 0xff); out.write(g & 0xff); out.write(r & 0xff)
+                x += 1
+              }
+              (width * 3 until rowSize).foreach(_ => out.write(0))
+              y += 1
+            }
+          }
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Per-kept-frame video report — the frame-sampling face of the real
+    * container ([[sampleFrames]]'s byte-stride shape, now with honest
+    * parsing): every `stride`-th frame of each decodable AVI reduces to
+    * exact integer pixel aggregates; skipped frames are never decoded
+    * (the offsets table makes the sample O(kept), not O(frames)).
+    * Undecodable payloads are skipped. */
+  final case class VideoFrame(doc_id: Long, frame_id: Long, width: Long,
+      height: Long, sum_luma: Long, pos_checksum: Long)
+
+  def videoFrameReport(media: Dataset[MediaRow], stride: Int)(
+      implicit spark: SparkSession): Dataset[VideoFrame] = {
+    require(stride > 0, s"stride must be positive: $stride")
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAvi(r.payload).iterator.flatMap { v =>
+          (0 until v.frameOffsets.length by stride).iterator.map { f =>
+            val luma = aviFrameLuma(r.payload, v.frameOffsets(f),
+              v.width, v.height)
+            var sum = 0L; var pos = 0L; var p = 0
+            while (p < luma.length) {
+              sum += luma(p); pos += (p + 1).toLong * luma(p); p += 1
+            }
+            VideoFrame(r.doc_id, f.toLong, v.width.toLong, v.height.toLong,
+              sum, pos)
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic AVI fixture: frame f's channels extend the shared
+    * small-prime maps with a frame term, so an SQL oracle replays every
+    * kept frame's aggregates arithmetically. */
+  def synthAvi(id: Long, width: Int = 15, height: Int = 9,
+      nFrames: Int = 8): Array[Byte] =
+    encodeAvi(width, height, nFrames, f => (x, y) => (
+      ((id * 7 + f * 41 + x * 3 + y * 5) % 256).toInt,
+      ((id * 11 + f * 43 + x * 13 + y * 17) % 256).toInt,
+      ((id * 19 + f * 47 + x * 23 + y * 29) % 256).toInt))
+
   /** STUB decode + featurize for formats whose codecs are NOT in this
     * container: fold the payload bytes into a `dim`-bucket histogram
     * normalized by length. Deterministic, so tests can pin it; a real

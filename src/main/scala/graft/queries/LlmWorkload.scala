@@ -470,6 +470,23 @@ object LlmWorkload {
       win = 60).toDF()
   }
 
+  /** The REAL video path at the gate — the container twin of
+    * [[multimodalDecode]]/[[multimodalAudio]]: per doc an 8-frame 15×9
+    * AVI (one uncompressed 24-bit DIB stream, frame-indexed small-prime
+    * channel maps) is encoded to real RIFF bytes, then every THIRD frame
+    * is decoded and aggregated ([[Multimodal.videoFrameReport]] — kept
+    * frames only, the offsets table skips the rest). The oracle replays
+    * generate → sample → aggregate; a header-walk, frame-offset,
+    * bottom-up, or stride bug shifts `pos_checksum` per (doc, frame). */
+  def multimodalVideo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    Multimodal.videoFrameReport(
+      Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id, Multimodal.synthAvi(id))),
+      stride = 3).toDF()
+  }
+
   def dedupEmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
     VectorOps.embeddingNearDupPairs(Tables(spark, dir, "embeddings"))
 
@@ -1521,6 +1538,7 @@ object LlmWorkload {
     "multimodal_decode" -> multimodalDecode,
     "multimodal_audio" -> multimodalAudio,
     "multimodal_audio_windows" -> multimodalAudioWindows,
+    "multimodal_video" -> multimodalVideo,
     "dedup_embedding_pairs" -> dedupEmbeddingPairs,
     "dedup_embedding_srp_pairs" -> dedupEmbeddingSrpPairs,
     "dedup_embedding_incremental" -> dedupEmbeddingIncremental,
@@ -3460,6 +3478,27 @@ object LlmWorkload {
         |  CAST(count(*) AS BIGINT) AS n_samples,
         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
         |  CAST(max(abs(s)) AS BIGINT) AS peak
-        |FROM smp GROUP BY 1, 2""".stripMargin
+        |FROM smp GROUP BY 1, 2""".stripMargin,
+    // video-frame replay: generate -> sample (every 3rd of 8 frames) ->
+    // aggregate, arithmetically; the Spark side ran generate -> ENCODE to
+    // a real RIFF/AVI container -> header/movi walk -> per-kept-frame
+    // DIB decode -> aggregate, so container parsing, frame offsets, the
+    // bottom-up flip, and the stride are exactly the difference hashed
+    "multimodal_video" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, f.f, (y.y * 15 + x.x) AS p,
+        |    ((299 * ((d.doc_id * 7 + f.f * 41 + x.x * 3 + y.y * 5) % 256)
+        |    + 587 * ((d.doc_id * 11 + f.f * 43 + x.x * 13 + y.y * 17) % 256)
+        |    + 114 * ((d.doc_id * 19 + f.f * 47 + x.x * 23 + y.y * 29) % 256))
+        |      // 1000) AS luma
+        |  FROM documents d,
+        |    (SELECT unnest([0, 3, 6]) AS f) f,
+        |    (SELECT unnest(range(0, 15)) AS x) x,
+        |    (SELECT unnest(range(0, 9)) AS y) y)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_id,
+        |  CAST(15 AS BIGINT) AS width, CAST(9 AS BIGINT) AS height,
+        |  CAST(sum(luma) AS BIGINT) AS sum_luma,
+        |  CAST(sum((p + 1) * luma) AS BIGINT) AS pos_checksum
+        |FROM px GROUP BY 1, 2""".stripMargin
   )
 }

@@ -44,6 +44,14 @@ class CodecFuzzSpec extends SparkSpec {
     decodePng(payload).foreach(sane)
     decodeGif(payload).foreach(sane)
     decodeWav(payload).foreach(saneA)
+    decodeAvi(payload).foreach { v =>
+      assert(v.width > 0 && v.height > 0 && v.frameOffsets.nonEmpty)
+      // decodeAvi's contract: every surviving frame offset is readable
+      v.frameOffsets.foreach { off =>
+        val luma = aviFrameLuma(payload, off, v.width, v.height)
+        assert(luma.forall(l => l >= 0 && l <= 255))
+      }
+    }
   }
 
   for (seed <- Seq(5, 23, 91))
@@ -66,7 +74,8 @@ class CodecFuzzSpec extends SparkSpec {
         encodeGif(12, 8, (x, y) => Seq((0, 0, 0), (255, 255, 255))((x + y) % 2)),
         encodeWav(8000, 1, 64, i => Seq(((i * 997) % 65536) - 32768)),
         encodeWav(8000, 2, 64, i => Seq(i * 100 - 3200, 3200 - i * 100)),
-        encodeWav(8000, 1, 64, i => Seq((i * 7) % 256), bits = 8))
+        encodeWav(8000, 1, 64, i => Seq((i * 7) % 256), bits = 8),
+        encodeAvi(9, 5, 3, f => (x, y) => (f * 50 + x * 20, y * 40, 128)))
       fixtures.foreach(decodeAll) // the fixtures themselves are clean
 
       (1 to 400).foreach { _ =>

@@ -467,6 +467,76 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AVI codec: frame round-trip equals the per-frame BMP twin; " +
+      "hostile containers decode to None") {
+    val w = 15; val h = 9; val n = 5 // odd width: row padding exercised
+    def ch(f: Int)(x: Int, y: Int) =
+      ((f * 41 + x * 31 + y * 7) % 256, (f * 43 + x * 13 + y * 101) % 256,
+        (f * 47 + x + y * 3) % 256)
+    val avi = encodeAvi(w, h, n, ch)
+    val v = decodeAvi(avi).getOrElse(fail("valid AVI refused"))
+    assert(v.width == w && v.height == h && v.frameOffsets.length == n)
+    (0 until n).foreach { f =>
+      val want = decodeBmp(encodeBmp24(w, h, ch(f))).get.luma.toSeq
+      assert(aviFrameLuma(avi, v.frameOffsets(f), w, h).toSeq == want,
+        s"frame $f diverged from its BMP twin")
+    }
+    // hostile: magic, truncation anywhere, compressed stream, 32-bit
+    // depth, hostile dims, missing movi
+    assert(decodeAvi("RIFFxxxxWAVE".getBytes ++ avi.drop(12)).isEmpty)
+    for (keep <- Seq(10, 30, 100, avi.length - 1))
+      assert(decodeAvi(avi.take(keep)).isEmpty, s"truncated at $keep")
+    def strfAt: Int = { // locate the strf body to corrupt its fields
+      var i = 0
+      while (!(avi(i) == 's' && avi(i + 1) == 't' && avi(i + 2) == 'r' &&
+        avi(i + 3) == 'f')) i += 1
+      i + 8
+    }
+    val comp = avi.clone(); comp(strfAt + 16) = 1 // biCompression = BI_RLE8
+    assert(decodeAvi(comp).isEmpty, "a compressed stream must be refused")
+    val d32 = avi.clone(); d32(strfAt + 14) = 32
+    assert(decodeAvi(d32).isEmpty, "a 32-bit stream must be refused")
+    // hostile avih dims: frames then cannot hold a full raster
+    def avihAt: Int = {
+      var i = 0
+      while (!(avi(i) == 'a' && avi(i + 1) == 'v' && avi(i + 2) == 'i' &&
+        avi(i + 3) == 'h')) i += 1
+      i + 8
+    }
+    val big = avi.clone()
+    big(avihAt + 32) = -1; big(avihAt + 33) = -1
+    big(avihAt + 34) = -1; big(avihAt + 35) = 0x7f
+    assert(decodeAvi(big).isEmpty, "2^31-scale dims must be refused")
+    assert(decodeAvi(avi.take(12)).isEmpty)
+  }
+
+  test("videoFrameReport keeps every stride-th frame only, aggregates " +
+      "exactly, and skips undecodable payloads") {
+    implicit val s = spark
+    val media = Seq(
+      MediaRow(1L, synthAvi(1L)),
+      MediaRow(2L, "not a container of anything, let alone video".getBytes))
+      .toDS()
+    val out = videoFrameReport(media, stride = 3).collect()
+      .sortBy(r => (r.doc_id, r.frame_id))
+    assert(out.map(_.doc_id).distinct.toSeq == Seq(1L))
+    assert(out.map(_.frame_id).toSeq == Seq(0L, 3L, 6L),
+      "stride-3 over 8 frames must keep exactly 0, 3, 6")
+    out.foreach { r =>
+      // replay the generator arithmetic (the oracle's computation)
+      val f = r.frame_id
+      val luma = for (y <- 0 until 9; x <- 0 until 15) yield
+        (299 * ((1L * 7 + f * 41 + x * 3 + y * 5) % 256).toInt +
+          587 * ((1L * 11 + f * 43 + x * 13 + y * 17) % 256).toInt +
+          114 * ((1L * 19 + f * 47 + x * 23 + y * 29) % 256).toInt) / 1000
+      assert(r.width == 15L && r.height == 9L)
+      assert(r.sum_luma == luma.map(_.toLong).sum &&
+        r.pos_checksum == luma.zipWithIndex.map { case (l, p) =>
+          (p + 1).toLong * l }.sum,
+        s"frame $f aggregates diverged")
+    }
+  }
+
   test("decodeReport aggregates decoded pixels exactly and skips " +
       "undecodable payloads") {
     implicit val s = spark
