@@ -869,10 +869,10 @@ object Multimodal {
 
   /** Route a media payload to its codec by sniffed magic bytes — 'BM' →
     * [[decodeBmp]], the 8-byte PNG signature → [[decodePng]], 'GIF8' →
-    * [[decodeGif]], 'P2|P3|P5|P6' → [[decodePnm]], anything else `None`:
-    * a mixed-format media column decodes per-row with no format column
-    * required. The single entry point [[decodeReport]]/[[phashDecoded]]
-    * read. */
+    * [[decodeGif]], 0xFFD8 → [[decodeJpeg]], 'P2|P3|P5|P6' →
+    * [[decodePnm]], anything else `None`: a mixed-format media column
+    * decodes per-row with no format column required. The single entry
+    * point [[decodeReport]]/[[phashDecoded]] read. */
   def decodeImage(payload: Array[Byte]): Option[DecodedImage] =
     if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
       decodeBmp(payload)
@@ -882,6 +882,9 @@ object Multimodal {
     else if (payload.length >= 4 && payload(0) == 'G' && payload(1) == 'I' &&
         payload(2) == 'F' && payload(3) == '8')
       decodeGif(payload)
+    else if (payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
+        (payload(1) & 0xff) == 0xd8)
+      decodeJpeg(payload)
     else decodePnm(payload)
 
   /** Encode top-down row-major RGB as raw (P6) PPM bytes. */
@@ -1209,6 +1212,333 @@ object Multimodal {
     val channels = if (id % 2 == 0) 1 else 2
     encodeWav(8000, channels, nFrames, i => (0 until channels).map(c =>
       ((id * 131 + i.toLong * 37 + c * 4099) % 65536L).toInt - 32768))
+  }
+
+  // ---- JPEG (baseline DCT, ITU T.81, public spec) ------------------------
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** JPEG zigzag order: zigzag index → natural (row-major) index. */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Canonical JPEG Huffman table in the classic
+    * minCode/maxCode/valPtr decode form (T.81 §F.2.2.3). */
+  private final class JpegHuff(counts: Array[Int], val symbols: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1); k += counts(l - 1)
+        maxCode(l) = if (counts(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** The separable 8×8 inverse DCT basis: cos((2x+1)uπ/16) scaled by the
+    * normalization (1/√2 for u = 0) and the 1/2 factor. */
+  private val IdctCos: Array[Double] = {
+    val t = new Array[Double](64)
+    for (u <- 0 until 8; x <- 0 until 8)
+      t(u * 8 + x) = 0.5 * (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0) *
+        math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    t
+  }
+
+  /** Decode a BASELINE (and extended-sequential) Huffman JPEG's LUMA —
+    * the Y channel IS the integer-BT.601 luminance every codec here
+    * emits, so chroma components are entropy-decoded only to advance the
+    * bitstream (their IDCT is skipped: sampling a trillion-image corpus
+    * for luma signatures should not pay for color it discards). Marker
+    * walk (DQT 8/16-bit, DHT, SOF0/1, DRI, SOS, APPn/COM skipped),
+    * 0xFF00 byte unstuffing, restart markers with predictor resets,
+    * interleaved multi-component MCUs under arbitrary sampling factors,
+    * and a double-precision separable IDCT. `None` — never a crash —
+    * for progressive (SOF2) or arithmetic-coded images, non-8-bit
+    * precision, truncated or structurally lying streams, and hostile
+    * dimensions refused before allocation. Lossy format ⇒ no exact SQL
+    * oracle; correctness is pinned by the bidirectional JDK ImageIO
+    * cross-check (tolerance ≤ a few luma steps, the decoder-to-decoder
+    * variation the spec itself permits). */
+  def decodeJpeg(payload: Array[Byte]): Option[DecodedImage] = {
+    if (payload.length < 4 || (payload(0) & 0xff) != 0xff ||
+        (payload(1) & 0xff) != 0xd8) return None
+    val qt = Array.ofDim[Int](4, 64) // natural order
+    val dcT = new Array[JpegHuff](4)
+    val acT = new Array[JpegHuff](4)
+    var w = -1; var h = -1
+    // per component: (id, hSamp, vSamp, qId); scan adds (dcId, acId)
+    var comps: Array[Array[Int]] = null
+    var dri = 0
+    var pos = 2
+    while (pos + 4 <= payload.length) {
+      if ((payload(pos) & 0xff) != 0xff) return None
+      val m = payload(pos + 1) & 0xff
+      if (m == 0xd9) return None // EOI before any scan
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { pos += 2 }
+      else {
+        val len = be16(payload, pos + 2)
+        if (len < 2 || pos + 2 + len > payload.length) return None
+        val body = pos + 4
+        val bend = pos + 2 + len
+        m match {
+          case 0xdb => // DQT: one or more (pq/tq, 64 entries) tables
+            var p = body
+            while (p < bend) {
+              val pq = (payload(p) & 0xff) >> 4
+              val tq = payload(p) & 0x0f
+              if (tq > 3 || pq > 1) return None
+              p += 1
+              val n = if (pq == 0) 64 else 128
+              if (p + n > bend) return None
+              var i = 0
+              while (i < 64) {
+                qt(tq)(JpegZigzag(i)) =
+                  if (pq == 0) payload(p + i) & 0xff
+                  else be16(payload, p + i * 2)
+                i += 1
+              }
+              p += n
+            }
+          case 0xc4 => // DHT: one or more (tc/th, 16 counts, symbols)
+            var p = body
+            while (p < bend) {
+              val tc = (payload(p) & 0xff) >> 4
+              val th = payload(p) & 0x0f
+              if (tc > 1 || th > 3 || p + 17 > bend) return None
+              val counts = Array.tabulate(16)(i => payload(p + 1 + i) & 0xff)
+              val total = counts.sum
+              if (total > 256 || p + 17 + total > bend) return None
+              val syms = java.util.Arrays.copyOfRange(payload, p + 17,
+                p + 17 + total)
+              val t = new JpegHuff(counts, syms)
+              if (tc == 0) dcT(th) = t else acT(th) = t
+              p += 17 + total
+            }
+          case 0xc0 | 0xc1 => // SOF0/1: baseline / extended sequential
+            if (body + 6 > bend || (payload(body) & 0xff) != 8) return None
+            h = be16(payload, body + 1); w = be16(payload, body + 3)
+            val n = payload(body + 5) & 0xff
+            if (w <= 0 || h <= 0 || (n != 1 && n != 3) ||
+                body + 6 + 3 * n > bend) return None
+            if (w.toLong * h > Int.MaxValue) return None
+            comps = Array.tabulate(n) { i =>
+              val o = body + 6 + 3 * i
+              val samp = payload(o + 1) & 0xff
+              Array(payload(o) & 0xff, samp >> 4, samp & 0x0f,
+                payload(o + 2) & 0xff, 0, 0)
+            }
+            if (comps.exists(c => c(1) < 1 || c(1) > 4 || c(2) < 1 ||
+                c(2) > 4 || c(3) > 3)) return None
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+              0xcd | 0xce | 0xcf =>
+            return None // progressive/lossless/arithmetic: not baseline
+          case 0xdd => // DRI
+            if (len != 4) return None
+            dri = be16(payload, body)
+          case 0xda => // SOS: bind scan tables, then decode
+            if (comps == null) return None
+            val n = payload(body) & 0xff
+            if (n != comps.length || body + 1 + 2 * n + 3 > bend) return None
+            var i = 0
+            while (i < n) {
+              val cid = payload(body + 1 + 2 * i) & 0xff
+              val tb = payload(body + 2 + 2 * i) & 0xff
+              val c = comps.find(_(0) == cid).getOrElse(return None)
+              c(4) = tb >> 4; c(5) = tb & 0x0f
+              if (c(4) > 3 || c(5) > 3 || dcT(c(4)) == null ||
+                  acT(c(5)) == null) return None
+              i += 1
+            }
+            return jpegScan(payload, bend, w, h, comps, qt, dcT, acT, dri)
+          case _ => () // APPn, COM, others: skipped
+        }
+        pos += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Entropy-decode the single interleaved scan and IDCT the luma. */
+  private def jpegScan(payload: Array[Byte], start: Int, w: Int, h: Int,
+      comps: Array[Array[Int]], qt: Array[Array[Int]],
+      dcT: Array[JpegHuff], acT: Array[JpegHuff],
+      dri: Int): Option[DecodedImage] = {
+    val maxH = comps.map(_(1)).max
+    val maxV = comps.map(_(2)).max
+    // single-component scans are NOT interleaved (T.81 A.2.2): the MCU
+    // is one block, whatever the declared sampling factors
+    val oneComp = comps.length == 1
+    val mcuW = if (oneComp) 8 else 8 * maxH
+    val mcuH = if (oneComp) 8 else 8 * maxV
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
+    val y = comps(0)
+    val yBh = if (oneComp) 1 else y(1) // luma blocks per MCU, each axis
+    val yBv = if (oneComp) 1 else y(2)
+    val planeW = mcusX * yBh * 8
+    val planeH = mcusY * yBv * 8
+    if (planeW.toLong * planeH > Int.MaxValue) return None
+    val plane = new Array[Int](planeW * planeH)
+    var pos = start
+    var bitBuf = 0; var bitCnt = 0
+    var hitMarker = false
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (hitMarker || pos >= payload.length) return -1
+        var v = payload(pos) & 0xff; pos += 1
+        if (v == 0xff) {
+          if (pos >= payload.length) return -1
+          if ((payload(pos) & 0xff) == 0) pos += 1
+          else { hitMarker = true; return -1 }
+        }
+        bitBuf = v; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def decodeHuff(t: JpegHuff): Int = {
+      var code = 0; var l = 1
+      while (l <= 16) {
+        val b = nextBit(); if (b < 0) return -1
+        code = (code << 1) | b
+        if (t.maxCode(l) >= 0 && code <= t.maxCode(l))
+          return t.symbols(t.valPtr(l) + code - t.minCode(l)) & 0xff
+        l += 1
+      }
+      -1
+    }
+    def receiveExtend(s: Int): Int = {
+      if (s == 0) return 0
+      var v = 0; var i = 0
+      while (i < s) {
+        val b = nextBit(); if (b < 0) return Int.MinValue
+        v = (v << 1) | b; i += 1
+      }
+      if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    }
+    val preds = new Array[Int](comps.length)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    // decode one block of component ci; IDCT into plane at (px, py)
+    // when wantPixels (luma), else just advance the bitstream
+    def block(ci: Int, px: Int, py: Int, wantPixels: Boolean): Boolean = {
+      val c = comps(ci)
+      val q = qt(c(3))
+      if (wantPixels) java.util.Arrays.fill(coef, 0)
+      val t = decodeHuff(dcT(c(4))); if (t < 0 || t > 15) return false
+      val diff = receiveExtend(t); if (diff == Int.MinValue) return false
+      preds(ci) += diff
+      if (wantPixels) coef(0) = preds(ci) * q(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = decodeHuff(acT(c(5))); if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (r == 15) k += 16 else eob = true
+        } else {
+          k += r
+          if (k > 63) return false
+          val v = receiveExtend(s); if (v == Int.MinValue) return false
+          if (wantPixels) { val n = JpegZigzag(k); coef(n) = v * q(n) }
+          k += 1
+        }
+      }
+      if (wantPixels) {
+        // rows: tmp = coef × basis over u (per row), then columns
+        var yy = 0
+        while (yy < 8) {
+          var x = 0
+          while (x < 8) {
+            var acc = 0.0; var u = 0
+            while (u < 8) { acc += coef(yy * 8 + u) * IdctCos(u * 8 + x); u += 1 }
+            tmp(yy * 8 + x) = acc
+            x += 1
+          }
+          yy += 1
+        }
+        var x = 0
+        while (x < 8) {
+          var yo = 0
+          while (yo < 8) {
+            var acc = 0.0; var v = 0
+            while (v < 8) { acc += tmp(v * 8 + x) * IdctCos(v * 8 + yo); v += 1 }
+            val px2 = px + x; val py2 = py + yo
+            if (px2 < planeW && py2 < planeH) {
+              val s2 = math.round(acc + 128.0).toInt
+              plane(py2 * planeW + px2) =
+                if (s2 < 0) 0 else if (s2 > 255) 255 else s2
+            }
+            yo += 1
+          }
+          x += 1
+        }
+      }
+      true
+    }
+    val nMcus = mcusX * mcusY
+    var mcu = 0
+    while (mcu < nMcus) {
+      if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+        // restart: byte-align, expect RSTn, reset the DC predictors
+        bitCnt = 0
+        if (hitMarker) {
+          // nextBit consumed the 0xFF and stopped AT the marker byte
+          if (pos >= payload.length) return None
+          val mk = payload(pos) & 0xff
+          if (mk < 0xd0 || mk > 0xd7) return None
+          pos += 1; hitMarker = false
+        } else {
+          if (pos + 2 > payload.length ||
+              (payload(pos) & 0xff) != 0xff) return None
+          val mk = payload(pos + 1) & 0xff
+          if (mk < 0xd0 || mk > 0xd7) return None
+          pos += 2
+        }
+        java.util.Arrays.fill(preds, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val bh = if (oneComp) 1 else c(1)
+        val bv = if (oneComp) 1 else c(2)
+        var by = 0
+        while (by < bv) {
+          var bx = 0
+          while (bx < bh) {
+            val want = ci == 0
+            val px = (mx * yBh + bx) * 8
+            val py = (my * yBv + by) * 8
+            if (!block(ci, px, py, want)) return None
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    // crop the padded plane to the declared dims
+    val luma = new Array[Int](w * h)
+    var yy = 0
+    while (yy < h) {
+      System.arraycopy(plane, yy * planeW, luma, yy * w, w)
+      yy += 1
+    }
+    Some(DecodedImage(w, h, luma))
   }
 
   // ---- AVI (RIFF container, uncompressed DIB frames) --------------------

@@ -43,6 +43,7 @@ class CodecFuzzSpec extends SparkSpec {
     decodePnm(payload).foreach(sane)
     decodePng(payload).foreach(sane)
     decodeGif(payload).foreach(sane)
+    decodeJpeg(payload).foreach(sane)
     decodeWav(payload).foreach(saneA)
     decodeAvi(payload).foreach { v =>
       assert(v.width > 0 && v.height > 0 && v.frameOffsets.nonEmpty)
@@ -52,6 +53,18 @@ class CodecFuzzSpec extends SparkSpec {
         assert(luma.forall(l => l >= 0 && l <= 255))
       }
     }
+  }
+
+  /** A JDK-encoded baseline JPEG — mutation fuzz needs REAL huffman/DCT
+    * structure to corrupt, which our suite has no encoder for. */
+  private def jdkJpeg(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 9) << 16) | ((y * 11) << 8) | (x + y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
   }
 
   for (seed <- Seq(5, 23, 91))
@@ -75,7 +88,8 @@ class CodecFuzzSpec extends SparkSpec {
         encodeWav(8000, 1, 64, i => Seq(((i * 997) % 65536) - 32768)),
         encodeWav(8000, 2, 64, i => Seq(i * 100 - 3200, 3200 - i * 100)),
         encodeWav(8000, 1, 64, i => Seq((i * 7) % 256), bits = 8),
-        encodeAvi(9, 5, 3, f => (x, y) => (f * 50 + x * 20, y * 40, 128)))
+        encodeAvi(9, 5, 3, f => (x, y) => (f * 50 + x * 20, y * 40, 128)),
+        jdkJpeg(24, 18))
       fixtures.foreach(decodeAll) // the fixtures themselves are clean
 
       (1 to 400).foreach { _ =>
@@ -84,8 +98,9 @@ class CodecFuzzSpec extends SparkSpec {
         // magic-prefixed random tails: pass the router, die deeper
         val magic = Seq("BM", "P6\n", "P3\n",
           new String(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
-            0x1a, 0x0a).map(_.toChar)), "RIFF", "GIF89a", "GIF87a")(
-          rnd.nextInt(7))
+            0x1a, 0x0a).map(_.toChar)), "RIFF", "GIF89a", "GIF87a",
+          new String(Array(0xff, 0xd8, 0xff).map(_.toChar)))(
+          rnd.nextInt(8))
         decodeAll(magic.map(_.toByte).toArray ++
           Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte))
       }

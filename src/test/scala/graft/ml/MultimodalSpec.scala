@@ -340,6 +340,97 @@ class MultimodalSpec extends SparkSpec {
       "a trailer before any image must be refused")
   }
 
+  test("JPEG codec: luma within a few steps of the JDK decoder on " +
+      "JDK-encoded baseline JPEGs — color 4:2:0, grayscale, and noisy " +
+      "content; progressive and truncated streams decode to None") {
+    import java.awt.image.BufferedImage
+    def writeJpeg(img: BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", baos),
+        "the JDK has no JPEG writer in this container?")
+      baos.toByteArray
+    }
+    def lumaOf(im: java.awt.image.BufferedImage): IndexedSeq[Int] =
+      for (y <- 0 until im.getHeight; x <- 0 until im.getWidth) yield {
+        // 1-band images: read RAW samples — TYPE_BYTE_GRAY is a LINEAR
+        // gray space, so getRGB would apply a linear→sRGB conversion the
+        // JPEG bytes never contained
+        if (im.getRaster.getNumBands == 1) im.getRaster.getSample(x, y, 0)
+        else {
+          val v = im.getRGB(x, y)
+          (299 * ((v >> 16) & 0xff) + 587 * ((v >> 8) & 0xff) +
+            114 * (v & 0xff)) / 1000
+        }
+      }
+    // our Y is decoded directly; the JDK reference reconstructs luma
+    // through RGB (chroma roundtrip + IDCT variation), so a few steps of
+    // decoder-to-decoder tolerance is the comparison the spec permits
+    def check(bytes: Array[Byte], label: String, maxTol: Int,
+        meanTol: Double): Unit = {
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val want = lumaOf(ref)
+      val mine = decodeJpeg(bytes)
+        .getOrElse(fail(s"$label: our decoder refused a JDK JPEG"))
+      assert(mine.width == ref.getWidth && mine.height == ref.getHeight)
+      val diffs = mine.luma.toSeq.zip(want).map { case (a, b) =>
+        math.abs(a - b) }
+      assert(diffs.max <= maxTol,
+        s"$label: max luma diff ${diffs.max} > $maxTol vs the JDK decoder")
+      val mean = diffs.sum.toDouble / diffs.size
+      assert(mean <= meanTol, s"$label: mean luma diff $mean > $meanTol")
+    }
+    val w = 64; val h = 48
+    val smooth = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      smooth.setRGB(x, y,
+        ((x * 3 + 20) << 16) | ((y * 4 + 10) << 8) | ((x + y) * 2))
+    check(writeJpeg(smooth), "smooth color", 3, 1.0)
+    val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (x * 4 + y * 2) % 256
+      gray.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    check(writeJpeg(gray), "grayscale", 3, 1.0)
+    // deterministic high-frequency content: both decoders read the SAME
+    // coded coefficients, but noisy chroma decodes to out-of-gamut
+    // (Y, Cb, Cr) triples whose RGB clamps — the reference luma is then
+    // BT.601 of CLAMPED RGB, which deviates from the coded Y we decode
+    // directly by more than rounding; the mean bound carries the claim
+    val noisy = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      noisy.setRGB(x, y,
+        (((x * 131 + y * 37) % 256) << 16) |
+          (((x * 29 + y * 211) % 256) << 8) | ((x * 197 + y * 73) % 256))
+    check(writeJpeg(noisy), "noisy color", 12, 2.0)
+    // an odd-size image: the partial-MCU crop path
+    val odd = new BufferedImage(21, 13, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 13; x <- 0 until 21)
+      odd.setRGB(x, y, ((x * 9 + 30) << 16) | ((y * 11 + 40) << 8) | 90)
+    check(writeJpeg(odd), "odd dims", 3, 1.0)
+    // progressive (SOF2): explicitly out of the baseline contract
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val pout = new java.io.ByteArrayOutputStream()
+    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(pout))
+    writer.write(null, new javax.imageio.IIOImage(smooth, null, null), p)
+    writer.dispose()
+    assert(decodeJpeg(pout.toByteArray).isEmpty,
+      "a progressive JPEG must be refused, not misdecoded")
+    // truncation must refuse when it cuts the headers or the entropy
+    // data (a cut past the complete scan loses only the EOI — the image
+    // is whole, and decoding it is correct, so cut INSIDE the scan)
+    val ok = writeJpeg(smooth)
+    val sos = (0 until ok.length - 1).find(i =>
+      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xda).get
+    for (keep <- Seq(1, 3, 20, sos + 5, sos + 15, sos + 25))
+      assert(decodeJpeg(ok.take(keep)).isEmpty, s"truncated at $keep")
+    assert(decodeJpeg(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    // the router sniffs 0xFFD8
+    assert(decodeImage(ok).get.luma.toSeq == decodeJpeg(ok).get.luma.toSeq)
+  }
+
   test("decodeImage routes by sniffed magic bytes") {
     val w = 4; val h = 2
     def ch(x: Int, y: Int) = (x * 30, y * 80 + 5, 200 - x * 20)
