@@ -13,20 +13,21 @@ import org.apache.spark.sql.functions._
  * byte-array/JDK-zip arithmetic, no external codec dependency: 24-bit BMP
  * ([[decodeBmp]]), netpbm P2/P3/P5/P6 ([[decodePnm]]), 8-bit PNG
  * ([[decodePng]] — Inflater + per-row filters + chunk CRCs), GIF
- * ([[decodeGif]] — full LZW + 4-pass deinterlace, cross-checked against
- * the JDK's ImageIO in both directions), RIFF/WAVE PCM audio
+ * ([[decodeGif]] — full LZW + 4-pass deinterlace), baseline JPEG luma
+ * ([[decodeJpeg]] — Huffman + dequant + IDCT; GIF and JPEG are
+ * cross-checked against the JDK's ImageIO), RIFF/WAVE PCM audio
  * ([[decodeWav]]), and RIFF/AVI video with lazy per-frame DIB decode
  * ([[decodeAvi]]/[[aviFrameLuma]]). They feed pixel-domain perceptual
  * hashing ([[phashDecoded]]) and the oracle-gated reports
  * ([[decodeReport]], [[audioReport]], [[audioEnergyWindows]],
  * [[videoFrameReport]]); every decoder shares one contract — corrupt
  * bytes return None, NEVER crash the batch ([[graft.ml]]'s CodecFuzzSpec
- * soaks it). Formats that genuinely need external codecs (JPEG, modern
- * video) keep the documented STUB path: `extractFeatures` computes a
- * deterministic fake feature (a byte histogram folded to `dim` buckets) —
- * but the Spark-side plumbing it exercises is the real thing: typed
- * Dataset, per-partition batch iteration (the `mapPartitions` shape a
- * JNI/codec call would need so the codec is initialized once per
+ * soaks it). Formats that genuinely need external codecs (modern video,
+ * compressed audio) keep the documented STUB path: `extractFeatures`
+ * computes a deterministic fake feature (a byte histogram folded to `dim`
+ * buckets) — but the Spark-side plumbing it exercises is the real thing:
+ * typed Dataset, per-partition batch iteration (the `mapPartitions` shape
+ * a JNI/codec call would need so the codec is initialized once per
  * partition, not per row), fixed-width Float features, and metadata
  * carried alongside the payload.
  */
