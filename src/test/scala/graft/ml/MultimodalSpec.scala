@@ -431,6 +431,109 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeImage(ok).get.luma.toSeq == decodeJpeg(ok).get.luma.toSeq)
   }
 
+  test("JPEG codec: restart markers reset the DC predictors exactly — a " +
+      "hand-rolled DRI stream of flat tiles decodes losslessly") {
+    // The JDK writer exposes no DRI knob, so this fixture is a minimal
+    // T.81 baseline encoder: grayscale, quant all-ones, DC-only blocks
+    // (flat 8×8 tiles => every AC coefficient is exactly zero), the
+    // Annex K.3.1 DC table, and a 1-symbol AC table holding only EOB.
+    // With F(0,0) = 8·(g − 128) the IDCT reproduces g EXACTLY, so the
+    // decode is pinned value-for-value, no tolerance — and the stream
+    // interleaves real RST0..7 markers every `dri` MCUs with predictor
+    // resets, the path no ImageIO fixture can reach.
+    val bw = 5; val bh = 3; val dri = 3 // 15 blocks, restarts mid-row
+    def tile(bx: Int, by: Int) = 16 + bx * 13 + by * 40
+    val out = new java.io.ByteArrayOutputStream()
+    def b16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def seg(marker: Int)(body: => Unit): Unit = {
+      out.write(0xff); out.write(marker)
+      val lenAt = out.size(); b16(0)
+      body
+      val bytes = out.toByteArray
+      val len = bytes.length - lenAt
+      bytes(lenAt) = ((len >> 8) & 0xff).toByte
+      bytes(lenAt + 1) = (len & 0xff).toByte
+      out.reset(); out.write(bytes, 0, bytes.length)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xdb) { out.write(0); (0 until 64).foreach(_ => out.write(1)) }
+    seg(0xc0) { // SOF0: 8-bit, bh*8 × bw*8, 1 component, 1×1, q0
+      out.write(8); b16(bh * 8); b16(bw * 8); out.write(1)
+      out.write(1); out.write(0x11); out.write(0)
+    }
+    // DC table 0: Annex K.3.1 (counts 0,1,5,1,1,1,1,1,1,0…; symbols 0–11)
+    val dcCounts = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    seg(0xc4) {
+      out.write(0x00); dcCounts.foreach(out.write)
+      (0 to 11).foreach(out.write)
+    }
+    // AC table 0: ONE symbol (EOB = 0x00) at code length 4 → code 0000
+    seg(0xc4) {
+      out.write(0x10)
+      Seq(0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+      out.write(0x00)
+    }
+    seg(0xdd) { b16(dri) } // DRI
+    seg(0xda) { // SOS
+      out.write(1); out.write(1); out.write(0x00)
+      out.write(0); out.write(63); out.write(0)
+    }
+    // K.3.1 canonical DC codes: cat 0 → 00 (2 bits); 1–5 → 010…110
+    // (3 bits); 6+ → 1110…, one leading 1 per extra category
+    def dcCode(cat: Int): (Int, Int) =
+      if (cat == 0) (0, 2)
+      else if (cat <= 5) (1 + cat, 3)
+      else ((1 << (cat - 2)) - 2, cat - 2)
+    var bitBuf = 0; var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> i) & 1); bitCnt += 1
+        if (bitCnt == 8) {
+          out.write(bitBuf & 0xff)
+          if ((bitBuf & 0xff) == 0xff) out.write(0x00) // stuffing
+          bitBuf = 0; bitCnt = 0
+        }
+        i -= 1
+      }
+    }
+    def flushBits(): Unit =
+      if (bitCnt > 0) { putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt) }
+    var pred = 0; var rst = 0
+    var mcu = 0
+    for (by <- 0 until bh; bx <- 0 until bw) {
+      if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+        flushBits()
+        out.write(0xff); out.write(0xd0 + (rst % 8)); rst += 1
+        pred = 0 // the predictor reset the decoder must mirror
+      }
+      val dc = 8 * (tile(bx, by) - 128)
+      val diff = dc - pred; pred = dc
+      val cat = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, len) = dcCode(cat)
+      putBits(code, len)
+      if (cat > 0)
+        putBits(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+      putBits(0, 4) // EOB: the 1-symbol AC table's code 0000
+      mcu += 1
+    }
+    flushBits()
+    out.write(0xff); out.write(0xd9) // EOI
+    val jpeg = out.toByteArray
+    val dec = decodeJpeg(jpeg).getOrElse(fail("the DRI fixture was refused"))
+    assert(dec.width == bw * 8 && dec.height == bh * 8)
+    for (by <- 0 until bh; bx <- 0 until bw; y <- 0 until 8; x <- 0 until 8)
+      assert(dec.luma((by * 8 + y) * bw * 8 + bx * 8 + x) == tile(bx, by),
+        s"tile ($bx,$by) pixel ($x,$y) diverged — DC/restart arithmetic")
+    // a wrong marker where an RSTn belongs must refuse
+    val idx = (0 until jpeg.length - 1).indexWhere(i =>
+      (jpeg(i) & 0xff) == 0xff && (jpeg(i + 1) & 0xff) >= 0xd0 &&
+        (jpeg(i + 1) & 0xff) <= 0xd7)
+    assert(idx > 0, "fixture must contain at least one restart marker")
+    val bad = jpeg.clone(); bad(idx + 1) = 0xc8.toByte
+    assert(decodeJpeg(bad).isEmpty, "a non-RST marker mid-scan must refuse")
+  }
+
   test("decodeImage routes by sniffed magic bytes") {
     val w = 4; val h = 2
     def ch(x: Int, y: Int) = (x * 30, y * 80 + 5, 200 - x * 20)
