@@ -636,6 +636,8 @@ object Multimodal {
     if (payload.length < 14) return None
     val hdr = new String(payload, 0, 6, "US-ASCII")
     if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    val screenW = le16(payload, 6)
+    val screenH = le16(payload, 8)
     val packed = payload(10) & 0xff
     var pos = 13
     var gct: Array[Int] = null
@@ -659,10 +661,18 @@ object Multimodal {
           }
         case 0x2c =>
           if (pos + 10 > payload.length) return None
+          val left = le16(payload, pos + 1)
+          val top = le16(payload, pos + 3)
           val w = le16(payload, pos + 5)
           val h = le16(payload, pos + 7)
           val ip = payload(pos + 9) & 0xff
           pos += 10
+          // a frame positioned inside a larger logical screen would need
+          // screen compositing to decode faithfully — out of the strict
+          // decode-or-None contract, so refuse rather than silently drop
+          // the placement (ADVICE r13)
+          if (left != 0 || top != 0 || w != screenW || h != screenH)
+            return None
           var pal = gct
           if ((ip & 0x80) != 0) {
             val count = 1 << ((ip & 7) + 1)
@@ -1271,7 +1281,17 @@ object Multimodal {
     * dimensions refused before allocation. Lossy format ⇒ no exact SQL
     * oracle; correctness is pinned by the bidirectional JDK ImageIO
     * cross-check (tolerance ≤ a few luma steps, the decoder-to-decoder
-    * variation the spec itself permits). */
+    * variation the spec itself permits).
+    *
+    * SUBSET CONTRACT (stated, not overclaimed): baseline/extended-
+    * sequential Huffman, LUMA ONLY. Chroma components are entropy-decoded
+    * to advance the bitstream but never IDCT'd or upsampled — a 4:2:0 or
+    * 4:4:4 color JPEG decodes to its coded Y plane, not to BT.601 of the
+    * reconstructed RGB (for smooth images the two agree to within a few
+    * steps; saturated/noisy chroma can clamp in RGB space and diverge
+    * more — the JDK cross-check spec carries measured bounds). This is
+    * the right trade for a luma-signature/phash corpus scan; a consumer
+    * needing faithful color must extend, not assume. */
   def decodeJpeg(payload: Array[Byte]): Option[DecodedImage] = {
     if (payload.length < 4 || (payload(0) & 0xff) != 0xff ||
         (payload(1) & 0xff) != 0xd8) return None
@@ -1283,12 +1303,19 @@ object Multimodal {
     var comps: Array[Array[Int]] = null
     var dri = 0
     var pos = 2
-    while (pos + 4 <= payload.length) {
+    while (pos + 2 <= payload.length) {
       if ((payload(pos) & 0xff) != 0xff) return None
+      // T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+      // marker code — skip them instead of refusing (ADVICE r13)
+      while (pos + 1 < payload.length && (payload(pos + 1) & 0xff) == 0xff)
+        pos += 1
+      if (pos + 2 > payload.length) return None
       val m = payload(pos + 1) & 0xff
+      if (m == 0x00) return None // 0xFF00 is byte stuffing, not a marker
       if (m == 0xd9) return None // EOI before any scan
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { pos += 2 }
       else {
+        if (pos + 4 > payload.length) return None
         val len = be16(payload, pos + 2)
         if (len < 2 || pos + 2 + len > payload.length) return None
         val body = pos + 4
@@ -1496,7 +1523,10 @@ object Multimodal {
         // restart: byte-align, expect RSTn, reset the DC predictors
         bitCnt = 0
         if (hitMarker) {
-          // nextBit consumed the 0xFF and stopped AT the marker byte
+          // nextBit consumed the 0xFF and stopped AT the marker byte;
+          // further 0xFFs there are fill bytes (T.81 B.1.1.2)
+          while (pos < payload.length && (payload(pos) & 0xff) == 0xff)
+            pos += 1
           if (pos >= payload.length) return None
           val mk = payload(pos) & 0xff
           if (mk < 0xd0 || mk > 0xd7) return None
@@ -1504,6 +1534,10 @@ object Multimodal {
         } else {
           if (pos + 2 > payload.length ||
               (payload(pos) & 0xff) != 0xff) return None
+          while (pos + 1 < payload.length &&
+              (payload(pos + 1) & 0xff) == 0xff)
+            pos += 1
+          if (pos + 2 > payload.length) return None
           val mk = payload(pos + 1) & 0xff
           if (mk < 0xd0 || mk > 0xd7) return None
           pos += 2
@@ -1542,21 +1576,143 @@ object Multimodal {
     Some(DecodedImage(w, h, luma))
   }
 
-  // ---- AVI (RIFF container, uncompressed DIB frames) --------------------
+  /** Encode a flat-tile grayscale image as a LOSSLESS-by-construction
+    * baseline JPEG: every 8×8 block is the constant `tile(bx, by)` ∈
+    * [0, 255], the quant table is all-ones, so each block codes as a
+    * single DC coefficient F(0,0) = 8·(g − 128) whose IDCT reproduces g
+    * EXACTLY — the one corner of a lossy format an exact SQL oracle can
+    * replay (the gate fixture role [[encodeGif]] plays for LZW). Emits
+    * the Annex K.3.1 DC table, a 1-symbol AC table (EOB only), and —
+    * with `dri` > 0 — real RST0..7 restart markers with predictor
+    * resets every `dri` MCUs, the path no JDK fixture can reach
+    * (ImageIO exposes no DRI knob). `width`/`height` need not be block
+    * multiples: edge blocks encode whole and the decoder crops. */
+  def encodeJpegFlat(width: Int, height: Int, tile: (Int, Int) => Int,
+      dri: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions: $width x $height")
+    val bw = (width + 7) / 8; val bh = (height + 7) / 8
+    val out = new java.io.ByteArrayOutputStream()
+    def b16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def seg(marker: Int)(body: => Unit): Unit = {
+      out.write(0xff); out.write(marker)
+      val lenAt = out.size(); b16(0)
+      body
+      val bytes = out.toByteArray
+      val len = bytes.length - lenAt
+      bytes(lenAt) = ((len >> 8) & 0xff).toByte
+      bytes(lenAt + 1) = (len & 0xff).toByte
+      out.reset(); out.write(bytes, 0, bytes.length)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xdb) { out.write(0); (0 until 64).foreach(_ => out.write(1)) }
+    seg(0xc0) { // SOF0: 8-bit, declared dims, 1 component, 1×1, q0
+      out.write(8); b16(height); b16(width); out.write(1)
+      out.write(1); out.write(0x11); out.write(0)
+    }
+    // DC table 0: Annex K.3.1 (counts 0,1,5,1,1,1,1,1,1,0…; symbols 0–11)
+    seg(0xc4) {
+      out.write(0x00)
+      Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+      (0 to 11).foreach(out.write)
+    }
+    // AC table 0: ONE symbol (EOB = 0x00) at code length 4 → code 0000
+    seg(0xc4) {
+      out.write(0x10)
+      Seq(0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+      out.write(0x00)
+    }
+    if (dri > 0) seg(0xdd) { b16(dri) }
+    seg(0xda) { // SOS
+      out.write(1); out.write(1); out.write(0x00)
+      out.write(0); out.write(63); out.write(0)
+    }
+    // K.3.1 canonical DC codes: cat 0 → 00 (2 bits); 1–5 → 010…110
+    // (3 bits); 6+ → 1110…, one leading 1 per extra category
+    def dcCode(cat: Int): (Int, Int) =
+      if (cat == 0) (0, 2)
+      else if (cat <= 5) (1 + cat, 3)
+      else ((1 << (cat - 2)) - 2, cat - 2)
+    var bitBuf = 0; var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> i) & 1); bitCnt += 1
+        if (bitCnt == 8) {
+          out.write(bitBuf & 0xff)
+          if ((bitBuf & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          bitBuf = 0; bitCnt = 0
+        }
+        i -= 1
+      }
+    }
+    def flushBits(): Unit =
+      if (bitCnt > 0) putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt)
+    var pred = 0; var rst = 0; var mcu = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+          flushBits()
+          out.write(0xff); out.write(0xd0 + (rst % 8)); rst += 1
+          pred = 0 // the predictor reset the decoder must mirror
+        }
+        val g = tile(bx, by)
+        require(g >= 0 && g <= 255, s"tile($bx,$by)=$g out of [0,255]")
+        val dc = 8 * (g - 128)
+        val diff = dc - pred; pred = dc
+        val cat = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        val (code, len) = dcCode(cat)
+        putBits(code, len)
+        if (cat > 0)
+          putBits(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+        putBits(0, 4) // EOB: the 1-symbol AC table's code 0000
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    flushBits()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
 
-  /** A decoded AVI's geometry plus the payload offsets of its video
-    * frames — frames decode lazily via [[aviFrameLuma]] so a sampler
-    * never materializes the frames it skips. */
-  final case class DecodedVideo(width: Int, height: Int,
-      frameOffsets: Array[Int])
+  /** [[synthBmp]]'s JPEG twin: per-8×8-block-constant luma from a
+    * small-prime map of (id, blockX, blockY) — flat blocks are the exact
+    * corner of the lossy format ([[encodeJpegFlat]]), so the gate oracle
+    * replays luma(x, y) = tile(x/8, y/8) arithmetically while the Spark
+    * side pays the real marker walk, Huffman decode, restart markers
+    * (dri = 2 puts the RST path behind the hash gate, not just a spec),
+    * IDCT, and partial-MCU crop. */
+  def synthJpeg(id: Long, width: Int = 15, height: Int = 17): Array[Byte] =
+    encodeJpegFlat(width, height,
+      (bx, by) => ((id * 7 + bx * 31 + by * 59) % 256).toInt, dri = 2)
 
-  /** Parse a RIFF/AVI container holding ONE uncompressed 24-bit DIB
-    * video stream ('00db' frame chunks, the BI_RGB layout [[decodeBmp]]
-    * reads): `hdrl` walk for the main header's dimensions, `strf`
-    * BITMAPINFOHEADER verification (BI_RGB, 24-bit), `movi` walk for the
-    * frame chunk offsets — frames whose chunk is smaller than one
-    * rowSize×height raster are refused, so [[aviFrameLuma]] can read
-    * without further bounds checks. Compressed streams, other bit
+  // ---- AVI (RIFF container, uncompressed DIB or MJPEG frames) -----------
+
+  /** A decoded AVI's geometry, codec, and the payload offsets/sizes of
+    * its video frames — frames decode lazily via [[frameLuma]] so a
+    * sampler never materializes the frames it skips. */
+  final case class DecodedVideo(width: Int, height: Int, mjpeg: Boolean,
+      frameOffsets: Array[Int], frameSizes: Array[Int])
+
+  /** 'MJPG' as the little-endian biCompression fourcc. */
+  private val FourccMjpg =
+    'M'.toInt | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
+
+  /** Parse a RIFF/AVI container holding EXACTLY ONE video stream —
+    * uncompressed 24-bit DIB (BI_RGB '##db' frames, the layout
+    * [[decodeBmp]] reads) or MJPEG ('MJPG' fourcc, '##dc' frames each a
+    * baseline JPEG for [[decodeJpeg]]): `hdrl` walk for the main
+    * header's dimensions and the ORDERED `strl` stream list (stream N's
+    * frame chunks are the ones whose id leads with N's two digits —
+    * frames bind to the stream whose `strf` validated, never
+    * interleaved across streams; more than one video `strl` refuses,
+    * ADVICE r13), `strf` BITMAPINFOHEADER verification, `movi` walk for
+    * the frame chunk offsets. For DIB, frames smaller than one
+    * rowSize×height raster are refused here so [[aviFrameLuma]] reads
+    * without further bounds checks; MJPEG frames carry their sizes and
+    * decode-or-None per frame in [[frameLuma]]. Other compressions, bit
     * depths, hostile dimensions, and truncated/lying chunk sizes decode
     * to None — the standing codec contract. */
   def decodeAvi(payload: Array[Byte]): Option[DecodedVideo] = {
@@ -1565,12 +1721,18 @@ object Multimodal {
         payload(9) != 'V' || payload(10) != 'I' || payload(11) != ' ')
       return None
     var width = -1; var height = -1
-    var fmtOk = false
-    val frames = scala.collection.mutable.ArrayBuffer.empty[Int]
-    // (start, end) spans to walk; LIST bodies push a nested span
-    var spans = List((12L, payload.length.toLong))
+    var nStrl = 0 // strl lists in document order = AVI stream numbers
+    var nVids = 0
+    var vidsStream = -1 // the strl index whose strh declared 'vids'
+    // strl index -> validated video format (false = DIB, true = MJPEG)
+    val fmtOf = scala.collection.mutable.HashMap.empty[Int, Boolean]
+    // (stream, offset, size) of every frame chunk in the movi walk
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    // (start, end, strlIdx) spans to walk; LIST bodies push a nested
+    // span — strl spans carry their document-order stream index
+    var spans = List((12L, payload.length.toLong, -1))
     while (spans.nonEmpty) {
-      var (pos, end) = spans.head
+      var (pos, end, strlIdx) = spans.head
       spans = spans.tail
       while (pos + 8 <= end) {
         val p = pos.toInt
@@ -1583,39 +1745,82 @@ object Multimodal {
             if (size < 4) return None
             val kind = new String(payload, body.toInt, 4, "US-ASCII")
             // only the lists on the video path are walked; others
-            // (audio strl, odml) are opaque
-            if (kind == "hdrl" || kind == "strl" || kind == "movi")
-              spans = (body + 4, body + size) :: spans
+            // (odml, rec ) are opaque
+            if (kind == "hdrl" || kind == "movi")
+              spans = ((body + 4, body + size, -1)) :: spans
+            else if (kind == "strl") {
+              spans = ((body + 4, body + size, nStrl)) :: spans
+              nStrl += 1
+            }
           case "avih" =>
             if (size < 40) return None
             width = le32(payload, body.toInt + 32)
             height = le32(payload, body.toInt + 36)
-          case "strf" =>
-            // BITMAPINFOHEADER: biCompression @16 (0 = BI_RGB),
+          case "strh" if strlIdx >= 0 =>
+            if (size < 4) return None
+            val fcc = new String(payload, body.toInt, 4, "US-ASCII")
+            if (fcc == "vids") {
+              nVids += 1
+              vidsStream = strlIdx
+            }
+          case "strf" if strlIdx >= 0 =>
+            // BITMAPINFOHEADER: biCompression @16 (0 = BI_RGB, 'MJPG'),
             // biBitCount @14 — a WAVEFORMATEX here is smaller than 40
-            // bytes and simply doesn't set fmtOk
-            if (size >= 40 && le16(payload, body.toInt + 14) == 24 &&
-                le32(payload, body.toInt + 16) == 0)
-              fmtOk = true
+            // bytes and simply doesn't validate its strl
+            if (size >= 40 && le16(payload, body.toInt + 14) == 24) {
+              val compression = le32(payload, body.toInt + 16)
+              if (compression == 0) fmtOf(strlIdx) = false
+              else if (compression == FourccMjpg) fmtOf(strlIdx) = true
+            }
           case _ =>
-            if (id.length == 4 && id.endsWith("db")) frames += body.toInt
+            // frame chunks: two stream-number digits + db/dc suffix
+            if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+                (id.endsWith("db") || id.endsWith("dc")) &&
+                size <= Int.MaxValue)
+              frames += (((id(0) - '0') * 10 + (id(1) - '0'),
+                body.toInt, size.toInt))
         }
         pos = body + size + (size & 1L) // RIFF chunks are even-padded
       }
     }
-    if (width <= 0 || height <= 0 || !fmtOk || frames.isEmpty) return None
+    if (width <= 0 || height <= 0) return None
+    // exactly one video stream, and its strf must have validated — a
+    // multi-video container would otherwise interleave frames from
+    // different streams into one structurally-coherent but semantically
+    // mixed sequence (ADVICE r13)
+    if (nVids != 1 || !fmtOf.contains(vidsStream)) return None
+    val mjpeg = fmtOf(vidsStream)
+    val mine = frames.filter(_._1 == vidsStream)
+    if (mine.isEmpty) return None
     if (width.toLong * height > Int.MaxValue) return None
-    val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
-    val raster = rowSizeL * height
-    if (raster > Int.MaxValue) return None
-    // every frame chunk must hold a full raster (verified ONCE here)
-    val ok = frames.forall { off =>
-      val size = le32(payload, off - 4).toLong & 0xffffffffL
-      size >= raster && off + raster <= payload.length
+    if (!mjpeg) {
+      val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
+      val raster = rowSizeL * height
+      if (raster > Int.MaxValue) return None
+      // every DIB frame chunk must hold a full raster (verified ONCE)
+      val ok = mine.forall { case (_, off, size) =>
+        size >= raster && off + raster <= payload.length
+      }
+      if (!ok) return None
     }
-    if (!ok) return None
-    Some(DecodedVideo(width, height, frames.toArray))
+    Some(DecodedVideo(width, height, mjpeg,
+      mine.map(_._2).toArray, mine.map(_._3).toArray))
   }
+
+  /** Decode frame `f` of a [[decodeAvi]]-verified container: DIB frames
+    * via [[aviFrameLuma]] (bounds pre-verified, always Some), MJPEG
+    * frames via [[decodeJpeg]] over the chunk slice — None when the
+    * embedded JPEG is undecodable or its dims lie about the container's
+    * (decode-or-None per frame, never a crash). */
+  def frameLuma(payload: Array[Byte], v: DecodedVideo,
+      f: Int): Option[Array[Int]] =
+    if (!v.mjpeg)
+      Some(aviFrameLuma(payload, v.frameOffsets(f), v.width, v.height))
+    else
+      decodeJpeg(java.util.Arrays.copyOfRange(payload, v.frameOffsets(f),
+          v.frameOffsets(f) + v.frameSizes(f)))
+        .filter(img => img.width == v.width && img.height == v.height)
+        .map(_.luma)
 
   /** Decode ONE frame of a [[decodeAvi]]-verified container to top-down
     * luma: bottom-up BI_RGB rows with 4-byte padding, [[decodeBmp]]'s
@@ -1729,15 +1934,17 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         decodeAvi(r.payload).iterator.flatMap { v =>
-          (0 until v.frameOffsets.length by stride).iterator.map { f =>
-            val luma = aviFrameLuma(r.payload, v.frameOffsets(f),
-              v.width, v.height)
-            var sum = 0L; var pos = 0L; var p = 0
-            while (p < luma.length) {
-              sum += luma(p); pos += (p + 1).toLong * luma(p); p += 1
+          (0 until v.frameOffsets.length by stride).iterator.flatMap { f =>
+            // an undecodable MJPEG frame drops (decode-or-None per
+            // frame); DIB frames were bounds-verified by decodeAvi
+            frameLuma(r.payload, v, f).map { luma =>
+              var sum = 0L; var pos = 0L; var p = 0
+              while (p < luma.length) {
+                sum += luma(p); pos += (p + 1).toLong * luma(p); p += 1
+              }
+              VideoFrame(r.doc_id, f.toLong, v.width.toLong,
+                v.height.toLong, sum, pos)
             }
-            VideoFrame(r.doc_id, f.toLong, v.width.toLong, v.height.toLong,
-              sum, pos)
           }
         }
       }
@@ -1753,6 +1960,80 @@ object Multimodal {
       ((id * 7 + f * 41 + x * 3 + y * 5) % 256).toInt,
       ((id * 11 + f * 43 + x * 13 + y * 17) % 256).toInt,
       ((id * 19 + f * 47 + x * 23 + y * 29) % 256).toInt))
+
+  /** Encode frames as a minimal RIFF/AVI holding one MJPEG video stream
+    * ('MJPG' fourcc, '00dc' chunks each a standalone baseline JPEG from
+    * [[encodeJpegFlat]]) — the real web-video-corpus shape the
+    * uncompressed-DIB container doesn't exercise: [[decodeAvi]]'s movi
+    * walk COMPOSED with [[decodeJpeg]] per kept frame. `tile(f)(bx, by)`
+    * supplies frame f's flat 8×8 blocks, so the composed decode is
+    * exact and an SQL oracle replays it. */
+  def encodeAviMjpeg(width: Int, height: Int, nFrames: Int,
+      tile: Int => (Int, Int) => Int, fps: Int = 25,
+      dri: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0 && fps > 0)
+    val jpegs = Array.tabulate(nFrames)(f =>
+      encodeJpegFlat(width, height, tile(f), dri))
+    val bufBytes = jpegs.map(_.length).max
+    val out = new java.io.ByteArrayOutputStream()
+    def le16w(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32w(v: Int): Unit = { le16w(v & 0xffff); le16w((v >>> 16) & 0xffff) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def chunk(id: String)(body: => Unit): Unit = {
+      tag(id)
+      val sizeAt = out.size(); le32w(0)
+      val start = out.size(); body
+      val size = out.size() - start
+      if (size % 2 != 0) out.write(0) // even padding
+      val b = out.toByteArray
+      b(sizeAt) = (size & 0xff).toByte
+      b(sizeAt + 1) = ((size >> 8) & 0xff).toByte
+      b(sizeAt + 2) = ((size >> 16) & 0xff).toByte
+      b(sizeAt + 3) = ((size >> 24) & 0xff).toByte
+      out.reset(); out.write(b, 0, b.length)
+    }
+    chunk("RIFF") {
+      tag("AVI ")
+      chunk("LIST") {
+        tag("hdrl")
+        chunk("avih") {
+          le32w(1000000 / fps); le32w(bufBytes * fps); le32w(0); le32w(0x10)
+          le32w(nFrames); le32w(0); le32w(1); le32w(bufBytes)
+          le32w(width); le32w(height); (0 until 4).foreach(_ => le32w(0))
+        }
+        chunk("LIST") {
+          tag("strl")
+          chunk("strh") {
+            tag("vids"); tag("MJPG")
+            le32w(0); le16w(0); le16w(0); le32w(0); le32w(0)
+            le32w(1); le32w(fps) // rate/scale
+            le32w(0); le32w(nFrames); le32w(bufBytes); le32w(-1)
+            le32w(0); le16w(0); le16w(0); le16w(0); le16w(0)
+          }
+          chunk("strf") {
+            le32w(40); le32w(width); le32w(height); le16w(1); le16w(24)
+            le32w(FourccMjpg); le32w(0); le32w(0); le32w(0)
+            le32w(0); le32w(0)
+          }
+        }
+      }
+      chunk("LIST") {
+        tag("movi")
+        jpegs.foreach(j => chunk("00dc") { out.write(j, 0, j.length) })
+      }
+    }
+    out.toByteArray
+  }
+
+  /** [[synthAvi]]'s MJPEG twin: frame f's flat 8×8 blocks extend
+    * [[synthJpeg]]'s small-prime tile map with a frame term — the oracle
+    * replays luma(f, x, y) = tile(f, x/8, y/8) while the Spark side pays
+    * container walk + per-frame JPEG entropy decode + IDCT + crop. */
+  def synthAviMjpeg(id: Long, width: Int = 15, height: Int = 9,
+      nFrames: Int = 8): Array[Byte] =
+    encodeAviMjpeg(width, height, nFrames,
+      f => (bx, by) => ((id * 7 + f * 41 + bx * 31 + by * 59) % 256).toInt,
+      dri = 2)
 
   /** STUB decode + featurize for formats whose codecs are NOT in this
     * container: fold the payload bytes into a `dim`-bucket histogram

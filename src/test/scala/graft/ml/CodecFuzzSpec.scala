@@ -46,11 +46,16 @@ class CodecFuzzSpec extends SparkSpec {
     decodeJpeg(payload).foreach(sane)
     decodeWav(payload).foreach(saneA)
     decodeAvi(payload).foreach { v =>
-      assert(v.width > 0 && v.height > 0 && v.frameOffsets.nonEmpty)
-      // decodeAvi's contract: every surviving frame offset is readable
-      v.frameOffsets.foreach { off =>
-        val luma = aviFrameLuma(payload, off, v.width, v.height)
-        assert(luma.forall(l => l >= 0 && l <= 255))
+      assert(v.width > 0 && v.height > 0 && v.frameOffsets.nonEmpty &&
+        v.frameSizes.length == v.frameOffsets.length)
+      // decodeAvi's contract: every surviving frame decodes-or-Nones
+      // without a crash (DIB bounds were pre-verified; an MJPEG frame
+      // may refuse, never throw)
+      v.frameOffsets.indices.foreach { f =>
+        frameLuma(payload, v, f).foreach { luma =>
+          assert(luma.length == v.width * v.height &&
+            luma.forall(l => l >= 0 && l <= 255))
+        }
       }
     }
   }
@@ -89,6 +94,13 @@ class CodecFuzzSpec extends SparkSpec {
         encodeWav(8000, 2, 64, i => Seq(i * 100 - 3200, 3200 - i * 100)),
         encodeWav(8000, 1, 64, i => Seq((i * 7) % 256), bits = 8),
         encodeAvi(9, 5, 3, f => (x, y) => (f * 50 + x * 20, y * 40, 128)),
+        // the composed container-then-JPEG path (MJPEG), and the
+        // hand-rolled flat-tile JPEG with restart markers — both reach
+        // entropy-decode structure the JDK fixture can't (DRI)
+        encodeAviMjpeg(15, 9, 3,
+          f => (bx, by) => (f * 50 + bx * 90 + by * 40) % 256, dri = 2),
+        encodeJpegFlat(15, 17, (bx, by) => (bx * 60 + by * 35 + 10) % 256,
+          dri = 2),
         jdkJpeg(24, 18))
       fixtures.foreach(decodeAll) // the fixtures themselves are clean
 

@@ -329,15 +329,37 @@ class MultimodalSpec extends SparkSpec {
       "the interlace flag was ignored")
     assert(ip.luma.sorted.toSeq == decodeGif(ok).get.luma.sorted.toSeq,
       "deinterlacing must permute rows, not change pixels")
-    // shrink the declared height: the stream then holds MORE pixels than
-    // w×h — a lying header must refuse, not silently crop
-    val lie = ok.clone(); lie(32) = 4
+    // shrink the declared height (in BOTH the logical screen and the
+    // image descriptor, so the placement check upstream stays quiet):
+    // the stream then holds MORE pixels than w×h — a lying header must
+    // refuse, not silently crop
+    val lie = ok.clone(); lie(8) = 4; lie(32) = 4
     assert(decodeGif(lie).isEmpty, "an over-long pixel stream must refuse")
     // grow it: EOI arrives before w×h pixels — an underrun, same answer
-    val lie2 = ok.clone(); lie2(32) = 100
+    val lie2 = ok.clone(); lie2(8) = 100; lie2(32) = 100
     assert(decodeGif(lie2).isEmpty, "an under-run pixel stream must refuse")
     assert(decodeGif(ok.take(25) :+ 0x3b.toByte).isEmpty,
       "a trailer before any image must be refused")
+  }
+
+  test("GIF codec: a frame positioned inside a larger logical screen is " +
+      "refused, not decoded with its placement silently dropped") {
+    // reference decoders composite such a frame onto the screen; the
+    // strict decode-or-None contract refuses instead (ADVICE r13)
+    def ch4(x: Int, y: Int) =
+      Seq((0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255))((x + y) % 4)
+    val ok = encodeGif(10, 8, ch4)
+    assert(ok(25) == 0x2c, "fixture layout drifted — adjust the offsets")
+    // nonzero left offset (descriptor left low byte at 26)
+    val shifted = ok.clone(); shifted(26) = 2
+    assert(decodeGif(shifted).isEmpty, "a left-shifted frame must refuse")
+    // nonzero top offset (descriptor top low byte at 28)
+    val dropped = ok.clone(); dropped(28) = 1
+    assert(decodeGif(dropped).isEmpty, "a top-shifted frame must refuse")
+    // frame smaller than the screen (screen width grown, frame kept)
+    val wide = ok.clone(); wide(6) = 20
+    assert(decodeGif(wide).isEmpty,
+      "a frame narrower than its screen must refuse")
   }
 
   test("JPEG codec: luma within a few steps of the JDK decoder on " +
@@ -432,94 +454,16 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("JPEG codec: restart markers reset the DC predictors exactly — a " +
-      "hand-rolled DRI stream of flat tiles decodes losslessly") {
-    // The JDK writer exposes no DRI knob, so this fixture is a minimal
-    // T.81 baseline encoder: grayscale, quant all-ones, DC-only blocks
-    // (flat 8×8 tiles => every AC coefficient is exactly zero), the
-    // Annex K.3.1 DC table, and a 1-symbol AC table holding only EOB.
-    // With F(0,0) = 8·(g − 128) the IDCT reproduces g EXACTLY, so the
-    // decode is pinned value-for-value, no tolerance — and the stream
-    // interleaves real RST0..7 markers every `dri` MCUs with predictor
-    // resets, the path no ImageIO fixture can reach.
+      "flat-tile DRI stream decodes losslessly") {
+    // The JDK writer exposes no DRI knob, so the fixture comes from the
+    // production encodeJpegFlat (grayscale, quant all-ones, DC-only
+    // blocks: F(0,0) = 8·(g − 128) IDCTs back to g EXACTLY, pinned
+    // value-for-value with no tolerance) — the stream interleaves real
+    // RST0..7 markers every `dri` MCUs with predictor resets, the path
+    // no ImageIO fixture can reach.
     val bw = 5; val bh = 3; val dri = 3 // 15 blocks, restarts mid-row
     def tile(bx: Int, by: Int) = 16 + bx * 13 + by * 40
-    val out = new java.io.ByteArrayOutputStream()
-    def b16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
-    def seg(marker: Int)(body: => Unit): Unit = {
-      out.write(0xff); out.write(marker)
-      val lenAt = out.size(); b16(0)
-      body
-      val bytes = out.toByteArray
-      val len = bytes.length - lenAt
-      bytes(lenAt) = ((len >> 8) & 0xff).toByte
-      bytes(lenAt + 1) = (len & 0xff).toByte
-      out.reset(); out.write(bytes, 0, bytes.length)
-    }
-    out.write(0xff); out.write(0xd8) // SOI
-    seg(0xdb) { out.write(0); (0 until 64).foreach(_ => out.write(1)) }
-    seg(0xc0) { // SOF0: 8-bit, bh*8 × bw*8, 1 component, 1×1, q0
-      out.write(8); b16(bh * 8); b16(bw * 8); out.write(1)
-      out.write(1); out.write(0x11); out.write(0)
-    }
-    // DC table 0: Annex K.3.1 (counts 0,1,5,1,1,1,1,1,1,0…; symbols 0–11)
-    val dcCounts = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
-    seg(0xc4) {
-      out.write(0x00); dcCounts.foreach(out.write)
-      (0 to 11).foreach(out.write)
-    }
-    // AC table 0: ONE symbol (EOB = 0x00) at code length 4 → code 0000
-    seg(0xc4) {
-      out.write(0x10)
-      Seq(0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
-      out.write(0x00)
-    }
-    seg(0xdd) { b16(dri) } // DRI
-    seg(0xda) { // SOS
-      out.write(1); out.write(1); out.write(0x00)
-      out.write(0); out.write(63); out.write(0)
-    }
-    // K.3.1 canonical DC codes: cat 0 → 00 (2 bits); 1–5 → 010…110
-    // (3 bits); 6+ → 1110…, one leading 1 per extra category
-    def dcCode(cat: Int): (Int, Int) =
-      if (cat == 0) (0, 2)
-      else if (cat <= 5) (1 + cat, 3)
-      else ((1 << (cat - 2)) - 2, cat - 2)
-    var bitBuf = 0; var bitCnt = 0
-    def putBits(v: Int, n: Int): Unit = {
-      var i = n - 1
-      while (i >= 0) {
-        bitBuf = (bitBuf << 1) | ((v >> i) & 1); bitCnt += 1
-        if (bitCnt == 8) {
-          out.write(bitBuf & 0xff)
-          if ((bitBuf & 0xff) == 0xff) out.write(0x00) // stuffing
-          bitBuf = 0; bitCnt = 0
-        }
-        i -= 1
-      }
-    }
-    def flushBits(): Unit =
-      if (bitCnt > 0) { putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt) }
-    var pred = 0; var rst = 0
-    var mcu = 0
-    for (by <- 0 until bh; bx <- 0 until bw) {
-      if (dri > 0 && mcu > 0 && mcu % dri == 0) {
-        flushBits()
-        out.write(0xff); out.write(0xd0 + (rst % 8)); rst += 1
-        pred = 0 // the predictor reset the decoder must mirror
-      }
-      val dc = 8 * (tile(bx, by) - 128)
-      val diff = dc - pred; pred = dc
-      val cat = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
-      val (code, len) = dcCode(cat)
-      putBits(code, len)
-      if (cat > 0)
-        putBits(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
-      putBits(0, 4) // EOB: the 1-symbol AC table's code 0000
-      mcu += 1
-    }
-    flushBits()
-    out.write(0xff); out.write(0xd9) // EOI
-    val jpeg = out.toByteArray
+    val jpeg = encodeJpegFlat(bw * 8, bh * 8, tile, dri = dri)
     val dec = decodeJpeg(jpeg).getOrElse(fail("the DRI fixture was refused"))
     assert(dec.width == bw * 8 && dec.height == bh * 8)
     for (by <- 0 until bh; bx <- 0 until bw; y <- 0 until 8; x <- 0 until 8)
@@ -532,6 +476,42 @@ class MultimodalSpec extends SparkSpec {
     assert(idx > 0, "fixture must contain at least one restart marker")
     val bad = jpeg.clone(); bad(idx + 1) = 0xc8.toByte
     assert(decodeJpeg(bad).isEmpty, "a non-RST marker mid-scan must refuse")
+  }
+
+  test("JPEG codec: partial-MCU dims crop exactly, and synthJpeg replays " +
+      "as luma(x, y) = tile(x/8, y/8) — the gate oracle's arithmetic") {
+    val jpeg = synthJpeg(11L) // 15×17: partial blocks right and bottom
+    val dec = decodeJpeg(jpeg).getOrElse(fail("synthJpeg refused"))
+    assert(dec.width == 15 && dec.height == 17)
+    for (y <- 0 until 17; x <- 0 until 15)
+      assert(dec.luma(y * 15 + x) ==
+        ((11L * 7 + (x / 8) * 31 + (y / 8) * 59) % 256).toInt,
+        s"pixel ($x,$y) diverged from the tile map")
+    // the router must reach it (the gate goes through decodeImage)
+    assert(decodeImage(jpeg).get.luma.toSeq == dec.luma.toSeq)
+  }
+
+  test("JPEG codec: 0xFF fill bytes before a marker are legal " +
+      "(T.81 B.1.1.2) and decode unchanged") {
+    val jpeg = synthJpeg(3L)
+    val want = decodeJpeg(jpeg).get.luma.toSeq
+    // insert fill bytes before the SOF0 marker's 0xFF
+    val sof = (0 until jpeg.length - 1).indexWhere(i =>
+      (jpeg(i) & 0xff) == 0xff && (jpeg(i + 1) & 0xff) == 0xc0)
+    assert(sof > 0)
+    val filled = jpeg.take(sof) ++ Array.fill(3)(0xff.toByte) ++ jpeg.drop(sof)
+    val dec = decodeJpeg(filled)
+      .getOrElse(fail("fill bytes before SOF0 were refused"))
+    assert(dec.luma.toSeq == want, "fill bytes changed the decode")
+    // and before a restart marker inside the entropy stream
+    val rst = (sof until filled.length - 1).find(i =>
+      (filled(i) & 0xff) == 0xff && (filled(i + 1) & 0xff) >= 0xd0 &&
+        (filled(i + 1) & 0xff) <= 0xd7).getOrElse(
+      fail("the fixture must contain a restart marker"))
+    val filled2 = filled.take(rst) ++ Array.fill(2)(0xff.toByte) ++
+      filled.drop(rst)
+    assert(decodeJpeg(filled2).exists(_.luma.toSeq == want),
+      "fill bytes before an RSTn changed or refused the decode")
   }
 
   test("decodeImage routes by sniffed magic bytes") {
@@ -702,6 +682,127 @@ class MultimodalSpec extends SparkSpec {
     big(avihAt + 34) = -1; big(avihAt + 35) = 0x7f
     assert(decodeAvi(big).isEmpty, "2^31-scale dims must be refused")
     assert(decodeAvi(avi.take(12)).isEmpty)
+  }
+
+  test("AVI codec: frames bind to the validated video stream — a stray " +
+      "other-stream chunk is ignored, a second video strl refuses") {
+    val w = 15; val h = 9; val n = 5
+    def ch(f: Int)(x: Int, y: Int) =
+      ((f * 41 + x * 31 + y * 7) % 256, (f * 43 + x * 13 + y * 101) % 256,
+        (f * 47 + x + y * 3) % 256)
+    val avi = encodeAvi(w, h, n, ch)
+    // rename ONE '00db' frame chunk to stream 01: the old decoder would
+    // interleave it into the sequence; stream binding must drop exactly
+    // it and keep the rest intact (ADVICE r13)
+    def frameChunkAt(k: Int): Int = {
+      var found = -1; var seen = 0; var i = 0
+      while (found < 0 && i < avi.length - 4) {
+        if (avi(i) == '0' && avi(i + 1) == '0' && avi(i + 2) == 'd' &&
+            avi(i + 3) == 'b') {
+          if (seen == k) found = i else seen += 1
+        }
+        i += 1
+      }
+      found
+    }
+    val strayAt = frameChunkAt(2)
+    assert(strayAt > 0)
+    val stray = avi.clone(); stray(strayAt + 1) = '1'
+    val v = decodeAvi(stray).getOrElse(fail("stray-chunk AVI refused"))
+    assert(!v.mjpeg && v.frameOffsets.length == n - 1,
+      "exactly the other-stream chunk must drop")
+    val keptFrames = (0 until n).filterNot(_ == 2)
+    v.frameOffsets.indices.foreach { i =>
+      val want = decodeBmp(encodeBmp24(w, h, ch(keptFrames(i)))).get.luma.toSeq
+      assert(frameLuma(stray, v, i).get.toSeq == want,
+        s"kept frame $i diverged after the stray chunk dropped")
+    }
+    // splice a DUPLICATE strl list into hdrl: two video streams is a
+    // semantically ambiguous container — refuse, never interleave
+    val kindAt = (0 until avi.length - 4).find(i =>
+      avi(i) == 's' && avi(i + 1) == 't' && avi(i + 2) == 'r' &&
+        avi(i + 3) == 'l').get
+    val listAt = kindAt - 8
+    val strlLen = 8 + java.nio.ByteBuffer.wrap(avi, listAt + 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val dup = new java.io.ByteArrayOutputStream()
+    dup.write(avi, 0, listAt + strlLen)
+    dup.write(avi, listAt, strlLen) // the duplicate strl
+    dup.write(avi, listAt + strlLen, avi.length - listAt - strlLen)
+    val two = dup.toByteArray
+    def bumpLe32(b: Array[Byte], off: Int, by: Int): Unit = {
+      val v2 = java.nio.ByteBuffer.wrap(b, off, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt + by
+      b(off) = (v2 & 0xff).toByte; b(off + 1) = ((v2 >> 8) & 0xff).toByte
+      b(off + 2) = ((v2 >> 16) & 0xff).toByte
+      b(off + 3) = ((v2 >> 24) & 0xff).toByte
+    }
+    bumpLe32(two, 4, strlLen) // RIFF size
+    bumpLe32(two, 16, strlLen) // hdrl LIST size
+    assert(decodeAvi(avi).nonEmpty, "the base fixture must stay valid")
+    assert(decodeAvi(two).isEmpty,
+      "two video strl lists must refuse, not interleave")
+  }
+
+  test("AVI codec: MJPEG streams decode per-frame through the JPEG " +
+      "codec — exact flat-tile round-trip, corrupt frames drop alone") {
+    val w = 15; val h = 9; val n = 4
+    def tile(f: Int)(bx: Int, by: Int) = (f * 50 + bx * 90 + by * 40) % 256
+    val avi = encodeAviMjpeg(w, h, n, tile, dri = 2)
+    val v = decodeAvi(avi).getOrElse(fail("valid MJPEG AVI refused"))
+    assert(v.mjpeg && v.width == w && v.height == h &&
+      v.frameOffsets.length == n)
+    (0 until n).foreach { f =>
+      val want = for (y <- 0 until h; x <- 0 until w)
+        yield tile(f)(x / 8, y / 8)
+      assert(frameLuma(avi, v, f).get.toSeq == want,
+        s"MJPEG frame $f diverged from its tile map")
+    }
+    // corrupt ONE frame's entropy data: that frame decodes to None, the
+    // container and its other frames survive (decode-or-None per frame)
+    val bad = avi.clone()
+    bad(v.frameOffsets(1) + v.frameSizes(1) - 3) = 0x55
+    val vb = decodeAvi(bad).getOrElse(fail("container must survive"))
+    assert(frameLuma(bad, vb, 0).nonEmpty,
+      "an intact frame must still decode")
+    // frame 1 either refuses or decodes-with-damage; it must not throw —
+    // and a frame whose JPEG dims lie about the container's must refuse
+    frameLuma(bad, vb, 1): Unit
+    // a container whose avih dims disagree with the embedded JPEG's SOF
+    // dims: the container parses (dims are header-only for MJPEG) but
+    // the frame must refuse the mismatch, not return a misshapen luma
+    val liar = encodeAviMjpeg(w, h, 1, tile)
+    assert(frameLuma(liar, decodeAvi(liar).get, 0).nonEmpty)
+    val wrongDims = liar.clone()
+    def avihBody: Int = {
+      var i = 0
+      while (!(wrongDims(i) == 'a' && wrongDims(i + 1) == 'v' &&
+        wrongDims(i + 2) == 'i' && wrongDims(i + 3) == 'h')) i += 1
+      i + 8
+    }
+    wrongDims(avihBody + 32) = (w + 1).toByte // dwWidth low byte
+    decodeAvi(wrongDims).foreach { vv =>
+      assert(frameLuma(wrongDims, vv, 0).isEmpty,
+        "a frame whose JPEG dims disagree with the container must refuse")
+    }
+  }
+
+  test("videoFrameReport routes the MJPEG half of the gate mix and " +
+      "replays its tile arithmetic exactly") {
+    implicit val s = spark
+    val media = Seq(MediaRow(7L, synthAviMjpeg(7L))).toDS()
+    val out = videoFrameReport(media, stride = 3).collect()
+      .sortBy(_.frame_id)
+    assert(out.map(_.frame_id).toSeq == Seq(0L, 3L, 6L))
+    out.foreach { r =>
+      val f = r.frame_id
+      val luma = for (y <- 0 until 9; x <- 0 until 15)
+        yield ((7L * 7 + f * 41 + (x / 8) * 31 + (y / 8) * 59) % 256).toInt
+      assert(r.sum_luma == luma.map(_.toLong).sum &&
+        r.pos_checksum == luma.zipWithIndex.map { case (l, p) =>
+          (p + 1).toLong * l }.sum,
+        s"MJPEG frame $f aggregates diverged")
+    }
   }
 
   test("videoFrameReport keeps every stride-th frame only, aggregates " +
