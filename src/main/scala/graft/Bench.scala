@@ -377,15 +377,23 @@ object Bench {
     val stampOf = docs.select(col("doc_id"), col("ingest_batch"))
     docs.select(col("doc_id"), col("text"), col("ingest_batch"))
       .write.partitionBy("ingest_batch").parquet(s"$root/docs")
-    docs.select(md5(TextOps.normalizeText(col("text"))).as("text_hash"),
-        col("ingest_batch"))
+    // probe-key range layout per batch partition — the layout ingestBatch
+    // itself appends (its cap-bounded IN pushdowns prune these files'
+    // min/max stats), so the maint curve measures the real persisted shape
+    def ranged(df: DataFrame, c: String) = df
+      .repartitionByRange(col("ingest_batch"), col(c))
+      .sortWithinPartitions(col("ingest_batch"), col(c))
+    ranged(docs.select(md5(TextOps.normalizeText(col("text"))).as("text_hash"),
+        col("ingest_batch")), "text_hash")
       .write.partitionBy("ingest_batch").parquet(s"$root/hashes")
     val (bands, sets) = TextOps.minhashIndex(docs, "doc_id", "text")
-    bands.join(stampOf, Seq("doc_id"))
-      .select(col("doc_id"), col("band"), col("sig"), col("ingest_batch"))
+    ranged(bands.join(stampOf, Seq("doc_id"))
+      .select(col("doc_id"), col("band"), col("sig"), col("ingest_batch")),
+      "sig")
       .write.partitionBy("ingest_batch").parquet(s"$root/bands")
-    sets.join(stampOf, Seq("doc_id"))
-      .select(col("doc_id"), col("s"), col("n"), col("ingest_batch"))
+    ranged(sets.join(stampOf, Seq("doc_id"))
+      .select(col("doc_id"), col("s"), col("n"), col("ingest_batch")),
+      "doc_id")
       .write.partitionBy("ingest_batch").parquet(s"$root/sets")
     TextOps.invertedIndex(docs, "doc_id", "text")
       .join(stampOf, Seq("doc_id"))
@@ -606,6 +614,40 @@ object Bench {
         prev = m
       }
     }
+    // ---- window self-healing (VERDICT r13 item 1) ----------------------
+    // r13's in-place adjudication reruns a breaching entry immediately —
+    // inside the same weather, so when the volume is sick for minutes the
+    // rerun confirms nothing (four entries shipped as degraded_inputs).
+    // This adjudicates the WINDOW: when a rerun still breaches AND a fresh
+    // io micro-probe reads >2× below the prime probes, WAIT (bounded, a
+    // global budget shared across the run) re-probing until the volume
+    // recovers, then rerun once more. Entries whose final rerun happened
+    // under a still-degraded probe land in `window_unhealthy` by name —
+    // the artifact says "this number is weather, unproven" loudly.
+    val primeMbps = (ioPre +: ioPrime).max
+    def ioHealthy(m: Double): Boolean = m * 2.0 >= primeMbps
+    // waiting burns wall-clock, not correctness: cap the TOTAL wait so a
+    // permanently-degraded volume can't hang the bench (16 probes × 20 s
+    // ≈ 5½ min worst case, spent only when something already breached)
+    var windowWaitNs = 0L
+    val WindowWaitCapNs = 320L * 1000 * 1000 * 1000
+    val windowProbes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val windowUnhealthy = scala.collection.mutable.LinkedHashSet.empty[String]
+    /** Probe now; if degraded, sleep/re-probe until healthy or the global
+      * wait budget is gone. Returns whether the window reads healthy. */
+    def awaitHealthyWindow(ctx: String): Boolean = {
+      var m = ioProbeMbps()
+      windowProbes += ((ctx, m))
+      while (!ioHealthy(m) && windowWaitNs < WindowWaitCapNs) {
+        val t0 = System.nanoTime()
+        Thread.sleep(20000)
+        m = ioProbeMbps()
+        windowWaitNs += System.nanoTime() - t0
+        windowProbes += ((ctx, m))
+      }
+      ioHealthy(m)
+    }
+
     locally {
       val buf = new Array[Byte](1 << 20)
       def touch(f: java.io.File): Unit =
@@ -735,7 +777,27 @@ object Bench {
       else try {
         val v = (1 to 2).map(f).min
         bands.get(name).filter(breaches(v, _)).foreach { b =>
-          val rr = try (3 to 4).map(f).min catch { case _: Throwable => -1.0 }
+          var rr = try (3 to 4).map(f).min catch { case _: Throwable => -1.0 }
+          if (rr < 0 || breaches(rr, b)) {
+            // the rerun still breaches — adjudicate the WINDOW while the
+            // fixture is still alive: if the volume reads degraded, wait
+            // for it to recover (bounded) and rerun once more; a rerun
+            // that happened under a sick probe proves nothing either way
+            val preProbe = ioProbeMbps()
+            windowProbes += ((name, preProbe))
+            if (!ioHealthy(preProbe)) {
+              if (awaitHealthyWindow(name)) {
+                // the volume recovered: this rerun is clean-window
+                // evidence — if it STILL breaches, the excess is real
+                // (a regression or a stale band), not weather
+                val rr2 = try (5 to 6).map(f).min
+                  catch { case _: Throwable => -1.0 }
+                if (rr2 > 0) rr = if (rr < 0) rr2 else math.min(rr, rr2)
+              } else windowUnhealthy += name
+            }
+            // probe healthy + rerun still over band = a real number, not
+            // weather: it stays a suspect with clean-window evidence
+          }
           specialAdj += ((name, v, rr, b))
         }
         Seq(name -> v)
@@ -1098,17 +1160,22 @@ object Bench {
     // 3x band must not crowd out a 20-s entry at 1.6x — the big absolute
     // offenders are what distort the total being certified.
     val queryFns = ordered.toMap
-    val adjudicated = queryResults
+    val suspects0 = queryResults
       .filter { case (n, v) => queryFns.contains(n) &&
         bands.get(n).exists(breaches(v, _)) }
       .sortBy { case (n, v) => -(v - bands(n)) }
       .take(8)
+    // registered-query reruns are repeatable any time (no fixture to keep
+    // alive) — so before burning them inside a possibly-sick window, wait
+    // once for the volume to recover (VERDICT r13 item 1)
+    if (suspects0.nonEmpty) awaitHealthyWindow("pre_adjudication"): Unit
+    val adjudicated = suspects0
       .map { case (name, recorded) =>
         // a rerun attempt that THROWS must not record its short failure
         // latency as the authoritative rerun time (that would adjudicate a
         // real regression as "environmental noise"); rerun = -1 in the
         // artifact means every attempt failed — loud, not misleading
-        val attempts = (1 to 2).map { _ =>
+        def rerunOnce(): (Double, Boolean) = {
           val t0 = System.nanoTime()
           val ok =
             try { queryFns(name)(spark, sfDir)
@@ -1117,8 +1184,23 @@ object Bench {
             finally Caching.releaseAll()
           ((System.nanoTime() - t0) / 1e9, ok)
         }
-        val good = attempts.collect { case (t, true) => t }
-        (name, recorded, if (good.nonEmpty) good.min else -1.0, bands(name))
+        val attempts = (1 to 2).map(_ => rerunOnce())
+        var good = attempts.collect { case (t, true) => t }
+        val b = bands(name)
+        if (good.isEmpty || breaches(good.min, b)) {
+          // still breaching: window-adjudicate like the specials — if the
+          // probe reads degraded, wait for recovery and rerun once more;
+          // a still-degraded final probe flags the entry by name
+          val preProbe = ioProbeMbps()
+          windowProbes += ((name, preProbe))
+          if (!ioHealthy(preProbe)) {
+            if (awaitHealthyWindow(name))
+              good = good ++ (1 to 2).map(_ => rerunOnce())
+                .collect { case (t, true) => t }
+            else windowUnhealthy += name
+          }
+        }
+        (name, recorded, if (good.nonEmpty) good.min else -1.0, b)
       }
 
     // control anchors (VERDICT r7): two stable queries whose drift flags an
@@ -1157,8 +1239,15 @@ object Bench {
     val primeJson =
       if (ioPrime.isEmpty) ""
       else s""","prime_mbps":[${ioPrime.map(fmt(_, 1)).mkString(",")}]"""
+    // the probes taken while window-adjudicating suspects: each is tagged
+    // with the entry (or phase) that triggered it, so the artifact shows
+    // WHEN the volume was sick and when it recovered
+    val waitProbesJson =
+      if (windowProbes.isEmpty) ""
+      else windowProbes.map { case (n, v) => s"""["${esc(n)}",${fmt(v, 1)}]""" }
+        .mkString(""","wait":[""", ",", "]")
     val ioJson =
-      s""","io_probe":{"pre_mbps":${fmt(ioPre, 1)},"post_mbps":${fmt(ioPost, 1)}$primeJson$ioMidJson}"""
+      s""","io_probe":{"pre_mbps":${fmt(ioPre, 1)},"post_mbps":${fmt(ioPost, 1)}$primeJson$ioMidJson$waitProbesJson}"""
     val allSuspects = adjudicated ++ specialAdj
     val suspectsJson =
       if (allSuspects.isEmpty) ""
@@ -1246,10 +1335,21 @@ object Bench {
       else s""","maint_flatness":{${parts.mkString(",")}""" +
         s""","root_ratio":10,"root_ratio_100x":100$degJson}"""
     }
+    // entries whose final rerun happened under a probe still >2× below
+    // prime after the bounded wait: their numbers are weather, unproven —
+    // an EMPTY list plus empty degraded_inputs is the clean-window claim
+    val unhealthyJson =
+      if (windowUnhealthy.isEmpty) ""
+      else windowUnhealthy.map("\"" + esc(_) + "\"")
+        .mkString(""","window_unhealthy":[""", ",", "]")
+    val waitSecJson =
+      if (windowWaitNs == 0L) ""
+      else s""","window_wait_sec":${fmt(windowWaitNs / 1e9, 1)}"""
     val instrJson =
       s""","gc_total_sec":${fmt(gcTotal, 1)},"storage_peak_mb":$storagePeakMb""" +
         s""","shared_index_build_sec":${fmt(sharedBuild.values.sum, 2)}""" +
-        flatJson + maintJson + recall100Json + suspectsJson
+        flatJson + maintJson + recall100Json + suspectsJson +
+        unhealthyJson + waitSecJson
     def line(dec: Int, keep: Int): String = {
       val bySlowest = results.sortBy(-_._2)
       val kept = bySlowest.take(keep).sortBy(_._1)

@@ -680,18 +680,32 @@ object VectorOps {
     * [[graft.text.TextOps.minhashProbeIndexed]]. */
   def srpProbeIndexed(indexBands: DataFrame, indexVecs: DataFrame,
       batchBands: DataFrame, batchVecs: DataFrame,
-      threshold: Double = 0.4): DataFrame = {
-    val cand = batchBands
+      threshold: Double = 0.4, pushIdLimit: Int = 0): DataFrame = {
+    val cand0 = batchBands
       .select(col("band"), col("bv"), col("vec_id").as("batch_id"))
       .join(indexBands.select(col("band"), col("bv"), col("vec_id").as("corpus_id")),
         Seq("band", "bv"))
       .filter(col("batch_id") =!= col("corpus_id"))
       .select(col("batch_id"), col("corpus_id"))
       .distinct()
+    // cap-bounded candidate pushdown into the vec-store verify read (the
+    // minhashProbeIndexed pattern, same cap discipline): candidates are
+    // few at steady state, and the wide embedding column is the expensive
+    // scan — push their ids as an IN filter so a sorted persisted layout
+    // prunes to the touched row groups. 0 = off (in-session callers).
+    val cand = if (pushIdLimit > 0) graft.Caching.scoped(cand0) else cand0
+    val verifyVecs =
+      if (pushIdLimit <= 0) indexVecs
+      else {
+        val ids = cand.select(col("corpus_id")).distinct()
+          .limit(pushIdLimit + 1).collect().map(_.getLong(0))
+        if (ids.length > pushIdLimit) indexVecs // burst: full verify join
+        else indexVecs.filter(col("vec_id").isin(ids.map(Long.box): _*))
+      }
     cand
       .join(batchVecs.select(col("vec_id").as("batch_id"),
         col("e").as("ea"), col("n").as("na")), Seq("batch_id"))
-      .join(indexVecs.select(col("vec_id").as("corpus_id"),
+      .join(verifyVecs.select(col("vec_id").as("corpus_id"),
         col("e").as("eb"), col("n").as("nb")), Seq("corpus_id"))
       .withColumn("cos", cosPre("ea", "eb", "na", "nb"))
       .filter(col("cos") >= threshold)

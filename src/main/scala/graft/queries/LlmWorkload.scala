@@ -131,7 +131,8 @@ object LlmWorkload {
         docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
     }
     TextOps.minhashProbeIndexed(corpusBands, corpusSets,
-      docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+      n = 3, k = 12, r = 3, threshold = 0.8, pushIdLimit = 0)
   }
 
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =

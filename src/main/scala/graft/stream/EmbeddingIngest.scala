@@ -319,10 +319,16 @@ object EmbeddingIngest {
       // argument as CorpusIngest.ingestBatch: a vector already
       // near-duplicated in the corpus must not act as a within-batch winner
       val probeHits = VectorOps.srpProbeIndexed(
-        indexBands, indexVecs, batchBands, batchVecs, cfg.threshold)
-      val novelIds = batchVecs.select(col("vec_id"))
+        indexBands, indexVecs, batchBands, batchVecs, cfg.threshold,
+        pushIdLimit = CorpusIngest.MaxProbePushIds)
+      // CACHED like CorpusIngest's corpusNovelIds (VERDICT r13 item 4):
+      // the probe subtree is the one stage whose cost tracks the ROOT
+      // (index bands + vecs scans); uncached it would recompute inside
+      // both ofNovel legs and the accepted frame — 3-4 root-sized scans
+      // per batch instead of one
+      val novelIds = Caching.scoped(batchVecs.select(col("vec_id"))
         .join(probeHits.select(col("batch_id").as("vec_id")).distinct(),
-          Seq("vec_id"), "left_anti")
+          Seq("vec_id"), "left_anti"))
       def ofNovel(f: DataFrame) = f.join(novelIds, Seq("vec_id"), "left_semi")
       // within-batch near-dups among the corpus-novel vectors: connected
       // components over the verified pair graph, keep each component's

@@ -187,7 +187,8 @@ object TextOps {
       textCol: String, n: Int = 3, k: Int = 12, r: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     val (cb, cs) = minhashIndex(corpus, idCol, textCol, n, k, r)
-    minhashProbeIndexed(cb, cs, batch, idCol, textCol, n, k, r, threshold)
+    minhashProbeIndexed(cb, cs, batch, idCol, textCol, n, k, r, threshold,
+      pushIdLimit = 0)
   }
 
   /** The PERSISTED form of a corpus's near-dup index: banded MinHash
@@ -230,27 +231,64 @@ object TextOps {
   /** Probe a batch against a persisted index: candidates from the
     * batch-bands ⋈ index-bands equi-join, exact-Jaccard verified against
     * the index's stored shingle sets — cost proportional to the BATCH. */
+  // no default args here: its frames-overload sibling carries them and
+  // Scala forbids defaults on both alternatives
   def minhashProbeIndexed(indexBands: DataFrame, indexSets: DataFrame,
-      batch: DataFrame, idCol: String, textCol: String, n: Int = 3,
-      k: Int = 12, r: Int = 3, threshold: Double = 0.8): DataFrame = {
+      batch: DataFrame, idCol: String, textCol: String, n: Int,
+      k: Int, r: Int, threshold: Double,
+      pushIdLimit: Int): DataFrame = {
     val (bb, bs) = minhashIndex(batch, idCol, textCol, n, k, r)
-    minhashProbeIndexed(indexBands, indexSets, bb, bs, threshold)
+    // cached when the pushdown is on: the collect below and the verify
+    // join must not re-pay the batch's shingle scan
+    val (cb, cs) =
+      if (pushIdLimit > 0)
+        (graft.Caching.scoped(bb), graft.Caching.scoped(bs))
+      else (bb, bs)
+    minhashProbeIndexed(indexBands, indexSets, cb, cs, threshold, pushIdLimit)
   }
 
-  /** As above, with the batch's index frames PREBUILT by the caller. */
+  /** As above, with the batch's index frames PREBUILT by the caller.
+    *
+    * `pushIdLimit` > 0 enables the cap-bounded candidate pushdown (the
+    * [[graft.stream.UnionFind]] MaxLabelFetchIds pattern): the candidate
+    * corpus ids — few at steady state, one per near-dup hit — collect to
+    * the driver (limit+1 guard) and push into the index-sets read as an
+    * IN filter, so the verify join reads the candidates' row groups
+    * instead of scanning the corpus-sized shingle-set column; a sorted
+    * persisted layout (the compact fold orders sets by doc_id) makes the
+    * parquet min/max stats prune to near-zero IO. Over the cap (a burst
+    * of near-dups) it falls back to the full verify join — correct
+    * either way, the pushdown only prunes. Keep the cap at or below the
+    * session's parquet IN-pushdown threshold (1000 in
+    * [[graft.Sessions]]); above it Spark degrades the push to a min/max
+    * range that prunes nothing for scattered ids. 0 = off (the
+    * in-session callers, whose index frames are not parquet scans). */
   def minhashProbeIndexed(indexBands: DataFrame, indexSets: DataFrame,
       batchBands: DataFrame, batchSets: DataFrame,
-      threshold: Double): DataFrame = {
-    val candidates = batchBands.alias("b")
+      threshold: Double, pushIdLimit: Int = 0): DataFrame = {
+    val candidates0 = batchBands.alias("b")
       .join(indexBands.alias("c"),
         col("b.band") === col("c.band") && col("b.sig") === col("c.sig") &&
           col("b.doc_id") =!= col("c.doc_id"))
       .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
       .distinct()
+    // cached when the pushdown collects it: the candidate frame must not
+    // recompute the bands join once for the collect and again for the
+    // verify
+    val candidates =
+      if (pushIdLimit > 0) graft.Caching.scoped(candidates0) else candidates0
+    val verifySets =
+      if (pushIdLimit <= 0) indexSets
+      else {
+        val ids = candidates.select(col("corpus_id")).distinct()
+          .limit(pushIdLimit + 1).collect().map(_.getLong(0))
+        if (ids.length > pushIdLimit) indexSets // burst: full verify join
+        else indexSets.filter(col("doc_id").isin(ids.map(Long.box): _*))
+      }
     candidates
       .join(batchSets.select(col("doc_id").as("batch_id"),
         col("s").as("sa"), col("n").as("na")), "batch_id")
-      .join(indexSets.select(col("doc_id").as("corpus_id"),
+      .join(verifySets.select(col("doc_id").as("corpus_id"),
         col("s").as("sb"), col("n").as("nb")), "corpus_id")
       .withColumn("i", intersectCount("sa", "sb"))
       .withColumn("jaccard",
