@@ -1297,6 +1297,12 @@ object Multimodal {
     // per component: (id, hSamp, vSamp, qId); scan adds (dcId, acId)
     var comps: Array[Array[Int]] = null
     var dri = 0
+    // progressive (SOF2) state: per-component NATURAL-order coefficient
+    // grids that the multi-scan spectral-selection / successive-
+    // approximation passes accumulate into; IDCT + assembly run at EOI
+    var progressive = false
+    var coefs: Array[Array[Int]] = null
+    var sawScan = false
     var pos = 2
     while (pos + 2 <= payload.length) {
       if ((payload(pos) & 0xff) != 0xff) return None
@@ -1307,7 +1313,11 @@ object Multimodal {
       if (pos + 2 > payload.length) return None
       val m = payload(pos + 1) & 0xff
       if (m == 0x00) return None // 0xFF00 is byte stuffing, not a marker
-      if (m == 0xd9) return None // EOI before any scan
+      if (m == 0xd9) { // EOI: a progressive image finishes here
+        return if (progressive && sawScan)
+          jpegProgFinish(w, h, comps, qt, coefs)
+        else None // EOI before any (sequential) scan
+      }
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { pos += 2 }
       else {
         if (pos + 4 > payload.length) return None
@@ -1349,7 +1359,8 @@ object Multimodal {
               if (tc == 0) dcT(th) = t else acT(th) = t
               p += 17 + total
             }
-          case 0xc0 | 0xc1 => // SOF0/1: baseline / extended sequential
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1/2: sequential / progressive
+            if (comps != null) return None // a second frame header lies
             if (body + 6 > bend || (payload(body) & 0xff) != 8) return None
             h = be16(payload, body + 1); w = be16(payload, body + 3)
             val n = payload(body + 5) & 0xff
@@ -1364,13 +1375,36 @@ object Multimodal {
             }
             if (comps.exists(c => c(1) < 1 || c(1) > 4 || c(2) < 1 ||
                 c(2) > 4 || c(3) > 3)) return None
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+            if (m == 0xc2) {
+              progressive = true
+              // allocate the per-component coefficient grids on the
+              // interleaved (padded) geometry — a superset of every
+              // scan's block range; hostile dims refused BEFORE any
+              // allocation, the standing codec rule
+              val oneComp = n == 1
+              val maxH = comps.map(_(1)).max
+              val maxV = comps.map(_(2)).max
+              val mcusX = (w + (if (oneComp) 8 else 8 * maxH) - 1) /
+                (if (oneComp) 8 else 8 * maxH)
+              val mcusY = (h + (if (oneComp) 8 else 8 * maxV) - 1) /
+                (if (oneComp) 8 else 8 * maxV)
+              coefs = new Array[Array[Int]](n)
+              var ci = 0
+              while (ci < n) {
+                val bw = mcusX.toLong * (if (oneComp) 1 else comps(ci)(1))
+                val bh2 = mcusY.toLong * (if (oneComp) 1 else comps(ci)(2))
+                if (bw * bh2 * 64 > Int.MaxValue) return None
+                coefs(ci) = new Array[Int]((bw * bh2 * 64).toInt)
+                ci += 1
+              }
+            }
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
               0xcd | 0xce | 0xcf =>
-            return None // progressive/lossless/arithmetic: not baseline
+            return None // lossless/arithmetic/hierarchical: unsupported
           case 0xdd => // DRI
             if (len != 4) return None
             dri = be16(payload, body)
-          case 0xda => // SOS: bind scan tables, then decode
+          case 0xda if !progressive => // SOS: bind tables, then decode
             if (comps == null) return None
             val n = payload(body) & 0xff
             if (n != comps.length || body + 1 + 2 * n + 3 > bend) return None
@@ -1385,9 +1419,48 @@ object Multimodal {
               i += 1
             }
             return jpegScan(payload, bend, w, h, comps, qt, dcT, acT, dri)
+          case 0xda => // progressive SOS: accumulate one scan, continue
+            if (comps == null) return None
+            val n = payload(body) & 0xff
+            if (n < 1 || n > comps.length ||
+                body + 1 + 2 * n + 3 > bend) return None
+            val scanComps = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              val cid = payload(body + 1 + 2 * i) & 0xff
+              val tb = payload(body + 2 + 2 * i) & 0xff
+              val idx = comps.indexWhere(_(0) == cid)
+              if (idx < 0) return None
+              val c = comps(idx)
+              c(4) = tb >> 4; c(5) = tb & 0x0f
+              if (c(4) > 3 || c(5) > 3) return None
+              scanComps(i) = idx
+              i += 1
+            }
+            val ss = payload(body + 1 + 2 * n) & 0xff
+            val se = payload(body + 2 + 2 * n) & 0xff
+            val ahal = payload(body + 3 + 2 * n) & 0xff
+            val ah = ahal >> 4; val al = ahal & 0x0f
+            // spectral/approximation legality (T.81 B.2.3): DC scans are
+            // Ss = Se = 0 (the only scans that may interleave); AC scans
+            // are single-component with 1 <= Ss <= Se <= 63; point
+            // transforms stay in [0, 13]
+            if (ss == 0) { if (se != 0) return None }
+            else if (n != 1 || se < ss || se > 63) return None
+            if (ah > 13 || al > 13) return None
+            // table presence, only for the tables this scan reads (a DC
+            // refinement scan reads none)
+            if (ss == 0 && ah == 0 &&
+                scanComps.exists(ci => dcT(comps(ci)(4)) == null)) return None
+            if (ss > 0 && acT(comps(scanComps(0))(5)) == null) return None
+            val np = jpegProgScan(payload, bend, comps, scanComps, dcT, acT,
+              coefs, w, h, ss, se, ah, al, dri)
+            if (np < 0) return None
+            sawScan = true
+            pos = np
           case _ => () // APPn, COM, others: skipped
         }
-        pos += 2 + len
+        if (m != 0xda || !progressive) pos += 2 + len
       }
     }
     None
@@ -1487,36 +1560,7 @@ object Multimodal {
           k += 1
         }
       }
-      val plane = planes(ci)
-      val planeW = planeWOf(ci); val planeH = planeHOf(ci)
-      // rows: tmp = coef × basis over u (per row), then columns
-      var yy = 0
-      while (yy < 8) {
-        var x = 0
-        while (x < 8) {
-          var acc = 0.0; var u = 0
-          while (u < 8) { acc += coef(yy * 8 + u) * IdctCos(u * 8 + x); u += 1 }
-          tmp(yy * 8 + x) = acc
-          x += 1
-        }
-        yy += 1
-      }
-      var x = 0
-      while (x < 8) {
-        var yo = 0
-        while (yo < 8) {
-          var acc = 0.0; var v = 0
-          while (v < 8) { acc += tmp(v * 8 + x) * IdctCos(v * 8 + yo); v += 1 }
-          val px2 = px + x; val py2 = py + yo
-          if (px2 < planeW && py2 < planeH) {
-            val s2 = math.round(acc + 128.0).toInt
-            plane(py2 * planeW + px2) =
-              if (s2 < 0) 0 else if (s2 > 255) 255 else s2
-          }
-          yo += 1
-        }
-        x += 1
-      }
+      jpegIdct(coef, tmp, planes(ci), planeWOf(ci), planeHOf(ci), px, py)
       true
     }
     val nMcus = mcusX * mcusY
@@ -1567,8 +1611,61 @@ object Multimodal {
       }
       mcu += 1
     }
+    jpegAssemble(w, h, maxH, maxV, planes, planeWOf, bhOf, bvOf)
+  }
+
+  /** The separable 8×8 inverse DCT of one block of NATURAL-order,
+    * already-dequantized coefficients, level-shifted +128, clamped, and
+    * written into `plane` at (px, py) — shared by the sequential and
+    * progressive finish paths. */
+  private def jpegIdct(coef: Array[Int], tmp: Array[Double],
+      plane: Array[Int], planeW: Int, planeH: Int, px: Int, py: Int): Unit = {
+    // rows: tmp = coef × basis over u (per row), then columns
+    var yy = 0
+    while (yy < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0; var u = 0
+        while (u < 8) { acc += coef(yy * 8 + u) * IdctCos(u * 8 + x); u += 1 }
+        tmp(yy * 8 + x) = acc
+        x += 1
+      }
+      yy += 1
+    }
+    var x = 0
+    while (x < 8) {
+      var yo = 0
+      while (yo < 8) {
+        var acc = 0.0; var v = 0
+        while (v < 8) { acc += tmp(v * 8 + x) * IdctCos(v * 8 + yo); v += 1 }
+        val px2 = px + x; val py2 = py + yo
+        if (px2 < planeW && py2 < planeH) {
+          val s2 = math.round(acc + 128.0).toInt
+          plane(py2 * planeW + px2) =
+            if (s2 < 0) 0 else if (s2 > 255) 255 else s2
+        }
+        yo += 1
+      }
+      x += 1
+    }
+  }
+
+  /** Assemble decoded component planes into the family's integer BT.601
+    * luma — shared by the sequential and progressive paths. Grayscale
+    * crops the padded plane; color runs chroma upsample
+    * (libjpeg-compatible triangle filter for the h2v1/h2v2 web cases,
+    * replication otherwise — see [[jpegUpsample]]) + JFIF YCbCr→RGB with
+    * per-channel clamping, then BT.601 of the clamped RGB. Off the
+    * clamp, BT.601 of (R,G,B) reproduces Y exactly (the conversion is
+    * its own inverse in the luma direction), so this differs from the
+    * coded Y only where RGB saturates — which is precisely where a
+    * luma-only decode diverged from reference decoders (they clamp in
+    * RGB space). */
+  private def jpegAssemble(w: Int, h: Int, maxH: Int, maxV: Int,
+      planes: Array[Array[Int]], planeWOf: Array[Int],
+      bhOf: Array[Int], bvOf: Array[Int]): Option[DecodedImage] = {
     val luma = new Array[Int](w * h)
-    if (nC == 1) {
+    if (planes.length == 1) {
       // grayscale: crop the padded plane to the declared dims
       val plane = planes(0); val planeW = planeWOf(0)
       var yy = 0
@@ -1577,15 +1674,6 @@ object Multimodal {
         yy += 1
       }
     } else {
-      // color: chroma upsample (libjpeg-compatible triangle filter for
-      // the h2v1/h2v2 web cases, replication otherwise — see
-      // [[jpegUpsample]]) + JFIF YCbCr→RGB with per-channel clamping,
-      // then the family's integer BT.601 luma. Off the clamp, BT.601 of
-      // (R,G,B) reproduces Y exactly (the conversion is its own inverse
-      // in the luma direction), so this differs from the coded Y only
-      // where RGB saturates — which is precisely where a luma-only
-      // decode diverged from reference decoders (they clamp in RGB
-      // space; the old path never did).
       val pY = planes(0); val wY = planeWOf(0)
       val cb = jpegUpsample(planes(1), planeWOf(1), bhOf(1), bvOf(1),
         maxH, maxV, w, h)
@@ -1614,6 +1702,321 @@ object Multimodal {
       }
     }
     Some(DecodedImage(w, h, luma))
+  }
+
+  /** Entropy-coded-segment bit reader for the progressive scans: 0xFF00
+    * unstuffing, marker detection, restart-marker consumption (with T.81
+    * fill bytes), and locating the next marker after a scan's last
+    * decoded unit. The sequential path keeps its inlined twin. */
+  private final class JpegBits(payload: Array[Byte], var pos: Int) {
+    private var bitBuf = 0
+    private var bitCnt = 0
+    private var hitMarker = false
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (hitMarker || pos >= payload.length) return -1
+        val v = payload(pos) & 0xff; pos += 1
+        if (v == 0xff) {
+          if (pos >= payload.length) return -1
+          if ((payload(pos) & 0xff) == 0) pos += 1
+          else { hitMarker = true; return -1 }
+        }
+        bitBuf = v; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def decodeHuff(t: JpegHuff): Int = {
+      var code = 0; var l = 1
+      while (l <= 16) {
+        val b = nextBit(); if (b < 0) return -1
+        code = (code << 1) | b
+        if (t.maxCode(l) >= 0 && code <= t.maxCode(l))
+          return t.symbols(t.valPtr(l) + code - t.minCode(l)) & 0xff
+        l += 1
+      }
+      -1
+    }
+    def receiveExtend(s: Int): Int = {
+      if (s == 0) return 0
+      var v = 0; var i = 0
+      while (i < s) {
+        val b = nextBit(); if (b < 0) return Int.MinValue
+        v = (v << 1) | b; i += 1
+      }
+      if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    }
+    /** `n` unsigned bits; −1 on truncation. */
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val b = nextBit(); if (b < 0) return -1
+        v = (v << 1) | b; i += 1
+      }
+      v
+    }
+    /** Byte-align and consume one RSTn marker (fill bytes allowed). */
+    def restart(): Boolean = {
+      bitCnt = 0
+      if (hitMarker) {
+        while (pos < payload.length && (payload(pos) & 0xff) == 0xff)
+          pos += 1
+        if (pos >= payload.length) return false
+        val mk = payload(pos) & 0xff
+        if (mk < 0xd0 || mk > 0xd7) return false
+        pos += 1; hitMarker = false
+      } else {
+        if (pos + 2 > payload.length ||
+            (payload(pos) & 0xff) != 0xff) return false
+        while (pos + 1 < payload.length && (payload(pos + 1) & 0xff) == 0xff)
+          pos += 1
+        if (pos + 2 > payload.length) return false
+        val mk = payload(pos + 1) & 0xff
+        if (mk < 0xd0 || mk > 0xd7) return false
+        pos += 2
+      }
+      true
+    }
+    /** Position of the next marker's leading 0xFF after the scan's
+      * entropy data (skipping stuffed 0xFF00 pairs); −1 if none. */
+    def nextMarkerPos(): Int = {
+      if (hitMarker) return pos - 1 // nextBit stopped AT the marker code
+      var p = pos
+      while (p + 1 < payload.length) {
+        if ((payload(p) & 0xff) != 0xff) p += 1
+        else if ((payload(p + 1) & 0xff) == 0) p += 2 // stuffing
+        else return p
+      }
+      -1
+    }
+  }
+
+  /** Decode ONE progressive scan (T.81 Annex G spectral selection +
+    * successive approximation; the published IJG decoder algorithm,
+    * reimplemented) into the per-component coefficient grids. Returns
+    * the payload position of the next marker's 0xFF, or −1 to refuse.
+    * DC scans (Ss = 0) may interleave and carry the per-component
+    * predictors; AC scans are single-component in the component's OWN
+    * ceil-dims block raster. Restart markers reset predictors AND the
+    * EOB run. */
+  private def jpegProgScan(payload: Array[Byte], start: Int,
+      comps: Array[Array[Int]], scanComps: Array[Int],
+      dcT: Array[JpegHuff], acT: Array[JpegHuff],
+      coefs: Array[Array[Int]], w: Int, h: Int,
+      ss: Int, se: Int, ah: Int, al: Int, dri: Int): Int = {
+    val oneComp = comps.length == 1
+    val maxH = comps.map(_(1)).max
+    val maxV = comps.map(_(2)).max
+    val mcuW = if (oneComp) 8 else 8 * maxH
+    val mcuH = if (oneComp) 8 else 8 * maxV
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
+    def bhOf(ci: Int) = if (oneComp) 1 else comps(ci)(1)
+    def bvOf(ci: Int) = if (oneComp) 1 else comps(ci)(2)
+    def blocksW(ci: Int) = mcusX * bhOf(ci)
+    val bits = new JpegBits(payload, start)
+    val preds = new Array[Int](comps.length)
+    var eobrun = 0
+    def dcFirst(ci: Int, off: Int): Boolean = {
+      val t = bits.decodeHuff(dcT(comps(ci)(4)))
+      if (t < 0 || t > 15) return false
+      val diff = bits.receiveExtend(t)
+      if (diff == Int.MinValue) return false
+      preds(ci) += diff
+      coefs(ci)(off) = preds(ci) << al
+      true
+    }
+    def dcRefine(ci: Int, off: Int): Boolean = {
+      val b = bits.nextBit(); if (b < 0) return false
+      if (b == 1) coefs(ci)(off) |= 1 << al
+      true
+    }
+    def acFirst(ci: Int, off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      val co = coefs(ci)
+      val t = acT(comps(ci)(5))
+      var k = ss
+      while (k <= se) {
+        val rs = bits.decodeHuff(t); if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else { // EOBn: this block ends; the next 2^r-1 + ext also end
+            eobrun = (1 << r) - 1
+            if (r > 0) {
+              val ex = bits.receive(r); if (ex < 0) return false
+              eobrun += ex
+            }
+            return true
+          }
+        } else {
+          k += r
+          if (k > se) return false
+          val v = bits.receiveExtend(s)
+          if (v == Int.MinValue) return false
+          co(off + JpegZigzag(k)) = v << al
+          k += 1
+        }
+      }
+      true
+    }
+    def acRefine(ci: Int, off: Int): Boolean = {
+      val co = coefs(ci)
+      val t = acT(comps(ci)(5))
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var ended = false
+        while (k <= se && !ended) {
+          val rs = bits.decodeHuff(t); if (rs < 0) return false
+          var r = rs >> 4; val s = rs & 15
+          var newVal = 0
+          if (s != 0) {
+            if (s != 1) return false // refinement codes only carry ±1
+            val b = bits.nextBit(); if (b < 0) return false
+            newVal = if (b == 1) p1 else m1
+          } else if (r != 15) { // EOBn: corrections-only tail below
+            eobrun = 1 << r
+            if (r > 0) {
+              val ex = bits.receive(r); if (ex < 0) return false
+              eobrun += ex
+            }
+            ended = true
+          } // r == 15, s == 0: ZRL — skip 16 zero-history coefficients
+          if (!ended) {
+            // advance over r zero-history coefficients, emitting a
+            // correction bit for every nonzero-history one passed, then
+            // place the new ±1 (if any) at the stopping zero
+            var placed = false
+            while (k <= se && !placed) {
+              val z = off + JpegZigzag(k)
+              if (co(z) != 0) {
+                val b = bits.nextBit(); if (b < 0) return false
+                if (b == 1 && (co(z) & p1) == 0)
+                  co(z) += (if (co(z) >= 0) p1 else m1)
+              } else {
+                if (r == 0) {
+                  if (newVal != 0) co(z) = newVal
+                  placed = true
+                } else r -= 1
+              }
+              k += 1
+            }
+            if (!placed && newVal != 0) return false // run past Se: lies
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // inside an EOB run only correction bits for already-nonzero
+        // coefficients are coded
+        while (k <= se) {
+          val z = off + JpegZigzag(k)
+          if (co(z) != 0) {
+            val b = bits.nextBit(); if (b < 0) return false
+            if (b == 1 && (co(z) & p1) == 0)
+              co(z) += (if (co(z) >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+    def unit(ci: Int, off: Int): Boolean =
+      if (ss == 0) { if (ah == 0) dcFirst(ci, off) else dcRefine(ci, off) }
+      else { if (ah == 0) acFirst(ci, off) else acRefine(ci, off) }
+    val interleaved = scanComps.length > 1
+    // non-interleaved scans walk the component's OWN ceil-dims raster
+    // (T.81 A.2.2), a subset of the padded storage grid
+    val (bw1, bh1) =
+      if (interleaved) (0, 0)
+      else {
+        val ci = scanComps(0)
+        if (oneComp) ((w + 7) / 8, (h + 7) / 8)
+        else (((w * bhOf(ci) + maxH - 1) / maxH + 7) / 8,
+          ((h * bvOf(ci) + maxV - 1) / maxV + 7) / 8)
+      }
+    val nUnits = if (interleaved) mcusX * mcusY else bw1 * bh1
+    var u = 0
+    while (u < nUnits) {
+      if (dri > 0 && u > 0 && u % dri == 0) {
+        if (!bits.restart()) return -1
+        java.util.Arrays.fill(preds, 0)
+        eobrun = 0
+      }
+      if (interleaved) {
+        val mx = u % mcusX; val my = u / mcusX
+        var sci = 0
+        while (sci < scanComps.length) {
+          val ci = scanComps(sci)
+          val bh = bhOf(ci); val bv = bvOf(ci)
+          var by = 0
+          while (by < bv) {
+            var bx = 0
+            while (bx < bh) {
+              val off = ((my * bv + by) * blocksW(ci) + (mx * bh + bx)) * 64
+              if (!unit(ci, off)) return -1
+              bx += 1
+            }
+            by += 1
+          }
+          sci += 1
+        }
+      } else {
+        val ci = scanComps(0)
+        val off = ((u / bw1) * blocksW(ci) + (u % bw1)) * 64
+        if (!unit(ci, off)) return -1
+      }
+      u += 1
+    }
+    bits.nextMarkerPos()
+  }
+
+  /** Dequantize + IDCT the accumulated progressive coefficient grids
+    * into per-component planes and assemble the family luma — the
+    * progressive twin of [[jpegScan]]'s streaming finish. */
+  private def jpegProgFinish(w: Int, h: Int, comps: Array[Array[Int]],
+      qt: Array[Array[Int]],
+      coefs: Array[Array[Int]]): Option[DecodedImage] = {
+    val nC = comps.length
+    val oneComp = nC == 1
+    val maxH = comps.map(_(1)).max
+    val maxV = comps.map(_(2)).max
+    val mcuW = if (oneComp) 8 else 8 * maxH
+    val mcuH = if (oneComp) 8 else 8 * maxV
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
+    val bhOf = Array.tabulate(nC)(i => if (oneComp) 1 else comps(i)(1))
+    val bvOf = Array.tabulate(nC)(i => if (oneComp) 1 else comps(i)(2))
+    val planeWOf = Array.tabulate(nC)(i => mcusX * bhOf(i) * 8)
+    val planeHOf = Array.tabulate(nC)(i => mcusY * bvOf(i) * 8)
+    val planes = Array.tabulate(nC)(i =>
+      new Array[Int](planeWOf(i) * planeHOf(i)))
+    val coefBuf = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var ci = 0
+    while (ci < nC) {
+      val q = qt(comps(ci)(3))
+      val co = coefs(ci)
+      val bw = mcusX * bhOf(ci)
+      val bh2 = mcusY * bvOf(ci)
+      var bY = 0
+      while (bY < bh2) {
+        var bX = 0
+        while (bX < bw) {
+          val off = (bY * bw + bX) * 64
+          var i = 0
+          while (i < 64) { coefBuf(i) = co(off + i) * q(i); i += 1 }
+          jpegIdct(coefBuf, tmp, planes(ci), planeWOf(ci), planeHOf(ci),
+            bX * 8, bY * 8)
+          bX += 1
+        }
+        bY += 1
+      }
+      ci += 1
+    }
+    jpegAssemble(w, h, maxH, maxV, planes, planeWOf, bhOf, bvOf)
   }
 
   /** Upsample one chroma plane (stride `stride`, meaningful region
@@ -1706,7 +2109,7 @@ object Multimodal {
     * (ImageIO exposes no DRI knob). `width`/`height` need not be block
     * multiples: edge blocks encode whole and the decoder crops. */
   def encodeJpegFlat(width: Int, height: Int, tile: (Int, Int) => Int,
-      dri: Int = 0): Array[Byte] = {
+      dri: Int = 0, progressive: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dimensions: $width x $height")
     val bw = (width + 7) / 8; val bh = (height + 7) / 8
     val out = new java.io.ByteArrayOutputStream()
@@ -1723,7 +2126,8 @@ object Multimodal {
     }
     out.write(0xff); out.write(0xd8) // SOI
     seg(0xdb) { out.write(0); (0 until 64).foreach(_ => out.write(1)) }
-    seg(0xc0) { // SOF0: 8-bit, declared dims, 1 component, 1×1, q0
+    // SOF0 sequential or SOF2 progressive: 8-bit, 1 component, 1×1, q0
+    seg(if (progressive) 0xc2 else 0xc0) {
       out.write(8); b16(height); b16(width); out.write(1)
       out.write(1); out.write(0x11); out.write(0)
     }
@@ -1740,10 +2144,6 @@ object Multimodal {
       out.write(0x00)
     }
     if (dri > 0) seg(0xdd) { b16(dri) }
-    seg(0xda) { // SOS
-      out.write(1); out.write(1); out.write(0x00)
-      out.write(0); out.write(63); out.write(0)
-    }
     // K.3.1 canonical DC codes: cat 0 → 00 (2 bits); 1–5 → 010…110
     // (3 bits); 6+ → 1110…, one leading 1 per extra category
     def dcCode(cat: Int): (Int, Int) =
@@ -1765,32 +2165,62 @@ object Multimodal {
     }
     def flushBits(): Unit =
       if (bitCnt > 0) putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt)
-    var pred = 0; var rst = 0; var mcu = 0
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
-        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
-          flushBits()
-          out.write(0xff); out.write(0xd0 + (rst % 8)); rst += 1
-          pred = 0 // the predictor reset the decoder must mirror
+    var pred = 0
+    // one entropy-coded scan over all blocks in raster order, restart
+    // markers every `dri` units (with the DC-predictor reset the decoder
+    // must mirror), per-block payload from `emit`
+    def scanBody(emit: (Int, Int) => Unit): Unit = {
+      var rst = 0; var mcu = 0
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+            flushBits()
+            out.write(0xff); out.write(0xd0 + (rst % 8)); rst += 1
+            pred = 0
+          }
+          emit(bx, by)
+          mcu += 1
+          bx += 1
         }
-        val g = tile(bx, by)
-        require(g >= 0 && g <= 255, s"tile($bx,$by)=$g out of [0,255]")
-        val dc = 8 * (g - 128)
-        val diff = dc - pred; pred = dc
-        val cat = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
-        val (code, len) = dcCode(cat)
-        putBits(code, len)
-        if (cat > 0)
-          putBits(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
-        putBits(0, 4) // EOB: the 1-symbol AC table's code 0000
-        mcu += 1
-        bx += 1
+        by += 1
       }
-      by += 1
+      flushBits()
     }
-    flushBits()
+    def emitDc(bx: Int, by: Int): Unit = {
+      val g = tile(bx, by)
+      require(g >= 0 && g <= 255, s"tile($bx,$by)=$g out of [0,255]")
+      val dc = 8 * (g - 128)
+      val diff = dc - pred; pred = dc
+      val cat = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, len) = dcCode(cat)
+      putBits(code, len)
+      if (cat > 0)
+        putBits(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+    }
+    def sos(ss: Int, se: Int): Unit = seg(0xda) {
+      out.write(1); out.write(1); out.write(0x00)
+      out.write(ss); out.write(se); out.write(0)
+    }
+    if (!progressive) {
+      sos(0, 63)
+      scanBody { (bx, by) =>
+        emitDc(bx, by)
+        putBits(0, 4) // EOB: the 1-symbol AC table's code 0000
+      }
+    } else {
+      // scan 1: DC, spectral 0..0, no point transform — flat tiles are
+      // DC-only, so this scan already carries the whole image; restart
+      // markers exercise the progressive predictor-reset path
+      sos(0, 0)
+      scanBody(emitDc)
+      // scan 2: AC, spectral 1..63 — every block is one EOB0 (all ACs
+      // zero), exercising the EOB-run machinery and per-scan restarts
+      pred = 0
+      sos(1, 63)
+      scanBody((_, _) => putBits(0, 4))
+    }
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
@@ -1801,10 +2231,14 @@ object Multimodal {
     * replays luma(x, y) = tile(x/8, y/8) arithmetically while the Spark
     * side pays the real marker walk, Huffman decode, restart markers
     * (dri = 2 puts the RST path behind the hash gate, not just a spec),
-    * IDCT, and partial-MCU crop. */
+    * IDCT, and partial-MCU crop. The JPEG docs alternate BASELINE and
+    * PROGRESSIVE encodings by id (the flat tiles decode identically
+    * either way), so the multi-scan spectral-selection path sits behind
+    * the same hash gate. */
   def synthJpeg(id: Long, width: Int = 15, height: Int = 17): Array[Byte] =
     encodeJpegFlat(width, height,
-      (bx, by) => ((id * 7 + bx * 31 + by * 59) % 256).toInt, dri = 2)
+      (bx, by) => ((id * 7 + bx * 31 + by * 59) % 256).toInt, dri = 2,
+      progressive = id % 12 == 11)
 
   // ---- AVI (RIFF container, uncompressed DIB or MJPEG frames) -----------
 

@@ -415,10 +415,11 @@ object LlmWorkload {
     * exercised), raw P6 PPM, raw P5 PGM (gray = the same BT.601 luma),
     * PNG (deflate + per-row filters + chunk CRCs, colorType rotated
     * across gray/RGB/gray-alpha/RGBA), GIF (palette + real LZW), or
-    * JPEG (baseline Huffman + restart markers; flat 8×8 tiles, the
-    * lossless-by-construction corner of the lossy format, so its decode
-    * is exact too — VERDICT r13 item 3: a web corpus is mostly JPEG, so
-    * the hardest codec sits behind the hash gate, not just specs) —
+    * JPEG (flat 8×8 tiles, the lossless-by-construction corner of the
+    * lossy format, so its decode is exact too — VERDICT r13 item 3: a
+    * web corpus is mostly JPEG, so the hardest codec sits behind the
+    * hash gate, not just specs; alternating BASELINE and PROGRESSIVE
+    * encodings by id, so the multi-scan SOF2 path is gated too) —
     * then DECODED back through the magic-byte router
     * ([[Multimodal.decodeImage]]) and reduced to exact integer pixel
     * aggregates plus the pixel-domain dHash ([[Multimodal.decodeReport]]).

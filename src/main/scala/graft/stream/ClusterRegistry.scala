@@ -476,7 +476,8 @@ object ClusterRegistry {
       // Jaccard verify would run twice
       val crossPairs = Caching.scoped(TextOps.minhashProbeIndexed(
         idx(bandsPath(cfg), bandsDdl), idx(setsPath(cfg), setsDdl),
-        batchBands, batchSets, cfg.threshold))
+        batchBands, batchSets, cfg.threshold,
+        pushIdLimit = CorpusIngest.MaxProbePushIds))
       val batchPairs = Caching.scoped(TextOps.minhashNearDupsIndexed(
         batchBands, batchSets, cfg.threshold))
       // the pair computation may outlive the staleness window on a huge
@@ -521,7 +522,8 @@ object ClusterRegistry {
     val crossPairs = Caching.scoped(TextOps.minhashProbeIndexed(
       CorpusIngest.readOrEmptyRO(spark, bandsPath(cfg), bandsDdl),
       CorpusIngest.readOrEmptyRO(spark, setsPath(cfg), setsDdl),
-      batchBands, batchSets, cfg.threshold))
+      batchBands, batchSets, cfg.threshold,
+      pushIdLimit = CorpusIngest.MaxProbePushIds))
     val batchPairs = Caching.scoped(TextOps.minhashNearDupsIndexed(
       batchBands, batchSets, cfg.threshold))
     UnionFindTables.probeReport(
@@ -546,7 +548,8 @@ object ClusterRegistry {
     val crossPairs = TextOps.minhashProbeIndexed(
       CorpusIngest.readOrEmptyRO(spark, bandsPath(cfg), bandsDdl),
       CorpusIngest.readOrEmptyRO(spark, setsPath(cfg), setsDdl),
-      batchBands, batchSets, cfg.threshold)
+      batchBands, batchSets, cfg.threshold,
+      pushIdLimit = CorpusIngest.MaxProbePushIds)
     val batchPairs = TextOps.minhashNearDupsIndexed(
       batchBands, batchSets, cfg.threshold)
     crossPairs.select(
@@ -608,11 +611,16 @@ object ClusterRegistry {
         CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
       IngestLock.heartbeat(spark, lock)
       // the signature folds and the label path-compression rewrite
-      // disjoint directories — overlap them on the bounded pool
-      CorpusIngest.parallelUnits(
-        Seq(bandsPath(cfg), setsPath(cfg))
-          .map(dir => () => CorpusIngest.foldBatchPartitions(spark, fs, dir))
-          :+ (() => UnionFindTables.compactLabels(spark, fs, cfg.root)))
+      // disjoint directories — overlap them on the bounded pool. Folds
+      // are PROBE-KEY-SORTED (the CorpusIngest.compact discipline) so the
+      // ingest probe's cap-bounded IN pushdown prunes row groups.
+      CorpusIngest.parallelUnits(Seq(
+        () => CorpusIngest.foldBatchPartitions(spark, fs, bandsPath(cfg),
+          _.repartitionByRange(col("sig")).sortWithinPartitions(col("sig"))),
+        () => CorpusIngest.foldBatchPartitions(spark, fs, setsPath(cfg),
+          _.repartitionByRange(col("doc_id"))
+            .sortWithinPartitions(col("doc_id"))),
+        () => UnionFindTables.compactLabels(spark, fs, cfg.root)))
     }
 
   /** Start the continuous labeling stream (AvailableNow — the reference's
@@ -711,7 +719,8 @@ object EmbeddingClusterRegistry {
       // cached: read by both the increment and the ledger count
       val crossPairs = Caching.scoped(VectorOps.srpProbeIndexed(
         idx(bandsDir, bandsDdl), idx(vecsPath(cfg), vecsDdl),
-        batchBands, batchVecs, cfg.threshold))
+        batchBands, batchVecs, cfg.threshold,
+        pushIdLimit = CorpusIngest.MaxProbePushIds))
       val batchPairs = Caching.scoped(VectorOps.srpNearDupsIndexed(
         batchBands, batchVecs, cfg.threshold)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
@@ -749,7 +758,8 @@ object EmbeddingClusterRegistry {
     val crossPairs = Caching.scoped(VectorOps.srpProbeIndexed(
       CorpusIngest.readOrEmptyRO(spark, bandsDir, bandsDdl),
       CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg), vecsDdl),
-      batchBands, batchVecs, cfg.threshold))
+      batchBands, batchVecs, cfg.threshold,
+      pushIdLimit = CorpusIngest.MaxProbePushIds))
     val batchPairs = Caching.scoped(VectorOps.srpNearDupsIndexed(
       batchBands, batchVecs, cfg.threshold)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
@@ -776,7 +786,8 @@ object EmbeddingClusterRegistry {
     val crossPairs = VectorOps.srpProbeIndexed(
       CorpusIngest.readOrEmptyRO(spark, bandsDir, bandsDdl),
       CorpusIngest.readOrEmptyRO(spark, vecsPath(cfg), vecsDdl),
-      batchBands, batchVecs, cfg.threshold)
+      batchBands, batchVecs, cfg.threshold,
+      pushIdLimit = CorpusIngest.MaxProbePushIds)
     val batchPairs = VectorOps.srpNearDupsIndexed(
       batchBands, batchVecs, cfg.threshold)
     crossPairs.select(
@@ -834,11 +845,15 @@ object EmbeddingClusterRegistry {
         CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
       IngestLock.heartbeat(spark, lock)
       // disjoint directories — overlap on the bounded pool (see
-      // [[ClusterRegistry.compact]])
-      CorpusIngest.parallelUnits(
-        Seq(resolvedBands(spark, cfg)._1, vecsPath(cfg))
-          .map(dir => () => CorpusIngest.foldBatchPartitions(spark, fs, dir))
-          :+ (() => UnionFindTables.compactLabels(spark, fs, cfg.root)))
+      // [[ClusterRegistry.compact]]); the vec store folds vec_id-sorted
+      // so the probe's candidate-id IN pushdown prunes the verify read
+      CorpusIngest.parallelUnits(Seq(
+        () => CorpusIngest.foldBatchPartitions(spark, fs,
+          resolvedBands(spark, cfg)._1),
+        () => CorpusIngest.foldBatchPartitions(spark, fs, vecsPath(cfg),
+          _.repartitionByRange(col("vec_id"))
+            .sortWithinPartitions(col("vec_id"))),
+        () => UnionFindTables.compactLabels(spark, fs, cfg.root)))
     }
 
   /** Re-sign the registry's SRP index at a new width — the registry twin

@@ -521,7 +521,9 @@ object EmbeddingIngest {
       "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
         col("n"))
-    VectorOps.srpProbeIndexed(indexBands, indexVecs, bb, bv, cfg.threshold)
+    VectorOps.srpProbeIndexed(indexBands, indexVecs,
+        graft.Caching.scoped(bb), graft.Caching.scoped(bv), cfg.threshold,
+        pushIdLimit = CorpusIngest.MaxProbePushIds)
       .select(col("batch_id").as("vec_id"), col("corpus_id"), col("cos"))
   }
 
@@ -1072,7 +1074,11 @@ object EmbeddingIngest {
       // directories — overlap them; the pq re-annotation below reads the
       // FOLDED ivf table, so it stays sequential after the group
       CorpusIngest.parallelUnits(Seq(
-        () => CorpusIngest.foldBatchPartitions(spark, fs, vecsPath(cfg)),
+        // vec_id-sorted: the SRP probe's candidate-id IN pushdown prunes
+        // the wide embedding column to the touched row groups
+        () => CorpusIngest.foldBatchPartitions(spark, fs, vecsPath(cfg),
+          _.repartitionByRange(col("vec_id"))
+            .sortWithinPartitions(col("vec_id"))),
         () => CorpusIngest.foldBatchPartitions(spark, fs,
           resolvedBands(spark, cfg)._1),
         () => CorpusIngest.foldBatchPartitions(spark, fs, ivfPath(cfg),

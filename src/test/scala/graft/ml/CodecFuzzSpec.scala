@@ -72,6 +72,25 @@ class CodecFuzzSpec extends SparkSpec {
     baos.toByteArray
   }
 
+  /** Its progressive twin (default multi-scan script: spectral selection
+    * + successive approximation) — the deepest entropy structure in the
+    * suite, and the one whose corruption reaches the refinement paths. */
+  private def jdkProgressiveJpeg(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 9) << 16) | ((y * 11) << 8) | (x + y))
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val out = new java.io.ByteArrayOutputStream()
+    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(out))
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose()
+    out.toByteArray
+  }
+
   for (seed <- Seq(5, 23, 91))
     test(s"random and mutated payloads never throw from any codec (seed $seed)") {
       val rnd = new scala.util.Random(seed)
@@ -101,7 +120,10 @@ class CodecFuzzSpec extends SparkSpec {
           f => (bx, by) => (f * 50 + bx * 90 + by * 40) % 256, dri = 2),
         encodeJpegFlat(15, 17, (bx, by) => (bx * 60 + by * 35 + 10) % 256,
           dri = 2),
-        jdkJpeg(24, 18))
+        encodeJpegFlat(15, 17, (bx, by) => (bx * 60 + by * 35 + 10) % 256,
+          dri = 2, progressive = true),
+        jdkJpeg(24, 18),
+        jdkProgressiveJpeg(24, 18))
       fixtures.foreach(decodeAll) // the fixtures themselves are clean
 
       (1 to 400).foreach { _ =>

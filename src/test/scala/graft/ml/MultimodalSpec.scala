@@ -430,16 +430,33 @@ class MultimodalSpec extends SparkSpec {
     for (y <- 0 until 13; x <- 0 until 21)
       odd.setRGB(x, y, ((x * 9 + 30) << 16) | ((y * 11 + 40) << 8) | 90)
     check(writeJpeg(odd), "odd dims", 3, 1.0)
-    // progressive (SOF2): explicitly out of the baseline contract
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
-    val p = writer.getDefaultWriteParam
-    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
-    val pout = new java.io.ByteArrayOutputStream()
-    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(pout))
-    writer.write(null, new javax.imageio.IIOImage(smooth, null, null), p)
-    writer.dispose()
-    assert(decodeJpeg(pout.toByteArray).isEmpty,
-      "a progressive JPEG must be refused, not misdecoded")
+    // progressive (SOF2): the multi-scan spectral-selection /
+    // successive-approximation path must land on the same picture as
+    // the JDK's decode of the same bytes
+    def writeProgressive(img: BufferedImage): Array[Byte] = {
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = writer.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val pout = new java.io.ByteArrayOutputStream()
+      writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(pout))
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      writer.dispose()
+      pout.toByteArray
+    }
+    check(writeProgressive(smooth), "progressive smooth color", 3, 1.0)
+    check(writeProgressive(noisy), "progressive noisy color", 4, 1.0)
+    check(writeProgressive(odd), "progressive odd dims", 3, 1.0)
+    val grayImg = new BufferedImage(37, 23, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 23; x <- 0 until 37) {
+      val g = (x * 11 + y * 29) % 256
+      grayImg.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    check(writeProgressive(grayImg), "progressive grayscale", 3, 1.0)
+    // truncation inside a progressive scan refuses, never crashes
+    val prog = writeProgressive(smooth)
+    for (keep <- Seq(20, prog.length / 2, prog.length - 3))
+      assert(decodeJpeg(prog.take(keep)).isEmpty, s"prog truncated at $keep")
     // truncation must refuse when it cuts the headers or the entropy
     // data (a cut past the complete scan loses only the EOI — the image
     // is whole, and decoding it is correct, so cut INSIDE the scan)
@@ -479,16 +496,32 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("JPEG codec: partial-MCU dims crop exactly, and synthJpeg replays " +
-      "as luma(x, y) = tile(x/8, y/8) — the gate oracle's arithmetic") {
-    val jpeg = synthJpeg(11L) // 15×17: partial blocks right and bottom
-    val dec = decodeJpeg(jpeg).getOrElse(fail("synthJpeg refused"))
-    assert(dec.width == 15 && dec.height == 17)
-    for (y <- 0 until 17; x <- 0 until 15)
-      assert(dec.luma(y * 15 + x) ==
-        ((11L * 7 + (x / 8) * 31 + (y / 8) * 59) % 256).toInt,
-        s"pixel ($x,$y) diverged from the tile map")
-    // the router must reach it (the gate goes through decodeImage)
-    assert(decodeImage(jpeg).get.luma.toSeq == dec.luma.toSeq)
+      "as luma(x, y) = tile(x/8, y/8) — the gate oracle's arithmetic — " +
+      "in BOTH its baseline and progressive encodings") {
+    // ids ≡ 5 (mod 12) encode baseline, ≡ 11 progressive — the gate
+    // routes both through one oracle because flat tiles decode exactly
+    // either way
+    for (id <- Seq(5L, 11L)) {
+      val jpeg = synthJpeg(id) // 15×17: partial blocks right and bottom
+      val progressive = (0 until jpeg.length - 1).exists(i =>
+        (jpeg(i) & 0xff) == 0xff && (jpeg(i + 1) & 0xff) == 0xc2)
+      assert(progressive == (id == 11L),
+        s"id $id must encode ${if (id == 11L) "SOF2" else "SOF0"}")
+      val dec = decodeJpeg(jpeg).getOrElse(fail(s"synthJpeg($id) refused"))
+      assert(dec.width == 15 && dec.height == 17)
+      for (y <- 0 until 17; x <- 0 until 15)
+        assert(dec.luma(y * 15 + x) ==
+          ((id * 7 + (x / 8) * 31 + (y / 8) * 59) % 256).toInt,
+          s"id $id pixel ($x,$y) diverged from the tile map")
+      // the router must reach it (the gate goes through decodeImage)
+      assert(decodeImage(jpeg).get.luma.toSeq == dec.luma.toSeq)
+    }
+    // the two encodings of the SAME tiles decode identically
+    val base = encodeJpegFlat(15, 17, (bx, by) => bx * 40 + by * 30, dri = 2)
+    val prog = encodeJpegFlat(15, 17, (bx, by) => bx * 40 + by * 30, dri = 2,
+      progressive = true)
+    assert(decodeJpeg(base).get.luma.toSeq == decodeJpeg(prog).get.luma.toSeq,
+      "baseline and progressive flat-tile decodes must be identical")
   }
 
   test("JPEG codec: 0xFF fill bytes before a marker are legal " +
