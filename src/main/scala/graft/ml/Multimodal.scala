@@ -407,15 +407,51 @@ object Multimodal {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Decode an 8-bit-depth non-interlaced PNG (color types 0 gray, 2 RGB,
-    * 4 gray+alpha, 6 RGBA; alpha ignored for luminance — BT.601 exactly as
-    * [[decodeBmp]]) to top-down row-major luma via `java.util.zip.Inflater`:
-    * chunk walk with per-chunk CRC32 verification, multi-IDAT
-    * concatenation, and per-row unfiltering (types 0–4). `None` — never a
-    * crash — for anything else: bad signature/CRC, palette (type 3) or
-    * 16-bit images, Adam7 interlace, truncated or over-long IDAT streams,
-    * and hostile dimensions (refused BEFORE any allocation-sized
-    * arithmetic, the [[decodePnm]] discipline). */
+  // Adam7 pass geometry (PNG spec §8.2): x/y start offsets and strides of
+  // the seven reduced images, in transmission order
+  private val A7xs = Array(0, 4, 0, 2, 0, 1, 0)
+  private val A7ys = Array(0, 0, 4, 0, 2, 0, 1)
+  private val A7xd = Array(8, 8, 4, 4, 2, 2, 1)
+  private val A7yd = Array(8, 8, 8, 4, 4, 2, 2)
+
+  /** Samples per pixel for a PNG colour type; −1 for an illegal type. */
+  private def pngChannels(colorType: Int): Int = colorType match {
+    case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => -1
+  }
+
+  /** The legal (colour type, bit depth) pairs of PNG spec §11.2.2. */
+  private def pngDepthLegal(colorType: Int, d: Int): Boolean = colorType match {
+    case 0 => d == 1 || d == 2 || d == 4 || d == 8 || d == 16
+    case 3 => d == 1 || d == 2 || d == 4 || d == 8
+    case _ => d == 8 || d == 16
+  }
+
+  /** The sub-images of one PNG raster: the whole image (interlace 0) or
+    * the non-empty Adam7 passes (interlace 1), as (xs, ys, xd, yd, w, h). */
+  private def pngPasses(width: Int, height: Int,
+      interlace: Boolean): Array[(Int, Int, Int, Int, Int, Int)] =
+    if (!interlace) Array((0, 0, 1, 1, width, height))
+    else Array.tabulate(7) { p =>
+      val pw = (width - A7xs(p) + A7xd(p) - 1) / A7xd(p)
+      val ph = (height - A7ys(p) + A7yd(p) - 1) / A7yd(p)
+      (A7xs(p), A7ys(p), A7xd(p), A7yd(p), pw, ph)
+    }.filter(t => t._5 > 0 && t._6 > 0)
+
+  /** Decode a PNG (colour types 0 gray, 2 RGB, 3 palette, 4 gray+alpha,
+    * 6 RGBA at every spec-legal bit depth — 1/2/4-bit samples expand by
+    * the exact 255/(2^d−1) multiplier, 16-bit samples reduce to their
+    * high byte, palette entries reduce by BT.601, alpha is ignored for
+    * luminance — exactly as [[decodeBmp]]) to top-down row-major luma via
+    * `java.util.zip.Inflater`: chunk walk with per-chunk CRC32
+    * verification, multi-IDAT concatenation, PLTE validation (required
+    * for type 3, before IDAT, ≤ 2^depth entries, out-of-range indices
+    * refuse), per-row unfiltering (types 0–4) with the filter byte
+    * distance of spec §9.2, and the Adam7 7-pass deinterlace (each pass
+    * an independently filtered reduced image). `None` — never a crash —
+    * for anything else: bad signature/CRC, illegal type/depth pairs,
+    * truncated or over-long IDAT streams, and hostile dimensions
+    * (refused BEFORE any allocation-sized arithmetic, the [[decodePnm]]
+    * discipline). */
   def decodePng(payload: Array[Byte]): Option[DecodedImage] = {
     if (payload.length < 8 + 25 + 12) return None
     var i = 0
@@ -427,23 +463,27 @@ object Multimodal {
     val height = be32(payload, 20)
     val bitDepth = payload(24) & 0xff
     val colorType = payload(25) & 0xff
-    // compression 0 (deflate), filter method 0, interlace 0 (no Adam7)
-    if (width <= 0 || height <= 0 || bitDepth != 8 ||
-        payload(26) != 0 || payload(27) != 0 || payload(28) != 0) return None
-    val bpp = colorType match {
-      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
-      case _ => return None // palette (3) and anything exotic
-    }
+    val interlace = payload(28) & 0xff
+    // compression 0 (deflate), filter method 0, interlace 0 or 1 (Adam7)
+    if (width <= 0 || height <= 0 ||
+        payload(26) != 0 || payload(27) != 0 || interlace > 1) return None
+    val channels = pngChannels(colorType)
+    if (channels < 0 || !pngDepthLegal(colorType, bitDepth)) return None
     val nPxL = width.toLong * height
     if (nPxL > Int.MaxValue) return None
-    val rowBytesL = width.toLong * bpp + 1 // +1 filter byte per row
-    val rasterL = rowBytesL * height
+    val bitsPx = channels * bitDepth
+    val passes = pngPasses(width, height, interlace == 1)
+    // raster = per sub-image, one filter byte + ceil(w·bitsPx/8) per row
+    val rasterL = passes.map { case (_, _, _, _, pw, ph) =>
+      ((pw.toLong * bitsPx + 7) / 8 + 1) * ph
+    }.sum
     if (rasterL > Int.MaxValue) return None
     // chunk walk: 4-byte BE length, 4-byte type, data, 4-byte CRC over
     // type+data — a mismatch anywhere refuses the whole payload
     var pos = 8
     var idatLen = 0L
     val idatSpans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var plte: Array[Int] = null // luma per palette entry
     var sawEnd = false
     while (!sawEnd) {
       if (pos + 12 > payload.length) return None
@@ -457,11 +497,23 @@ object Multimodal {
         case "IDAT" => idatSpans += ((pos + 8, len)); idatLen += len
         case "IEND" => sawEnd = true
         case "IHDR" if pos != 8 => return None // duplicate header
+        case "PLTE" =>
+          // spec §11.2.3: one PLTE, before IDAT, 1–256 RGB triples, and
+          // never for the grayscale colour types
+          if (plte != null || idatLen > 0 || len == 0 || len % 3 != 0 ||
+              len > 768 || colorType == 0 || colorType == 4) return None
+          val base = pos + 8
+          plte = Array.tabulate(len / 3) { e =>
+            (299 * (payload(base + e * 3) & 0xff) +
+              587 * (payload(base + e * 3 + 1) & 0xff) +
+              114 * (payload(base + e * 3 + 2) & 0xff)) / 1000
+          }
         case _ => // ancillary chunks skipped
       }
       pos += 12 + len
     }
     if (idatLen == 0L || idatLen > payload.length) return None
+    if (colorType == 3 && plte == null) return None
     val comp = new Array[Byte](idatLen.toInt)
     var o = 0
     idatSpans.foreach { case (off, len) =>
@@ -486,101 +538,200 @@ object Multimodal {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    val rowBytes = rowBytesL.toInt - 1
+    val fbpp = math.max(1, bitsPx / 8) // filter byte distance, spec §9.2
+    val plteN = if (plte == null) 0 else plte.length
+    val subMul = if (bitDepth < 8) 255 / ((1 << bitDepth) - 1) else 1
     val luma = new Array[Int](nPxL.toInt)
-    var cur = new Array[Int](rowBytes)
-    var prev = new Array[Int](rowBytes) // zeros: the spec's virtual row -1
-    var y = 0
-    while (y < height) {
-      val base = y * (rowBytes + 1)
-      val ft = raster(base) & 0xff
-      if (ft > 4) return None
-      var x = 0
-      while (x < rowBytes) {
-        val raw = raster(base + 1 + x) & 0xff
-        val a = if (x >= bpp) cur(x - bpp) else 0
-        val b = prev(x)
-        val c = if (x >= bpp) prev(x - bpp) else 0
-        cur(x) = ft match {
-          case 0 => raw
-          case 1 => (raw + a) & 0xff
-          case 2 => (raw + b) & 0xff
-          case 3 => (raw + (a + b) / 2) & 0xff
-          case _ => (raw + paeth(a, b, c)) & 0xff
+    var base = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (xs, ys, xd, yd, pw, ph) = passes(pi)
+      val rowBytes = ((pw.toLong * bitsPx + 7) / 8).toInt
+      var cur = new Array[Int](rowBytes)
+      var prev = new Array[Int](rowBytes) // zeros: the pass's virtual row −1
+      var y = 0
+      while (y < ph) {
+        val ft = raster(base) & 0xff
+        if (ft > 4) return None
+        var x = 0
+        while (x < rowBytes) {
+          val raw = raster(base + 1 + x) & 0xff
+          val a = if (x >= fbpp) cur(x - fbpp) else 0
+          val b = prev(x)
+          val c = if (x >= fbpp) prev(x - fbpp) else 0
+          cur(x) = ft match {
+            case 0 => raw
+            case 1 => (raw + a) & 0xff
+            case 2 => (raw + b) & 0xff
+            case 3 => (raw + (a + b) / 2) & 0xff
+            case _ => (raw + paeth(a, b, c)) & 0xff
+          }
+          x += 1
         }
-        x += 1
+        var px = 0
+        while (px < pw) {
+          val l: Int =
+            if (bitDepth == 8) {
+              val s = px * channels
+              colorType match {
+                case 0 | 4 => cur(s) // gray(+alpha): sample 0 IS the luma
+                case 3 =>
+                  val idx = cur(s)
+                  if (idx >= plteN) return None
+                  plte(idx)
+                case _ =>
+                  (299 * cur(s) + 587 * cur(s + 1) + 114 * cur(s + 2)) / 1000
+              }
+            } else if (bitDepth == 16) {
+              // 16-bit samples reduce to the high byte (the standard 8-bit
+              // reduction; cross-checked against the JDK's raster >> 8)
+              val s = px * channels * 2
+              if (channels <= 2) cur(s)
+              else (299 * cur(s) + 587 * cur(s + 2) + 114 * cur(s + 4)) / 1000
+            } else {
+              // 1/2/4-bit: MSB-first packed single-channel samples
+              val bitOff = px * bitDepth
+              val v = (cur(bitOff >> 3) >>
+                (8 - bitDepth - (bitOff & 7))) & ((1 << bitDepth) - 1)
+              if (colorType == 0) v * subMul // exact: 255, 85, or 17
+              else {
+                if (v >= plteN) return None
+                plte(v)
+              }
+            }
+          luma((ys + y * yd) * width + xs + px * xd) = l
+          px += 1
+        }
+        val t = prev; prev = cur; cur = t
+        base += 1 + rowBytes
+        y += 1
       }
-      var px = 0
-      while (px < width) {
-        val s = px * bpp
-        luma(y * width + px) =
-          if (bpp <= 2) cur(s) // gray / gray+alpha: sample 0 IS the luma
-          else (299 * cur(s) + 587 * cur(s + 1) + 114 * cur(s + 2)) / 1000
-        px += 1
-      }
-      val t = prev; prev = cur; cur = t
-      y += 1
+      pi += 1
     }
     Some(DecodedImage(width, height, luma))
   }
 
-  /** Encode an 8-bit non-interlaced PNG at `colorType` (0/2/4/6 — gray
-    * types store the integer BT.601 luma of `rgb`; alpha channels store a
+  /** Encode a PNG at `colorType` (0/2/3/4/6) and `bitDepth` (any
+    * spec-legal pair), optionally Adam7-`interlace`d — gray types store
+    * the integer BT.601 luma of `rgb` (sub-8-bit gray requires the luma
+    * exactly representable: a multiple of 255/(2^d−1)); 16-bit samples
+    * store v·0x101 so the decoder's high-byte reduction round-trips
+    * exactly; palette type 3 builds its PLTE from the distinct colours in
+    * first-visit order (must fit 2^depth entries); alpha channels store a
     * deterministic NON-opaque value so a decode that mistakes alpha for a
-    * color sample breaks loudly). `rowFilter(y)` picks each row's filter
-    * type (0–4), defaulting to a rotation through all five so the
-    * encode → decode round-trip proves the unfilter math, not just
-    * filter-0 parsing; the IDAT stream is always split in two so
-    * multi-chunk concatenation is exercised. The fixture generator for
-    * the decode gate + specs, like [[encodeBmp24]]/[[encodePpm]]. */
+    * color sample breaks loudly. `rowFilter(i)` picks each emitted row's
+    * filter type (0–4) by its transmission index — each Adam7 pass is an
+    * independently filtered reduced image — defaulting to a rotation
+    * through all five so the encode → decode round-trip proves the
+    * unfilter math, not just filter-0 parsing; the IDAT stream is always
+    * split in two so multi-chunk concatenation is exercised. The fixture
+    * generator for the decode gate + specs, like
+    * [[encodeBmp24]]/[[encodePpm]]. */
   def encodePng(width: Int, height: Int, rgb: (Int, Int) => (Int, Int, Int),
-      colorType: Int = 2, rowFilter: Int => Int = _ % 5): Array[Byte] = {
+      colorType: Int = 2, rowFilter: Int => Int = _ % 5,
+      bitDepth: Int = 8, interlace: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dimensions: $width x $height")
-    val bpp = colorType match {
-      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
-      case _ => throw new IllegalArgumentException(s"colorType $colorType")
-    }
-    val rowBytes = width * bpp
-    val raw = new Array[Byte]((rowBytes + 1) * height)
-    var cur = new Array[Int](rowBytes)
-    var prev = new Array[Int](rowBytes)
-    var y = 0
-    while (y < height) {
-      var px = 0
-      while (px < width) {
-        val (r, g, b) = rgb(px, y)
-        val s = px * bpp
-        if (bpp <= 2) cur(s) = (299 * r + 587 * g + 114 * b) / 1000
-        else { cur(s) = r; cur(s + 1) = g; cur(s + 2) = b }
-        if (colorType == 4 || colorType == 6)
-          cur(s + bpp - 1) = (px * 7 + y * 13) % 256
-        px += 1
-      }
-      val ft = rowFilter(y)
-      require(ft >= 0 && ft <= 4, s"bad filter type $ft")
-      val base = y * (rowBytes + 1)
-      raw(base) = ft.toByte
-      var x = 0
-      while (x < rowBytes) {
-        val a = if (x >= bpp) cur(x - bpp) else 0
-        val b = prev(x)
-        val c = if (x >= bpp) prev(x - bpp) else 0
-        val f = ft match {
-          case 0 => cur(x)
-          case 1 => cur(x) - a
-          case 2 => cur(x) - b
-          case 3 => cur(x) - (a + b) / 2
-          case _ => cur(x) - paeth(a, b, c)
+    val channels = pngChannels(colorType)
+    require(channels > 0 && pngDepthLegal(colorType, bitDepth),
+      s"illegal colorType $colorType / bitDepth $bitDepth")
+    val palette = scala.collection.mutable.LinkedHashMap.empty[(Int, Int, Int), Int]
+    if (colorType == 3) {
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val c = rgb(x, y)
+          if (!palette.contains(c)) palette(c) = palette.size
+          x += 1
         }
-        raw(base + 1 + x) = (f & 0xff).toByte
-        x += 1
+        y += 1
       }
-      val t = prev; prev = cur; cur = t
-      y += 1
+      require(palette.size <= (1 << bitDepth),
+        s"palette overflow: ${palette.size} colours at depth $bitDepth")
+    }
+    val subMul = if (bitDepth < 8) 255 / ((1 << bitDepth) - 1) else 1
+    def expand(v: Int): Int = if (bitDepth == 16) (v << 8) | v else v
+    // one pixel's samples, in PNG sample units at bitDepth
+    def samples(x: Int, y: Int): Array[Int] = {
+      val (r, g, b) = rgb(x, y)
+      colorType match {
+        case 0 =>
+          val l = (299 * r + 587 * g + 114 * b) / 1000
+          if (bitDepth < 8) {
+            require(l % subMul == 0,
+              s"luma $l not representable at depth $bitDepth")
+            Array(l / subMul)
+          } else Array(expand(l))
+        case 2 => Array(expand(r), expand(g), expand(b))
+        case 3 => Array(palette((r, g, b)))
+        case 4 =>
+          val l = (299 * r + 587 * g + 114 * b) / 1000
+          Array(expand(l), expand((x * 7 + y * 13) % 256))
+        case _ =>
+          Array(expand(r), expand(g), expand(b), expand((x * 7 + y * 13) % 256))
+      }
+    }
+    val bitsPx = channels * bitDepth
+    val fbpp = math.max(1, bitsPx / 8)
+    val rawOut = new java.io.ByteArrayOutputStream()
+    var rowIdx = 0
+    pngPasses(width, height, interlace).foreach {
+      case (xs, ys, xd, yd, pw, ph) =>
+        val rowBytes = ((pw.toLong * bitsPx + 7) / 8).toInt
+        var cur = new Array[Int](rowBytes)
+        var prev = new Array[Int](rowBytes) // zeros: the pass's virtual row −1
+        var y = 0
+        while (y < ph) {
+          java.util.Arrays.fill(cur, 0)
+          var px = 0
+          var bitPos = 0
+          while (px < pw) {
+            val ss = samples(xs + px * xd, ys + y * yd)
+            var si = 0
+            while (si < ss.length) {
+              val v = ss(si)
+              if (bitDepth == 16) {
+                cur(bitPos >> 3) = (v >> 8) & 0xff
+                cur((bitPos >> 3) + 1) = v & 0xff
+                bitPos += 16
+              } else if (bitDepth == 8) {
+                cur(bitPos >> 3) = v & 0xff
+                bitPos += 8
+              } else {
+                val sh = 8 - bitDepth - (bitPos & 7)
+                cur(bitPos >> 3) |= (v & ((1 << bitDepth) - 1)) << sh
+                bitPos += bitDepth
+              }
+              si += 1
+            }
+            px += 1
+          }
+          val ft = rowFilter(rowIdx)
+          require(ft >= 0 && ft <= 4, s"bad filter type $ft")
+          rawOut.write(ft)
+          var x = 0
+          while (x < rowBytes) {
+            val a = if (x >= fbpp) cur(x - fbpp) else 0
+            val b = prev(x)
+            val c = if (x >= fbpp) prev(x - fbpp) else 0
+            val f = ft match {
+              case 0 => cur(x)
+              case 1 => cur(x) - a
+              case 2 => cur(x) - b
+              case 3 => cur(x) - (a + b) / 2
+              case _ => cur(x) - paeth(a, b, c)
+            }
+            rawOut.write(f & 0xff)
+            x += 1
+          }
+          val t = prev; prev = cur; cur = t
+          rowIdx += 1
+          y += 1
+        }
     }
     val cbos = new java.io.ByteArrayOutputStream()
     val dos = new java.util.zip.DeflaterOutputStream(cbos)
-    dos.write(raw); dos.close()
+    dos.write(rawOut.toByteArray); dos.close()
     val comp = cbos.toByteArray
     val out = new java.io.ByteArrayOutputStream()
     out.write(PngSig, 0, PngSig.length)
@@ -604,8 +755,18 @@ object Multimodal {
       ihdr(off + 3) = (v & 0xff).toByte
     }
     ihdrBe32(0, width); ihdrBe32(4, height)
-    ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8; compr/filter/interlace 0
+    ihdr(8) = bitDepth.toByte; ihdr(9) = colorType.toByte
+    ihdr(12) = if (interlace) 1 else 0 // compr/filter stay 0
     chunk("IHDR", ihdr)
+    if (colorType == 3) {
+      val pb = new Array[Byte](palette.size * 3)
+      palette.foreach { case ((r, g, b), i) =>
+        pb(i * 3) = (r & 0xff).toByte
+        pb(i * 3 + 1) = (g & 0xff).toByte
+        pb(i * 3 + 2) = (b & 0xff).toByte
+      }
+      chunk("PLTE", pb)
+    }
     val half = math.max(comp.length / 2, 1)
     chunk("IDAT", comp.take(half))
     if (comp.length > half) chunk("IDAT", comp.drop(half))
@@ -1027,11 +1188,24 @@ object Multimodal {
 
   /** [[synthBmp]]'s PNG twin: identical channels through the real
     * deflate + filter + chunk machinery (colorType rotated by id across
-    * 0/2/4/6 so every supported sample layout reaches the gate), decoded
-    * luma again equal to the BMP's. */
-  def synthPng(id: Long, width: Int = 15, height: Int = 17): Array[Byte] =
-    encodePng(width, height, synthChannels(id),
-      colorType = Seq(0, 2, 4, 6)((id % 4).toInt))
+    * gray/RGB/palette/gray-alpha/RGBA so every supported sample layout —
+    * including the PLTE path — reaches the gate, with a SIXTH variant
+    * re-encoding RGB through the Adam7 7-pass interlace so the
+    * deinterlace walk is gated too; the default dims hold ≤ 255 distinct
+    * colours, so the palette build always fits), decoded luma again equal
+    * to the BMP's. The variant is selected by `(id / 6) % 6` — the gate's
+    * doc_id mix routes ids of ONE residue class mod 6 here, so a selector
+    * on `id % k` would degenerate; dividing first cycles every variant
+    * uniformly over the gated docs. */
+  def synthPng(id: Long, width: Int = 15, height: Int = 17): Array[Byte] = {
+    val v = ((id / 6) % 6).toInt
+    if (v == 5)
+      encodePng(width, height, synthChannels(id), colorType = 2,
+        interlace = true)
+    else
+      encodePng(width, height, synthChannels(id),
+        colorType = Seq(0, 2, 3, 4, 6)(v))
+  }
 
   /** [[synthBmp]]'s GIF twin: identical channels (≤ 255 distinct colors
     * at the default dims — each pixel gets a palette slot) through the

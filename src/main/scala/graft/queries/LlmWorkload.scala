@@ -413,8 +413,10 @@ object LlmWorkload {
     * id with the shared small-prime channel maps and encoded to real
     * on-disk bytes in a doc_id-routed FORMAT — 24-bit BMP (row padding
     * exercised), raw P6 PPM, raw P5 PGM (gray = the same BT.601 luma),
-    * PNG (deflate + per-row filters + chunk CRCs, colorType rotated
-    * across gray/RGB/gray-alpha/RGBA), GIF (palette + real LZW), or
+    * PNG (deflate + per-row filters + chunk CRCs, rotated across
+    * gray/RGB/palette/gray-alpha/RGBA plus an Adam7-interlaced variant,
+    * so the PLTE and 7-pass deinterlace walks are gated), GIF (palette +
+    * real LZW), or
     * JPEG (flat 8×8 tiles, the lossless-by-construction corner of the
     * lossy format, so its decode is exact too — VERDICT r13 item 3: a
     * web corpus is mostly JPEG, so the hardest codec sits behind the

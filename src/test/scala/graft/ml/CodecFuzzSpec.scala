@@ -107,6 +107,11 @@ class CodecFuzzSpec extends SparkSpec {
         encodePng(9, 7, ch, colorType = 2),
         encodePng(9, 7, ch, colorType = 4),
         encodePng(9, 7, ch, colorType = 6),
+        encodePng(9, 7, ch, colorType = 3),
+        encodePng(9, 7, ch, colorType = 2, interlace = true),
+        encodePng(9, 7, ch, colorType = 0, bitDepth = 16),
+        encodePng(5, 3, (x, y) => { val i = (x + y) % 16; (i * 17, i * 5, i * 11) },
+          colorType = 3, bitDepth = 4),
         encodeGif(9, 7, ch),
         encodeGif(12, 8, (x, y) => Seq((0, 0, 0), (255, 255, 255))((x + y) % 2)),
         encodeWav(8000, 1, 64, i => Seq(((i * 997) % 65536) - 32768)),

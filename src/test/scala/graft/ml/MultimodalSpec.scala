@@ -181,7 +181,7 @@ class MultimodalSpec extends SparkSpec {
     val gray = (for (y <- 0 until h; x <- 0 until w) yield {
       val (r, g, b) = ch(x, y); (299 * r + 587 * g + 114 * b) / 1000
     }).toSeq
-    for (ct <- Seq(0, 2, 4, 6)) {
+    for (ct <- Seq(0, 2, 3, 4, 6)) {
       val got = decodePng(encodePng(w, h, ch, colorType = ct))
         .getOrElse(fail(s"colorType $ct failed to decode"))
       assert(got.width == w && got.height == h)
@@ -194,6 +194,113 @@ class MultimodalSpec extends SparkSpec {
       val got = decodePng(encodePng(w, h, ch, rowFilter = _ => ft))
         .getOrElse(fail(s"filter $ft failed to decode"))
       assert(got.luma.toSeq == want, s"filter $ft luma mismatch")
+    }
+  }
+
+  test("PNG codec: Adam7 interlace round-trips every colour type to the " +
+      "sequential decode, including pass-degenerate dims") {
+    def ch(x: Int, y: Int) =
+      ((x * 31 + y * 7) % 256, (x * 13 + y * 101) % 256, (255 - x * 11 + y) % 256)
+    // dims straddling the pass grid: ≥8 both ways (all 7 passes), tiny
+    // dims where several passes are EMPTY, and single-row/column edges
+    for ((w, h) <- Seq((15, 17), (8, 8), (7, 5), (4, 4), (3, 2), (1, 9),
+        (9, 1), (1, 1)); ct <- Seq(0, 2, 3, 4, 6)) {
+      val plain = decodePng(encodePng(w, h, ch, colorType = ct))
+        .getOrElse(fail(s"sequential $w x $h ct=$ct failed"))
+      val inter = decodePng(encodePng(w, h, ch, colorType = ct,
+        interlace = true))
+        .getOrElse(fail(s"Adam7 $w x $h ct=$ct failed to decode"))
+      assert(inter.width == w && inter.height == h)
+      assert(inter.luma.toSeq == plain.luma.toSeq,
+        s"Adam7 $w x $h ct=$ct luma diverges from sequential")
+    }
+    // 16-bit Adam7 too (filter byte distance 2·channels within each pass)
+    for (ct <- Seq(0, 2, 4, 6)) {
+      val plain = decodePng(encodePng(15, 17, ch, colorType = ct,
+        bitDepth = 16)).get
+      val inter = decodePng(encodePng(15, 17, ch, colorType = ct,
+        bitDepth = 16, interlace = true))
+        .getOrElse(fail(s"16-bit Adam7 ct=$ct failed to decode"))
+      assert(inter.luma.toSeq == plain.luma.toSeq)
+    }
+  }
+
+  test("PNG codec: palette depths 1/2/4/8, sub-8-bit gray expansion, and " +
+      "16-bit high-byte reduction all match the spec arithmetic") {
+    // palette at every legal depth: k distinct colours fitting 2^d slots
+    for (d <- Seq(1, 2, 4, 8)) {
+      val k = 1 << d
+      def ch(x: Int, y: Int) = {
+        val i = (x + y * 7) % k
+        (i * 255 / math.max(k - 1, 1), (i * 37) % 256, (i * 91) % 256)
+      }
+      val got = decodePng(encodePng(9, 7, ch, colorType = 3, bitDepth = d))
+        .getOrElse(fail(s"palette depth $d failed to decode"))
+      val want = for (y <- 0 until 7; x <- 0 until 9) yield {
+        val (r, g, b) = ch(x, y); (299 * r + 587 * g + 114 * b) / 1000
+      }
+      assert(got.luma.toSeq == want, s"palette depth $d luma mismatch")
+    }
+    // sub-8-bit gray: sample v expands by exactly 255/(2^d−1)
+    for (d <- Seq(1, 2, 4)) {
+      val mul = 255 / ((1 << d) - 1)
+      def ch(x: Int, y: Int) = {
+        val l = (((x + y * 3) % (1 << d)) * mul)
+        (l, l, l) // BT.601 of (l,l,l) = l exactly: 299+587+114 = 1000
+      }
+      val got = decodePng(encodePng(11, 5, ch, colorType = 0, bitDepth = d))
+        .getOrElse(fail(s"gray depth $d failed to decode"))
+      val want = for (y <- 0 until 5; x <- 0 until 11)
+        yield ((x + y * 3) % (1 << d)) * mul
+      assert(got.luma.toSeq == want, s"gray depth $d luma mismatch")
+    }
+    // 16-bit: the encoder stores v·0x101, the decoder keeps the high byte
+    def ch16(x: Int, y: Int) = ((x * 29 + y) % 256, (y * 53 + x) % 256,
+      (x * 3 + y * 17) % 256)
+    val want8 = decodePng(encodePng(13, 6, ch16, colorType = 2)).get.luma.toSeq
+    for (ct <- Seq(0, 2, 4, 6)) {
+      val got = decodePng(encodePng(13, 6, ch16, colorType = ct,
+        bitDepth = 16)).getOrElse(fail(s"16-bit ct=$ct failed to decode"))
+      val gray8 = decodePng(encodePng(13, 6, ch16, colorType = 0)).get.luma
+      assert(got.luma.toSeq ==
+        (if (ct == 0 || ct == 4) gray8.toSeq else want8),
+        s"16-bit ct=$ct luma mismatch")
+    }
+  }
+
+  test("PNG codec: palette and interlaced decodes cross-check against " +
+      "the JDK's ImageIO on the same bytes") {
+    def ch(x: Int, y: Int) =
+      ((x * 31 + y * 7) % 256, (x * 13 + y * 101) % 256, (255 - x * 11 + y) % 256)
+    for ((desc, bytes) <- Seq(
+        "palette-8" -> encodePng(15, 17, ch, colorType = 3),
+        "palette-4" -> encodePng(5, 3,
+          (x, y) => { val i = (x + y) % 16; (i * 17, i * 5, i * 11) },
+          colorType = 3, bitDepth = 4),
+        "adam7-rgb" -> encodePng(15, 17, ch, colorType = 2, interlace = true),
+        "adam7-gray" -> encodePng(12, 9, ch, colorType = 0,
+          interlace = true))) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"$desc: ImageIO refused our bytes")
+      val got = decodePng(bytes).getOrElse(fail(s"$desc: our decode failed"))
+      assert(got.width == img.getWidth && got.height == img.getHeight)
+      // gray PNGs load as a linear-gray raster whose getRGB() applies a
+      // linear→sRGB transform — compare the raw raster sample there
+      val grayRaster = img.getColorModel.getColorSpace.getType ==
+        java.awt.color.ColorSpace.TYPE_GRAY
+      var p = 0
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val l =
+          if (grayRaster) img.getRaster.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+          }
+        assert(got.luma(p) == l, s"$desc: pixel ($x,$y) ours=${got.luma(p)} jdk=$l")
+        p += 1
+      }
     }
   }
 
@@ -228,15 +335,78 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(decodePng(withIhdr(b => { b(16) = 0x40; b(20) = 0x40 })).isEmpty,
       "2^30 x 2^30 dims must be refused before allocation")
-    assert(decodePng(withIhdr(_(25) = 3)).isEmpty, "palette refused")
-    assert(decodePng(withIhdr(_(28) = 1)).isEmpty, "Adam7 refused")
-    assert(decodePng(withIhdr(_(24) = 16)).isEmpty, "16-bit depth refused")
+    assert(decodePng(withIhdr(_(25) = 3)).isEmpty,
+      "palette colour type without a PLTE chunk refused")
+    assert(decodePng(withIhdr(_(28) = 1)).isEmpty,
+      "Adam7 flag on a sequential-sized raster: total mismatch refused")
+    assert(decodePng(withIhdr(_(24) = 16)).isEmpty,
+      "16-bit flag on an 8-bit-sized raster: truncated refused")
+    assert(decodePng(withIhdr(_(24) = 4)).isEmpty,
+      "depth 4 is illegal for colour type 2")
     // declared dims smaller than the compressed raster: the stream
     // decompresses to MORE than width*height rows — a lying header
     assert(decodePng(withIhdr(_(23) = 2)).isEmpty,
       "an over-long IDAT stream must be refused, not silently cropped")
     val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     assert(decodePng(sig ++ Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("PNG codec: hostile palettes decode to None — out-of-range index, " +
+      "bad PLTE length, PLTE after IDAT, PLTE on grayscale") {
+    def ch(x: Int, y: Int) = { val i = (x + y) % 4; (i * 60, i * 50, i * 40) }
+    val ok = encodePng(6, 5, ch, colorType = 3)
+    assert(decodePng(ok).nonEmpty)
+    def chunkOffset(b: Array[Byte], typ: String): Int = {
+      var pos = 8
+      while (!(new String(b, pos + 4, 4, "US-ASCII") == typ)) {
+        pos += 12 + (((b(pos) & 0xff) << 24) | ((b(pos + 1) & 0xff) << 16) |
+          ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff))
+      }
+      pos
+    }
+    def resign(b: Array[Byte], pos: Int): Unit = {
+      val len = ((b(pos) & 0xff) << 24) | ((b(pos + 1) & 0xff) << 16) |
+        ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+      val c = new java.util.zip.CRC32; c.update(b, pos + 4, len + 4)
+      val v = c.getValue.toInt
+      b(pos + 8 + len) = ((v >>> 24) & 0xff).toByte
+      b(pos + 9 + len) = ((v >>> 16) & 0xff).toByte
+      b(pos + 10 + len) = ((v >>> 8) & 0xff).toByte
+      b(pos + 11 + len) = (v & 0xff).toByte
+    }
+    // shrink the PLTE to ONE entry (length 3, re-signed, bytes spliced
+    // out): indices ≥ 1 in the raster are now out of range
+    val plte = chunkOffset(ok, "PLTE")
+    val plteLen = ((ok(plte) & 0xff) << 24) | ((ok(plte + 1) & 0xff) << 16) |
+      ((ok(plte + 2) & 0xff) << 8) | (ok(plte + 3) & 0xff)
+    assert(plteLen == 12, "fixture should have 4 palette entries")
+    val shrunk = ok.take(plte) ++ Array[Byte](0, 0, 0, 3) ++
+      ok.slice(plte + 4, plte + 8 + 3) ++ new Array[Byte](4) ++
+      ok.drop(plte + 8 + plteLen + 4)
+    resign(shrunk, plte)
+    assert(decodePng(shrunk).isEmpty,
+      "a raster index beyond the PLTE must refuse, not wrap or clamp")
+    // PLTE length not divisible by 3
+    val badLen = ok.take(plte) ++ Array[Byte](0, 0, 0, 11) ++
+      ok.slice(plte + 4, plte + 8 + 11) ++ new Array[Byte](4) ++
+      ok.drop(plte + 8 + plteLen + 4)
+    resign(badLen, plte)
+    assert(decodePng(badLen).isEmpty, "PLTE length % 3 != 0 refused")
+    // PLTE moved AFTER the first IDAT (spec orders it before): swap the
+    // two adjacent chunks
+    val idat = chunkOffset(ok, "IDAT")
+    val plteChunk = ok.slice(plte, plte + 8 + plteLen + 4)
+    val idatLen0 = ((ok(idat) & 0xff) << 24) | ((ok(idat + 1) & 0xff) << 16) |
+      ((ok(idat + 2) & 0xff) << 8) | (ok(idat + 3) & 0xff)
+    val idatChunk = ok.slice(idat, idat + 8 + idatLen0 + 4)
+    val moved = ok.take(plte) ++ idatChunk ++ plteChunk ++
+      ok.drop(idat + idatChunk.length)
+    assert(decodePng(moved).isEmpty, "PLTE after IDAT refused")
+    // PLTE on a grayscale image (spec §11.2.3 forbids it for types 0/4)
+    val grayOk = encodePng(6, 5, ch, colorType = 0)
+    val gIdat = chunkOffset(grayOk, "IDAT")
+    val grayWithPlte = grayOk.take(gIdat) ++ plteChunk ++ grayOk.drop(gIdat)
+    assert(decodePng(grayWithPlte).isEmpty, "PLTE on grayscale refused")
   }
 
   test("GIF codec: real-LZW round-trip equals the BMP twin; a large " +
