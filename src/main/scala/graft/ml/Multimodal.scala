@@ -1431,6 +1431,65 @@ object Multimodal {
     }
   }
 
+  // T.81 Annex K.3 "typical" Huffman tables. An MJPEG frame may omit its
+  // DHT segments (the OpenDML/MJPEG convention — the tables are implied);
+  // decoders supply exactly these. Index 0 = luminance, 1 = chrominance.
+  // A typo here cannot survive the spec's ImageIO cross-check: the JDK
+  // encoder writes these same tables, and the strip-DHT fixture decodes
+  // through ours alone.
+  private lazy val AnnexKDc: Array[JpegHuff] = Array(
+    new JpegHuff(Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+      Array.tabulate(12)(_.toByte)),
+    new JpegHuff(Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+      Array.tabulate(12)(_.toByte)))
+  private lazy val AnnexKAc: Array[JpegHuff] = Array(
+    new JpegHuff(Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125),
+      Array(
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+        0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+        0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+        0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+        0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+        0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+        0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+        0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+        0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+        0xf9, 0xfa).map(_.toByte)),
+    new JpegHuff(Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119),
+      Array(
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+        0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+        0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+        0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+        0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+        0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+        0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+        0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+        0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+        0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+        0xf9, 0xfa).map(_.toByte)))
+
   /** The separable 8×8 inverse DCT basis: cos((2x+1)uπ/16) scaled by the
     * normalization (1/√2 for u = 0) and the 1/2 factor. */
   private val IdctCos: Array[Double] = {
@@ -1461,12 +1520,19 @@ object Multimodal {
     * variation — IDCT variants, fancy-vs-nearest upsampling — the spec
     * itself permits); the gate fixture [[encodeJpegFlat]] pins the
     * grayscale path value-for-value. */
-  def decodeJpeg(payload: Array[Byte]): Option[DecodedImage] = {
+  def decodeJpeg(payload: Array[Byte],
+      implicitTables: Boolean = false): Option[DecodedImage] = {
     if (payload.length < 4 || (payload(0) & 0xff) != 0xff ||
         (payload(1) & 0xff) != 0xd8) return None
     val qt = Array.ofDim[Int](4, 64) // natural order
     val dcT = new Array[JpegHuff](4)
     val acT = new Array[JpegHuff](4)
+    if (implicitTables) {
+      // MJPEG frames may omit DHT: slots 0 (luma) and 1 (chroma) start at
+      // the Annex K typical tables; in-stream DHT segments still override
+      dcT(0) = AnnexKDc(0); dcT(1) = AnnexKDc(1)
+      acT(0) = AnnexKAc(0); acT(1) = AnnexKAc(1)
+    }
     var w = -1; var h = -1
     // per component: (id, hSamp, vSamp, qId); scan adds (dcId, acId)
     var comps: Array[Array[Int]] = null
@@ -2470,9 +2536,11 @@ object Multimodal {
           case "LIST" =>
             if (size < 4) return None
             val kind = new String(payload, body.toInt, 4, "US-ASCII")
-            // only the lists on the video path are walked; others
-            // (odml, rec ) are opaque
-            if (kind == "hdrl" || kind == "movi")
+            // the lists on the video path are walked, including the
+            // 'rec ' interleave wrappers VfW writers nest inside movi
+            // (frame chunks live INSIDE them in an interleaved AVI);
+            // others (odml, INFO) stay opaque
+            if (kind == "hdrl" || kind == "movi" || kind == "rec ")
               spans = ((body + 4, body + size, -1)) :: spans
             else if (kind == "strl") {
               spans = ((body + 4, body + size, nStrl)) :: spans
@@ -2516,7 +2584,9 @@ object Multimodal {
     // mixed sequence (ADVICE r13)
     if (nVids != 1 || !fmtOf.contains(vidsStream)) return None
     val mjpeg = fmtOf(vidsStream)
-    val mine = frames.filter(_._1 == vidsStream)
+    // sort by file offset: the span stack walks nested 'rec ' lists
+    // LIFO, but a frame's temporal order IS its document order
+    val mine = frames.filter(_._1 == vidsStream).sortBy(_._2)
     if (mine.isEmpty) return None
     if (width.toLong * height > Int.MaxValue) return None
     if (!mjpeg) {
@@ -2544,7 +2614,7 @@ object Multimodal {
       Some(aviFrameLuma(payload, v.frameOffsets(f), v.width, v.height))
     else
       decodeJpeg(java.util.Arrays.copyOfRange(payload, v.frameOffsets(f),
-          v.frameOffsets(f) + v.frameSizes(f)))
+          v.frameOffsets(f) + v.frameSizes(f)), implicitTables = true)
         .filter(img => img.width == v.width && img.height == v.height)
         .map(_.luma)
 
@@ -2575,7 +2645,8 @@ object Multimodal {
     * the fixture generator proving [[decodeAvi]] parses the real nested
     * layout. `rgb(f)(x, y)` supplies frame f's channels. */
   def encodeAvi(width: Int, height: Int, nFrames: Int,
-      rgb: Int => (Int, Int) => (Int, Int, Int), fps: Int = 25): Array[Byte] = {
+      rgb: Int => (Int, Int) => (Int, Int, Int), fps: Int = 25,
+      recWrap: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && nFrames > 0 && fps > 0)
     val rowSize = ((width * 3 + 3) / 4) * 4
     val frameBytes = rowSize * height
@@ -2624,7 +2695,7 @@ object Multimodal {
       chunk("LIST") {
         tag("movi")
         (0 until nFrames).foreach { f =>
-          chunk("00db") {
+          def frame(): Unit = chunk("00db") {
             val px = rgb(f)
             var y = 0
             while (y < height) {
@@ -2638,6 +2709,10 @@ object Multimodal {
               y += 1
             }
           }
+          // recWrap: the VfW interleaved layout — each frame inside its
+          // own LIST/'rec ' wrapper
+          if (recWrap) chunk("LIST") { tag("rec "); frame() }
+          else frame()
         }
       }
     }

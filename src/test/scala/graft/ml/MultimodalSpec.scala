@@ -887,6 +887,81 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeAvi(avi.take(12)).isEmpty)
   }
 
+  test("AVI codec: frames wrapped in 'rec ' interleave lists decode " +
+      "identically to the flat movi layout, in document order") {
+    val w = 15; val h = 9; val n = 5
+    def ch(f: Int)(x: Int, y: Int) =
+      ((f * 41 + x * 31 + y * 7) % 256, (f * 43 + x * 13 + y * 101) % 256,
+        (f * 47 + x + y * 3) % 256)
+    val flat = decodeAvi(encodeAvi(w, h, n, ch))
+      .getOrElse(fail("flat AVI refused"))
+    val wrapped = encodeAvi(w, h, n, ch, recWrap = true)
+    val v = decodeAvi(wrapped)
+      .getOrElse(fail("'rec '-wrapped AVI refused — the VfW interleaved " +
+        "layout must parse"))
+    assert(v.frameOffsets.length == n, "every wrapped frame found")
+    (0 until n).foreach { f =>
+      val want = decodeBmp(encodeBmp24(w, h, ch(f))).get.luma.toSeq
+      assert(aviFrameLuma(wrapped, v.frameOffsets(f), w, h).toSeq == want,
+        s"wrapped frame $f out of order or corrupted")
+    }
+    assert(flat.width == v.width && flat.height == v.height)
+  }
+
+  test("JPEG codec: MJPEG frames without DHT decode via the Annex K " +
+      "typical tables — exactly the JDK's decode of the table-carrying " +
+      "bytes; standalone JPEGs still require DHT") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(32, 24, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32)
+      img.setRGB(x, y,
+        (((x * 131 + y * 37) % 256) << 16) |
+          (((x * 29 + y * 211) % 256) << 8) | ((x * 197 + y * 73) % 256))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+    val full = baos.toByteArray // JDK default = the Annex K tables, as DHT
+    // splice every DHT segment out (the MJPEG stream-frame convention)
+    def stripDht(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(b(0)); out.write(b(1)) // SOI
+      var pos = 2
+      var done = false
+      while (!done) {
+        assert((b(pos) & 0xff) == 0xff, "marker walk lost sync")
+        val m = b(pos + 1) & 0xff
+        if (m == 0xda) { out.write(b, pos, b.length - pos); done = true }
+        else {
+          val len = ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+          if (m != 0xc4) out.write(b, pos, 2 + len)
+          pos += 2 + len
+        }
+      }
+      out.toByteArray
+    }
+    val stripped = stripDht(full)
+    assert(stripped.length < full.length, "the fixture carried no DHT?")
+    assert(decodeJpeg(stripped).isEmpty,
+      "a standalone JPEG without DHT must still refuse")
+    val want = decodeJpeg(full).getOrElse(fail("the full JPEG refused"))
+    val got = decodeJpeg(stripped, implicitTables = true)
+      .getOrElse(fail("implicit tables did not rescue the DHT-less frame"))
+    // identical entropy data + identical tables → value-identical decode;
+    // any typo in the hand-typed Annex K constants breaks this exactly
+    assert(got.luma.toSeq == want.luma.toSeq,
+      "Annex K tables diverge from the JDK-written DHT")
+    // frames that DO carry DHT are unaffected by the preset
+    assert(decodeJpeg(full, implicitTables = true).get.luma.toSeq ==
+      want.luma.toSeq)
+    // and the composed path: an MJPEG AVI whose frames lost their DHT
+    // still decodes per frame
+    def tile(f: Int)(bx: Int, by: Int) = (f * 50 + bx * 90 + by * 40) % 256
+    val mj = encodeAviMjpeg(16, 8, 2, tile)
+    val vv = decodeAvi(mj).getOrElse(fail("MJPEG fixture refused"))
+    (0 until 2).foreach { f =>
+      assert(frameLuma(mj, vv, f).nonEmpty, s"MJPEG frame $f refused")
+    }
+  }
+
   test("AVI codec: frames bind to the validated video stream — a stray " +
       "other-stream chunk is ignored, a second video strl refuses") {
     val w = 15; val h = 9; val n = 5
