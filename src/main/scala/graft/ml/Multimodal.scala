@@ -1218,23 +1218,36 @@ object Multimodal {
   /** Decoded audio: rate/channel metadata plus the MONO sample stream —
     * stereo is downmixed per frame as `(l + r) >> 1` (arithmetic shift =
     * floor division, the convention an SQL replay reproduces with `//`).
-    * 8-bit samples (unsigned per the format) are centered to `v − 128`. */
+    * 8-bit samples (unsigned per the format) are centered to `v − 128`;
+    * 16- and 24-bit samples keep their native signed width; 32-bit float
+    * samples land on the 16-bit grid as `round(v · 32768)` clamped to
+    * [−32768, 32767]. */
   final case class DecodedAudio(sampleRate: Int, channels: Int,
       samples: Array[Int])
 
-  /** Decode a RIFF/WAVE payload holding integer PCM (format 1; 16-bit
-    * little-endian signed or 8-bit unsigned; mono or stereo) to the mono
-    * sample stream: RIFF chunk walk (even-padded sizes), `fmt ` before
-    * `data`, size arithmetic in Long, and the same never-crash-the-batch
-    * contract as [[decodeBmp]] — float/compressed formats, other widths,
-    * >2 channels, truncated or hostile chunk sizes all decode to None. */
+  // KSDATAFORMAT subtype GUID tail shared by the PCM and float subtypes
+  // of WAVE_FORMAT_EXTENSIBLE: ....-0000-0010-8000-00AA00389B71
+  private val WavExtGuidTail = Array(
+    0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xaa, 0x00, 0x38, 0x9b, 0x71)
+
+  /** Decode a RIFF/WAVE payload holding integer PCM (format 1; 8-bit
+    * unsigned, 16- or 24-bit little-endian signed) or IEEE float PCM
+    * (format 3; 32-bit), plainly or wrapped in WAVE_FORMAT_EXTENSIBLE
+    * (format 0xFFFE — the effective format resolves from the SubFormat
+    * GUID, anything but the PCM/float subtypes refuses), mono or stereo,
+    * to the mono sample stream: RIFF chunk walk (even-padded sizes),
+    * `fmt ` before `data`, size arithmetic in Long, and the same
+    * never-crash-the-batch contract as [[decodeBmp]] — compressed
+    * formats, other widths, >2 channels, non-finite float samples,
+    * truncated or hostile chunk sizes all decode to None. */
   def decodeWav(payload: Array[Byte]): Option[DecodedAudio] = {
     if (payload.length < 44 || payload(0) != 'R' || payload(1) != 'I' ||
         payload(2) != 'F' || payload(3) != 'F' || payload(8) != 'W' ||
         payload(9) != 'A' || payload(10) != 'V' || payload(11) != 'E')
       return None
     var pos = 12L
-    var fmt: Option[(Int, Int, Int, Int)] = None // (channels, rate, block, bits)
+    // (channels, rate, block, bits, isFloat)
+    var fmt: Option[(Int, Int, Int, Int, Boolean)] = None
     while (pos + 8 <= payload.length) {
       val p = pos.toInt
       val id = new String(payload, p, 4, "US-ASCII")
@@ -1244,26 +1257,53 @@ object Multimodal {
       if (id == "fmt ") {
         if (size < 16) return None
         val b = body.toInt
-        val audioFormat = le16(payload, b)
+        val rawFormat = le16(payload, b)
         val channels = le16(payload, b + 2)
         val rate = le32(payload, b + 4)
         val block = le16(payload, b + 12)
         val bits = le16(payload, b + 14)
-        if (audioFormat != 1 || channels < 1 || channels > 2 || rate <= 0 ||
-            (bits != 16 && bits != 8) || block != channels * (bits / 8))
-          return None
-        fmt = Some((channels, rate, block, bits))
+        val audioFormat =
+          if (rawFormat != 0xfffe) rawFormat
+          else {
+            // WAVE_FORMAT_EXTENSIBLE: cbSize ≥ 22 and the effective
+            // format is the SubFormat GUID's Data1 low half; everything
+            // after it must be the fixed KSDATAFORMAT tail
+            if (size < 40 || le16(payload, b + 16) < 22 ||
+                le16(payload, b + 26) != 0) return None
+            var k = 0
+            while (k < 12) {
+              if ((payload(b + 28 + k) & 0xff) != WavExtGuidTail(k))
+                return None
+              k += 1
+            }
+            le16(payload, b + 24)
+          }
+        val legal =
+          (audioFormat == 1 && (bits == 8 || bits == 16 || bits == 24)) ||
+            (audioFormat == 3 && bits == 32)
+        if (!legal || channels < 1 || channels > 2 || rate <= 0 ||
+            block != channels * (bits / 8)) return None
+        fmt = Some((channels, rate, block, bits, audioFormat == 3))
       } else if (id == "data") {
-        val (channels, rate, block, bits) = fmt match {
+        val (channels, rate, block, bits, isFloat) = fmt match {
           case Some(f) => f
           case None => return None // data before fmt: refuse, don't guess
         }
         val nFrames = size / block // payload-bounded, fits an Int
         val out = new Array[Int](nFrames.toInt)
         val base = body.toInt
-        def sample(off: Int): Int =
-          if (bits == 16) (payload(off) & 0xff) | (payload(off + 1) << 8)
-          else (payload(off) & 0xff) - 128
+        var nonFinite = false
+        def sample(off: Int): Int = bits match {
+          case 8 => (payload(off) & 0xff) - 128
+          case 16 => (payload(off) & 0xff) | (payload(off + 1) << 8)
+          case 24 => (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+            (payload(off + 2) << 16) // the top byte's sign extends
+          case _ => // 32-bit IEEE float
+            val v = java.lang.Float.intBitsToFloat(le32(payload, off))
+            if (java.lang.Float.isNaN(v) || java.lang.Float.isInfinite(v)) {
+              nonFinite = true; 0
+            } else math.min(32767, math.max(-32768, math.round(v * 32768f)))
+        }
         var i = 0
         while (i < out.length) {
           val f = base + i * block
@@ -1272,6 +1312,7 @@ object Multimodal {
             else (sample(f) + sample(f + bits / 8)) >> 1
           i += 1
         }
+        if (nonFinite) return None // a NaN/Inf sample poisons the payload
         return Some(DecodedAudio(rate, channels, out))
       }
       pos = body + size + (size & 1L) // chunks are even-padded
@@ -1279,17 +1320,18 @@ object Multimodal {
     None // no data chunk reached
   }
 
-  /** Encode integer PCM as a RIFF/WAVE payload — the fixture generator
-    * for the decode gate + specs ([[encodeBmp24]]'s role for audio).
-    * `frames(i)` supplies the per-channel samples of frame i (16-bit
-    * signed range for bits=16; 0–255 for bits=8). */
-  def encodeWav(sampleRate: Int, channels: Int, nFrames: Int,
-      frames: Int => Seq[Int], bits: Int = 16): Array[Byte] = {
-    require(channels >= 1 && channels <= 2 && (bits == 16 || bits == 8),
-      s"channels=$channels bits=$bits")
-    val block = channels * (bits / 8)
+  /** Shared RIFF/WAVE builder: `sample(i, c)` supplies frame i / channel
+    * c as the Int whose low `bits/8` bytes are written little-endian (for
+    * float, the IEEE bit pattern). `extensible` wraps the format in
+    * WAVE_FORMAT_EXTENSIBLE with the matching SubFormat GUID. */
+  private def buildWav(fmtCode: Int, sampleRate: Int, channels: Int,
+      nFrames: Int, bits: Int, extensible: Boolean,
+      sample: (Int, Int) => Int): Array[Byte] = {
+    val bytes = bits / 8
+    val block = channels * bytes
     val dataSize = nFrames * block
-    val out = new Array[Byte](44 + dataSize)
+    val fmtSize = if (extensible) 40 else 16
+    val out = new Array[Byte](20 + fmtSize + 8 + dataSize)
     def putLE16(off: Int, v: Int): Unit = {
       out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
     }
@@ -1298,24 +1340,61 @@ object Multimodal {
     }
     def putTag(off: Int, s: String): Unit =
       s.getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) => out(off + i) = b }
-    putTag(0, "RIFF"); putLE32(4, 36 + dataSize); putTag(8, "WAVE")
-    putTag(12, "fmt "); putLE32(16, 16); putLE16(20, 1); putLE16(22, channels)
+    putTag(0, "RIFF"); putLE32(4, out.length - 8); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLE32(16, fmtSize)
+    putLE16(20, if (extensible) 0xfffe else fmtCode)
+    putLE16(22, channels)
     putLE32(24, sampleRate); putLE32(28, sampleRate * block)
     putLE16(32, block); putLE16(34, bits)
-    putTag(36, "data"); putLE32(40, dataSize)
+    if (extensible) {
+      putLE16(36, 22)   // cbSize
+      putLE16(38, bits) // wValidBitsPerSample
+      putLE32(40, if (channels == 2) 3 else 4) // dwChannelMask
+      putLE16(44, fmtCode); putLE16(46, 0)     // SubFormat GUID Data1
+      WavExtGuidTail.zipWithIndex.foreach { case (b, i) =>
+        out(48 + i) = b.toByte
+      }
+    }
+    val dataOff = 20 + fmtSize
+    putTag(dataOff, "data"); putLE32(dataOff + 4, dataSize)
     var i = 0
     while (i < nFrames) {
-      val fs = frames(i)
       var c = 0
       while (c < channels) {
-        val off = 44 + i * block + c * (bits / 8)
-        if (bits == 16) putLE16(off, fs(c) & 0xffff)
-        else out(off) = (fs(c) & 0xff).toByte
+        val off = dataOff + 8 + i * block + c * bytes
+        val v = sample(i, c)
+        var k = 0
+        while (k < bytes) {
+          out(off + k) = ((v >> (8 * k)) & 0xff).toByte
+          k += 1
+        }
         c += 1
       }
       i += 1
     }
     out
+  }
+
+  /** Encode integer PCM as a RIFF/WAVE payload — the fixture generator
+    * for the decode gate + specs ([[encodeBmp24]]'s role for audio).
+    * `frames(i)` supplies the per-channel samples of frame i (signed
+    * range for bits=16/24; 0–255 for bits=8). */
+  def encodeWav(sampleRate: Int, channels: Int, nFrames: Int,
+      frames: Int => Seq[Int], bits: Int = 16,
+      extensible: Boolean = false): Array[Byte] = {
+    require(channels >= 1 && channels <= 2 &&
+      (bits == 8 || bits == 16 || bits == 24),
+      s"channels=$channels bits=$bits")
+    buildWav(1, sampleRate, channels, nFrames, bits, extensible,
+      (i, c) => frames(i)(c))
+  }
+
+  /** [[encodeWav]]'s IEEE-float twin (format 3, 32-bit samples). */
+  def encodeWavFloat(sampleRate: Int, channels: Int, nFrames: Int,
+      frames: Int => Seq[Float], extensible: Boolean = false): Array[Byte] = {
+    require(channels >= 1 && channels <= 2, s"channels=$channels")
+    buildWav(3, sampleRate, channels, nFrames, 32, extensible,
+      (i, c) => java.lang.Float.floatToIntBits(frames(i)(c)))
   }
 
   /** Per-payload audio-decode report — the oracle-gated face of the WAV
@@ -1389,14 +1468,25 @@ object Multimodal {
   }
 
   /** Deterministic WAV fixture: frame i's per-channel samples are
-    * small-prime affine maps of (id, i, channel) over the full signed
-    * 16-bit range — trivially replayable by an SQL oracle ([[synthBmp]]'s
-    * role for audio). doc_id routes mono/stereo so the stereo downmix is
-    * exercised at the gate, not dodged. */
+    * small-prime affine maps of (id, i, channel) — trivially replayable
+    * by an SQL oracle ([[synthBmp]]'s role for audio). doc_id routes the
+    * FORMAT so every decode face is exercised at the gate, not dodged:
+    * id%4 = 0 mono 16-bit, 1 stereo 16-bit (the downmix), 2 mono 24-bit
+    * (full signed 24-bit range), 3 mono 32-bit float wrapped in
+    * WAVE_FORMAT_EXTENSIBLE — the float samples are the 16-bit map's
+    * values over 32768 (exact dyadics), so `round(v · 32768)` replays to
+    * the same integers as the mono-16 branch. */
   def synthWav(id: Long, nFrames: Int = 256): Array[Byte] = {
-    val channels = if (id % 2 == 0) 1 else 2
-    encodeWav(8000, channels, nFrames, i => (0 until channels).map(c =>
-      ((id * 131 + i.toLong * 37 + c * 4099) % 65536L).toInt - 32768))
+    def k(i: Int, c: Int): Int =
+      ((id * 131 + i.toLong * 37 + c * 4099) % 65536L).toInt - 32768
+    (id % 4) match {
+      case 0 => encodeWav(8000, 1, nFrames, i => Seq(k(i, 0)))
+      case 1 => encodeWav(8000, 2, nFrames, i => Seq(k(i, 0), k(i, 1)))
+      case 2 => encodeWav(8000, 1, nFrames, i => Seq(
+        ((id * 131 + i.toLong * 37) % 16777216L).toInt - 8388608), bits = 24)
+      case _ => encodeWavFloat(8000, 1, nFrames,
+        i => Seq(k(i, 0) / 32768f), extensible = true)
+    }
   }
 
   // ---- JPEG (baseline DCT, ITU T.81, public spec) ------------------------

@@ -449,8 +449,9 @@ object LlmWorkload {
 
   /** The REAL audio-decode path at the gate — [[multimodalDecode]]'s WAV
     * twin: per doc a deterministic 256-frame PCM clip is generated from
-    * its id (small-prime affine sample maps over the full signed 16-bit
-    * range, doc_id-routed mono/stereo so the stereo downmix is
+    * its id (small-prime affine sample maps; doc_id routes the FORMAT
+    * across mono/stereo 16-bit, 24-bit, and extensible-wrapped float so
+    * the downmix, the wider width, and the GUID walk are all
     * exercised), encoded to real RIFF/WAVE bytes, then DECODED back
     * ([[Multimodal.decodeWav]]) and reduced to exact integer sample
     * aggregates ([[Multimodal.audioReport]]). The oracle replays
@@ -3456,20 +3457,27 @@ object LlmWorkload {
         |FROM agg a JOIN ph p USING (doc_id)""".stripMargin,
     // audio-decode replay (multimodal_decode's WAV twin): the oracle
     // computes generate -> aggregate arithmetically over the small-prime
-    // PCM sample maps (mono for even doc_ids; stereo downmix =
-    // floor((l + r) / 2), the decoder's arithmetic-shift semantics); the
-    // Spark side ran generate -> ENCODE to RIFF/WAVE bytes -> DECODE ->
-    // aggregate, so header walk, interleave, endianness, and downmix
-    // correctness are exactly the difference being hashed
+    // PCM sample maps, per the doc_id-routed FORMAT mix — id%4 = 0 mono
+    // 16-bit, 1 stereo 16-bit (downmix = floor((l + r) / 2), the
+    // decoder's arithmetic-shift semantics), 2 mono 24-bit (the wider
+    // affine map), 3 mono float-32 whose exact-dyadic samples replay to
+    // the SAME integers as the mono-16 branch; the Spark side ran
+    // generate -> ENCODE to RIFF/WAVE bytes (incl. the
+    // WAVE_FORMAT_EXTENSIBLE wrapper on the float branch) -> DECODE ->
+    // aggregate, so header walk, GUID resolution, interleave,
+    // endianness, sample width, float rounding, and downmix correctness
+    // are exactly the difference being hashed
     "multimodal_audio" ->
       """WITH smp AS (
         |  SELECT d.doc_id, i.i,
-        |    CASE WHEN d.doc_id % 2 = 0
-        |      THEN ((d.doc_id * 131 + i.i * 37) % 65536) - 32768
-        |      ELSE CAST(floor((
+        |    CASE WHEN d.doc_id % 4 = 1
+        |      THEN CAST(floor((
         |        (((d.doc_id * 131 + i.i * 37) % 65536) - 32768) +
         |        (((d.doc_id * 131 + i.i * 37 + 4099) % 65536) - 32768)) / 2.0)
         |        AS BIGINT)
+        |      WHEN d.doc_id % 4 = 2
+        |      THEN ((d.doc_id * 131 + i.i * 37) % 16777216) - 8388608
+        |      ELSE ((d.doc_id * 131 + i.i * 37) % 65536) - 32768
         |    END AS s
         |  FROM documents d, (SELECT unnest(range(0, 256)) AS i) i),
         |lagd AS (
@@ -3490,12 +3498,14 @@ object LlmWorkload {
     "multimodal_audio_windows" ->
       """WITH smp AS (
         |  SELECT d.doc_id, i.i,
-        |    CASE WHEN d.doc_id % 2 = 0
-        |      THEN ((d.doc_id * 131 + i.i * 37) % 65536) - 32768
-        |      ELSE CAST(floor((
+        |    CASE WHEN d.doc_id % 4 = 1
+        |      THEN CAST(floor((
         |        (((d.doc_id * 131 + i.i * 37) % 65536) - 32768) +
         |        (((d.doc_id * 131 + i.i * 37 + 4099) % 65536) - 32768)) / 2.0)
         |        AS BIGINT)
+        |      WHEN d.doc_id % 4 = 2
+        |      THEN ((d.doc_id * 131 + i.i * 37) % 16777216) - 8388608
+        |      ELSE ((d.doc_id * 131 + i.i * 37) % 65536) - 32768
         |    END AS s
         |  FROM documents d, (SELECT unnest(range(0, 256)) AS i) i)
         |SELECT doc_id, CAST(i // 60 AS BIGINT) AS window_id,

@@ -30,8 +30,10 @@ class CodecFuzzSpec extends SparkSpec {
 
   private def saneA(a: DecodedAudio): Unit = {
     assert(a.sampleRate > 0 && a.channels >= 1 && a.channels <= 2)
-    assert(a.samples.forall(s => s >= -32768 && s <= 32767),
-      "decoded sample left the 16-bit range")
+    // 8/16-bit and float samples live on the 16-bit grid; 24-bit PCM
+    // keeps its native signed width
+    assert(a.samples.forall(s => s >= -8388608 && s <= 8388607),
+      "decoded sample left the 24-bit range")
   }
 
   private def decodeAll(payload: Array[Byte]): Unit = {
@@ -117,6 +119,13 @@ class CodecFuzzSpec extends SparkSpec {
         encodeWav(8000, 1, 64, i => Seq(((i * 997) % 65536) - 32768)),
         encodeWav(8000, 2, 64, i => Seq(i * 100 - 3200, 3200 - i * 100)),
         encodeWav(8000, 1, 64, i => Seq((i * 7) % 256), bits = 8),
+        encodeWav(8000, 1, 64, i => Seq(((i * 97003) % 16777216) - 8388608),
+          bits = 24),
+        encodeWav(8000, 2, 64, i => Seq(i * 1000 - 32000, 32000 - i * 1000),
+          bits = 24, extensible = true),
+        encodeWavFloat(8000, 1, 64, i => Seq((i - 32) / 64f)),
+        encodeWavFloat(8000, 1, 64, i => Seq((i - 32) / 64f),
+          extensible = true),
         encodeAvi(9, 5, 3, f => (x, y) => (f * 50 + x * 20, y * 40, 128)),
         // the composed container-then-JPEG path (MJPEG), and the
         // hand-rolled flat-tile JPEG with restart markers — both reach

@@ -777,8 +777,11 @@ class MultimodalSpec extends SparkSpec {
     def mut(f: Array[Byte] => Unit): Array[Byte] = {
       val b = ok.clone(); f(b); b
     }
-    assert(decodeWav(mut(_(20) = 3)).isEmpty, "IEEE-float format refused")
-    assert(decodeWav(mut(_(34) = 24)).isEmpty, "24-bit width refused")
+    assert(decodeWav(mut(_(20) = 3)).isEmpty,
+      "float format with a 16-bit width must be refused")
+    assert(decodeWav(mut(_(20) = 2)).isEmpty, "ADPCM refused")
+    assert(decodeWav(mut(_(34) = 24)).isEmpty,
+      "24-bit width with a 16-bit blockAlign must be refused")
     assert(decodeWav(mut(_(22) = 3)).isEmpty, "3 channels refused")
     assert(decodeWav(mut(_(32) = 4)).isEmpty,
       "a blockAlign inconsistent with channels x width must be refused")
@@ -795,19 +798,26 @@ class MultimodalSpec extends SparkSpec {
   test("audioReport aggregates decoded samples exactly and skips " +
       "undecodable payloads") {
     implicit val s = spark
+    // one doc per format branch of the synth mix: mono16, stereo16,
+    // mono24, extensible float
     val media = Seq(
-      MediaRow(2L, synthWav(2L)), // mono
-      MediaRow(3L, synthWav(3L)), // stereo
-      MediaRow(4L, "not audio at all, not even close padding".getBytes))
+      MediaRow(4L, synthWav(4L)), MediaRow(5L, synthWav(5L)),
+      MediaRow(6L, synthWav(6L)), MediaRow(7L, synthWav(7L)),
+      MediaRow(8L, "not audio at all, not even close padding".getBytes))
       .toDS()
     val out = audioReport(media).collect().sortBy(_.doc_id)
-    assert(out.map(_.doc_id).toSeq == Seq(2L, 3L), "garbage must be skipped")
+    assert(out.map(_.doc_id).toSeq == Seq(4L, 5L, 6L, 7L),
+      "garbage must be skipped; every format branch must decode")
     // replay the generator arithmetic directly (the oracle's computation)
     def truth(id: Long): (Long, Long, Long, Long) = {
-      val ch = if (id % 2 == 0) 1 else 2
-      def smp(c: Int)(i: Int) = (((id * 131 + i * 37 + c * 4099) % 65536L) - 32768L).toInt
-      val xs = (0 until 256).map(i =>
-        if (ch == 1) smp(0)(i) else (smp(0)(i) + smp(1)(i)) >> 1)
+      def smp(c: Int)(i: Int) =
+        (((id * 131 + i * 37 + c * 4099) % 65536L) - 32768L).toInt
+      val xs = (id % 4) match {
+        case 1 => (0 until 256).map(i => (smp(0)(i) + smp(1)(i)) >> 1)
+        case 2 => (0 until 256).map(i =>
+          (((id * 131 + i * 37) % 16777216L) - 8388608L).toInt)
+        case _ => (0 until 256).map(smp(0)) // mono16 and exact-dyadic float
+      }
       (xs.map(x => math.abs(x).toLong).sum,
         xs.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum,
         xs.map(x => math.abs(x).toLong).max,
@@ -818,6 +828,95 @@ class MultimodalSpec extends SparkSpec {
       assert(r.sample_rate == 8000L && r.n_samples == 256L)
       assert((r.sum_abs, r.pos_checksum, r.peak, r.zero_crossings) ==
         ((sa, pc, pk, zc)), s"doc ${r.doc_id} aggregates diverged")
+    }
+  }
+
+  test("WAV codec: 24-bit and IEEE-float samples decode exactly, " +
+      "plainly and through the WAVE_FORMAT_EXTENSIBLE wrapper") {
+    val n = 64
+    // 24-bit: full signed range, both signs, both plain and extensible
+    def s24(i: Int) = ((i * 97003 + 11) % 16777216) - 8388608
+    for (ext <- Seq(false, true)) {
+      val got = decodeWav(encodeWav(16000, 1, n, i => Seq(s24(i)),
+        bits = 24, extensible = ext))
+        .getOrElse(fail(s"24-bit (extensible=$ext) refused"))
+      assert(got.samples.toSeq == (0 until n).map(s24),
+        s"24-bit samples (extensible=$ext) must round-trip bit-exactly")
+    }
+    // float: exact dyadics land on their own integers; a general float
+    // rounds half-up to the 16-bit grid; ±overrange clamps
+    def k16(i: Int) = ((i * 997) % 65536) - 32768
+    val dy = decodeWav(encodeWavFloat(8000, 1, n, i => Seq(k16(i) / 32768f)))
+      .getOrElse(fail("plain float refused"))
+    assert(dy.samples.toSeq == (0 until n).map(k16),
+      "exact-dyadic floats must decode to their generating integers")
+    val gen = decodeWav(encodeWavFloat(8000, 1, 5,
+      i => Seq(Seq(0.1f, -0.9999f, 1.5f, -2.0f, 3.0517578e-5f)(i)))).get
+    assert(gen.samples.toSeq == Seq(0.1f, -0.9999f, 1.5f, -2.0f,
+      3.0517578e-5f).map(v =>
+      math.min(32767, math.max(-32768, math.round(v * 32768f)))),
+      "general floats must round to the clamped 16-bit grid")
+    // stereo float downmix happens AFTER the per-channel rounding
+    val sf = decodeWav(encodeWavFloat(8000, 2, n,
+      i => Seq(k16(i) / 32768f, -k16(i) / 65536f))).get
+    assert(sf.samples.toSeq == (0 until n).map { i =>
+      val r = math.round(-k16(i) / 65536f * 32768f)
+      (k16(i) + r) >> 1
+    }, "stereo float downmix must floor-average the rounded channels")
+    // extensible 16-bit PCM decodes identically to the plain layout
+    val plain = decodeWav(encodeWav(8000, 1, n, i => Seq(k16(i)))).get
+    val wrapped = decodeWav(encodeWav(8000, 1, n, i => Seq(k16(i)),
+      extensible = true)).getOrElse(fail("extensible PCM refused"))
+    assert(wrapped.samples.toSeq == plain.samples.toSeq)
+    // a NaN or infinite sample poisons the whole payload
+    for (bad <- Seq(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity))
+      assert(decodeWav(encodeWavFloat(8000, 1, 4,
+        i => Seq(if (i == 2) bad else 0.5f))).isEmpty,
+        s"a $bad sample must refuse the payload")
+    // hostile extensible headers: wrong GUID tail, truncated fmt, bad
+    // cbSize, and a float GUID over a 16-bit layout
+    val okExt = encodeWav(8000, 1, n, i => Seq(k16(i)), extensible = true)
+    def mutE(f: Array[Byte] => Unit): Array[Byte] = {
+      val b = okExt.clone(); f(b); b
+    }
+    assert(decodeWav(mutE(_(50) = 0x11)).isEmpty, "a wrong GUID refused")
+    assert(decodeWav(mutE(_(36) = 7)).isEmpty, "cbSize < 22 refused")
+    assert(decodeWav(mutE(_(44) = 3)).isEmpty,
+      "a float SubFormat over a 16-bit PCM layout must refuse")
+    assert(decodeWav(mutE { b => b(16) = 16; b(17) = 0 }).isEmpty,
+      "extensible with a 16-byte fmt chunk is structurally a lie")
+  }
+
+  test("WAV codec: 24-bit and stereo decodes cross-check against the " +
+      "JDK's javax.sound on the same bytes") {
+    val n = 48
+    def s24(i: Int) = ((i * 97003 + 11) % 16777216) - 8388608
+    def s16(c: Int)(i: Int) = ((i * 997 + c * 211) % 65536) - 32768
+    for ((desc, bytes, bits, chs) <- Seq(
+        ("mono-24", encodeWav(16000, 1, n, i => Seq(s24(i)), bits = 24),
+          24, 1),
+        ("stereo-16", encodeWav(44100, 2, n, i => Seq(s16(0)(i), s16(1)(i))),
+          16, 2))) {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      assert(f.getChannels == chs && f.getSampleSizeInBits == bits,
+        s"$desc: the JDK parsed a different format")
+      val raw = ais.readAllBytes()
+      val bpc = bits / 8
+      def jdkSample(frame: Int, c: Int): Int = {
+        val off = frame * f.getFrameSize + c * bpc
+        if (bits == 16) (raw(off) & 0xff) | (raw(off + 1) << 8)
+        else (raw(off) & 0xff) | ((raw(off + 1) & 0xff) << 8) |
+          (raw(off + 2) << 16)
+      }
+      val ours = decodeWav(bytes).getOrElse(fail(s"$desc: our decode failed"))
+      (0 until n).foreach { i =>
+        val want =
+          if (chs == 1) jdkSample(i, 0)
+          else (jdkSample(i, 0) + jdkSample(i, 1)) >> 1
+        assert(ours.samples(i) == want, s"$desc: frame $i diverged")
+      }
     }
   }
 
