@@ -206,7 +206,8 @@ object Multimodal {
     * decoder parses the real layout, not a private invention: encode →
     * decode round-trips bit-exactly through the on-disk format. */
   def encodeBmp24(width: Int, height: Int,
-      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      rgb: (Int, Int) => (Int, Int, Int),
+      topDown: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dimensions: $width x $height")
     val rowSize = ((width * 3 + 3) / 4) * 4
     val imageSize = rowSize * height
@@ -219,11 +220,12 @@ object Multimodal {
     }
     out(0) = 'B'; out(1) = 'M'
     putLE32(2, out.length); putLE32(10, 54)
-    putLE32(14, 40); putLE32(18, width); putLE32(22, height)
+    putLE32(14, 40); putLE32(18, width)
+    putLE32(22, if (topDown) -height else height)
     putLE16(26, 1); putLE16(28, 24); putLE32(30, 0); putLE32(34, imageSize)
     var y = 0
     while (y < height) {
-      val row = 54 + (height - 1 - y) * rowSize
+      val row = 54 + (if (topDown) y else height - 1 - y) * rowSize
       var x = 0
       while (x < width) {
         val (r, g, b) = rgb(x, y)
@@ -237,12 +239,94 @@ object Multimodal {
     out
   }
 
-  /** Decode a 24-bit uncompressed (BI_RGB) BMP payload to top-down
-    * row-major luminance; `None` for anything else (wrong magic, bit
-    * depth, compression, or a truncated pixel array) — the typed-column
-    * contract: unsupported payloads are skipped, never crash the batch.
-    * Handles both bottom-up (positive height — the common form) and
-    * top-down (negative height) row orders. */
+  /** [[encodeBmp24]]'s 32-bit BGRx twin — the padding byte carries a
+    * deterministic NON-zero value so a decode that misreads it as a
+    * channel breaks loudly. */
+  def encodeBmp32(width: Int, height: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions: $width x $height")
+    val rowSize = width * 4
+    val out = new Array[Byte](54 + rowSize * height)
+    def putLE16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putLE32(off: Int, v: Int): Unit = {
+      putLE16(off, v & 0xffff); putLE16(off + 2, (v >>> 16) & 0xffff)
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLE32(2, out.length); putLE32(10, 54)
+    putLE32(14, 40); putLE32(18, width); putLE32(22, height)
+    putLE16(26, 1); putLE16(28, 32); putLE32(30, 0)
+    putLE32(34, rowSize * height)
+    var y = 0
+    while (y < height) {
+      val row = 54 + (height - 1 - y) * rowSize
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(x, y)
+        out(row + x * 4) = b.toByte
+        out(row + x * 4 + 1) = g.toByte
+        out(row + x * 4 + 2) = r.toByte
+        out(row + x * 4 + 3) = ((x * 11 + y * 3) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** [[encodeBmp24]]'s 8-bit palette twin: the colour table is built from
+    * the distinct colours in first-visit order (must fit 256 entries). */
+  def encodeBmp8(width: Int, height: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions: $width x $height")
+    val palette = scala.collection.mutable.LinkedHashMap.empty[(Int, Int, Int), Int]
+    for (y <- 0 until height; x <- 0 until width) {
+      val c = rgb(x, y)
+      if (!palette.contains(c)) palette(c) = palette.size
+    }
+    require(palette.size <= 256, s"palette overflow: ${palette.size} colours")
+    val rowSize = ((width + 3) / 4) * 4
+    val dataOff = 54 + 4 * palette.size
+    val out = new Array[Byte](dataOff + rowSize * height)
+    def putLE16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putLE32(off: Int, v: Int): Unit = {
+      putLE16(off, v & 0xffff); putLE16(off + 2, (v >>> 16) & 0xffff)
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLE32(2, out.length); putLE32(10, dataOff)
+    putLE32(14, 40); putLE32(18, width); putLE32(22, height)
+    putLE16(26, 1); putLE16(28, 8); putLE32(30, 0)
+    putLE32(34, rowSize * height); putLE32(46, palette.size)
+    palette.foreach { case ((r, g, b), i) =>
+      out(54 + i * 4) = b.toByte
+      out(54 + i * 4 + 1) = g.toByte
+      out(54 + i * 4 + 2) = r.toByte
+    }
+    var y = 0
+    while (y < height) {
+      val row = dataOff + (height - 1 - y) * rowSize
+      var x = 0
+      while (x < width) {
+        out(row + x) = palette(rgb(x, y)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode an uncompressed (BI_RGB) BMP payload — 24-bit BGR, 32-bit
+    * BGRx (the padding byte ignored), or 8-bit palette (colour table =
+    * `biClrUsed` BGRx entries after the info header, 0 meaning 256;
+    * out-of-range pixel indices refuse) — to top-down row-major
+    * luminance; `None` for anything else (wrong magic, bit depth,
+    * compression, or a truncated pixel array or colour table) — the
+    * typed-column contract: unsupported payloads are skipped, never
+    * crash the batch. Handles both bottom-up (positive height — the
+    * common form) and top-down (negative height) row orders. */
   def decodeBmp(payload: Array[Byte]): Option[DecodedImage] = {
     if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M')
       return None
@@ -254,15 +338,34 @@ object Multimodal {
     // require strictly positive (mirrors the hostile-width handling)
     val height = math.abs(rawH)
     val bottomUp = rawH > 0
-    if (le32(payload, 14) < 40 || width <= 0 || height <= 0 ||
-        le16(payload, 28) != 24 || le32(payload, 30) != 0)
+    val hdrSize = le32(payload, 14)
+    val bpp = le16(payload, 28)
+    if (hdrSize < 40 || width <= 0 || height <= 0 ||
+        (bpp != 24 && bpp != 32 && bpp != 8) || le32(payload, 30) != 0)
       return None
+    // 8-bit: read the colour table (BGRx entries right after the info
+    // header) to per-entry luma before touching pixel data
+    var plte: Array[Int] = null
+    if (bpp == 8) {
+      val used = le32(payload, 46)
+      val count = if (used == 0) 256 else used
+      val tblOff = 14L + hdrSize
+      if (count < 1 || count > 256 || hdrSize > payload.length ||
+          tblOff + 4L * count > off || tblOff + 4L * count > payload.length)
+        return None
+      val tb = tblOff.toInt
+      plte = Array.tabulate(count) { i =>
+        (299 * (payload(tb + i * 4 + 2) & 0xff) +
+          587 * (payload(tb + i * 4 + 1) & 0xff) +
+          114 * (payload(tb + i * 4) & 0xff)) / 1000
+      }
+    }
     // size arithmetic in LONG: a hostile header (width near 2^31) would
     // overflow the Int rowSize/pixel-count products into negatives and
     // crash the batch (NegativeArraySizeException) instead of skipping —
     // the one thing a corrupt payload must never do. Once the bound check
     // passes, every product is <= payload.length and fits an Int.
-    val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
+    val rowSizeL = ((width.toLong * bpp / 8 + 3) / 4) * 4
     if (off < 54 || off.toLong + rowSizeL * height > payload.length)
       return None
     val rowSize = rowSizeL.toInt
@@ -272,10 +375,18 @@ object Multimodal {
       val src = off + (if (bottomUp) height - 1 - y else y) * rowSize
       var x = 0
       while (x < width) {
-        val b = payload(src + x * 3) & 0xff
-        val g = payload(src + x * 3 + 1) & 0xff
-        val r = payload(src + x * 3 + 2) & 0xff
-        luma(y * width + x) = (299 * r + 587 * g + 114 * b) / 1000
+        luma(y * width + x) = bpp match {
+          case 8 =>
+            val idx = payload(src + x) & 0xff
+            if (idx >= plte.length) return None
+            plte(idx)
+          case _ =>
+            val s = src + x * (bpp / 8)
+            val b = payload(s) & 0xff
+            val g = payload(s + 1) & 0xff
+            val r = payload(s + 2) & 0xff
+            (299 * r + 587 * g + 114 * b) / 1000
+        }
         x += 1
       }
       y += 1
@@ -1164,7 +1275,18 @@ object Multimodal {
     * difference). Width 15 forces 3 bytes of row padding (45 % 4 != 0) so
     * the padding arithmetic is exercised, not dodged. */
   def synthBmp(id: Long, width: Int = 15, height: Int = 17): Array[Byte] =
-    encodeBmp24(width, height, synthChannels(id))
+    ((id / 6) % 4).toInt match {
+      // layout variants by (id / 6) — see [[synthPng]] for why the
+      // selector divides first: the gate routes one residue class mod 6
+      // here. All four encode the same channels, so the oracle replay is
+      // untouched; 24-bit bottom-up/top-down, 32-bit BGRx, and the 8-bit
+      // colour table (≤ 255 distinct colours at the default dims) all
+      // sit behind the hash.
+      case 0 => encodeBmp24(width, height, synthChannels(id))
+      case 1 => encodeBmp32(width, height, synthChannels(id))
+      case 2 => encodeBmp8(width, height, synthChannels(id))
+      case _ => encodeBmp24(width, height, synthChannels(id), topDown = true)
+    }
 
   /** [[synthBmp]]'s channel maps, shared by every synthetic-format twin so
     * mixed-format fixtures aggregate to the SAME oracle replay. */

@@ -101,6 +101,9 @@ class CodecFuzzSpec extends SparkSpec {
       // valid fixtures spanning every format and layout variant
       val fixtures: Seq[Array[Byte]] = Seq(
         encodeBmp24(15, 9, ch),
+        encodeBmp24(15, 9, ch, topDown = true),
+        encodeBmp32(15, 9, ch),
+        encodeBmp8(9, 7, (x, y) => { val i = (x + y) % 8; (i * 30, i * 25, i * 20) }),
         encodePpm(7, 5, ch),
         encodePgm(7, 5, (x, y) => (x * 9 + y) % 256),
         s"P3\n7 5\n255\n${Seq.tabulate(105)(i => i % 256).mkString(" ")}\n"

@@ -78,6 +78,49 @@ class MultimodalSpec extends SparkSpec {
       "top-down and bottom-up forms of the same image must decode identically")
   }
 
+  test("BMP codec: 32-bit BGRx, 8-bit palette, and encoder-native " +
+      "top-down layouts decode to the 24-bit twin's exact luma, and " +
+      "cross-check against ImageIO") {
+    val w = 15; val h = 17
+    def ch(x: Int, y: Int) =
+      ((x * 31 + y * 7) % 256, (x * 13 + y * 101) % 256, (255 - x * 11 + y) % 256)
+    val want = decodeBmp(encodeBmp24(w, h, ch)).get.luma.toSeq
+    for ((desc, bytes) <- Seq(
+        "bgrx-32" -> encodeBmp32(w, h, ch),
+        "palette-8" -> encodeBmp8(w, h, ch),
+        "top-down-24" -> encodeBmp24(w, h, ch, topDown = true))) {
+      val got = decodeBmp(bytes).getOrElse(fail(s"$desc refused"))
+      assert(got.width == w && got.height == h)
+      assert(got.luma.toSeq == want, s"$desc luma diverged from the twin")
+      // the JDK agrees on the same bytes
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"$desc: ImageIO refused our bytes")
+      var p = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val l = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+        assert(got.luma(p) == l, s"$desc: pixel ($x,$y) ours=${got.luma(p)} jdk=$l")
+        p += 1
+      }
+    }
+    // hostile palettes: an index beyond a short colour table refuses, a
+    // table overlapping the pixel offset refuses
+    val pal = encodeBmp8(6, 4, (x, y) => { val i = (x + y) % 4; (i * 60, i * 50, i * 40) })
+    assert(decodeBmp(pal).nonEmpty)
+    def putLE32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    val short = pal.clone(); putLE32(short, 46, 2) // claim 2 entries; indices reach 3
+    assert(decodeBmp(short).isEmpty,
+      "a pixel index beyond the declared colour table must refuse")
+    val overlap = pal.clone(); putLE32(overlap, 46, 256) // table would cross pixel data
+    assert(decodeBmp(overlap).isEmpty,
+      "a colour table overlapping the pixel offset must refuse")
+  }
+
   test("BMP codec: non-BMP, truncated, and unsupported payloads decode to None") {
     assert(decodeBmp(Array.emptyByteArray).isEmpty)
     assert(decodeBmp("not a bitmap at all, just text padding padding".getBytes).isEmpty)
@@ -85,7 +128,10 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeBmp(ok).nonEmpty)
     assert(decodeBmp(ok.take(ok.length - 1)).isEmpty, "truncated pixel array")
     val wrongBpp = ok.clone(); wrongBpp(28) = 32.toByte
-    assert(decodeBmp(wrongBpp).isEmpty, "32-bpp must be refused, not misread")
+    assert(decodeBmp(wrongBpp).isEmpty,
+      "a 32-bpp flag on a 24-bit-sized pixel array is truncated — refused")
+    val bpp16 = ok.clone(); bpp16(28) = 16.toByte
+    assert(decodeBmp(bpp16).isEmpty, "16-bpp must be refused, not misread")
     val compressed = ok.clone(); compressed(30) = 1.toByte
     assert(decodeBmp(compressed).isEmpty, "RLE compression must be refused")
     // hostile header: width near 2^31 must SKIP, not overflow the Int
