@@ -1248,6 +1248,52 @@ object Multimodal {
     }
   }
 
+  /** One cell of a box-downsampled thumbnail: exact integer pixel count,
+    * luma sum, and the floor mean — the normalized-resolution face a
+    * vision-training pipeline feeds its encoder. */
+  final case class ThumbCell(doc_id: Long, cell_x: Long, cell_y: Long,
+      n_px: Long, sum_luma: Long, mean_luma: Long)
+
+  /** Box-downsample every decodable image to a `tw`×`th` thumbnail — THE
+    * image-prep step of a training pipeline (resolution normalization)
+    * done with exactly replayable arithmetic: pixel (x, y) belongs to
+    * cell (x·tw/w, y·th/h) (floor — each source pixel lands in exactly
+    * one cell, cells absorb the remainder pixels), a cell's mean is
+    * floor(sum/count), and only non-empty cells are emitted (an image
+    * narrower than the grid leaves gaps, it doesn't upscale). Decode
+    * happens once per payload inside the partition; undecodable payloads
+    * are skipped, never crash the batch. */
+  def thumbnailReport(media: Dataset[MediaRow], tw: Int, th: Int)(
+      implicit spark: SparkSession): Dataset[ThumbCell] = {
+    require(tw > 0 && th > 0, s"bad thumb dims: $tw x $th")
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeImage(r.payload).iterator.flatMap { img =>
+          val sums = new Array[Long](tw * th)
+          val counts = new Array[Long](tw * th)
+          var y = 0
+          while (y < img.height) {
+            val cy = y.toLong * th / img.height
+            var x = 0
+            while (x < img.width) {
+              val cx = x.toLong * tw / img.width
+              val c = (cy * tw + cx).toInt
+              sums(c) += img.luma(y * img.width + x)
+              counts(c) += 1
+              x += 1
+            }
+            y += 1
+          }
+          (0 until tw * th).iterator.filter(counts(_) > 0).map { c =>
+            ThumbCell(r.doc_id, (c % tw).toLong, (c / tw).toLong,
+              counts(c), sums(c), sums(c) / counts(c))
+          }
+        }
+      }
+    }
+  }
+
   /** Pixel-domain phash rows (doc_id, phash) for decodable payloads with
     * at least `samples` pixels — the drop-in signature source for the
     * banding/pair/probe plumbing above ([[phashPairs]]'s banding applies

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -432,19 +432,39 @@ object LlmWorkload {
     * channel-order, filter, dictionary, Huffman, restart, or misrouting
     * bug breaks `pos_checksum`/`phash` loudly, and a format whose decode
     * regresses to None drops rows (row count proves no silent drops). */
-  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+  /** The doc_id-routed six-format synthetic image mix shared by every
+    * image-decode gate entry (decode, thumbs). */
+  private def decodeMixRows(spark: SparkSession,
+      dir: String): Dataset[Multimodal.MediaRow] = {
     import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => Multimodal.MediaRow(id, (id % 6) match {
+        case 0 => Multimodal.synthBmp(id)
+        case 1 => Multimodal.synthPpm(id)
+        case 2 => Multimodal.synthPgm(id)
+        case 3 => Multimodal.synthPng(id)
+        case 4 => Multimodal.synthGif(id)
+        case _ => Multimodal.synthJpeg(id)
+      }))
+  }
+
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    Multimodal.decodeReport(
-      Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
-        .map(id => Multimodal.MediaRow(id, (id % 6) match {
-          case 0 => Multimodal.synthBmp(id)
-          case 1 => Multimodal.synthPpm(id)
-          case 2 => Multimodal.synthPgm(id)
-          case 3 => Multimodal.synthPng(id)
-          case 4 => Multimodal.synthGif(id)
-          case _ => Multimodal.synthJpeg(id)
-        }))).toDF()
+    Multimodal.decodeReport(decodeMixRows(spark, dir)).toDF()
+  }
+
+  /** Box-downsample the decode mix to 4×4 thumbnails
+    * ([[Multimodal.thumbnailReport]]) — resolution normalization, the
+    * image-prep step between decode and the encoder. Per (doc, cell):
+    * exact pixel count, luma sum, and floor mean; the oracle replays
+    * generate → cell-assign → aggregate arithmetically, so the cell
+    * boundary floor arithmetic and the once-per-payload decode are
+    * exactly the difference hashed. 16 cells × docs rows — no silent
+    * cell drops (15×17 sources fill every cell). */
+  def multimodalThumbs(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Multimodal.thumbnailReport(decodeMixRows(spark, dir), tw = 4, th = 4)
+      .toDF()
   }
 
   /** The REAL audio-decode path at the gate — [[multimodalDecode]]'s WAV
@@ -1555,6 +1575,7 @@ object LlmWorkload {
     "ann_topk_filtered" -> annTopkFiltered,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_decode" -> multimodalDecode,
+    "multimodal_thumbs" -> multimodalThumbs,
     "multimodal_audio" -> multimodalAudio,
     "multimodal_audio_windows" -> multimodalAudioWindows,
     "multimodal_video" -> multimodalVideo,
@@ -3455,6 +3476,32 @@ object LlmWorkload {
         |SELECT a.doc_id, CAST(15 AS BIGINT) AS width, CAST(17 AS BIGINT) AS height,
         |  a.n_pixels, a.sum_luma, a.pos_checksum, p.phash
         |FROM agg a JOIN ph p USING (doc_id)""".stripMargin,
+    // thumbnail replay: the same two-branch luma generation as
+    // multimodal_decode, then each pixel lands in cell
+    // ((x*4)//15, (y*4)//17) and cells aggregate to exact count / sum /
+    // floor-mean — the Spark side ran generate -> encode -> DECODE ->
+    // box-downsample, so the cell-boundary floor arithmetic (and the
+    // decode underneath) is exactly the difference hashed
+    "multimodal_thumbs" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x.x, y.y,
+        |    CASE WHEN d.doc_id % 6 = 5 THEN
+        |      ((d.doc_id * 7 + (x.x // 8) * 31 + (y.y // 8) * 59) % 256)
+        |    ELSE
+        |      ((299 * ((d.doc_id * 7 + x.x * 3 + y.y * 5) % 256)
+        |      + 587 * ((d.doc_id * 11 + x.x * 13 + y.y * 17) % 256)
+        |      + 114 * ((d.doc_id * 19 + x.x * 23 + y.y * 29) % 256)) // 1000)
+        |    END AS luma
+        |  FROM documents d,
+        |    (SELECT unnest(range(0, 15)) AS x) x,
+        |    (SELECT unnest(range(0, 17)) AS y) y)
+        |SELECT doc_id,
+        |  CAST((x * 4) // 15 AS BIGINT) AS cell_x,
+        |  CAST((y * 4) // 17 AS BIGINT) AS cell_y,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(luma) AS BIGINT) AS sum_luma,
+        |  CAST(sum(luma) // count(*) AS BIGINT) AS mean_luma
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
     // audio-decode replay (multimodal_decode's WAV twin): the oracle
     // computes generate -> aggregate arithmetically over the small-prime
     // PCM sample maps, per the doc_id-routed FORMAT mix — id%4 = 0 mono

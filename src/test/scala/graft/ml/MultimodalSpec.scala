@@ -966,6 +966,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("thumbnailReport box-downsamples with exact floor cell boundaries, " +
+      "emits only occupied cells, and skips undecodable payloads") {
+    implicit val s = spark
+    val media = Seq(
+      MediaRow(1L, synthBmp(1L)),                      // 15 x 17
+      MediaRow(2L, encodeBmp24(2, 1, (x, _) => (x * 90, 10, 10))), // sparse
+      MediaRow(3L, "not an image, just padding bytes here".getBytes))
+      .toDS()
+    val out = thumbnailReport(media, tw = 4, th = 4).collect()
+      .groupBy(_.doc_id)
+    assert(out.keySet == Set(1L, 2L), "garbage must be skipped")
+    // doc 1: brute-force the same cells from the decoded 15x17 luma
+    val img = decodeBmp(synthBmp(1L)).get
+    val want = (for (y <- 0 until 17; x <- 0 until 15) yield
+      ((x * 4 / 15, y * 4 / 17), img.luma(y * 15 + x)))
+      .groupBy(_._1).map { case ((cx, cy), ps) =>
+        val sum = ps.map(_._2.toLong).sum
+        (cx.toLong, cy.toLong, ps.size.toLong, sum, sum / ps.size)
+      }.toSet
+    assert(out(1L).length == 16, "a 15x17 source fills every 4x4 cell")
+    assert(out(1L).map(c =>
+      (c.cell_x, c.cell_y, c.n_px, c.sum_luma, c.mean_luma)).toSet == want,
+      "cell aggregates diverged from the brute-force replay")
+    // doc 2: a 2x1 image occupies only cells (0,0) and (2,0) — x=1 maps
+    // to 1*4/2 = 2; no upscaling, no empty-cell rows
+    assert(out(2L).map(c => (c.cell_x, c.cell_y)).toSet ==
+      Set((0L, 0L), (2L, 0L)), "sparse images must leave gaps, not upscale")
+    out(2L).foreach(c => assert(c.n_px == 1))
+  }
+
   test("audioEnergyWindows splits at exact window boundaries including " +
       "the partial tail, and skips undecodable payloads") {
     implicit val s = spark
