@@ -1599,6 +1599,60 @@ object Multimodal {
     }
   }
 
+  /** Aggregates of a linearly resampled clip ([[audioResampleReport]]):
+    * the sample-rate-normalization face an ASR pipeline feeds its
+    * encoder. */
+  final case class AudioResampled(doc_id: Long, src_rate: Long,
+      dst_rate: Long, n_samples: Long, sum_abs: Long, pos_checksum: Long,
+      peak: Long, zero_crossings: Long)
+
+  /** Resample every decodable clip to `dstRate` by linear interpolation
+    * in exact integer arithmetic — THE audio-prep step (rate
+    * normalization) with a replayable convention: output j sits at
+    * source position t = j·src/dst, so `i0 = t` (floor), `fr = (j·src)
+    * mod dst`, and `out(j) = floor((s(i0)·(dst−fr) + s(i1)·fr) / dst)`
+    * with `i1 = min(i0+1, n−1)` (floor division — negative samples round
+    * DOWN, matching SQL `//`). The output length is `n·dst/src` (floor).
+    * The resampled stream reduces to the same exact aggregates as
+    * [[audioReport]]; clips that resample to nothing and undecodable
+    * payloads are skipped. */
+  def audioResampleReport(media: Dataset[MediaRow], dstRate: Int)(
+      implicit spark: SparkSession): Dataset[AudioResampled] = {
+    require(dstRate > 0, s"dstRate must be positive: $dstRate")
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWav(r.payload).flatMap { a =>
+          val n = a.samples.length
+          val outN = (n.toLong * dstRate / a.sampleRate).toInt
+          if (outN <= 0) None
+          else {
+            var sumAbs = 0L; var pos = 0L; var peak = 0L; var zc = 0L
+            var prev = 0
+            var j = 0
+            while (j < outN) {
+              val t = j.toLong * a.sampleRate
+              val i0 = (t / dstRate).toInt
+              val fr = (t % dstRate).toInt
+              val i1 = math.min(i0 + 1, n - 1)
+              val s = Math.floorDiv(
+                a.samples(i0).toLong * (dstRate - fr) +
+                  a.samples(i1).toLong * fr, dstRate.toLong).toInt
+              sumAbs += math.abs(s).toLong
+              pos += (j + 1).toLong * s
+              peak = math.max(peak, math.abs(s).toLong)
+              if (j > 0 && (prev < 0) != (s < 0)) zc += 1
+              prev = s
+              j += 1
+            }
+            Some(AudioResampled(r.doc_id, a.sampleRate.toLong,
+              dstRate.toLong, outN.toLong, sumAbs, pos, peak, zc))
+          }
+        }
+      }
+    }
+  }
+
   /** Windowed audio energy — the silence-trim primitive an ASR-corpus
     * pipeline runs before anything else: the decoded mono stream splits
     * into fixed `win`-sample windows (the last one partial) and each

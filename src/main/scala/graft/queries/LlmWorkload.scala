@@ -486,6 +486,22 @@ object LlmWorkload {
         .map(id => Multimodal.MediaRow(id, Multimodal.synthWav(id)))).toDF()
   }
 
+  /** Rate-normalize the audio mix to 5000 Hz by exact integer linear
+    * interpolation ([[Multimodal.audioResampleReport]]) — the
+    * sample-rate-normalization step an ASR pipeline runs between decode
+    * and the encoder. 8000 → 5000 keeps every interpolation weight
+    * non-trivial (j·8000 mod 5000 cycles through 0/3000/1000/4000/2000),
+    * so the oracle replay pins the fractional arithmetic, not just the
+    * copy-through samples. */
+  def multimodalAudioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    Multimodal.audioResampleReport(
+      Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id, Multimodal.synthWav(id))),
+      dstRate = 5000).toDF()
+  }
+
   /** The windowed-energy face of the audio path ([[multimodalAudio]]'s
     * trim primitive): the same synthetic clips decode once and split into
     * 60-sample windows (256 samples → 5 windows, the last partial — the
@@ -1578,6 +1594,7 @@ object LlmWorkload {
     "multimodal_thumbs" -> multimodalThumbs,
     "multimodal_audio" -> multimodalAudio,
     "multimodal_audio_windows" -> multimodalAudioWindows,
+    "multimodal_audio_resample" -> multimodalAudioResample,
     "multimodal_video" -> multimodalVideo,
     "dedup_embedding_pairs" -> dedupEmbeddingPairs,
     "dedup_embedding_srp_pairs" -> dedupEmbeddingSrpPairs,
@@ -3535,6 +3552,48 @@ object LlmWorkload {
         |  CAST(count(*) AS BIGINT) AS n_samples,
         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
         |  CAST(sum((i + 1) * s) AS BIGINT) AS pos_checksum,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) != (s < 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM lagd GROUP BY doc_id""".stripMargin,
+    // resample replay: the same PCM sample maps, then output j sits at
+    // source position (j*8000)//5000 with weight fr = (j*8000) % 5000,
+    // out = floor((s0*(5000-fr) + s1*fr) / 5000) — floor via the /5000.0
+    // + floor() pattern because DuckDB's integer // truncates toward
+    // zero on negatives while the decoder floor-divides; the numerator
+    // (≤ 4.2e10) is exact in a double, so floor is exact
+    "multimodal_audio_resample" ->
+      """WITH smp AS (
+        |  SELECT d.doc_id, i.i,
+        |    CASE WHEN d.doc_id % 4 = 1
+        |      THEN CAST(floor((
+        |        (((d.doc_id * 131 + i.i * 37) % 65536) - 32768) +
+        |        (((d.doc_id * 131 + i.i * 37 + 4099) % 65536) - 32768)) / 2.0)
+        |        AS BIGINT)
+        |      WHEN d.doc_id % 4 = 2
+        |      THEN ((d.doc_id * 131 + i.i * 37) % 16777216) - 8388608
+        |      ELSE ((d.doc_id * 131 + i.i * 37) % 65536) - 32768
+        |    END AS s
+        |  FROM documents d, (SELECT unnest(range(0, 256)) AS i) i),
+        |res AS (
+        |  SELECT x.doc_id, x.j,
+        |    CAST(floor((a.s * (5000 - x.fr) + b.s * x.fr) / 5000.0)
+        |      AS BIGINT) AS s
+        |  FROM (
+        |    SELECT d.doc_id, j.j, (j.j * 8000) // 5000 AS i0,
+        |      (j.j * 8000) % 5000 AS fr
+        |    FROM documents d, (SELECT unnest(range(0, 160)) AS j) j) x
+        |  JOIN smp a ON a.doc_id = x.doc_id AND a.i = x.i0
+        |  JOIN smp b ON b.doc_id = x.doc_id AND b.i = least(x.i0 + 1, 255)),
+        |lagd AS (
+        |  SELECT doc_id, j, s,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+        |  FROM res)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS src_rate,
+        |  CAST(5000 AS BIGINT) AS dst_rate,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+        |  CAST(sum((j + 1) * s) AS BIGINT) AS pos_checksum,
         |  CAST(max(abs(s)) AS BIGINT) AS peak,
         |  CAST(sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) != (s < 0))
         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings

@@ -966,6 +966,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioResampleReport linearly interpolates with exact floor " +
+      "arithmetic, caps the tail neighbor, and skips undecodable payloads") {
+    implicit val s = spark
+    val n = 64
+    // full signed range INCLUDING negatives: floor division (not
+    // truncation) on negative interpolants is exactly what's pinned
+    def smp(i: Int) = ((i * 997) % 65536) - 32768
+    val media = Seq(
+      MediaRow(1L, encodeWav(8000, 1, n, i => Seq(smp(i)))),
+      MediaRow(2L, "not audio in any way, just padding".getBytes)).toDS()
+    val out = audioResampleReport(media, dstRate = 5000).collect()
+    assert(out.map(_.doc_id).toSeq == Seq(1L), "garbage must be skipped")
+    val r = out.head
+    val outN = n * 5000 / 8000 // 40
+    assert(r.n_samples == outN && r.src_rate == 8000L && r.dst_rate == 5000L)
+    // brute-force the convention
+    val want = (0 until outN).map { j =>
+      val t = j.toLong * 8000
+      val i0 = (t / 5000).toInt
+      val fr = (t % 5000).toInt
+      val i1 = math.min(i0 + 1, n - 1)
+      Math.floorDiv(smp(i0).toLong * (5000 - fr) + smp(i1).toLong * fr,
+        5000L).toInt
+    }
+    assert(r.sum_abs == want.map(x => math.abs(x).toLong).sum)
+    assert(r.pos_checksum ==
+      want.zipWithIndex.map { case (x, j) => (j + 1).toLong * x }.sum)
+    assert(r.peak == want.map(x => math.abs(x).toLong).max)
+    assert(r.zero_crossings ==
+      want.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong)
+    // upsampling caps i1 at the last sample (j near the end maps past it)
+    val up = audioResampleReport(
+      Seq(MediaRow(3L, encodeWav(4000, 1, 4, i => Seq(i * 1000 - 1500)))).toDS(),
+      dstRate = 9000).collect().head
+    assert(up.n_samples == 4L * 9000 / 4000, "upsample length = n*dst/src")
+    // a clip shorter than one output sample is skipped, not a crash
+    assert(audioResampleReport(
+      Seq(MediaRow(4L, encodeWav(8000, 1, 1, _ => Seq(5)))).toDS(),
+      dstRate = 5000).collect().isEmpty)
+  }
+
   test("thumbnailReport box-downsamples with exact floor cell boundaries, " +
       "emits only occupied cells, and skips undecodable payloads") {
     implicit val s = spark
