@@ -3064,6 +3064,55 @@ object Multimodal {
     }
   }
 
+  /** One consecutive-frame delta ([[videoSceneCuts]]): the SAD (sum of
+    * absolute per-pixel luma differences) between a decoded frame and
+    * the previous DECODED frame, and the thresholded cut flag (1/0). */
+  final case class SceneDelta(doc_id: Long, frame_id: Long,
+      prev_frame_id: Long, sad: Long, is_cut: Long)
+
+  /** Shot-boundary detection — the video-sampling primitive a
+    * training-data pipeline runs to pick representative frames and
+    * dedup near-static clips: every frame decodes ONCE per payload and
+    * each consecutive DECODED pair reduces to the exact integer SAD,
+    * flagged `is_cut` when `sad >= threshold`. A frame that fails its
+    * per-frame decode (MJPEG decode-or-None) drops out of the pairing —
+    * its neighbors pair with each other — and a one-frame or undecodable
+    * payload emits nothing. Rows are per (doc, later frame id). */
+  def videoSceneCuts(media: Dataset[MediaRow], threshold: Long)(
+      implicit spark: SparkSession): Dataset[SceneDelta] = {
+    require(threshold >= 0, s"threshold must be non-negative: $threshold")
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAvi(r.payload).iterator.flatMap { v =>
+          var prevLuma: Array[Int] = null
+          var prevId = -1
+          (0 until v.frameOffsets.length).iterator.flatMap { f =>
+            frameLuma(r.payload, v, f) match {
+              case None => Iterator.empty // dropped frame: pairing skips it
+              case Some(luma) =>
+                val out =
+                  if (prevLuma == null) Iterator.empty
+                  else {
+                    var sad = 0L
+                    var p = 0
+                    while (p < luma.length) {
+                      sad += math.abs(luma(p) - prevLuma(p))
+                      p += 1
+                    }
+                    Iterator.single(SceneDelta(r.doc_id, f.toLong,
+                      prevId.toLong, sad, if (sad >= threshold) 1L else 0L))
+                  }
+                prevLuma = luma
+                prevId = f
+                out
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** Deterministic AVI fixture: frame f's channels extend the shared
     * small-prime maps with a frame term, so an SQL oracle replays every
     * kept frame's aggregates arithmetically. */

@@ -542,6 +542,24 @@ object LlmWorkload {
       stride = 3).toDF()
   }
 
+  /** Shot-boundary detection over the video mix
+    * ([[Multimodal.videoSceneCuts]]): every consecutive frame pair of
+    * each container reduces to its exact SAD and a thresholded cut flag
+    * — the frame-sampling / static-clip-dedup primitive. The oracle
+    * replays generate → pairwise |Δluma| → sum per branch; the 6000
+    * threshold lands inside the fixture deltas' spread, so BOTH flag
+    * values are hashed, not a constant column. */
+  def multimodalVideoScenes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    Multimodal.videoSceneCuts(
+      Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id,
+          if (id % 2 == 0) Multimodal.synthAvi(id)
+          else Multimodal.synthAviMjpeg(id))),
+      threshold = 6000L).toDF()
+  }
+
   def dedupEmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
     VectorOps.embeddingNearDupPairs(Tables(spark, dir, "embeddings"))
 
@@ -1596,6 +1614,7 @@ object LlmWorkload {
     "multimodal_audio_windows" -> multimodalAudioWindows,
     "multimodal_audio_resample" -> multimodalAudioResample,
     "multimodal_video" -> multimodalVideo,
+    "multimodal_video_scenes" -> multimodalVideoScenes,
     "dedup_embedding_pairs" -> dedupEmbeddingPairs,
     "dedup_embedding_srp_pairs" -> dedupEmbeddingSrpPairs,
     "dedup_embedding_incremental" -> dedupEmbeddingIncremental,
@@ -3647,6 +3666,35 @@ object LlmWorkload {
         |  CAST(15 AS BIGINT) AS width, CAST(9 AS BIGINT) AS height,
         |  CAST(sum(luma) AS BIGINT) AS sum_luma,
         |  CAST(sum((p + 1) * luma) AS BIGINT) AS pos_checksum
-        |FROM px GROUP BY 1, 2""".stripMargin
+        |FROM px GROUP BY 1, 2""".stripMargin,
+    // scene-cut replay: the same two-branch per-frame luma generation
+    // over ALL 8 frames, then each consecutive pair sums |Δluma| per
+    // pixel and thresholds at 6000 — the Spark side ran generate ->
+    // encode to RIFF/AVI -> per-frame decode -> SAD, so the pairing,
+    // the per-pixel subtraction, and the flag boundary are exactly the
+    // difference hashed
+    "multimodal_video_scenes" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, f.f, (y.y * 15 + x.x) AS p,
+        |    CASE WHEN d.doc_id % 2 = 1 THEN
+        |      ((d.doc_id * 7 + f.f * 41 + (x.x // 8) * 31 + (y.y // 8) * 59) % 256)
+        |    ELSE
+        |      ((299 * ((d.doc_id * 7 + f.f * 41 + x.x * 3 + y.y * 5) % 256)
+        |      + 587 * ((d.doc_id * 11 + f.f * 43 + x.x * 13 + y.y * 17) % 256)
+        |      + 114 * ((d.doc_id * 19 + f.f * 47 + x.x * 23 + y.y * 29) % 256))
+        |        // 1000)
+        |    END AS luma
+        |  FROM documents d,
+        |    (SELECT unnest(range(0, 8)) AS f) f,
+        |    (SELECT unnest(range(0, 15)) AS x) x,
+        |    (SELECT unnest(range(0, 9)) AS y) y)
+        |SELECT a.doc_id, CAST(a.f AS BIGINT) AS frame_id,
+        |  CAST(b.f AS BIGINT) AS prev_frame_id,
+        |  CAST(sum(abs(a.luma - b.luma)) AS BIGINT) AS sad,
+        |  CAST(CASE WHEN sum(abs(a.luma - b.luma)) >= 6000 THEN 1 ELSE 0
+        |    END AS BIGINT) AS is_cut
+        |FROM px a JOIN px b
+        |  ON a.doc_id = b.doc_id AND b.f = a.f - 1 AND a.p = b.p
+        |GROUP BY a.doc_id, a.f, b.f""".stripMargin
   )
 }

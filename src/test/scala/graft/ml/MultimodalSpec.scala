@@ -966,6 +966,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("videoSceneCuts pairs consecutive decoded frames with exact SAD, " +
+      "skips dropped frames, and thresholds the cut flag") {
+    implicit val s = spark
+    val w = 15; val h = 9; val n = 5
+    def ch(f: Int)(x: Int, y: Int) =
+      ((f * 41 + x * 31 + y * 7) % 256, (f * 43 + x * 13 + y * 101) % 256,
+        (f * 47 + x + y * 3) % 256)
+    val avi = encodeAvi(w, h, n, ch)
+    def lumaOf(f: Int) = decodeBmp(encodeBmp24(w, h, ch(f))).get.luma
+    def sadOf(a: Int, b: Int) =
+      lumaOf(a).zip(lumaOf(b)).map { case (p, q) => math.abs(p - q).toLong }.sum
+    val thr = sadOf(1, 0) // boundary: sad >= threshold IS a cut
+    val media = Seq(
+      MediaRow(1L, avi),
+      MediaRow(2L, "not a container of anything".getBytes)).toDS()
+    val out = videoSceneCuts(media, threshold = thr).collect()
+      .sortBy(_.frame_id)
+    assert(out.map(_.doc_id).distinct.toSeq == Seq(1L))
+    assert(out.map(r => (r.frame_id, r.prev_frame_id)).toSeq ==
+      (1 until n).map(f => (f.toLong, f.toLong - 1)),
+      "every consecutive pair must appear exactly once")
+    out.foreach { r =>
+      val sad = sadOf(r.frame_id.toInt, r.prev_frame_id.toInt)
+      assert(r.sad == sad, s"frame ${r.frame_id} SAD diverged")
+      assert(r.is_cut == (if (sad >= thr) 1L else 0L))
+    }
+    assert(out.head.is_cut == 1L, "the boundary value must flag as a cut")
+    // an MJPEG container with ONE corrupt frame: the pairing skips it
+    // and its neighbors pair with each other
+    def tile(f: Int)(bx: Int, by: Int) = (f * 50 + bx * 90 + by * 40) % 256
+    val mj = encodeAviMjpeg(16, 8, 4, tile)
+    val v = decodeAvi(mj).get
+    val broken = mj.clone()
+    // corrupt frame 1's entropy segment end (still parses as a chunk)
+    broken(v.frameOffsets(1) + v.frameSizes(1) - 3) = 0x13
+    val got = videoSceneCuts(Seq(MediaRow(3L, broken)).toDS(), 0L).collect()
+      .sortBy(_.frame_id)
+    assert(got.map(r => (r.prev_frame_id, r.frame_id)).toSeq ==
+      Seq((0L, 2L), (2L, 3L)),
+      "a dropped frame must vanish from the pairing, not break it")
+  }
+
   test("audioResampleReport linearly interpolates with exact floor " +
       "arithmetic, caps the tail neighbor, and skips undecodable payloads") {
     implicit val s = spark
