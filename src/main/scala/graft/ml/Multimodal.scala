@@ -1265,7 +1265,8 @@ object Multimodal {
     * are skipped, never crash the batch. */
   def thumbnailReport(media: Dataset[MediaRow], tw: Int, th: Int)(
       implicit spark: SparkSession): Dataset[ThumbCell] = {
-    require(tw > 0 && th > 0, s"bad thumb dims: $tw x $th")
+    require(tw > 0 && th > 0 && tw.toLong * th <= Int.MaxValue,
+      s"bad thumb dims: $tw x $th")
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
@@ -1624,9 +1625,13 @@ object Multimodal {
       rows.flatMap { r =>
         decodeWav(r.payload).flatMap { a =>
           val n = a.samples.length
-          val outN = (n.toLong * dstRate / a.sampleRate).toInt
-          if (outN <= 0) None
+          val outL = n.toLong * dstRate / a.sampleRate
+          // a hostile rate pair exploding the output length skips the
+          // payload (decode-or-None), it never wraps the Int allocation
+          if (outL > Int.MaxValue) None
+          else if (outL <= 0) None
           else {
+            val outN = outL.toInt
             var sumAbs = 0L; var pos = 0L; var peak = 0L; var zc = 0L
             var prev = 0
             var j = 0
