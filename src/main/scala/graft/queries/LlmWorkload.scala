@@ -589,6 +589,15 @@ object LlmWorkload {
         .select(col("doc_id"), col("payload")))
   }
 
+  /** Image near-dup clusters — the phash face of [[dedupClusters]]:
+    * connected components over the perceptual-hash verified pair graph
+    * ([[dedupPhashPairs]]' plants included), every clustered image
+    * labeled with its component's min doc_id — the canonical each
+    * visual-dup group collapses to when a corpus keeps one copy. */
+  def dedupPhashClusters(spark: SparkSession, dir: String): DataFrame =
+    TextOps.connectedComponents(dedupPhashPairs(spark, dir))
+      .select(col("id").as("doc_id"), col("component"))
+
   /** Incremental multimodal dedup — the phash face of
     * [[dedupIncrementalProbe]]: even doc_ids stand in for the ingested
     * corpus (its banded perceptual-hash signature index, session-persisted
@@ -1585,6 +1594,7 @@ object LlmWorkload {
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_phash_pairs" -> dedupPhashPairs,
+    "dedup_phash_clusters" -> dedupPhashClusters,
     "dedup_phash_probe" -> dedupPhashProbe,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
     "dedup_incremental_probe" -> dedupIncrementalProbe,
@@ -1745,6 +1755,25 @@ object LlmWorkload {
     * parity-split sides, candidate join batch bands × corpus bands, exact
     * hamming verify — no `doc_id <` (the sides are disjoint by parity and
     * the planted-id offset). */
+  /** Perceptual-hash pair replay — shared by `dedup_phash_pairs` and
+    * the `dedup_phash_clusters` closure over the same graph. */
+  private lazy val phashPairsOracle: String =
+    s"""WITH ascii_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE regexp_full_match(text, '[\\x00-\\x7f]*')),
+       |src AS (
+       |  SELECT doc_id, text FROM ascii_docs
+       |  UNION ALL
+       |  SELECT doc_id + 10000000,
+       |    substr(text, 1, 150) || '#' || substr(text, 152)
+       |  FROM ascii_docs WHERE doc_id % 20 = 0 AND length(text) >= 200),
+       |${phashCteSql("src", "")}
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.phash, y.phash)) AS hamming
+       |FROM banded x JOIN banded y
+       |  ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.phash, y.phash)) <= 3""".stripMargin
+
   private val phashProbeOracle: String =
     s"""WITH ascii_docs AS (
        |  SELECT doc_id, text FROM documents
@@ -2789,22 +2818,21 @@ object LlmWorkload {
     // fixture luck; same planted one-byte-flip variants, same min-length
     // guard (49 bytes == 49 chars under ASCII), same NN-resize sample
     // positions, same 48 greater-than bits, same 12-bit banding + hamming
-    "dedup_phash_pairs" ->
-      s"""WITH ascii_docs AS (
-         |  SELECT doc_id, text FROM documents
-         |  WHERE regexp_full_match(text, '[\\x00-\\x7f]*')),
-         |src AS (
-         |  SELECT doc_id, text FROM ascii_docs
-         |  UNION ALL
-         |  SELECT doc_id + 10000000,
-         |    substr(text, 1, 150) || '#' || substr(text, 152)
-         |  FROM ascii_docs WHERE doc_id % 20 = 0 AND length(text) >= 200),
-         |${phashCteSql("src", "")}
-         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |  bit_count(xor(x.phash, y.phash)) AS hamming
-         |FROM banded x JOIN banded y
-         |  ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
-         |WHERE bit_count(xor(x.phash, y.phash)) <= 3""".stripMargin,
+    "dedup_phash_pairs" -> phashPairsOracle,
+    // phash connected components: the recursive-CTE closure over the pair
+    // graph (the embClustersOracleSql shape) labeling every clustered
+    // image with its component's min doc_id
+    "dedup_phash_clusters" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT doc_a, doc_b FROM ($phashPairsOracle)),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+         |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1""".stripMargin,
     "dedup_phash_probe" -> phashProbeOracle,
     "dedup_jaccard_pairs" -> jaccardOracle,
     "dedup_incremental_probe" -> incrementalProbeOracle,
