@@ -428,25 +428,30 @@ object Multimodal {
     Some((out, pos))
   }
 
-  /** Decode a netpbm PGM/PPM payload (P2/P3 ASCII, P5/P6 raw; maxval must
-    * be 255 — 16-bit netpbm is refused, never misread) to top-down
+  /** Decode a netpbm payload — the FULL classic family: P1/P4 bitmaps
+    * (no maxval; 1 = BLACK → luma 0, 0 = white → 255; P1 digits may pack
+    * without separators per the spec, P4 rows are MSB-first bit-packed
+    * and byte-padded), P2/P3 ASCII and P5/P6 raw gray/color (maxval must
+    * be 255 — 16-bit netpbm is refused, never misread) — to top-down
     * row-major luminance: gray directly for PGM, integer BT.601
-    * ([[decodeBmp]]'s exact arithmetic) for PPM. `None` for P1/P4 bitmaps,
-    * P7 PAM, truncated sample data, samples above maxval, or hostile
-    * header dimensions — the same never-crash-the-batch contract as
+    * ([[decodeBmp]]'s exact arithmetic) for PPM. `None` for P7 PAM,
+    * truncated sample data, samples above maxval, or hostile header
+    * dimensions — the same never-crash-the-batch contract as
     * [[decodeBmp]], size arithmetic in Long throughout. */
   def decodePnm(payload: Array[Byte]): Option[DecodedImage] = {
     if (payload.length < 2 || payload(0) != 'P') return None
     val kind = payload(1).toChar
-    if (kind != '2' && kind != '3' && kind != '5' && kind != '6') return None
-    val raw = kind == '5' || kind == '6'
+    if (kind < '1' || kind > '6') return None
+    val bitmap = kind == '1' || kind == '4' // PBM: no maxval, 1 = BLACK
+    val raw = kind == '4' || kind == '5' || kind == '6'
     val channels = if (kind == '3' || kind == '6') 3 else 1
-    val hdr = pnmTokens(payload, 2, 3) match {
+    val hdr = pnmTokens(payload, 2, if (bitmap) 2 else 3) match {
       case Some(h) => h
       case None => return None
     }
-    val (width, height, maxval) = (hdr._1(0), hdr._1(1), hdr._1(2))
-    if (width <= 0 || height <= 0 || maxval != 255) return None
+    val (width, height) = (hdr._1(0), hdr._1(1))
+    val maxval = if (bitmap) 1 else hdr._1(2)
+    if (width <= 0 || height <= 0 || (!bitmap && maxval != 255)) return None
     val nPxL = width.toLong * height
     // reject oversized images BEFORE any further size arithmetic: with
     // nPxL bounded by Int.MaxValue, nSamplesL (×3) and the ASCII ×2
@@ -454,6 +459,50 @@ object Multimodal {
     // dims near 2^31 wrap nSamplesL*2 negative and slip the bounds
     if (nPxL > Int.MaxValue) return None
     val nSamplesL = nPxL * channels
+    if (bitmap && raw) { // P4: MSB-first packed bits, rows byte-padded
+      val rowBytesL = (width.toLong + 7) / 8
+      val dataStart = hdr._2 + 1
+      if (hdr._2 >= payload.length || !isPnmSpace(payload(hdr._2)) ||
+          dataStart.toLong + rowBytesL * height > payload.length)
+        return None
+      val rowBytes = rowBytesL.toInt
+      val luma = new Array[Int](nPxL.toInt)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val bit = (payload(dataStart + y * rowBytes + (x >> 3)) >>
+            (7 - (x & 7))) & 1
+          luma(y * width + x) = if (bit == 1) 0 else 255 // 1 = black
+          x += 1
+        }
+        y += 1
+      }
+      return Some(DecodedImage(width, height, luma))
+    }
+    if (bitmap) { // P1: '0'/'1' digits, separating whitespace OPTIONAL
+      // every pixel needs ≥ 1 byte — bounds the allocation to the payload
+      if (nPxL > payload.length.toLong - hdr._2) return None
+      val luma = new Array[Int](nPxL.toInt)
+      var pos = hdr._2
+      var p = 0
+      while (p < luma.length) {
+        var c = -1
+        while (c == -1) {
+          if (pos >= payload.length) return None
+          val b = payload(pos)
+          if (isPnmSpace(b)) pos += 1
+          else if (b == '#') { // comment runs to end of line
+            while (pos < payload.length && payload(pos) != '\n') pos += 1
+          } else c = b & 0xff
+        }
+        if (c != '0' && c != '1') return None
+        luma(p) = if (c == '1') 0 else 255 // 1 = black
+        pos += 1
+        p += 1
+      }
+      return Some(DecodedImage(width, height, luma))
+    }
     if (raw) {
       // exactly ONE whitespace byte separates maxval from the sample
       // bytes (the netpbm raw-format rule)
@@ -1199,6 +1248,37 @@ object Multimodal {
       p += 1
     }
     out
+  }
+
+  /** Encode a bitonal image as PBM — raw P4 (MSB-first bit-packed,
+    * byte-padded rows) or ASCII P1 (`packed` drops the optional
+    * separators, the spec-legal form a tokenizing reader would misparse).
+    * `black(x, y)` = true encodes bit 1 = BLACK (luma 0). The fixture
+    * generator proving [[decodePnm]]'s bitmap walk. */
+  def encodePbm(width: Int, height: Int, black: (Int, Int) => Boolean,
+      raw: Boolean = true, packed: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions: $width x $height")
+    if (raw) {
+      val rowBytes = (width + 7) / 8
+      val header = s"P4\n$width $height\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + rowBytes * height)
+      System.arraycopy(header, 0, out, 0, header.length)
+      for (y <- 0 until height; x <- 0 until width if black(x, y)) {
+        val o = header.length + y * rowBytes + (x >> 3)
+        out(o) = (out(o) | (1 << (7 - (x & 7)))).toByte
+      }
+      out
+    } else {
+      val sb = new StringBuilder(s"P1\n$width $height\n")
+      for (y <- 0 until height) {
+        for (x <- 0 until width) {
+          sb.append(if (black(x, y)) '1' else '0')
+          if (!packed && x < width - 1) sb.append(' ')
+        }
+        sb.append('\n')
+      }
+      sb.toString.getBytes("US-ASCII")
+    }
   }
 
   /** The dHash signature over a DECODED luminance stream — [[phash]]'s

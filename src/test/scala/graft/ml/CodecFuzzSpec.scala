@@ -108,6 +108,9 @@ class CodecFuzzSpec extends SparkSpec {
         encodePgm(7, 5, (x, y) => (x * 9 + y) % 256),
         s"P3\n7 5\n255\n${Seq.tabulate(105)(i => i % 256).mkString(" ")}\n"
           .getBytes("US-ASCII"),
+        encodePbm(13, 5, (x, y) => (x + y) % 2 == 0),
+        encodePbm(13, 5, (x, y) => (x * y) % 3 == 0, raw = false,
+          packed = true),
         encodePng(9, 7, ch, colorType = 0),
         encodePng(9, 7, ch, colorType = 2),
         encodePng(9, 7, ch, colorType = 4),

@@ -152,6 +152,40 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeBmp(negBigH).isEmpty, "overflowing height must be refused")
   }
 
+  test("PNM codec: P1/P4 bitmaps decode with 1 = black, packed digits, " +
+      "bit-padded rows, and the decode-or-None hostile contract") {
+    // width 13: P4 rows pad 3 bits; the checker pattern exercises both
+    // bit values in every byte
+    val w = 13; val h = 5
+    def black(x: Int, y: Int) = (x + y) % 2 == 0 || x == 7
+    val want = for (y <- 0 until h; x <- 0 until w)
+      yield (if (black(x, y)) 0 else 255)
+    for ((desc, bytes) <- Seq(
+        "P4" -> encodePbm(w, h, black),
+        "P1-spaced" -> encodePbm(w, h, black, raw = false),
+        "P1-packed" -> encodePbm(w, h, black, raw = false, packed = true))) {
+      val got = decodePnm(bytes).getOrElse(fail(s"$desc refused"))
+      assert(got.width == w && got.height == h)
+      assert(got.luma.toSeq == want, s"$desc luma diverged (1 must be black)")
+      // the magic-byte router reaches the same decode
+      assert(decodeImage(bytes).get.luma.toSeq == want, s"$desc routing")
+    }
+    // a P1 comment mid-raster is skipped like a header comment
+    val commented = ("P1\n2 2\n0 1 # trailing comment\n1 0\n")
+      .getBytes("US-ASCII")
+    assert(decodePnm(commented).get.luma.toSeq == Seq(255, 0, 0, 255))
+    // hostile: truncated P4 raster, P1 with too few digits, a non-binary
+    // digit, and hostile dims refused before allocation
+    val p4 = encodePbm(w, h, black)
+    assert(decodePnm(p4.take(p4.length - 1)).isEmpty, "truncated P4")
+    assert(decodePnm("P1\n3 2\n0 1 0 1 0".getBytes).isEmpty, "short P1")
+    assert(decodePnm("P1\n2 2\n0 1 2 0".getBytes).isEmpty, "digit 2 refused")
+    assert(decodePnm("P1\n2147483647 2147483647\n0".getBytes).isEmpty,
+      "hostile P1 dims refused before allocation")
+    assert(decodePnm("P4\n2147483647 2147483647\nA".getBytes).isEmpty,
+      "hostile P4 dims refused before allocation")
+  }
+
   test("PNM codec: raw PPM/PGM round-trip to the same luma as the BMP " +
       "twin of the same channels") {
     val w = 5; val h = 3
