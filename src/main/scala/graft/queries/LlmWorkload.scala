@@ -1393,6 +1393,33 @@ object LlmWorkload {
       .unionByName(row(VectorOps.annIvfHier(emb), "hier"))
   }
 
+  /** Matryoshka-truncation recall — the dimension-reduction gauge a
+    * modern serving stack runs before truncating its embeddings (MRL
+    * serving: keep the first d dims, renormalize implicitly via cosine):
+    * brute-force top-10 over the FIRST-d-dims prefix at d = 16 / 32 / 64,
+    * measured against the full-dim truth — (trunc_dim, matched, total,
+    * recall). d = 64 is the full dim and must read 1.0 (the in-row sanity
+    * anchor); the d = 16/32 rows are the quality-vs-cost trade being
+    * gauged. Cost: each variant is one broadcast probe join over the
+    * prefix — nothing quadratic, nothing new materialized. */
+  def annMatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val bf = graft.Caching.scoped(
+      VectorOps.annBruteForce(emb).select(col("probe_id"), col("neighbor_id")))
+    val total = bf.agg(count(lit(1)).as("total"))
+    def row(d: Int): DataFrame =
+      VectorOps.annBruteForce(
+          emb.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding")))
+        .select(col("probe_id"), col("neighbor_id"))
+        .join(bf, Seq("probe_id", "neighbor_id"))
+        .agg(count(lit(1)).as("matched"))
+        .crossJoin(broadcast(total))
+        .select(lit(d.toLong).as("trunc_dim"), col("matched"), col("total"),
+          (col("matched").cast("double") / col("total").cast("double"))
+            .as("recall"))
+    row(16).unionByName(row(32)).unionByName(row(64))
+  }
+
   /** Feature-hashed text vectors (dim 16), flattened to scalar columns for
     * the compare harness; the array form feeds kmeansAssign (spec-pinned). */
   def textHashedFeatures(spark: SparkSession, dir: String): DataFrame =
@@ -1570,6 +1597,7 @@ object LlmWorkload {
     "text_tfidf_top" -> textTfidfTop,
     "text_hashed_features" -> textHashedFeatures,
     "ann_recall" -> annRecall,
+    "ann_matryoshka_recall" -> annMatryoshkaRecall,
     "prep_stratified_sample" -> prepStratifiedSample,
     "prep_epoch_mix" -> prepEpochMix,
     "dedup_clusters" -> dedupClusters,
@@ -3446,6 +3474,31 @@ object LlmWorkload {
          |UNION ALL
          |SELECT 'hier', CAST(matched AS BIGINT), CAST(total AS BIGINT),
          |  CAST(matched AS DOUBLE) / CAST(total AS DOUBLE) FROM mh, t""".stripMargin,
+    // matryoshka replay: the bruteforce CTE over the first-d-dims prefix
+    // (slice after the elementwise DOUBLE cast — equal values either
+    // order), matched against the full-dim truth; same tie-break
+    "ann_matryoshka_recall" -> {
+      def trunc(d: Int) =
+        s"""(WITH v AS (SELECT vec_id, (embedding::DOUBLE[])[1:$d] AS e FROM embeddings),
+           |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+           |d AS (SELECT p.probe_id, v.vec_id, ${cosSql("v.e", "p.pe")} AS cos
+           |      FROM v, p WHERE v.vec_id <> p.probe_id),
+           |r AS (SELECT probe_id, vec_id,
+           |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC) AS rnk
+           |      FROM d)
+           |SELECT probe_id, vec_id AS neighbor_id FROM r WHERE rnk <= 10)""".stripMargin
+      val rows = Seq(16, 32, 64).map { d =>
+        s"""SELECT CAST($d AS BIGINT) AS trunc_dim,
+           |  CAST((SELECT count(*) FROM ${trunc(d)} t
+           |        JOIN bf USING (probe_id, neighbor_id)) AS BIGINT) AS matched,
+           |  CAST((SELECT count(*) FROM bf) AS BIGINT) AS total,
+           |  CAST((SELECT count(*) FROM ${trunc(d)} t
+           |        JOIN bf USING (probe_id, neighbor_id)) AS DOUBLE)
+           |    / CAST((SELECT count(*) FROM bf) AS DOUBLE) AS recall""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH bf AS (SELECT probe_id, neighbor_id FROM ($bruteforceOracle))
+         |$rows""".stripMargin
+    },
     // feature-hashing replay: same bucket mod, same sign bit, exact counts
     "text_hashed_features" -> {
       val fCols = (0 until 16).map(b =>
