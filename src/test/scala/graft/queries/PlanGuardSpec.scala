@@ -55,6 +55,8 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "text_bm25",              // 1-row corpus-statistics (N, Σdl, df) anchor
     "text_bm25_indexed",      // 1-row summed-stats (N, Σdl) anchor
     "ann_recall",             // probe-set broadcasts + 1-row total anchor
+    "ann_matryoshka_recall",  // same brute-force probe broadcasts over the
+                              // dim prefixes + 1-row total anchor
     "text_tfidf_top",         // 1-row corpus-count anchor
     "kmeans_clusters",        // k-row centroid set broadcast (argmax assign)
     "kmeans_label_purity",    // same k-means centroid broadcasts, label-voted
