@@ -193,6 +193,35 @@ object LlmWorkload {
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     TextOps.langId(Tables(spark, dir, "documents"), "doc_id", "text")
 
+  /** Real subword tokenization: greedy application of the fixed rank-ordered
+    * merge table ([[TextOps.DefaultBpeMerges]] — the same literal the oracle
+    * folds into its replace chain). */
+  def textBpeApply(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeApply(Tables(spark, dir, "documents"), "doc_id", "text")
+
+  /** BPE merge-table training, k=8 iterations — corpus scanned once, each
+    * iteration vocabulary-bounded. The oracle replays all eight argmax
+    * rounds unrolled over materialized CTEs. */
+  def textBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeTrain(Tables(spark, dir, "documents"), "text", k = 8)
+
+  /** End-to-end tokenizer pipeline: train k=8 merges on the corpus, apply
+    * them back to it, pack documents into 2000-token shards. The learned
+    * table crosses the driver as k rows (cap-bounded by construction); the
+    * oracle replays train, apply, and the packer's running-sum window in
+    * one statement. */
+  def textBpePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val merges = TextOps.bpeTrain(docs, "text", k = 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // parallel-writer packing (the prep_pack_shards pattern): a global
+    // running sum would serialize on one task at scale
+    Prep.packShards(
+      TextOps.bpeApply(docs, "doc_id", "text", merges)
+        .withColumn("writer", pmod(col("doc_id"), lit(4))),
+      "doc_id", "n_tokens", budget = 2000L, partitionCols = Seq("writer"))
+  }
+
   def textFingerprints(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprints(Tables(spark, dir, "documents"), "doc_id", "text")
 
@@ -1631,6 +1660,9 @@ object LlmWorkload {
     "text_vocab_shift" -> textVocabShift,
     "text_stats" -> textStats,
     "text_token_counts" -> textTokenCounts,
+    "text_bpe_apply" -> textBpeApply,
+    "text_bpe_train" -> textBpeTrain,
+    "text_bpe_pipeline" -> textBpePipeline,
     "text_lang_id" -> textLangId,
     "text_fingerprints" -> textFingerprints,
     "ann_topk_bruteforce" -> annTopkBruteforce,
@@ -2526,7 +2558,124 @@ object LlmWorkload {
        |              FROM cand) WHERE rnk <= 10),
        |$rrfTailCtes""".stripMargin
 
+  // ---- BPE oracles: DuckDB replays of [[TextOps.bpeApply]]/[[bpeTrain]].
+  // Both engines share one working representation (every symbol wrapped
+  // `chr(1) symbol chr(2)`), so a greedy merge pass is the SAME single
+  // left-to-right `replace` in both — the pattern consumes exactly the two
+  // wrapped symbols, nothing shared with neighbors, both matched exactly.
+  // The merge-table literal is generated from TextOps.DefaultBpeMerges —
+  // one source of truth.
+
+  /** `chr(1)||'sym'||chr(2)||…` — wrapped-symbol SQL literal. */
+  private def bpeWrapLit(parts: String*): String =
+    parts.map(p => s"chr(1)||'$p'||chr(2)").mkString("||")
+
+  /** Per-pre-token base symbolization in DuckDB (chars wrapped, the
+    * word-final marker appended). */
+  private def bpeSymbolizeSql(c: String): String =
+    s"""regexp_replace($c, '(.)', chr(1)||'\\1'||chr(2), 'g')""" +
+      """ || chr(1) || '</w>' || chr(2)"""
+
+  private val bpePretokSql = """'[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'"""
+
+  /** Wrapper chars stripped from hostile text (TextOps.bpeClean twin). */
+  private def bpeCleanSql(c: String): String =
+    s"""regexp_replace($c, '[\\x01\\x02]', '', 'g')"""
+
+  private def bpeApplyOracle: String = {
+    val folded = TextOps.DefaultBpeMerges.foldLeft("s") { case (acc, (a, b)) =>
+      s"replace($acc, ${bpeWrapLit(a, b)}, ${bpeWrapLit(a + b)})"
+    }
+    s"""WITH s0 AS (
+       |  SELECT doc_id, array_to_string(list_transform(
+       |      regexp_extract_all(${bpeCleanSql("text")}, $bpePretokSql),
+       |      w -> ${bpeSymbolizeSql("w")}), '') AS s
+       |  FROM documents),
+       |f AS (SELECT doc_id, $folded AS s FROM s0)
+       |SELECT doc_id,
+       |  CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(string_split(replace(s, chr(2), ''), chr(1)),
+       |    x -> length(x) > 1 AND x <> '</w>')) AS BIGINT) AS n_merged
+       |FROM f""".stripMargin
+  }
+
+  /** The k=8 training loop unrolled as WITH-clause parts: s{i} is the
+    * unique-word table symbolized under merges 1..i-1, m{i} its argmax
+    * pair. MATERIALIZED is load-bearing — inlined CTEs re-expand the chain
+    * exponentially. Shared by the train and pipeline oracles. */
+  private def bpeTrainCtes(k: Int): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"""w AS MATERIALIZED (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(regexp_extract_all(${bpeCleanSql("text")},
+         |                                         $bpePretokSql)) AS word
+         |        FROM documents)
+         |  GROUP BY word),
+         |s1 AS MATERIALIZED (
+         |  SELECT ${bpeSymbolizeSql("word")} AS s, cnt FROM w)""".stripMargin)
+    for (i <- 1 to k) {
+      parts += s"""m$i AS MATERIALIZED (
+         |  SELECT u[1] AS a, u[2] AS b, CAST(SUM(cnt) AS BIGINT) AS pair_count
+         |  FROM (SELECT unnest(list_zip(
+         |          string_split(replace(s, chr(2), ''), chr(1))[2:],
+         |          string_split(replace(s, chr(2), ''), chr(1))[3:])) AS u, cnt
+         |        FROM s$i)
+         |  WHERE u[2] IS NOT NULL
+         |  GROUP BY 1, 2 ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+      if (i < k)
+        parts += s"""s${i + 1} AS MATERIALIZED (
+           |  SELECT replace(s, chr(1)||a||chr(2)||chr(1)||b||chr(2),
+           |                    chr(1)||a||b||chr(2)) AS s, cnt
+           |  FROM s$i, m$i)""".stripMargin
+    }
+    parts.toSeq
+  }
+
+  private def bpeTrainOracle: String = {
+    val k = 8
+    val sel = (1 to k)
+      .map(i => s"SELECT $i AS rank, a, b, pair_count FROM m$i")
+      .mkString(" UNION ALL ")
+    "WITH " + bpeTrainCtes(k).mkString(",\n") +
+      s"\nSELECT CAST(rank AS INTEGER) AS rank, a, b, pair_count FROM ($sel) ORDER BY rank"
+  }
+
+  /** End-to-end tokenizer pipeline oracle: the k=8 train CTEs, the learned
+    * merges applied to the DOCUMENT symbolizations in rank order (one
+    * cross-join replace per rank), then the shard packer's running-sum
+    * window over the resulting token counts. */
+  private def bpePipelineOracle: String = {
+    val k = 8
+    val applyParts = scala.collection.mutable.ArrayBuffer(
+      s"""d0 AS MATERIALIZED (
+         |  SELECT doc_id, array_to_string(list_transform(
+         |      regexp_extract_all(${bpeCleanSql("text")}, $bpePretokSql),
+         |      w -> ${bpeSymbolizeSql("w")}), '') AS s
+         |  FROM documents)""".stripMargin)
+    for (i <- 1 to k)
+      applyParts += s"""d$i AS MATERIALIZED (
+         |  SELECT doc_id, replace(s, chr(1)||a||chr(2)||chr(1)||b||chr(2),
+         |                            chr(1)||a||b||chr(2)) AS s
+         |  FROM d${i - 1}, m$i)""".stripMargin
+    "WITH " + (bpeTrainCtes(k) ++ applyParts).mkString(",\n") + s"""
+       |, counts AS (
+       |  SELECT doc_id,
+       |    CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(replace(s, chr(2), ''), chr(1)),
+       |      x -> length(x) > 1 AND x <> '</w>')) AS BIGINT) AS n_merged
+       |  FROM d$k)
+       |SELECT doc_id, n_tokens, n_merged, doc_id % 4 AS writer,
+       |  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % 4
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    / 2000.0) AS BIGINT) AS shard
+       |FROM counts""".stripMargin
+  }
+
   val oracles: Map[String, String] = baseOracles ++ Map(
+    "text_bpe_apply" -> bpeApplyOracle,
+    "text_bpe_train" -> bpeTrainOracle,
+    "text_bpe_pipeline" -> bpePipelineOracle,
     // registry-served twins: a query that reads PERSISTED union-find state
     // must produce bit-identical answers to its batch-recompute twin — the
     // state layout is an implementation detail the result may not leak, so

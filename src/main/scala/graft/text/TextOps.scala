@@ -826,6 +826,159 @@ object TextOps {
       size(regexp_extract_all(col(textCol),
         lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"), lit(0))).cast("long").as("bpe_tokens"))
 
+  // ---------------------------------------------------------------- BPE
+
+  /** The BPE pre-tokenizer: letter runs | single digits | punctuation runs —
+    * the same alternation [[tokenCounts]] counts with. Merges never cross a
+    * pre-token boundary. */
+  val BpePretokenRegex = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
+
+  /** Symbol wrappers of the BPE working representation: every symbol is
+    * rendered `U+0001 symbol U+0002` and the renderings concatenate. BOTH
+    * markers are load-bearing: a merge's search pattern `L a R L b R`
+    * consumes EXACTLY the two wrapped symbols -- nothing shared with a
+    * neighboring candidate (so adjacent occurrences all merge in one
+    * left-to-right `replace` pass, like the canonical greedy scan) and both
+    * symbols are matched EXACTLY (a trailing-delimiter-free pattern would
+    * let `b` match a following symbol `bc` that merely STARTS with b -- the
+    * false merge [[graft.text.BpeProps]] hunts, and its first draft
+    * caught). Wrapper chars are stripped from hostile text up front, so
+    * text cannot forge symbol boundaries. */
+  val BpeSepL = "\u0001"
+  val BpeSepR = "\u0002"
+
+  /** Word-final marker symbol (Sennrich et al. 2016 convention): appended as
+    * its own symbol so merges can learn word-final units (`er</w>`). Never
+    * the LEFT side of a merge — nothing follows it — which is also what makes
+    * the concatenated per-word strings safe: a merge pattern can only span a
+    * word boundary through a left-side `</w>`. */
+  val BpeEow = "</w>"
+
+  /** A fixed rank-ordered merge table for [[bpeApply]] when no trained table
+    * is supplied — hand-chosen over the corpus's letter distribution,
+    * exercising plain pairs, chained merges (a+b, l+e, ab+le, able+</w>), and
+    * word-final merges. */
+  val DefaultBpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("e", BpeEow), ("n", BpeEow), ("er", BpeEow),
+    ("o", "w"), ("ow", BpeEow), ("o", "r"), ("s", "t"),
+    ("a", "b"), ("l", "e"), ("ab", "le"), ("able", BpeEow),
+    ("t", "h"), ("th", "e"), ("the", BpeEow), ("a", "n"),
+    ("s", "c"), ("sc", "an"), ("scan", BpeEow), ("v", "a"),
+    ("va", "l"), ("val", "u"), ("valu", "e"), ("s", BpeEow))
+
+  /** Wrapped base symbolization of one pre-token: every char becomes a
+    * wrapped symbol, plus the word-final marker. */
+  private def bpeSymbolizedWord(w: Column): Column =
+    concat(regexp_replace(w, "(.)", BpeSepL + "$1" + BpeSepR),
+      lit(BpeSepL + BpeEow + BpeSepR))
+
+  /** Hostile-text guard: the wrapper chars are stripped before
+    * pre-tokenization, so text cannot forge symbol boundaries. */
+  private def bpeClean(c: Column): Column =
+    regexp_replace(c, "[" + BpeSepL + BpeSepR + "]", "")
+
+  /** Wrapped base symbolization of a whole document: per-word
+    * symbolizations concatenated (word boundaries stay merge-proof — see
+    * [[BpeEow]]). */
+  private def bpeSymbolized(textCol: Column): Column =
+    array_join(transform(
+      regexp_extract_all(bpeClean(textCol), lit(BpePretokenRegex), lit(0)),
+      bpeSymbolizedWord _), "")
+
+  /** One greedy left-to-right merge pass of `(a, b) -> ab` over the wrapped
+    * symbol string, as a single codegen'd `replace`. The pattern consumes
+    * exactly the two wrapped symbols (see [[BpeSepL]]), so one replace pass
+    * IS the canonical greedy scan: matches align on symbol starts, both
+    * symbols match exactly, adjacent occurrences are disjoint substrings,
+    * and `replace` never revisits replaced output — pinned against the
+    * reference implementation by [[graft.text.BpeProps]]. */
+  private def bpeMergeOnce(s: Column, a: String, b: String): Column =
+    replace(s, lit(BpeSepL + a + BpeSepR + BpeSepL + b + BpeSepR),
+      lit(BpeSepL + a + b + BpeSepR))
+
+  /**
+   * BPE tokenization by applying a rank-ordered merge table — the real
+   * subword tokenizer behind token-budget accounting (the whitespace and
+   * pre-tokenizer counts in [[tokenCounts]] are its cheap upper/lower
+   * envelope). Returns per document: `n_tokens` (subword count, word-final
+   * markers included — the unit a sequence-length budget meters) and
+   * `n_merged` (tokens that are genuine multi-char merge products, a direct
+   * gauge of how much of the text the merge table covers).
+   *
+   * Scale: one scan, pure string kernels inside whole-stage codegen — no
+   * shuffle, no UDF, no driver participation; the merge table is folded into
+   * the plan as |merges| chained `replace` expressions. 100 TB cost is the
+   * scan itself.
+   */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)] = DefaultBpeMerges): DataFrame = {
+    require(merges.forall(_._1 != BpeEow), "the word-final marker cannot be the left side of a merge")
+    val folded = merges.foldLeft(bpeSymbolized(col(textCol))) {
+      case (s, (a, b)) => bpeMergeOnce(s, a, b)
+    }
+    docs.select(col(idCol).as("doc_id"), folded.as("__s"))
+      .select(col("doc_id"),
+        (length(col("__s")) - length(replace(col("__s"), lit(BpeSepL))))
+          .cast("long").as("n_tokens"),
+        size(filter(split(replace(col("__s"), lit(BpeSepR)), BpeSepL),
+          x => length(x) > 1 && x =!= BpeEow)).cast("long").as("n_merged"))
+  }
+
+  /**
+   * BPE merge-table training: `k` iterations of count-adjacent-pairs /
+   * merge-the-argmax (Sennrich et al. 2016), returning `(rank, a, b,
+   * pair_count)` in learned order. Ties break deterministically by
+   * (a, b) lexicographic — engine-portable on the ASCII symbol domain.
+   *
+   * Scale: the corpus is scanned ONCE (pre-token frequency count — the only
+   * corpus-sized shuffle); every iteration then runs over the UNIQUE-word
+   * table, whose size is vocabulary-bounded and corpus-size-independent (the
+   * fastBPE discipline), re-persisted per round so lineage stays one replace
+   * deep. The per-iteration argmax is a `limit(1).collect` — one driver row,
+   * the cap-bounded pattern. */
+  def bpeTrain(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val words = docs
+      .select(explode(regexp_extract_all(bpeClean(col(textCol)),
+        lit(BpePretokenRegex), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("cnt"))
+    var syms = words.select(bpeSymbolizedWord(col("word")).as("s"), col("cnt"))
+    syms.persist(StorageLevel.MEMORY_AND_DISK)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var exhausted = false
+      for (rank <- 1 to k if !exhausted) {
+        val top = syms
+          .select(col("cnt"),
+            split(replace(col("s"), lit(BpeSepR)), BpeSepL).as("__t"))
+          .select(col("cnt"), when(size(col("__t")) >= lit(3), expr(
+            "transform(sequence(2, size(__t) - 1), " +
+              "i -> struct(element_at(__t, i) AS a, element_at(__t, i + 1) AS b))"))
+            .otherwise(expr("CAST(array() AS array<struct<a:string,b:string>>)"))
+            .as("__p"))
+          .select(explode(col("__p")).as("p"), col("cnt"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("a").asc, col("b").asc)
+          .limit(1) // driver-bounded: one row per iteration
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          learned += ((rank, a, b, c))
+          val next = syms.select(bpeMergeOnce(col("s"), a, b).as("s"), col("cnt"))
+          next.persist(StorageLevel.MEMORY_AND_DISK)
+          next.count(): Unit // materialize before dropping the parent cache
+          syms.unpersist()
+          syms = next
+        }
+      }
+    } finally syms.unpersist(): Unit
+    import spark.implicits._
+    learned.toSeq.toDF("rank", "a", "b", "pair_count")
+  }
+
   /** N-gram-lexicon language ID: per-language stopword hit counts over the
     * word array, highest count wins (ties broken en > de > fr). */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
