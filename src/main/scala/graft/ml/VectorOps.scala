@@ -1161,6 +1161,54 @@ object VectorOps {
   }
 
   /**
+   * Exact covariance matrix of the embedding coordinates — the whitening /
+   * PCA-prep statistic (dimension drift, correlated-coordinate detection,
+   * OPQ-style rotation inputs all start here). Returns the upper triangle
+   * `(i, j, n, sxy, sx, sy, cov)` with 1-based coordinates, `i <= j`.
+   *
+   * Arithmetic is engine-portable by construction (the quantizeInt8
+   * discipline): each coordinate is first quantized to a scaled integer
+   * `round(x * 2^scaleBits)` — exact, because a float's value times a
+   * power of two is exactly representable in double and both engines round
+   * halves away from zero — so `sxy/sx/sy` are exact integer sums and the
+   * final `cov` double is the same IEEE expression evaluated in the same
+   * order on identical inputs. At the default 20 bits and unit-norm-ish
+   * inputs, |x_int| < 2^21: the product sum stays within long for corpora
+   * up to ~2^20 rows per partition pair; a 100 TB deployment raises the
+   * sums to DECIMAL(38,0) (same plan shape, wider accumulator).
+   *
+   * Scale: the d²/2 pair explode is map-local CPU; the groupBy's partial
+   * (map-side) aggregation means the one shuffle carries only
+   * `partitions × d²/2` partial sums — the corpus never moves.
+   */
+  def covarianceReport(emb: DataFrame, vecCol: String = "embedding",
+      scaleBits: Int = 20): DataFrame = {
+    require(scaleBits > 0 && scaleBits <= 26, s"scaleBits out of range: $scaleBits")
+    val scale = (1L << scaleBits).toDouble
+    val ints = emb.select(expr(
+      s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
+      .as("v"))
+    ints
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(v)), i ->
+          |  transform(sequence(i, size(v)), j -> struct(
+          |    i AS i, j AS j,
+          |    element_at(v, i) * element_at(v, j) AS xy,
+          |    element_at(v, i) AS x, element_at(v, j) AS y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.xy").as("xy"), col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+      .withColumn("cov",
+        (col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")
+            / col("n").cast("double"))
+          / col("n").cast("double") / lit(scale * scale))
+  }
+
+  /**
    * Embedding-cosine near-dup pairs — the vector member of the dedup family:
    * candidate pairs are vectors sharing an IVF bucket (equi-join on the
    * nearest-centroid assignment — never an all-pairs product), verified with

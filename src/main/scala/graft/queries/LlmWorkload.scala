@@ -225,6 +225,24 @@ object LlmWorkload {
   def textFingerprints(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprints(Tables(spark, dir, "documents"), "doc_id", "text")
 
+  /** Corpus vocabulary report under the TRAINED k=8 merge table: top-25
+    * subword tokens by frequency — the artifact a tokenizer release ships
+    * next to its merges. Composes train + tokenize over the
+    * vocabulary-bounded unique-word table. */
+  def textBpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val merges = TextOps.bpeTrain(docs, "text", k = 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextOps.bpeVocab(docs, "text", merges, topK = 25)
+  }
+
+  /** Exact coordinate-covariance matrix over the embedding corpus (upper
+    * triangle) — the whitening/PCA-prep face. Integer-exact sums via the
+    * scaled-integer quantization; the final double is the same IEEE
+    * expression in the same order in both engines. */
+  def embeddingCovariance(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.covarianceReport(Tables(spark, dir, "embeddings"))
+
   def annTopkBruteforce(spark: SparkSession, dir: String): DataFrame =
     VectorOps.annBruteForce(Tables(spark, dir, "embeddings"))
 
@@ -1663,6 +1681,8 @@ object LlmWorkload {
     "text_bpe_apply" -> textBpeApply,
     "text_bpe_train" -> textBpeTrain,
     "text_bpe_pipeline" -> textBpePipeline,
+    "text_bpe_vocab" -> textBpeVocab,
+    "embedding_covariance" -> embeddingCovariance,
     "text_lang_id" -> textLangId,
     "text_fingerprints" -> textFingerprints,
     "ann_topk_bruteforce" -> annTopkBruteforce,
@@ -2672,10 +2692,54 @@ object LlmWorkload {
        |FROM counts""".stripMargin
   }
 
+  /** Vocab-report oracle: the train CTEs, one more merge application (s9 =
+    * s8 under m8), then the weighted token rollup and the deterministic
+    * top-25 (count DESC, token ASC). */
+  private def bpeVocabOracle: String = {
+    val k = 8
+    "WITH " + (bpeTrainCtes(k) :+
+      s"""s${k + 1} AS MATERIALIZED (
+         |  SELECT replace(s, chr(1)||a||chr(2)||chr(1)||b||chr(2),
+         |                    chr(1)||a||b||chr(2)) AS s, cnt
+         |  FROM s$k, m$k)""".stripMargin).mkString(",\n") + s"""
+       |, toks AS (
+       |  SELECT unnest(string_split(replace(s, chr(2), ''), chr(1))) AS token, cnt
+       |  FROM s${k + 1})
+       |SELECT token, CAST(SUM(cnt) AS BIGINT) AS cnt
+       |FROM toks WHERE length(token) > 0
+       |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 25""".stripMargin
+  }
+
   val oracles: Map[String, String] = baseOracles ++ Map(
     "text_bpe_apply" -> bpeApplyOracle,
     "text_bpe_train" -> bpeTrainOracle,
     "text_bpe_pipeline" -> bpePipelineOracle,
+    "text_bpe_vocab" -> bpeVocabOracle,
+    // scaled-integer covariance: sums are exact integers in both engines;
+    // the cov double mirrors the Spark expression term-for-term (each sum
+    // cast to DOUBLE BEFORE any multiply — a BIGINT product would stay
+    // exact where doubles round, diverging above 2^53)
+    "embedding_covariance" ->
+      """WITH v AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT unnest(flatten(list_transform(generate_series(1, len(v)), i ->
+        |    list_transform(generate_series(i, len(v)), j -> struct_pack(
+        |      i := i, j := j, xy := v[i] * v[j], x := v[i], y := v[j]))))) AS p
+        |  FROM v)
+        |SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(p.xy) AS BIGINT) AS sxy,
+        |  CAST(SUM(p.x) AS BIGINT) AS sx,
+        |  CAST(SUM(p.y) AS BIGINT) AS sy,
+        |  (CAST(CAST(SUM(p.xy) AS BIGINT) AS DOUBLE)
+        |     - CAST(CAST(SUM(p.x) AS BIGINT) AS DOUBLE)
+        |       * CAST(CAST(SUM(p.y) AS BIGINT) AS DOUBLE)
+        |       / CAST(COUNT(*) AS DOUBLE))
+        |    / CAST(COUNT(*) AS DOUBLE) / (1048576.0 * 1048576.0) AS cov
+        |FROM p GROUP BY 1, 2""".stripMargin,
     // registry-served twins: a query that reads PERSISTED union-find state
     // must produce bit-identical answers to its batch-recompute twin — the
     // state layout is an implementation detail the result may not leak, so

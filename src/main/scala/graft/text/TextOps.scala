@@ -979,6 +979,35 @@ object TextOps {
     learned.toSeq.toDF("rank", "a", "b", "pair_count")
   }
 
+  /**
+   * Corpus vocabulary report under a merge table: the top-k subword tokens
+   * by corpus frequency — what a tokenizer release ships next to its merges
+   * (coverage auditing, UNK-rate estimation, vocab-size tuning).
+   *
+   * Scale: computed over the UNIQUE-word table weighted by word frequency —
+   * the corpus is scanned once for the word count; tokenization and the
+   * token rollup run on vocabulary-bounded data. Top-k is a TakeOrdered,
+   * never a global sort. Ties break (count DESC, token ASC) — total order,
+   * so the k-boundary is engine-portable. */
+  def bpeVocab(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)] = DefaultBpeMerges, topK: Int = 25): DataFrame = {
+    val words = docs
+      .select(explode(regexp_extract_all(bpeClean(col(textCol)),
+        lit(BpePretokenRegex), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("cnt"))
+    val folded = merges.foldLeft(bpeSymbolizedWord(col("word"))) {
+      case (s, (a, b)) => bpeMergeOnce(s, a, b)
+    }
+    words.select(folded.as("s"), col("cnt"))
+      .select(explode(split(replace(col("s"), lit(BpeSepR)), BpeSepL)).as("token"),
+        col("cnt"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topK)
+  }
+
   /** N-gram-lexicon language ID: per-language stopword hit counts over the
     * word array, highest count wins (ties broken en > de > fr). */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

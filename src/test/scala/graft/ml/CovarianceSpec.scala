@@ -1,0 +1,56 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[VectorOps.covarianceReport]] — the exact-arithmetic covariance face.
+  * Hand fixture first (population covariance of a 2×2 case), then contract
+  * checks on the real corpus: triangle shape, non-negative diagonal, and
+  * agreement with a directly-computed double covariance (tolerance-level —
+  * the gate pins bit-exactness against DuckDB; this pins the MATH). */
+class CovarianceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed 2x2 fixture: population variance and covariance") {
+    val emb = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 6.0f)).toDF("embedding")
+    val got = VectorOps.covarianceReport(emb).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getDouble(6))))
+      .toMap
+    assert(got.keySet === Set((1, 1), (1, 2), (2, 2)))
+    // var({1,3}) = 1, cov = E[xy]-E[x]E[y] = 10-8 = 2, var({2,6}) = 4
+    assert(got((1, 1)) === ((2L, 1.0)))
+    assert(got((1, 2)) === ((2L, 2.0)))
+    assert(got((2, 2)) === ((2L, 4.0)))
+  }
+
+  test("real corpus: triangle shape, n = corpus, diagonal non-negative") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = VectorOps.covarianceReport(emb).collect()
+    val d = 64
+    assert(rows.length === d * (d + 1) / 2)
+    val n = emb.count()
+    assert(rows.forall(_.getLong(2) == n))
+    assert(rows.filter(r => r.getInt(0) == r.getInt(1))
+      .forall(_.getDouble(6) >= 0.0))
+  }
+
+  test("matches a directly-computed double covariance to quantization error") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vecs = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length.toDouble
+    def direct(i: Int, j: Int): Double = {
+      val sxy = vecs.map(v => v(i - 1) * v(j - 1)).sum
+      val sx = vecs.map(_(i - 1)).sum
+      val sy = vecs.map(_(j - 1)).sum
+      (sxy - sx * sy / n) / n
+    }
+    val got = VectorOps.covarianceReport(emb).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(6))).toMap
+    // quantization error per coordinate is <= 2^-21; covariance error is
+    // bounded well under 1e-5 at unit-scale inputs
+    Seq((1, 1), (1, 64), (7, 23), (64, 64)).foreach { case (i, j) =>
+      assert(math.abs(got((i, j)) - direct(i, j)) < 1e-5, s"($i,$j)")
+    }
+  }
+}

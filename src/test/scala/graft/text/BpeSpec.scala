@@ -124,6 +124,18 @@ class BpeSpec extends SparkSpec {
     assert(out.count() === 0L)
   }
 
+  test("bpeVocab rolls up weighted token counts with deterministic ties") {
+    // Sennrich corpus under its own k=3 merges: low x3 -> [low</w>],
+    // lower x2 -> [low,e,r,</w>], newest -> [n,e,w,e,s,t,</w>]
+    val docs = Seq("low low low", "lower lower", "newest").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"))
+    val got = TextOps.bpeVocab(docs, "text", merges, topK = 25).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq("e" -> 4L, "</w>" -> 3L, "low</w>" -> 3L,
+      "low" -> 2L, "r" -> 2L, "n" -> 1L, "s" -> 1L, "t" -> 1L, "w" -> 1L))
+  }
+
   test("train -> apply composition: learned merges reduce the token count") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val merges = TextOps.bpeTrain(docs, "text", k = 4).collect()
