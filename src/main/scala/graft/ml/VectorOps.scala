@@ -1209,6 +1209,58 @@ object VectorOps {
   }
 
   /**
+   * Embedding outlier scores — diagonal Mahalanobis distance from the
+   * corpus mean, the embedding-quality pruning filter (drop or down-weight
+   * rows whose representation sits far outside the population). Returns
+   * the `topK` most-outlying `(vec_id, score)`.
+   *
+   * Exactness (the [[covarianceReport]] discipline): coordinates quantize
+   * to `round(x·2^scaleBits)` integers; per coordinate the score term is
+   * `(n·x − Σx)² / (n·Σx² − (Σx)²)` — numerator and denominator are exact
+   * integer arithmetic, each cast to double once, and the per-row sum runs
+   * as an ordered index fold (`aggregate(sequence(...))`), never a
+   * shuffle-order-dependent double sum — so the doubles are bit-identical
+   * across engines and runs.
+   *
+   * Scale: one pass for the 64-row stats (partial aggregation), stats
+   * broadcast back as a one-row array frame (the scalar-crossJoin
+   * pattern), one scoring scan, TakeOrdered top-k. The corpus never
+   * shuffles.
+   */
+  def embeddingOutliers(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", topK: Int = 10,
+      scaleBits: Int = 20): DataFrame = {
+    require(scaleBits > 0 && scaleBits <= 26, s"scaleBits out of range: $scaleBits")
+    val scale = (1L << scaleBits).toDouble
+    val ints = Caching.scoped(emb.select(col(idCol).as("vec_id"), expr(
+      s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
+      .as("v")))
+    val coord = ints
+      .select(explode(expr(
+        "transform(sequence(1, size(v)), i -> struct(i AS i, element_at(v, i) AS x))"))
+        .as("u"))
+      .groupBy(col("u.i").as("i"))
+      .agg(count(lit(1)).as("n"), sum(col("u.x")).as("sx"),
+        sum(expr("u.x * u.x")).as("sxx"))
+    // one-row stats array, index-sorted so the fold order is the
+    // coordinate order in both engines
+    val statsRow = coord.groupBy()
+      .agg(sort_array(collect_list(struct(col("i"), col("n"), col("sx"),
+        col("sxx")))).as("st"))
+    ints.crossJoin(broadcast(statsRow))
+      .select(col("vec_id"), expr(
+        """aggregate(sequence(1, size(v)), CAST(0.0 AS DOUBLE), (acc, i) ->
+          |  acc + CAST((element_at(st, i).n * element_at(v, i) - element_at(st, i).sx)
+          |           * (element_at(st, i).n * element_at(v, i) - element_at(st, i).sx)
+          |             AS DOUBLE)
+          |      / CAST(element_at(st, i).n * element_at(st, i).sxx
+          |           - element_at(st, i).sx * element_at(st, i).sx AS DOUBLE))"""
+          .stripMargin).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(topK)
+  }
+
+  /**
    * Embedding-cosine near-dup pairs — the vector member of the dedup family:
    * candidate pairs are vectors sharing an IVF bucket (equi-join on the
    * nearest-centroid assignment — never an all-pairs product), verified with

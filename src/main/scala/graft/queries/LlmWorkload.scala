@@ -243,6 +243,12 @@ object LlmWorkload {
   def embeddingCovariance(spark: SparkSession, dir: String): DataFrame =
     VectorOps.covarianceReport(Tables(spark, dir, "embeddings"))
 
+  /** Top-10 embedding outliers by diagonal Mahalanobis distance — the
+    * representation-quality pruning filter. Bit-exact across engines via
+    * integer stats + ordered index folds. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.embeddingOutliers(Tables(spark, dir, "embeddings"))
+
   def annTopkBruteforce(spark: SparkSession, dir: String): DataFrame =
     VectorOps.annBruteForce(Tables(spark, dir, "embeddings"))
 
@@ -1683,6 +1689,7 @@ object LlmWorkload {
     "text_bpe_pipeline" -> textBpePipeline,
     "text_bpe_vocab" -> textBpeVocab,
     "embedding_covariance" -> embeddingCovariance,
+    "embedding_outliers" -> embeddingOutliers,
     "text_lang_id" -> textLangId,
     "text_fingerprints" -> textFingerprints,
     "ann_topk_bruteforce" -> annTopkBruteforce,
@@ -2740,6 +2747,30 @@ object LlmWorkload {
         |       / CAST(COUNT(*) AS DOUBLE))
         |    / CAST(COUNT(*) AS DOUBLE) / (1048576.0 * 1048576.0) AS cov
         |FROM p GROUP BY 1, 2""".stripMargin,
+    // diagonal Mahalanobis: per-coordinate stats are exact integer sums;
+    // the per-row score folds coordinate terms IN INDEX ORDER (list_reduce
+    // left-to-right == Spark's aggregate fold: 0.0 + r1 is bit-equal to r1
+    // for non-negative terms), so the doubles hash-match
+    "embedding_outliers" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT u.i AS i, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(u.x) AS BIGINT) AS sx, CAST(SUM(u.x * u.x) AS BIGINT) AS sxx
+        |  FROM (SELECT unnest(list_transform(generate_series(1, len(v)),
+        |          i -> struct_pack(i := i, x := v[i]))) AS u FROM v)
+        |  GROUP BY 1),
+        |st AS (SELECT list(struct_pack(n := n, sx := sx, sxx := sxx) ORDER BY i) AS st
+        |       FROM c),
+        |sc AS (
+        |  SELECT vec_id, list_reduce(list_transform(generate_series(1, len(v)), i ->
+        |      CAST((st[i].n * v[i] - st[i].sx) * (st[i].n * v[i] - st[i].sx) AS DOUBLE)
+        |      / CAST(st[i].n * st[i].sxx - st[i].sx * st[i].sx AS DOUBLE)),
+        |    (a, b) -> a + b) AS score
+        |  FROM v, st)
+        |SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     // registry-served twins: a query that reads PERSISTED union-find state
     // must produce bit-identical answers to its batch-recompute twin — the
     // state layout is an implementation detail the result may not leak, so

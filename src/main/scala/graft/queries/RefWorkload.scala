@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Caching
+
 /**
  * The reference's relational workload (SURVEY.md §2.3-§2.8), re-expressed as
  * native Spark operators over the driver testdata. Per FIXTURES.md §B, the
@@ -263,6 +265,89 @@ object RefWorkload {
   /** Gap-based session windows in batch (twin of StreamAggs.sessionCounts);
     * the oracle is the classic gaps-and-islands SQL formulation — a genuine
     * cross-check of session semantics, not a restatement. */
+  /**
+   * Cohort-retention matrix — the classic web-analytics rollup of the
+   * reference's domain (matomo-style): users cohorted by first-activity
+   * week, then for every (cohort, week-offset) the distinct users still
+   * active, with the retention share against the cohort size.
+   *
+   * Scale: one shuffle on user_id (first-week aggregation), a co-partitioned
+   * join back (same key — no second corpus shuffle under AQE), then the
+   * distinct + rollup on (cohort, offset), whose cardinality is
+   * weeks² — tiny. The retention double is the same two-cast division in
+   * both engines. Offsets are exact: both weeks are week-truncated dates,
+   * so the day difference is always a multiple of 7. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+    val firsts = Caching.scoped(ev.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort")))
+    val sizes = firsts.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    ev.join(firsts, Seq("user_id"))
+      .select(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(sizes, Seq("cohort"))
+      .withColumn("retention",
+        col("n_users").cast("double") / col("cohort_size").cast("double"))
+  }
+
+  /**
+   * DAU/WAU report — daily active users and the trailing-7-day active
+   * users per day, the other staple analytics rollup of the reference's
+   * domain, plus the stickiness share dau/wau.
+   *
+   * Scale: the trailing-week distinct is NOT a range join (which would
+   * nested-loop) — each (day, user) activity row is exploded to the seven
+   * target days it supports, then deduped and counted: linear ×7 row
+   * amplification, all equi-keyed shuffles. Output covers days with
+   * activity (the dau join filters padding targets past the data's edge).
+   */
+  def dauWau(spark: SparkSession, dir: String): DataFrame = {
+    val du = Caching.scoped(Tables(spark, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct())
+    val dau = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(expr("sequence(d, d + INTERVAL 6 DAYS)")).as("d"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("d")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("d"))
+      .withColumn("stickiness",
+        col("dau").cast("double") / col("wau").cast("double"))
+  }
+
+  /**
+   * Per-day bounce rate over 30-minute inactivity sessions — the staple
+   * engagement metric of the reference's domain: a session is a bounce when
+   * it contains exactly one event; the day is the session's start day.
+   *
+   * Scale: gaps-and-islands sessionization is one window shuffle on
+   * user_id (lag + running sum), then a (user, sid) rollup and a tiny
+   * per-day aggregate. The rate double is the same two-cast division in
+   * both engines. */
+  def bounceRate(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events").select(col("user_id"), col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc)
+    val sessions = e
+      .withColumn("__new", when(lag(col("ts"), 1).over(w).isNull ||
+        col("ts") >= lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTES"),
+        1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(to_date(min(col("ts"))).as("d"), count(lit(1)).as("n_events"))
+    sessions.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_rate",
+        col("n_bounces").cast("double") / col("n_sessions").cast("double"))
+  }
+
   def sessionWindowCounts(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -336,6 +421,9 @@ object RefWorkload {
     "range_join_sessions" -> rangeJoinSessions,
     "a5_tumbling_window" -> tumblingWindowCounts,
     "session_windows" -> sessionWindowCounts,
+    "events_retention_cohorts" -> retentionCohorts,
+    "events_dau_wau" -> dauWau,
+    "events_bounce_rate" -> bounceRate,
     "j1_latest_record" -> j1LatestRecord,
     "j2_dup_count" -> j2DupCount,
     "j3_dedup_purge" -> j3DedupPurge,
@@ -368,6 +456,59 @@ object RefWorkload {
     "a5_tumbling_window" ->
       """SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the session CTE mirrors session_windows' gaps-and-islands oracle;
+    // a bounce is a 1-event session, attributed to its start day
+    "events_bounce_rate" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, sid, CAST(MIN(ts) AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT d, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+        |FROM g GROUP BY d""".stripMargin,
+    // trailing-week actives via the same explode-to-target-days shape —
+    // generate_series is end-inclusive like Spark's sequence
+    "events_dau_wau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+        |wau AS (
+        |  SELECT d, CAST(COUNT(*) AS BIGINT) AS wau FROM (
+        |    SELECT DISTINCT CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+        |             INTERVAL 1 DAY)) AS DATE) AS d, user_id
+        |    FROM du) GROUP BY 1)
+        |SELECT dau.d AS d, dau.dau, wau.wau,
+        |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin,
+    // week-truncation parity: both engines' date_trunc('week') starts
+    // Monday; offsets divide exactly (both dates week-truncated)
+    "events_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY 1),
+        |j AS (SELECT DISTINCT f.cohort,
+        |        CAST(datediff('day', f.cohort, e.wk) / 7 AS INTEGER) AS week_offset,
+        |        e.user_id
+        |      FROM e JOIN f USING (user_id)),
+        |s AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1),
+        |r AS (SELECT cohort, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+        |      FROM j GROUP BY 1, 2)
+        |SELECT r.cohort, r.week_offset, r.n_users, s.cohort_size,
+        |  CAST(r.n_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+        |FROM r JOIN s USING (cohort)""".stripMargin,
     "session_windows" ->
       """WITH o AS (
         |  SELECT user_id, ts,

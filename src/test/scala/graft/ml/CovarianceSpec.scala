@@ -34,6 +34,40 @@ class CovarianceSpec extends SparkSpec {
       .forall(_.getDouble(6) >= 0.0))
   }
 
+  test("embeddingOutliers: hand fixture scores and deterministic order") {
+    // three 1-dim vectors {0, 1, 8}: mean 3, n=2... population terms
+    // (n·x − Σx)²/(n·Σx² − Σx²) with n=3, Σx=9·2^20, Σx²=65·2^40:
+    // denominator 3·65−81 = 114 (·2^40); scores: x=0 → 81/114,
+    // x=1 → 36/114, x=8 → 225/114 — outlier order 8, 0, 1
+    val emb = Seq((1L, Seq(0.0f)), (2L, Seq(1.0f)), (3L, Seq(8.0f)))
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.embeddingOutliers(emb, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq === Seq(3L, 1L, 2L))
+    assert(got(0)._2 === 225.0 / 114.0)
+    assert(got(1)._2 === 81.0 / 114.0)
+    assert(got(2)._2 === 36.0 / 114.0)
+  }
+
+  test("embeddingOutliers: scores agree with a direct double computation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val n = vecs.size.toDouble
+    val d = vecs.values.head.length
+    val mean = Array.tabulate(d)(i => vecs.values.map(_(i)).sum / n)
+    val vari = Array.tabulate(d)(i =>
+      vecs.values.map(v => (v(i) - mean(i)) * (v(i) - mean(i))).sum / n)
+    def direct(v: Array[Double]): Double =
+      (0 until d).map(i => (v(i) - mean(i)) * (v(i) - mean(i)) / vari(i)).sum
+    val got = VectorOps.embeddingOutliers(emb, topK = 10).collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(1) - direct(vecs(r.getLong(0)))) < 1e-3,
+        s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("matches a directly-computed double covariance to quantization error") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val vecs = emb.select(col("embedding")).collect()

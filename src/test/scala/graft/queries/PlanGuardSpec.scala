@@ -58,6 +58,8 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "ann_matryoshka_recall",  // same brute-force probe broadcasts over the
                               // dim prefixes + 1-row total anchor
     "text_tfidf_top",         // 1-row corpus-count anchor
+    "embedding_outliers",     // 1-row coordinate-stats array anchor (64
+                              // structs broadcast back for the scoring fold)
     "kmeans_clusters",        // k-row centroid set broadcast (argmax assign)
     "kmeans_label_purity",    // same k-means centroid broadcasts, label-voted
     "agg_kmv_sketch",         // 1-row direct × 1-row merged sketch summary

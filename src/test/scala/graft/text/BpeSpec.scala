@@ -93,6 +93,15 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("hostile text: wrapper chars are stripped, not boundary-forging") {
+    // a document smuggling the wrapper bytes plus a fake wrapped merge
+    // pattern must tokenize exactly like the text with those bytes removed
+    val hostile = "th\u0001e\u0002 \u0001s\u0002\u0001c\u0002an"
+    val clean = "the scan"
+    val got = applyRows(Seq(hostile, clean))
+    assert(got(0L) === got(1L))
+  }
+
   test("bpeApply matches the reference on the real corpus sample") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
