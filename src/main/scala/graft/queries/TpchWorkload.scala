@@ -372,7 +372,97 @@ object TpchWorkload {
           .as("merge_exact"))
   }
 
+  /** The order-priority shape (TPC-H Q4, adapted to this schema's dates:
+    * "late" = a lineitem shipped more than 30 days after the order date):
+    * an EXISTS semi-join from orders into the fact table, then a tiny
+    * priority histogram. The semi-join shuffles once on the order key and
+    * carries the non-equi lateness predicate inside the join. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1997-01-01")); val hi = to_timestamp(lit("1997-07-01"))
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > expr("o_orderdate + INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** The shipping-mode rollup shape (TPC-H Q12, this schema's flags): late
+    * shipments (≥ 60 days after order date) joined back to their orders,
+    * rolled up per return flag with the classic two-priority CASE sums.
+    * One shuffle on the order key; the CASE sums are integer-exact. */
+  def q12PriorityByFlag(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= expr("o_orderdate + INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+  }
+
+  /** The disjunctive-predicate shape (TPC-H Q19): revenue under an OR of
+    * three (brand, size-range, quantity-range) conjunctions over
+    * lineitem ⋈ part. The disjunction references both sides, so it
+    * evaluates post-join; each branch's single-side conjuncts still prune
+    * the scans via Catalyst's OR-factoring (brand/size reach the part
+    * scan, quantity bounds the fact scan). part broadcasts. */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part")
+    def branch(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand &&
+        col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(branch("Brand#1", 15, 1, 20) || branch("Brand#2", 25, 10, 30) ||
+        branch("Brand#3", 35, 20, 40))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount", 4, 2)))
+        .cast("double").as("revenue"))
+  }
+
+  /** The waiting-suppliers shape (TPC-H Q21, adapted: the lineitem that
+    * shipped LAST in a finished multi-supplier order): per supplier, the
+    * count of its lineitems in status-F orders where another supplier
+    * participated (EXISTS) but none shipped strictly later (NOT EXISTS) —
+    * the classic semi + anti SELF-join pair on the fact table, both
+    * equi-keyed on the order key with the supplier/date predicates carried
+    * inside the joins (never a cartesian). Top 10 by count. */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val l1 = li.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val fOrders = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val l2 = li.select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+    val l3 = li.select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"),
+      col("l_shipdate").as("ld3"))
+    l1.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .join(l2, col("lo2") === col("l_orderkey") && col("ls2") =!= col("l_suppkey"),
+        "left_semi")
+      .join(l3, col("lo3") === col("l_orderkey") && col("ls3") =!= col("l_suppkey")
+        && col("ld3") > col("l_shipdate"), "left_anti")
+      .join(broadcast(Tables(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority" -> q4OrderPriority,
+    "q12_priority_by_flag" -> q12PriorityByFlag,
+    "q19_disjunctive_revenue" -> q19DisjunctiveRevenue,
+    "q21_waiting_suppliers" -> q21WaitingSuppliers,
     "agg_distinct_count" -> distinctCounts,
     "agg_sketches" -> sketchAggs,
     "agg_exact_quantiles" -> exactQuantiles,
@@ -417,6 +507,49 @@ object TpchWorkload {
       |WHERE rnk <= 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q12_priority_by_flag" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |        AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |        AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 10""".stripMargin,
     "agg_distinct_count" ->
       "SELECT count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders FROM orders",
     // sketch replay: only the exact twin and the TRUE tolerance verdicts are
