@@ -267,9 +267,12 @@ object RefWorkload {
     * cross-check of session semantics, not a restatement. */
   /**
    * Cohort-retention matrix — the classic web-analytics rollup of the
-   * reference's domain (matomo-style): users cohorted by first-activity
-   * week, then for every (cohort, week-offset) the distinct users still
-   * active, with the retention share against the cohort size.
+   * reference's domain (it replicates matomo's per-visit log_visit table,
+   * reference: _settings.py:95-99, and documents exactly this per-day
+   * visit-count rollup shape over visit_first_action_time,
+   * _settings.py:146-150): users cohorted by first-activity week, then for
+   * every (cohort, week-offset) the distinct users still active, with the
+   * retention share against the cohort size.
    *
    * Scale: one shuffle on user_id (first-week aggregation), a co-partitioned
    * join back (same key — no second corpus shuffle under AQE), then the
@@ -298,8 +301,9 @@ object RefWorkload {
 
   /**
    * DAU/WAU report — daily active users and the trailing-7-day active
-   * users per day, the other staple analytics rollup of the reference's
-   * domain, plus the stickiness share dau/wau.
+   * users per day, the other staple rollup over the reference's replicated
+   * visit log (reference: _settings.py:95-99,146-150), plus the
+   * stickiness share dau/wau.
    *
    * Scale: the trailing-week distinct is NOT a range join (which would
    * nested-loop) — each (day, user) activity row is exploded to the seven
@@ -323,8 +327,10 @@ object RefWorkload {
 
   /**
    * Per-day bounce rate over 30-minute inactivity sessions — the staple
-   * engagement metric of the reference's domain: a session is a bounce when
-   * it contains exactly one event; the day is the session's start day.
+   * engagement metric over the reference's replicated action log
+   * (log_link_visit_action, one row per visitor action, reference:
+   * _settings.py:97,111-113): a session is a bounce when it contains
+   * exactly one event; the day is the session's start day.
    *
    * Scale: gaps-and-islands sessionization is one window shuffle on
    * user_id (lag + running sum), then a (user, sid) rollup and a tiny
