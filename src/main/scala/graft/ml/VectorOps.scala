@@ -1173,21 +1173,27 @@ object VectorOps {
    * halves away from zero — so `sxy/sx/sy` are exact integer sums and the
    * final `cov` double is the same IEEE expression evaluated in the same
    * order on identical inputs. At the default 20 bits and unit-norm-ish
-   * inputs, |x_int| < 2^21: the product sum stays within long for corpora
-   * up to ~2^20 rows per partition pair; a 100 TB deployment raises the
-   * sums to DECIMAL(38,0) (same plan shape, wider accumulator).
+   * inputs, |x_int| < 2^21: the LONG product sum is provably exact only
+   * up to [[covarianceLongSafeRows]] rows (~half a million at 20 bits) —
+   * a corpus above it passes `wideSums = true` to raise the accumulators
+   * to DECIMAL(38,0) (exact to 10³⁸ ≈ 2¹²⁶, same plan shape: the per-pair
+   * product still fits long and only the SUM widens; `CovarianceSpec`
+   * pins the two accumulators bit-equal — sums and cov — on the fixture
+   * corpus). The sf-scale gate entry stays on the long path.
    *
    * Scale: the d²/2 pair explode is map-local CPU; the groupBy's partial
    * (map-side) aggregation means the one shuffle carries only
    * `partitions × d²/2` partial sums — the corpus never moves.
    */
   def covarianceReport(emb: DataFrame, vecCol: String = "embedding",
-      scaleBits: Int = 20): DataFrame = {
+      scaleBits: Int = 20, wideSums: Boolean = false): DataFrame = {
     require(scaleBits > 0 && scaleBits <= 26, s"scaleBits out of range: $scaleBits")
     val scale = (1L << scaleBits).toDouble
     val ints = emb.select(expr(
       s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
       .as("v"))
+    def acc(c: Column): Column =
+      if (wideSums) c.cast("decimal(38,0)") else c
     ints
       .select(explode(expr(
         """flatten(transform(sequence(1, size(v)), i ->
@@ -1199,14 +1205,22 @@ object VectorOps {
       .select(col("p.i").as("i"), col("p.j").as("j"),
         col("p.xy").as("xy"), col("p.x").as("x"), col("p.y").as("y"))
       .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+      .agg(count(lit(1)).as("n"), sum(acc(col("xy"))).as("sxy"),
+        sum(acc(col("x"))).as("sx"), sum(acc(col("y"))).as("sy"))
       .withColumn("cov",
         (col("sxy").cast("double")
           - col("sx").cast("double") * col("sy").cast("double")
             / col("n").cast("double"))
           / col("n").cast("double") / lit(scale * scale))
   }
+
+  /** Rows below which [[covarianceReport]]'s LONG accumulators are provably
+    * exact: the widest sum is |Σxy| < n · 2^(2·(scaleBits+1)) for
+    * unit-norm-ish inputs (|x| ≤ 2), which must stay under 2⁶². At the
+    * default 20 bits that is 2¹⁹ ≈ 5×10⁵ rows; corpora above it pass
+    * `wideSums = true`. */
+  def covarianceLongSafeRows(scaleBits: Int): Long =
+    1L << math.max(0, 62 - 2 * (scaleBits + 1))
 
   /**
    * Embedding outlier scores — diagonal Mahalanobis distance from the
@@ -1220,7 +1234,23 @@ object VectorOps {
    * integer arithmetic, each cast to double once, and the per-row sum runs
    * as an ordered index fold (`aggregate(sequence(...))`), never a
    * shuffle-order-dependent double sum — so the doubles are bit-identical
-   * across engines and runs.
+   * across engines and runs. A CONSTANT coordinate has zero variance —
+   * its denominator is exactly 0 (exact integers, so the test is exact
+   * too) and its term is defined as 0: a coordinate that never moves
+   * carries no outlier information, and without the guard Spark's
+   * non-ANSI division would emit NaN where DuckDB raises.
+   *
+   * Row bound (ADVICE r14): the widest term is the numerator
+   * `(n·x − Σx)²` ≈ `(2n·2^(scaleBits+1))²` — at the default 20 bits and
+   * unit-norm-ish inputs it crosses the signed-64-bit range near
+   * n ≈ 2²², so exactness holds for corpora up to ~4M rows; the sf-scale
+   * gate inputs (≤ 2×10³ rows) sit ~2000× inside the bound. Beyond that,
+   * REDUCE `scaleBits`: the score is scale-invariant (numerator and
+   * denominator both carry 2^(2·scaleBits)), so a smaller scale changes
+   * only the quantization granularity, and each bit dropped doubles the
+   * exact-row bound — scaleBits=8 holds to ~2³⁴ rows, plenty for a
+   * 100 TB corpus whose quantization error is already dominated by the
+   * embedding model's own noise floor.
    *
    * Scale: one pass for the 64-row stats (partial aggregation), stats
    * broadcast back as a one-row array frame (the scalar-crossJoin
@@ -1250,11 +1280,14 @@ object VectorOps {
     ints.crossJoin(broadcast(statsRow))
       .select(col("vec_id"), expr(
         """aggregate(sequence(1, size(v)), CAST(0.0 AS DOUBLE), (acc, i) ->
-          |  acc + CAST((element_at(st, i).n * element_at(v, i) - element_at(st, i).sx)
-          |           * (element_at(st, i).n * element_at(v, i) - element_at(st, i).sx)
-          |             AS DOUBLE)
-          |      / CAST(element_at(st, i).n * element_at(st, i).sxx
-          |           - element_at(st, i).sx * element_at(st, i).sx AS DOUBLE))"""
+          |  acc + CASE WHEN element_at(st, i).n * element_at(st, i).sxx
+          |                - element_at(st, i).sx * element_at(st, i).sx = 0
+          |      THEN CAST(0.0 AS DOUBLE)
+          |      ELSE CAST((element_at(st, i).n * element_at(v, i) - element_at(st, i).sx)
+          |              * (element_at(st, i).n * element_at(v, i) - element_at(st, i).sx)
+          |                AS DOUBLE)
+          |         / CAST(element_at(st, i).n * element_at(st, i).sxx
+          |              - element_at(st, i).sx * element_at(st, i).sx AS DOUBLE) END)"""
           .stripMargin).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(topK)

@@ -2649,11 +2649,17 @@ object LlmWorkload {
          |        FROM s$i)
          |  WHERE u[2] IS NOT NULL
          |  GROUP BY 1, 2 ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+      // LEFT JOIN + identity fallback (ADVICE r14): when training exhausts
+      // before rank i (tiny/degenerate corpus), m$i is EMPTY — a plain
+      // cross join would empty s${i+1} and with it the whole chain, while
+      // the Spark side just stops merging. m$i has at most one row, so the
+      // LEFT JOIN never duplicates; a NULL merge applies the identity.
       if (i < k)
         parts += s"""s${i + 1} AS MATERIALIZED (
-           |  SELECT replace(s, chr(1)||a||chr(2)||chr(1)||b||chr(2),
-           |                    chr(1)||a||b||chr(2)) AS s, cnt
-           |  FROM s$i, m$i)""".stripMargin
+           |  SELECT CASE WHEN m.a IS NULL THEN s
+           |         ELSE replace(s, chr(1)||m.a||chr(2)||chr(1)||m.b||chr(2),
+           |                         chr(1)||m.a||m.b||chr(2)) END AS s, cnt
+           |  FROM s$i LEFT JOIN m$i m ON TRUE)""".stripMargin
     }
     parts.toSeq
   }
@@ -2679,11 +2685,14 @@ object LlmWorkload {
          |      regexp_extract_all(${bpeCleanSql("text")}, $bpePretokSql),
          |      w -> ${bpeSymbolizeSql("w")}), '') AS s
          |  FROM documents)""".stripMargin)
+    // exhaustion-safe like the train chain (ADVICE r14): empty m$i must
+    // leave the documents untouched, not empty the pipeline
     for (i <- 1 to k)
       applyParts += s"""d$i AS MATERIALIZED (
-         |  SELECT doc_id, replace(s, chr(1)||a||chr(2)||chr(1)||b||chr(2),
-         |                            chr(1)||a||b||chr(2)) AS s
-         |  FROM d${i - 1}, m$i)""".stripMargin
+         |  SELECT doc_id, CASE WHEN m.a IS NULL THEN s
+         |         ELSE replace(s, chr(1)||m.a||chr(2)||chr(1)||m.b||chr(2),
+         |                         chr(1)||m.a||m.b||chr(2)) END AS s
+         |  FROM d${i - 1} LEFT JOIN m$i m ON TRUE)""".stripMargin
     "WITH " + (bpeTrainCtes(k) ++ applyParts).mkString(",\n") + s"""
        |, counts AS (
        |  SELECT doc_id,
@@ -2706,9 +2715,10 @@ object LlmWorkload {
     val k = 8
     "WITH " + (bpeTrainCtes(k) :+
       s"""s${k + 1} AS MATERIALIZED (
-         |  SELECT replace(s, chr(1)||a||chr(2)||chr(1)||b||chr(2),
-         |                    chr(1)||a||b||chr(2)) AS s, cnt
-         |  FROM s$k, m$k)""".stripMargin).mkString(",\n") + s"""
+         |  SELECT CASE WHEN m.a IS NULL THEN s
+         |         ELSE replace(s, chr(1)||m.a||chr(2)||chr(1)||m.b||chr(2),
+         |                         chr(1)||m.a||m.b||chr(2)) END AS s, cnt
+         |  FROM s$k LEFT JOIN m$k m ON TRUE)""".stripMargin).mkString(",\n") + s"""
        |, toks AS (
        |  SELECT unnest(string_split(replace(s, chr(2), ''), chr(1))) AS token, cnt
        |  FROM s${k + 1})
@@ -2766,8 +2776,10 @@ object LlmWorkload {
         |       FROM c),
         |sc AS (
         |  SELECT vec_id, list_reduce(list_transform(generate_series(1, len(v)), i ->
-        |      CAST((st[i].n * v[i] - st[i].sx) * (st[i].n * v[i] - st[i].sx) AS DOUBLE)
-        |      / CAST(st[i].n * st[i].sxx - st[i].sx * st[i].sx AS DOUBLE)),
+        |      CASE WHEN st[i].n * st[i].sxx - st[i].sx * st[i].sx = 0
+        |      THEN CAST(0.0 AS DOUBLE)
+        |      ELSE CAST((st[i].n * v[i] - st[i].sx) * (st[i].n * v[i] - st[i].sx) AS DOUBLE)
+        |      / CAST(st[i].n * st[i].sxx - st[i].sx * st[i].sx AS DOUBLE) END),
         |    (a, b) -> a + b) AS score
         |  FROM v, st)
         |SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,

@@ -737,6 +737,9 @@ object CorpusIngest {
     // never changes them.
     def sortedBy(c: String): DataFrame => DataFrame =
       df => df.repartitionByRange(col(c)).sortWithinPartitions(col(c))
+    // MaintStages wraps run INSIDE each unit body, so a unit's line times
+    // its own fold, not its wait in the pool queue; the folds overlap, so
+    // the lines name the heaviest STAGE, not a wall-clock decomposition
     parallelUnits(
       Seq(docsPath(cfg) -> identity[DataFrame] _,
         hashesPath(cfg) -> sortedBy("text_hash"),
@@ -745,13 +748,20 @@ object CorpusIngest {
         postingsPath(cfg) -> sortedBy("word"),
         phashPath(cfg) -> sortedBy("v"))
         .map { case (dir, layout) =>
-          () => foldBatchPartitions(spark, fs, dir, layout) } ++ Seq(
-        () => foldAggregated(spark, fs, docstatsPath(cfg)) { df =>
-          df.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
-            coalesce(sum(col("dl_sum")), lit(0L)).as("dl_sum"))
+          () => MaintStages("compact_text",
+            s"fold_${dir.split('/').last}") {
+            foldBatchPartitions(spark, fs, dir, layout)
+          } } ++ Seq(
+        () => MaintStages("compact_text", "fold_docstats") {
+          foldAggregated(spark, fs, docstatsPath(cfg)) { df =>
+            df.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+              coalesce(sum(col("dl_sum")), lit(0L)).as("dl_sum"))
+          }
         },
-        () => foldAggregated(spark, fs, mgPath(cfg)) { df =>
-          df.groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+        () => MaintStages("compact_text", "fold_mg") {
+          foldAggregated(spark, fs, mgPath(cfg)) { df =>
+            df.groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+          }
         }))
   }
 

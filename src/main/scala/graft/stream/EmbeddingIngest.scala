@@ -782,11 +782,13 @@ object EmbeddingIngest {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       Seq(vecsPath(cfg), ivfPath(cfg), centroidsPath(cfg))
         .foreach(CorpusIngest.rollbackIfStranded(fs, _))
-      val vecs = CorpusIngest.readOrEmpty(spark, vecsPath(cfg),
-        "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
-          col("n"))
-        .localCheckpoint()
+      val vecs = MaintStages("recluster", "read_checkpoint_vecs") {
+        CorpusIngest.readOrEmpty(spark, vecsPath(cfg),
+          "vec_id BIGINT, embedding ARRAY<FLOAT>, n DOUBLE, ingest_batch BIGINT")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+            col("n"))
+          .localCheckpoint()
+      }
       if (!vecs.isEmpty) {
         // recluster SUBSUMES every ledger batch into the -1 assignment/code
         // partitions exactly like a fold, so it must raise the compaction
@@ -820,13 +822,17 @@ object EmbeddingIngest {
         // is safe even when emptied buckets shrink the result below the
         // threshold.
         val seeds = vecs.filter(pmod(col("vec_id"), lit(cfg.centroidMod)) === 0)
-        val codebook = (if (hierActive(cfg, seeds))
-            VectorOps.kmeansCentroidsHier(vecs, cfg.centroidMod, cfg.metaMod)
-          else VectorOps.kmeansCentroids(vecs, cfg.centroidMod))
-          .localCheckpoint()
+        val codebook = MaintStages("recluster", "kmeans_retrain") {
+          (if (hierActive(cfg, seeds))
+              VectorOps.kmeansCentroidsHier(vecs, cfg.centroidMod, cfg.metaMod)
+            else VectorOps.kmeansCentroids(vecs, cfg.centroidMod))
+            .localCheckpoint()
+        }
         IngestLock.heartbeat(spark, lock)
-        CorpusIngest.swapWrite(fs, centroidsPath(cfg),
-          codebook.withColumn("frozen_batch", lit(epoch)))
+        MaintStages("recluster", "swap_centroids") {
+          CorpusIngest.swapWrite(fs, centroidsPath(cfg),
+            codebook.withColumn("frozen_batch", lit(epoch)))
+        }
         // retrained-generation routing, persisted right after the codebook
         // it routes (same epoch stamp); assignment then runs in the
         // generation's mode — meta-first above the threshold, flat below.
@@ -837,29 +843,37 @@ object EmbeddingIngest {
           if (!hierActive(cfg, codebook)) None
           else {
             IngestLock.heartbeat(spark, lock)
-            writeMetaRoute(spark, fs, cfg, codebook, epoch)
-            Some(VectorOps.ivfHierRouting(codebook, cfg.metaMod))
+            MaintStages("recluster", "meta_route") {
+              writeMetaRoute(spark, fs, cfg, codebook, epoch)
+              Some(VectorOps.ivfHierRouting(codebook, cfg.metaMod))
+            }
           }
-        val assigns = (hierFrames match {
-            case Some((m, ch)) => VectorOps.ivfAssignHierRouted(m, ch, vecs)
-            case None => VectorOps.ivfAssign(codebook, vecs)
-              .select(col("vec_id"), col("centroid_id"))
-          })
-          .withColumn("epoch", lit(epoch))
-          .withColumn("ingest_batch", lit(-1L))
-          .localCheckpoint()
+        val assigns = MaintStages("recluster", "assign_sweep") {
+          (hierFrames match {
+              case Some((m, ch)) => VectorOps.ivfAssignHierRouted(m, ch, vecs)
+              case None => VectorOps.ivfAssign(codebook, vecs)
+                .select(col("vec_id"), col("centroid_id"))
+            })
+            .withColumn("epoch", lit(epoch))
+            .withColumn("ingest_batch", lit(-1L))
+            .localCheckpoint()
+        }
         IngestLock.heartbeat(spark, lock)
-        CorpusIngest.swapWrite(fs, ivfPath(cfg), assigns,
-          partitionCols = Seq("ingest_batch"))
+        MaintStages("recluster", "swap_ivf") {
+          CorpusIngest.swapWrite(fs, ivfPath(cfg), assigns,
+            partitionCols = Seq("ingest_batch"))
+        }
         // rebuild the serving lists against the NEW codebook generation —
         // until this write lands, readers see stale-epoch lists and fall
         // back to the (coherent) split layout; a crash here leaves exactly
         // that state, and re-running recluster is the repair
         IngestLock.heartbeat(spark, lock)
-        writeIvfLists(spark, fs, cfg,
-          CorpusIngest.readOrEmpty(spark, vecsPath(cfg), vecsDdl),
-          assigns, epoch,
-          CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
+        MaintStages("recluster", "serving_lists_rewrite") {
+          writeIvfLists(spark, fs, cfg,
+            CorpusIngest.readOrEmpty(spark, vecsPath(cfg), vecsDdl),
+            assigns, epoch,
+            CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
+        }
 
         // ---- PQ half of the drift repair (VERDICT r9 item 4): retrain
         // the per-subspace codebooks on the CURRENT corpus and backfill
@@ -873,14 +887,19 @@ object EmbeddingIngest {
         val pqEpoch =
           if (priorPqEpoch.isNullAt(0)) ReclusterStamp
           else math.min(ReclusterStamp, priorPqEpoch.getLong(0) - 1)
-        val pqCb = VectorOps.pqCodebooks(
-            vecs.select(col("vec_id"), col("e").as("embedding")),
-            m = cfg.pqM, codebookMod = cfg.pqCodebookMod)
-          .localCheckpoint()
+        val pqCb = MaintStages("recluster", "pq_codebook_retrain") {
+          VectorOps.pqCodebooks(
+              vecs.select(col("vec_id"), col("e").as("embedding")),
+              m = cfg.pqM, codebookMod = cfg.pqCodebookMod)
+            .localCheckpoint()
+        }
         IngestLock.heartbeat(spark, lock)
-        CorpusIngest.swapWrite(fs, pqCodebooksPath(cfg),
-          pqCb.withColumn("frozen_batch", lit(pqEpoch)))
-        val codes = VectorOps.pqEncodeWith(pqCb,
+        MaintStages("recluster", "swap_pqcb") {
+          CorpusIngest.swapWrite(fs, pqCodebooksPath(cfg),
+            pqCb.withColumn("frozen_batch", lit(pqEpoch)))
+        }
+        val codes = MaintStages("recluster", "pq_encode") {
+          VectorOps.pqEncodeWith(pqCb,
             vecs.select(col("vec_id"), col("e")), cfg.pqM)
           .select(col("vec_id"), col("j"), col("code_id"))
           .withColumn("epoch", lit(pqEpoch))
@@ -894,9 +913,12 @@ object EmbeddingIngest {
           .repartitionByRange(col("centroid_id"))
           .sortWithinPartitions(col("centroid_id"))
           .localCheckpoint()
+        }
         IngestLock.heartbeat(spark, lock)
-        CorpusIngest.swapWrite(fs, pqPath(cfg), codes,
-          partitionCols = Seq("ingest_batch"))
+        MaintStages("recluster", "swap_pq") {
+          CorpusIngest.swapWrite(fs, pqPath(cfg), codes,
+            partitionCols = Seq("ingest_batch"))
+        }
       }
     }
 

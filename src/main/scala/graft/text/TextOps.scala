@@ -910,9 +910,25 @@ object TextOps {
    * the plan as |merges| chained `replace` expressions. 100 TB cost is the
    * scan itself.
    */
+  /** Caller-supplied merge tables must preserve the two invariants the
+    * single-replace pass rests on: no left side may END with the word-final
+    * marker (the two-symbol pattern would then start at a word's last
+    * symbol and consume the next word's first — a cross-word merge; a
+    * trained table can never produce one because nothing follows `</w>`,
+    * but `("er</w>", "t")` from a hostile caller would), and no symbol may
+    * contain the wrapper characters (they would forge symbol boundaries
+    * inside the pattern itself). */
+  private def requireValidMerges(merges: Seq[(String, String)]): Unit = {
+    require(merges.forall(!_._1.endsWith(BpeEow)),
+      "the word-final marker cannot end the left side of a merge")
+    require(merges.forall { case (a, b) =>
+      !(a + b).contains(BpeSepL) && !(a + b).contains(BpeSepR) },
+      "merge symbols cannot contain the wrapper characters")
+  }
+
   def bpeApply(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)] = DefaultBpeMerges): DataFrame = {
-    require(merges.forall(_._1 != BpeEow), "the word-final marker cannot be the left side of a merge")
+    requireValidMerges(merges)
     val folded = merges.foldLeft(bpeSymbolized(col(textCol))) {
       case (s, (a, b)) => bpeMergeOnce(s, a, b)
     }
@@ -991,6 +1007,7 @@ object TextOps {
    * so the k-boundary is engine-portable. */
   def bpeVocab(docs: DataFrame, textCol: String,
       merges: Seq[(String, String)] = DefaultBpeMerges, topK: Int = 25): DataFrame = {
+    requireValidMerges(merges)
     val words = docs
       .select(explode(regexp_extract_all(bpeClean(col(textCol)),
         lit(BpePretokenRegex), lit(0))).as("word"))

@@ -68,6 +68,44 @@ class CovarianceSpec extends SparkSpec {
     }
   }
 
+  test("wideSums: DECIMAL(38,0) accumulators bit-equal to the long path") {
+    // the 100 TB accumulator (VERDICT r14 item 7): above
+    // covarianceLongSafeRows the sums widen to DECIMAL(38,0) — same plan
+    // shape, and on a corpus where BOTH are exact they must agree exactly:
+    // integer sums value-equal, the cov double bit-equal (a decimal→double
+    // cast of an integer rounds identically to long→double)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def keyed(wide: Boolean) = VectorOps.covarianceReport(emb, wideSums = wide)
+      .collect().map { r =>
+        val sums = // (sxy, sx, sy) at 3..5; n (long on both paths) at 2
+          if (wide) (3 to 5).map(k => BigDecimal(r.getDecimal(k)))
+          else (3 to 5).map(k => BigDecimal(r.getLong(k)))
+        (r.getInt(0), r.getInt(1)) ->
+          ((sums, r.getLong(2), java.lang.Double.doubleToLongBits(r.getDouble(6))))
+      }.toMap
+    val narrow = keyed(wide = false)
+    val wide = keyed(wide = true)
+    assert(narrow.keySet === wide.keySet)
+    narrow.foreach { case (k, v) => assert(wide(k) === v, s"pair $k") }
+    assert(VectorOps.covarianceLongSafeRows(20) === (1L << 20))
+  }
+
+  test("embeddingOutliers: a zero-variance coordinate contributes 0") {
+    // constant coordinate 2 (ADVICE r14): its denominator n·Σx²−(Σx)² is
+    // exactly 0 — the guard defines the term as 0 instead of Spark's
+    // non-ANSI NaN, so the scores equal the 1-dim fixture's exactly
+    val emb = Seq((1L, Seq(0.0f, 5.0f)), (2L, Seq(1.0f, 5.0f)),
+        (3L, Seq(8.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.embeddingOutliers(emb, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq === Seq(3L, 1L, 2L))
+    assert(got.forall(g => !g._2.isNaN && !g._2.isInfinite))
+    assert(got(0)._2 === 225.0 / 114.0)
+    assert(got(1)._2 === 81.0 / 114.0)
+    assert(got(2)._2 === 36.0 / 114.0)
+  }
+
   test("matches a directly-computed double covariance to quantization error") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val vecs = emb.select(col("embedding")).collect()

@@ -157,4 +157,30 @@ class BpeSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n_tokens")).head
     assert(after < before)
   }
+
+  test("merge-table guard refuses boundary-spanning and wrapper-forging merges") {
+    // ADVICE r14: a left side that merely ENDS with </w> (constructible as
+    // a symbol via a right-side-</w> merge) spans word boundaries when
+    // used as a merge's left side — the guard must catch it, not just a
+    // bare </w> left side. Wrapper chars in either side forge symbol
+    // boundaries inside the pattern.
+    val docs = Seq((1L, "er t")).toDF("doc_id", "text")
+    def refused(merges: Seq[(String, String)]): Unit = {
+      intercept[IllegalArgumentException] {
+        TextOps.bpeApply(docs, "doc_id", "text", merges)
+      }
+      intercept[IllegalArgumentException] {
+        TextOps.bpeVocab(docs, "text", merges)
+      }
+      ()
+    }
+    refused(Seq(("</w>", "t")))
+    refused(Seq(("er</w>", "t")))
+    refused(Seq(("e\u0001", "r")))
+    refused(Seq(("e", "r\u0002")))
+    // word-final merges (RIGHT side </w>) stay legal — the table's norm
+    val ok = TextOps.bpeApply(docs, "doc_id", "text",
+      Seq(("e", "r"), ("er", "</w>"))).collect()
+    assert(ok.length === 1)
+  }
 }

@@ -17,9 +17,14 @@ deliberately got heavier (it gained coverage), without which min-merge
 would flag it as a suspect on every future run forever.
 
 CONTRACT: BENCH_BANDS.json must stay a FLAT name->number map — graft.Bench
-parses it with a "key": number regex (not a JSON parser) and now refuses a
-file with any nested structure; adding metadata fields here would disable
-the adjudication loudly at the next bench run.
+parses it with a "key": number regex (not a JSON parser) and refuses a file
+with any nested structure. Keys with a "__" prefix are metadata graft.Bench
+excludes from the bands: "__prime_mbps" records the band-setting window's
+own disk throughput (max of the source run's pre/prime probes), the
+yardstick a later run compares its OWN priming probes against to declare
+itself degraded_window up front (VERDICT r14 item 1c). On --merge it takes
+the MAX across windows — the bands are min-merged from the cleanest
+windows, so the prime must represent the cleanest window too.
 
 Usage: update_bands.py [--merge] [--raise k1,k2] [BENCH_DETAIL.json]"""
 import json
@@ -30,10 +35,12 @@ import sys
 def main(src, merge, raised):
     d = json.load(open(src))
     io = d.get("io_probe", {})
+    prime = max([io.get("pre_mbps", 0.0)] + io.get("prime_mbps", []))
     new = {k: round(v, 3) for k, v in d["queries"].items()}
     bands = dict(new)
     if merge and os.path.exists("BENCH_BANDS.json"):
         old = json.load(open("BENCH_BANDS.json"))
+        prime = max(prime, old.pop("__prime_mbps", 0.0))
         bands = {k: min(old.get(k, float("inf")), new.get(k, float("inf")))
                  for k in set(old) | set(new)}
         for k in raised:
@@ -41,6 +48,8 @@ def main(src, merge, raised):
                 bands[k] = new[k]
             else:
                 print(f"warn: --raise {k} not in {src}, band left as-is")
+    if prime > 0:
+        bands["__prime_mbps"] = round(prime, 1)
     with open("BENCH_BANDS.json", "w") as f:
         json.dump(bands, f, indent=1, sort_keys=True)
         f.write("\n")
