@@ -43,6 +43,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // full bench runs that vanish in isolation
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
+  // the cap-bounded IN pushdowns (MaxProbePushIds = 1000, matching
+  // Sessions' parquet inFilterThreshold) reach parquet-mr as an ~1000-deep
+  // OR tree whose column-index evaluator recurses per node; under the
+  // additional codegen frames of a scan task that overflows the default
+  // 1 MB thread stack (observed once as a task-killing StackOverflowError
+  // in an r15 maintenance run). 8 MB of mostly-virtual stack per thread
+  // removes the cliff without touching the pushdown's pruning power.
+  "-Xss8m",
 )
 // Stale JUnit XML from deleted suites inflates report counts (a removed
 // scratch suite kept counting for two rounds) — wipe the reports dir

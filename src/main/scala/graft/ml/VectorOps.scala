@@ -1055,19 +1055,58 @@ object VectorOps {
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("ce"))
       .withColumn("cn", sqrt(dot("ce", "ce")))
 
+  /** Rows per centroid past which the Lloyd TRAINING passes run on a
+    * deterministic mod-sample of the corpus instead of all of it — the
+    * standard codebook discipline (FAISS caps k-means training at 256
+    * points per centroid for the same reason): a centroid's mean is
+    * estimated from its bucket, and a few hundred points estimate a
+    * 16-64-dim mean to far below the quantization cell size, so training
+    * on more corpus buys noise reduction nobody can observe while its
+    * cost grows with the corpus. With the cap, retraining costs
+    * O(cap · nlist · √nlist) REGARDLESS of corpus size, and the one
+    * remaining corpus-sized pass is the single post-training backfill
+    * assignment — the bound that keeps recluster viable at 100 TB, where
+    * unsampled Lloyd would be corpus × √nlist per iteration (corpus^1.5
+    * under bucket-size-constant nlist growth: the maint_recluster curve's
+    * named super-linear stage, r15 diagnosis). Sampling is by vec_id
+    * modulus — deterministic and engine-portable like the seed pick. */
+  val KmeansTrainPointsPerCentroid = 256
+
+  /** Deterministic Lloyd training subset under the
+    * [[KmeansTrainPointsPerCentroid]] cap: every `stride`-th vec_id, with
+    * the stride chosen so ≈ cap·nlist rows survive. Seeds (vec_id %
+    * centroidMod == 0) need not be inside the sample — they only
+    * initialize; the refined means come from the sample's buckets. */
+  private def kmeansTrainSample(v: DataFrame, centroidMod: Int): DataFrame = {
+    val n = v.count()
+    val nlist = math.max(1L, n / centroidMod)
+    val stride = n / math.max(1L, KmeansTrainPointsPerCentroid.toLong * nlist)
+    if (stride <= 1L) v
+    else v.filter(pmod(col("vec_id"), lit(stride)) === 0)
+  }
+
   /** Lloyd-refined CODEBOOK over PREPARED vectors (vec_id, e, n) — what a
     * recluster retrains its coarse centroids with instead of re-picking by
     * modulus ([[graft.stream.EmbeddingIngest.recluster]]): mod-sampled
-    * seeds (deterministic), `iters` assign+refine passes, centroid ids
+    * seeds (deterministic), `iters` assign+refine passes over the
+    * [[KmeansTrainPointsPerCentroid]]-capped training sample, centroid ids
     * stay the seed ids so epoch-stamped assignment rows remain joinable.
     * Returns (centroid_id, ce, cn). */
   def kmeansCentroids(v: DataFrame, centroidMod: Int = 25,
       iters: Int = 2): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    val train = kmeansTrainSample(v, centroidMod)
     var centroids = v.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
+    // localCheckpoint per refine (the r15 recluster diagnosis): an
+    // iteration's codebook is an nlist-row sliver, but its LINEAGE is a
+    // corpus-sized join+explode+aggregate — left lazy, the next
+    // iteration's plan re-derives it at every reference, nesting a fresh
+    // corpus pass per level. Materializing the sliver keeps each
+    // iteration exactly one training pass.
     for (_ <- 1 to iters)
-      centroids = lloydRefine(v, assignToCentroids(v, centroids))
+      centroids = lloydRefine(train, assignToCentroids(train, centroids))
+        .localCheckpoint()
     centroids
   }
 
@@ -1087,9 +1126,22 @@ object VectorOps {
     require(iters >= 1, s"iters must be >= 1: $iters")
     var centroids = v.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
-    for (_ <- 1 to iters) {
-      val (m, ch) = ivfHierRouting(centroids, metaMod)
-      centroids = lloydRefine(v, ivfAssignHierRouted(m, ch, v))
+    // localCheckpoint per refine (see [[kmeansCentroids]]) matters most
+    // here: ivfHierRouting references the codebook ~4× per iteration (two
+    // eager emptiness guards, the meta pick, the child join), so an
+    // un-materialized iteration-1 refine re-executed four-plus times
+    // inside iteration 2's plan. The r15 stage log split what remains:
+    // per iteration ≈ one assign (train × (√nlist metas + one bucket's
+    // children)) + one refine (train-sized shuffle + exact decimal sums)
+    // — genuine work the training-sample cap bounds at scale, the
+    // kmeans_retrain stage being ~55-60% of maint_recluster_embedding_100x.
+    val train = kmeansTrainSample(v, centroidMod)
+    for (i <- 1 to iters) {
+      centroids = graft.stream.MaintStages("recluster", s"kmeans_iter$i") {
+        val (m, ch) = ivfHierRouting(centroids, metaMod)
+        lloydRefine(train, ivfAssignHierRouted(m, ch, train))
+          .localCheckpoint()
+      }
     }
     centroids
   }
