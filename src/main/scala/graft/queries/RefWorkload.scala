@@ -354,6 +354,48 @@ object RefWorkload {
         col("n_bounces").cast("double") / col("n_sessions").cast("double"))
   }
 
+  /**
+   * WINDOW-BOUNDED funnel conversion — the funnel variant every analytics
+   * product actually reports (Matomo/GA-style): a step only converts if
+   * it happens within the conversion window after the previous step's
+   * first entry (here: first click within 7 days of the first view, first
+   * purchase within 7 days of that click). One row with per-step user
+   * counts and conversion shares. Distinct from [[funnelSteps]], the
+   * unbounded ordered funnel: the deadline changes who converts, not just
+   * the report's shape.
+   *
+   * Scale: three aggregations all keyed on user_id — the first groupBy
+   * establishes the hash partitioning and the two step joins + their
+   * rollups reuse it (co-partitioned, no re-shuffle); the final count is
+   * a 1-row two-phase aggregate. Never a corpus-sized window function,
+   * never a range join. The shares are the same two-cast division in
+   * both engines.
+   */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Caching.scoped(Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts")))
+    def firstWithin(step: String, prev: DataFrame, prevTs: String, out: String) =
+      ev.filter(col("event_type") === step)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col(prevTs) &&
+          col("ts") <= col(prevTs) + expr("INTERVAL 7 DAYS"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as(out))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = firstWithin("click", s1, "t1", "t2")
+    val s3 = firstWithin("purchase", s2.select(col("user_id"), col("t2")), "t2", "t3")
+    s1.join(s2, Seq("user_id"), "left_outer")
+      .join(s3, Seq("user_id"), "left_outer")
+      .agg(count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_view_click"),
+        count(col("t3")).as("n_view_click_purchase"))
+      .withColumn("click_rate",
+        col("n_view_click").cast("double") / col("n_view").cast("double"))
+      .withColumn("purchase_rate",
+        col("n_view_click_purchase").cast("double") / col("n_view").cast("double"))
+  }
+
   def sessionWindowCounts(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -428,6 +470,7 @@ object RefWorkload {
     "a5_tumbling_window" -> tumblingWindowCounts,
     "session_windows" -> sessionWindowCounts,
     "events_retention_cohorts" -> retentionCohorts,
+    "events_funnel_conversion" -> funnelConversion,
     "events_dau_wau" -> dauWau,
     "events_bounce_rate" -> bounceRate,
     "j1_latest_record" -> j1LatestRecord,
@@ -462,6 +505,34 @@ object RefWorkload {
     "a5_tumbling_window" ->
       """SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // each step's first-occurrence chain replayed as correlated MIN
+    // subqueries; counts are exact integers, shares one division each
+    "events_funnel_conversion" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL 7 DAY GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(COUNT(s1.t1) AS BIGINT) AS n_view,
+        |    CAST(COUNT(s2.t2) AS BIGINT) AS n_view_click,
+        |    CAST(COUNT(s3.t3) AS BIGINT) AS n_view_click_purchase
+        |  FROM s1
+        |  LEFT OUTER JOIN s2 ON s1.user_id = s2.user_id
+        |  LEFT OUTER JOIN s3 ON s1.user_id = s3.user_id)
+        |SELECT n_view, n_view_click, n_view_click_purchase,
+        |  CAST(n_view_click AS DOUBLE) / CAST(n_view AS DOUBLE) AS click_rate,
+        |  CAST(n_view_click_purchase AS DOUBLE) / CAST(n_view AS DOUBLE)
+        |    AS purchase_rate
+        |FROM c""".stripMargin,
     // the session CTE mirrors session_windows' gaps-and-islands oracle;
     // a bounce is a 1-event session, attributed to its start day
     "events_bounce_rate" ->

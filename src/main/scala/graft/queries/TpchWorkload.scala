@@ -458,8 +458,115 @@ object TpchWorkload {
       .limit(10)
   }
 
+  /** The returned-item revenue shape (TPC-H Q10): revenue lost to
+    * returns per customer over one quarter — lineitem (R-flagged) joined
+    * through its order to the customer and nation dims, top 20 by
+    * revenue. The fact-side join is one shuffle on the order key; the
+    * customer and nation dims broadcast (15k / 25 rows at sf0.1 — far
+    * under the 10 MB threshold, and at 100 TB the customer dim is still
+    * the small side a broadcast or bucketed join handles). Revenue sums
+    * in DECIMAL and casts to double once — engine-portable. */
+  def q10ReturnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1997-01-01"))
+    val hi = to_timestamp(lit("1997-04-01"))
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables(spark, dir, "customer")
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount", 4, 2)))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** The order-count distribution shape (TPC-H Q13): how many customers
+    * placed exactly k orders, zero included — the canonical LEFT OUTER
+    * JOIN + double aggregation (the zero bucket only exists because the
+    * outer join keeps orderless customers). Urgent orders are excluded so
+    * the outer join filters the RIGHT side pre-join (the classic
+    * not-like-comment stand-in on this schema). Two shuffles: custkey,
+    * then the count histogram. */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"))
+    Tables(spark, dir, "customer").select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count")) // non-null = matched orders
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** The parts-supplier-count shape (TPC-H Q16): per (brand, type, size)
+    * — restricted sizes, one brand and one type excluded — how many
+    * DISTINCT suppliers ship the part, suppliers on the low-balance list
+    * excluded by anti-join (the complaints-subquery stand-in; lineitem's
+    * (partkey, suppkey) pairs stand in for partsupp). The anti-join
+    * broadcasts the tiny exclusion list; the distinct count is one
+    * two-phase aggregate on the (brand, type, size) key. */
+  def q16PartSupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val badSupp = Tables(spark, dir, "supplier")
+      .filter(dec("s_acctbal") < 1000).select(col("s_suppkey"))
+    val ps = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+    Tables(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .join(ps, col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+  }
+
+  /** The idle-balances shape (TPC-H Q22): per nation, customers holding
+    * an above-average positive balance who never ordered — the scalar
+    * aggregate subquery + NOT EXISTS pair. The above-average test runs as
+    * the EXACT cross-multiplied decimal comparison `bal · n > Σbal`
+    * (dividing first would make the cut double-rounding-dependent and
+    * engine-divergent); the one-row stats frame broadcasts; the
+    * no-recent-orders test is a broadcast anti-join at this scale and a
+    * shuffle anti-join at 100 TB — both equi-keyed. (On this synthetic
+    * schema every customer has SOME order, so the classic never-ordered
+    * test would be vacuously empty — "inactive since 1999" keeps the
+    * exact Q22 plan shape with live rows.) */
+  def q22IdleBalances(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), dec("c_acctbal").as("bal"))
+    val stats = cust.filter(col("bal") > 0)
+      .agg(sum(col("bal")).as("s"), count(lit(1)).as("n"))
+    cust.filter(col("bal") > 0)
+      .crossJoin(broadcast(stats))
+      .filter(col("bal") * col("n") > col("s"))
+      .join(Tables(spark, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01")))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal")).cast("double").as("totacctbal"))
+      .orderBy(col("c_nationkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q4_order_priority" -> q4OrderPriority,
+    "q10_returned_revenue" -> q10ReturnedRevenue,
+    "q13_order_distribution" -> q13OrderDistribution,
+    "q16_part_supplier_counts" -> q16PartSupplierCounts,
+    "q22_idle_balances" -> q22IdleBalances,
     "q12_priority_by_flag" -> q12PriorityByFlag,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue,
     "q21_waiting_suppliers" -> q21WaitingSuppliers,
@@ -507,6 +614,55 @@ object TpchWorkload {
       |WHERE rnk <= 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_custkey) AS BIGINT) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q16_part_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM part
+        |JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |  ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE CAST(s_acctbal AS DECIMAL(18,2)) < 1000)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin,
+    "q22_idle_balances" ->
+      """WITH pos AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0),
+        |st AS (SELECT SUM(bal) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM pos)
+        |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(bal) AS DOUBLE) AS totacctbal
+        |FROM pos, st
+        |WHERE bal * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey ASC""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
         |FROM orders o

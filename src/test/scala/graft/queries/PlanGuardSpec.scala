@@ -75,7 +75,8 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "retrieval_mrr",          // same retrieval broadcasts, truth-joined
     "text_pmi_bigrams",       // 1-row corpus-totals (n_uni, n_bi) anchor
     "ann_ivf_drift",          // centroid broadcast + 1-row (total, k) anchor
-    "text_vocab_shift")       // 1-row per-half totals anchor
+    "text_vocab_shift",       // 1-row per-half totals anchor
+    "q22_idle_balances")      // 1-row (Σbal, n) scalar-subquery anchor
 
   test("no registered query plans a cartesian, unjustified nested-loop join, " +
       "or partition-less window") {
