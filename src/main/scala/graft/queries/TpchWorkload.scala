@@ -561,7 +561,241 @@ object TpchWorkload {
       .orderBy(col("c_nationkey").asc)
   }
 
+  /** The forecast-revenue shape (TPC-H Q6): the pure single-scan filter
+    * aggregate — every predicate (ship year, discount band, quantity cap)
+    * pushes into the parquet scan, and the plan is one partial+final
+    * DECIMAL sum with no join and no wide shuffle. The simplest query in
+    * the family, kept as the scan-throughput yardstick. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1997-01-01")); val hi = to_timestamp(lit("1998-01-01"))
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec("l_extendedprice") * dec("l_discount", 4, 2))
+        .cast("double").as("revenue"))
+  }
+
+  /** The volume-shipping shape (TPC-H Q7): bilateral trade between two
+    * nations — supplier nation on one side, customer nation on the other,
+    * both directions, revenue per (supp_nation, cust_nation, ship year).
+    * Both nation lookups ride broadcast dim joins (supplier and the
+    * nation-tagged customer are dims at any realistic dim:fact ratio); the
+    * two-nation filter prunes each dim BEFORE the fact joins, so the fact
+    * shuffle only carries rows that can still qualify. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1996-01-01")); val hi = to_timestamp(lit("1998-01-01"))
+    val nations = Seq("NATION_1", "NATION_2")
+    val supp = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")
+        .filter(col("n_name").isin(nations: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables(spark, dir, "customer")
+      .join(broadcast(Tables(spark, dir, "nation")
+        .filter(col("n_name").isin(nations: _*))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount", 4, 2)))
+        .cast("double").as("revenue"))
+  }
+
+  /** The market-share shape (TPC-H Q8): within one region's customers and
+    * one part type, the share of each order-year's revenue delivered by
+    * suppliers of one target nation. Both the numerator and denominator
+    * are conditional DECIMAL sums inside ONE aggregation (the q14
+    * discipline — exact under any partitioning, one IEEE division at the
+    * end), so the share never needs a second pass or a self-join. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1996-01-01")); val hi = to_timestamp(lit("1998-01-01"))
+    val suppNation = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val regionCust = Tables(spark, dir, "customer")
+      .join(broadcast(Tables(spark, dir, "nation")
+          .join(broadcast(Tables(spark, dir, "region")
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val vol = dec("l_extendedprice") * (lit(1) - dec("l_discount", 4, 2))
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(Tables(spark, dir, "part")
+          .filter(col("p_type") === "STANDARD").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(regionCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("nation_revenue"),
+        sum(vol).cast("double").as("total_revenue"))
+      .withColumn("mkt_share", col("nation_revenue") / col("total_revenue"))
+  }
+
+  /** The product-type-profit shape (TPC-H Q9, adapted: no partsupp table,
+    * so unit cost is the part's list price at a fixed 50% margin): profit
+    * per (supplier nation, order year) over one part-name family. Revenue
+    * and cost accumulate as two separate DECIMAL sums and subtract once at
+    * the end (sum(a−b) = sum(a)−sum(b) exactly in decimal, and the two
+    * narrower accumulators keep every intermediate inside DECIMAL(38)).
+    * part and supplier broadcast; the one fact-fact join shuffles on the
+    * order key. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables(spark, dir, "part")
+      .filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), dec("p_retailprice", 12, 2).as("unit_price"))
+    val suppNation = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg((sum(dec("l_extendedprice") * (lit(1) - dec("l_discount", 4, 2))) -
+        sum(col("unit_price") * dec("l_quantity", 4, 1) *
+          lit("0.50").cast("decimal(3,2)")))
+        .cast("double").as("profit"))
+  }
+
+  /** The important-stock shape (TPC-H Q11, adapted: no partsupp, so a
+    * part's "stock value" held by one nation's suppliers is the DECIMAL
+    * revenue its lineitems shipped through them): parts whose value
+    * exceeds 0.1% of the nation's total. The global total is a 1-row
+    * anchor (broadcast; PlanGuard-whitelisted) and the cut is the EXACT
+    * cross-multiplied comparison `value · 1000 > total` — never a divided
+    * double. One shuffle on the part key; the supplier set broadcasts. */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")
+        .filter(col("n_name") === "NATION_5")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = Tables(spark, dir, "lineitem")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec("l_extendedprice")).as("value"))
+    val total = value.agg(sum(col("value")).as("total"))
+    value.crossJoin(broadcast(total))
+      .filter(col("value") * lit(1000) > col("total"))
+      .select(col("l_partkey"), col("value").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey").asc)
+  }
+
+  /** The small-quantity-revenue shape (TPC-H Q17): average yearly revenue
+    * lost if small orders (under 20% of the part's average quantity) went
+    * unfilled, over one brand+type family. The correlated per-part average
+    * is an equi-join against a per-part (count, Σqty) rollup over the SAME
+    * brand-filtered scan, and the 20%-of-average cut is the exact
+    * cross-multiplied DECIMAL comparison `qty · 5 · n < Σqty`. The part
+    * filter broadcasts into both fact scans; everything else is one
+    * part-key shuffle. */
+  def q17SmallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val pf = Tables(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#1" && col("p_type") === "SMALL")
+      .select(col("p_partkey"))
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val st = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), sum(dec("l_quantity", 4, 1)).as("sq"))
+    li.join(st, Seq("l_partkey"))
+      .filter(dec("l_quantity", 4, 1) * lit(5) * col("n") < col("sq"))
+      .agg((sum(dec("l_extendedprice")).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
+  /** The promotable-suppliers shape (TPC-H Q20, adapted: no partsupp
+    * availqty, so a supplier is "promotable" when it shipped MORE THAN
+    * HALF of a part's total 1997 volume — the dominant-supplier cut):
+    * suppliers of one nation dominating any part in one name family.
+    * Per-(part, supplier) and per-part quantity rollups share one
+    * name-filtered scan; the half cut is the exact cross-multiplied
+    * `pair_qty · 2 > part_qty`; the survivor set semi-joins into the
+    * supplier dim. One part-key shuffle, dims broadcast. */
+  def q20PromotableSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1997-01-01")); val hi = to_timestamp(lit("1998-01-01"))
+    val pf = Tables(spark, dir, "part")
+      .filter(col("p_name").like("small%")).select(col("p_partkey"))
+    val pairQty = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec("l_quantity", 4, 1)).as("q"))
+    val partQty = pairQty.groupBy(col("l_partkey")).agg(sum(col("q")).as("tq"))
+    val dominant = pairQty.join(partQty, Seq("l_partkey"))
+      .filter(col("q") * lit(2) > col("tq"))
+      .select(col("l_suppkey"))
+    Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")
+        .filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"),
+        col("s_acctbal").cast("double").as("s_acctbal"))
+      .orderBy(col("s_name").asc)
+  }
+
+  /** The min-cost-supplier shape (TPC-H Q2, adapted: no partsupp
+    * supplycost, so a (part, supplier) pair's "cost" is the DECIMAL sum
+    * of extended price the pair actually shipped — exact, so the
+    * min-equality join is deterministic): for one part family, the
+    * region's cheapest supplier(s) per part, richest account first. The
+    * correlated MIN is an equi-join against a per-part min over the SAME
+    * region-restricted pair rollup; supplier and part dims broadcast; the
+    * pair rollup is the one fact shuffle. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val regionSupp = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")
+          .join(broadcast(Tables(spark, dir, "region")
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val pairCost = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec("l_extendedprice")).as("cost"))
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+    val minCost = pairCost.groupBy(col("l_partkey").as("mp"))
+      .agg(min(col("cost")).as("mc"))
+    pairCost.join(minCost, col("l_partkey") === col("mp") && col("cost") === col("mc"))
+      .join(broadcast(Tables(spark, dir, "part")
+          .filter(col("p_size") === 10 && col("p_type") === "LARGE")
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal").cast("double").as("s_acctbal"), col("s_name"),
+        col("n_name"), col("p_partkey"), col("cost").cast("double").as("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc)
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> q2MinCostSupplier,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q7_volume_shipping" -> q7VolumeShipping,
+    "q8_market_share" -> q8MarketShare,
+    "q9_product_profit" -> q9ProductProfit,
+    "q11_important_stock" -> q11ImportantStock,
+    "q17_small_quantity_revenue" -> q17SmallQuantityRevenue,
+    "q20_promotable_suppliers" -> q20PromotableSuppliers,
     "q4_order_priority" -> q4OrderPriority,
     "q10_returned_revenue" -> q10ReturnedRevenue,
     "q13_order_distribution" -> q13OrderDistribution,
@@ -614,6 +848,131 @@ object TpchWorkload {
       |WHERE rnk <= 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+        |  AND nc.n_name IN ('NATION_1', 'NATION_2')
+        |  AND ns.n_name <> nc.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
+        |  CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_type = 'STANDARD'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM customer
+        |              JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |              JOIN region ON nc.n_regionkey = r_regionkey
+        |              WHERE c_custkey = o_custkey AND r_name = 'ASIA')
+        |GROUP BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(4,2))))
+        |     - SUM(CAST(p_retailprice AS DECIMAL(12,2))
+        |         * CAST(l_quantity AS DECIMAL(4,1))
+        |         * CAST('0.50' AS DECIMAL(3,2))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q11_important_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                      JOIN nation ON s_nationkey = n_nationkey
+        |                      WHERE n_name = 'NATION_5')
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(value) AS total FROM v)
+        |SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        |FROM v, t
+        |WHERE value * 1000 > total
+        |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+    "q17_small_quantity_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'),
+        |st AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(CAST(l_quantity AS DECIMAL(4,1))) AS sq
+        |       FROM li GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |  AS avg_yearly
+        |FROM li JOIN st USING (l_partkey)
+        |WHERE CAST(l_quantity AS DECIMAL(4,1)) * 5 * n < sq""".stripMargin,
+    "q20_promotable_suppliers" ->
+      """WITH pq AS (
+        |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(4,1))) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, SUM(q) AS tq FROM pq GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM pq JOIN pt USING (l_partkey)
+        |                    WHERE q * 2 > tq)
+        |ORDER BY s_name ASC""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH rs AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |pc AS (
+        |  SELECT l_partkey, s_name, s_acctbal, n_name,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        |  FROM lineitem JOIN rs ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2, 3, 4),
+        |mn AS (SELECT l_partkey, MIN(cost) AS mc FROM pc GROUP BY 1)
+        |SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+        |  l_partkey AS p_partkey, CAST(cost AS DOUBLE) AS cost
+        |FROM pc JOIN mn USING (l_partkey)
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE cost = mc AND p_size = 10 AND p_type = 'LARGE'
+        |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+        |LIMIT 100""".stripMargin,
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

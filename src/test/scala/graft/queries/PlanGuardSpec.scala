@@ -76,7 +76,8 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "text_pmi_bigrams",       // 1-row corpus-totals (n_uni, n_bi) anchor
     "ann_ivf_drift",          // centroid broadcast + 1-row (total, k) anchor
     "text_vocab_shift",       // 1-row per-half totals anchor
-    "q22_idle_balances")      // 1-row (Σbal, n) scalar-subquery anchor
+    "q22_idle_balances",      // 1-row (Σbal, n) scalar-subquery anchor
+    "q11_important_stock")    // 1-row Σvalue total anchor (cross-multiplied cut)
 
   test("no registered query plans a cartesian, unjustified nested-loop join, " +
       "or partition-less window") {
