@@ -515,6 +515,67 @@ object VectorOps {
   }
 
   /**
+   * Exact radius (range) similarity search — every corpus vector within
+   * cosine >= tau of each probe: the "find ALL near things" complement to
+   * top-k (FAISS `range_search`), used when the caller needs a coverage
+   * guarantee (all near-dups, all in-threshold retrievals), not a quota.
+   * Brute-force reference: one broadcast of the probe set against the
+   * corpus scan — the radius filter needs no rank, so the plan is a pure
+   * scan+filter with NO window at all (cheaper than top-k at the same
+   * coverage). The cosine is emitted: it is the same strict left-fold IEEE
+   * expression in both engines, so the oracle pins the values, not just
+   * the ids.
+   */
+  def annRange(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", probeMod: Int = 100,
+      tau: Double = 0.3): DataFrame = {
+    val v = Caching.scoped(asDouble(emb, idCol, vecCol))
+    val probes = v.filter(pmod(col("vec_id"), lit(probeMod)) === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("n").as("pn"))
+    v.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", cosPre("e", "pe", "n", "pn"))
+      .filter(col("cos") >= tau)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /**
+   * IVF-pruned radius search — [[annRange]]'s scale path: the corpus is
+   * bucketed by nearest centroid (one equi-shuffle, exactly [[annIvf]]'s
+   * layout), each probe scans only its `nprobe` nearest buckets, and the
+   * exact cosine filter keeps the in-radius survivors. Same approximation
+   * contract as the rest of the IVF family: candidates outside the probed
+   * buckets are lost by design (the measured-recall gauge is
+   * `ann_range_recall`), in exchange for per-probe cost ∝ nprobe × bucket
+   * instead of ∝ corpus. At fixture geometry the in-radius pairs are by
+   * construction the bucket-sharing ones, so recall holds at 1.0 — pinned
+   * by the gauge, not assumed.
+   */
+  def annRangeIvf(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", centroidMod: Int = 25,
+      probeMod: Int = 100, nprobe: Int = 2, tau: Double = 0.3): DataFrame = {
+    val v = Caching.scoped(asDouble(emb, idCol, vecCol))
+    val centroids = v.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
+    val assigned = assignToCentroids(v, centroids)
+    val probes = v.filter(pmod(col("vec_id"), lit(probeMod)) === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("n").as("pn"))
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    val probeBuckets = probes.join(broadcast(centroids))
+      .withColumn("cos", cosPre("pe", "ce", "pn", "cn"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("pe"), col("pn"), col("centroid_id"))
+    probeBuckets
+      .join(assigned, Seq("centroid_id"))                 // equi-join on bucket
+      .filter(col("vec_id") =!= col("probe_id"))
+      .join(v, Seq("vec_id"))
+      .withColumn("cos", cosPre("e", "pe", "n", "pn"))
+      .filter(col("cos") >= tau)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /**
    * SRP-LSH (signed-random-projection) near-dup pairs — the LSH-bucketed
    * alternative to [[embeddingNearDupPairs]]'s IVF bucketing: no centroid
    * set at all. Each vector gets a `bits`-bit signature (bit j = sign of the

@@ -252,6 +252,33 @@ object LlmWorkload {
   def annTopkBruteforce(spark: SparkSession, dir: String): DataFrame =
     VectorOps.annBruteForce(Tables(spark, dir, "embeddings"))
 
+  /** Exact radius search ([[VectorOps.annRange]]): every vector within
+    * cosine >= 0.3 of each probe — the coverage-guaranteed complement to
+    * top-k, with the cosine itself pinned by the oracle. */
+  def annRangeBruteforce(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.annRange(Tables(spark, dir, "embeddings"))
+
+  /** IVF-pruned radius search ([[VectorOps.annRangeIvf]]): same radius
+    * contract served from nprobe=2 buckets — per-probe cost ∝ nprobe ×
+    * bucket, the 100 TB spelling. The oracle replays the bucket pruning
+    * arithmetically. */
+  def annRangeIvf(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.annRangeIvf(Tables(spark, dir, "embeddings"))
+
+  /** Radius-search recall gauge: |ivf-found| / |true in-radius pairs| —
+    * the IVF range path loses only bucket-boundary pairs, and this entry
+    * MEASURES that loss instead of assuming it (found ⊆ truth by
+    * construction, so the ratio needs no pair-level join). */
+  def annRangeRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val nTrue = VectorOps.annRange(emb).agg(count(lit(1)).as("n_true"))
+    val nFound = VectorOps.annRangeIvf(emb).agg(count(lit(1)).as("n_found"))
+    nTrue.crossJoin(broadcast(nFound))
+      .select(col("n_true"), col("n_found"),
+        (col("n_found").cast("double") / col("n_true").cast("double"))
+          .as("recall"))
+  }
+
   /** kNN label-agreement probe — the standard embedding-quality gauge of a
     * training pipeline: each probe's label predicted by majority vote over
     * its exact top-10 cosine neighbors (ties: votes desc, label asc) and
@@ -1693,6 +1720,9 @@ object LlmWorkload {
     "text_lang_id" -> textLangId,
     "text_fingerprints" -> textFingerprints,
     "ann_topk_bruteforce" -> annTopkBruteforce,
+    "ann_range_bruteforce" -> annRangeBruteforce,
+    "ann_range_ivf" -> annRangeIvf,
+    "ann_range_recall" -> annRangeRecall,
     "ann_knn_classify" -> annKnnClassify,
     "ann_topk_ivf" -> annTopkIvf,
     "ann_topk_ivf_indexed" -> annTopkIvfIndexed,
@@ -2001,6 +2031,41 @@ object LlmWorkload {
        |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC) AS rnk
        |      FROM d)
        |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank" FROM r WHERE rnk <= 10""".stripMargin
+
+  /** Exact-radius replay: all pairs with cosine >= 0.3, cosine emitted —
+    * the same strict left-fold IEEE arithmetic as the Spark side. */
+  private val rangeBruteOracle: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+       |d AS (SELECT p.probe_id, v.vec_id, ${cosSql("v.e", "p.pe")} AS cos
+       |      FROM v, p WHERE v.vec_id <> p.probe_id)
+       |SELECT probe_id, vec_id AS neighbor_id, cos FROM d WHERE cos >= 0.3""".stripMargin
+
+  /** IVF-radius replay: nearest-centroid assignment + nprobe=2 probe
+    * buckets (identical to [[ivfOracle]]'s pruning), then the exact radius
+    * filter instead of the top-k window. */
+  private val rangeIvfOracle: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id % 25 = 0),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT v.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.centroid_id ASC) AS rn
+       |    FROM v, c) WHERE rn = 1),
+       |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+       |pb AS (
+       |  SELECT probe_id, pe, centroid_id FROM (
+       |    SELECT p.probe_id, p.pe, c.centroid_id,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${cosSql("p.pe", "c.ce")} DESC, c.centroid_id ASC) AS rn
+       |    FROM p, c) WHERE rn <= 2)
+       |SELECT probe_id, vec_id AS neighbor_id, cos FROM (
+       |  SELECT pb.probe_id, v.vec_id, ${cosSql("v.e", "pb.pe")} AS cos
+       |  FROM pb JOIN assign a ON a.centroid_id = pb.centroid_id
+       |  JOIN v ON v.vec_id = a.vec_id
+       |  WHERE v.vec_id <> pb.probe_id)
+       |WHERE cos >= 0.3""".stripMargin
 
   private val ivfOracle: String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -3196,6 +3261,15 @@ object LlmWorkload {
          |SELECT d.doc_id, ${h64(normSql)} AS content_hash, mn.min_shingle_hash
          |FROM documents d LEFT JOIN mn ON mn.doc_id = d.doc_id""".stripMargin,
     "ann_topk_bruteforce" -> bruteforceOracle,
+    "ann_range_bruteforce" -> rangeBruteOracle,
+    "ann_range_ivf" -> rangeIvfOracle,
+    "ann_range_recall" ->
+      s"""WITH t AS (${rangeBruteOracle}),
+         |f AS (${rangeIvfOracle})
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_true,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_found,
+         |  CAST((SELECT count(*) FROM f) AS DOUBLE)
+         |    / CAST((SELECT count(*) FROM t) AS DOUBLE) AS recall""".stripMargin,
     // kNN-classify replay: the brute-force neighbor sets, integer votes,
     // (votes desc, label asc) argmax, self-label join
     "ann_knn_classify" ->

@@ -355,6 +355,29 @@ object RefWorkload {
   }
 
   /**
+   * Event-type transition matrix — the Markov "users flow" report
+   * (Matomo's visitor-flow face): for each (from, to) pair of consecutive
+   * event types within a user's timeline, the transition count and the
+   * row-normalized probability. One lead() window keyed on user_id (a
+   * single shuffle); the per-from normalization runs over the tiny
+   * (|types|²-row) count table, never the event log. Integer counts, one
+   * final double division — engine-portable.
+   */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val trans = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_type"))
+    trans.withColumn("p",
+      col("n").cast("double") / sum(col("n")).over(wf).cast("double"))
+  }
+
+  /**
    * WINDOW-BOUNDED funnel conversion — the funnel variant every analytics
    * product actually reports (Matomo/GA-style): a step only converts if
    * it happens within the conversion window after the previous step's
@@ -473,6 +496,7 @@ object RefWorkload {
     "events_funnel_conversion" -> funnelConversion,
     "events_dau_wau" -> dauWau,
     "events_bounce_rate" -> bounceRate,
+    "events_markov_transitions" -> markovTransitions,
     "j1_latest_record" -> j1LatestRecord,
     "j2_dup_count" -> j2DupCount,
     "j3_dedup_purge" -> j3DedupPurge,
@@ -532,6 +556,19 @@ object RefWorkload {
         |  CAST(n_view_click AS DOUBLE) / CAST(n_view AS DOUBLE) AS click_rate,
         |  CAST(n_view_click_purchase AS DOUBLE) / CAST(n_view AS DOUBLE)
         |    AS purchase_rate
+        |FROM c""".stripMargin,
+    "events_markov_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM c""".stripMargin,
     // the session CTE mirrors session_windows' gaps-and-islands oracle;
     // a bounce is a 1-event session, attributed to its start day

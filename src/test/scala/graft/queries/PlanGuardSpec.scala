@@ -77,7 +77,10 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "ann_ivf_drift",          // centroid broadcast + 1-row (total, k) anchor
     "text_vocab_shift",       // 1-row per-half totals anchor
     "q22_idle_balances",      // 1-row (Σbal, n) scalar-subquery anchor
-    "q11_important_stock")    // 1-row Σvalue total anchor (cross-multiplied cut)
+    "q11_important_stock",    // 1-row Σvalue total anchor (cross-multiplied cut)
+    "ann_range_bruteforce",   // probe set broadcast against the corpus (radius)
+    "ann_range_ivf",          // centroid set broadcast (bucketing), radius filter
+    "ann_range_recall")       // same broadcasts + two 1-row count anchors
 
   test("no registered query plans a cartesian, unjustified nested-loop join, " +
       "or partition-less window") {
