@@ -769,7 +769,13 @@ object TpchWorkload {
             col("n_regionkey") === col("r_regionkey"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    // the region's supplier set prunes the FACT SCAN (broadcast semi-join)
+    // before the pair rollup shuffles — at one-region selectivity that is
+    // ~5x less exchange volume than rolling up the whole fact table and
+    // filtering the groups afterwards
     val pairCost = Tables(spark, dir, "lineitem")
+      .join(broadcast(regionSupp.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(dec("l_extendedprice")).as("cost"))
       .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
