@@ -232,6 +232,15 @@ object VectorOps {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
+  /** [[topKByCos]]'s radius twin over the same candidate-row shape: keep
+    * every candidate with cosine >= tau — no window at all (a radius needs
+    * no rank), cosine emitted for the oracle to pin. */
+  private[graft] def radiusByCos(rows: DataFrame, tau: Double): DataFrame =
+    rows.filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", cosPre("e", "pe", "n", "pn"))
+      .filter(col("cos") >= tau)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"))
+
   /** Top-k cosine search over the SPLIT persisted layout — assignment rows
     * (vec_id, centroid_id) separate from the vector store (vec_id, e, n),
     * the layout a streaming ingest maintains (assignments are tiny

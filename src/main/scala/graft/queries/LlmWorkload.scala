@@ -265,6 +265,26 @@ object LlmWorkload {
   def annRangeIvf(spark: SparkSession, dir: String): DataFrame =
     VectorOps.annRangeIvf(Tables(spark, dir, "embeddings"))
 
+  /** [[annRangeIvf]] served from the PERSISTED, COMPACTED streaming root
+    * ([[graft.stream.EmbeddingIngest.searchRadius]]) — radius search the
+    * way a disk-resident production index answers it: the probes' buckets
+    * join the pruned inverted lists (pushed centroid IN → partition-dir +
+    * row-group skipping), and the exact cosine filter keeps the in-radius
+    * survivors. Shares [[annTopkIvfServed]]'s root (even ids seed and
+    * freeze the codebook, odd ids append, compact builds the lists), and
+    * must hash-match the same frozen-codebook replay with the radius
+    * filter in place of the top-k window — the persisted layout is an
+    * implementation detail the results may not leak. */
+  def annRangeServed(spark: SparkSession, dir: String): DataFrame = {
+    val root = embeddingIngestRoot(spark, dir)
+    graft.stream.EmbeddingIngest.searchRadius(spark,
+      graft.stream.EmbeddingIngest.IngestConfig(
+        "unused", s"$root/corpus", "unused"),
+      Tables(spark, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id"), col("embedding")))
+  }
+
   /** Radius-search recall gauge: |ivf-found| / |true in-radius pairs| —
     * the IVF range path loses only bucket-boundary pairs, and this entry
     * MEASURES that loss instead of assuming it (found ⊆ truth by
@@ -1722,6 +1742,7 @@ object LlmWorkload {
     "ann_topk_bruteforce" -> annTopkBruteforce,
     "ann_range_bruteforce" -> annRangeBruteforce,
     "ann_range_ivf" -> annRangeIvf,
+    "ann_range_served" -> annRangeServed,
     "ann_range_recall" -> annRangeRecall,
     "ann_knn_classify" -> annKnnClassify,
     "ann_topk_ivf" -> annTopkIvf,
@@ -2127,6 +2148,34 @@ object LlmWorkload {
        |      FROM cand)
        |SELECT probe_id, vec_id AS neighbor_id, rnk AS "rank"
        |FROM r WHERE rnk <= 10""".stripMargin
+
+  /** [[ivfIndexedOracle]]'s radius twin, for the SERVED radius face: the
+    * identical even-seed frozen codebook, assignment, and nprobe=2 probe
+    * buckets — then the exact cosine radius filter (cosine emitted) in
+    * place of the top-k window. */
+  private val rangeServedOracle: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+       |      WHERE vec_id % 2 = 0 AND vec_id % 25 = 0),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT v.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.centroid_id ASC) AS rn
+       |    FROM v, c) WHERE rn = 1),
+       |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 100 = 0),
+       |pb AS (
+       |  SELECT probe_id, pe, centroid_id FROM (
+       |    SELECT p.probe_id, p.pe, c.centroid_id,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${cosSql("p.pe", "c.ce")} DESC, c.centroid_id ASC) AS rn
+       |    FROM p, c) WHERE rn <= 2)
+       |SELECT probe_id, vec_id AS neighbor_id, cos FROM (
+       |  SELECT pb.probe_id, v.vec_id, ${cosSql("v.e", "pb.pe")} AS cos
+       |  FROM pb JOIN assign a ON a.centroid_id = pb.centroid_id
+       |  JOIN v ON v.vec_id = a.vec_id
+       |  WHERE v.vec_id <> pb.probe_id)
+       |WHERE cos >= 0.3""".stripMargin
 
   /** Two-level (hierarchical) IVF replay, shared by `ann_topk_ivf_hier`
     * and `ann_recall`'s `hier` row: meta codebook (% 100 of the % 25
@@ -3263,6 +3312,7 @@ object LlmWorkload {
     "ann_topk_bruteforce" -> bruteforceOracle,
     "ann_range_bruteforce" -> rangeBruteOracle,
     "ann_range_ivf" -> rangeIvfOracle,
+    "ann_range_served" -> rangeServedOracle,
     "ann_range_recall" ->
       s"""WITH t AS (${rangeBruteOracle}),
          |f AS (${rangeIvfOracle})

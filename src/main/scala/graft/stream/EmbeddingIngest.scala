@@ -552,7 +552,28 @@ object EmbeddingIngest {
     * probes' nprobe buckets, never a corpus scan. Probes arrive raw
     * (vec_id, embedding). */
   def search(spark: SparkSession, cfg: IngestConfig, probes: DataFrame,
-      k: Int = 10, allowed: Option[DataFrame] = None): DataFrame = {
+      k: Int = 10, allowed: Option[DataFrame] = None): DataFrame =
+    VectorOps.topKByCos(searchCandidateRows(spark, cfg, probes, allowed), k)
+
+  /** Read-only RADIUS search served from the same persisted IVF layer as
+    * [[search]] — every indexed vector within cosine >= tau of each probe,
+    * the coverage-guaranteed serving face (all near-dups / all in-threshold
+    * retrievals, not a top-k quota). Identical candidate pipeline (bucket
+    * routing, pushed-IN pruning, lists + delta split, stranded-compaction
+    * reads, optional ACL semi-join); only the final stage differs: a plain
+    * cosine filter instead of the per-probe rank window. Takes no lock,
+    * writes nothing; cost follows nprobe x bucket, never the corpus. */
+  def searchRadius(spark: SparkSession, cfg: IngestConfig, probes: DataFrame,
+      tau: Double = 0.3, allowed: Option[DataFrame] = None): DataFrame =
+    VectorOps.radiusByCos(searchCandidateRows(spark, cfg, probes, allowed), tau)
+
+  /** The candidate assembly [[search]] and [[searchRadius]] share: probe
+    * bucket selection (flat or meta-routed), the pushed centroid IN prune,
+    * the epoch-coherent serving lists as BASE plus the post-lists DELTA
+    * batches, and the optional allowed-id semi-join — emitted as
+    * (probe_id, pe, pn, vec_id, e, n) rows for the final scoring stage. */
+  private def searchCandidateRows(spark: SparkSession, cfg: IngestConfig,
+      probes: DataFrame, allowed: Option[DataFrame]): DataFrame = {
     val (cents, rawAssigns, cbEpoch) = loadCoherentIvf(spark, cfg)
     // metadata-FILTERED serving: the allowed-id set semi-joins the
     // CANDIDATE rows (assignments / lists), so a selective predicate prunes
@@ -631,8 +652,7 @@ object EmbeddingIngest {
       .join(deltaVecs, Seq("vec_id"))
       .select(col("probe_id"), col("pe"), col("pn"),
         col("vec_id"), col("e"), col("n"))
-    VectorOps.topKByCos(
-      baseRows.fold(deltaRows)(_.unionByName(deltaRows)), k)
+    baseRows.fold(deltaRows)(_.unionByName(deltaRows))
   }
 
   /** Read-only IVF-PQ top-k served ENTIRELY from the persisted tables —

@@ -80,6 +80,7 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q11_important_stock",    // 1-row Σvalue total anchor (cross-multiplied cut)
     "ann_range_bruteforce",   // probe set broadcast against the corpus (radius)
     "ann_range_ivf",          // centroid set broadcast (bucketing), radius filter
+    "ann_range_served",       // same frozen centroid broadcast, persisted root
     "ann_range_recall")       // same broadcasts + two 1-row count anchors
 
   test("no registered query plans a cartesian, unjustified nested-loop join, " +
