@@ -1600,6 +1600,54 @@ object LlmWorkload {
   def qualityLmScore(spark: SparkSession, dir: String): DataFrame =
     TextOps.lmScore(Tables(spark, dir, "documents"), "doc_id", "text")
 
+  /** CCNet-style perplexity filter ([[TextOps.surprisalBits]]): every doc
+    * scored under the corpus bigram LM in exact integer bits, then split
+    * head/middle/tail on the corpus tertiles — the published discipline for
+    * keeping the fluent third of a web crawl. The tertile cuts come from
+    * broadcast [[graft.operators.ExactQuantile]] boundary rows (never an
+    * unpartitioned ntile window), replicating ntile(3) exactly. */
+  def textSurprisalBits(spark: SparkSession, dir: String): DataFrame = {
+    val m = graft.Caching.scoped(
+      TextOps.surprisalBits(Tables(spark, dir, "documents"), "doc_id", "text"))
+    val bounds = graft.operators.ExactQuantile.rankRows(
+      m, "mean_bits", "doc_id",
+      graft.operators.ExactQuantile.ntileBoundaryRanks(m.count(), 3))
+    val score = col("mean_bits")
+    val tertile = bounds.foldLeft(lit(1)) { case (acc, (bv, bt)) =>
+      acc + when(score > bv || (score === bv && col("doc_id") > bt), 1)
+        .otherwise(0)
+    }
+    m.withColumn("bucket",
+      when(tertile === 1, "head").when(tertile === 2, "middle")
+        .otherwise("tail"))
+  }
+
+  /** DSIR importance weights ([[TextOps.dsirWeights]]) with the English
+    * slice as the target distribution, plus the paper's selection face:
+    * `selected` marks the top importance quartile (the docs that look most
+    * target-like), cut by broadcast ExactQuantile boundaries replicating
+    * ntile(4) exactly — never an unpartitioned window. */
+  def textDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val w = graft.Caching.scoped(TextOps.dsirWeights(
+      Tables(spark, dir, "documents"), "doc_id", "text",
+      col("lang") === "en"))
+    val bounds = graft.operators.ExactQuantile.rankRows(
+      w, "weight_bits", "doc_id",
+      graft.operators.ExactQuantile.ntileBoundaryRanks(w.count(), 4))
+    val score = col("weight_bits").cast("double")
+    val quartile = bounds.foldLeft(lit(1)) { case (acc, (bv, bt)) =>
+      acc + when(score > bv || (score === bv && col("doc_id") > bt), 1)
+        .otherwise(0)
+    }
+    w.withColumn("selected", quartile === 4)
+  }
+
+  /** Gopher quality-rule chart ([[TextOps.gopherRules]]): the published
+    * per-document filter rules with per-rule flags and the all-rules
+    * conjunction. */
+  def qualityGopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextOps.gopherRules(Tables(spark, dir, "documents"), "doc_id", "text")
+
   /** Grouped top-k bigrams per language ([[TextOps.groupedTopTerms]]). */
   def textNgramTopk(spark: SparkSession, dir: String): DataFrame =
     TextOps.groupedTopTerms(Tables(spark, dir, "documents"), "lang", "text")
@@ -1674,6 +1722,9 @@ object LlmWorkload {
     "prep_source_caps" -> prepSourceCaps,
     "prep_mixture_sample" -> prepMixtureSample,
     "quality_lm_score" -> qualityLmScore,
+    "text_surprisal_bits" -> textSurprisalBits,
+    "text_dsir_weights" -> textDsirWeights,
+    "quality_gopher_rules" -> qualityGopherRules,
     "text_ngram_topk" -> textNgramTopk,
     "dedup_winnow_pairs" -> dedupWinnowPairs,
     "dedup_passages" -> dedupPassages,
@@ -3128,6 +3179,87 @@ object LlmWorkload {
          |  CAST(CAST(sum(CASE WHEN f.freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS hapax_frac
          |FROM oc JOIN f USING (g) GROUP BY 1""".stripMargin,
+    // surprisal replay: the same add-one bigram LM, the same md5-derived
+    // hashes (collisions included), the same bin-string bit lengths, and
+    // ntile(3) over (mean_bits, doc_id) — the Spark side replicates ntile
+    // exactly via ExactQuantile boundary rows
+    "text_surprisal_bits" ->
+      s"""WITH words AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |oc AS (SELECT doc_id, ${h64("w[i] || ' ' || w[i+1]")} AS hb,
+         |         ${h64("w[i]")} AS hc
+         |       FROM words, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+         |bf AS (SELECT hb, count(*) AS cb FROM oc GROUP BY 1),
+         |cf AS (SELECT hc, count(*) AS cc FROM oc GROUP BY 1),
+         |v AS (SELECT count(DISTINCT x) AS vsz
+         |      FROM (SELECT unnest(w) AS x FROM words)),
+         |sc AS (SELECT oc.doc_id,
+         |         length(bin(cf.cc + v.vsz)) - length(bin(bf.cb + 1)) AS sb
+         |       FROM oc JOIN bf USING (hb) JOIN cf USING (hc) CROSS JOIN v),
+         |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        CAST(sum(sb) AS BIGINT) AS surprisal_bits FROM sc GROUP BY 1),
+         |m AS (SELECT doc_id, n_bigrams, surprisal_bits,
+         |        CAST(surprisal_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         |          AS mean_bits FROM d),
+         |t2 AS (SELECT m.*, ntile(3) OVER (ORDER BY mean_bits ASC, doc_id ASC)
+         |         AS b FROM m)
+         |SELECT doc_id, n_bigrams, surprisal_bits, mean_bits,
+         |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         |    AS bucket
+         |FROM t2""".stripMargin,
+    // DSIR replay: same 8192-bucket hashed bigrams, same add-one bit-length
+    // log ratios, same total-mass constant, ntile(4) selection
+    "text_dsir_weights" ->
+      s"""WITH base AS (SELECT doc_id, lang = 'en' AS tgt,
+         |        string_split($normSql, ' ') AS w FROM documents),
+         |oc AS (SELECT doc_id, tgt,
+         |         ${h64("w[i] || ' ' || w[i+1]")} % 8192 AS f
+         |       FROM base, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+         |rf AS (SELECT f, count(*) AS cr FROM oc GROUP BY 1),
+         |tf AS (SELECT f, count(*) AS ct FROM oc WHERE tgt GROUP BY 1),
+         |tot AS (SELECT count(*) AS r, count(*) FILTER (WHERE tgt) AS t FROM oc),
+         |sc AS (SELECT oc.doc_id,
+         |         length(bin(coalesce(tf.ct, 0) + 1)) - length(bin(rf.cr + 1))
+         |           AS fb
+         |       FROM oc JOIN rf USING (f) LEFT JOIN tf USING (f)),
+         |mb AS (SELECT length(bin(r + 8192)) - length(bin(t + 8192)) AS mbits
+         |       FROM tot),
+         |d AS (SELECT sc.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         |        CAST(sum(fb) + count(*) * (SELECT mbits FROM mb) AS BIGINT)
+         |          AS weight_bits
+         |      FROM sc GROUP BY 1),
+         |q AS (SELECT d.*, ntile(4) OVER (
+         |        ORDER BY CAST(weight_bits AS DOUBLE) ASC, doc_id ASC) AS qq
+         |      FROM d)
+         |SELECT doc_id, n_features, weight_bits, qq = 4 AS selected FROM q""".stripMargin,
+    // Gopher rule replay: same thresholds, same normalized-word arithmetic,
+    // every division a single exact-integer IEEE divide
+    "quality_gopher_rules" ->
+      s"""WITH s AS (SELECT doc_id, text, string_split($normSql, ' ') AS w
+         |           FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(length(replace($normSql, ' ', '')) AS DOUBLE)
+         |      / CAST(len(w) AS DOUBLE) AS mean_word_len,
+         |    CAST(len(list_filter(w, x -> x IN
+         |      ('the','be','to','of','and','that','have','with'))) AS BIGINT)
+         |      AS stop_hits,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+         |      / CAST(len(w) AS DOUBLE) AS alpha_frac,
+         |    CAST(length(text) -
+         |      length(regexp_replace(text, '#|\\.\\.\\.', '', 'g')) AS DOUBLE)
+         |      AS symbols
+         |  FROM s)
+         |SELECT doc_id, n_words, mean_word_len, stop_hits,
+         |  n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+         |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS rule_word_len,
+         |  alpha_frac >= 0.8 AS rule_alpha_words,
+         |  stop_hits >= 2 AS rule_stopwords,
+         |  symbols / CAST(n_words AS DOUBLE) <= 0.1 AS rule_symbol_ratio,
+         |  (n_words >= 50 AND n_words <= 100000)
+         |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         |    AND alpha_frac >= 0.8 AND stop_hits >= 2
+         |    AND symbols / CAST(n_words AS DOUBLE) <= 0.1 AS passes_all
+         |FROM m""".stripMargin,
     // grouped top-k replay: same counts, same (cnt desc, term asc) order
     "text_ngram_topk" ->
       s"""WITH words AS (SELECT lang, string_split($normSql, ' ') AS w FROM documents),

@@ -378,6 +378,47 @@ object RefWorkload {
   }
 
   /**
+   * Multi-touch revenue attribution — the Matomo/GA conversion-attribution
+   * report (the reference's analytics DB models exactly these visit-action
+   * conversions; reference: matomo2clickhouse.py's matomo_log_conversion
+   * mirroring): every purchase's revenue credited to the toucher that
+   * "caused" it under the two classic models at once — FIRST touch (the
+   * earliest preceding view/click anywhere in the user's history) and LAST
+   * touch (the latest preceding one). A purchase with no preceding touch
+   * is credited to the 'direct' channel. One row per (model, channel) with
+   * purchase counts and revenue in exact integer cents (the established
+   * floor(value·100) spelling — no float sum ordering anywhere).
+   *
+   * Scale: ONE user_id-keyed window shuffle over the event log computes
+   * both touch channels per purchase (first/last with ignoreNulls over the
+   * strictly-preceding frame); the model unpivot is a 2-element array
+   * explode on already-tiny purchase rows; the final rollup groups a
+   * handful of (model, channel) keys. Never a self-join of the event log,
+   * never an unpartitioned window.
+   */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("view", "click"), col("event_type"))
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .withColumn("first_ch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_ch", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        floor(col("value") * lit(100.0)).cast("long").as("cents"),
+        explode(array(
+          struct(lit("first_touch").as("model"),
+            coalesce(col("first_ch"), lit("direct")).as("channel")),
+          struct(lit("last_touch").as("model"),
+            coalesce(col("last_ch"), lit("direct")).as("channel")))).as("mc"))
+      .groupBy(col("mc.model").as("model"), col("mc.channel").as("channel"))
+      .agg(count(lit(1)).as("purchases"), sum(col("cents")).as("revenue_cents"))
+  }
+
+  /**
    * WINDOW-BOUNDED funnel conversion — the funnel variant every analytics
    * product actually reports (Matomo/GA-style): a step only converts if
    * it happens within the conversion window after the previous step's
@@ -497,6 +538,7 @@ object RefWorkload {
     "events_dau_wau" -> dauWau,
     "events_bounce_rate" -> bounceRate,
     "events_markov_transitions" -> markovTransitions,
+    "events_attribution" -> attribution,
     "j1_latest_record" -> j1LatestRecord,
     "j2_dup_count" -> j2DupCount,
     "j3_dedup_purge" -> j3DedupPurge,
@@ -570,6 +612,31 @@ object RefWorkload {
         |  CAST(n AS DOUBLE)
         |    / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM c""".stripMargin,
+    // attribution replay: the same strictly-preceding ignore-nulls frame,
+    // the same floor-cents revenue, the same 2-row model unpivot
+    "events_attribution" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    first_value(CASE WHEN event_type IN ('view','click')
+        |                  THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_ch,
+        |    last_value(CASE WHEN event_type IN ('view','click')
+        |                 THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_ch
+        |  FROM events),
+        |p AS (
+        |  SELECT CAST(floor(value * 100.0) AS BIGINT) AS cents,
+        |    coalesce(first_ch, 'direct') AS fc, coalesce(last_ch, 'direct') AS lc
+        |  FROM t WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT 'first_touch' AS model, fc AS channel, cents FROM p
+        |  UNION ALL
+        |  SELECT 'last_touch' AS model, lc AS channel, cents FROM p)
+        |SELECT model, channel, count(*) AS purchases,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM u GROUP BY 1, 2""".stripMargin,
     // the session CTE mirrors session_windows' gaps-and-islands oracle;
     // a bounce is a 1-event session, attributed to its start day
     "events_bounce_rate" ->

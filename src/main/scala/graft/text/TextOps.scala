@@ -1076,6 +1076,150 @@ object TextOps {
         col("n_hapax").cast("double") / col("n_ngrams").cast("double"))
   }
 
+  /** Integer bit length of a positive long — `length(bin(x))` =
+    * floor(log2 x) + 1, exact integer string arithmetic in both engines.
+    * The engine-portable stand-in for log2 wherever a LM score needs one:
+    * a double `log`/`log2` is libm-dependent (JVM vs DuckDB may differ in
+    * the last ulp, and a `floor` on top turns that ulp into an off-by-one),
+    * while the bin-string length is bit-exact everywhere. */
+  def bitLen(c: Column): Column = length(bin(c)).cast("long")
+
+  /**
+   * CCNet-style perplexity scoring (Wenzek et al. 2020: score every document
+   * under a corpus language model, then split head/middle/tail) — spelled in
+   * exact integer "bits" so the DuckDB oracle replays it bit-for-bit.
+   *
+   * The LM is an add-one-smoothed word-bigram model trained on the corpus
+   * itself: p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}·) + V),
+   * with c(w_{i-1}·) the count of the context word as a bigram LEFT (its
+   * occurrences in non-final positions) and V the corpus vocabulary size.
+   * Each position's surprisal is approximated in whole bits as
+   * bitLen(den) − bitLen(num) (within 1 bit of −log2 p, monotone in the
+   * exact value at fixed denominators); a document's score is the bit sum
+   * and its mean, low = fluent under the corpus LM.
+   *
+   * Scale: identical shape to [[lmScore]] — the two corpus-wide shuffles
+   * (bigram counts, context counts) move 8-byte hashes; the per-doc rollup
+   * reuses the doc_id partitioning; V is one bounded driver count folded
+   * into the expression as a literal. No all-pairs stage, no window.
+   */
+  def surprisalBits(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = Caching.scoped(rawShingles(docs, idCol, textCol, 2)
+      .select(col("doc_id"),
+        hash64(col("shingle")).as("hb"),
+        // the context word = everything before the shingle's single space
+        hash64(substring_index(col("shingle"), " ", 1)).as("hc")))
+    val bigFreq = occ.groupBy(col("hb")).agg(count(lit(1)).as("__cb"))
+    val ctxFreq = occ.groupBy(col("hc")).agg(count(lit(1)).as("__cc"))
+    val vocab = docs.select(col(idCol).as("doc_id"), wordsOf(col(textCol)).as("w"))
+      .select(explode(col("w")).as("word")).agg(countDistinct(col("word")))
+      .head().getLong(0)
+    occ.join(bigFreq, "hb").join(ctxFreq, "hc")
+      .select(col("doc_id"),
+        (bitLen(col("__cc") + lit(vocab)) - bitLen(col("__cb") + lit(1L)))
+          .as("__sbits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__sbits")).as("surprisal_bits"))
+      .withColumn("mean_bits",
+        col("surprisal_bits").cast("double") / col("n_bigrams").cast("double"))
+  }
+
+  /**
+   * DSIR importance weights (Xie et al. 2023, *Data Selection for Language
+   * Models via Importance Resampling*): score every raw document by how much
+   * more likely its hashed n-gram features are under a TARGET distribution
+   * than under the RAW distribution — the published recipe for selecting
+   * web-scale pretraining data that "looks like" a trusted corpus, spelled
+   * in exact integer bits (see [[bitLen]]) so the oracle replays it.
+   *
+   * Features are word bigrams hashed into `buckets` buckets (the paper's
+   * hashed n-gram featurization); both distributions are add-one smoothed
+   * categorical MLEs. A document's weight is
+   *   Σ_f n_d(f) · [log2 p_target(f) − log2 p_raw(f)]
+   * ≈ Σ_f n_d(f) · [bitLen(c_t(f)+1) − bitLen(c_r(f)+1)]
+   *   + N_d · [bitLen(R+B) − bitLen(T+B)]
+   * with T/R the total target/raw feature mass and B the bucket count; high
+   * bits = target-like. The caller supplies the target predicate (e.g. the
+   * trusted language/source slice).
+   *
+   * Scale: one feature-keyed shuffle per distribution (8-byte bucket ids,
+   * at most B distinct groups), one left join back (target counts default
+   * 0 via coalesce), one doc-keyed rollup reusing the explode's doc_id
+   * spread; T and R fold in as two bounded 1-row driver aggregates. Never
+   * a doc×doc stage; the bucket table is B rows regardless of corpus size.
+   */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 8192): DataFrame = {
+    val occ = Caching.scoped(
+      docs.select(col(idCol).as("doc_id"), targetPred.as("__tgt"),
+        wordsOf(col(textCol)).as("w"))
+        .filter(size(col("w")) >= 2)
+        .transform(graft.Spread.byKey(_, col("doc_id")))
+        .select(col("doc_id"), col("__tgt"), explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))"))
+          .as("shingle"))
+        .select(col("doc_id"), col("__tgt"),
+          pmod(hash64(col("shingle")), lit(buckets.toLong)).as("f")))
+    val rawFreq = occ.groupBy(col("f")).agg(count(lit(1)).as("__cr"))
+    val tgtFreq = occ.filter(col("__tgt")).groupBy(col("f"))
+      .agg(count(lit(1)).as("__ct"))
+    val rTot = occ.agg(count(lit(1))).head().getLong(0)
+    val tTot = occ.filter(col("__tgt")).agg(count(lit(1))).head().getLong(0)
+    val massBits = // bitLen(R+B) − bitLen(T+B), a per-token constant
+      java.lang.Long.toBinaryString(rTot + buckets).length.toLong -
+        java.lang.Long.toBinaryString(tTot + buckets).length.toLong
+    occ.join(rawFreq, "f")
+      .join(tgtFreq, Seq("f"), "left")
+      .select(col("doc_id"),
+        (bitLen(coalesce(col("__ct"), lit(0L)) + lit(1L)) -
+          bitLen(col("__cr") + lit(1L))).as("__fbits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_features"),
+        (sum(col("__fbits")) + count(lit(1)) * lit(massBits))
+          .as("weight_bits"))
+  }
+
+  /**
+   * Gopher quality-rule chart (Rae et al. 2021, table A1): the published
+   * per-document filter rules every web-scale pipeline applies before
+   * training, each emitted as its own flag so downstream reporting can see
+   * WHICH rule fired (the all-or-nothing boolean is the conjunction).
+   * Thresholds are the paper's: 50 ≤ words ≤ 100 000; mean word length in
+   * [3, 10]; ≥ 80 % of words contain an alphabetic character; ≥ 2 stopword
+   * occurrences; symbol-to-word ratio (# and ellipsis) ≤ 0.1.
+   *
+   * Pure per-row column arithmetic over one scan — no shuffle at all; the
+   * two ratios are single divisions of exact integers (IEEE division is
+   * correctly rounded, so both engines agree bit-for-bit).
+   */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = col("__w")
+    val nWords = size(w).cast("long")
+    val meanLen = (length(regexp_replace(normalizeText(col("__t")), " ", ""))
+      .cast("double") / nWords.cast("double"))
+    val alphaFrac = expr("size(filter(__w, x -> x rlike '[a-z]'))")
+      .cast("double") / nWords.cast("double")
+    val stopHits = expr(
+      "size(filter(__w, x -> x IN ('the','be','to','of','and','that','have','with')))")
+      .cast("long")
+    val symbols = (length(col("__t")) -
+      length(regexp_replace(col("__t"), "#|\\.\\.\\.", ""))).cast("double")
+    graft.Spread.byKey(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")), col("doc_id"))
+      .withColumn("__w", wordsOf(col("__t")))
+      .select(col("doc_id"), nWords.as("n_words"), meanLen.as("mean_word_len"),
+        stopHits.as("stop_hits"),
+        (nWords >= 50L && nWords <= 100000L).as("rule_word_count"),
+        (meanLen >= 3.0 && meanLen <= 10.0).as("rule_word_len"),
+        (alphaFrac >= 0.8).as("rule_alpha_words"),
+        (stopHits >= 2L).as("rule_stopwords"),
+        (symbols / nWords.cast("double") <= 0.1).as("rule_symbol_ratio"))
+      .withColumn("passes_all",
+        col("rule_word_count") && col("rule_word_len") &&
+          col("rule_alpha_words") && col("rule_stopwords") &&
+          col("rule_symbol_ratio"))
+  }
+
   /** Top-k word n-grams per group (language, source, ...) by occurrence
     * count — the grouped-top-k reporting shape over text. Deterministic
     * ranking: count desc, then shingle asc. One shuffle to count, one
