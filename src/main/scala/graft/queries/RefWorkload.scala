@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -111,6 +111,99 @@ object RefWorkload {
       .groupBy(col("event_type"))
       .agg(first(col("n")).as("n"),
         (sum(col("xc")).cast("double") / count(lit(1)).cast("double")).as("median_c"))
+  }
+
+  /** Robust per-group anomaly detection: median absolute deviation (MAD)
+    * outliers — the robust twin of [[eventsOutliers]]' z-score (a handful
+    * of extreme values inflate a stddev until they hide themselves; the
+    * MAD threshold is immune). Everything stays EXACT integer arithmetic
+    * via the [[eventsMedian]] two-middle-values discipline, doubled to
+    * dodge halving: msum = the two middle cents values summed (2·median),
+    * dev = |2·x − msum| (2·|x − median|), dsum = the two middle devs
+    * summed (4·MAD), and the flag `2·dev > 3·dsum` is exactly
+    * |x − median| > 3·MAD cross-multiplied — no float ever compared.
+    *
+    * Scale: ONE event_type hash shuffle establishes the partitioning; both
+    * rank windows and the final rollup reuse it (the second window re-sorts
+    * within partitions, no new exchange), and the two per-group stat
+    * frames join back broadcast. At 100 TB the same semantics come from
+    * approx quantiles with this entry as the exactness target. */
+  def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val e = Caching.scoped(Tables(spark, dir, "events")
+      .select(col("event_type"), floor(col("value") * lit(100.0)).cast("long").as("xc")))
+    val byType = Window.partitionBy(col("event_type"))
+    def twoMiddleSum(df: DataFrame, v: String, out: String) = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(v).asc)
+      df.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(byType))
+        .filter(col("__rn") === expr("(__n + 1) div 2") ||
+          col("__rn") === expr("__n div 2 + 1"))
+        .groupBy(col("event_type"))
+        .agg(first(col("__n")).as("n"),
+          // one middle row (odd n): 2·med; two rows (even n): m1+m2 —
+          // either way exactly twice the median, in integers
+          expr(s"(sum($v) * 2) div count(1)").as(out))
+    }
+    val med = twoMiddleSum(e, "xc", "msum")
+    val dev = Caching.scoped(e.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("msum"),
+        abs(col("xc") * lit(2L) - col("msum")).as("dv")))
+    val mad = twoMiddleSum(dev, "dv", "dsum").drop("n")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (first(col("msum")).cast("double") / lit(2.0)).as("median_c"),
+        (first(col("dsum")).cast("double") / lit(4.0)).as("mad_c"),
+        sum(when(col("dv") * lit(2L) > col("dsum") * lit(3L), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** RFM customer segmentation — the recency/frequency/monetary quintile
+    * chart every analytics product ships (the reference's Matomo schema
+    * models exactly these visitor/conversion rollups). Per user: recency =
+    * last active day, frequency = event count, monetary = purchase cents;
+    * each metric is quintile-ranked (1–5, 5 best) and users land in the
+    * classic named segments (champions / loyal / at-risk / hibernating /
+    * regular). Quintile cuts come from broadcast
+    * [[graft.operators.ExactQuantile]] boundary rows replicating ntile(5)
+    * exactly — never an unpartitioned window.
+    *
+    * Scale: one user_id shuffle builds the per-user RFM table (rows =
+    * |users|, already corpus-reduced); the three quantile probes run on
+    * that reduced table; the final rollup groups ≤125 quintile cells. */
+  def eventsRfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val rfm = Caching.scoped(Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(datediff(to_date(col("ts")), lit("1970-01-01"))).cast("long")
+          .as("last_day"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * lit(100.0)).cast("long")).otherwise(0L))
+          .as("monetary_c")))
+    val n = rfm.count()
+    def quintile(valueCol: String): Column = {
+      val bounds = graft.operators.ExactQuantile.rankRows(
+        rfm, valueCol, "user_id",
+        graft.operators.ExactQuantile.ntileBoundaryRanks(n, 5))
+      val v = col(valueCol).cast("double")
+      bounds.foldLeft(lit(1)) { case (acc, (bv, bt)) =>
+        acc + when(v > bv || (v === bv && col("user_id") > bt), 1).otherwise(0)
+      }
+    }
+    val seg = when(col("r_q") >= 4 && col("f_q") >= 4 && col("m_q") >= 4, "champions")
+      .when(col("f_q") >= 4 && col("m_q") >= 3, "loyal")
+      .when(col("r_q") <= 2 && col("f_q") >= 3, "at_risk")
+      .when(col("r_q") <= 2 && col("f_q") <= 2, "hibernating")
+      .otherwise("regular")
+    rfm.withColumn("r_q", quintile("last_day"))
+      .withColumn("f_q", quintile("n_events"))
+      .withColumn("m_q", quintile("monetary_c"))
+      .withColumn("segment", seg)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"), sum(col("monetary_c")).as("monetary_c"),
+        min(col("r_q") * lit(100) + col("f_q") * lit(10) + col("m_q"))
+          .cast("long").as("min_rfm_cell"))
   }
 
   /** Per-group fixed-width histogram of `value` (50-unit bins, capped at
@@ -523,6 +616,8 @@ object RefWorkload {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_outliers" -> eventsOutliers,
+    "events_anomaly_mad" -> eventsAnomalyMad,
+    "events_rfm_segments" -> eventsRfmSegments,
     "events_median" -> eventsMedian,
     "events_histogram" -> eventsHistogram,
     "events_quantiles" -> eventsQuantiles,
@@ -745,6 +840,59 @@ object RefWorkload {
         |GROUP BY 1, 2, 3, 4""".stripMargin,
     // median replay: same centi-unit ranks, same middle positions; the
     // value at a sorted position is tie-order independent
+    // MAD replay: the same doubled two-middle-values integer discipline at
+    // both median stages, the same cross-multiplied 3-MAD flag
+    "events_anomaly_mad" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT) AS xc FROM events),
+        |r1 AS (SELECT event_type, xc,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY xc ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |med AS (SELECT event_type, (sum(xc) * 2) // count(*) AS msum
+        |  FROM r1 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY 1),
+        |dev AS (SELECT e.event_type, med.msum, abs(e.xc * 2 - med.msum) AS dv
+        |  FROM e JOIN med USING (event_type)),
+        |r2 AS (SELECT event_type, dv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dv ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev),
+        |mad AS (SELECT event_type, (sum(dv) * 2) // count(*) AS dsum
+        |  FROM r2 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY 1)
+        |SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(dev.msum) AS DOUBLE) / CAST(2 AS DOUBLE) AS median_c,
+        |  CAST(min(mad.dsum) AS DOUBLE) / CAST(4 AS DOUBLE) AS mad_c,
+        |  CAST(sum(CASE WHEN dev.dv * 2 > mad.dsum * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (event_type) GROUP BY 1""".stripMargin,
+    // RFM replay: same per-user rollup, ntile(5) per metric tie-broken on
+    // user_id (the Spark side replicates ntile exactly via ExactQuantile
+    // boundary rows), same segment CASE in the same order
+    "events_rfm_segments" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |      AS BIGINT) AS last_day,
+        |    count(*) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS monetary_c
+        |  FROM events GROUP BY 1),
+        |q AS (SELECT user_id, monetary_c,
+        |    ntile(5) OVER (ORDER BY last_day ASC, user_id ASC) AS r_q,
+        |    ntile(5) OVER (ORDER BY n_events ASC, user_id ASC) AS f_q,
+        |    ntile(5) OVER (ORDER BY monetary_c ASC, user_id ASC) AS m_q
+        |  FROM u),
+        |s AS (SELECT *, CASE
+        |    WHEN r_q >= 4 AND f_q >= 4 AND m_q >= 4 THEN 'champions'
+        |    WHEN f_q >= 4 AND m_q >= 3 THEN 'loyal'
+        |    WHEN r_q <= 2 AND f_q >= 3 THEN 'at_risk'
+        |    WHEN r_q <= 2 AND f_q <= 2 THEN 'hibernating'
+        |    ELSE 'regular' END AS segment
+        |  FROM q)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(monetary_c) AS BIGINT) AS monetary_c,
+        |  CAST(min(r_q * 100 + f_q * 10 + m_q) AS BIGINT) AS min_rfm_cell
+        |FROM s GROUP BY 1""".stripMargin,
     "events_median" ->
       """WITH e AS (SELECT event_type,
         |    CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT) AS xc FROM events),
