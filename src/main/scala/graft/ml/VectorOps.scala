@@ -1345,6 +1345,87 @@ object VectorOps {
     1L << math.max(0, 62 - 2 * (scaleBits + 1))
 
   /**
+   * PCA projection onto the corpus's dominant principal direction — the
+   * dimensionality-reduction / whitening-prep face of an embedding
+   * pipeline (compress before clustering, decorrelate before quantizing,
+   * rank by the axis of maximum variance). Returns `(vec_id, pc1)`: each
+   * row's CENTERED projection onto the top eigenvector of the covariance
+   * matrix, as an exact scaled integer.
+   *
+   * Engine-portable by an all-integer construction (no libm, no float
+   * fold anywhere): coordinates quantize to `round(x·2^scaleBits)` ints;
+   * the centered covariance numerator `C = n·Σxy − Σx·Σy` is exact BIGINT
+   * from ONE [[covarianceReport]] pass; C is truncation-shifted until its
+   * magnitude fits 22 bits; the dominant eigenvector comes from `iters`
+   * fixed-point power iterations on the shifted matrix (start = the
+   * all-ones vector at 2^16 scale, each step renormalized to max-abs
+   * 2^16 by truncating integer division — both engines truncate toward
+   * zero, verified), sign-canonicalized so the first nonzero component is
+   * positive; the projection `Σ_j (n·x_j − Σx_j)·v_j` is again exact
+   * BIGINT. Identical integer arithmetic in DuckDB replays it bit-for-bit
+   * — integer addition commutes, so even aggregation order is free.
+   *
+   * Overflow bounds (all enforced): |C'| < 2^22 and |v| ≤ 2^16 keep the
+   * matvec under 2^(22+16+log2 d) and the renormalization product under
+   * 2^60; the projection term needs n·2^(scaleBits+2+16+log2 d) < 2^63 —
+   * at the default 10 bits and d=64, exact to n ≈ 2^28 rows. Beyond
+   * that, drop scaleBits (the direction is scale-free).
+   *
+   * Scale: the only corpus-sized work is the covariance pass (map-local
+   * d²/2 explode, partial-agg shuffle of d²/2 keys) and the final
+   * projection scan (one codegen fold per row, direction folded in as a
+   * literal). The eigensolve itself touches d² driver-side integers —
+   * free at any corpus size.
+   */
+  def pcaProject(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", scaleBits: Int = 10,
+      iters: Int = 12): DataFrame = {
+    require(scaleBits > 0 && scaleBits <= 20, s"scaleBits out of range: $scaleBits")
+    val pairs = covarianceReport(emb, vecCol, scaleBits)
+      .select(col("i"), col("j"), col("n"), col("sxy"), col("sx"), col("sy"))
+      .collect() // bounded: d(d+1)/2 rows
+    require(pairs.nonEmpty, "empty corpus")
+    val d = pairs.iterator.map(_.getInt(1)).max
+    val n = pairs.head.getLong(2)
+    require(n < (1L << 26), s"n=$n beyond the exact-long bound; drop scaleBits")
+    val sx = Array.ofDim[Long](d + 1)
+    val c = Array.ofDim[Long](d + 1, d + 1)
+    pairs.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      if (i == j) sx(i) = r.getLong(4)
+      val v = n * r.getLong(3) - r.getLong(4) * r.getLong(5)
+      c(i)(j) = v; c(j)(i) = v
+    }
+    val maxAbs = c.iterator.flatMap(_.iterator).map(math.abs).max
+    val shift = math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(maxAbs) - 22)
+    val p = 1L << shift
+    for (i <- 1 to d; j <- 1 to d) c(i)(j) = c(i)(j) / p // trunc, like SQL div
+    var v = Array.fill(d + 1)(1L << 16); v(0) = 0L
+    for (_ <- 1 to iters) {
+      val u = Array.ofDim[Long](d + 1)
+      for (i <- 1 to d) { var s = 0L; var j = 1
+        while (j <= d) { s += c(i)(j) * v(j); j += 1 }; u(i) = s }
+      val m = math.max((1 to d).iterator.map(i => math.abs(u(i))).max, 1L)
+      for (i <- 1 to d) v(i) = u(i) * 65536L / m
+    }
+    val sgn = (1 to d).iterator.map(v).find(_ != 0L) match {
+      case Some(x) if x < 0L => -1L; case _ => 1L
+    }
+    val vs = (1 to d).map(i => v(i) * sgn)
+    val scale = (1L << scaleBits).toDouble
+    val sxArr = (1 to d).map(i => s"CAST(${sx(i)} AS BIGINT)").mkString(", ")
+    val vsArr = vs.map(x => s"CAST($x AS BIGINT)").mkString(", ")
+    emb.select(col(idCol).as("vec_id"), expr(
+      s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
+      .as("__v"))
+      .select(col("vec_id"), expr(
+        s"""aggregate(sequence(1, $d), CAST(0 AS BIGINT), (acc, j) ->
+           |  acc + (CAST($n AS BIGINT) * element_at(__v, j)
+           |         - element_at(array($sxArr), j))
+           |        * element_at(array($vsArr), j))""".stripMargin).as("pc1"))
+  }
+
+  /**
    * Embedding outlier scores — diagonal Mahalanobis distance from the
    * corpus mean, the embedding-quality pruning filter (drop or down-weight
    * rows whose representation sits far outside the population). Returns

@@ -249,6 +249,70 @@ object LlmWorkload {
   def embeddingOutliers(spark: SparkSession, dir: String): DataFrame =
     VectorOps.embeddingOutliers(Tables(spark, dir, "embeddings"))
 
+  /** Dominant-direction PCA projection ([[VectorOps.pcaProject]]): every
+    * vector's centered projection onto the corpus's top principal
+    * component, computed by all-integer fixed-point power iteration on the
+    * exact covariance accumulators — bit-exact across engines with no
+    * float fold anywhere. */
+  def embeddingPcaProject(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.pcaProject(Tables(spark, dir, "embeddings"))
+
+  /** PCA replay: the same quantized covariance accumulators, the same
+    * 22-bit truncation shift, twelve unrolled fixed-point power-iteration
+    * CTEs (integer matvec + max-abs renormalization — integer addition
+    * commutes, so SQL aggregation order is free), the same first-nonzero
+    * sign canonicalization, the same exact-integer projection. Both
+    * engines truncate integer division toward zero, so `//` here is
+    * exactly the builder's `/` on longs. */
+  private lazy val pcaOracleSql: String = {
+    // every iteration CTE is MATERIALIZED: DuckDB inlines plain CTEs, so a
+    // 12-deep chain would re-inline (and re-scan) its whole ancestry
+    // exponentially — materialization keeps each step a 64-row table
+    val iterations = (1 to 12).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""u$k AS MATERIALIZED (
+         |  SELECT c.i AS j, CAST(sum(c.cv * w.vj) AS BIGINT) AS uj
+         |  FROM cs c JOIN $prev w ON c.j = w.j GROUP BY 1),
+         |m$k AS MATERIALIZED (SELECT greatest(max(abs(uj)), 1) AS m FROM u$k),
+         |v$k AS MATERIALIZED (SELECT j, (uj * 65536) // (SELECT m FROM m$k) AS vj
+         |  FROM u$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT unnest(flatten(list_transform(generate_series(1, len(v)), i ->
+       |    list_transform(generate_series(i, len(v)), j -> struct_pack(
+       |      i := i, j := j, xy := v[i] * v[j], x := v[i], y := v[j]))))) AS p
+       |  FROM v),
+       |agg AS MATERIALIZED (
+       |  SELECT p.i AS i, p.j AS j, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(p.xy) AS BIGINT) AS sxy, CAST(sum(p.x) AS BIGINT) AS sx,
+       |    CAST(sum(p.y) AS BIGINT) AS sy
+       |  FROM p GROUP BY 1, 2),
+       |cm AS MATERIALIZED (
+       |  SELECT i, j, n * sxy - sx * sy AS cv FROM agg
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, n * sxy - sx * sy AS cv FROM agg WHERE i <> j),
+       |sh AS (SELECT greatest(length(bin(max(abs(cv)))) - 22, 0) AS s FROM cm),
+       |cs AS MATERIALIZED (
+       |  SELECT i, j, cv // (CAST(1 AS BIGINT) << (SELECT s FROM sh)) AS cv
+       |  FROM cm),
+       |v0 AS (SELECT DISTINCT i AS j, CAST(65536 AS BIGINT) AS vj FROM cm),
+       |$iterations,
+       |sg AS (SELECT coalesce((SELECT CASE WHEN vj < 0 THEN -1 ELSE 1 END
+       |    FROM v12 WHERE vj <> 0 ORDER BY j LIMIT 1), 1) AS s),
+       |ex AS (SELECT vec_id, j, v[j] AS xq
+       |  FROM v, UNNEST(generate_series(1, len(v))) AS t(j)),
+       |ss AS (SELECT i AS j, n, sx FROM agg WHERE i = j)
+       |SELECT ex.vec_id,
+       |  CAST(sum((ss.n * ex.xq - ss.sx) * fv.vj * (SELECT s FROM sg))
+       |    AS BIGINT) AS pc1
+       |FROM ex JOIN ss USING (j) JOIN v12 fv ON ex.j = fv.j
+       |GROUP BY 1""".stripMargin
+  }
+
   def annTopkBruteforce(spark: SparkSession, dir: String): DataFrame =
     VectorOps.annBruteForce(Tables(spark, dir, "embeddings"))
 
@@ -1788,6 +1852,7 @@ object LlmWorkload {
     "text_bpe_vocab" -> textBpeVocab,
     "embedding_covariance" -> embeddingCovariance,
     "embedding_outliers" -> embeddingOutliers,
+    "embedding_pca_project" -> embeddingPcaProject,
     "text_lang_id" -> textLangId,
     "text_fingerprints" -> textFingerprints,
     "ann_topk_bruteforce" -> annTopkBruteforce,
@@ -2922,6 +2987,9 @@ object LlmWorkload {
         |       / CAST(COUNT(*) AS DOUBLE))
         |    / CAST(COUNT(*) AS DOUBLE) / (1048576.0 * 1048576.0) AS cov
         |FROM p GROUP BY 1, 2""".stripMargin,
+    // all-integer PCA: generated 12-iteration fixed-point power-iteration
+    // replay — see pcaOracleSql
+    "embedding_pca_project" -> pcaOracleSql,
     // diagonal Mahalanobis: per-coordinate stats are exact integer sums;
     // the per-row score folds coordinate terms IN INDEX ORDER (list_reduce
     // left-to-right == Spark's aggregate fold: 0.0 + r1 is bit-equal to r1
