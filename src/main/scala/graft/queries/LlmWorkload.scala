@@ -95,6 +95,63 @@ object LlmWorkload {
       TextOps.minhashNearDups(Tables(spark, dir, "documents"), "doc_id", "text")
     }
 
+  /**
+   * PageRank over the document SIMILARITY graph — graph-authority scoring
+   * as a centrality signal: the doc connected to the most (and
+   * best-connected) neighbors is the natural representative of its
+   * textual neighborhood, complementing [[dedupKeepBest]]'s
+   * content-quality rule. Nodes are the docs the LSH index surfaces;
+   * edges are every band-colliding pair whose verified Jaccard clears a
+   * LOW bar (0.01) — the full similarity topology, not just the 0.8
+   * near-dup cliques (those are isolated 2-cliques on most corpora and
+   * rank uniformly; centrality lives in the weak ties).
+   *
+   * All-integer fixed-point spelling (the [[VectorOps.pcaProject]]
+   * discipline): every node starts at 2^32; each of the 12 iterations
+   * routes `pr div deg` along every edge (truncating division — both
+   * engines truncate toward zero) and applies the damped update
+   * `T + (Σ·85) div 100` with the teleport constant `T = (2^32·15) div
+   * 100`. Integer addition commutes, so aggregation order is free and the
+   * DuckDB replay is bit-exact.
+   *
+   * Scale: this is DISTRIBUTED power iteration — each round is one
+   * equi-join of the cached (src, dst, deg) edge list against the current
+   * rank frame plus one groupBy on dst, both shuffle-keyed on node ids;
+   * nothing ever collects to the driver. 12 rounds = 12 bounded shuffle
+   * stages over edge-sized data, the textbook Spark spelling of iterative
+   * graph analytics. Sum bound: |V|·2^32·85 must stay inside 2^63 —
+   * exact to ~2^24 paired docs per component-free graph; beyond that,
+   * start ranks at 2^24 (the scale is free).
+   */
+  def dedupPagerank(spark: SparkSession, dir: String): DataFrame =
+    TextOps.pagerankInt(TextOps.minhashNearDups(
+      Tables(spark, dir, "documents"), "doc_id", "text", threshold = 0.01)
+      .select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("pr").as("pr_scaled"))
+
+  /** PageRank replay: the same mh_pairs graph, 12 materialized iteration
+    * CTEs of the same truncating-integer damped update. */
+  private lazy val pagerankOracleSql: String = {
+    val base = 1L << 32
+    val tele = base * 15L / 100L
+    val iters = (1 to 12).map { k =>
+      val prev = if (k == 1) "p0" else s"p${k - 1}"
+      s"""p$k AS MATERIALIZED (
+         |  SELECT e.dst AS id, $tele + (sum(p.pr // e.deg) * 85) // 100 AS pr
+         |  FROM ed e JOIN $prev p ON e.src = p.id GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashPairCtes(0.01)},
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM mh_pairs),
+       |dg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |ed AS MATERIALIZED (
+       |  SELECT e.src, e.dst, d.deg FROM edges e JOIN dg d USING (src)),
+       |p0 AS MATERIALIZED (SELECT src AS id, CAST($base AS BIGINT) AS pr FROM dg),
+       |$iters
+       |SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr_scaled FROM p12""".stripMargin
+  }
+
   /** The pair graph's transitive closure (component labels), shared by the
     * cluster report and the canonical-pick query. */
   private def sharedMinhashComponents(spark: SparkSession, dir: String): DataFrame =
@@ -1816,6 +1873,7 @@ object LlmWorkload {
     "prep_stratified_sample" -> prepStratifiedSample,
     "prep_epoch_mix" -> prepEpochMix,
     "dedup_clusters" -> dedupClusters,
+    "dedup_pagerank" -> dedupPagerank,
     "dedup_incremental_clusters" -> dedupIncrementalClusters,
     "dedup_sampling_weights" -> dedupSamplingWeights,
     "pipeline_train_ready" -> pipelineTrainReady,
@@ -1893,7 +1951,12 @@ object LlmWorkload {
 
   // --- oracles --------------------------------------------------------------
 
-  private val minhashOracle: String = {
+  /** The MinHash pair pipeline's CTEs, through the verified threshold pairs
+    * as `mh_pairs` — shared by the pairs oracle and the PageRank oracle
+    * (one replay, two faces). mh_pairs is MATERIALIZED: the PageRank CTE
+    * chain references its descendants 12 times, and DuckDB would otherwise
+    * re-inline (and re-scan) the whole pipeline per reference. */
+  private def minhashPairCtes(threshold: Double): String = {
     val k = 12; val r = 3
     val h2mod = graft.text.TextOps.MinhashH2Mod
     val hCols = (0 until k).map(j => s"min(h1 + $j * h2) AS h$j").mkString(",\n  ")
@@ -1901,7 +1964,7 @@ object LlmWorkload {
       val cols = (0 until r).map(i => s"h${b * r + i}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS sig FROM sig"
     }.mkString("\nUNION ALL\n")
-    s"""WITH $shingleCte,
+    s"""$shingleCte,
        |hashed AS (SELECT doc_id, ${h64("shingle")} AS h1,
        |  (${h64("shingle || '#'")}) % $h2mod AS h2 FROM sh),
        |hs AS (SELECT DISTINCT doc_id, h1 AS h FROM hashed),
@@ -1918,14 +1981,19 @@ object LlmWorkload {
        |          FROM cand c
        |          JOIN hs sa ON sa.doc_id = c.doc_a
        |          JOIN hs sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
-       |          GROUP BY 1, 2)
-       |SELECT t.doc_a, t.doc_b,
-       |  CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
-       |FROM inter t
-       |JOIN cnt ca ON ca.doc_id = t.doc_a
-       |JOIN cnt cb ON cb.doc_id = t.doc_b
-       |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8""".stripMargin
+       |          GROUP BY 1, 2),
+       |mh_pairs AS MATERIALIZED (
+       |  SELECT t.doc_a, t.doc_b,
+       |    CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+       |  FROM inter t
+       |  JOIN cnt ca ON ca.doc_id = t.doc_a
+       |  JOIN cnt cb ON cb.doc_id = t.doc_b
+       |  WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= $threshold)""".stripMargin
   }
+
+  private val minhashOracle: String =
+    s"""WITH ${minhashPairCtes(0.8)}
+       |SELECT doc_a, doc_b, jaccard FROM mh_pairs""".stripMargin
 
   /** Connected components over the MinHash pair graph, closed transitively
     * with a recursive CTE — the unique min-label fixpoint both engines
@@ -3410,6 +3478,9 @@ object LlmWorkload {
          |  doc_id <> min(doc_id) OVER (PARTITION BY md5($normSql)) AS is_dup
          |FROM documents""".stripMargin,
     "dedup_minhash_pairs" -> minhashOracle,
+    // distributed integer PageRank over the same pair graph — see
+    // pagerankOracleSql
+    "dedup_pagerank" -> pagerankOracleSql,
     "dedup_simhash_pairs" -> simhashOracle,
     // perceptual-hash replay: the ASCII-clean restriction (mirrored in the
     // Spark query) makes ord(char) == payload byte STRUCTURALLY, not by

@@ -1220,6 +1220,42 @@ object TextOps {
           col("rule_symbol_ratio"))
   }
 
+  /**
+   * Distributed integer PageRank over an undirected pair graph — damped
+   * centrality in exact fixed-point arithmetic. Input: (doc_a, doc_b)
+   * pairs; output: (id, pr) for every node, scaled so the teleport-only
+   * rank is 2^32·0.15 div 100-exact and a rank ≈ 2^32 means "average".
+   *
+   * Each of the `iters` rounds routes `pr div deg` along every edge
+   * (truncating integer division — Spark's `div` and DuckDB's `//` both
+   * truncate toward zero) and applies `T + (Σ·85) div 100` with
+   * T = (2^32·15) div 100. Integer addition commutes, so aggregation
+   * order is free and a SQL replay is bit-exact.
+   *
+   * Scale: distributed power iteration — per round ONE equi-join of the
+   * cached (src, dst, deg) edge list against the current rank frame and
+   * ONE groupBy on dst, both shuffle-keyed on node ids; nothing collects
+   * to the driver. Sum bound: |V|·2^32·85 < 2^63 holds to ~2^24 nodes;
+   * beyond that start ranks lower (the scale is free).
+   */
+  def pagerankInt(pairs: DataFrame, iters: Int = 12): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = Caching.scoped(edges.join(deg, "src"))
+    val base = 1L << 32
+    val tele = base * 15L / 100L
+    var pr = deg.select(col("src").as("id"), lit(base).as("pr"))
+    for (_ <- 1 to iters) {
+      pr = ed.join(pr, ed("src") === pr("id"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg((lit(tele) + expr("(sum(c) * 85) div 100")).as("pr"))
+        .select(col("dst").as("id"), col("pr"))
+    }
+    pr
+  }
+
   /** Top-k word n-grams per group (language, source, ...) by occurrence
     * count — the grouped-top-k reporting shape over text. Deterministic
     * ranking: count desc, then shingle asc. One shuffle to count, one
