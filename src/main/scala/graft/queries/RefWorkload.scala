@@ -419,6 +419,39 @@ object RefWorkload {
   }
 
   /**
+   * Exponentially-weighted daily trend — the smoothed activity curve every
+   * analytics dashboard draws over the raw daily counts (and the
+   * forecasting baseline: tomorrow ≈ today's EWMA). α = 1/2 spelled in
+   * EXACT integers via the closed form: the smoothed numerator at day t is
+   * Σ_k y_{t−k}·2^(30−k) over the last 30 days and the denominator is the
+   * same sum with y ≡ 1 over the days that exist — halving weights are
+   * powers of two, so both sums are exact BIGINTs and `ewma` is one IEEE
+   * division. `rising` compares today's count against yesterday-anchored
+   * smoothing exactly (cross-multiplied, never a float threshold).
+   *
+   * Scale: the [[dauWau]] explode discipline — each day's 1-row count
+   * explodes to its ≤30 target days (30 rows per DAY, not per event) and
+   * one equi-shuffle on the target day aggregates; never a range join,
+   * never a window over the event log. */
+  def eventsEwmaDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Caching.scoped(Tables(spark, dir, "events")
+      .select(to_date(col("ts")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("y")))
+    val sm = daily
+      .select(col("d").as("src"), col("y"),
+        explode(expr("sequence(0, 29)")).as("k"))
+      .select(expr("date_add(src, k)").as("d"),
+        (col("y") * expr("shiftleft(CAST(1 AS BIGINT), 30 - k)")).as("wy"),
+        expr("shiftleft(CAST(1 AS BIGINT), 30 - k)").as("w"))
+      .groupBy(col("d"))
+      .agg(sum(col("wy")).as("num"), sum(col("w")).as("den"))
+    daily.join(sm, Seq("d"))
+      .select(col("d"), col("y"),
+        (col("num").cast("double") / col("den").cast("double")).as("ewma"),
+        (col("y") * col("den") > col("num")).as("rising"))
+  }
+
+  /**
    * Per-day bounce rate over 30-minute inactivity sessions — the staple
    * engagement metric over the reference's replicated action log
    * (log_link_visit_action, one row per visitor action, reference:
@@ -631,6 +664,7 @@ object RefWorkload {
     "events_retention_cohorts" -> retentionCohorts,
     "events_funnel_conversion" -> funnelConversion,
     "events_dau_wau" -> dauWau,
+    "events_ewma_daily" -> eventsEwmaDaily,
     "events_bounce_rate" -> bounceRate,
     "events_markov_transitions" -> markovTransitions,
     "events_attribution" -> attribution,
@@ -707,6 +741,22 @@ object RefWorkload {
         |  CAST(n AS DOUBLE)
         |    / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM c""".stripMargin,
+    // EWMA replay: same 30-lag power-of-two weights via the same
+    // explode-to-target-days shape, same single division, same
+    // cross-multiplied rising flag
+    "events_ewma_daily" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |sm AS (
+        |  SELECT daily.d + CAST(k AS INTEGER) AS d,
+        |    CAST(sum(y * (CAST(1 AS BIGINT) << (30 - k))) AS BIGINT) AS num,
+        |    CAST(sum(CAST(1 AS BIGINT) << (30 - k)) AS BIGINT) AS den
+        |  FROM daily, UNNEST(range(0, 30)) AS t(k) GROUP BY 1)
+        |SELECT daily.d, y,
+        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma,
+        |  y * den > num AS rising
+        |FROM daily JOIN sm ON daily.d = sm.d""".stripMargin,
     // attribution replay: the same strictly-preceding ignore-nulls frame,
     // the same floor-cents revenue, the same 2-row model unpivot
     "events_attribution" ->

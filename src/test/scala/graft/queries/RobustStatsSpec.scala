@@ -46,6 +46,25 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  test("eventsEwmaDaily: constant traffic smooths to itself exactly; a " +
+      "spike turns the rising flag on exactly once") {
+    // 10 days at 4 events/day, then day 11 spikes to 8
+    val rows = (1 to 10).flatMap(d => (1 to 4).map(k =>
+      ((d * 10 + k).toLong, f"2024-03-$d%02d 12:0$k:00", k.toLong, "view", 1.0))) ++
+      (1 to 8).map(k => ((110 + k).toLong, s"2024-03-11 12:0$k:00", k.toLong, "view", 1.0))
+    withEvents(rows) { dir =>
+      val out = RefWorkload.eventsEwmaDaily(spark, dir)
+        .select($"d".cast("string"), $"y", $"ewma", $"rising")
+        .as[(String, Long, Double, Boolean)].collect().sortBy(_._1)
+      out.take(10).foreach { case (d, y, e, r) =>
+        assert(y == 4L && e == 4.0 && !r, s"flat prefix must smooth to itself: $d $y $e $r")
+      }
+      val (_, y11, e11, r11) = out.last
+      assert(y11 == 8L && e11 > 4.0 && e11 < 8.0 && r11,
+        s"spike day must sit above its own smoothing: $y11 $e11 $r11")
+    }
+  }
+
   test("eventsRfmSegments: segments partition the users and conserve the " +
       "purchase revenue") {
     val rows = (1 to 40).flatMap { u =>
