@@ -1377,9 +1377,14 @@ object VectorOps {
    * literal). The eigensolve itself touches d² driver-side integers —
    * free at any corpus size.
    */
-  def pcaProject(emb: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", scaleBits: Int = 10,
-      iters: Int = 12): DataFrame = {
+  /** The driver-side half of [[pcaProject]]: one covariance collect, the
+    * truncation shift, the fixed-point power iteration, and the sign
+    * canonicalization. Returns (d, n, Σx per coordinate, the shifted
+    * covariance matrix, the canonical direction at 2^16 scale). Shared by
+    * the projection entry and the explained-variance gauge so both faces
+    * pin against the SAME eigensolve. */
+  private[graft] def pcaSolve(emb: DataFrame, vecCol: String, scaleBits: Int,
+      iters: Int): (Int, Long, Array[Long], Array[Array[Long]], IndexedSeq[Long]) = {
     require(scaleBits > 0 && scaleBits <= 20, s"scaleBits out of range: $scaleBits")
     val pairs = covarianceReport(emb, vecCol, scaleBits)
       .select(col("i"), col("j"), col("n"), col("sxy"), col("sx"), col("sy"))
@@ -1411,7 +1416,13 @@ object VectorOps {
     val sgn = (1 to d).iterator.map(v).find(_ != 0L) match {
       case Some(x) if x < 0L => -1L; case _ => 1L
     }
-    val vs = (1 to d).map(i => v(i) * sgn)
+    (d, n, sx, c, (1 to d).map(i => v(i) * sgn))
+  }
+
+  def pcaProject(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", scaleBits: Int = 10,
+      iters: Int = 12): DataFrame = {
+    val (d, n, sx, _, vs) = pcaSolve(emb, vecCol, scaleBits, iters)
     val scale = (1L << scaleBits).toDouble
     val sxArr = (1 to d).map(i => s"CAST(${sx(i)} AS BIGINT)").mkString(", ")
     val vsArr = vs.map(x => s"CAST($x AS BIGINT)").mkString(", ")
@@ -1423,6 +1434,37 @@ object VectorOps {
            |  acc + (CAST($n AS BIGINT) * element_at(__v, j)
            |         - element_at(array($sxArr), j))
            |        * element_at(array($vsArr), j))""".stripMargin).as("pc1"))
+  }
+
+  /**
+   * PCA explained-variance gauge — "how much of the corpus variance does
+   * the dominant direction carry?", the one-row report that tells a
+   * pipeline whether truncating to few components is safe. λ1 is the
+   * integer Rayleigh quotient of [[pcaSolve]]'s canonical direction
+   * (downscaled to 2^8 so the quadratic form stays inside exact longs:
+   * |C'|·2^16·d² < 2^50) against the shifted covariance matrix; the trace
+   * is the same matrix's diagonal sum; `share_ppm` is their ratio in
+   * parts-per-million by one truncating integer division. Same eigensolve
+   * as [[pcaProject]] — the two faces cannot drift apart.
+   */
+  def pcaExplained(emb: DataFrame, vecCol: String = "embedding",
+      scaleBits: Int = 10, iters: Int = 12): DataFrame = {
+    val (d, n, _, c, vs) = pcaSolve(emb, vecCol, scaleBits, iters)
+    val v8 = vs.map(_ / 256L)
+    var num = 0L
+    var den = 0L
+    for (i <- 1 to d) {
+      den += v8(i - 1) * v8(i - 1)
+      for (j <- 1 to d) num += v8(i - 1) * c(i)(j) * v8(j - 1)
+    }
+    val trace = (1 to d).map(i => c(i)(i)).sum
+    val lambda1 = num / math.max(den, 1L)
+    val sharePpm = lambda1 * 1000000L / math.max(trace, 1L)
+    val spark = emb.sparkSession
+    spark.range(1).select(
+      lit(d).cast("long").as("d"), lit(n).as("n_vecs"),
+      lit(lambda1).as("lambda1_scaled"), lit(trace).as("trace_scaled"),
+      lit(sharePpm).as("share_ppm"))
   }
 
   /**

@@ -314,6 +314,12 @@ object LlmWorkload {
   def embeddingPcaProject(spark: SparkSession, dir: String): DataFrame =
     VectorOps.pcaProject(Tables(spark, dir, "embeddings"))
 
+  /** PCA explained-variance gauge ([[VectorOps.pcaExplained]]): λ1's share
+    * of the covariance trace in parts-per-million, same eigensolve as the
+    * projection entry. */
+  def embeddingPcaExplained(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.pcaExplained(Tables(spark, dir, "embeddings"))
+
   /** PCA replay: the same quantized covariance accumulators, the same
     * 22-bit truncation shift, twelve unrolled fixed-point power-iteration
     * CTEs (integer matvec + max-abs renormalization — integer addition
@@ -321,7 +327,10 @@ object LlmWorkload {
     * sign canonicalization, the same exact-integer projection. Both
     * engines truncate integer division toward zero, so `//` here is
     * exactly the builder's `/` on longs. */
-  private lazy val pcaOracleSql: String = {
+  /** The PCA eigensolve's CTEs, quantization through the sign scalar `sg` —
+    * shared by the projection oracle and the explained-variance oracle so
+    * both replay the SAME direction. */
+  private lazy val pcaCommonCtes: String = {
     // every iteration CTE is MATERIALIZED: DuckDB inlines plain CTEs, so a
     // 12-deep chain would re-inline (and re-scan) its whole ancestry
     // exponentially — materialization keeps each step a 64-row table
@@ -334,7 +343,7 @@ object LlmWorkload {
          |v$k AS MATERIALIZED (SELECT j, (uj * 65536) // (SELECT m FROM m$k) AS vj
          |  FROM u$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS v
        |  FROM embeddings),
@@ -359,7 +368,11 @@ object LlmWorkload {
        |v0 AS (SELECT DISTINCT i AS j, CAST(65536 AS BIGINT) AS vj FROM cm),
        |$iterations,
        |sg AS (SELECT coalesce((SELECT CASE WHEN vj < 0 THEN -1 ELSE 1 END
-       |    FROM v12 WHERE vj <> 0 ORDER BY j LIMIT 1), 1) AS s),
+       |    FROM v12 WHERE vj <> 0 ORDER BY j LIMIT 1), 1) AS s)""".stripMargin
+  }
+
+  private lazy val pcaOracleSql: String =
+    s"""WITH $pcaCommonCtes,
        |ex AS (SELECT vec_id, j, v[j] AS xq
        |  FROM v, UNNEST(generate_series(1, len(v))) AS t(j)),
        |ss AS (SELECT i AS j, n, sx FROM agg WHERE i = j)
@@ -368,7 +381,26 @@ object LlmWorkload {
        |    AS BIGINT) AS pc1
        |FROM ex JOIN ss USING (j) JOIN v12 fv ON ex.j = fv.j
        |GROUP BY 1""".stripMargin
-  }
+
+  /** Explained-variance replay: the same canonical direction downscaled to
+    * 2^8, the integer Rayleigh quotient against the shifted matrix, the
+    * diagonal trace, one truncating ppm division. */
+  private lazy val pcaExplainedOracleSql: String =
+    s"""WITH $pcaCommonCtes,
+       |vq AS MATERIALIZED (
+       |  SELECT j, (vj * (SELECT s FROM sg)) // 256 AS v8 FROM v12),
+       |nm AS (SELECT CAST(sum(a.v8 * c.cv * b.v8) AS BIGINT) AS num
+       |  FROM cs c JOIN vq a ON c.i = a.j JOIN vq b ON c.j = b.j),
+       |dn AS (SELECT CAST(sum(v8 * v8) AS BIGINT) AS den FROM vq),
+       |tr AS (SELECT CAST(sum(cv) AS BIGINT) AS trace FROM cs WHERE i = j),
+       |dim AS (SELECT CAST(count(*) AS BIGINT) AS d FROM vq),
+       |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+       |SELECT dim.d AS d, nv.n AS n_vecs,
+       |  CAST(nm.num // greatest(dn.den, 1) AS BIGINT) AS lambda1_scaled,
+       |  tr.trace AS trace_scaled,
+       |  CAST((nm.num // greatest(dn.den, 1)) * 1000000
+       |    // greatest(tr.trace, 1) AS BIGINT) AS share_ppm
+       |FROM nm, dn, tr, dim, nv""".stripMargin
 
   def annTopkBruteforce(spark: SparkSession, dir: String): DataFrame =
     VectorOps.annBruteForce(Tables(spark, dir, "embeddings"))
@@ -1911,6 +1943,7 @@ object LlmWorkload {
     "embedding_covariance" -> embeddingCovariance,
     "embedding_outliers" -> embeddingOutliers,
     "embedding_pca_project" -> embeddingPcaProject,
+    "embedding_pca_explained" -> embeddingPcaExplained,
     "text_lang_id" -> textLangId,
     "text_fingerprints" -> textFingerprints,
     "ann_topk_bruteforce" -> annTopkBruteforce,
@@ -3058,6 +3091,7 @@ object LlmWorkload {
     // all-integer PCA: generated 12-iteration fixed-point power-iteration
     // replay — see pcaOracleSql
     "embedding_pca_project" -> pcaOracleSql,
+    "embedding_pca_explained" -> pcaExplainedOracleSql,
     // diagonal Mahalanobis: per-coordinate stats are exact integer sums;
     // the per-row score folds coordinate terms IN INDEX ORDER (list_reduce
     // left-to-right == Spark's aggregate fold: 0.0 + r1 is bit-equal to r1

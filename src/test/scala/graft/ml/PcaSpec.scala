@@ -38,6 +38,23 @@ class PcaSpec extends SparkSpec {
     assert(s == 0L)
   }
 
+  test("pcaExplained: a strongly anisotropic corpus shows the dominant " +
+      "axis carrying most of the trace; isotropic noise does not") {
+    val aniso = emb((1 to 60).map(i =>
+      (i.toLong, Seq((math.sin(i * 2.39) * 1.0).toFloat, 0.02f * (i % 3 - 1),
+        0.02f * (i % 5 - 2) / 2, 0.01f * (i % 2)))): _*)
+    val a = VectorOps.pcaExplained(aniso)
+      .select($"share_ppm", $"d", $"n_vecs").as[(Long, Long, Long)].head()
+    assert(a._2 == 4L && a._3 == 60L)
+    assert(a._1 > 500000L, s"dominant axis must carry >50%: ${a._1} ppm")
+    val iso = emb((1 to 60).map(i =>
+      (i.toLong, Seq(math.sin(i * 2.39).toFloat, math.cos(i * 3.31).toFloat,
+        math.sin(i * 5.17).toFloat, math.cos(i * 7.03).toFloat))): _*)
+    val b = VectorOps.pcaExplained(iso).select($"share_ppm").as[Long].head()
+    assert(b < 600000L, s"isotropic corpus must not concentrate: $b ppm")
+    assert(a._1 > b)
+  }
+
   test("row order cannot change the result (integer aggregation commutes)") {
     val rows = (1 to 30).map(i =>
       (i.toLong, Seq((i * 0.1).toFloat, math.cos(i * 2.1).toFloat,
