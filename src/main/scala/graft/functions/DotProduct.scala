@@ -125,6 +125,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopK].getName, "graft_topk"),
       arity("graft_topk", 3)(c => TopK(c.head, c(1), c(2)))))
+    // graft_argmax/argmin(score, id): per-group argbest with a FLAT
+    // two-primitive buffer — hash-aggregable where max(struct(...)) falls
+    // back to a full sort of the pre-aggregation stream (see ArgBest)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_argmax"),
+      new ExpressionInfo(classOf[ArgBest].getName, "graft_argmax"),
+      arity("graft_argmax", 2)(c => ArgBest(c.head, c(1), asMin = false))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_argmin"),
+      new ExpressionInfo(classOf[ArgBest].getName, "graft_argmin"),
+      arity("graft_argmin", 2)(c => ArgBest(c.head, c(1), asMin = true))))
     // graft_might_contain(bloomBytes, longValue): Spark's own codegen'd
     // Bloom-membership expression (the engine behind runtime-filter
     // injection), exposed as a callable function so operators can prefilter

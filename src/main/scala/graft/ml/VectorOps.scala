@@ -57,6 +57,26 @@ object VectorOps {
   private def cosPre(a: String, b: String, na: String, nb: String): Column =
     dot(a, b) / (col(na) * col(nb))
 
+  /** Per-group argbest aggregate — best (score, id) pair's id, ties to the
+    * lowest id. The native [[graft.functions.ArgBest]] when the session
+    * carries GraftExtensions: a flat two-primitive buffer keeps the plan a
+    * map-side-combining HASH aggregation, where the composable
+    * `max(struct(score, −id))` buffer is a struct and silently demotes the
+    * whole pre-aggregation stream to SortAggregate (the r15 flat-assign
+    * profile: the corpus × nlist candidate stream was being SORTED).
+    * Fallback spelling for extension-less sessions — identical result. */
+  private def argBestAgg(score: String, id: String,
+      asMin: Boolean = false): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fn = if (asMin) "graft_argmin" else "graft_argmax"
+    if (spark.catalog.functionExists(fn))
+      expr(s"$fn($score, CAST($id AS BIGINT))")
+    else if (asMin)
+      min(struct(col(score), col(id).cast("long").as("nid"))).getField("nid")
+    else
+      -max(struct(col(score), (-col(id).cast("long")).as("nid"))).getField("nid")
+  }
+
   /**
    * Brute-force top-k cosine neighbors for each probe vector. Probes are the
    * rows where `vec_id % probeMod == 0`; self-matches excluded. Output:
@@ -122,8 +142,8 @@ object VectorOps {
       // ~|corpus| collapsed rows shuffle, and the embedding arrays never
       // move through an exchange. See [[ivfAssign]] for the full argument.
       scored.groupBy(col("vec_id"))
-        .agg(max(struct(col("cos"), (-col("centroid_id")).as("nid"))).as("mx"))
-        .select(col("vec_id"), (-col("mx.nid")).as("centroid_id"))
+        .agg(argBestAgg("cos", "centroid_id").as("centroid_id"))
+        .select(col("vec_id"), col("centroid_id"))
     else {
       // multi-probe needs the top-n, which has no map-combining aggregate
       // shape — but the window only ever carries (vec_id, centroid_id,
@@ -135,6 +155,21 @@ object VectorOps {
         .filter(col("rn") <= nprobe)
         .select(col("vec_id"), col("centroid_id"))
     }
+  }
+
+  /** The nprobe = 1 argmax of [[assignToCentroids]] plus the vector —
+    * (vec_id, centroid_id, e) — so the Lloyd refine consumes the
+    * assignment directly instead of re-joining the corpus itself. Narrow
+    * scalar-key hash aggregation + one join-back (see [[ivfAssign]] for
+    * why the vector must not ride the grouping key). */
+  private def assignToCentroidsFull(v: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val best = v.join(broadcast(centroids))
+      .withColumn("cos", cosPre("e", "ce", "n", "cn"))
+      .groupBy(col("vec_id"))
+      .agg(argBestAgg("cos", "centroid_id").as("centroid_id"))
+    v.join(best, Seq("vec_id"))
+      .select(col("vec_id"), col("centroid_id"), col("e"))
   }
 
   /**
@@ -177,12 +212,19 @@ object VectorOps {
     * — through one exchange, which at 100 TB × thousands of centroids is
     * the build-side scan this index exists to avoid. */
   def ivfAssign(centroids: DataFrame, v: DataFrame): DataFrame = {
+    // NARROW-key argmax + join-back (r15): the candidate stream is
+    // corpus × nlist rows, so the aggregation must touch only scalars per
+    // row — [[argBestAgg]]'s flat buffer keeps it a map-side-combining
+    // HASH aggregation on the 8-byte vec_id key (the max(struct) spelling
+    // demoted this exact stream to a full SortAggregate, and grouping by
+    // (vec_id, e, n) to skip the join-back re-hashed the wide key once
+    // per candidate row — measured 3× worse at nlist = 5000). The
+    // join-back only touches ~|corpus| collapsed rows on each side.
     val best = v.select(col("vec_id"), col("e"), col("n"))
       .join(broadcast(centroids))
       .withColumn("cos", cosPre("e", "ce", "n", "cn"))
       .groupBy(col("vec_id"))
-      .agg(max(struct(col("cos"), (-col("centroid_id")).as("nid"))).as("mx"))
-      .select(col("vec_id"), (-col("mx.nid")).as("centroid_id"))
+      .agg(argBestAgg("cos", "centroid_id").as("centroid_id"))
     v.join(best, Seq("vec_id"))
       .select(col("vec_id"), col("centroid_id"), col("e"), col("n"))
   }
@@ -297,8 +339,8 @@ object VectorOps {
     val routed = centroids.join(broadcast(metas))
       .withColumn("cos", cosPre("ce", "me", "cn", "mn"))
       .groupBy(col("centroid_id"))
-      .agg(max(struct(col("cos"), (-col("meta_id")).as("nid"))).as("mx"))
-      .select(col("centroid_id"), (-col("mx.nid")).as("meta_id"))
+      .agg(argBestAgg("cos", "meta_id").as("meta_id"))
+      .select(col("centroid_id"), col("meta_id"))
     (metas, centroids.join(routed, Seq("centroid_id")))
   }
 
@@ -336,21 +378,33 @@ object VectorOps {
   }
 
   private[graft] def ivfAssignHierRouted(metas: DataFrame, children: DataFrame,
-      v: DataFrame): DataFrame = {
-    val vMeta = v.select(col("vec_id"), col("e"), col("n"))
+      v: DataFrame): DataFrame =
+    ivfAssignHierRoutedFull(metas, children, v)
+      .select(col("vec_id"), col("centroid_id"))
+
+  /** [[ivfAssignHierRouted]] plus the vector: (vec_id, centroid_id, e, n),
+    * so the Lloyd refine consumes the assignment directly. Narrow
+    * scalar-key hash aggregations ([[argBestAgg]]) at both levels; the
+    * vectors re-attach through vec_id equi-joins against the (typically
+    * checkpointed) corpus frame — grouping by the array columns instead
+    * was measured 3× slower at dim 64 (the wide key re-hashes per
+    * candidate row). */
+  private[graft] def ivfAssignHierRoutedFull(metas: DataFrame,
+      children: DataFrame, v: DataFrame): DataFrame = {
+    val vk = v.select(col("vec_id"), col("e"), col("n"))
+    val bestMeta = vk
       .join(broadcast(metas))
       .withColumn("cos", cosPre("e", "me", "n", "mn"))
       .groupBy(col("vec_id"))
-      .agg(max(struct(col("cos"), (-col("meta_id")).as("nid"))).as("mx"))
-      .select(col("vec_id"), (-col("mx.nid")).as("meta_id"))
-    v.select(col("vec_id"), col("e"), col("n"))
-      .join(vMeta, Seq("vec_id"))
+      .agg(argBestAgg("cos", "meta_id").as("meta_id"))
+    val best = vk.join(bestMeta, Seq("vec_id"))
       .join(children.select(col("meta_id"), col("centroid_id"),
         col("ce"), col("cn")), Seq("meta_id"))
       .withColumn("cos", cosPre("e", "ce", "n", "cn"))
       .groupBy(col("vec_id"))
-      .agg(max(struct(col("cos"), (-col("centroid_id")).as("nid"))).as("mx"))
-      .select(col("vec_id"), (-col("mx.nid")).as("centroid_id"))
+      .agg(argBestAgg("cos", "centroid_id").as("centroid_id"))
+    vk.join(best, Seq("vec_id"))
+      .select(col("vec_id"), col("centroid_id"), col("e"), col("n"))
   }
 
   /** Bucket `vecs` (raw embeddings) hierarchically against a frozen
@@ -892,12 +946,15 @@ object VectorOps {
     val codebook = subs.filter(pmod(col("vec_id"), lit(codebookMod)) === 0)
       .select(col("j"), col("vec_id").as("code_id"), col("se").as("ce"))
     // encode: nearest codeword per (vector, subspace) — broadcast codebook,
-    // struct-min argmin (order-independent, ties on code_id)
-    val codes = subs.join(broadcast(codebook), Seq("j"))
-      .withColumn("d2", sqDist("se", "ce"))
+    // struct-min argmin (order-independent, ties on code_id). Self-dots
+    // hoisted out of the cross product exactly like [[pqEncodeWith]] —
+    // same ((a·a − 2(a·b)) + b·b) fold order, bit-identical codes.
+    val codes = subs.withColumn("saa", dot("se", "se"))
+      .join(broadcast(codebook.withColumn("cbb", dot("ce", "ce"))), Seq("j"))
+      .withColumn("d2", col("saa") - lit(2.0) * dot("se", "ce") + col("cbb"))
       .groupBy(col("vec_id"), col("j"))
-      .agg(min(struct(col("d2"), col("code_id"))).as("mn"))
-      .select(col("vec_id"), col("j"), col("mn.code_id").as("code_id"))
+      .agg(argBestAgg("d2", "code_id", asMin = true).as("code_id"))
+      .select(col("vec_id"), col("j"), col("code_id"))
     // ADC: probe → per-(subspace, codeword) distance table in exact 1e-12
     // integer units; corpus distance = integer sum over the m code lookups
     val dt = subs.filter(pmod(col("vec_id"), lit(probeMod)) === 0)
@@ -937,11 +994,19 @@ object VectorOps {
     * code rows a persisted PQ index stores (m small ints per vector).
     * Returns (vec_id, j, code_id). */
   def pqEncodeWith(codebooks: DataFrame, v: DataFrame, m: Int = 4): DataFrame =
-    subVectors(v, m).join(broadcast(codebooks), Seq("j"))
-      .withColumn("d2", sqDist("se", "ce"))
+    // d2 spelled exactly like [[sqDist]] — ((a·a − 2(a·b)) + b·b), same IEEE
+    // fold order, so codes are bit-identical to the per-pair spelling — but
+    // with the self-dots hoisted OUT of the |subvectors| × |codewords| cross
+    // product: a·a computes once per (vector, subspace) row and b·b once per
+    // codeword instead of once per candidate pair, cutting the cross
+    // product's dot-product work to a third (r15: pq_encode was 2-7 s of the
+    // 100×-root recluster at 400k subvectors × 63 codewords = 25M pairs)
+    subVectors(v, m).withColumn("saa", dot("se", "se"))
+      .join(broadcast(codebooks.withColumn("cbb", dot("ce", "ce"))), Seq("j"))
+      .withColumn("d2", col("saa") - lit(2.0) * dot("se", "ce") + col("cbb"))
       .groupBy(col("vec_id"), col("j"))
-      .agg(min(struct(col("d2"), col("code_id"))).as("mn"))
-      .select(col("vec_id"), col("j"), col("mn.code_id").as("code_id"))
+      .agg(argBestAgg("d2", "code_id", asMin = true).as("code_id"))
+      .select(col("vec_id"), col("j"), col("code_id"))
 
   /** Probes' ADC distance tables against FROZEN codebooks: one row per
     * (probe, subspace, codeword) with the squared distance in exact 1e-12
@@ -1104,26 +1169,64 @@ object VectorOps {
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      assigned = assignToCentroids(v, centroids)
-      centroids = lloydRefine(v, assigned)
+      assigned = assignToCentroidsFull(v, centroids)
+      centroids = lloydRefine(assigned)
     }
     assigned.select(col("vec_id"), col("centroid_id").as("cluster_id"))
   }
 
+  /** Fixed-point scale of the LONG-accumulator Lloyd mean (the
+    * `portableDecimal = false` mode of [[lloydRefine]]): coordinates round
+    * to 2^-38 units, so a per-(cluster, dim) sum stays inside a signed
+    * long for |x| ≤ 4 up to ~2^23 rows per cluster — the training-sample
+    * cap ([[KmeansTrainPointsPerCentroid]]) keeps real buckets orders of
+    * magnitude below that. */
+  private val LloydFixedPointScale = (1L << 38).toDouble
+
   /** One Lloyd centroid update: per-cluster per-dimension means of the
-    * assigned vectors (exact DECIMAL sums — order-independent — one double
-    * division), returned in codebook shape (centroid_id, ce, cn). Empty
-    * clusters drop out. Shared by [[kmeansAssign]] and
-    * [[kmeansCentroids]]. */
-  private def lloydRefine(v: DataFrame, assigned: DataFrame): DataFrame =
-    v.join(assigned.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+    * assigned vectors, returned in codebook shape (centroid_id, ce, cn).
+    * Empty clusters drop out. Shared by [[kmeansAssign]] and
+    * [[kmeansCentroids]].
+    *
+    * Two accumulator modes, both order-independent (integer addition
+    * commutes) and therefore deterministic across partitionings:
+    *  - `portableDecimal = true`: exact DECIMAL(38,18) sums — the
+    *    engine-portable arithmetic the DuckDB oracle replays (the
+    *    `kmeansAssign` family's gate entries pin it). Measured cost (r15
+    *    stage profile): ~1.5 µs/cell — Spark sums decimals through
+    *    non-vectorized BigDecimal, and at the recluster fixture's 1.6M
+    *    cells the decimal aggregation alone was ~2.4 s of each ~3 s
+    *    refine, ~5 s of the 16 s maint_recluster_embedding_100x entry.
+    *  - `portableDecimal = false`: exact LONG sums of 2^-38 fixed-point
+    *    units (round(x·2^38)) — ~4× faster end-to-end, same determinism,
+    *    mean differs from the decimal mean by < 2^-38 per coordinate
+    *    (quantization far below the k-means noise floor). For consumers
+    *    with no oracle replay: the RECLUSTER retrain
+    *    ([[kmeansCentroids]]/[[kmeansCentroidsHier]]), whose codebook is
+    *    compared against nothing bit-exact — only served and gauged by
+    *    recall floors. `LloydFixedPointSpec` pins the arithmetic and the
+    *    closeness of the two modes. */
+  private def lloydRefine(assignedFull: DataFrame,
+      portableDecimal: Boolean = true): DataFrame = {
+    val mean =
+      if (portableDecimal)
+        sum(col("x").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)).cast("double")
+      else
+        sum(round(col("x") * lit(LloydFixedPointScale)).cast("long"))
+          .cast("double") / lit(LloydFixedPointScale) /
+          count(lit(1)).cast("double")
+    // input carries the winner's vector from the assignment aggregate
+    // (the struct-carry — see [[ivfAssign]]), so the refine is explode +
+    // aggregate with NO corpus-sized join
+    assignedFull
       .select(col("centroid_id"), posexplode(col("e")).as(Seq("pos", "x")))
       .groupBy(col("centroid_id"), col("pos"))
-      .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
-        count(lit(1)).cast("double")).as("m"))
+      .agg(mean.as("m"))
       .groupBy(col("centroid_id"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("ce"))
       .withColumn("cn", sqrt(dot("ce", "ce")))
+  }
 
   /** Rows per centroid past which the Lloyd TRAINING passes run on a
     * deterministic mod-sample of the corpus instead of all of it — the
@@ -1175,7 +1278,8 @@ object VectorOps {
     // corpus pass per level. Materializing the sliver keeps each
     // iteration exactly one training pass.
     for (_ <- 1 to iters)
-      centroids = lloydRefine(train, assignToCentroids(train, centroids))
+      centroids = lloydRefine(assignToCentroidsFull(train, centroids),
+        portableDecimal = false)
         .localCheckpoint()
     centroids
   }
@@ -1209,7 +1313,8 @@ object VectorOps {
     for (i <- 1 to iters) {
       centroids = graft.stream.MaintStages("recluster", s"kmeans_iter$i") {
         val (m, ch) = ivfHierRouting(centroids, metaMod)
-        lloydRefine(train, ivfAssignHierRouted(m, ch, train))
+        lloydRefine(ivfAssignHierRoutedFull(m, ch, train),
+          portableDecimal = false)
           .localCheckpoint()
       }
     }
@@ -1311,7 +1416,13 @@ object VectorOps {
       scaleBits: Int = 20, wideSums: Boolean = false): DataFrame = {
     require(scaleBits > 0 && scaleBits <= 26, s"scaleBits out of range: $scaleBits")
     val scale = (1L << scaleBits).toDouble
-    val ints = emb.select(expr(
+    // spread BEFORE the d²/2 pair explode (the [[asDouble]] discipline): a
+    // small corpus read is one parquet file → one scan partition, and
+    // without the repartition the entire corpus × d²/2 struct explode ran
+    // on a single core (r15: embedding_covariance and both PCA faces spent
+    // ~2.5 s each single-threaded here). Integer sums commute, so the
+    // repartition cannot change any output value.
+    val ints = graft.Spread.byKey(emb, col(vecCol)).select(expr(
       s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
       .as("v"))
     def acc(c: Column): Column =
@@ -1424,16 +1535,20 @@ object VectorOps {
       iters: Int = 12): DataFrame = {
     val (d, n, sx, _, vs) = pcaSolve(emb, vecCol, scaleBits, iters)
     val scale = (1L << scaleBits).toDouble
-    val sxArr = (1 to d).map(i => s"CAST(${sx(i)} AS BIGINT)").mkString(", ")
-    val vsArr = vs.map(x => s"CAST($x AS BIGINT)").mkString(", ")
-    emb.select(col(idCol).as("vec_id"), expr(
-      s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
-      .as("__v"))
-      .select(col("vec_id"), expr(
-        s"""aggregate(sequence(1, $d), CAST(0 AS BIGINT), (acc, j) ->
-           |  acc + (CAST($n AS BIGINT) * element_at(__v, j)
-           |         - element_at(array($sxArr), j))
-           |        * element_at(array($vsArr), j))""".stripMargin).as("pc1"))
+    // the projection Σ_j (n·v_j − Σx_j)·dir_j UNROLLED as a flat 64-term
+    // codegen sum with the per-coordinate constants folded in as literals
+    // (r15): the previous HOF spelling rebuilt two d-element literal
+    // arrays INSIDE the fold lambda — interpreted, per row per step, ~3 s
+    // of the entry at sf0.1 — while reduceLeft(+) binds the identical
+    // left-to-right exact-integer addition order (it commutes anyway).
+    // Spread first: the corpus read is one scan partition otherwise.
+    val terms = (1 to d).map(j =>
+      (lit(n) * element_at(col("__v"), j) - lit(sx(j))) * lit(vs(j - 1)))
+    graft.Spread.byKey(emb, col(idCol))
+      .select(col(idCol).as("vec_id"), expr(
+        s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
+        .as("__v"))
+      .select(col("vec_id"), terms.reduceLeft(_ + _).as("pc1"))
   }
 
   /**

@@ -645,10 +645,18 @@ object TextOps {
   /** Symmetrized-edge-row ceiling under which [[connectedComponents]]
     * collapses the graph driver-side instead of running distributed
     * propagate/jump rounds (≈ cap/2 undirected edges — the batch-bounded
-    * mini graphs of the union-find increment and the probe faces). Sized
-    * like [[UnionFind.MaxLabelFetchIds]]: small enough to stay driver-safe
-    * metadata, large enough to cover any realistic per-batch pair graph. */
-  private[graft] val SmallGraphCap = 2000
+    * mini graphs of the union-find increment and the probe faces).
+    *
+    * 100k rows of two longs is ~1.6 MB of data — comfortably driver-safe
+    * metadata (far below `spark.driver.maxResultSize`), and the r15 stage
+    * profile showed why the ceiling must sit well above any per-batch pair
+    * graph: a 2 000-vector registry batch produced ~5.5k symmetrized edge
+    * rows, fell past the previous 2 000-row cap onto the distributed
+    * fixpoint, and paid ~15 s of propagate/jump rounds (6 rounds × join +
+    * groupBy + localCheckpoint + convergence count) for a graph the driver
+    * collapses in microseconds — the entire `ingest_*_cluster_batch` bench
+    * cost. Corpus-sized graphs still take the distributed path. */
+  private[graft] val SmallGraphCap = 100000
 
   /** [[connectedComponents]] plus the number of propagate+jump rounds it ran
     * (excluding the folded-in seed propagation) — the observability hook for
@@ -658,7 +666,10 @@ object TextOps {
     * fails a spec instead of surfacing as a silent cluster-scale stall. */
   private[graft] def connectedComponentsWithRounds(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
-      maxIters: Int = 50): (DataFrame, Int) = {
+      maxIters: Int = 50,
+      // spec hook: CcScaleSpec pins the DISTRIBUTED fixpoint's round/shuffle
+      // contract on a graph far below the production cap — it passes 0 here
+      smallGraphCap: Int = SmallGraphCap): (DataFrame, Int) = {
     // symmetrize with a single scan: a union of two selects would evaluate
     // the (typically expensive, un-cached) upstream pair plan once per side
     // ids cast to long up front so the driver-side path below (getLong)
@@ -678,8 +689,8 @@ object TextOps {
     // through to the distributed path, so corpus-sized graphs never
     // collect. Bit-identical by construction: both paths compute the
     // unique min-label fixpoint over the same edge set.
-    val capped = edges.limit(SmallGraphCap + 1).collect()
-    if (capped.length <= SmallGraphCap) {
+    val capped = edges.limit(smallGraphCap + 1).collect()
+    if (capped.length <= smallGraphCap && smallGraphCap > 0) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -962,6 +973,13 @@ object TextOps {
     var syms = words.select(bpeSymbolizedWord(col("word")).as("s"), col("cnt"))
     syms.persist(StorageLevel.MEMORY_AND_DISK)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // the parent generation's cache is dropped only AFTER the next argmax
+    // job has run — that job is the child cache's first evaluation, so it
+    // materializes the child THROUGH the still-cached parent (one replace
+    // deep) exactly like the old explicit `next.count()` did, without
+    // paying a separate materialization job per rank (r15: 8 extra jobs
+    // per train, ~0.5-1 s across the three bpe entries)
+    var parent: Option[DataFrame] = None
     try {
       var exhausted = false
       for (rank <- 1 to k if !exhausted) {
@@ -979,18 +997,22 @@ object TextOps {
           .orderBy(col("pair_count").desc, col("a").asc, col("b").asc)
           .limit(1) // driver-bounded: one row per iteration
           .collect()
+        parent.foreach(_.unpersist()): Unit // child materialized by the job above
+        parent = None
         if (top.isEmpty) exhausted = true
         else {
           val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           learned += ((rank, a, b, c))
           val next = syms.select(bpeMergeOnce(col("s"), a, b).as("s"), col("cnt"))
           next.persist(StorageLevel.MEMORY_AND_DISK)
-          next.count(): Unit // materialize before dropping the parent cache
-          syms.unpersist()
+          parent = Some(syms)
           syms = next
         }
       }
-    } finally syms.unpersist(): Unit
+    } finally {
+      syms.unpersist(): Unit
+      parent.foreach(_.unpersist()): Unit
+    }
     import spark.implicits._
     learned.toSeq.toDF("rank", "a", "b", "pair_count")
   }
@@ -1238,13 +1260,47 @@ object TextOps {
    * to the driver. Sum bound: |V|·2^32·85 < 2^63 holds to ~2^24 nodes;
    * beyond that start ranks lower (the scale is free).
    */
-  def pagerankInt(pairs: DataFrame, iters: Int = 12): DataFrame = {
+  def pagerankInt(pairs: DataFrame, iters: Int = 12,
+      // spec hook (the [[connectedComponentsWithRounds]] pattern):
+      // PagerankSpec passes 0 to pin the distributed loop's parity with
+      // the driver replay
+      smallGraphCap: Int = SmallGraphCap): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val ed = Caching.scoped(edges.join(deg, "src"))
     val base = 1L << 32
     val tele = base * 15L / 100L
+    // batch-bounded graphs collapse on the driver (the [[SmallGraphCap]]
+    // discipline): the distributed loop below is 12 chained join+groupBy
+    // rounds — ~25 exchanges in one plan — which at the sf-scale fixture is
+    // pure scheduling/planning overhead (r15 profile: ~10 s for a graph of
+    // a few thousand edges whose arithmetic takes microseconds). The loop
+    // body is exact integer arithmetic (truncating division, commutative
+    // addition), so the in-memory replay below is bit-identical — including
+    // the drop-out semantics: a node with no in-edges from ranked sources
+    // leaves the rank frame exactly as the groupBy leaves it out.
+    val capped = ed.select(col("src").cast("long"), col("dst").cast("long"),
+        col("deg").cast("long"))
+      .limit(smallGraphCap + 1).collect()
+    if (capped.length <= smallGraphCap && smallGraphCap > 0) {
+      val es = capped.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      var pr: Map[Long, Long] =
+        es.iterator.map(_._1).toSeq.distinct.map(_ -> base).toMap
+      for (_ <- 1 to iters) {
+        val acc = scala.collection.mutable.Map.empty[Long, Long]
+        es.foreach { case (src, dst, d) =>
+          pr.get(src).foreach { p =>
+            acc.update(dst, acc.getOrElse(dst, 0L) + p / d)
+          }
+        }
+        pr = acc.iterator.map { case (id, s) => id -> (tele + s * 85L / 100L) }
+          .toMap
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return pr.toSeq.toDF("id", "pr")
+    }
     var pr = deg.select(col("src").as("id"), lit(base).as("pr"))
     for (_ <- 1 to iters) {
       pr = ed.join(pr, ed("src") === pr("id"))

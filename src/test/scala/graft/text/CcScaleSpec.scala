@@ -47,7 +47,11 @@ class CcScaleSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     val (labels, rounds) =
       try {
-        val (l, r) = TextOps.connectedComponentsWithRounds(chain)
+        // smallGraphCap = 0 forces the DISTRIBUTED fixpoint — the subject
+        // of this contract; the production driver fast-path (cap 100k)
+        // would otherwise swallow this fixture whole
+        val (l, r) = TextOps.connectedComponentsWithRounds(chain,
+          smallGraphCap = 0)
         val collected = l.select("id", "component").as[(Long, Long)].collect()
         (collected, r)
       } finally {
@@ -81,6 +85,30 @@ class CcScaleSpec extends SparkSpec {
     assert(shuffled.get() <= bound,
       s"connectedComponents shuffled ${shuffled.get()} records on a $n-chain " +
         s"(bound $bound = 16·E·(rounds+2)) — per-round shuffle is no longer O(E)")
+    graft.Caching.releaseAll()
+  }
+
+  test("driver fast-path and distributed fixpoint produce identical labels") {
+    // a graph that crosses shapes: two chains, a star, singles via self-free
+    // nodes, and bridging edges — below the production cap (driver path),
+    // forced distributed via cap 0 for the comparison
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),            // chain
+      (10L, 11L), (11L, 12L),                  // second chain
+      (20L, 21L), (20L, 22L), (20L, 23L),      // star
+      (4L, 10L),                               // bridge: chains merge
+      (30L, 31L))
+    val pairs = spark.createDataFrame(edges).toDF("doc_a", "doc_b")
+    def labelsOf(cap: Int) =
+      TextOps.connectedComponentsWithRounds(pairs, smallGraphCap = cap)._1
+        .as[(Long, Long)].collect().toSet
+    val driver = labelsOf(100000)
+    val dist = labelsOf(0)
+    assert(driver == dist,
+      s"driver fast-path diverged from the distributed fixpoint:\n" +
+        s"driver: $driver\ndistributed: $dist")
+    assert(driver.filter(_._1 <= 4L).forall(_._2 == 1L),
+      "bridged chains must share min label 1")
     graft.Caching.releaseAll()
   }
 }

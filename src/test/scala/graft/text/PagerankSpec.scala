@@ -33,4 +33,18 @@ class PagerankSpec extends SparkSpec {
     val after = pr(chain :+ ((2L, 4L)): _*)
     assert(after(2L) > before(2L) && after(4L) > before(4L))
   }
+
+  test("driver replay and distributed loop produce identical ranks") {
+    // asymmetric topology (star + chain + bridge) so ranks are nontrivial;
+    // smallGraphCap = 0 forces the distributed loop for the comparison
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 2L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val driver = TextOps.pagerankInt(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = TextOps.pagerankInt(pairs, smallGraphCap = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(driver == dist,
+      s"driver replay diverged from the distributed loop:\n$driver\nvs\n$dist")
+    graft.Caching.releaseAll()
+  }
 }
