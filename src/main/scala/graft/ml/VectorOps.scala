@@ -330,8 +330,12 @@ object VectorOps {
     // retrained ids, ids not aligned to metaMod) may satisfy the modulus
     // nowhere, and an empty meta set would make every downstream
     // assignment/search frame empty — a zero-result index with no error.
-    // The check is a broadcast-sized scan, paid once per routing build.
-    require(centroids.isEmpty || !metas.isEmpty,
+    // Check order (r15): probe the metas FIRST — on the healthy path that
+    // single broadcast-sized scan proves the requirement and the
+    // centroids scan never runs (the old `centroids.isEmpty || ...`
+    // spelling paid two eager jobs per routing build, and the routing
+    // builds once per hier assignment, Lloyd iteration, and serve).
+    require(!metas.isEmpty || centroids.isEmpty,
       s"hierarchical IVF routing: no centroid has centroid_id % $metaMod " +
         "== 0 — the meta codebook would be empty and every assignment " +
         "silently dropped; pick a metaMod that divides some centroid ids " +

@@ -1846,15 +1846,18 @@ object LlmWorkload {
       .select(col("doc_id"), col("quality_score"))
     val comp = sharedMinhashComponents(spark, dir)
       .select(col("id").as("doc_id"), col("component"))
-    // rank-1 per cluster as a map-combining max(struct(score, −id))
-    // aggregate (= the window's score desc, doc_id asc) — the mega-cluster
-    // collapses partition-locally instead of buffering in one window task
+    // rank-1 per cluster as a map-combining argmax aggregate (= the
+    // window's score desc, doc_id asc) — the mega-cluster collapses
+    // partition-locally instead of buffering in one window task. The
+    // winner's score IS the group max (ties carry equal scores), so
+    // graft_argmax + max stay one flat-buffer HASH aggregation where the
+    // struct-max spelling demoted to a SortAggregate (r15).
     q.join(comp, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
       .groupBy(col("component"))
-      .agg(max(struct(col("quality_score"), (-col("doc_id")).as("nid"))).as("mx"))
-      .select(col("component"), (-col("mx.nid")).as("kept_doc"),
-        col("mx.quality_score").as("quality_score"))
+      .agg(expr("graft_argmax(quality_score, doc_id)").as("kept_doc"),
+        max(col("quality_score")).as("quality_score"))
+      .select(col("component"), col("kept_doc"), col("quality_score"))
   }
 
   /** Corpus token heavy hitters ([[HeavyHitters.heavyHitters]]): every token

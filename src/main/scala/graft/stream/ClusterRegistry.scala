@@ -268,17 +268,19 @@ private[stream] object UnionFindTables {
     * recompute. Ids without a score row are skipped (they cannot win);
     * ids without a label row keep their own id as a singleton cluster. */
   def keepBest(spark: SparkSession, root: String, scores: DataFrame): DataFrame =
-    // max(struct(score, −doc_id)) is the rank-1 window row (score desc,
-    // doc_id asc) as a MAP-COMBINING aggregate — each partition collapses
-    // a cluster's candidates to one row before the shuffle, so the
-    // mega-cluster never lands in a single window buffer
-    scores.select(col("doc_id"), col("score"))
+    // rank-1 per cluster (score desc, doc_id asc) as a MAP-COMBINING
+    // aggregate — each partition collapses a cluster's candidates to one
+    // row before the shuffle, so the mega-cluster never lands in a single
+    // window buffer. graft_argmax keeps it a flat-buffer HASH aggregation
+    // (the max(struct) spelling demoted the scan to SortAggregate — r15);
+    // the winner's score is the group max by definition (ties tie).
+    scores.select(col("doc_id"), col("score").cast("double").as("score"))
       .join(resolvedLabels(spark, root), Seq("doc_id"), "left")
       .withColumn("label", coalesce(col("label"), col("doc_id")))
       .groupBy(col("label"))
-      .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("mx"))
-      .select(col("label"), (-col("mx.nid")).as("kept_doc"),
-        col("mx.score").as("score"))
+      .agg(expr("graft_argmax(score, doc_id)").as("kept_doc"),
+        max(col("score")).as("score"))
+      .select(col("label"), col("kept_doc"), col("score"))
 
   /** The would-label report behind the read-only probe faces: run the
     * union-find increment WITHOUT writing and return, per batch id, the

@@ -246,7 +246,11 @@ object EmbeddingIngest {
     * default (always-flat) configuration. */
   private def hierActive(cfg: IngestConfig, cents: DataFrame): Boolean = {
     val t = hierThreshold(cfg)
-    t != Long.MaxValue && cents.count() > t
+    // limit-bounded count (r15): the decision only needs "more than t
+    // rows?", so cap the scan at t+1 instead of counting a potentially
+    // nlist-sized codebook per ingest/serve call
+    t != Long.MaxValue && cents.limit(
+      math.min(t + 1, Int.MaxValue.toLong).toInt).count() > t
   }
 
   /** The (metas, children) routing frames for an ACTIVE two-level router:
@@ -378,7 +382,11 @@ object EmbeddingIngest {
       val priorCents = CorpusIngest.readOrEmpty(spark, centroidsPath(cfg), centDdl)
         .filter(col("frozen_batch") =!= batchId)
       val acceptedVecs = accepted.select(col("vec_id"), col("e"), col("n"))
-      val freezing = priorCents.isEmpty
+      // ONE action answers both "is there a prior codebook?" and "what is
+      // its epoch?" (r15: the separate isEmpty + agg(max) pair cost a job
+      // each, and the ingest path is fixed-overhead-bound)
+      val priorCentsEpoch = priorCents.agg(max(col("frozen_batch"))).first
+      val freezing = priorCentsEpoch.isNullAt(0)
       val (codebook, targets) =
         if (freezing) {
           val allVecs = indexVecs.unionByName(acceptedVecs)
@@ -403,8 +411,7 @@ object EmbeddingIngest {
       // swaps fails loudly instead of silently joining a new codebook
       // against assignments whose centroid_ids no longer exist
       val cbEpoch =
-        if (freezing) batchId
-        else priorCents.agg(max(col("frozen_batch"))).first.getLong(0)
+        if (freezing) batchId else priorCentsEpoch.getLong(0)
       // an append against a TORN index (centroids swapped, assignments not —
       // a recluster died mid-swap and its lock went stale) must refuse, not
       // compound the tear: re-running recluster is the repair
@@ -441,7 +448,13 @@ object EmbeddingIngest {
       // own targets, and in the common same-freeze case the plans are
       // equal so one materialization serves both.
       val assignedIvf = Caching.scoped(assignTo(targets))
-      assignedIvf
+      // materialize the shared assignment ONCE, then overlap the ivf write
+      // with the PQ encode+write below (r15: the two land in disjoint
+      // directories and both read this warm cache — sequential writes
+      // serialized ~1 s of independent work per batch); the ledger stays
+      // last and sequential per its fencing contract
+      assignedIvf.count(): Unit
+      def writeIvfRows(): Unit = assignedIvf
         .select(col("vec_id"), col("centroid_id"),
           lit(cbEpoch).as("epoch"), stamp)
         .sortWithinPartitions(col("centroid_id"))
@@ -456,7 +469,8 @@ object EmbeddingIngest {
       // are what [[searchPq]] scans instead of float vectors.
       val priorPqCb = CorpusIngest.readOrEmpty(spark, pqCodebooksPath(cfg), pqcbDdl)
         .filter(col("frozen_batch") =!= batchId)
-      val pqFreezing = priorPqCb.isEmpty
+      val priorPqEpoch0 = priorPqCb.agg(max(col("frozen_batch"))).first
+      val pqFreezing = priorPqEpoch0.isNullAt(0)
       val (pqCb, pqTargets) =
         if (pqFreezing) {
           val allVecs = indexVecs.unionByName(acceptedVecs)
@@ -475,8 +489,7 @@ object EmbeddingIngest {
       // generation it was encoded against, and appends against a torn
       // state (codebooks swapped by a died recluster, codes not) refuse
       val pqEpoch =
-        if (pqFreezing) batchId
-        else priorPqCb.agg(max(col("frozen_batch"))).first.getLong(0)
+        if (pqFreezing) batchId else priorPqEpoch0.getLong(0)
       requireEpochCoherent(pqEpoch,
         idx(pqPath(cfg), pqDdl).select(col("epoch")), "ingest-pq")
       IngestLock.heartbeat(spark, lock)
@@ -488,7 +501,7 @@ object EmbeddingIngest {
       // coherence check sees the mismatch after the freeze and falls back
       // to the unpruned scan until compact() re-annotates.
       val pqAssigns = assignTo(pqTargets)
-      VectorOps.pqEncodeWith(pqCb,
+      def writePqRows(): Unit = VectorOps.pqEncodeWith(pqCb,
           pqTargets.select(col("vec_id"), col("e")), cfg.pqM)
         .join(pqAssigns, Seq("vec_id"), "left")
         .select(col("vec_id"), col("j"), col("code_id"),
@@ -497,6 +510,10 @@ object EmbeddingIngest {
         .sortWithinPartitions(col("centroid_id"))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_batch").parquet(pqPath(cfg))
+      // disjoint directories, both inputs warm — overlap the commits (the
+      // parallelAppends discipline); crash anywhere simply replays the
+      // batch, whose partition overwrites are byte-identical idempotent
+      CorpusIngest.parallelUnits(Seq(() => writeIvfRows(), () => writePqRows()))
 
       spark.createDataFrame(Seq((batchId, nIn, nAccepted)))
         .toDF("ingest_batch", "n_in", "n_accepted")
