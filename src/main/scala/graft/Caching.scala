@@ -63,7 +63,21 @@ object Caching {
     try body
     finally {
       scopes.set(scopes.get().tail)
-      buf.foreach(_.unpersist(blocking = false))
+      // release in REVERSE insertion order (dependents before their
+      // upstreams): a scope's frames are appended in dependency order, and
+      // CacheManager re-compiles every still-cached entry whose plan embeds
+      // a removed InMemoryRelation — upstream-first release forced that
+      // recompile for every remaining dependent (measured quadratic:
+      // 2-3.4 s of driver CPU per text-ingest batch, ~30% of the entry);
+      // dependent-first release leaves nothing cached that references the
+      // removed entry, so each removal is a plain map eviction
+      graft.stream.MaintStages("caching", "scope_unpersist") {
+        buf.reverseIterator.foreach { df =>
+          graft.stream.MaintStages("caching", "unpersist_one") {
+            df.unpersist(blocking = false)
+          }
+        }
+      }
     }
   }
 
@@ -73,7 +87,10 @@ object Caching {
     * built it. Frames owned by a still-open [[scope]] are that scope's to
     * release and are not touched. */
   def releaseAll(): Unit = synchronized {
-    owned.foreach(_.unpersist(blocking = false))
+    // reverse order for the same reason as [[scope]]'s release: dependents
+    // unpersist before the upstream frames their cached plans embed, so no
+    // removal triggers a dependent-entry recompile
+    owned.reverseIterator.foreach(_.unpersist(blocking = false))
     owned.clear()
   }
 }

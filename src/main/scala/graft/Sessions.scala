@@ -13,6 +13,19 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // parallelism-first coalescing for TINY shuffles too: the default
+      // 1 MB minPartitionSize collapses a cheap-to-shuffle stage (e.g. the
+      // ~1.6 MB argmax output of a Lloyd iteration) to 1-2 partitions, and
+      // the EXPENSIVE work downstream of the exchange (candidate joins
+      // that expand each row ~√nlist×, explodes) inherits that
+      // parallelism — measured: one core computing 4.5M dot products per
+      // retrain iteration while 31 idled (8-core wall == 32-core wall).
+      // AQE sizes partitions by shuffle bytes, which says nothing about
+      // post-exchange compute. 16 KB keeps the parallelism-first target
+      // (totalBytes / defaultParallelism) in charge for small stages; at
+      // production scale real shuffle stages dwarf both floors and the
+      // behavior is identical to the default.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       // skewed join keys re-plan at runtime (the engine's answer to the
       // reference's hot-key tables; salting stays unnecessary under AQE)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

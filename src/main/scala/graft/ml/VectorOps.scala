@@ -321,8 +321,97 @@ object VectorOps {
     * `centroid_id % metaMod == 0`, every centroid routes to its nearest
     * meta (cosine argmax, ties to the lowest meta id). Returns
     * (metas (meta_id, me, mn), children (centroid_id, ce, cn, meta_id)). */
+  /** Codebook-row ceiling under which [[ivfHierRouting]] derives the
+    * meta routing ON THE DRIVER instead of through the
+    * join+argmax+join sliver pipeline. The routing inputs are codebook-
+    * sized (nlist rows), but the distributed derivation costs an eager
+    * emptiness guard plus 3 exchanges and 3 sorts of slivers — measured
+    * as ~6 AQE stage-jobs per Lloyd iteration / serve routing build,
+    * pure driver-sequencing latency at any corpus size. 16384 rows ×
+    * dim 64 doubles ≈ 8.6 MB: driver-safe, and the local children
+    * relation carries exact size statistics so the downstream per-vector
+    * child join plans as a broadcast instead of a sort-merge join
+    * whose ~√nlist distinct meta_id keys skew the corpus exchange.
+    * Codebooks above the cap keep the distributed derivation unchanged
+    * (nothing codebook-sized may reach the driver at nlist millions). */
+  private[graft] val HierRouteDriverCap = 16384
+
   private[graft] def ivfHierRouting(centroids: DataFrame,
-      metaMod: Int): (DataFrame, DataFrame) = {
+      metaMod: Int): (DataFrame, DataFrame) =
+    ivfHierRouting(centroids, metaMod, HierRouteDriverCap)
+
+  /** Spark SQL's nan-safe double comparison (NaN greater than everything,
+    * NaN equal to itself, -0.0 == 0.0) — the exact total order
+    * [[graft.functions.ArgBest]]'s GreaterThan/EqualTo comparisons use, so
+    * the driver routing fast-path resolves argmax ties bit-identically. */
+  private def nanSafeCompare(x: Double, y: Double): Int = {
+    val xNan = java.lang.Double.isNaN(x)
+    val yNan = java.lang.Double.isNaN(y)
+    if ((xNan && yNan) || (x == y)) 0
+    else if (xNan) 1
+    else if (yNan) -1
+    else if (x > y) 1 else -1
+  }
+
+  // spec hook: the cap is a parameter so HierRouteSpec can force the
+  // distributed derivation and pin driver ≡ distributed routing
+  private[graft] def ivfHierRouting(centroids: DataFrame,
+      metaMod: Int, driverCap: Int): (DataFrame, DataFrame) = {
+    val spark = centroids.sparkSession
+    // driver fast-path (the SmallGraphCap discipline): a cap-bounded
+    // codebook collects once, the meta pick / emptiness guard / argmax
+    // routing run in memory with the identical strict-left-fold dot and
+    // nan-safe tie rule, and the returned LOCAL relations carry exact
+    // statistics. limit(cap+1) keeps the probe driver-safe: one row over
+    // the cap falls through to the distributed derivation below.
+    val capped =
+      if (driverCap <= 0) Array.empty[org.apache.spark.sql.Row]
+      else centroids.select(col("centroid_id"), col("ce"), col("cn"))
+        .limit(driverCap + 1).collect()
+    if (driverCap > 0 && capped.length <= driverCap &&
+        // bail to the distributed path on any null/ragged codebook row —
+        // the local arithmetic below assumes well-formed vectors, and the
+        // distributed path's null semantics must stay authoritative there
+        // a zero norm makes the distributed cosine THROW under ANSI
+        // (divide by zero); the driver arithmetic must not silently
+        // diverge into NaN routing, so zero-norm codebooks keep the
+        // distributed path and its error behavior
+        capped.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)
+          && r.getDouble(2) != 0.0
+          && r.getSeq[Any](1).forall(_ != null))) {
+      val rows = capped.map { r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+      }
+      val metasL = rows.filter { case (id, _, _) =>
+        java.lang.Math.floorMod(id, metaMod.toLong) == 0L }
+      require(metasL.nonEmpty || rows.isEmpty,
+        s"hierarchical IVF routing: no centroid has centroid_id % $metaMod " +
+          "== 0 — the meta codebook would be empty and every assignment " +
+          "silently dropped; pick a metaMod that divides some centroid ids " +
+          "(or use the flat ivfAssign)")
+      def dotL(a: Array[Double], b: Array[Double]): Double = {
+        // the same strict left-to-right multiply-accumulate as graft_dot
+        var acc = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      val routedL = rows.map { case (cid, ce, cn) =>
+        var bestId = Long.MinValue; var bestScore = 0.0; var has = false
+        metasL.foreach { case (mid, me, mn) =>
+          val cos = dotL(ce, me) / (cn * mn)
+          val c = if (!has) 1 else nanSafeCompare(cos, bestScore)
+          if (c > 0 || (c == 0 && mid < bestId)) {
+            bestId = mid; bestScore = cos; has = true
+          }
+        }
+        (cid, ce, cn, bestId)
+      }
+      import spark.implicits._
+      val metas = metasL.toSeq.toDF("meta_id", "me", "mn")
+      val children = routedL.toSeq.toDF("centroid_id", "ce", "cn", "meta_id")
+      return (metas, children)
+    }
     val metas = centroids.filter(pmod(col("centroid_id"), lit(metaMod)) === 0)
       .select(col("centroid_id").as("meta_id"),
         col("ce").as("me"), col("cn").as("mn"))
@@ -401,13 +490,20 @@ object VectorOps {
       .withColumn("cos", cosPre("e", "me", "n", "mn"))
       .groupBy(col("vec_id"))
       .agg(argBestAgg("cos", "meta_id").as("meta_id"))
-    val best = vk.join(bestMeta, Seq("vec_id"))
+    // join-back with the AGGREGATE side on the left: an inner using-join
+    // keeps the LEFT side's key column, and keeping the aggregate's
+    // vec_id attribute in the output preserves its hash(vec_id)
+    // partitioning through the broadcast joins below — the second
+    // argmax's groupBy(vec_id) then needs no exchange at all (with the
+    // corpus side's attribute the partitioning info was dropped and the
+    // planner re-shuffled the candidate stream; guide §2.4)
+    val best = bestMeta.join(vk, Seq("vec_id"))
       .join(children.select(col("meta_id"), col("centroid_id"),
         col("ce"), col("cn")), Seq("meta_id"))
       .withColumn("cos", cosPre("e", "ce", "n", "cn"))
       .groupBy(col("vec_id"))
       .agg(argBestAgg("cos", "centroid_id").as("centroid_id"))
-    vk.join(best, Seq("vec_id"))
+    best.join(vk, Seq("vec_id"))
       .select(col("vec_id"), col("centroid_id"), col("e"), col("n"))
   }
 
@@ -1254,13 +1350,23 @@ object VectorOps {
     * the stride chosen so ≈ cap·nlist rows survive. Seeds (vec_id %
     * centroidMod == 0) need not be inside the sample — they only
     * initialize; the refined means come from the sample's buckets. */
-  private def kmeansTrainSample(v: DataFrame, centroidMod: Int): DataFrame = {
-    val n = v.count()
+  private def kmeansTrainSample(v: DataFrame, centroidMod: Int,
+      vCount: Long = -1L): DataFrame = {
+    // callers that already counted the (checkpointed) corpus pass the count
+    // in — the retrain path is driver-round-trip-bound and this was a
+    // duplicate job for a number the caller held
+    val n = if (vCount >= 0L) vCount else v.count()
     val nlist = math.max(1L, n / centroidMod)
     val stride = n / math.max(1L, KmeansTrainPointsPerCentroid.toLong * nlist)
     if (stride <= 1L) v
     else v.filter(pmod(col("vec_id"), lit(stride)) === 0)
   }
+
+  /** Materialize the Lloyd training sample once: the filter re-evaluates
+    * per plan reference otherwise, and each of the `iters` iterations
+    * references it three times (candidate build + two join-backs). */
+  private def trainByVecId(train: DataFrame): DataFrame =
+    train.localCheckpoint()
 
   /** Lloyd-refined CODEBOOK over PREPARED vectors (vec_id, e, n) — what a
     * recluster retrains its coarse centroids with instead of re-picking by
@@ -1270,9 +1376,9 @@ object VectorOps {
     * stay the seed ids so epoch-stamped assignment rows remain joinable.
     * Returns (centroid_id, ce, cn). */
   def kmeansCentroids(v: DataFrame, centroidMod: Int = 25,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, vCount: Long = -1L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val train = kmeansTrainSample(v, centroidMod)
+    val train = trainByVecId(kmeansTrainSample(v, centroidMod, vCount))
     var centroids = v.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
     // localCheckpoint per refine (the r15 recluster diagnosis): an
@@ -1300,7 +1406,7 @@ object VectorOps {
     * `metaMod = 1` (every centroid its own meta) degenerates to the flat
     * [[kmeansCentroids]] bit-exactly. Centroid ids stay the seed ids. */
   def kmeansCentroidsHier(v: DataFrame, centroidMod: Int = 25,
-      metaMod: Int = 100, iters: Int = 2): DataFrame = {
+      metaMod: Int = 100, iters: Int = 2, vCount: Long = -1L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     var centroids = v.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("n").as("cn"))
@@ -1313,7 +1419,7 @@ object VectorOps {
     // children)) + one refine (train-sized shuffle + exact decimal sums)
     // — genuine work the training-sample cap bounds at scale, the
     // kmeans_retrain stage being ~55-60% of maint_recluster_embedding_100x.
-    val train = kmeansTrainSample(v, centroidMod)
+    val train = trainByVecId(kmeansTrainSample(v, centroidMod, vCount))
     for (i <- 1 to iters) {
       centroids = graft.stream.MaintStages("recluster", s"kmeans_iter$i") {
         val (m, ch) = ivfHierRouting(centroids, metaMod)

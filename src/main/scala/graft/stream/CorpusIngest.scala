@@ -314,22 +314,25 @@ object CorpusIngest {
     * [[compact]] (or a second ingest run against the same root) refuses
     * instead of interleaving with the multi-table partition writes. */
   def ingestBatch(spark: SparkSession, cfg: IngestConfig, batch: DataFrame,
-      batchId: Long): Long = IngestLock.withLock(spark, cfg.corpusRoot,
+      batchId: Long): Long = MaintStages("ingest_text", "total") {
+    IngestLock.withLock(spark, cfg.corpusRoot,
       batchLockOwner(cfg, batchId), cfg.lockStaleMs) { lock =>
     // recover every table a crashed compaction may have stranded — not
     // just the index tables the dedup reads, but docs and ledger too
     val rootFs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(docsPath(cfg), hashesPath(cfg), bandsPath(cfg), setsPath(cfg),
-      postingsPath(cfg), docstatsPath(cfg), mgPath(cfg), phashPath(cfg),
-      ledgerPath(cfg))
-      .foreach(rollbackIfStranded(rootFs, _))
-    requireAboveCompactionHwm(rootFs, cfg.corpusRoot, batchId)
+    MaintStages("ingest_text", "setup_fs") {
+      Seq(docsPath(cfg), hashesPath(cfg), bandsPath(cfg), setsPath(cfg),
+        postingsPath(cfg), docstatsPath(cfg), mgPath(cfg), phashPath(cfg),
+        ledgerPath(cfg))
+        .foreach(rollbackIfStranded(rootFs, _))
+      requireAboveCompactionHwm(rootFs, cfg.corpusRoot, batchId)
+    }
     // Caching.scope: the batch's cached intermediates are released when the
     // batch ends — and ONLY them, never a concurrent pipeline's caches (a
     // blanket releaseAll here would silently uncache an enclosing job's
     // scoped frames mid-flight)
-    Caching.scope {
+    Caching.scope { MaintStages("ingest_text", "scope_body") {
       // a replayed batch must not probe the rows IT wrote before crashing —
       // its decisions would then flip from accept to reject
       def idx(path: String, ddl: String) =
@@ -359,31 +362,38 @@ object CorpusIngest {
       // min/max stats prune the corpus-sized hash table to the touched
       // row groups instead of scanning it per batch (the 100 TB shape;
       // VERDICT r13 item 4's O(root) floor, removed)
-      val hashIdx0 = idx(hashesPath(cfg), "text_hash STRING, ingest_batch BIGINT")
-        .select(col("text_hash"))
-      val batchHashes = firstOfHash.select(col("text_hash")).distinct()
-        .limit(MaxProbePushIds + 1).collect().map(_.getString(0))
+      val hashIdx0 = MaintStages("ingest_text", "read_hash_idx") {
+        idx(hashesPath(cfg), "text_hash STRING, ingest_batch BIGINT")
+          .select(col("text_hash"))
+      }
+      val batchHashes = MaintStages("ingest_text", "hash_collect") {
+        firstOfHash.select(col("text_hash")).distinct()
+          .limit(MaxProbePushIds + 1).collect().map(_.getString(0))
+      }
       val hashIdx =
         if (batchHashes.length > MaxProbePushIds) hashIdx0
         else hashIdx0.filter(col("text_hash").isin(batchHashes.toSeq: _*))
-      val fresh = Caching.scoped(firstOfHash.join(hashIdx,
-        Seq("text_hash"), "left_anti"))
-      // ONE signature build for the whole batch: the index probe, the
-      // within-batch dedup, and the accepted-index append all derive from
-      // these two cached frames — the shingle→md5 scan (the batch's
-      // dominant CPU) runs once, not three times
-      val (fb, fsets) = TextOps.minhashIndex(fresh, "doc_id", "text")
-      val freshBands = Caching.scoped(fb)
-      val freshSets = Caching.scoped(fsets)
+      val (fresh, freshBands, freshSets) = MaintStages("ingest_text", "sig_plan") {
+        val fresh = Caching.scoped(firstOfHash.join(hashIdx,
+          Seq("text_hash"), "left_anti"))
+        // ONE signature build for the whole batch: the index probe, the
+        // within-batch dedup, and the accepted-index append all derive from
+        // these two cached frames — the shingle→md5 scan (the batch's
+        // dominant CPU) runs once, not three times
+        val (fb, fsets) = TextOps.minhashIndex(fresh, "doc_id", "text")
+        (fresh, Caching.scoped(fb), Caching.scoped(fsets))
+      }
       // probe the persisted index FIRST: a doc already near-duplicated in
       // the corpus must not also act as a within-batch "winner" — dropping
       // its batch near-dups in its favor and then rejecting it would lose
       // content that has no accepted near-duplicate at all, and would make
       // the accepted set depend on batch boundaries
-      val probeHits = TextOps.minhashProbeIndexed(
-        idx(bandsPath(cfg), "doc_id BIGINT, band INT, sig STRING, ingest_batch BIGINT"),
-        idx(setsPath(cfg), "doc_id BIGINT, s ARRAY<BIGINT>, n BIGINT, ingest_batch BIGINT"),
-        freshBands, freshSets, cfg.threshold, pushIdLimit = MaxProbePushIds)
+      val probeHits = MaintStages("ingest_text", "probe_build") {
+        TextOps.minhashProbeIndexed(
+          idx(bandsPath(cfg), "doc_id BIGINT, band INT, sig STRING, ingest_batch BIGINT"),
+          idx(setsPath(cfg), "doc_id BIGINT, s ARRAY<BIGINT>, n BIGINT, ingest_batch BIGINT"),
+          freshBands, freshSets, cfg.threshold, pushIdLimit = MaxProbePushIds)
+      }
       // CACHED: the probe subtree above is the only stage that READS the
       // accumulated index (bands + sets scans — cost tracks the ROOT, not
       // the batch), and without the cache every downstream consumer
@@ -393,9 +403,11 @@ object CorpusIngest {
       // times per batch; cached it runs once, and what remains is one
       // index scan per ingest, the documented O(root-scan) floor of a
       // probe whose candidate ids are runtime-computed)
-      val corpusNovelIds = Caching.scoped(fresh.join(
-        probeHits.select(col("batch_id").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti").select(col("doc_id")))
+      val corpusNovelIds = MaintStages("ingest_text", "novel_plan") {
+        Caching.scoped(fresh.join(
+          probeHits.select(col("batch_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti").select(col("doc_id")))
+      }
       def ofNovel(f: DataFrame) = f.join(corpusNovelIds, Seq("doc_id"), "left_semi")
       // within-batch near-dup among the corpus-novel docs: connected
       // components over the verified pair graph, keep each component's
@@ -405,13 +417,19 @@ object CorpusIngest {
       // drop BOTH B and C (C's content then survives nowhere while its
       // only near-dup B is also gone); component resolution makes the
       // kept set a deliberate one-per-cluster, not a pair-order artifact.
-      val inBatchPairs = TextOps.minhashNearDupsIndexed(
-        ofNovel(freshBands), ofNovel(freshSets), cfg.threshold)
-      val inBatchDrops = TextOps.connectedComponents(inBatchPairs)
-        .filter(col("id") =!= col("component"))
-        .select(col("id").as("doc_id"))
-      val accepted = Caching.scoped(
-        ofNovel(fresh).join(inBatchDrops, Seq("doc_id"), "left_anti"))
+      val inBatchPairs = MaintStages("ingest_text", "pairs_plan") {
+        TextOps.minhashNearDupsIndexed(
+          ofNovel(freshBands), ofNovel(freshSets), cfg.threshold)
+      }
+      val inBatchDrops = MaintStages("ingest_text", "cc") {
+        TextOps.connectedComponents(inBatchPairs)
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("doc_id"))
+      }
+      val accepted = MaintStages("ingest_text", "accepted_plan") {
+        Caching.scoped(
+          ofNovel(fresh).join(inBatchDrops, Seq("doc_id"), "left_anti"))
+      }
 
       // the dedup computation above may outlive the staleness window on a
       // huge batch; refresh the heartbeat (and fail loudly on a stolen
@@ -422,8 +440,15 @@ object CorpusIngest {
       // write group: every layer below reads these warm blocks, so the
       // concurrent writers don't race to compute the same partitions
       // (norm is a pure select over the batch — same cardinality)
-      val nIn = norm.count()
-      val nAccepted = accepted.count()
+      // the two ledger counts are independent jobs over disjoint cache
+      // subtrees (norm is already materialized by the hash collect;
+      // accepted's chain materializes here) — overlap them on the bounded
+      // pool instead of paying two sequential job latencies
+      val (nIn, nAccepted) = MaintStages("ingest_text", "counts") {
+        var (a, b) = (0L, 0L)
+        parallelUnits(Seq(() => a = norm.count(), () => b = accepted.count()))
+        (a, b)
+      }
       def ofAccepted(f: DataFrame) =
         f.join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi")
       // the probe-key tables append RANGE-LAID-OUT by their probe key
@@ -433,7 +458,7 @@ object CorpusIngest {
       // NOT-yet-compacted partitions too, not only after the sorted fold
       def ranged(df: DataFrame, c: String) =
         df.repartitionByRange(col(c)).sortWithinPartitions(col(c))
-      parallelAppends(Seq(
+      MaintStages("ingest_text", "appends") { parallelAppends(Seq(
         docsPath(cfg) -> accepted.select(col("doc_id"), col("text"), stamp),
         hashesPath(cfg) -> ranged(
           accepted.select(col("text_hash"), stamp), "text_hash"),
@@ -468,17 +493,19 @@ object CorpusIngest {
         // [[graft.ml.Multimodal.phash]]'s length guard.
         phashPath(cfg) -> graft.ml.Multimodal.phashBands(
             graft.ml.Multimodal.withPayload(accepted, "doc_id", "text"))
-          .select(col("doc_id"), col("phash"), col("band"), col("v"), stamp)))
+          .select(col("doc_id"), col("phash"), col("band"), col("v"), stamp))) }
       // the ledger row stays LAST and sequential: compaction takes the
       // ledger max as the high-water mark it fences replays with, so the
       // row must never land before every data layer it vouches for
-      spark.createDataFrame(Seq((batchId, nIn, nAccepted)))
-        .toDF("ingest_batch", "n_in", "n_accepted")
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch").parquet(ledgerPath(cfg))
+      MaintStages("ingest_text", "ledger") {
+        spark.createDataFrame(Seq((batchId, nIn, nAccepted)))
+          .toDF("ingest_batch", "n_in", "n_accepted")
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch").parquet(ledgerPath(cfg))
+      }
       nAccepted
-    }
-  }
+    } }
+  } }
 
   /**
    * Probe a batch against the ingested corpus WITHOUT ingesting — the

@@ -352,21 +352,46 @@ object EmbeddingIngest {
       // first state write — the dedup above may outlive the stale window
       IngestLock.heartbeat(spark, lock)
       val stamp = lit(batchId).as("ingest_batch")
-      // materialize the cached inputs (and the ledger counts) before the
-      // concurrent appends, so the writers read warm blocks instead of
-      // racing to compute the same partitions
-      val nIn = batchVecs.count()
-      val nAccepted = accepted.count()
+      val priorCents = CorpusIngest.readOrEmpty(spark, centroidsPath(cfg), centDdl)
+        .filter(col("frozen_batch") =!= batchId)
+      val priorPqCb = CorpusIngest.readOrEmpty(spark, pqCodebooksPath(cfg), pqcbDdl)
+        .filter(col("frozen_batch") =!= batchId)
+      // the two ledger counts, the two-layer codebook-epoch lookup, and the
+      // two index appends are mutually independent (the lookup reads
+      // centroids/pqcb — disjoint from the appended directories; the counts
+      // read caches the probe stage already materialized) — overlap all
+      // five on the bounded pool instead of paying five sequential job
+      // latencies (the ingest path is fixed-overhead-bound, r15/r16).
+      // The epoch lookup is ONE action for BOTH layers (r15 fused the
+      // isEmpty+agg pair per layer; this fuses the layers too): a layer
+      // with no rows produces no group, and an all-null stamp (schema
+      // shim) reads as absent — matching the old isNullAt semantics.
+      var epochRows: Array[org.apache.spark.sql.Row] = Array.empty
+      var nIn = 0L
+      var nAccepted = 0L
       // persist the ORIGINAL float embedding (storage stays float-sized)
       // plus the double-fold norm used by every later verify; the two
       // appends are independent directories — overlap their commits
-      CorpusIngest.parallelAppends(Seq(
-        vecsPath(cfg) -> accepted
+      CorpusIngest.parallelUnits(Seq(
+        () => nIn = batchVecs.count(),
+        () => nAccepted = accepted.count(),
+        () => epochRows = priorCents
+          .select(lit(0).as("l"), col("frozen_batch"))
+          .unionByName(priorPqCb.select(lit(1).as("l"), col("frozen_batch")))
+          .filter(col("frozen_batch").isNotNull)
+          .groupBy(col("l")).agg(max(col("frozen_batch")).as("m")).collect(),
+        () => accepted
           .join(batch.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-          .select(col("vec_id"), col("embedding"), col("n"), stamp),
-        bandsDir -> batchBands
+          .select(col("vec_id"), col("embedding"), col("n"), stamp)
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch").parquet(vecsPath(cfg)),
+        () => batchBands
           .join(accepted.select(col("vec_id")), Seq("vec_id"), "left_semi")
-          .select(col("vec_id"), col("band"), col("bv"), stamp)))
+          .select(col("vec_id"), col("band"), col("bv"), stamp)
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch").parquet(bandsDir)))
+      def layerEpoch(layer: Int): Option[Long] =
+        epochRows.find(_.getInt(0) == layer).map(_.getLong(1))
 
       // ---- IVF search-index layer: frozen codebook, append-only lists ----
       // The codebook freezes ONCE — at the first batch where any
@@ -379,14 +404,9 @@ object EmbeddingIngest {
       // its own frozen_batch rows below, so a crash anywhere between the
       // centroid swap and the assignment write replays as the freeze case
       // and rewrites both — deterministically, hence byte-identically.
-      val priorCents = CorpusIngest.readOrEmpty(spark, centroidsPath(cfg), centDdl)
-        .filter(col("frozen_batch") =!= batchId)
       val acceptedVecs = accepted.select(col("vec_id"), col("e"), col("n"))
-      // ONE action answers both "is there a prior codebook?" and "what is
-      // its epoch?" (r15: the separate isEmpty + agg(max) pair cost a job
-      // each, and the ingest path is fixed-overhead-bound)
-      val priorCentsEpoch = priorCents.agg(max(col("frozen_batch"))).first
-      val freezing = priorCentsEpoch.isNullAt(0)
+      val priorCentsEpoch = layerEpoch(0)
+      val freezing = priorCentsEpoch.isEmpty
       val (codebook, targets) =
         if (freezing) {
           val allVecs = indexVecs.unionByName(acceptedVecs)
@@ -410,13 +430,40 @@ object EmbeddingIngest {
       // reader racing (or following a crash between) [[recluster]]'s two
       // swaps fails loudly instead of silently joining a new codebook
       // against assignments whose centroid_ids no longer exist
-      val cbEpoch =
-        if (freezing) batchId else priorCentsEpoch.getLong(0)
+      val cbEpoch = priorCentsEpoch.getOrElse(batchId)
+      // the PQ layer's epoch resolves the same way (its freeze/append
+      // branch is taken below) — resolving it HERE lets one fused action
+      // answer both layers' coherence gates
+      val pqEpochOpt = layerEpoch(1)
+      val pqFreezing = pqEpochOpt.isEmpty
+      val pqEpoch = pqEpochOpt.getOrElse(batchId)
       // an append against a TORN index (centroids swapped, assignments not —
       // a recluster died mid-swap and its lock went stale) must refuse, not
-      // compound the tear: re-running recluster is the repair
-      requireEpochCoherent(cbEpoch,
-        idx(ivfPath(cfg), ivfDdl).select(col("epoch")), "ingest")
+      // compound the tear: re-running recluster is the repair. ONE action
+      // scans BOTH layers' epoch columns (footer-pruned on healthy tables;
+      // the per-layer scans were two driver round-trips per batch, r15
+      // "Not yet optimized"): the first stale row's tag names the torn
+      // layer, and both checks see exactly the rows the per-layer checks
+      // saw, so the refusal semantics are unchanged.
+      locally {
+        def staleOf(df: DataFrame, e: Long, who: String) =
+          df.filter(col("epoch").isNull || col("epoch") =!= e)
+            .select(lit(who).as("who"))
+        val torn = staleOf(idx(ivfPath(cfg), ivfDdl).select(col("epoch")),
+            cbEpoch, "ingest")
+          .unionByName(staleOf(idx(pqPath(cfg), pqDdl).select(col("epoch")),
+            pqEpoch, "ingest-pq"))
+          .limit(1).collect()
+        torn.headOption.foreach { r =>
+          throw new IllegalStateException(
+            s"IVF index torn (${r.getString(0)}): codebook epoch " +
+              s"${if (r.getString(0) == "ingest") cbEpoch else pqEpoch} but " +
+              "stale- or missing-epoch rows exist — a recluster is in " +
+              "flight, died between its two swaps, or the rows predate " +
+              "epoch stamping; retry after it completes (or run " +
+              "recluster() to rebuild)")
+        }
+      }
       // two-level router, decided ONCE per codebook generation (hierActive
       // is a pure function of the frozen codebook, so appends and serves
       // agree): the freeze batch persists the routing table next to the
@@ -467,10 +514,6 @@ object EmbeddingIngest {
       // that batch backfills codes for every earlier vector, later
       // batches append only their own m-ints-per-vector rows). The codes
       // are what [[searchPq]] scans instead of float vectors.
-      val priorPqCb = CorpusIngest.readOrEmpty(spark, pqCodebooksPath(cfg), pqcbDdl)
-        .filter(col("frozen_batch") =!= batchId)
-      val priorPqEpoch0 = priorPqCb.agg(max(col("frozen_batch"))).first
-      val pqFreezing = priorPqEpoch0.isNullAt(0)
       val (pqCb, pqTargets) =
         if (pqFreezing) {
           val allVecs = indexVecs.unionByName(acceptedVecs)
@@ -487,11 +530,8 @@ object EmbeddingIngest {
       // the PQ layer carries the same per-generation epoch discipline as
       // the IVF layer: every code row is stamped with the codebook
       // generation it was encoded against, and appends against a torn
-      // state (codebooks swapped by a died recluster, codes not) refuse
-      val pqEpoch =
-        if (pqFreezing) batchId else priorPqEpoch0.getLong(0)
-      requireEpochCoherent(pqEpoch,
-        idx(pqPath(cfg), pqDdl).select(col("epoch")), "ingest-pq")
+      // state (codebooks swapped by a died recluster, codes not) refuse —
+      // checked in the fused two-layer coherence gate above
       IngestLock.heartbeat(spark, lock)
       // bucket annotation for the searchPq code-scan pruning: assignment
       // against the same frozen codebook (a pure function, so the column
@@ -817,7 +857,8 @@ object EmbeddingIngest {
         s"recluster-${java.util.UUID.randomUUID()}", cfg.lockStaleMs) { lock =>
       val fs = new org.apache.hadoop.fs.Path(cfg.corpusRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq(vecsPath(cfg), ivfPath(cfg), centroidsPath(cfg))
+      Seq(vecsPath(cfg), ivfPath(cfg), centroidsPath(cfg), pqPath(cfg),
+          pqCodebooksPath(cfg))
         .foreach(CorpusIngest.rollbackIfStranded(fs, _))
       val vecs = MaintStages("recluster", "read_checkpoint_vecs") {
         CorpusIngest.readOrEmpty(spark, vecsPath(cfg),
@@ -826,7 +867,13 @@ object EmbeddingIngest {
             col("n"))
           .localCheckpoint()
       }
-      if (!vecs.isEmpty) {
+      // ONE count over the materialized checkpoint answers the emptiness
+      // guard AND the Lloyd train-sample stride (r16: the separate isEmpty
+      // job plus kmeansTrainSample's own corpus count were two driver
+      // round-trips for one number — the recluster path is
+      // driver-sequencing-bound, 8c/32c ratio ≈ 1.2)
+      val nVecs = vecs.count()
+      if (nVecs > 0L) {
         // recluster SUBSUMES every ledger batch into the -1 assignment/code
         // partitions exactly like a fold, so it must raise the compaction
         // high-water mark too (ADVICE r10): without the fence an
@@ -837,15 +884,27 @@ object EmbeddingIngest {
         // true neighbors out of the rerank shortlist. Marked BEFORE the
         // swaps (the markCompactionHwm contract): a crash in between merely
         // refuses replays whose per-batch partitions are still intact.
-        CorpusIngest.markCompactionHwm(fs, cfg.corpusRoot,
-          CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
+        // the ledger max is read ONCE and serves both the hwm fence and the
+        // serving lists' upto stamp below — the lock is held throughout, so
+        // no batch can land in between and the two reads were always equal
+        val ledgerMax = CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg))
+        CorpusIngest.markCompactionHwm(fs, cfg.corpusRoot, ledgerMax)
         // a fresh epoch per codebook generation, strictly below every prior
-        // stamp (first recluster = ReclusterStamp, then −3, −4, …)
-        val priorEpoch = CorpusIngest.readOrEmpty(spark, centroidsPath(cfg),
-            centDdl).agg(min(col("frozen_batch"))).first
+        // stamp (first recluster = ReclusterStamp, then −3, −4, …) — BOTH
+        // quantization layers' prior stamps resolved in one action over the
+        // two codebook slivers (was one agg job per layer)
+        val priorRows = CorpusIngest.readOrEmpty(spark, centroidsPath(cfg),
+            centDdl).select(lit(0).as("l"), col("frozen_batch"))
+          .unionByName(CorpusIngest.readOrEmpty(spark, pqCodebooksPath(cfg),
+            pqcbDdl).select(lit(1).as("l"), col("frozen_batch")))
+          .filter(col("frozen_batch").isNotNull)
+          .groupBy(col("l")).agg(min(col("frozen_batch")).as("m")).collect()
+        def priorMin(l: Int): Option[Long] =
+          priorRows.find(_.getInt(0) == l).map(_.getLong(1))
         val epoch =
-          if (priorEpoch.isNullAt(0)) ReclusterStamp
-          else math.min(ReclusterStamp, priorEpoch.getLong(0) - 1)
+          priorMin(0).fold(ReclusterStamp)(p => math.min(ReclusterStamp, p - 1))
+        val pqEpoch =
+          priorMin(1).fold(ReclusterStamp)(p => math.min(ReclusterStamp, p - 1))
         // RETRAIN, not re-pick: mod-sampled seeds refined by Lloyd passes
         // over the current corpus — the post-drift corpus pulls each
         // centroid to where its bucket actually lives, instead of hoping
@@ -861,8 +920,10 @@ object EmbeddingIngest {
         val seeds = vecs.filter(pmod(col("vec_id"), lit(cfg.centroidMod)) === 0)
         val codebook = MaintStages("recluster", "kmeans_retrain") {
           (if (hierActive(cfg, seeds))
-              VectorOps.kmeansCentroidsHier(vecs, cfg.centroidMod, cfg.metaMod)
-            else VectorOps.kmeansCentroids(vecs, cfg.centroidMod))
+              VectorOps.kmeansCentroidsHier(vecs, cfg.centroidMod, cfg.metaMod,
+                vCount = nVecs)
+            else VectorOps.kmeansCentroids(vecs, cfg.centroidMod,
+              vCount = nVecs))
             .localCheckpoint()
         }
         IngestLock.heartbeat(spark, lock)
@@ -881,8 +942,16 @@ object EmbeddingIngest {
           else {
             IngestLock.heartbeat(spark, lock)
             MaintStages("recluster", "meta_route") {
-              writeMetaRoute(spark, fs, cfg, codebook, epoch)
-              Some(VectorOps.ivfHierRouting(codebook, cfg.metaMod))
+              // derive the routing ONCE and both persist and return it
+              // (r16: writeMetaRoute re-derived internally — two eager
+              // emptiness guards and two routing aggregations per
+              // recluster for one table)
+              val frames = VectorOps.ivfHierRouting(codebook, cfg.metaMod)
+              CorpusIngest.rollbackIfStranded(fs, metaRoutePath(cfg))
+              CorpusIngest.swapWrite(fs, metaRoutePath(cfg),
+                frames._2.select(col("centroid_id"), col("meta_id"),
+                  lit(epoch).as("frozen_batch")))
+              Some(frames)
             }
           }
         val assigns = MaintStages("recluster", "assign_sweep") {
@@ -895,67 +964,76 @@ object EmbeddingIngest {
             .withColumn("ingest_batch", lit(-1L))
             .localCheckpoint()
         }
+        // the assignment swap, the serving-lists rebuild, and the whole PQ
+        // half are mutually independent once `assigns` is materialized:
+        // they write disjoint directories (ivf / ivflists / pqcb+pq) and
+        // read only localCheckpointed frames plus the vecs dir, which none
+        // of them writes — overlap them on the bounded pool (guide §2.6;
+        // the r15 profile showed the recluster entry is driver-sequencing-
+        // bound). One heartbeat fronts the group (the compact-folds
+        // discipline — concurrent same-owner lock rewrites would race).
+        // Crash contract unchanged: every piece is an idempotent atomic
+        // swap, every torn combination is already detected by the epoch
+        // stamps (readers refuse or fall back), and re-running recluster
+        // rewrites everything deterministically.
         IngestLock.heartbeat(spark, lock)
-        MaintStages("recluster", "swap_ivf") {
-          CorpusIngest.swapWrite(fs, ivfPath(cfg), assigns,
-            partitionCols = Seq("ingest_batch"))
-        }
-        // rebuild the serving lists against the NEW codebook generation —
-        // until this write lands, readers see stale-epoch lists and fall
-        // back to the (coherent) split layout; a crash here leaves exactly
-        // that state, and re-running recluster is the repair
-        IngestLock.heartbeat(spark, lock)
-        MaintStages("recluster", "serving_lists_rewrite") {
-          writeIvfLists(spark, fs, cfg,
-            CorpusIngest.readOrEmpty(spark, vecsPath(cfg), vecsDdl),
-            assigns, epoch,
-            CorpusIngest.ledgerMaxBatch(spark, ledgerPath(cfg)))
-        }
-
-        // ---- PQ half of the drift repair (VERDICT r9 item 4): retrain
-        // the per-subspace codebooks on the CURRENT corpus and backfill
-        // every code, under the same two-swap + epoch discipline. Without
-        // this the pqcb/ tables stay frozen at the seed distribution
-        // forever and ADC shortlists degrade with no repair path.
-        CorpusIngest.rollbackIfStranded(fs, pqPath(cfg))
-        CorpusIngest.rollbackIfStranded(fs, pqCodebooksPath(cfg))
-        val priorPqEpoch = CorpusIngest.readOrEmpty(spark,
-            pqCodebooksPath(cfg), pqcbDdl).agg(min(col("frozen_batch"))).first
-        val pqEpoch =
-          if (priorPqEpoch.isNullAt(0)) ReclusterStamp
-          else math.min(ReclusterStamp, priorPqEpoch.getLong(0) - 1)
-        val pqCb = MaintStages("recluster", "pq_codebook_retrain") {
-          VectorOps.pqCodebooks(
-              vecs.select(col("vec_id"), col("e").as("embedding")),
-              m = cfg.pqM, codebookMod = cfg.pqCodebookMod)
-            .localCheckpoint()
-        }
-        IngestLock.heartbeat(spark, lock)
-        MaintStages("recluster", "swap_pqcb") {
-          CorpusIngest.swapWrite(fs, pqCodebooksPath(cfg),
-            pqCb.withColumn("frozen_batch", lit(pqEpoch)))
-        }
-        val codes = MaintStages("recluster", "pq_encode") {
-          VectorOps.pqEncodeWith(pqCb,
-            vecs.select(col("vec_id"), col("e")), cfg.pqM)
-          .select(col("vec_id"), col("j"), col("code_id"))
-          .withColumn("epoch", lit(pqEpoch))
-          // bucket annotation against the RECLUSTERED coarse codebook (the
-          // assigns frame swapped in above), clustered so the searchPq
-          // pruned scan skips to the probed buckets
-          .join(assigns.select(col("vec_id"), col("centroid_id")),
-            Seq("vec_id"), "left")
-          .withColumn("ivf_epoch", lit(epoch))
-          .withColumn("ingest_batch", lit(-1L))
-          .repartitionByRange(col("centroid_id"))
-          .sortWithinPartitions(col("centroid_id"))
-          .localCheckpoint()
-        }
-        IngestLock.heartbeat(spark, lock)
-        MaintStages("recluster", "swap_pq") {
-          CorpusIngest.swapWrite(fs, pqPath(cfg), codes,
-            partitionCols = Seq("ingest_batch"))
-        }
+        CorpusIngest.parallelUnits(Seq(
+          () => MaintStages("recluster", "swap_ivf") {
+            CorpusIngest.swapWrite(fs, ivfPath(cfg), assigns,
+              partitionCols = Seq("ingest_batch"))
+          },
+          // rebuild the serving lists against the NEW codebook generation —
+          // until this write lands, readers see stale-epoch lists and fall
+          // back to the (coherent) split layout; a crash here leaves
+          // exactly that state, and re-running recluster is the repair
+          () => MaintStages("recluster", "serving_lists_rewrite") {
+            writeIvfLists(spark, fs, cfg,
+              CorpusIngest.readOrEmpty(spark, vecsPath(cfg), vecsDdl),
+              assigns, epoch, ledgerMax)
+          },
+          // ---- PQ half of the drift repair (VERDICT r9 item 4): retrain
+          // the per-subspace codebooks on the CURRENT corpus and backfill
+          // every code, under the same two-swap + epoch discipline.
+          () => {
+            val pqCb = MaintStages("recluster", "pq_codebook_retrain") {
+              VectorOps.pqCodebooks(
+                  vecs.select(col("vec_id"), col("e").as("embedding")),
+                  m = cfg.pqM, codebookMod = cfg.pqCodebookMod)
+                .localCheckpoint()
+            }
+            MaintStages("recluster", "swap_pqcb") {
+              CorpusIngest.swapWrite(fs, pqCodebooksPath(cfg),
+                pqCb.withColumn("frozen_batch", lit(pqEpoch)))
+            }
+            // materialize the UNSORTED codes once, BEFORE the range
+            // layout: repartitionByRange's sampling pass re-executes its
+            // child, so the 25M-pair ADC encode otherwise runs twice (the
+            // r15 shape checkpointed AFTER the range shuffle and paid the
+            // double execution too). The checkpointed rows are narrow
+            // (ints per vector), and the range+sort+write below reads them
+            // from memory for both the sample and the shuffle.
+            val codes0 = MaintStages("recluster", "pq_encode") {
+              VectorOps.pqEncodeWith(pqCb,
+                vecs.select(col("vec_id"), col("e")), cfg.pqM)
+              .select(col("vec_id"), col("j"), col("code_id"))
+              .withColumn("epoch", lit(pqEpoch))
+              // bucket annotation against the RECLUSTERED coarse codebook
+              // (the assigns frame), clustered so the searchPq pruned scan
+              // skips to the probed buckets
+              .join(assigns.select(col("vec_id"), col("centroid_id")),
+                Seq("vec_id"), "left")
+              .withColumn("ivf_epoch", lit(epoch))
+              .withColumn("ingest_batch", lit(-1L))
+              .localCheckpoint()
+            }
+            val codes = codes0
+              .repartitionByRange(col("centroid_id"))
+              .sortWithinPartitions(col("centroid_id"))
+            MaintStages("recluster", "swap_pq") {
+              CorpusIngest.swapWrite(fs, pqPath(cfg), codes,
+                partitionCols = Seq("ingest_batch"))
+            }
+          }))
       }
     }
 
